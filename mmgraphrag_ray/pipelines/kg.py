@@ -1,0 +1,61 @@
+"""End-to-end KG construction pipeline (the reference's index() path,
+mmgraphrag.py:141-184, re-expressed as one streaming Dataset flow):
+
+    read files -> stamp ids/sha -> exact-dedup by content -> chunk ->
+    extract mentions (actor pool) -> split ->
+    node merge + edge merge (partial-agg groupbys) -> UNKNOWN backfill ->
+    nodes/edges tables [-> canonicalization/fusion, see stages/linking.py]
+
+Each stage returns a lazy Dataset; materialization happens only at the sinks
+(write_parquet) or in small test consumers.
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from ..config import DEFAULT_CONFIG, KGConfig
+from ..sources.files import read_files
+from ..stages.chunk import chunk_files
+from ..stages.dedup import dedup_exact
+from ..stages.extract import extract_mentions, split_mentions
+from ..stages.merge import (
+    backfill_unknown_nodes,
+    finalize_edges,
+    merge_edges,
+    merge_nodes,
+)
+
+
+def build_chunks(files_path: str, cfg: KGConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    files = read_files(files_path)
+    # exact dedup by content hash (reference preprocessing.py:107-118):
+    # deterministic survivor = min (repo, path, commit)
+    files = dedup_exact(files, key="content_sha256", order_by=["repo", "path", "commit"])
+    return chunk_files(files, cfg)
+
+
+def build_mentions(files_path: str, cfg: KGConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    return extract_mentions(build_chunks(files_path, cfg), cfg)
+
+
+def build_graph(
+    files_path: str,
+    cfg: KGConfig = DEFAULT_CONFIG,
+    mentions_ds: ray.data.Dataset | None = None,
+):
+    """Returns (nodes_ds, edges_ds). If mentions_ds is given (e.g. a
+    checkpointed parquet re-read), extraction is skipped."""
+    if mentions_ds is None:
+        # materialize the (small, post-extraction) mentions once so the
+        # entity/relationship branches don't re-run chunk+extract twice.
+        mentions_ds = build_mentions(files_path, cfg).materialize()
+    ent, rel = split_mentions(mentions_ds)
+    # nodes/edges are each consumed twice (backfill + output); they are the
+    # small aggregated end of the funnel, so pinning them avoids re-running
+    # the merge shuffles. The write path (state/lineage.py) checkpoints them
+    # to parquet instead.
+    nodes = merge_nodes(ent, cfg).materialize()
+    edges = merge_edges(rel, cfg).materialize()
+    nodes = backfill_unknown_nodes(nodes, edges)
+    return nodes, finalize_edges(edges)

@@ -1,0 +1,50 @@
+"""Scalar text/hash helpers mirroring the reference's semantics.
+
+Reference cites: clean_str base.py:54-63, split_string_by_multi_markers
+base.py:66-71, is_float_regex base.py:138-139, compute_mdhash_id
+base.py:105-106.  Implemented from the documented behavior, not copied.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import html
+import re
+
+_CONTROL_RE = re.compile(r"[\x00-\x1f\x7f-\x9f]")
+_FLOAT_RE = re.compile(r"^[-+]?[0-9]*\.?[0-9]+$")
+
+
+def clean_str(value):
+    """HTML-unescape, strip, drop control chars (reference base.py:54-63)."""
+    if not isinstance(value, str):
+        return value
+    return _CONTROL_RE.sub("", html.unescape(value.strip()))
+
+
+def split_by_markers(content: str, markers: list[str]) -> list[str]:
+    """Split on any literal marker, strip pieces, drop empties
+    (reference base.py:66-71)."""
+    if not markers:
+        return [content]
+    parts = re.split("|".join(re.escape(m) for m in markers), content)
+    return [p.strip() for p in parts if p.strip()]
+
+
+def is_float_str(value: str) -> bool:
+    """Reference base.py:138-139."""
+    return bool(_FLOAT_RE.match(value))
+
+
+def md5_hex(content: str) -> str:
+    return hashlib.md5(content.encode()).hexdigest()
+
+
+def mdhash_id(content: str, prefix: str = "") -> str:
+    """``prefix + md5hex(content)`` (reference base.py:105-106)."""
+    return prefix + md5_hex(content)
+
+
+def sha256_hex(content: str) -> str:
+    """Per-row content invariant column (north_rule: content sha256 equality)."""
+    return hashlib.sha256(content.encode()).hexdigest()
