@@ -32,7 +32,13 @@ def build_chunks(files_path: str, cfg: KGConfig = DEFAULT_CONFIG) -> ray.data.Da
     # exact dedup by content hash (reference preprocessing.py:107-118):
     # deterministic survivor = min (repo, path, commit)
     files = dedup_exact(files, key="content_sha256", order_by=["repo", "path", "commit"])
-    return chunk_files(files, cfg)
+    chunks = chunk_files(files, cfg)
+    # chunk-level dedup: the reference's text-chunk KV store is keyed by
+    # chunk-<md5(content)> so identical windows from different files insert
+    # once (preprocessing.py:126-150); survivor deterministic by lineage.
+    return dedup_exact(
+        chunks, key="chunk_id", order_by=["doc_id", "repo", "path", "chunk_order_index"]
+    )
 
 
 def build_mentions(files_path: str, cfg: KGConfig = DEFAULT_CONFIG) -> ray.data.Dataset:

@@ -1,0 +1,108 @@
+"""Record-grammar parser edge cases (FIXTURES.md F3; reference
+text2graph.py:34-71, 118-138, 370-394) and the deterministic code extractor."""
+
+from mmgraphrag_ray.stages.extract import (
+    parse_wire,
+    render_wire,
+)
+
+D = "<|>"
+
+
+def test_basic_entity_and_relationship():
+    wire = (
+        f'("entity"{D}"PARSE_CONFIG"{D}"FUNCTION"{D}"Parses the config file.")##\n'
+        f'("relationship"{D}"PARSE_CONFIG"{D}"LOAD_JSON"{D}"parse_config calls load_json."{D}8)##\n'
+        "<|COMPLETE|>"
+    )
+    ents, rels = parse_wire(wire)
+    assert ents == [
+        {
+            "entity_name": '"PARSE_CONFIG"',
+            "entity_type": '"FUNCTION"',
+            "description": '"Parses the config file."',
+        }
+    ]
+    assert len(rels) == 1
+    r = rels[0]
+    # undirected canonicalization: sorted pair (text2graph.py:441-443)
+    assert (r["src_id"], r["tgt_id"]) == ('"LOAD_JSON"', '"PARSE_CONFIG"')
+    assert r["weight"] == 8.0
+
+
+def test_too_few_fields_dropped():
+    wire = f'("entity"{D}"A"{D}"T")##("relationship"{D}"A"{D}"B"{D}"d")##<|COMPLETE|>'
+    ents, rels = parse_wire(wire)
+    assert ents == [] and rels == []
+
+
+def test_non_float_weight_defaults_to_1():
+    wire = f'("relationship"{D}"A"{D}"B"{D}"d"{D}heavy)##<|COMPLETE|>'
+    _, rels = parse_wire(wire)
+    assert rels[0]["weight"] == 1.0
+
+
+def test_blank_entity_name_dropped():
+    # a name that cleans to empty (control chars only) is dropped
+    # (text2graph.py:60-62); NOTE a quoted-empty '""' is truthy and survives,
+    # and whitespace-only fields are already removed by the marker splitter
+    # (base.py:66-71), shifting the field list.
+    wire = f'("entity"{D}\x01\x02{D}"T"{D}"d")##<|COMPLETE|>'
+    ents, rels = parse_wire(wire)
+    assert ents == [] and rels == []
+    wire2 = f'("entity"{D}""{D}"T"{D}"d")##<|COMPLETE|>'
+    ents2, _ = parse_wire(wire2)
+    assert ents2[0]["entity_name"] == '""'
+
+
+def test_record_without_parentheses_skipped():
+    wire = f'no parens here##("entity"{D}"A"{D}"T"{D}"d")##<|COMPLETE|>'
+    ents, _ = parse_wire(wire)
+    assert len(ents) == 1
+
+
+def test_clean_str_html_and_control_chars():
+    wire = f'("entity"{D}"A&amp;B\x01"{D}"T"{D}"desc\x1f here")##<|COMPLETE|>'
+    ents, _ = parse_wire(wire)
+    assert ents[0]["entity_name"] == '"A&B"'
+    assert ents[0]["description"] == '"desc here"'
+
+
+def test_upper_casing():
+    wire = f'("entity"{D}"lower_name"{D}"func"{D}"d")##<|COMPLETE|>'
+    ents, _ = parse_wire(wire)
+    assert ents[0]["entity_name"] == '"LOWER_NAME"'
+    assert ents[0]["entity_type"] == '"FUNC"'
+
+
+def test_extra_fields_relationship_uses_last_as_weight():
+    wire = f'("relationship"{D}"A"{D}"B"{D}"d"{D}"x"{D}3.5)##<|COMPLETE|>'
+    _, rels = parse_wire(wire)
+    assert rels[0]["weight"] == 3.5
+
+
+# ------------------------------------------------------------- renderer
+
+
+def test_render_no_module_marker():
+    assert parse_wire(render_wire("def f(a):\n    pass")) == ([], [])
+
+
+def test_render_module_defs_imports_calls():
+    content = (
+        "# module: pkg.m\n"
+        "import other.mod\n"
+        "class Big:\n"
+        "def f_one(a, b):\n"
+        "    x0 = helper(a)\n"
+    )
+    ents, rels = parse_wire(render_wire(content))
+    names = {e["entity_name"] for e in ents}
+    assert names == {'"PKG.M"', '"OTHER.MOD"', '"BIG"', '"F_ONE"'}
+    kinds = {(r["src_id"], r["tgt_id"]): r["weight"] for r in rels}
+    assert kinds[('"OTHER.MOD"', '"PKG.M"')] == 7.0
+    assert kinds[('"BIG"', '"PKG.M"')] == 9.0
+    assert kinds[('"F_ONE"', '"PKG.M"')] == 9.0
+    assert kinds[('"HELPER"', '"PKG.M"')] == 2.0
+    # helper is never an entity -> UNKNOWN backfill candidate downstream
+    assert '"HELPER"' not in names

@@ -1,0 +1,135 @@
+"""Merge algebra goldens + permutation invariance (FIXTURES.md F5;
+reference text2graph.py:140-279)."""
+
+import pandas as pd
+import ray.data
+
+from mmgraphrag_ray import GRAPH_FIELD_SEP as SEP
+from mmgraphrag_ray.config import KGConfig
+from mmgraphrag_ray.stages.merge import (
+    backfill_unknown_nodes,
+    finalize_edges,
+    merge_edges,
+    merge_nodes,
+    summarize_description,
+)
+
+CFG = KGConfig()
+
+
+def _ent_mentions():
+    return pd.DataFrame(
+        {
+            "entity_name": ['"A"', '"A"', '"A"', '"B"'],
+            "entity_type": ['"FUNCTION"', '"CLASS"', '"FUNCTION"', '"MODULE"'],
+            "description": ['"d2"', '"d1"', '"d1"', '"db"'],
+            "source_id": ["c1", "c2", "c1", "c3"],
+        }
+    )
+
+
+def _rel_mentions():
+    return pd.DataFrame(
+        {
+            "src_id": ['"A"', '"A"', '"A"'],
+            "tgt_id": ['"B"', '"B"', '"C"'],
+            "weight": [2.0, 3.5, 1.0],
+            "description": ['"r2"', '"r1"', '"rc"'],
+            "source_id": ["c1", "c2", "c1"],
+            "order": [2, 1, 1],
+        }
+    )
+
+
+def test_node_merge_golden():
+    nodes = merge_nodes(ray.data.from_pandas(_ent_mentions()), CFG).to_pandas()
+    nodes = nodes.sort_values("entity_name").reset_index(drop=True)
+    a = nodes[nodes.entity_name == '"A"'].iloc[0]
+    assert a.entity_type == '"FUNCTION"'  # mode: 2x FUNCTION vs 1x CLASS
+    assert a.description == f'"d1"{SEP}"d2"'  # sorted set join
+    assert a.source_id == f"c1{SEP}c2"
+    b = nodes[nodes.entity_name == '"B"'].iloc[0]
+    assert b.entity_type == '"MODULE"' and b.description == '"db"'
+
+
+def test_node_type_mode_tie_breaks_lexicographically():
+    df = pd.DataFrame(
+        {
+            "entity_name": ['"X"', '"X"'],
+            "entity_type": ['"B_TYPE"', '"A_TYPE"'],
+            "description": ['"d"', '"d"'],
+            "source_id": ["c1", "c2"],
+        }
+    )
+    nodes = merge_nodes(ray.data.from_pandas(df), CFG).to_pandas()
+    assert nodes.iloc[0].entity_type == '"A_TYPE"'
+
+
+def test_edge_merge_golden():
+    edges = finalize_edges(merge_edges(ray.data.from_pandas(_rel_mentions()), CFG)).to_pandas()
+    edges = edges.sort_values(["src_id", "tgt_id"]).reset_index(drop=True)
+    ab = edges[(edges.src_id == '"A"') & (edges.tgt_id == '"B"')].iloc[0]
+    assert ab.weight == 5.5  # sum
+    assert ab["order"] == 1  # min
+    assert ab.description == f'"r1"{SEP}"r2"'
+    assert ab.source_id == f"c1{SEP}c2"
+    ac = edges[(edges.tgt_id == '"C"')].iloc[0]
+    assert ac.weight == 1.0
+
+
+def test_permutation_and_partitioning_invariance():
+    """Shuffled row order + different block splits give identical results
+    (partial aggregation is safe: associative+commutative)."""
+    base = _ent_mentions()
+    perm = base.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    split_blocks = [perm.iloc[:1], perm.iloc[1:2], perm.iloc[2:]]
+    r1 = merge_nodes(ray.data.from_pandas(base), CFG).to_pandas()
+    r2 = merge_nodes(ray.data.from_pandas(split_blocks), CFG).to_pandas()
+    key = ["entity_name", "entity_type", "description", "source_id"]
+    assert (
+        r1.sort_values("entity_name")[key].reset_index(drop=True).equals(
+            r2.sort_values("entity_name")[key].reset_index(drop=True)
+        )
+    )
+
+
+def test_unknown_backfill():
+    nodes = merge_nodes(ray.data.from_pandas(_ent_mentions()), CFG).materialize()
+    edges = merge_edges(ray.data.from_pandas(_rel_mentions()), CFG).materialize()
+    all_nodes = backfill_unknown_nodes(nodes, edges).to_pandas()
+    c = all_nodes[all_nodes.entity_name == '"C"']
+    assert len(c) == 1
+    row = c.iloc[0]
+    assert row.entity_type == '"UNKNOWN"'
+    # attrs come from the (pre-summarize) merged A-C edge
+    assert row.description == '"rc"' and row.source_id == "c1"
+    # existing nodes not duplicated
+    assert (all_nodes.entity_name == '"A"').sum() == 1
+
+
+def test_summarize_gate_truncates_at_threshold():
+    short = "w " * 10
+    assert summarize_description(short, 500) == short
+    long = "word " * 600  # 1200 tokens
+    out = summarize_description(long, 500)
+    from mmgraphrag_ray.tokenizer import encode
+
+    assert len(encode(out)) == 500
+
+
+def test_description_over_gate_truncated_in_merge():
+    # one entity with 600 distinct single-token descriptions -> joined desc
+    # far over the 500-token gate -> truncated to exactly 500 tokens
+    n = 600
+    df = pd.DataFrame(
+        {
+            "entity_name": ['"BIG"'] * n,
+            "entity_type": ['"T"'] * n,
+            "description": [f'"d{i:04d}"' for i in range(n)],
+            "source_id": [f"c{i}" for i in range(n)],
+        }
+    )
+    nodes = merge_nodes(ray.data.from_pandas(df), CFG).to_pandas()
+    from mmgraphrag_ray.tokenizer import encode
+
+    assert len(encode(nodes.iloc[0].description)) == 500
