@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+`queries()` exposes each implemented operator/pipeline from SURVEY.md §2 as a
+callable over an sf dir; `oracle_sql()` gives the DuckDB-equivalent SQL. The
+KG-construction queries run over the deterministic synthetic source-code
+corpus (BASELINE.json input_hint shape), generated idempotently under
+/tmp/raykg_corpus — the SQL oracles read the same parquet file, so the whole
+chain (tokenize -> window -> extract -> merge -> backfill) is verified
+value-for-value against an independent SQL implementation.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +17,396 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF001 = "/root/testdata/sf0.01"
+
+# --------------------------------------------------------------------------
+# SQL oracle fragments (kept in lockstep with the Python implementations —
+# the tokenizer pattern is shared verbatim, tests/test_tokenizer.py proves
+# Python re and DuckDB RE2 agree on it).
+# --------------------------------------------------------------------------
+
+
+def _kg_cte(corpus: str) -> str:
+    from mmgraphrag_ray.config import DEFAULT_CONFIG as C
+    from mmgraphrag_ray.tokenizer import TOKEN_PATTERN
+
+    size, stride = C.chunk_token_size, C.chunk_token_size - C.chunk_overlap_token_size
+    pat = TOKEN_PATTERN
+    ws = "concat(' ', chr(9), chr(10), chr(13), chr(11), chr(12))"
+    return f"""
+WITH files0 AS (
+  SELECT repo, path, commit, lang, content,
+         sha256(content) AS content_sha256,
+         'doc-' || md5(content) AS doc_id
+  FROM read_parquet('{corpus}')
+),
+files AS (
+  SELECT repo, path, commit, lang, content, content_sha256, doc_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY content_sha256 ORDER BY repo, path, commit) AS rn
+    FROM files0
+  ) WHERE rn = 1
+),
+toks AS (
+  SELECT doc_id, repo, path, lang, content_sha256,
+         regexp_extract_all(content, '{pat}') AS t
+  FROM files
+),
+wins AS (
+  SELECT doc_id, repo, path, lang, content_sha256, t,
+         unnest(generate_series(0, len(t) - 1, {stride})) AS start
+  FROM toks
+),
+chunks0 AS (
+  SELECT doc_id, repo, path, lang, content_sha256,
+         trim(array_to_string(list_slice(t, start + 1, start + {size}), ''), {ws}) AS content,
+         CAST(least({size}, len(t) - start) AS INTEGER) AS tokens,
+         CAST(start // {stride} AS INTEGER) AS chunk_order_index
+  FROM wins
+),
+chunks AS (
+  SELECT chunk_id, doc_id, repo, path, lang, content_sha256, tokens, content, chunk_order_index FROM (
+    SELECT 'chunk-' || md5(content) AS chunk_id, *,
+           row_number() OVER (PARTITION BY md5(content) ORDER BY doc_id, repo, path, chunk_order_index) AS rn2
+    FROM chunks0
+  ) WHERE rn2 = 1
+),
+modc AS (
+  SELECT * FROM (
+    SELECT chunk_id, doc_id, repo, path, content_sha256, chunk_order_index, content,
+           regexp_extract(content, '# module: ([A-Za-z_][A-Za-z0-9_.]*)', 1) AS module
+    FROM chunks
+  ) WHERE module <> ''
+),
+imps AS (SELECT *, unnest(regexp_extract_all(content, '(?m)^import +([A-Za-z_][A-Za-z0-9_.]*)', 1)) AS sym FROM modc),
+clss AS (SELECT *, unnest(regexp_extract_all(content, '(?m)^ *class +([A-Za-z_][A-Za-z0-9_]*)', 1)) AS sym FROM modc),
+defs AS (SELECT *, unnest(regexp_extract_all(content, '(?m)^ *def +([A-Za-z_][A-Za-z0-9_]*) *\\(', 1)) AS sym FROM modc),
+calls AS (SELECT *, unnest(regexp_extract_all(content, '= *([A-Za-z_][A-Za-z0-9_]*)\\(', 1)) AS sym FROM modc),
+ent_mentions AS (
+  SELECT '"' || upper(module) || '"' AS entity_name, '"MODULE"' AS entity_type,
+         '"Module ' || module || '."' AS description, chunk_id AS source_id,
+         doc_id, repo, path, content_sha256, chunk_order_index
+  FROM modc
+  UNION ALL
+  SELECT '"' || upper(sym) || '"', '"MODULE"', '"Module ' || sym || '."', chunk_id,
+         doc_id, repo, path, content_sha256, chunk_order_index FROM imps
+  UNION ALL
+  SELECT '"' || upper(sym) || '"', '"CLASS"', '"Class ' || sym || ' in module ' || module || '."', chunk_id,
+         doc_id, repo, path, content_sha256, chunk_order_index FROM clss
+  UNION ALL
+  SELECT '"' || upper(sym) || '"', '"FUNCTION"', '"Function ' || sym || ' in module ' || module || '."', chunk_id,
+         doc_id, repo, path, content_sha256, chunk_order_index FROM defs
+),
+rel0 AS (
+  SELECT module, sym, 7.0 AS weight, '"Module ' || module || ' imports ' || sym || '."' AS description,
+         chunk_id, doc_id, repo, path, content_sha256, chunk_order_index FROM imps
+  UNION ALL
+  SELECT module, sym, 9.0, '"Module ' || module || ' defines class ' || sym || '."',
+         chunk_id, doc_id, repo, path, content_sha256, chunk_order_index FROM clss
+  UNION ALL
+  SELECT module, sym, 9.0, '"Module ' || module || ' defines function ' || sym || '."',
+         chunk_id, doc_id, repo, path, content_sha256, chunk_order_index FROM defs
+  UNION ALL
+  SELECT module, sym, 2.0, '"Module ' || module || ' calls ' || sym || '."',
+         chunk_id, doc_id, repo, path, content_sha256, chunk_order_index FROM calls
+),
+rel_mentions AS (
+  SELECT least('"' || upper(module) || '"', '"' || upper(sym) || '"') AS src_id,
+         greatest('"' || upper(module) || '"', '"' || upper(sym) || '"') AS tgt_id,
+         weight, description, chunk_id AS source_id, CAST(1 AS INTEGER) AS "order",
+         doc_id, repo, path, content_sha256, chunk_order_index
+  FROM rel0
+)"""
+
+
+def _trunc(expr: str) -> str:
+    """SQL mirror of stages/merge.py summarize_description (truncation
+    stand-in for the >=500-token summarize gate)."""
+    from mmgraphrag_ray.config import DEFAULT_CONFIG as C
+    from mmgraphrag_ray.tokenizer import TOKEN_PATTERN
+
+    g, pat = C.entity_summary_to_max_tokens, TOKEN_PATTERN
+    return (
+        f"CASE WHEN len(regexp_extract_all({expr}, '{pat}')) >= {g} "
+        f"THEN array_to_string(list_slice(regexp_extract_all({expr}, '{pat}'), 1, {g}), '') "
+        f"ELSE {expr} END"
+    )
+
+
+def _kg_merge_cte() -> str:
+    sep = "<SEP>"
+    return f""",
+type_counts AS (SELECT entity_name, entity_type, count(*) AS c FROM ent_mentions GROUP BY 1, 2),
+type_mode AS (
+  SELECT entity_name, entity_type FROM (
+    SELECT *, row_number() OVER (PARTITION BY entity_name ORDER BY c DESC, entity_type ASC) AS rn
+    FROM type_counts
+  ) WHERE rn = 1
+),
+node_agg AS (
+  SELECT entity_name,
+         string_agg(DISTINCT description, '{sep}' ORDER BY description) AS description,
+         string_agg(DISTINCT source_id, '{sep}' ORDER BY source_id) AS source_id
+  FROM ent_mentions GROUP BY entity_name
+),
+nodes_known AS (
+  SELECT n.entity_name, t.entity_type, {_trunc('n.description')} AS description, n.source_id
+  FROM node_agg n JOIN type_mode t ON n.entity_name = t.entity_name
+),
+edge_agg AS (
+  SELECT src_id, tgt_id, sum(weight) AS weight, min("order") AS "order",
+         string_agg(DISTINCT description, '{sep}' ORDER BY description) AS description_full,
+         string_agg(DISTINCT source_id, '{sep}' ORDER BY source_id) AS source_id
+  FROM rel_mentions GROUP BY 1, 2
+),
+endpoints AS (
+  SELECT src_id AS entity_name, src_id, tgt_id, description_full, source_id FROM edge_agg
+  UNION ALL
+  SELECT tgt_id AS entity_name, src_id, tgt_id, description_full, source_id FROM edge_agg
+),
+unknown_nodes AS (
+  SELECT entity_name, '"UNKNOWN"' AS entity_type, description_full AS description, source_id FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY e.entity_name ORDER BY e.src_id, e.tgt_id) AS rn
+    FROM endpoints e
+    WHERE e.entity_name NOT IN (SELECT entity_name FROM nodes_known)
+  ) WHERE rn = 1
+),
+nodes AS (SELECT * FROM nodes_known UNION ALL SELECT * FROM unknown_nodes),
+edges AS (
+  SELECT src_id, tgt_id, weight, {_trunc('description_full')} AS description, source_id, "order"
+  FROM edge_agg
+)"""
+
+
+def _corpus(sf_dir: str) -> str:
+    from mmgraphrag_ray.corpus import ensure_corpus
+
+    return ensure_corpus(sf_dir)
+
+
+# --------------------------------------------------------------------------
+# driver API
+# --------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: KG construction over the sf0.001 corpus; returns nodes."""
+    nodes, _edges = _build_graph_cached("/root/testdata/sf0.001")
+    return nodes
+
+
+def _build_graph_cached(sf_dir: str):
+    from mmgraphrag_ray.pipelines.kg import build_graph
+
+    return build_graph(_corpus(sf_dir))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import numpy as np
+    import ray.data
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from mmgraphrag_ray.pipelines import relational
+    from mmgraphrag_ray.pipelines.kg import build_chunks, build_mentions
+    from mmgraphrag_ray.sources.files import read_files
+    from mmgraphrag_ray.stages.dedup import dedup_exact
+    from mmgraphrag_ray.stages.extract import split_mentions
+    from mmgraphrag_ray.stages.similarity import brute_topk
+    from mmgraphrag_ray.stages.textstats import doc_fingerprints, doc_text_stats
+
+    def kg_files(sf_dir):
+        files = read_files(_corpus(sf_dir))
+        return dedup_exact(
+            files, key="content_sha256", order_by=["repo", "path", "commit"]
+        )
+
+    def kg_chunks(sf_dir):
+        return build_chunks(_corpus(sf_dir))
+
+    def kg_mentions(sf_dir):
+        ent, _ = split_mentions(build_mentions(_corpus(sf_dir)))
+        return ent
+
+    def kg_rel_mentions(sf_dir):
+        _, rel = split_mentions(build_mentions(_corpus(sf_dir)))
+        return rel
+
+    def kg_nodes(sf_dir):
+        nodes, _ = _build_graph_cached(sf_dir)
+        return nodes
+
+    def kg_edges(sf_dir):
+        _, edges = _build_graph_cached(sf_dir)
+        return edges
+
+    def dedup_exact_documents(sf_dir):
+        import hashlib
+
+        import pyarrow as pa
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+        def add_hash(batch: pa.Table) -> pa.Table:
+            md5s = [
+                hashlib.md5(t.encode()).hexdigest()
+                for t in batch.column("text").to_pylist()
+            ]
+            return batch.append_column("text_md5", pa.array(md5s, pa.string()))
+
+        hashed = docs.map_batches(add_hash, batch_format="pyarrow")
+        return dedup_exact(hashed, key="text_md5", order_by=["doc_id"])
+
+    def doc_stats(sf_dir):
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return doc_text_stats(docs)
+
+    def token_count_by_lang(sf_dir):
+        import pyarrow as pa
+
+        from mmgraphrag_ray.tokenizer import encode
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+        )
+
+        def toks(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "lang": batch.column("lang"),
+                    "n_tokens": pa.array(
+                        [len(encode(t)) for t in batch.column("text").to_pylist()],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        from ray.data.aggregate import Count, Sum
+
+        return (
+            docs.map_batches(toks, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(
+                Sum("n_tokens", alias_name="total_tokens"),
+                Count(alias_name="n_docs"),
+            )
+        )
+
+    def doc_fingerprint(sf_dir):
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return doc_fingerprints(docs)
+
+    def ann_topk(sf_dir):
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        qdf = emb.filter(expr="vec_id < 8").to_pandas()
+        qids = qdf["vec_id"].to_numpy()
+        qvecs = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+        return brute_topk(emb, qids, qvecs, k=5)
+
+    return {
+        "kg_files": kg_files,
+        "kg_chunks": kg_chunks,
+        "kg_mentions": kg_mentions,
+        "kg_rel_mentions": kg_rel_mentions,
+        "kg_nodes": kg_nodes,
+        "kg_edges": kg_edges,
+        "dedup_exact_documents": dedup_exact_documents,
+        "doc_text_stats": doc_stats,
+        "token_count_by_lang": token_count_by_lang,
+        "doc_fingerprint": doc_fingerprint,
+        "ann_topk": ann_topk,
+        "q1_pricing": relational.q1_pricing,
+        "segment_order_stats": relational.segment_order_stats,
+        "topk_orders": relational.topk_orders,
+        "events_window": relational.events_window,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mmgraphrag_ray.stages.textstats import DIGIT_RE, PUNCT_RE, WORD_RE
+    from mmgraphrag_ray.tokenizer import TOKEN_PATTERN
+
+    corpus = _corpus(SF001)  # idempotent generation so DuckDB can read it
+    kg = _kg_cte(corpus)
+    merge = _kg_merge_cte()
+    pat = TOKEN_PATTERN
+
+    return {
+        "kg_files": kg + "\nSELECT * FROM files",
+        "kg_chunks": kg + "\nSELECT * FROM chunks",
+        "kg_mentions": kg + "\nSELECT * FROM ent_mentions",
+        "kg_rel_mentions": kg + "\nSELECT * FROM rel_mentions",
+        "kg_nodes": kg + merge + "\nSELECT * FROM nodes",
+        "kg_edges": kg + merge + "\nSELECT * FROM edges",
+        "dedup_exact_documents": """
+            SELECT doc_id, text, lang, source, n_chars, text_md5 FROM (
+              SELECT *, md5(text) AS text_md5,
+                     row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn = 1
+        """,
+        "doc_text_stats": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_extract_all(text, '{WORD_RE}')) AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(text, '{PUNCT_RE}')) AS BIGINT) AS n_punct,
+                   CAST(len(regexp_extract_all(text, '{DIGIT_RE}')) AS BIGINT) AS n_digits,
+                   CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_tokens,
+                   CASE WHEN length(text) > 0
+                        THEN CAST(len(regexp_extract_all(text, '{PUNCT_RE}')) AS DOUBLE) / length(text)
+                        ELSE 0.0 END AS punct_ratio
+            FROM documents
+        """,
+        "token_count_by_lang": f"""
+            SELECT lang,
+                   CAST(sum(len(regexp_extract_all(text, '{pat}'))) AS BIGINT) AS total_tokens,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_vec_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+            pairs AS (
+              SELECT q.query_vec_id, e.vec_id,
+                     list_cosine_similarity(q.qv, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id <> q.query_vec_id
+            ),
+            ranked AS (
+              SELECT query_vec_id, vec_id,
+                     row_number() OVER (PARTITION BY query_vec_id ORDER BY sim DESC, vec_id ASC) AS rank
+              FROM pairs
+            )
+            SELECT query_vec_id, CAST(rank AS BIGINT) AS rank, vec_id FROM ranked WHERE rank <= 5
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   count(*) AS count_order,
+                   max(l_quantity) AS max_qty
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "segment_order_stats": """
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   min(o_totalprice) AS min_price,
+                   max(o_totalprice) AS max_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "events_window": """
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+    }

@@ -1,0 +1,81 @@
+"""Relational demonstration pipelines over the driver-provided TPC-H-ish
+tables — the generic aggregate/join/sort/window operator surface
+(SURVEY §2.5 aggregations, §2.4 joins, §2.7 sorts/limits).
+
+Aggregate outputs deliberately use only order-insensitive exact reductions
+(count, min, max, and sums of integral-valued columns) so the DuckDB oracle
+hash-matches bit-for-bit regardless of distributed summation order.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..stages.join import broadcast_join
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def q1_pricing(sf_dir: str):
+    """TPC-H Q1 shape: groupby returnflag/linestatus with exact aggregates.
+    Pre-aggregation happens inside Ray's hash-aggregate; input pruned to the
+    4 needed columns at the read."""
+    li = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_orderkey"]
+    )
+    out = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Count(alias_name="count_order"),
+        Max("l_quantity", alias_name="max_qty"),
+    )
+    return out
+
+
+def segment_order_stats(sf_dir: str):
+    """Broadcast join orders->customer (dimension side via ray.put), then
+    exact per-segment aggregates."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, on="o_custkey")
+    return joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"),
+        Min("o_totalprice", alias_name="min_price"),
+        Max("o_totalprice", alias_name="max_price"),
+    )
+
+
+def topk_orders(sf_dir: str, k: int = 10):
+    """Global top-k by sort+limit (reference O2-O4 top-k family)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+def events_window(sf_dir: str):
+    """Tumbling 1-hour window per user over the events stream table:
+    event-time bucketing in map_batches, then an exact groupby aggregate.
+    (Ray Data has no watermarks; the window is a derived key — SURVEY §2.10.)"""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["hour"] = batch["ts"].dt.floor("h")
+        return batch[["user_id", "hour", "value"]]
+
+    return (
+        ev.map_batches(bucket, batch_format="pandas")
+        .groupby(["user_id", "hour"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+    )

@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns.
+
+Mirrors the reference's NanoVectorDB brute-force cosine top-k query
+(storage.py:233-326: flat float32 vectors, cosine, top_k, threshold) as a
+Ray-native pattern: the (small) query matrix is broadcast once via
+``ray.put``; each batch computes a vectorized partial top-k against it
+(numpy matmul); a final small groupby keeps the global top-k per query.
+This is the baseline scale path; an LSH-bucketed variant lives in
+stages/dedup.py for near-dup joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def brute_topk(
+    corpus_ds,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float | None = None,
+):
+    """Top-k cosine neighbors for each query vector.
+
+    Returns Dataset(query_vec_id, rank, vec_id) — float similarity is kept
+    internal so results are exactly comparable across engines (ordering ties
+    broken by ascending id, mirroring `ORDER BY sim DESC, vec_id`).
+    Self-pairs (query id == corpus id) are excluded.
+    """
+    qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(query_ids)
+    ref = ray.put((qids, qmat))
+
+    def partial_topk(batch: pa.Table) -> pd.DataFrame:
+        q_ids, q = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        if len(vecs) == 0:
+            return pd.DataFrame({"query_vec_id": [], "vec_id": [], "sim": []})
+        sims = _normalize(vecs) @ q.T  # (batch, nq)
+        frames = []
+        for j in range(q.shape[0]):
+            col = sims[:, j]
+            mask = ids != q_ids[j]
+            cand_ids, cand_sims = ids[mask], col[mask]
+            if threshold is not None:
+                keep = cand_sims >= threshold
+                cand_ids, cand_sims = cand_ids[keep], cand_sims[keep]
+            take = min(k, len(cand_ids))
+            if take == 0:
+                continue
+            # partial top-k inside the batch: argpartition then exact sort
+            part = np.argpartition(-cand_sims, take - 1)[:take]
+            order = part[np.lexsort((cand_ids[part], -cand_sims[part]))]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_vec_id": q_ids[j],
+                        "vec_id": cand_ids[order],
+                        "sim": cand_sims[order],
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame({"query_vec_id": [], "vec_id": [], "sim": []})
+        return pd.concat(frames, ignore_index=True)
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_vec_id": g["query_vec_id"].astype("int64"),
+                "rank": np.arange(1, len(g) + 1, dtype="int64"),
+                "vec_id": g["vec_id"].astype("int64"),
+            }
+        )
+
+    partials = corpus_ds.map_batches(partial_topk, batch_format="pyarrow")
+    return partials.groupby("query_vec_id").map_groups(final_topk, batch_format="pandas")
+
+
+def knn_label_transfer(corpus_ds, query_ids, query_vecs, labels_by_id: dict, k: int = 1):
+    """Nearest-neighbor label transfer (reference fusion.py:313-321, 423-428:
+    image entity takes the cluster label of its nearest text entity).
+    Returns Dataset(query_vec_id, label) using the 1-NN (or majority of k)."""
+    topk = brute_topk(corpus_ds, query_ids, query_vecs, k=k)
+    ref = ray.put(labels_by_id)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        lab = ray.get(ref)
+        best = batch[batch["rank"] == 1]
+        return pd.DataFrame(
+            {
+                "query_vec_id": best["query_vec_id"],
+                "label": [lab.get(int(v)) for v in best["vec_id"]],
+            }
+        )
+
+    return topk.map_batches(assign, batch_format="pandas")
