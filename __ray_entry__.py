@@ -190,6 +190,9 @@ def _corpus(sf_dir: str) -> str:
 
 def entry() -> Any:
     """Flagship: KG construction over the sf0.001 corpus; returns nodes."""
+    from mmgraphrag_ray.runtime import configure
+
+    configure()
     nodes, _edges = _build_graph_cached("/root/testdata/sf0.001")
     return nodes
 
@@ -203,6 +206,10 @@ def _build_graph_cached(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     import numpy as np
     import ray.data
+
+    from mmgraphrag_ray.runtime import configure
+
+    configure()
 
     from mmgraphrag_ray.pipelines import relational
     from mmgraphrag_ray.pipelines.kg import build_chunks, build_mentions
@@ -280,15 +287,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
-        from ray.data.aggregate import Count, Sum
+        from mmgraphrag_ray.stages.groupagg import bucketed_groupby_agg
 
-        return (
-            docs.map_batches(toks, batch_format="pyarrow")
-            .groupby("lang")
-            .aggregate(
-                Sum("n_tokens", alias_name="total_tokens"),
-                Count(alias_name="n_docs"),
-            )
+        return bucketed_groupby_agg(
+            docs.map_batches(toks, batch_format="pyarrow"),
+            keys=["lang"],
+            aggs={"total_tokens": ("n_tokens", "sum"), "n_docs": (None, "count")},
         )
 
     def doc_fingerprint(sf_dir):

@@ -1,0 +1,164 @@
+"""Benchmark harness.
+
+Default mode: runs the headline KG-construction pipeline (files -> chunks ->
+extract -> merge -> nodes/edges parquet) over the synthetic source-code
+corpus sized for $GRAFT_SF_DIR, plus timed sub-pipelines, under
+ray.init(num_cpus=$RAY_GRAFT_CPUS or 32).  Prints ONE JSON line:
+
+  {"metric": "kg_construction_sec", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": <sf>, "num_cpus": N,
+   "files": N, "files_per_sec": X}
+
+--scaling: runs the SAME headline job twice in fresh processes
+(num_cpus=8 then num_cpus=32) over one larger fixed corpus and reports both
+throughputs + scaling efficiency E = (files/sec@32) / (4 x files/sec@8)
+(the sandbox evidence protocol for the north_rule's N-vs-4N-node criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SCALING_FILES = int(os.environ.get("RAYKG_SCALING_FILES", "20000"))
+
+
+def _run_headline(corpus_path: str, n_files: int, out_dir: str) -> float:
+    from mmgraphrag_ray.pipelines.kg import build_graph
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    nodes, edges = build_graph(corpus_path)
+    nodes.write_parquet(os.path.join(out_dir, "nodes"))
+    edges.write_parquet(os.path.join(out_dir, "edges"))
+    return time.time() - t0
+
+
+def _bench_main() -> None:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    corpus_override = os.environ.get("RAYKG_BENCH_CORPUS")
+    headline_only = os.environ.get("RAYKG_BENCH_ONLY") == "kg_full"
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from mmgraphrag_ray.runtime import configure
+
+    configure(num_cpus=num_cpus)
+
+    import pyarrow.parquet as pq
+
+    from mmgraphrag_ray.corpus import ensure_corpus
+
+    corpus = corpus_override or ensure_corpus(sf_dir)
+    n_files = pq.ParquetFile(corpus).metadata.num_rows
+    # warm OS page cache so we measure compute + shuffle, not first disk read
+    pq.read_table(corpus)
+
+    # Median of N runs: this sandbox's Ray workers intermittently segfault in
+    # _raylet.so (kernel-level, see dmesg), and the resulting task-retry
+    # stalls add ~30-45 s to an unlucky run.  The median is robust to one
+    # such outlier; correctness is unaffected (Ray retries the lost tasks).
+    repeat = int(os.environ.get("RAYKG_BENCH_REPEAT", "3"))
+    runs = sorted(
+        _run_headline(corpus, n_files, "/tmp/raykg_bench/kg") for _ in range(repeat)
+    )
+    headline = runs[len(runs) // 2] if repeat % 2 else runs[len(runs) // 2 - 1]
+
+    queries: dict[str, float] = {"kg_full": round(headline, 3)}
+    if not headline_only:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import __ray_entry__ as entry
+
+        qs = entry.queries()
+        for name in [
+            "kg_chunks",
+            "dedup_exact_documents",
+            "doc_text_stats",
+            "ann_topk",
+            "q1_pricing",
+            "events_window",
+        ]:
+            t0 = time.time()
+            res = qs[name](sf_dir)
+            # consume the stream without driver-side materialization of
+            # payloads beyond counting
+            res.count()
+            queries[name] = round(time.time() - t0, 3)
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "kg_construction_sec",
+                "value": round(headline, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "num_cpus": num_cpus,
+                "files": n_files,
+                "files_per_sec": round(n_files / headline, 2),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def _scaling_main() -> None:
+    """Fresh-process runs of the headline job at 8 and 32 CPUs on one input."""
+    from mmgraphrag_ray.corpus import ensure_corpus_n
+
+    corpus = ensure_corpus_n(SCALING_FILES, f"scaling{SCALING_FILES}")
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            RAYKG_BENCH_CORPUS=corpus,
+            RAYKG_BENCH_ONLY="kg_full",
+            RAYKG_BENCH_REPEAT="2",  # best-of-2 inside one session; see note
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tput_lo, tput_hi = lo["files_per_sec"], hi["files_per_sec"]
+    eff = tput_hi / (4 * tput_lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "files": lo["files"],
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "files_per_sec_8": tput_lo,
+                "files_per_sec_32": tput_hi,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        _scaling_main()
+    else:
+        _bench_main()

@@ -28,10 +28,18 @@ class KGConfig:
     # with min=1 so a pool can never reserve every CPU and starve the
     # upstream read/sort stages (observed deadlock when a fixed pool equals
     # the cluster CPU count).
-    extract_concurrency: tuple = (1, 8)
+    extract_concurrency: tuple = (1, 24)
     extract_batch_size: int = 64
+    # use an actor pool for extraction (required for model-backed extractors
+    # with warm per-actor state; the deterministic regex extractor is faster
+    # as stateless tasks)
+    extract_actor_pool: bool = False
     embed_concurrency: tuple = (1, 4)
     merge_num_partitions: int = 0  # 0 = let Ray pick
+    # block budget for the initial read (None = Ray default sizing; a small
+    # fixed count keeps tiny bench inputs from exploding into hundreds of
+    # per-stage tasks). See sources/files.py.
+    read_num_blocks: int | None = 64
 
 
 DEFAULT_CONFIG = KGConfig()

@@ -123,15 +123,21 @@ def corpus_path(sf_dir: str, root: str = "/tmp/raykg_corpus") -> str:
     return os.path.join(root, f"{base}_v{CORPUS_VERSION}", "files.parquet")
 
 
-def ensure_corpus(sf_dir: str, root: str = "/tmp/raykg_corpus") -> str:
-    """Generate (once, atomically) the deterministic corpus for an sf dir;
+def ensure_corpus_n(n_files: int, tag: str, root: str = "/tmp/raykg_corpus") -> str:
+    """Generate (once, atomically) a deterministic corpus of `n_files`;
     returns the parquet path. Safe to call from several processes."""
-    out = corpus_path(sf_dir, root)
+    out = os.path.join(root, f"{tag}_v{CORPUS_VERSION}", "files.parquet")
     if os.path.exists(out):
         return out
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    table = generate_files_table(n_files_for_sf(sf_dir))
+    table = generate_files_table(n_files)
     tmp = out + f".tmp.{os.getpid()}"
     pq.write_table(table, tmp)
     os.replace(tmp, out)  # atomic on same fs
     return out
+
+
+def ensure_corpus(sf_dir: str, root: str = "/tmp/raykg_corpus") -> str:
+    """Corpus for an sf dir (sf0.01 -> 800 files)."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return ensure_corpus_n(n_files_for_sf(sf_dir), base, root)

@@ -28,7 +28,10 @@ from ..stages.merge import (
 
 
 def build_chunks(files_path: str, cfg: KGConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
-    files = read_files(files_path)
+    from ..runtime import configure
+
+    configure()
+    files = read_files(files_path, override_num_blocks=cfg.read_num_blocks)
     # exact dedup by content hash (reference preprocessing.py:107-118):
     # deterministic survivor = min (repo, path, commit)
     files = dedup_exact(files, key="content_sha256", order_by=["repo", "path", "commit"])

@@ -13,12 +13,15 @@ import os
 
 import pandas as pd
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
 
+from ..stages.groupagg import bucketed_groupby_agg
 from ..stages.join import broadcast_join
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    from ..runtime import configure
+
+    configure()
     return ray.data.read_parquet(
         os.path.join(sf_dir, f"{table}.parquet"), columns=columns
     )
@@ -28,15 +31,16 @@ def q1_pricing(sf_dir: str):
     """TPC-H Q1 shape: groupby returnflag/linestatus with exact aggregates.
     Pre-aggregation happens inside Ray's hash-aggregate; input pruned to the
     4 needed columns at the read."""
-    li = _read(
-        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_orderkey"]
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    return bucketed_groupby_agg(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "sum_qty": ("l_quantity", "sum"),
+            "count_order": (None, "count"),
+            "max_qty": ("l_quantity", "max"),
+        },
     )
-    out = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Count(alias_name="count_order"),
-        Max("l_quantity", alias_name="max_qty"),
-    )
-    return out
 
 
 def segment_order_stats(sf_dir: str):
@@ -46,10 +50,14 @@ def segment_order_stats(sf_dir: str):
     cust = cust.rename(columns={"c_custkey": "o_custkey"})
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     joined = broadcast_join(orders, cust, on="o_custkey")
-    return joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"),
-        Min("o_totalprice", alias_name="min_price"),
-        Max("o_totalprice", alias_name="max_price"),
+    return bucketed_groupby_agg(
+        joined,
+        keys=["c_mktsegment"],
+        aggs={
+            "n_orders": (None, "count"),
+            "min_price": ("o_totalprice", "min"),
+            "max_price": ("o_totalprice", "max"),
+        },
     )
 
 
@@ -70,12 +78,12 @@ def events_window(sf_dir: str):
         batch["hour"] = batch["ts"].dt.floor("h")
         return batch[["user_id", "hour", "value"]]
 
-    return (
-        ev.map_batches(bucket, batch_format="pandas")
-        .groupby(["user_id", "hour"])
-        .aggregate(
-            Count(alias_name="n_events"),
-            Min("value", alias_name="min_value"),
-            Max("value", alias_name="max_value"),
-        )
+    return bucketed_groupby_agg(
+        ev.map_batches(bucket, batch_format="pandas"),
+        keys=["user_id", "hour"],
+        aggs={
+            "n_events": (None, "count"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
     )

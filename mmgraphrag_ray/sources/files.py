@@ -24,7 +24,17 @@ def _stamp_ids(batch: pa.Table) -> pa.Table:
     )
 
 
-def read_files(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    """files.parquet -> Dataset with doc_id + content_sha256 stamped."""
-    ds = ray.data.read_parquet(path, columns=columns)
+def read_files(
+    path: str,
+    columns: list[str] | None = None,
+    override_num_blocks: int | None = None,
+) -> ray.data.Dataset:
+    """files.parquet -> Dataset with doc_id + content_sha256 stamped.
+
+    `override_num_blocks` bounds the block count for small/medium inputs:
+    Ray's default read parallelism (~200 blocks) makes every downstream
+    stage schedule hundreds of tiny tasks, which dominates wall time until
+    inputs reach many GB. At real scale leave it None (let Ray size blocks
+    by target_max_block_size)."""
+    ds = ray.data.read_parquet(path, columns=columns, override_num_blocks=override_num_blocks)
     return ds.map_batches(_stamp_ids, batch_format="pyarrow")

@@ -27,6 +27,18 @@ def make_chunker(chunk_token_size: int = 1200, chunk_overlap_token_size: int = 1
         raise ValueError("chunk_token_size must exceed overlap")
 
     def chunk_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # hash-shuffle map_groups emits schema-less empty blocks for
+            # empty partitions; emit a correctly-typed empty chunk table.
+            return pa.table(
+                {
+                    "chunk_id": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.string()) for c in CARRY_COLS},
+                    "tokens": pa.array([], pa.int32()),
+                    "content": pa.array([], pa.large_string()),
+                    "chunk_order_index": pa.array([], pa.int32()),
+                }
+            )
         contents = batch.column("content").to_pylist()
         carried = {c: batch.column(c).to_pylist() for c in CARRY_COLS if c in batch.column_names}
         out: dict[str, list] = {

@@ -18,21 +18,40 @@ import pandas as pd
 import ray.data
 
 
+N_BUCKETS = 64
+
+
 def dedup_exact(
     ds: ray.data.Dataset,
     key: str,
     order_by: list[str],
+    n_buckets: int = N_BUCKETS,
 ) -> ray.data.Dataset:
-    """Keep exactly one row per `key`: the one minimizing `order_by`."""
+    """Keep exactly one row per `key`: the one minimizing `order_by`.
+
+    Grouping is by hash bucket (not by raw key) so the final pass is one
+    vectorized drop_duplicates per bucket instead of per-key Python overhead;
+    equal keys always share a bucket, so the result is identical."""
+    import zlib
 
     def local_first(batch: pd.DataFrame) -> pd.DataFrame:
         # mergesort = stable; pre-prune duplicates within the batch
-        return batch.sort_values(order_by, kind="mergesort").drop_duplicates(
+        out = batch.sort_values(order_by, kind="mergesort").drop_duplicates(
             subset=[key], keep="first"
         )
+        out = out.assign(
+            _bucket=out[key].map(lambda s: zlib.crc32(str(s).encode()) % n_buckets)
+        )
+        return out
 
-    def group_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(order_by, kind="mergesort").head(1)
+    def bucket_first(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.sort_values(order_by, kind="mergesort")
+            .drop_duplicates(subset=[key], keep="first")
+            .drop(columns=["_bucket"])
+        )
 
     pruned = ds.map_batches(local_first, batch_format="pandas")
-    return pruned.groupby(key).map_groups(group_first, batch_format="pandas")
+    out = pruned.groupby("_bucket").map_groups(bucket_first, batch_format="pandas")
+    # coalesce away schema-less empty blocks from empty hash partitions
+    return out.repartition(16)

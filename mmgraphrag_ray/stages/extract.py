@@ -162,6 +162,8 @@ class CodeExtractor:
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_mentions_table(LINEAGE_COLS)
         contents = batch.column("content").to_pylist()
         chunk_ids = batch.column("chunk_id").to_pylist()
         lineage = {c: batch.column(c).to_pylist() for c in LINEAGE_COLS if c in batch.column_names}
@@ -217,17 +219,49 @@ class CodeExtractor:
         )
 
 
+def _empty_mentions_table(lineage_cols) -> pa.Table:
+    return pa.table(
+        {
+            "kind": pa.array([], pa.string()),
+            "entity_name": pa.array([], pa.string()),
+            "entity_type": pa.array([], pa.string()),
+            "src_id": pa.array([], pa.string()),
+            "tgt_id": pa.array([], pa.string()),
+            "weight": pa.array([], pa.float64()),
+            "order": pa.array([], pa.int32()),
+            "description": pa.array([], pa.large_string()),
+            "source_id": pa.array([], pa.string()),
+            **{
+                c: pa.array([], pa.int32() if c == "chunk_order_index" else pa.string())
+                for c in lineage_cols
+            },
+        }
+    )
+
+
+_EXTRACTOR = CodeExtractor()  # module-level: regexes compiled once per worker
+
+
 def extract_mentions(chunks_ds, cfg=None):
-    """chunks Dataset -> unified mentions Dataset (entity + rel rows)."""
+    """chunks Dataset -> unified mentions Dataset (entity + rel rows).
+
+    The deterministic regex extractor is STATELESS (module-level compiled
+    patterns), so it runs as a task pool on already-warm workers — measured
+    ~2x faster end-to-end than an actor pool, whose per-process cold import
+    dominated at bench scale.  A real model-backed extractor (the reference's
+    LLM seam, with per-actor model state) should set
+    cfg.extract_actor_pool=True to get the actor-pool path."""
     from ..config import DEFAULT_CONFIG
 
     cfg = cfg or DEFAULT_CONFIG
-    return chunks_ds.map_batches(
-        CodeExtractor,
-        batch_format="pyarrow",
-        batch_size=cfg.extract_batch_size,
-        concurrency=cfg.extract_concurrency,
-    )
+    if getattr(cfg, "extract_actor_pool", False):
+        return chunks_ds.map_batches(
+            CodeExtractor,
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+            concurrency=cfg.extract_concurrency,
+        )
+    return chunks_ds.map_batches(_EXTRACTOR, batch_format="pyarrow")
 
 
 def split_mentions(mentions_ds):

@@ -22,18 +22,27 @@ Reference semantics (text2graph.py:140-279), preserved exactly:
   reference takes whichever edge its event loop processed first; we take the
   edge with the smallest (src_id, tgt_id) key, deterministically.
 
-Scale design: every reduction here is associative (Counter sum, set union,
-float sum, int min), so each is computed as a per-batch PARTIAL aggregate
-inside map_batches (one serialized state row per key per batch) followed by a
-small groupby over partials — the combiner pattern that keeps mega-entity hot
-keys (north_rule skew case) from shipping every raw mention through the
-all-to-all shuffle.
+Scale design — two layers, both vectorized:
+
+1. PARTIAL aggregation inside map_batches: per batch, mention rows collapse
+   to "tall" state rows — (key, kind, value, n) where kind 't' carries
+   type-occurrence counts, 'd'/'s' carry the deduplicated description /
+   source-id strings, and edge rows carry (weight-sum, order-min) numerics.
+   All of it is pandas value_counts / drop_duplicates (C speed).  This is
+   the combiner that keeps mega-entity hot keys (north_rule skew case) from
+   shipping every raw mention through the all-to-all shuffle.
+2. FINAL merge grouped by bucket = crc32(key) % N_BUCKETS, not by raw key:
+   Ray's map_groups pays per-GROUP Python+Arrow overhead, prohibitive at
+   millions of keys; a bucket groupby runs one vectorized pandas reduction
+   over every key in the bucket at once.  Equal keys share a bucket, so the
+   result is identical.  All reductions are associative+commutative
+   (count sum, set union, float sum, int min) — proven safe by the
+   permutation/partitioning invariance property test.
 """
 
 from __future__ import annotations
 
-import json
-from collections import Counter
+import zlib
 
 import pandas as pd
 
@@ -41,6 +50,12 @@ from ..tokenizer import truncate_tokens
 from .. import GRAPH_FIELD_SEP
 
 _KEY_SEP = "\x1f"  # internal composite-key separator for the undirected pair
+
+N_BUCKETS = 64
+
+
+def _bucket_of(series: pd.Series, n_buckets: int = N_BUCKETS) -> pd.Series:
+    return series.map(lambda s: zlib.crc32(s.encode()) % n_buckets).astype("int32")
 
 
 def summarize_description(description: str, gate_tokens: int) -> str:
@@ -52,42 +67,89 @@ def summarize_description(description: str, gate_tokens: int) -> str:
     return toks_text
 
 
+def _summarize_series(desc: pd.Series, gate_tokens: int) -> pd.Series:
+    """Vectorized gate: a description shorter than `gate_tokens` CHARS cannot
+    reach `gate_tokens` tokens (every token is >=1 char), so only long rows
+    pay the tokenizer."""
+    out = desc.copy()
+    maybe = desc.str.len() >= gate_tokens
+    if maybe.any():
+        out.loc[maybe] = [
+            summarize_description(d, gate_tokens) for d in desc[maybe]
+        ]
+    return out
+
+
+def _join_sorted(frame: pd.DataFrame, key: str, val: str) -> pd.Series:
+    """Per-key sorted-set '<SEP>' join; input rows are already unique pairs."""
+    frame = frame.drop_duplicates([key, val]).sort_values([key, val], kind="mergesort")
+    return frame.groupby(key, sort=False)[val].agg(GRAPH_FIELD_SEP.join)
+
+
 # ---------------------------------------------------------------- node merge
 
 
+_NODE_PARTIAL_COLS = ["entity_name", "kind", "value", "n", "bucket"]
+_EDGE_PARTIAL_COLS = ["edge_key", "kind", "value", "wsum", "omin", "bucket"]
+_ENDPOINT_COLS = [
+    "entity_name", "kind", "src_id", "tgt_id", "description", "source_id", "bucket",
+]
+
+
+def _empty_frame(cols: list[str]) -> pd.DataFrame:
+    typed = {
+        "n": "int64", "wsum": "float64", "omin": "int64",
+        "bucket": "int32", "weight": "float64", "order": "int32",
+    }
+    return pd.DataFrame({c: pd.Series(dtype=typed.get(c, "object")) for c in cols})
+
+
 def _node_partial(batch: pd.DataFrame) -> pd.DataFrame:
-    rows = {"entity_name": [], "type_counts": [], "descs": [], "source_ids": []}
-    for name, g in batch.groupby("entity_name", sort=False):
-        rows["entity_name"].append(name)
-        rows["type_counts"].append(json.dumps(dict(Counter(g["entity_type"]))))
-        rows["descs"].append(json.dumps(sorted(set(g["description"]))))
-        rows["source_ids"].append(json.dumps(sorted(set(g["source_id"]))))
-    return pd.DataFrame(rows)
+    if len(batch) == 0:
+        return _empty_frame(_NODE_PARTIAL_COLS)
+    t = (
+        batch.groupby(["entity_name", "entity_type"], sort=False)
+        .size()
+        .reset_index(name="n")
+        .rename(columns={"entity_type": "value"})
+    )
+    t["kind"] = "t"
+    d = batch[["entity_name", "description"]].drop_duplicates().rename(
+        columns={"description": "value"}
+    )
+    d["kind"], d["n"] = "d", 1
+    s = batch[["entity_name", "source_id"]].drop_duplicates().rename(
+        columns={"source_id": "value"}
+    )
+    s["kind"], s["n"] = "s", 1
+    out = pd.concat([t, d, s], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["bucket"] = _bucket_of(out["entity_name"])
+    return out[["entity_name", "kind", "value", "n", "bucket"]]
 
 
 def _make_node_final(gate_tokens: int):
-    def node_final(group: pd.DataFrame) -> pd.DataFrame:
-        counts: Counter = Counter()
-        descs: set = set()
-        sids: set = set()
-        for tc, d, s in zip(group["type_counts"], group["descs"], group["source_ids"]):
-            counts.update(json.loads(tc))
-            descs.update(json.loads(d))
-            sids.update(json.loads(s))
-        entity_type = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
-        description = summarize_description(
-            GRAPH_FIELD_SEP.join(sorted(descs)), gate_tokens
-        )
-        return pd.DataFrame(
-            {
-                "entity_name": [group["entity_name"].iloc[0]],
-                "entity_type": [entity_type],
-                "description": [description],
-                "source_id": [GRAPH_FIELD_SEP.join(sorted(sids))],
-            }
-        )
+    def node_bucket_final(bucket: pd.DataFrame) -> pd.DataFrame:
+        t = bucket[bucket["kind"] == "t"]
+        counts = t.groupby(["entity_name", "value"], as_index=False, sort=False)["n"].sum()
+        counts = counts.sort_values(
+            ["entity_name", "n", "value"], ascending=[True, False, True], kind="mergesort"
+        ).drop_duplicates("entity_name")
+        types = counts.set_index("entity_name")["value"]
 
-    return node_final
+        descs = _join_sorted(bucket[bucket["kind"] == "d"], "entity_name", "value")
+        sids = _join_sorted(bucket[bucket["kind"] == "s"], "entity_name", "value")
+
+        out = pd.DataFrame(
+            {
+                "entity_type": types,
+                "description": _summarize_series(descs, gate_tokens),
+                "source_id": sids,
+            }
+        ).reset_index(names="entity_name")
+        return out[["entity_name", "entity_type", "description", "source_id"]]
+
+    return node_bucket_final
 
 
 def merge_nodes(entity_mentions_ds, cfg=None):
@@ -96,57 +158,81 @@ def merge_nodes(entity_mentions_ds, cfg=None):
 
     cfg = cfg or DEFAULT_CONFIG
     partials = entity_mentions_ds.map_batches(_node_partial, batch_format="pandas")
-    return partials.groupby("entity_name").map_groups(
+    merged = partials.groupby("bucket").map_groups(
         _make_node_final(cfg.entity_summary_to_max_tokens), batch_format="pandas"
     )
+    # coalesce away the schema-less empty blocks hash-shuffle map_groups
+    # emits for empty partitions (they crash any downstream shuffle)
+    return merged.repartition(16)
 
 
 # ---------------------------------------------------------------- edge merge
 
 
 def _edge_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    if len(batch) == 0:
+        return _empty_frame(_EDGE_PARTIAL_COLS)
     batch = batch.assign(edge_key=batch["src_id"] + _KEY_SEP + batch["tgt_id"])
-    rows = {
-        "edge_key": [],
-        "weight_sum": [],
-        "order_min": [],
-        "descs": [],
-        "source_ids": [],
-    }
-    for key, g in batch.groupby("edge_key", sort=False):
-        rows["edge_key"].append(key)
-        rows["weight_sum"].append(float(g["weight"].sum()))
-        rows["order_min"].append(int(g["order"].fillna(1).min()))
-        rows["descs"].append(json.dumps(sorted(set(g["description"]))))
-        rows["source_ids"].append(json.dumps(sorted(set(g["source_id"]))))
-    return pd.DataFrame(rows)
+    batch["order"] = batch["order"].fillna(1).astype("int64")
+    wo = batch.groupby("edge_key", as_index=False, sort=False).agg(
+        wsum=("weight", "sum"), omin=("order", "min")
+    )
+    wo["kind"], wo["value"] = "w", ""
+    d = batch[["edge_key", "description"]].drop_duplicates().rename(
+        columns={"description": "value"}
+    )
+    d["kind"], d["wsum"], d["omin"] = "d", 0.0, 0
+    s = batch[["edge_key", "source_id"]].drop_duplicates().rename(
+        columns={"source_id": "value"}
+    )
+    s["kind"], s["wsum"], s["omin"] = "s", 0.0, 0
+    out = pd.concat([wo, d, s], ignore_index=True)
+    out["wsum"] = out["wsum"].astype("float64")
+    out["omin"] = out["omin"].astype("int64")
+    out["bucket"] = _bucket_of(out["edge_key"])
+    return out[["edge_key", "kind", "value", "wsum", "omin", "bucket"]]
 
 
 def _make_edge_final(gate_tokens: int):
-    def edge_final(group: pd.DataFrame) -> pd.DataFrame:
-        descs: set = set()
-        sids: set = set()
-        for d, s in zip(group["descs"], group["source_ids"]):
-            descs.update(json.loads(d))
-            sids.update(json.loads(s))
-        src, tgt = group["edge_key"].iloc[0].split(_KEY_SEP)
-        description_full = GRAPH_FIELD_SEP.join(sorted(descs))
-        return pd.DataFrame(
-            {
-                "src_id": [src],
-                "tgt_id": [tgt],
-                "weight": [float(group["weight_sum"].sum())],
-                "description": [summarize_description(description_full, gate_tokens)],
-                # pre-summarize description, used by UNKNOWN backfill
-                # (the reference inserts endpoint nodes BEFORE summarizing,
-                # text2graph.py:258-271); dropped from the public edges table.
-                "description_full": [description_full],
-                "source_id": [GRAPH_FIELD_SEP.join(sorted(sids))],
-                "order": [int(group["order_min"].min())],
-            }
+    def edge_bucket_final(bucket: pd.DataFrame) -> pd.DataFrame:
+        w = bucket[bucket["kind"] == "w"]
+        agg = w.groupby("edge_key", sort=False).agg(
+            weight=("wsum", "sum"), order=("omin", "min")
         )
+        descs_full = _join_sorted(bucket[bucket["kind"] == "d"], "edge_key", "value")
+        sids = _join_sorted(bucket[bucket["kind"] == "s"], "edge_key", "value")
 
-    return edge_final
+        out = pd.DataFrame(
+            {
+                "weight": agg["weight"],
+                "order": agg["order"].astype("int32"),
+                "description_full": descs_full,
+                "source_id": sids,
+            }
+        ).reset_index(names="edge_key")
+        split = out["edge_key"].str.split(_KEY_SEP, n=1, expand=True)
+        if len(out) == 0:
+            return pd.DataFrame(
+                {
+                    "src_id": pd.Series(dtype=str),
+                    "tgt_id": pd.Series(dtype=str),
+                    "weight": pd.Series(dtype="float64"),
+                    "description": pd.Series(dtype=str),
+                    "description_full": pd.Series(dtype=str),
+                    "source_id": pd.Series(dtype=str),
+                    "order": pd.Series(dtype="int32"),
+                }
+            )
+        out["src_id"], out["tgt_id"] = split[0], split[1]
+        # public description gets the summarize gate; description_full (the
+        # pre-summarize join) feeds UNKNOWN backfill — the reference inserts
+        # endpoint nodes BEFORE summarizing (text2graph.py:258-271).
+        out["description"] = _summarize_series(out["description_full"], gate_tokens)
+        return out[
+            ["src_id", "tgt_id", "weight", "description", "description_full", "source_id", "order"]
+        ]
+
+    return edge_bucket_final
 
 
 def merge_edges(rel_mentions_ds, cfg=None):
@@ -156,15 +242,18 @@ def merge_edges(rel_mentions_ds, cfg=None):
 
     cfg = cfg or DEFAULT_CONFIG
     partials = rel_mentions_ds.map_batches(_edge_partial, batch_format="pandas")
-    return partials.groupby("edge_key").map_groups(
+    merged = partials.groupby("bucket").map_groups(
         _make_edge_final(cfg.entity_summary_to_max_tokens), batch_format="pandas"
     )
+    return merged.repartition(16)
 
 
 # ------------------------------------------------------ UNKNOWN backfill
 
 
 def _explode_endpoints(batch: pd.DataFrame) -> pd.DataFrame:
+    if len(batch) == 0:
+        return _empty_frame(_ENDPOINT_COLS)
     frames = []
     for endpoint_col in ("src_id", "tgt_id"):
         frames.append(
@@ -179,11 +268,15 @@ def _explode_endpoints(batch: pd.DataFrame) -> pd.DataFrame:
                 }
             )
         )
-    return pd.concat(frames, ignore_index=True)
+    out = pd.concat(frames, ignore_index=True)
+    out["bucket"] = _bucket_of(out["entity_name"])
+    return out
 
 
 def _node_marker(batch: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame(
+    if len(batch) == 0:
+        return _empty_frame(_ENDPOINT_COLS)
+    out = pd.DataFrame(
         {
             "entity_name": batch["entity_name"],
             "kind": "node",
@@ -193,22 +286,25 @@ def _node_marker(batch: pd.DataFrame) -> pd.DataFrame:
             "source_id": None,
         }
     )
+    out["bucket"] = _bucket_of(out["entity_name"])
+    return out
 
 
-def _unknown_from_group(group: pd.DataFrame) -> pd.DataFrame:
-    if (group["kind"] == "node").any():
-        return group.iloc[0:0][["entity_name"]].assign(
-            entity_type=pd.Series(dtype=str),
-            description=pd.Series(dtype=str),
-            source_id=pd.Series(dtype=str),
-        )[["entity_name", "entity_type", "description", "source_id"]]
-    best = group.sort_values(["src_id", "tgt_id"], kind="mergesort").iloc[0]
+def _unknown_from_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized anti-join within one hash bucket: candidates whose name has
+    no node marker; keep the candidate from the smallest (src, tgt) edge."""
+    known = set(bucket.loc[bucket["kind"] == "node", "entity_name"])
+    cands = bucket[(bucket["kind"] == "cand") & ~bucket["entity_name"].isin(known)]
+    best = (
+        cands.sort_values(["entity_name", "src_id", "tgt_id"], kind="mergesort")
+        .drop_duplicates(subset=["entity_name"], keep="first")
+    )
     return pd.DataFrame(
         {
-            "entity_name": [best["entity_name"]],
-            "entity_type": ['"UNKNOWN"'],
-            "description": [best["description"]],
-            "source_id": [best["source_id"]],
+            "entity_name": best["entity_name"],
+            "entity_type": '"UNKNOWN"',
+            "description": best["description"],
+            "source_id": best["source_id"],
         }
     )
 
@@ -217,17 +313,28 @@ def backfill_unknown_nodes(nodes_ds, edges_ds):
     """Distributed anti-join: edge endpoints absent from nodes become
     '"UNKNOWN"'-typed nodes (reference text2graph.py:258-268). Returns the
     union nodes dataset. No driver-side materialization: the membership test
-    is a groupby over (endpoint candidates ∪ node-name markers)."""
+    is a bucketed groupby over (endpoint candidates ∪ node-name markers)."""
     cands = edges_ds.map_batches(_explode_endpoints, batch_format="pandas")
     markers = nodes_ds.map_batches(_node_marker, batch_format="pandas")
     unknown = (
         cands.union(markers)
-        .groupby("entity_name")
-        .map_groups(_unknown_from_group, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_unknown_from_bucket, batch_format="pandas")
+        .repartition(8)
     )
     return nodes_ds.union(unknown)
 
 
+_EDGE_PUBLIC_COLS = ["src_id", "tgt_id", "weight", "description", "source_id", "order"]
+
+
 def finalize_edges(edges_ds):
-    """Drop the internal pre-summarize column from the public edges table."""
-    return edges_ds.drop_columns(["description_full"])
+    """Drop the internal pre-summarize column from the public edges table
+    (guarded map so empty schema-less blocks pass through typed)."""
+
+    def select_public(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return _empty_frame(_EDGE_PUBLIC_COLS)
+        return batch[_EDGE_PUBLIC_COLS]
+
+    return edges_ds.map_batches(select_public, batch_format="pandas")

@@ -12,6 +12,8 @@ def ray_session():
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    ray.data.DataContext.get_current().enable_progress_bars = False
+    from mmgraphrag_ray.runtime import configure
+
+    configure(num_cpus=4)
     yield
     ray.shutdown()
