@@ -240,6 +240,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nodes, _ = _build_graph_cached(sf_dir)
         return nodes
 
+    def _canonical(sf_dir):
+        from mmgraphrag_ray.pipelines.kg import build_graph, build_mentions
+        from mmgraphrag_ray.stages.linking import canonicalize_graph
+
+        mentions = build_mentions(_corpus(sf_dir)).materialize()
+        ent, _ = split_mentions(mentions)
+        nodes, edges = build_graph(_corpus(sf_dir), mentions_ds=mentions)
+        return canonicalize_graph(nodes.materialize(), edges.materialize(), ent)
+
+    def kg_canonical_nodes(sf_dir):
+        # fusion math (eigendecomposition + DBSCAN) is not SQL-expressible:
+        # rows-only check; semantics covered by tests/test_linking.py
+        return _canonical(sf_dir)[0]
+
+    def kg_alias_table(sf_dir):
+        return _canonical(sf_dir)[2]
+
+    def kg_entity_vecs(sf_dir):
+        from mmgraphrag_ray.stages.embed import build_entity_vecs
+
+        nodes, _ = _build_graph_cached(sf_dir)
+        return build_entity_vecs(nodes)
+
     def kg_edges(sf_dir):
         _, edges = _build_graph_cached(sf_dir)
         return edges
@@ -315,6 +338,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rel_mentions": kg_rel_mentions,
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
+        "kg_canonical_nodes": kg_canonical_nodes,
+        "kg_alias_table": kg_alias_table,
+        "kg_entity_vecs": kg_entity_vecs,
         "dedup_exact_documents": dedup_exact_documents,
         "doc_text_stats": doc_stats,
         "token_count_by_lang": token_count_by_lang,

@@ -29,6 +29,57 @@ def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner"):
     return ds.map_batches(join_batch, batch_format="pandas")
 
 
+def bucketed_join(left, right, on: str, how: str = "inner", n_buckets: int = 64):
+    """Hash-partitioned join of two Datasets on one key column — the
+    portable large-large join: both sides get bucket = crc32(key) % B, the
+    union is grouped by bucket, and matching buckets merge pairwise inside
+    map_groups (ray_guide pattern). Columns other than `on` must be disjoint.
+    `how` supports inner/left (left = preserve left rows)."""
+    import zlib
+
+    import pandas as pd
+
+    left_cols = [c for c in left.schema().names]
+    right_cols = [c for c in right.schema().names]
+    overlap = (set(left_cols) & set(right_cols)) - {on}
+    if overlap:
+        raise ValueError(f"bucketed_join column overlap: {overlap}")
+
+    def tag(side):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:
+                cols = left_cols if side == "l" else right_cols
+                out = pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+            else:
+                out = batch.copy()
+            out["_side"] = side
+            out["_jbucket"] = (
+                out[on].map(lambda s: zlib.crc32(str(s).encode()) % n_buckets).astype("int32")
+                if len(out)
+                else pd.Series(dtype="int32")
+            )
+            return out
+
+        return fn
+
+    both = left.map_batches(tag("l"), batch_format="pandas").union(
+        right.map_batches(tag("r"), batch_format="pandas")
+    )
+
+    out_cols = left_cols + [c for c in right_cols if c != on]
+
+    def join_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        l = bucket[bucket["_side"] == "l"][left_cols]
+        r = bucket[bucket["_side"] == "r"][right_cols]
+        return l.merge(r, on=on, how="inner" if how == "inner" else "left")[out_cols]
+
+    return (
+        both.groupby("_jbucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .repartition(16)
+    )
+
+
 def broadcast_semi_join(ds, keys, col: str, anti: bool = False):
     ref = ray.put(frozenset(keys))
 

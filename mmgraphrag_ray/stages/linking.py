@@ -1,0 +1,394 @@
+"""Entity linking / canonicalization — the reference's fusion stage (F2-F8)
+re-expressed as partitioned Ray Data stages.
+
+Reference math preserved exactly (fusion.py:333-416, text variant):
+
+- embed entity descriptions (HashEmbedder stand-in for MiniLM, T3),
+- affinity A = cosine_similarity(E); for each relationship between two
+  in-neighborhood entities, A[src,tgt] *= weight (symmetrized)
+  (fusion.py:363-380),
+- unnormalized Laplacian L = D - A, eigendecomposition, take the
+  k = max(2, ceil(sqrt(n))) eigenvectors of the smallest eigenvalues,
+  abs() against complex values (fusion.py:382-397),
+- DBSCAN(eps=0.5, min_samples=max(1, ceil(n/10))) on those eigenvectors
+  (fusion.py:399-404) — implemented here in numpy (no sklearn offline),
+  with deterministic cluster numbering (points visited in index order).
+
+Neighborhood partitioning: the reference clusters the entities of chunks
+[i-1, i+1] around an image (fusion.py:156-202) — a locality window.  The
+code-corpus analog used here: entities partition by the repo that first
+mentioned them, then into lexicographic windows of <= `max_group` entities,
+which bounds the O(n^3) eigendecomposition per group and keeps the mega-repo
+partition from serializing (the "salted repartition" skew rule).
+
+Alias decisions (F5's LLM judge, deterministically): every DBSCAN cluster
+(label >= 0) with more than one member merges into its lexicographically
+smallest member name.  Graph contraction (F8, fusion.py:870-997): members'
+edges re-point to the canonical node and parallel edges re-merge with the
+A3 algebra (weight sum / order min / sorted-set description+source joins) —
+the reference's nx shallow-overwrite is scheduling-order-dependent; the
+re-merge is its deterministic closure.  Self-loops produced by contraction
+are kept (the reference does not remove them).
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+
+import numpy as np
+import pandas as pd
+
+from .. import GRAPH_FIELD_SEP
+from .embed import HashEmbedder
+from .join import bucketed_join
+
+N_BUCKETS = 64
+_EMBEDDER = HashEmbedder()  # stateless/deterministic: shared per worker
+
+
+def dbscan(points: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
+    """Deterministic DBSCAN (euclidean), labels compatible with sklearn's
+    algorithm semantics: -1 = noise; clusters numbered by first-visited core
+    point in index order."""
+    n = len(points)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    d2 = np.sum((points[:, None, :] - points[None, :, :]) ** 2, axis=2)
+    neigh = d2 <= eps * eps  # includes self
+    core = neigh.sum(axis=1) >= min_samples
+    labels = np.full(n, -1, dtype=np.int64)
+    cluster = 0
+    for i in range(n):
+        if labels[i] != -1 or not core[i]:
+            continue
+        # BFS from core point i
+        labels[i] = cluster
+        frontier = [i]
+        while frontier:
+            j = frontier.pop()
+            if not core[j]:
+                continue
+            for m in np.flatnonzero(neigh[j]):
+                if labels[m] == -1:
+                    labels[m] = cluster
+                    frontier.append(m)
+        cluster += 1
+    return labels
+
+
+def spectral_cluster_group(
+    names: list[str], descriptions: list[str], rels: list[tuple[str, str, float]]
+) -> np.ndarray:
+    """The reference's spectral+DBSCAN math for one neighborhood
+    (fusion.py:333-416). `rels` entries whose endpoints are both in `names`
+    scale the affinity; others are ignored (fusion.py:365-370)."""
+    n = len(names)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if n == 1:
+        return np.zeros(1, dtype=np.int64)
+    emb = _EMBEDDER.encode(descriptions).astype(np.float64)
+    # cosine similarity of L2-normalized rows = dot product
+    a = emb @ emb.T
+    index = {name: i for i, name in enumerate(names)}
+    for src, tgt, weight in sorted(rels, key=lambda r: -r[2]):
+        si, ti = index.get(src), index.get(tgt)
+        if si is None or ti is None:
+            continue
+        a[si, ti] *= weight
+        a[ti, si] *= weight
+    degree = np.diag(a.sum(axis=1))
+    lap = degree - a
+    eigvals, eigvecs = np.linalg.eig(lap)
+    k = max(2, math.ceil(math.sqrt(n)))
+    sel = np.abs(eigvecs[:, np.argsort(eigvals)[:k]])
+    min_samples = max(1, math.ceil(n / 10))
+    return dbscan(sel.real, eps=0.5, min_samples=min_samples)
+
+
+# ------------------------------------------------------------ partitioning
+
+
+def assign_partitions(ent_mentions_ds):
+    """entity -> partition key (the repo that first mentions it, min by
+    name for determinism). Returns Dataset(entity_name, partition)."""
+    from .groupagg import bucketed_groupby_agg
+
+    return bucketed_groupby_agg(
+        ent_mentions_ds,
+        keys=["entity_name"],
+        aggs={"partition": ("repo", "min")},
+    )
+
+
+def _cluster_partition_factory(max_group: int):
+    def cluster_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        """One hash bucket holds several partitions; each partition's
+        entities are windowed (sorted by name, groups of <= max_group) and
+        clustered with the reference math."""
+        out_names, out_descs, out_parts, out_groups, out_labels = [], [], [], [], []
+        ent = bucket[bucket["_kind"] == "e"]
+        rel = bucket[bucket["_kind"] == "r"]
+        rels_by_part = {
+            p: list(zip(g["src_id"], g["tgt_id"], g["weight"]))
+            for p, g in rel.groupby("partition", sort=False)
+        }
+        for part, g in ent.groupby("partition", sort=False):
+            g = g.sort_values("entity_name", kind="mergesort")
+            part_rels = rels_by_part.get(part, [])
+            n = len(g)
+            for w0 in range(0, n, max_group):
+                win = g.iloc[w0 : w0 + max_group]
+                labels = spectral_cluster_group(
+                    win["entity_name"].tolist(),
+                    win["description"].tolist(),
+                    part_rels,
+                )
+                gid = w0 // max_group
+                out_names.extend(win["entity_name"])
+                out_descs.extend(win["description"])
+                out_parts.extend([part] * len(win))
+                out_groups.extend([gid] * len(win))
+                out_labels.extend(labels.tolist())
+        return pd.DataFrame(
+            {
+                "entity_name": out_names,
+                "description": out_descs,
+                "partition": out_parts,
+                "group_id": pd.Series(out_groups, dtype="int32"),
+                "label": pd.Series(out_labels, dtype="int64"),
+            }
+        )
+
+    return cluster_bucket
+
+
+def cluster_entities(nodes_ds, edges_ds, ent_mentions_ds, max_group: int = 64):
+    """F2: per-neighborhood spectral clustering.
+    Returns Dataset(entity_name, partition, group_id, label)."""
+    # Each bucketed_join and the final clustering groupby is an all-to-all;
+    # chaining >2 hash-shuffle operators in ONE streaming DAG deadlocks Ray
+    # 2.49's aggregator scheduling (observed), so the small join outputs are
+    # pinned between shuffles (the write path checkpoints them to parquet).
+    parts = assign_partitions(ent_mentions_ds).materialize()
+    ent = bucketed_join(
+        nodes_ds.select_columns(["entity_name", "description"]), parts, on="entity_name"
+    ).materialize()
+
+    # edges join the partition of their src endpoint
+    edge_side = edges_ds.select_columns(["src_id", "tgt_id", "weight"]).map_batches(
+        lambda b: b.rename(columns={"src_id": "entity_name"}),
+        batch_format="pandas",
+    )
+    rel = bucketed_join(edge_side, parts, on="entity_name").map_batches(
+        lambda b: b.rename(columns={"entity_name": "src_id"}), batch_format="pandas"
+    ).materialize()
+
+    def tag_e(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in
+                 ["entity_name", "description", "partition", "src_id", "tgt_id", "weight", "_kind", "pbucket"]}
+            )
+        b = b.copy()
+        b["src_id"], b["tgt_id"], b["weight"] = None, None, np.nan
+        b["_kind"] = "e"
+        b["pbucket"] = b["partition"].map(lambda s: zlib.crc32(str(s).encode()) % N_BUCKETS).astype("int32")
+        return b[["entity_name", "description", "partition", "src_id", "tgt_id", "weight", "_kind", "pbucket"]]
+
+    def tag_r(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in
+                 ["entity_name", "description", "partition", "src_id", "tgt_id", "weight", "_kind", "pbucket"]}
+            )
+        b = b.copy()
+        b["entity_name"], b["description"] = None, None
+        b["_kind"] = "r"
+        b["pbucket"] = b["partition"].map(lambda s: zlib.crc32(str(s).encode()) % N_BUCKETS).astype("int32")
+        return b[["entity_name", "description", "partition", "src_id", "tgt_id", "weight", "_kind", "pbucket"]]
+
+    both = ent.map_batches(tag_e, batch_format="pandas").union(
+        rel.map_batches(tag_r, batch_format="pandas")
+    )
+    return (
+        both.groupby("pbucket")
+        .map_groups(_cluster_partition_factory(max_group), batch_format="pandas")
+        .repartition(16)
+    )
+
+
+# ------------------------------------------------------------ alias + contraction
+
+
+def build_alias_table(clusters_ds, judge_threshold: float = 0.9):
+    """F5 (the reference's LLM alignment judge) with a deterministic stand-in:
+    a DBSCAN cluster proposes candidate merges; a member is CONFIRMED into the
+    cluster's lexicographically smallest member only when the cosine
+    similarity of their descriptions is >= judge_threshold.  (The reference
+    keeps only LLM-confirmed alignments with both sources non-empty,
+    fusion.py:520-543; raw spectral clusters over-merge by design and the
+    judge is the precision gate.)  Returns Dataset(member_name,
+    canonical_name)."""
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        real = bucket[bucket["label"] >= 0]
+        if len(real) == 0:
+            return pd.DataFrame(
+                {"member_name": pd.Series(dtype=str), "canonical_name": pd.Series(dtype=str)}
+            )
+        members, canons = [], []
+        for _, g in real.groupby(["partition", "group_id", "label"], sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("entity_name", kind="mergesort")
+            emb = _EMBEDDER.encode(g["description"].tolist()).astype(np.float64)
+            sims = emb @ emb[0]  # cosine vs the canonical (first) member
+            canon_name = g["entity_name"].iloc[0]
+            for name, sim in zip(g["entity_name"].iloc[1:], sims[1:]):
+                if sim >= judge_threshold:
+                    members.append(name)
+                    canons.append(canon_name)
+        return pd.DataFrame({"member_name": members, "canonical_name": canons})
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            out = pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in
+                 ["entity_name", "description", "partition", "group_id", "label", "cbucket"]}
+            )
+            return out
+        b = b.copy()
+        b["cbucket"] = (
+            b["partition"].astype(str) + "\x1f" + b["group_id"].astype(str)
+        ).map(lambda s: zlib.crc32(s.encode()) % N_BUCKETS).astype("int32")
+        return b
+
+    return (
+        clusters_ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("cbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(8)
+    )
+
+
+def contract_graph(nodes_ds, edges_ds, alias_ds, cfg=None):
+    """F8: re-point nodes/edges through the alias table and re-merge.
+
+    The alias table (member -> canonical) is broadcast via ray.put — it only
+    contains MERGED members (a small fraction of nodes); at cluster scale a
+    bucketed-join variant applies (see bucketed_join), kept broadcast here
+    because the lookup side is the contraction's decision set, not the graph.
+    Re-merging parallel edges / merged nodes uses the A2/A3 algebra over the
+    '<SEP>'-split attribute sets (deterministic closure of the reference's
+    order-dependent nx attr overwrite, fusion.py:930-983)."""
+    import ray
+
+    from ..config import DEFAULT_CONFIG
+    from .merge import _bucket_of, _summarize_series
+
+    cfg = cfg or DEFAULT_CONFIG
+    alias_df = alias_ds.to_pandas()
+    alias_ref = ray.put(dict(zip(alias_df["member_name"], alias_df["canonical_name"])))
+
+    def repoint_nodes(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in
+                 ["entity_name", "entity_type", "description", "source_id", "bucket"]}
+            )
+        alias = ray.get(alias_ref)
+        b = b.copy()
+        b["entity_name"] = b["entity_name"].map(lambda n: alias.get(n, n))
+        b["bucket"] = _bucket_of(b["entity_name"])
+        return b
+
+    def merge_nodes_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for name, g in bucket.groupby("entity_name", sort=False):
+            if len(g) == 1:
+                r = g.iloc[0]
+                rows.append((name, r["entity_type"], r["description"], r["source_id"]))
+                continue
+            descs = sorted({p for d in g["description"] for p in d.split(GRAPH_FIELD_SEP)})
+            sids = sorted({p for s in g["source_id"] for p in s.split(GRAPH_FIELD_SEP)})
+            # canonical member's own type wins; tie-break lexicographic
+            etype = sorted(g["entity_type"])[0]
+            rows.append(
+                (name, etype, GRAPH_FIELD_SEP.join(descs), GRAPH_FIELD_SEP.join(sids))
+            )
+        out = pd.DataFrame(
+            rows, columns=["entity_name", "entity_type", "description", "source_id"]
+        )
+        out["description"] = _summarize_series(
+            out["description"], cfg.entity_summary_to_max_tokens
+        )
+        return out
+
+    new_nodes = (
+        nodes_ds.map_batches(repoint_nodes, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge_nodes_bucket, batch_format="pandas")
+        .repartition(16)
+    )
+
+    def repoint_edges(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in
+                 ["src_id", "tgt_id", "weight", "description", "source_id", "order", "bucket"]}
+            )
+        alias = ray.get(alias_ref)
+        b = b.copy()
+        src = b["src_id"].map(lambda n: alias.get(n, n))
+        tgt = b["tgt_id"].map(lambda n: alias.get(n, n))
+        b["src_id"], b["tgt_id"] = np.minimum(src, tgt), np.maximum(src, tgt)
+        b["bucket"] = _bucket_of(b["src_id"] + "\x1f" + b["tgt_id"])
+        return b
+
+    def merge_edges_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (src, tgt), g in bucket.groupby(["src_id", "tgt_id"], sort=False):
+            if len(g) == 1:
+                r = g.iloc[0]
+                rows.append((src, tgt, r["weight"], r["description"], r["source_id"], r["order"]))
+                continue
+            descs = sorted({p for d in g["description"] for p in d.split(GRAPH_FIELD_SEP)})
+            sids = sorted({p for s in g["source_id"] for p in s.split(GRAPH_FIELD_SEP)})
+            rows.append(
+                (
+                    src,
+                    tgt,
+                    float(g["weight"].sum()),
+                    GRAPH_FIELD_SEP.join(descs),
+                    GRAPH_FIELD_SEP.join(sids),
+                    int(g["order"].min()),
+                )
+            )
+        out = pd.DataFrame(
+            rows,
+            columns=["src_id", "tgt_id", "weight", "description", "source_id", "order"],
+        )
+        out["description"] = _summarize_series(
+            out["description"], cfg.entity_summary_to_max_tokens
+        )
+        out["order"] = out["order"].astype("int32")
+        return out
+
+    new_edges = (
+        edges_ds.map_batches(repoint_edges, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge_edges_bucket, batch_format="pandas")
+        .repartition(16)
+    )
+    return new_nodes, new_edges
+
+
+def canonicalize_graph(nodes_ds, edges_ds, ent_mentions_ds, cfg=None, max_group: int = 64):
+    """Full F2-F8 pass: cluster -> alias table -> contraction.
+    Returns (canonical_nodes, canonical_edges, alias_table, clusters)."""
+    clusters = cluster_entities(nodes_ds, edges_ds, ent_mentions_ds, max_group).materialize()
+    alias = build_alias_table(clusters).materialize()
+    new_nodes, new_edges = contract_graph(nodes_ds, edges_ds, alias, cfg)
+    return new_nodes, new_edges, alias, clusters

@@ -1,0 +1,42 @@
+"""Hash embedder + entity VDB build (reference T3/A6 seams)."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from mmgraphrag_ray.stages.embed import EMBED_DIM, HashEmbedder, build_entity_vecs
+from mmgraphrag_ray.textutils import md5_hex
+
+
+def test_embedder_deterministic_and_normalized():
+    e = HashEmbedder()
+    v1 = e.encode(["def parse_config(a): pass", "other text"])
+    v2 = e.encode(["def parse_config(a): pass", "other text"])
+    assert v1.shape == (2, EMBED_DIM)
+    assert np.array_equal(v1, v2)
+    assert np.allclose(np.linalg.norm(v1, axis=1), 1.0)
+
+
+def test_similar_texts_closer_than_different():
+    e = HashEmbedder()
+    v = e.encode(
+        ["parse config file loader", "parse config file reader", "zebra quantum banana"]
+    )
+    sim_close = float(v[0] @ v[1])
+    sim_far = float(v[0] @ v[2])
+    assert sim_close > sim_far
+
+
+def test_build_entity_vecs():
+    nodes = pd.DataFrame(
+        {
+            "entity_name": ['"A"', '"B"'],
+            "entity_type": ['"T"', '"T"'],
+            "description": ['"da"', '"db"'],
+            "source_id": ["c1", "c2"],
+        }
+    )
+    vecs = build_entity_vecs(ray.data.from_pandas(nodes)).to_pandas()
+    assert len(vecs) == 2
+    assert vecs.iloc[0].entity_id == "ent-" + md5_hex(vecs.iloc[0].entity_name)
+    assert len(vecs.iloc[0].embedding) == EMBED_DIM

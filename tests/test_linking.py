@@ -1,0 +1,131 @@
+"""Fusion/linking stage: DBSCAN determinism, spectral math, alias +
+contraction semantics (FIXTURES.md F6; reference fusion.py:333-416, 870-997)."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from mmgraphrag_ray import GRAPH_FIELD_SEP as SEP
+from mmgraphrag_ray.stages.linking import (
+    build_alias_table,
+    canonicalize_graph,
+    contract_graph,
+    dbscan,
+    spectral_cluster_group,
+)
+
+
+def test_dbscan_two_blobs():
+    pts = np.array([[0.0, 0.0], [0.1, 0.0], [0.0, 0.1], [5.0, 5.0], [5.1, 5.0]])
+    labels = dbscan(pts, eps=0.5, min_samples=2)
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] == labels[4]
+    assert labels[0] != labels[3]
+
+
+def test_dbscan_noise():
+    pts = np.array([[0.0, 0.0], [10.0, 10.0], [20.0, 0.0]])
+    labels = dbscan(pts, eps=0.5, min_samples=2)
+    assert (labels == -1).all()
+
+
+def test_dbscan_deterministic_numbering():
+    pts = np.array([[5.0, 5.0], [5.1, 5.0], [0.0, 0.0], [0.1, 0.0]])
+    labels = dbscan(pts, eps=0.5, min_samples=2)
+    # first-visited core point (index 0) gets cluster 0
+    assert labels[0] == 0 and labels[2] == 1
+
+
+def test_spectral_identical_descriptions_cluster_together():
+    names = ['"A"', '"B"', '"C"']
+    descs = ["same words here", "same words here", "totally different payload xyz"]
+    labels = spectral_cluster_group(names, descs, [])
+    assert labels[0] == labels[1]
+
+
+def test_spectral_single_entity():
+    assert spectral_cluster_group(['"A"'], ["x"], []).tolist() == [0]
+
+
+def test_alias_table_smallest_member_wins():
+    clusters = pd.DataFrame(
+        {
+            "entity_name": ['"B"', '"A"', '"C"', '"D"'],
+            "description": ["same desc text", "same desc text", "other", "noise"],
+            "partition": ["p"] * 4,
+            "group_id": [0, 0, 0, 0],
+            "label": [0, 0, 1, -1],  # A,B cluster; C alone; D noise
+        }
+    )
+    alias = build_alias_table(ray.data.from_pandas(clusters)).to_pandas()
+    assert len(alias) == 1
+    assert alias.iloc[0].member_name == '"B"' and alias.iloc[0].canonical_name == '"A"'
+
+
+def test_alias_judge_rejects_dissimilar_cluster_members():
+    clusters = pd.DataFrame(
+        {
+            "entity_name": ['"A"', '"B"'],
+            "description": ["parse the config file", "zebra quantum banana stripes"],
+            "partition": ["p", "p"],
+            "group_id": [0, 0],
+            "label": [0, 0],  # clustered together, but the judge disagrees
+        }
+    )
+    alias = build_alias_table(ray.data.from_pandas(clusters)).to_pandas()
+    assert len(alias) == 0
+
+
+def test_contract_graph_repoints_and_remerges():
+    nodes = pd.DataFrame(
+        {
+            "entity_name": ['"A"', '"B"', '"X"'],
+            "entity_type": ['"T1"', '"T2"', '"T3"'],
+            "description": ['"da"', '"db"', '"dx"'],
+            "source_id": ["c1", "c2", "c3"],
+        }
+    )
+    edges = pd.DataFrame(
+        {
+            "src_id": ['"A"', '"B"'],
+            "tgt_id": ['"X"', '"X"'],
+            "weight": [2.0, 3.0],
+            "description": ['"ax"', '"bx"'],
+            "source_id": ["c1", "c2"],
+            "order": [1, 2],
+        }
+    )
+    alias = pd.DataFrame({"member_name": ['"B"'], "canonical_name": ['"A"']})
+    nn, ne = contract_graph(
+        ray.data.from_pandas(nodes), ray.data.from_pandas(edges), ray.data.from_pandas(alias)
+    )
+    nn, ne = nn.to_pandas(), ne.to_pandas()
+    assert sorted(nn.entity_name) == ['"A"', '"X"']
+    merged = nn[nn.entity_name == '"A"'].iloc[0]
+    assert merged.description == f'"da"{SEP}"db"'
+    assert merged.source_id == f"c1{SEP}c2"
+    # both edges collapse onto ("A","X"): weight sum, order min, desc union
+    assert len(ne) == 1
+    e = ne.iloc[0]
+    assert (e.src_id, e.tgt_id) == ('"A"', '"X"')
+    assert e.weight == 5.0 and e["order"] == 1
+    assert e.description == f'"ax"{SEP}"bx"'
+
+
+def test_canonicalize_end_to_end_smoke():
+    from mmgraphrag_ray.corpus import ensure_corpus
+    from mmgraphrag_ray.pipelines.kg import build_graph, build_mentions
+    from mmgraphrag_ray.stages.extract import split_mentions
+
+    path = ensure_corpus("/root/testdata/sf0.001")
+    mentions = build_mentions(path).materialize()
+    ent, _ = split_mentions(mentions)
+    nodes, edges = build_graph(path, mentions_ds=mentions)
+    cn, ce, alias, clusters = canonicalize_graph(nodes, edges, ent)
+    cn_df, alias_df = cn.to_pandas(), alias.to_pandas()
+    n_nodes = nodes.count()
+    # contraction removed exactly the aliased members
+    assert len(cn_df) == n_nodes - len(alias_df)
+    assert len(alias_df) > 0  # duplicates exist in the corpus by construction
+    # no aliased member survives in the canonical node set
+    assert not set(alias_df.member_name) & set(cn_df.entity_name)
