@@ -284,6 +284,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         hashed = docs.map_batches(add_hash, batch_format="pyarrow")
         return dedup_exact(hashed, key="text_md5", order_by=["doc_id"])
 
+    def dedup_minhash_documents(sf_dir):
+        from mmgraphrag_ray.stages.dedup import dedup_minhash
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return dedup_minhash(docs, threshold=0.8)
+
+    def dedup_simhash_documents(sf_dir):
+        from mmgraphrag_ray.stages.dedup import dedup_simhash
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return dedup_simhash(docs, max_hamming=3)
+
+    def embedding_near_dup_pairs(sf_dir):
+        from mmgraphrag_ray.stages.dedup import embedding_near_dup
+
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return embedding_near_dup(emb, threshold=0.95)
+
     def doc_stats(sf_dir):
         docs = ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -342,6 +364,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_alias_table": kg_alias_table,
         "kg_entity_vecs": kg_entity_vecs,
         "dedup_exact_documents": dedup_exact_documents,
+        "dedup_minhash_documents": dedup_minhash_documents,
+        "dedup_simhash_documents": dedup_simhash_documents,
+        "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "doc_text_stats": doc_stats,
         "token_count_by_lang": token_count_by_lang,
         "doc_fingerprint": doc_fingerprint,

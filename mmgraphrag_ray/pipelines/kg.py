@@ -12,6 +12,8 @@ Each stage returns a lazy Dataset; materialization happens only at the sinks
 
 from __future__ import annotations
 
+import os
+
 import ray.data
 
 from ..config import DEFAULT_CONFIG, KGConfig
@@ -68,3 +70,77 @@ def build_graph(
     edges = merge_edges(rel, cfg).materialize()
     nodes = backfill_unknown_nodes(nodes, edges)
     return nodes, finalize_edges(edges)
+
+
+def run_kg(
+    files_path: str,
+    out_dir: str,
+    cfg: KGConfig = DEFAULT_CONFIG,
+    canonicalize: bool = True,
+) -> dict:
+    """Resumable write path: every stage checkpoints to partitioned parquet
+    with a lineage manifest (state/lineage.py); a rerun recomputes only
+    stages whose inputs/config changed or whose checkpoint is missing.
+    Returns {stage: directory}.
+    """
+    from ..state import lineage as ln
+
+    os.makedirs(out_dir, exist_ok=True)
+    fp_in = ln.input_fingerprint(files_path)
+    done: dict[str, str] = {}
+
+    def ensure(stage: str, version: int, upstream: list[str], build):
+        sig = ln.stage_signature(
+            stage, version, cfg, [fp_in] + [{"stage": u, "sig": sigs[u]} for u in upstream]
+        )
+        sigs[stage] = sig
+        if not ln.is_complete(out_dir, stage, sig):
+            ln.write_stage(build(), out_dir, stage, sig)
+        done[stage] = ln.stage_dir(out_dir, stage)
+        return ln.read_stage(out_dir, stage)
+
+    sigs: dict[str, str] = {}
+
+    mentions = ensure("mentions", 1, [], lambda: build_mentions(files_path, cfg))
+    ent, rel = split_mentions(mentions)
+
+    nodes_merged = ensure("nodes_merged", 1, ["mentions"], lambda: merge_nodes(ent, cfg))
+    edges_merged = ensure("edges_merged", 1, ["mentions"], lambda: merge_edges(rel, cfg))
+
+    nodes = ensure(
+        "nodes", 1, ["nodes_merged", "edges_merged"],
+        lambda: backfill_unknown_nodes(nodes_merged, edges_merged),
+    )
+    edges = ensure(
+        "edges", 1, ["edges_merged"], lambda: finalize_edges(edges_merged)
+    )
+
+    if canonicalize:
+        from ..stages.embed import build_entity_vecs
+        from ..stages.linking import canonicalize_graph
+
+        def build_canonical():
+            cn, ce, alias, clusters = canonicalize_graph(nodes, edges, ent, cfg)
+            _cache["ce"], _cache["alias"] = ce, alias
+            return cn
+
+        _cache: dict = {}
+        ensure("canonical_nodes", 1, ["nodes", "edges", "mentions"], build_canonical)
+        if "ce" in _cache:  # canonical_nodes was rebuilt this run
+            ensure("canonical_edges", 1, ["canonical_nodes"], lambda: _cache["ce"])
+            ensure("alias", 1, ["canonical_nodes"], lambda: _cache["alias"])
+        else:  # resumed: rebuild dependents only if their checkpoints are stale
+            ensure(
+                "canonical_edges", 1, ["canonical_nodes"],
+                lambda: canonicalize_graph(nodes, edges, ent, cfg)[1],
+            )
+            ensure(
+                "alias", 1, ["canonical_nodes"],
+                lambda: canonicalize_graph(nodes, edges, ent, cfg)[2],
+            )
+        ensure(
+            "entity_vecs", 1, ["canonical_nodes"],
+            lambda: build_entity_vecs(ln.read_stage(out_dir, "canonical_nodes"), cfg),
+        )
+
+    return done

@@ -1,0 +1,86 @@
+"""Near-dedup family: MinHash-LSH, SimHash, Jaccard verify, connected
+components, embedding near-dup."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from mmgraphrag_ray.stages.dedup import (
+    connected_components,
+    dedup_minhash,
+    dedup_simhash,
+    embedding_near_dup,
+    hamming64,
+    minhash_signature,
+    shingle_set,
+    simhash64,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew strong coffee in the ancient tower near the river bend "
+    "and the merchants trade silk spices and silver under the autumn moon"
+)
+NEAR = BASE.replace("silver", "gold")
+FAR = (
+    "completely different content about numerical linear algebra sparse "
+    "matrices eigenvalue decompositions and distributed shuffle execution "
+    "engines with backpressure and spilling to object storage"
+)
+
+
+def test_minhash_signature_similarity():
+    sa, sb = minhash_signature(BASE), minhash_signature(NEAR)
+    sc = minhash_signature(FAR)
+    agree_near = float(np.mean(sa == sb))
+    agree_far = float(np.mean(sa == sc))
+    assert agree_near > 0.7 > agree_far
+
+
+def test_dedup_minhash_clusters_near_duplicates():
+    docs = pd.DataFrame({"doc_id": [1, 2, 3], "text": [BASE, NEAR, FAR]})
+    labels = dedup_minhash(ray.data.from_pandas(docs), threshold=0.7).to_pandas()
+    lab = dict(zip(labels["id"], labels["label"]))
+    assert lab[1] == lab[2] == 1
+    assert lab[3] == 3
+
+
+def test_simhash_distance_property():
+    assert hamming64(simhash64(BASE), simhash64(NEAR)) <= 6
+    assert hamming64(simhash64(BASE), simhash64(FAR)) > 10
+
+
+def test_dedup_simhash_finds_near_pairs():
+    docs = pd.DataFrame({"doc_id": [1, 2, 3], "text": [BASE, NEAR, FAR]})
+    pairs = dedup_simhash(ray.data.from_pandas(docs), max_hamming=6).to_pandas()
+    assert {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)} == {(1, 2)}
+
+
+def test_connected_components_chain():
+    pairs = pd.DataFrame({"id_a": [1, 2], "id_b": [2, 3]})
+    ids = pd.DataFrame({"doc_id": [1, 2, 3, 9]})
+    labels = connected_components(
+        ray.data.from_pandas(pairs), ray.data.from_pandas(ids), "doc_id"
+    ).to_pandas()
+    lab = dict(zip(labels["id"], labels["label"]))
+    assert lab == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_embedding_near_dup():
+    v = np.random.default_rng(3).standard_normal(16)
+    emb = pd.DataFrame(
+        {
+            "vec_id": [10, 11, 12],
+            "embedding": [v.tolist(), (v * 2.0).tolist(),
+                          np.random.default_rng(4).standard_normal(16).tolist()],
+        }
+    )
+    pairs = embedding_near_dup(
+        ray.data.from_pandas(emb), threshold=0.99
+    ).to_pandas()
+    assert {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)} == {(10, 11)}
+
+
+def test_shingle_set_short_text():
+    assert shingle_set("one two", 3) == {"one two"}
+    assert shingle_set("", 3) == set()
