@@ -183,6 +183,16 @@ def _corpus(sf_dir: str) -> str:
     return ensure_corpus(sf_dir)
 
 
+def _sf_of(sf_dir: str) -> float:
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.01
+
+
 # --------------------------------------------------------------------------
 # driver API
 # --------------------------------------------------------------------------
@@ -346,6 +356,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return doc_fingerprints(docs)
 
+    def doc_lang_id_q(sf_dir):
+        from mmgraphrag_ray.stages.textstats import doc_lang_id
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return doc_lang_id(docs)
+
+    def media_decode(sf_dir):
+        from mmgraphrag_ray.stages.multimodal import decode_media, synth_media_table
+
+        n = max(30, int(300 * _sf_of(sf_dir)))
+        return decode_media(ray.data.from_arrow(synth_media_table(n)))
+
+    def media_feature_vecs(sf_dir):
+        from mmgraphrag_ray.stages.multimodal import media_features, synth_media_table
+
+        n = max(30, int(300 * _sf_of(sf_dir)))
+        return media_features(ray.data.from_arrow(synth_media_table(n)))
+
+    def kg_query_context(sf_dir):
+        from mmgraphrag_ray.pipelines.kg import build_chunks
+        from mmgraphrag_ray.query import build_local_context
+        from mmgraphrag_ray.stages.embed import build_entity_vecs
+
+        nodes, edges = _build_graph_cached(sf_dir)
+        chunks = build_chunks(_corpus(sf_dir)).materialize()
+        vecs = build_entity_vecs(nodes).materialize()
+        ctx = build_local_context(
+            "which module defines the shared helper functions", nodes, edges, chunks, vecs
+        )
+        return ctx["entities"]
+
     def ann_topk(sf_dir):
         emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
         qdf = emb.filter(expr="vec_id < 8").to_pandas()
@@ -370,6 +413,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_text_stats": doc_stats,
         "token_count_by_lang": token_count_by_lang,
         "doc_fingerprint": doc_fingerprint,
+        "doc_lang_id": doc_lang_id_q,
+        "media_decode": media_decode,
+        "media_feature_vecs": media_feature_vecs,
+        "kg_query_context": kg_query_context,
         "ann_topk": ann_topk,
         "q1_pricing": relational.q1_pricing,
         "segment_order_stats": relational.segment_order_stats,

@@ -1,0 +1,231 @@
+"""Retrieval path — the reference's local_query context builder (§3.2,
+query.py:354-469) over the Parquet-backed graph tables.
+
+Semantics preserved:
+
+- entity top-k by cosine with threshold (storage.py:298-323, threshold 0.2
+  storage.py:235/248-250, k=10 parameter.py:19) over the entity_vecs table,
+- node rank = degree (query.py:245-253; degree storage.py:451-455),
+- related text units: per retrieved node, its source chunks (order = node
+  index, first occurrence wins); relation_counts = how many of the node's
+  edges lead to a one-hop neighbor whose source chunks contain that chunk;
+  sort (order, -relation_counts); token-truncate at
+  local_max_token_for_text_unit=4000 (query.py:63-153, parameter.py:20),
+- related edges: all incident edges of retrieved nodes, undirected-deduped;
+  rank = degree(src)+degree(tgt); sort (rank, weight) desc; token-truncate
+  on description at local_max_token_for_local_context=6000
+  (query.py:155-214, parameter.py:21),
+- CSV context sections (query.py:264-296 via base.py:258-265).
+
+Execution shape: the scans are Ray Data (vector top-k via broadcast-query
+partial top-k; degree counts via bucketed groupby; node/edge/chunk fetches
+via broadcast semi-join filters); only the <=top_k neighborhood's final
+ranking/formatting happens driver-side, as in the reference's query path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from . import GRAPH_FIELD_SEP
+from .stages.embed import HashEmbedder
+from .stages.groupagg import bucketed_groupby_agg
+from .stages.join import broadcast_semi_join
+from .textutils import list_of_list_to_csv, truncate_list_by_token_size
+
+_EMBEDDER = HashEmbedder()
+
+
+@dataclass(frozen=True)
+class QueryParam:
+    """Reference parameter.py:15-22."""
+
+    top_k: int = 10
+    local_max_token_for_text_unit: int = 4000
+    local_max_token_for_local_context: int = 6000
+    cosine_threshold: float = 0.2
+
+
+def entity_topk(entity_vecs_ds, query_text: str, param: QueryParam) -> pd.DataFrame:
+    """Brute-force cosine top-k with threshold over the entity vector table
+    (reference storage.py:298-323). Distributed partial top-k per batch, tiny
+    final reduce."""
+    qvec = _EMBEDDER.encode([query_text])[0].astype(np.float64)
+    import ray
+
+    qref = ray.put(qvec)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"entity_name": [], "distance": []})
+        q = ray.get(qref)
+        mat = np.array(batch["embedding"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ q) / norms  # q is already unit-norm
+        keep = sims >= 0  # partial top-k below; threshold applied at reduce
+        out = pd.DataFrame(
+            {"entity_name": batch["entity_name"][keep], "distance": sims[keep]}
+        )
+        return out.nlargest(50, "distance")
+
+    top = entity_vecs_ds.map_batches(partial, batch_format="pandas").to_pandas()
+    top = top[top["distance"] >= param.cosine_threshold]
+    return (
+        top.sort_values(["distance", "entity_name"], ascending=[False, True], kind="mergesort")
+        .head(param.top_k)
+        .reset_index(drop=True)
+    )
+
+
+def node_degrees(edges_ds):
+    """degree(node) = number of incident edges (reference storage.py:451-460)."""
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"entity_name": pd.Series(dtype=str)})
+        return pd.DataFrame(
+            {"entity_name": pd.concat([batch["src_id"], batch["tgt_id"]])}
+        )
+
+    return bucketed_groupby_agg(
+        edges_ds.map_batches(explode, batch_format="pandas"),
+        keys=["entity_name"],
+        aggs={"degree": (None, "count")},
+    )
+
+
+def build_local_context(
+    query_text: str,
+    nodes_ds,
+    edges_ds,
+    chunks_ds,
+    entity_vecs_ds,
+    param: QueryParam = QueryParam(),
+) -> dict:
+    """Returns {entities_csv, relations_csv, text_units_csv, ...tables} for a
+    query — the reference's _build_local_query_context (query.py:215-311)
+    minus the LLM answer step (sandbox has no model; the context string IS
+    the deliverable of the data path)."""
+    top = entity_topk(entity_vecs_ds, query_text, param)
+    if len(top) == 0:
+        return {
+            "entities_csv": "",
+            "relations_csv": "",
+            "text_units_csv": "",
+            "entities": pd.DataFrame(),
+            "relations": pd.DataFrame(),
+            "text_units": pd.DataFrame(),
+        }
+    names = list(top["entity_name"])
+
+    node_df = broadcast_semi_join(nodes_ds, names, "entity_name").to_pandas()
+    # preserve retrieval (similarity) order, as the reference zips vdb
+    # results with node fetches (query.py:245-253)
+    order = {n: i for i, n in enumerate(names)}
+    node_df = node_df.sort_values(
+        "entity_name", key=lambda s: s.map(order), kind="mergesort"
+    ).reset_index(drop=True)
+
+    # incident edges of retrieved nodes
+    def incident(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return batch
+        sel = set(names)
+        return batch[batch["src_id"].isin(sel) | batch["tgt_id"].isin(sel)]
+
+    inc_edges = edges_ds.map_batches(incident, batch_format="pandas").to_pandas()
+
+    # degrees for rank (node rank + edge rank)
+    needed_deg = set(names) | set(inc_edges["src_id"]) | set(inc_edges["tgt_id"])
+    deg_df = broadcast_semi_join(
+        node_degrees(edges_ds), needed_deg, "entity_name"
+    ).to_pandas()
+    degree = dict(zip(deg_df["entity_name"], deg_df["degree"]))
+
+    node_df["rank"] = node_df["entity_name"].map(lambda n: int(degree.get(n, 0)))
+
+    # ---- related text units (query.py:63-153)
+    neighbors_of = {n: [] for n in names}
+    for src, tgt in zip(inc_edges["src_id"], inc_edges["tgt_id"]):
+        if src in neighbors_of:
+            neighbors_of[src].append(tgt)
+        if tgt in neighbors_of:
+            neighbors_of[tgt].append(src)
+    one_hop = sorted({m for ns in neighbors_of.values() for m in ns})
+    hop_df = broadcast_semi_join(nodes_ds, one_hop, "entity_name").to_pandas()
+    hop_chunks = {
+        n: set(s.split(GRAPH_FIELD_SEP))
+        for n, s in zip(hop_df["entity_name"], hop_df["source_id"])
+    }
+
+    text_units_lookup: dict[str, dict] = {}
+    for index, row in node_df.iterrows():
+        units = row["source_id"].split(GRAPH_FIELD_SEP)
+        nbrs = neighbors_of.get(row["entity_name"], [])
+        for c_id in units:
+            if not c_id.startswith("chunk-") or c_id in text_units_lookup:
+                continue
+            relation_counts = sum(
+                1 for m in nbrs if m in hop_chunks and c_id in hop_chunks[m]
+            )
+            text_units_lookup[c_id] = {
+                "id": c_id,
+                "order": index,
+                "relation_counts": relation_counts,
+            }
+
+    chunk_df = broadcast_semi_join(
+        chunks_ds, set(text_units_lookup), "chunk_id"
+    ).to_pandas()
+    content_of = dict(zip(chunk_df["chunk_id"], chunk_df["content"]))
+    units = [
+        {**v, "content": content_of[k]}
+        for k, v in text_units_lookup.items()
+        if k in content_of
+    ]
+    units.sort(key=lambda x: (x["order"], -x["relation_counts"]))
+    units = truncate_list_by_token_size(
+        units, key=lambda x: x["content"], max_token_size=param.local_max_token_for_text_unit
+    )
+
+    # ---- related edges (query.py:155-214)
+    edges_data = inc_edges.copy()
+    edges_data["rank"] = [
+        int(degree.get(s, 0)) + int(degree.get(t, 0))
+        for s, t in zip(edges_data["src_id"], edges_data["tgt_id"])
+    ]
+    edges_data = edges_data.sort_values(
+        ["rank", "weight"], ascending=False, kind="mergesort"
+    )
+    edge_rows = truncate_list_by_token_size(
+        edges_data.to_dict("records"),
+        key=lambda x: x["description"],
+        max_token_size=param.local_max_token_for_local_context,
+    )
+
+    # ---- CSV sections (query.py:264-296)
+    entities_section = [["id", "entity", "type", "description", "rank"]] + [
+        [i, n["entity_name"], n.get("entity_type", "UNKNOWN"),
+         n.get("description", "UNKNOWN"), n["rank"]]
+        for i, n in enumerate(node_df.to_dict("records"))
+    ]
+    relations_section = [["id", "source", "target", "description", "weight", "rank"]] + [
+        [i, e["src_id"], e["tgt_id"], e["description"], e["weight"], e["rank"]]
+        for i, e in enumerate(edge_rows)
+    ]
+    text_units_section = [["id", "content"]] + [
+        [i, t["content"]] for i, t in enumerate(units)
+    ]
+
+    return {
+        "entities_csv": list_of_list_to_csv(entities_section),
+        "relations_csv": list_of_list_to_csv(relations_section),
+        "text_units_csv": list_of_list_to_csv(text_units_section),
+        "entities": node_df,
+        "relations": pd.DataFrame(edge_rows),
+        "text_units": pd.DataFrame(units),
+    }

@@ -1,0 +1,172 @@
+"""Multimodal column plumbing — image/audio/video as opaque binary columns.
+
+The reference ingests images (DOCX/PDF extraction S1/S2, YOLO segmentation
+T4, MM-LLM description img2graph.py) — none of those libs exist in this
+container, so the DECODERS are deterministic fakes behind the same seams
+(clearly marked; a real deployment swaps `decode_payload`), while the
+Ray-side plumbing is real and tested: typed binary schema, actor-pool
+map_batches with small batch sizes (large payloads!), frame-sample flat-map
+layout, feature vectors as fixed-width list<float32>.
+
+Media table schema:
+    media(media_id: int64, kind: string('image'|'audio'|'video'),
+          payload: binary, meta: string(json))
+
+Payload wire format (deterministic fake): b'FAKE' + kind[0] + uint16 width +
+uint16 height + uint16 n_frames + pseudo-random body bytes seeded by
+media_id.  A real JPEG/PNG/WAV decoder raises NotImplementedError here.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+MAGIC = b"FAKE"
+FEATURE_DIM = 64
+
+
+def make_payload(media_id: int, kind: str, width: int, height: int, n_frames: int) -> bytes:
+    rng = np.random.default_rng(media_id)
+    body = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
+    return MAGIC + kind[:1].encode() + struct.pack("<HHH", width, height, n_frames) + body
+
+
+def synth_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic media corpus (no external data)."""
+    kinds = ["image", "audio", "video"]
+    rows = {"media_id": [], "kind": [], "payload": [], "meta": []}
+    for i in range(n):
+        kind = kinds[i % 3]
+        w, h = 64 + (i * 7) % 512, 64 + (i * 13) % 512
+        frames = 1 if kind == "image" else 8 + i % 24
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        rows["payload"].append(make_payload(i, kind, w, h, frames))
+        rows["meta"].append(json.dumps({"source": f"synth/{i}", "codec": "fake"}))
+    return pa.table(
+        {
+            "media_id": pa.array(rows["media_id"], pa.int64()),
+            "kind": pa.array(rows["kind"], pa.string()),
+            "payload": pa.array(rows["payload"], pa.binary()),
+            "meta": pa.array(rows["meta"], pa.string()),
+        }
+    )
+
+
+def decode_payload(payload: bytes) -> dict:
+    """STUB boundary: real image/audio decode is unavailable offline.
+    Recognizes only the deterministic fake format; anything else raises
+    NotImplementedError exactly where a PIL/ffmpeg call would go."""
+    if not payload.startswith(MAGIC):
+        raise NotImplementedError(
+            "real media decoding (PIL/ffmpeg) is not available in this sandbox"
+        )
+    kind = {b"i": "image", b"a": "audio", b"v": "video"}[payload[4:5]]
+    width, height, n_frames = struct.unpack("<HHH", payload[5:11])
+    return {"kind": kind, "width": width, "height": height, "n_frames": n_frames}
+
+
+class MediaDecoder:
+    """Actor-pool decode stage: payload -> typed metadata columns.
+    Small batch_size is load-bearing for real payloads (batch x concurrency
+    must fit worker heap)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "media_id": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.string()),
+                    "width": pa.array([], pa.int32()),
+                    "height": pa.array([], pa.int32()),
+                    "n_frames": pa.array([], pa.int32()),
+                }
+            )
+        metas = [decode_payload(p) for p in batch.column("payload").to_pylist()]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "width": pa.array([m["width"] for m in metas], pa.int32()),
+                "height": pa.array([m["height"] for m in metas], pa.int32()),
+                "n_frames": pa.array([m["n_frames"] for m in metas], pa.int32()),
+            }
+        )
+
+
+class MediaFeatureExtractor:
+    """Actor-pool feature stage: payload bytes -> FEATURE_DIM float32 vector
+    (deterministic rolling-hash features standing in for a vision encoder)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "media_id": pa.array([], pa.int64()),
+                    "feature": pa.array([], pa.list_(pa.float32(), FEATURE_DIM)),
+                }
+            )
+        feats = []
+        for payload in batch.column("payload").to_pylist():
+            vec = np.zeros(FEATURE_DIM, dtype=np.float32)
+            for off in range(0, max(1, len(payload) - 8), 8):
+                window = payload[off : off + 8]
+                h = zlib.crc32(window)
+                vec[h % FEATURE_DIM] += 1.0 if (h >> 16) & 1 else -1.0
+            n = float(np.linalg.norm(vec)) or 1.0
+            feats.append((vec / n).tolist())
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "feature": pa.array(feats, pa.list_(pa.float32(), FEATURE_DIM)),
+            }
+        )
+
+
+def sample_frames(media_ds, every_n: int = 4):
+    """video rows -> one row per sampled frame (flat-map layout); images
+    pass through as frame 0."""
+    import pandas as pd
+
+    def frames(batch: pa.Table) -> pa.Table:
+        ids, kinds, frame_ids = [], [], []
+        for mid, kind, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            meta = decode_payload(payload)
+            n = meta["n_frames"] if kind == "video" else 1
+            for f in range(0, n, every_n if kind == "video" else 1):
+                ids.append(mid)
+                kinds.append(kind)
+                frame_ids.append(f)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "frame_id": pa.array(frame_ids, pa.int32()),
+            }
+        )
+
+    return media_ds.map_batches(frames, batch_format="pyarrow", batch_size=32)
+
+
+def decode_media(media_ds, concurrency=(1, 4), batch_size: int = 32):
+    return media_ds.map_batches(
+        MediaDecoder, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )
+
+
+def media_features(media_ds, concurrency=(1, 4), batch_size: int = 32):
+    return media_ds.map_batches(
+        MediaFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -92,3 +92,56 @@ def doc_fingerprints(documents_ds):
     return documents_ds.map_batches(
         FingerprintStage, batch_format="pyarrow", concurrency=(1, 4)
     )
+
+
+# ------------------------------------------------------------- language id
+
+# tiny stopword inventories for an n-gram-free heuristic language ID
+_LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "was", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "dans", "que", "pour", "une", "des"},
+    "es": {"el", "la", "los", "las", "y", "es", "que", "en", "por", "una"},
+    "it": {"il", "la", "che", "e", "di", "un", "per", "sono", "con", "del"},
+}
+
+
+class LangIdStage:
+    """Heuristic language ID: argmax of per-language stopword hits over
+    lowercased word tokens; ties or zero hits -> 'unknown'. Deterministic."""
+
+    def __init__(self):
+        self.word = re.compile(r"[A-Za-z]+")
+
+    def predict(self, text: str) -> str:
+        words = [w.lower() for w in self.word.findall(text)]
+        counts = {
+            lang: sum(1 for w in words if w in sw)
+            for lang, sw in _LANG_STOPWORDS.items()
+        }
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[0][1] == 0 or (len(best) > 1 and best[0][1] == best[1][1]):
+            return "unknown"
+        return best[0][0]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "lang_pred": pa.array([], pa.string())}
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": pa.array(
+                    [self.predict(t) for t in batch.column("text").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+
+def doc_lang_id(documents_ds):
+    return documents_ds.map_batches(
+        LangIdStage, batch_format="pyarrow", concurrency=(1, 4)
+    )

@@ -48,3 +48,35 @@ def mdhash_id(content: str, prefix: str = "") -> str:
 def sha256_hex(content: str) -> str:
     """Per-row content invariant column (north_rule: content sha256 equality)."""
     return hashlib.sha256(content.encode()).hexdigest()
+
+
+def enclose_with_quotes(value) -> str:
+    """Numbers unquoted, strings stripped of existing quotes then wrapped
+    (reference base.py:249-255)."""
+    import numbers
+
+    if isinstance(value, numbers.Number):
+        return str(value)
+    return '"' + str(value).strip().strip("'").strip('"') + '"'
+
+
+def list_of_list_to_csv(data: list[list]) -> str:
+    """Prompt-context CSV formatter (reference base.py:258-265)."""
+    return "\n".join(
+        ",\t".join(enclose_with_quotes(cell) for cell in row) for row in data
+    )
+
+
+def truncate_list_by_token_size(items: list, key, max_token_size: int) -> list:
+    """Prefix-sum token budget cut (reference base.py:215-245); tokens from
+    the sandbox regex tokenizer."""
+    from .tokenizer import num_tokens
+
+    if max_token_size <= 0:
+        return []
+    total = 0
+    for i, item in enumerate(items):
+        total += num_tokens(key(item))
+        if total > max_token_size:
+            return items[:i]
+    return items

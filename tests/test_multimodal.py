@@ -1,0 +1,93 @@
+"""Multimodal plumbing (binary columns, decode/feature/frame-sample actors)
+and the memoized-map operator."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from mmgraphrag_ray.stages.memo import memoized_map
+from mmgraphrag_ray.stages.multimodal import (
+    FEATURE_DIM,
+    decode_media,
+    decode_payload,
+    make_payload,
+    media_features,
+    sample_frames,
+    synth_media_table,
+)
+
+
+@pytest.fixture(scope="module")
+def media_ds():
+    return ray.data.from_arrow(synth_media_table(30)).materialize()
+
+
+def test_decode_media(media_ds):
+    out = decode_media(media_ds).to_pandas()
+    assert len(out) == 30
+    assert (out["width"] >= 64).all() and (out["height"] >= 64).all()
+    assert (out.loc[out["kind"] == "image", "n_frames"] == 1).all()
+    assert (out.loc[out["kind"] == "video", "n_frames"] > 1).all()
+
+
+def test_decode_real_format_raises():
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\xff\xd8\xff\xe0 jpeg bytes")
+
+
+def test_media_features_deterministic(media_ds):
+    f1 = media_features(media_ds).to_pandas().sort_values("media_id")
+    f2 = media_features(media_ds).to_pandas().sort_values("media_id")
+    assert len(f1) == 30
+    assert all(len(v) == FEATURE_DIM for v in f1["feature"])
+    v1 = np.array(f1["feature"].tolist())
+    v2 = np.array(f2["feature"].tolist())
+    assert np.array_equal(v1, v2)
+    assert np.allclose(np.linalg.norm(v1, axis=1), 1.0)
+
+
+def test_sample_frames(media_ds):
+    frames = sample_frames(media_ds, every_n=4).to_pandas()
+    imgs = frames[frames["kind"] == "image"]
+    assert (imgs["frame_id"] == 0).all()
+    vids = frames[frames["kind"] == "video"]
+    assert len(vids) > (media_ds.to_pandas()["kind"] == "video").sum()  # multiple frames per video
+    assert (vids["frame_id"] % 4 == 0).all()
+
+
+def test_memoized_map_runs_once_per_distinct_args():
+    calls = {"n": 0}
+
+    df = pd.DataFrame({"x": ["a", "b", "a", "a", "b"], "row": range(5)})
+
+    def expensive(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            out = batch.copy()
+            out["y"] = pd.Series(dtype="object")
+            return out
+        out = batch.copy()
+        out["y"] = out["x"] + "!"
+        out["marker"] = 1  # count evaluated rows via output, not closure state
+        return out
+
+    res = memoized_map(
+        ray.data.from_pandas(df), ["x"], expensive, out_cols=["y", "marker"]
+    ).to_pandas()
+    assert len(res) == 5
+    assert set(res["y"]) == {"a!", "b!"}
+    assert (res.loc[res["x"] == "a", "y"] == "a!").all()
+
+
+def test_lang_id():
+    from mmgraphrag_ray.stages.textstats import LangIdStage, doc_lang_id
+
+    stage = LangIdStage()
+    assert stage.predict("the cat and the dog went to the park and it was fun") == "en"
+    assert stage.predict("der hund ist nicht auf der wiese und das ist gut") == "de"
+    assert stage.predict("xyz qqq zzz") == "unknown"
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["the quick fox and the dog in the barn", "el perro es que en la casa por una vez"]}
+    )
+    out = doc_lang_id(ray.data.from_pandas(docs)).to_pandas().sort_values("doc_id")
+    assert list(out["lang_pred"]) == ["en", "es"]

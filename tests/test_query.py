@@ -1,0 +1,103 @@
+"""Retrieval path (local query context) + GraphML round-trip."""
+
+import os
+
+import pandas as pd
+import pytest
+import ray.data
+
+from mmgraphrag_ray import GRAPH_FIELD_SEP as SEP
+from mmgraphrag_ray.graphml import graphml_to_tables, tables_to_graphml
+from mmgraphrag_ray.query import QueryParam, build_local_context, entity_topk, node_degrees
+from mmgraphrag_ray.stages.embed import build_entity_vecs
+from mmgraphrag_ray.textutils import list_of_list_to_csv, truncate_list_by_token_size
+
+
+@pytest.fixture(scope="module")
+def graph_tables():
+    nodes = pd.DataFrame(
+        {
+            "entity_name": ['"PARSE_CONFIG"', '"LOAD_JSON"', '"ZEBRA"'],
+            "entity_type": ['"FUNCTION"', '"FUNCTION"', '"ANIMAL"'],
+            "description": [
+                '"Function parse_config reads configuration."',
+                '"Function load_json loads json files."',
+                '"A striped animal."',
+            ],
+            "source_id": [f"chunk-aa{SEP}chunk-bb", "chunk-bb", "chunk-cc"],
+        }
+    )
+    edges = pd.DataFrame(
+        {
+            "src_id": ['"LOAD_JSON"'],
+            "tgt_id": ['"PARSE_CONFIG"'],
+            "weight": [8.0],
+            "description": ['"parse_config calls load_json."'],
+            "source_id": ["chunk-bb"],
+            "order": [1],
+        }
+    )
+    chunks = pd.DataFrame(
+        {
+            "chunk_id": ["chunk-aa", "chunk-bb", "chunk-cc"],
+            "content": ["config parsing code", "json loading code", "zebra text"],
+        }
+    )
+    return (
+        ray.data.from_pandas(nodes),
+        ray.data.from_pandas(edges),
+        ray.data.from_pandas(chunks),
+    )
+
+
+def test_entity_topk_threshold_and_order(graph_tables):
+    nodes, edges, chunks = graph_tables
+    vecs = build_entity_vecs(nodes).materialize()
+    top = entity_topk(vecs, "parse the configuration function", QueryParam(top_k=2))
+    assert list(top["entity_name"])[0] == '"PARSE_CONFIG"'
+    assert (top["distance"] >= 0.2).all()
+
+
+def test_node_degrees(graph_tables):
+    _, edges, _ = graph_tables
+    deg = node_degrees(edges).to_pandas()
+    d = dict(zip(deg["entity_name"], deg["degree"]))
+    assert d == {'"LOAD_JSON"': 1, '"PARSE_CONFIG"': 1}
+
+
+def test_build_local_context(graph_tables):
+    nodes, edges, chunks = graph_tables
+    vecs = build_entity_vecs(nodes).materialize()
+    ctx = build_local_context(
+        "parse the configuration function", nodes, edges, chunks, vecs
+    )
+    assert '"PARSE_CONFIG"' in ctx["entities_csv"]
+    assert "parse_config calls load_json." in ctx["relations_csv"]
+    # retrieved nodes' chunks surface as text units
+    assert "config parsing code" in ctx["text_units_csv"]
+    # csv formatter: header row + quoting
+    assert ctx["entities_csv"].splitlines()[0].startswith('"id",\t"entity"')
+
+
+def test_truncate_list_by_token_size():
+    items = ["a b c", "d e f", "g h i"]
+    out = truncate_list_by_token_size(items, key=lambda x: x, max_token_size=7)
+    assert out == ["a b c", "d e f"]  # 3 + 3 tokens fit; 9 > 7
+    assert truncate_list_by_token_size(items, key=lambda x: x, max_token_size=0) == []
+
+
+def test_list_of_list_to_csv_quoting():
+    out = list_of_list_to_csv([["id", "x"], [0, '"QUOTED"']])
+    assert out == '"id",\t"x"\n0,\t"QUOTED"'
+
+
+def test_graphml_roundtrip(tmp_path, graph_tables):
+    nodes, edges, _ = graph_tables
+    nd, ed = nodes.to_pandas(), edges.to_pandas()
+    path = os.path.join(tmp_path, "g.graphml")
+    tables_to_graphml(nd, ed, path)
+    nd2, ed2 = graphml_to_tables(path)
+    assert sorted(nd2.entity_name) == sorted(nd.entity_name)
+    pd.testing.assert_frame_equal(
+        ed.sort_values(["src_id", "tgt_id"]).reset_index(drop=True), ed2
+    )
