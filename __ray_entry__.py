@@ -396,6 +396,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qvecs = np.array(qdf["embedding"].tolist(), dtype=np.float64)
         return brute_topk(emb, qids, qvecs, k=5)
 
+    def knn_label(sf_dir):
+        from mmgraphrag_ray.stages.similarity import knn_label_transfer
+
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").materialize()
+        full = emb.to_pandas()
+        qdf = full[full["vec_id"] < 8]
+        labels_by_id = dict(zip(full["vec_id"].astype(int), full["label"].astype(int)))
+        out = knn_label_transfer(
+            emb,
+            qdf["vec_id"].to_numpy(),
+            np.array(qdf["embedding"].tolist(), dtype=np.float64),
+            labels_by_id,
+            k=1,
+        )
+        import pandas as pd
+
+        return out.map_batches(
+            lambda b: b.assign(label=b["label"].astype("int64"))
+            if len(b)
+            else pd.DataFrame(
+                {"query_vec_id": pd.Series(dtype="int64"), "label": pd.Series(dtype="int64")}
+            ),
+            batch_format="pandas",
+        )
+
+    def kg_resolve_refs(sf_dir):
+        from mmgraphrag_ray.pipelines.kg import build_chunks, build_mentions
+        from mmgraphrag_ray.stages.resolve import resolve_symbol_refs
+
+        mentions = build_mentions(_corpus(sf_dir)).materialize()
+        ent, rel = split_mentions(mentions)
+        chunks = build_chunks(_corpus(sf_dir))
+        return resolve_symbol_refs(rel, ent, chunks)
+
+    def code_strip_comments(sf_dir):
+        import pyarrow as pa
+
+        from mmgraphrag_ray.textutils import strip_code_comments
+
+        files = ray.data.read_parquet(_corpus(sf_dir), columns=["repo", "path", "content"])
+
+        def strip(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "repo": batch.column("repo"),
+                    "path": batch.column("path"),
+                    "stripped": pa.array(
+                        [strip_code_comments(c) for c in batch.column("content").to_pylist()],
+                        pa.large_string(),
+                    ),
+                }
+            )
+
+        return files.map_batches(strip, batch_format="pyarrow")
+
+    def doc_sample(sf_dir):
+        # deterministic systematic sample (1-in-10 by id) so the DuckDB
+        # oracle matches exactly; Ray's random_sample exists for the
+        # statistical variant but has no cross-engine-stable RNG
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        return docs.map_batches(
+            lambda b: b[b["doc_id"] % 10 == 0], batch_format="pandas"
+        )
+
     return {
         "kg_files": kg_files,
         "kg_chunks": kg_chunks,
@@ -417,7 +481,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": media_decode,
         "media_feature_vecs": media_feature_vecs,
         "kg_query_context": kg_query_context,
+        "kg_resolve_refs": kg_resolve_refs,
+        "code_strip_comments": code_strip_comments,
+        "doc_sample": doc_sample,
         "ann_topk": ann_topk,
+        "knn_label": knn_label,
         "q1_pricing": relational.q1_pricing,
         "segment_order_stats": relational.segment_order_stats,
         "topk_orders": relational.topk_orders,
@@ -469,6 +537,31 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "code_strip_comments": f"""
+            SELECT repo, path,
+                   regexp_replace(
+                     regexp_replace(content, '(?m)^[ \\t]*#[^\\n]*\\n?', '', 'g'),
+                     '(?s)\"\"\".*?\"\"\"', '', 'g') AS stripped
+            FROM read_parquet('{corpus}')
+        """,
+        "doc_sample": """
+            SELECT * FROM documents WHERE doc_id % 10 = 0
+        """,
+        "knn_label": """
+            WITH q AS (SELECT vec_id AS query_vec_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+            pairs AS (
+              SELECT q.query_vec_id, e.vec_id, e.label,
+                     list_cosine_similarity(q.qv, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id <> q.query_vec_id
+            ),
+            nearest AS (
+              SELECT query_vec_id, label,
+                     row_number() OVER (PARTITION BY query_vec_id ORDER BY sim DESC, vec_id ASC) AS rn
+              FROM pairs
+            )
+            SELECT query_vec_id, CAST(label AS BIGINT) AS label FROM nearest WHERE rn = 1
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_vec_id, embedding AS qv FROM embeddings WHERE vec_id < 8),

@@ -50,6 +50,46 @@ def sha256_hex(content: str) -> str:
     return hashlib.sha256(content.encode()).hexdigest()
 
 
+_COMMENT_RE = re.compile(r"(?m)^[ \t]*#[^\n]*\n?")
+_DOCSTRING_RE = re.compile(r'(?s)""".*?"""')
+
+
+def strip_code_comments(code: str) -> str:
+    """Code normalizer — the code-corpus analog of the reference's markdown
+    image-ref stripper (M8, pdf2md_preprocessing.py:260-263: one regexp_sub).
+    Removes whole-line # comments and triple-quoted docstrings."""
+    return _DOCSTRING_RE.sub("", _COMMENT_RE.sub("", code))
+
+
+def extract_json_objects(text: str):
+    """Lenient extraction of the first {...} or [{...}] JSON value embedded in
+    model-ish text, with per-item salvage for lists (reference M12,
+    llm.py:144-197: locate braces, json.loads, fall back item-by-item)."""
+    import json as _json
+
+    for open_ch, close_ch in (("[", "]"), ("{", "}")):
+        start = text.find(open_ch)
+        if start == -1:
+            continue
+        end = text.rfind(close_ch)
+        if end <= start:
+            continue
+        blob = text[start : end + 1]
+        try:
+            return _json.loads(blob)
+        except _json.JSONDecodeError:
+            if open_ch == "[":
+                items = []
+                for piece in re.findall(r"\{[^{}]*\}", blob):
+                    try:
+                        items.append(_json.loads(piece))
+                    except _json.JSONDecodeError:
+                        continue
+                if items:
+                    return items
+    return None
+
+
 def enclose_with_quotes(value) -> str:
     """Numbers unquoted, strings stripped of existing quotes then wrapped
     (reference base.py:249-255)."""
