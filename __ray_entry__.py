@@ -207,10 +207,28 @@ def entry() -> Any:
     return nodes
 
 
-def _build_graph_cached(sf_dir: str):
-    from mmgraphrag_ray.pipelines.kg import build_graph
+_GRAPH_CACHE: dict = {}
 
-    return build_graph(_corpus(sf_dir))
+
+def _mentions_cached(sf_dir: str):
+    """Materialized mentions per sf_dir — the expensive upstream shared by
+    every kg_* query the driver runs in one session."""
+    key = ("mentions", sf_dir)
+    if key not in _GRAPH_CACHE:
+        from mmgraphrag_ray.pipelines.kg import build_mentions
+
+        _GRAPH_CACHE[key] = build_mentions(_corpus(sf_dir)).materialize()
+    return _GRAPH_CACHE[key]
+
+
+def _build_graph_cached(sf_dir: str):
+    key = ("graph", sf_dir)
+    if key not in _GRAPH_CACHE:
+        from mmgraphrag_ray.pipelines.kg import build_graph
+
+        nodes, edges = build_graph(_corpus(sf_dir), mentions_ds=_mentions_cached(sf_dir))
+        _GRAPH_CACHE[key] = (nodes.materialize(), edges.materialize())
+    return _GRAPH_CACHE[key]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -239,11 +257,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return build_chunks(_corpus(sf_dir))
 
     def kg_mentions(sf_dir):
-        ent, _ = split_mentions(build_mentions(_corpus(sf_dir)))
+        ent, _ = split_mentions(_mentions_cached(sf_dir))
         return ent
 
     def kg_rel_mentions(sf_dir):
-        _, rel = split_mentions(build_mentions(_corpus(sf_dir)))
+        _, rel = split_mentions(_mentions_cached(sf_dir))
         return rel
 
     def kg_nodes(sf_dir):
@@ -251,13 +269,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return nodes
 
     def _canonical(sf_dir):
-        from mmgraphrag_ray.pipelines.kg import build_graph, build_mentions
         from mmgraphrag_ray.stages.linking import canonicalize_graph
 
-        mentions = build_mentions(_corpus(sf_dir)).materialize()
-        ent, _ = split_mentions(mentions)
-        nodes, edges = build_graph(_corpus(sf_dir), mentions_ds=mentions)
-        return canonicalize_graph(nodes.materialize(), edges.materialize(), ent)
+        key = ("canonical", sf_dir)
+        if key not in _GRAPH_CACHE:
+            ent, _ = split_mentions(_mentions_cached(sf_dir))
+            nodes, edges = _build_graph_cached(sf_dir)
+            _GRAPH_CACHE[key] = canonicalize_graph(nodes, edges, ent)
+        return _GRAPH_CACHE[key]
 
     def kg_canonical_nodes(sf_dir):
         # fusion math (eigendecomposition + DBSCAN) is not SQL-expressible:
@@ -422,11 +441,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def kg_resolve_refs(sf_dir):
-        from mmgraphrag_ray.pipelines.kg import build_chunks, build_mentions
+        from mmgraphrag_ray.pipelines.kg import build_chunks
         from mmgraphrag_ray.stages.resolve import resolve_symbol_refs
 
-        mentions = build_mentions(_corpus(sf_dir)).materialize()
-        ent, rel = split_mentions(mentions)
+        ent, rel = split_mentions(_mentions_cached(sf_dir))
         chunks = build_chunks(_corpus(sf_dir))
         return resolve_symbol_refs(rel, ent, chunks)
 
