@@ -415,6 +415,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qvecs = np.array(qdf["embedding"].tolist(), dtype=np.float64)
         return brute_topk(emb, qids, qvecs, k=5)
 
+    def ann_ivf_topk(sf_dir):
+        from mmgraphrag_ray.stages.similarity import ivf_topk
+
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").materialize()
+        qdf = emb.filter(expr="vec_id < 8").to_pandas()
+        return ivf_topk(
+            emb,
+            qdf["vec_id"].to_numpy(),
+            np.array(qdf["embedding"].tolist(), dtype=np.float64),
+            k=5,
+            n_centroids=16,
+            nprobe=4,
+        )
+
     def knn_label(sf_dir):
         from mmgraphrag_ray.stages.similarity import knn_label_transfer
 
@@ -503,11 +517,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_strip_comments": code_strip_comments,
         "doc_sample": doc_sample,
         "ann_topk": ann_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "knn_label": knn_label,
         "q1_pricing": relational.q1_pricing,
         "segment_order_stats": relational.segment_order_stats,
         "topk_orders": relational.topk_orders,
         "events_window": relational.events_window,
+        "events_sessions": relational.events_sessions,
     }
 
 
@@ -621,5 +637,22 @@ def oracle_sql() -> dict[str, str]:
                    min(value) AS min_value,
                    max(value) AS max_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+            ), s AS (
+              SELECT user_id, ts,
+                     1 + sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM o
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
+            FROM s GROUP BY 1, 2
         """,
     }

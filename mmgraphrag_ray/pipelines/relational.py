@@ -87,3 +87,47 @@ def events_window(sf_dir: str):
             "max_value": ("value", "max"),
         },
     )
+
+
+def events_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user (gap-based): events of one user sorted by ts;
+    a gap > `gap_minutes` starts a new session.  Ray shape: partition by
+    user (bucketed groupby), per-user pandas sessionization inside the group
+    — the ray_guide streaming-shaped pattern (ordered, partitioned log).
+    Output: (user_id, session_id, n_events, first_ts, last_ts)."""
+    import zlib
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"), "ts": pd.Series(dtype="datetime64[us]"),
+                 "_bucket": pd.Series(dtype="int32")}
+            )
+        out = b.copy()
+        out["_bucket"] = out["user_id"].map(
+            lambda u: zlib.crc32(str(int(u)).encode()) % 64
+        ).astype("int32")
+        return out
+
+    def sessionize(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in bucket.groupby("user_id", sort=False):
+            g = g.sort_values("ts", kind="mergesort")
+            gaps = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+            session_ids = gaps.cumsum().astype("int64") + 1
+            for sid, s in g.assign(sid=session_ids).groupby("sid", sort=False):
+                rows.append(
+                    (int(uid), int(sid), len(s), s["ts"].iloc[0], s["ts"].iloc[-1])
+                )
+        return pd.DataFrame(
+            rows, columns=["user_id", "session_id", "n_events", "first_ts", "last_ts"]
+        )
+
+    return (
+        ev.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(sessionize, batch_format="pandas")
+        .repartition(8)
+    )

@@ -110,3 +110,95 @@ def knn_label_transfer(corpus_ds, query_ids, query_vecs, labels_by_id: dict, k: 
         )
 
     return topk.map_batches(assign, batch_format="pandas")
+
+
+# ----------------------------------------------------------------- IVF path
+
+def _lloyd(sample: np.ndarray, n_centroids: int, iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd k-means on a sample: init = evenly spaced sample
+    rows (sample is taken in id order), fixed iteration count."""
+    n = len(sample)
+    idx = np.linspace(0, n - 1, num=min(n_centroids, n)).astype(int)
+    cents = sample[idx].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_topk(
+    corpus_ds,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF-style approximate top-k — the scale path next to `brute_topk`:
+    a coarse quantizer (deterministic Lloyd on an id-ordered sample) assigns
+    every corpus vector to a centroid bucket; each query probes only its
+    `nprobe` nearest buckets, so per-batch work drops to the probed fraction.
+    Same output schema as brute_topk (query_vec_id, rank, vec_id)."""
+    import pyarrow as pa
+
+    sample_df = (
+        corpus_ds.sort(id_col).limit(train_sample).to_pandas()
+    )
+    sample = np.array(sample_df[vec_col].tolist(), dtype=np.float64)
+    cents = _lloyd(sample, n_centroids)
+
+    qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(query_ids)
+    # probe set per query: nprobe nearest centroids (euclidean on raw vecs)
+    qd = ((np.asarray(query_vecs, dtype=np.float64)[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qd, axis=1)[:, :nprobe]
+    ref = ray.put((qids, qmat, cents, probes))
+
+    def partial_topk(batch: pa.Table) -> pd.DataFrame:
+        q_ids, q, c, pr = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        raw = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        if len(raw) == 0:
+            return pd.DataFrame({"query_vec_id": [], "vec_id": [], "sim": []})
+        d = ((raw[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        cell = d.argmin(axis=1)
+        vecs = _normalize(raw)
+        frames = []
+        for j in range(q.shape[0]):
+            mask = np.isin(cell, pr[j]) & (ids != q_ids[j])
+            if not mask.any():
+                continue
+            cand_ids = ids[mask]
+            sims = vecs[mask] @ q[j]
+            take = min(k, len(cand_ids))
+            part = np.argpartition(-sims, take - 1)[:take]
+            order = part[np.lexsort((cand_ids[part], -sims[part]))]
+            frames.append(
+                pd.DataFrame(
+                    {"query_vec_id": q_ids[j], "vec_id": cand_ids[order], "sim": sims[order]}
+                )
+            )
+        if not frames:
+            return pd.DataFrame({"query_vec_id": [], "vec_id": [], "sim": []})
+        return pd.concat(frames, ignore_index=True)
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_vec_id": g["query_vec_id"].astype("int64"),
+                "rank": np.arange(1, len(g) + 1, dtype="int64"),
+                "vec_id": g["vec_id"].astype("int64"),
+            }
+        )
+
+    partials = corpus_ds.map_batches(partial_topk, batch_format="pyarrow")
+    return partials.groupby("query_vec_id").map_groups(final_topk, batch_format="pandas")

@@ -1,0 +1,71 @@
+"""Similarity search: brute top-k vs IVF recall, label transfer."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from mmgraphrag_ray.stages.similarity import brute_topk, ivf_topk, knn_label_transfer
+
+
+@pytest.fixture(scope="module")
+def emb():
+    rng = np.random.default_rng(11)
+    n, d = 300, 16
+    vecs = rng.standard_normal((n, d))
+    df = pd.DataFrame(
+        {"vec_id": range(n), "embedding": [v.tolist() for v in vecs],
+         "label": (np.arange(n) % 4).astype("int32")}
+    )
+    return ray.data.from_pandas(df).materialize(), df
+
+
+def test_brute_topk_matches_numpy(emb):
+    ds, df = emb
+    vecs = np.array(df["embedding"].tolist())
+    q = vecs[:3]
+    out = brute_topk(ds, np.arange(3), q, k=4).to_pandas()
+    # ground truth for query 0
+    v = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = v @ (q[0] / np.linalg.norm(q[0]))
+    sims[0] = -np.inf  # exclude self
+    expect = list(np.argsort(-sims)[:4])
+    got = list(out[out.query_vec_id == 0].sort_values("rank")["vec_id"])
+    assert got == expect
+
+
+def test_ivf_recall_reasonable(emb):
+    ds, df = emb
+    vecs = np.array(df["embedding"].tolist())
+    qids = np.arange(8)
+    q = vecs[:8]
+    brute = brute_topk(ds, qids, q, k=5).to_pandas()
+    ivf = ivf_topk(ds, qids, q, k=5, n_centroids=8, nprobe=4).to_pandas()
+    recall = 0.0
+    for qi in qids:
+        b = set(brute[brute.query_vec_id == qi]["vec_id"])
+        a = set(ivf[ivf.query_vec_id == qi]["vec_id"])
+        recall += len(a & b) / len(b)
+    recall /= len(qids)
+    assert recall >= 0.5, recall  # nprobe=4 of 8 cells
+
+
+def test_ivf_nprobe_full_equals_brute(emb):
+    ds, df = emb
+    vecs = np.array(df["embedding"].tolist())
+    qids = np.arange(4)
+    q = vecs[:4]
+    brute = brute_topk(ds, qids, q, k=5).to_pandas().sort_values(
+        ["query_vec_id", "rank"]).reset_index(drop=True)
+    ivf = ivf_topk(ds, qids, q, k=5, n_centroids=8, nprobe=8).to_pandas().sort_values(
+        ["query_vec_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(brute, ivf)
+
+
+def test_knn_label_transfer(emb):
+    ds, df = emb
+    vecs = np.array(df["embedding"].tolist())
+    labels_by_id = dict(zip(df["vec_id"], df["label"].astype(int)))
+    out = knn_label_transfer(ds, np.arange(2), vecs[:2], labels_by_id, k=1).to_pandas()
+    assert len(out) == 2
+    assert set(out["label"]) <= {0, 1, 2, 3}
