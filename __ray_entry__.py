@@ -38,7 +38,7 @@ WITH files0 AS (
   SELECT repo, path, commit, lang, content,
          sha256(content) AS content_sha256,
          'doc-' || md5(content) AS doc_id
-  FROM read_parquet('{corpus}')
+  FROM read_parquet('{corpus}/*.parquet')
 ),
 files AS (
   SELECT repo, path, commit, lang, content, content_sha256, doc_id FROM (
@@ -577,7 +577,7 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(
                      regexp_replace(content, '(?m)^[ \\t]*#[^\\n]*\\n?', '', 'g'),
                      '(?s)\"\"\".*?\"\"\"', '', 'g') AS stripped
-            FROM read_parquet('{corpus}')
+            FROM read_parquet('{corpus}/*.parquet')
         """,
         "doc_sample": """
             SELECT * FROM documents WHERE doc_id % 10 = 0

@@ -25,6 +25,7 @@ from ..stages.merge import (
     backfill_unknown_nodes,
     finalize_edges,
     merge_edges,
+    merge_graph,
     merge_nodes,
 )
 
@@ -34,13 +35,15 @@ def build_chunks(files_path: str, cfg: KGConfig = DEFAULT_CONFIG) -> ray.data.Da
 
     configure()
     files = read_files(files_path, override_num_blocks=cfg.read_num_blocks)
-    # exact dedup by content hash (reference preprocessing.py:107-118):
-    # deterministic survivor = min (repo, path, commit)
-    files = dedup_exact(files, key="content_sha256", order_by=["repo", "path", "commit"])
     chunks = chunk_files(files, cfg)
-    # chunk-level dedup: the reference's text-chunk KV store is keyed by
-    # chunk-<md5(content)> so identical windows from different files insert
-    # once (preprocessing.py:126-150); survivor deterministic by lineage.
+    # ONE dedup shuffle covers both reference dedups: the doc-level
+    # content-hash anti-join (preprocessing.py:107-118) is subsumed by the
+    # chunk-level keyed insert (preprocessing.py:126-150) because duplicate
+    # files share doc_id = md5(content) and produce identical chunk windows;
+    # the min-(doc_id, repo, path) survivor equals the two-stage result
+    # (deviation only for identical content at identical repo+path with
+    # different commits, which the id scheme cannot distinguish anyway).
+    # Saves a full-payload shuffle per run vs deduping files then chunks.
     return dedup_exact(
         chunks, key="chunk_id", order_by=["doc_id", "repo", "path", "chunk_order_index"]
     )
@@ -62,12 +65,10 @@ def build_graph(
         # entity/relationship branches don't re-run chunk+extract twice.
         mentions_ds = build_mentions(files_path, cfg).materialize()
     ent, rel = split_mentions(mentions_ds)
-    # nodes/edges are each consumed twice (backfill + output); they are the
-    # small aggregated end of the funnel, so pinning them avoids re-running
-    # the merge shuffles. The write path (state/lineage.py) checkpoints them
-    # to parquet instead.
-    nodes = merge_nodes(ent, cfg).materialize()
-    edges = merge_edges(rel, cfg).materialize()
+    # fused single-shuffle node+edge merge; outputs are pinned (each is
+    # consumed twice: backfill + sink). The write path (state/lineage.py)
+    # checkpoints them to parquet instead.
+    nodes, edges = merge_graph(ent, rel, cfg)
     nodes = backfill_unknown_nodes(nodes, edges)
     return nodes, finalize_edges(edges)
 

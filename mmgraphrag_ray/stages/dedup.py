@@ -70,8 +70,9 @@ def dedup_exact(
 
     pruned = ds.map_batches(local_first, batch_format="pandas")
     out = pruned.groupby("_bucket").map_groups(bucket_first, batch_format="pandas")
-    # coalesce away schema-less empty blocks from empty hash partitions
-    return out.repartition(16)
+    # coalesce away schema-less empty blocks from empty hash partitions;
+    # block count = n_buckets so downstream stages keep full parallelism
+    return out.repartition(n_buckets)
 
 
 # --------------------------------------------------------------- minhash-lsh

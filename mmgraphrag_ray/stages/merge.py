@@ -248,6 +248,128 @@ def merge_edges(rel_mentions_ds, cfg=None):
     return merged.repartition(16)
 
 
+# ------------------------------------------------- fused node+edge merge
+
+
+def merge_graph(entity_mentions_ds, rel_mentions_ds, cfg=None):
+    """Node AND edge merges through ONE shuffle: partial rows from both
+    tables share a unified tall schema and a routing bucket
+    crc32(table+key) % N; one groupby(bucket) runs both vectorized finals.
+    Halves the all-to-all count of the merge phase (same algebra as
+    merge_nodes/merge_edges — equality asserted by tests).
+
+    Returns (nodes_ds, edges_ds) — both materialized (they are consumed
+    multiple times by backfill + sinks)."""
+    from ..config import DEFAULT_CONFIG
+
+    cfg = cfg or DEFAULT_CONFIG
+    gate = cfg.entity_summary_to_max_tokens
+
+    UNI = ["table", "key", "kind", "value", "n", "wsum", "omin", "bucket"]
+
+    def _unify_node(batch: pd.DataFrame) -> pd.DataFrame:
+        p = _node_partial(batch)
+        if len(p) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in UNI})
+        out = pd.DataFrame(
+            {
+                "table": "n",
+                "key": p["entity_name"],
+                "kind": p["kind"],
+                "value": p["value"],
+                "n": p["n"],
+                "wsum": 0.0,
+                "omin": 0,
+            }
+        )
+        out["bucket"] = _bucket_of("n" + out["key"])
+        return out
+
+    def _unify_edge(batch: pd.DataFrame) -> pd.DataFrame:
+        p = _edge_partial(batch)
+        if len(p) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in UNI})
+        out = pd.DataFrame(
+            {
+                "table": "e",
+                "key": p["edge_key"],
+                "kind": p["kind"],
+                "value": p["value"],
+                "n": 0,
+                "wsum": p["wsum"],
+                "omin": p["omin"],
+            }
+        )
+        out["bucket"] = _bucket_of("e" + out["key"])
+        return out
+
+    node_final = _make_node_final(gate)
+    edge_final = _make_edge_final(gate)
+
+    OUT_COLS = [
+        "table", "entity_name", "entity_type", "src_id", "tgt_id", "weight",
+        "description", "description_full", "source_id", "order",
+    ]
+
+    def fused_final(bucket: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        nrows = bucket[bucket["table"] == "n"]
+        if len(nrows):
+            nf = node_final(
+                nrows.rename(columns={"key": "entity_name"})[
+                    ["entity_name", "kind", "value", "n"]
+                ]
+            )
+            nf["table"] = "n"
+            frames.append(nf)
+        erows = bucket[bucket["table"] == "e"]
+        if len(erows):
+            ef = edge_final(
+                erows.rename(columns={"key": "edge_key"})[
+                    ["edge_key", "kind", "value", "wsum", "omin"]
+                ]
+            )
+            ef["table"] = "e"
+            frames.append(ef)
+        if not frames:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in OUT_COLS})
+        out = pd.concat(frames, ignore_index=True)
+        for c in OUT_COLS:
+            if c not in out.columns:
+                out[c] = None
+        return out[OUT_COLS]
+
+    both = entity_mentions_ds.map_batches(_unify_node, batch_format="pandas").union(
+        rel_mentions_ds.map_batches(_unify_edge, batch_format="pandas")
+    )
+    merged = (
+        both.groupby("bucket")
+        .map_groups(fused_final, batch_format="pandas")
+        .repartition(N_BUCKETS)
+        .materialize()
+    )
+
+    nodes = merged.map_batches(
+        lambda b: b[b["table"] == "n"][
+            ["entity_name", "entity_type", "description", "source_id"]
+        ]
+        if len(b)
+        else _empty_frame(["entity_name", "entity_type", "description", "source_id"]),
+        batch_format="pandas",
+    ).materialize()
+    edges = merged.map_batches(
+        lambda b: b[b["table"] == "e"][
+            ["src_id", "tgt_id", "weight", "description", "description_full", "source_id", "order"]
+        ].astype({"weight": "float64", "order": "int32"})
+        if len(b)
+        else _empty_frame(
+            ["src_id", "tgt_id", "weight", "description", "description_full", "source_id", "order"]
+        ),
+        batch_format="pandas",
+    ).materialize()
+    return nodes, edges
+
+
 # ------------------------------------------------------ UNKNOWN backfill
 
 

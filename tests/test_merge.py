@@ -133,3 +133,25 @@ def test_description_over_gate_truncated_in_merge():
     from mmgraphrag_ray.tokenizer import encode
 
     assert len(encode(nodes.iloc[0].description)) == 500
+
+
+def test_fused_merge_equals_separate_merges():
+    """merge_graph (single fused shuffle) must equal merge_nodes+merge_edges."""
+    import ray.data
+
+    from mmgraphrag_ray.stages.merge import finalize_edges, merge_graph
+
+    ent = ray.data.from_pandas(_ent_mentions())
+    rel = ray.data.from_pandas(_rel_mentions())
+    n1 = merge_nodes(ent, CFG).to_pandas()
+    e1 = finalize_edges(merge_edges(rel, CFG)).to_pandas()
+    n2, e2 = merge_graph(ent, rel, CFG)
+    n2, e2 = n2.to_pandas(), finalize_edges(e2).to_pandas()
+
+    def srt(df):
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(srt(n1), srt(n2))
+    pd.testing.assert_frame_equal(srt(e1), srt(e2), check_dtype=False)
