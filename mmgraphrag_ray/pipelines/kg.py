@@ -20,7 +20,7 @@ from ..config import DEFAULT_CONFIG, KGConfig
 from ..sources.files import read_files
 from ..stages.chunk import chunk_files
 from ..stages.dedup import dedup_exact
-from ..stages.extract import extract_mentions, split_mentions
+from ..stages.extract import extract_mentions, split_mentions  # noqa: F401
 from ..stages.merge import (
     backfill_unknown_nodes,
     finalize_edges,
@@ -102,7 +102,44 @@ def run_kg(
 
     sigs: dict[str, str] = {}
 
-    mentions = ensure("mentions", 1, [], lambda: build_mentions(files_path, cfg))
+    # PARTITION-level checkpoint for the embarrassingly parallel map phase:
+    # one chunks partition per input shard; a killed run resumes at the
+    # first incomplete shard (north_rule per-partition lineage).  The
+    # downstream stages start at shuffles, whose in-flight state is not
+    # resumable — they checkpoint at stage granularity.
+    ln.partitioned_stage(
+        out_dir,
+        "chunks",
+        ln.list_shards(files_path),
+        lambda shard: chunk_files(
+            read_files(shard, override_num_blocks=4), cfg
+        ),
+        cfg,
+    )
+    # stage signature = the set of partition signatures (stable across a
+    # partition REBUILD with identical inputs, so downstream stages are not
+    # invalidated by a resume that reproduced the same data)
+    import glob
+    import json as _json
+
+    part_sigs = []
+    for mpath in sorted(
+        glob.glob(os.path.join(ln.stage_dir(out_dir, "chunks"), "part=*", ln.MANIFEST))
+    ):
+        with open(mpath) as f:
+            part_sigs.append(_json.load(f)["signature"])
+    sigs["chunks"] = ln.stage_signature("chunks", 1, cfg, [{"parts": part_sigs}])
+    done["chunks"] = ln.stage_dir(out_dir, "chunks")
+
+    def _mentions_from_chunks():
+        chunks = ln.read_stage(out_dir, "chunks")
+        deduped = dedup_exact(
+            chunks, key="chunk_id",
+            order_by=["doc_id", "repo", "path", "chunk_order_index"],
+        )
+        return extract_mentions(deduped, cfg)
+
+    mentions = ensure("mentions", 2, ["chunks"], _mentions_from_chunks)
     ent, rel = split_mentions(mentions)
 
     nodes_merged = ensure("nodes_merged", 1, ["mentions"], lambda: merge_nodes(ent, cfg))

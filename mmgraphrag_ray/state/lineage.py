@@ -110,3 +110,69 @@ def read_stage(out_dir: str, stage: str) -> ray.data.Dataset:
 def read_manifest(out_dir: str, stage: str) -> dict:
     with open(os.path.join(stage_dir(out_dir, stage), MANIFEST)) as f:
         return json.load(f)
+
+
+# ----------------------------------------------- partition-level checkpoints
+
+
+def partitioned_stage(
+    out_dir: str,
+    stage: str,
+    input_shards: list[str],
+    build_one,
+    cfg,
+    version: int = 1,
+) -> str:
+    """Per-PARTITION checkpointing for an embarrassingly parallel stage:
+    one output partition (+ manifest) per input shard; a rerun recomputes
+    only shards whose checkpoint is missing or stale (north_rule: a killed
+    job resumes without recomputing completed partitions).  `build_one`
+    maps one input shard path -> Dataset.  Returns the stage directory;
+    read it back with read_stage (pyarrow ignores the manifests)."""
+    base = stage_dir(out_dir, stage)
+    os.makedirs(base, exist_ok=True)
+    for shard_path in input_shards:
+        pname = "part=" + os.path.splitext(os.path.basename(shard_path))[0]
+        pdir = os.path.join(base, pname)
+        sig = stage_signature(
+            f"{stage}/{pname}", version, cfg, [input_fingerprint(shard_path)]
+        )
+        mpath = os.path.join(pdir, MANIFEST)
+        if os.path.exists(mpath):
+            try:
+                with open(mpath) as f:
+                    if json.load(f).get("signature") == sig:
+                        continue  # partition complete and current
+            except (OSError, json.JSONDecodeError):
+                pass
+        tmp = pdir + f"._tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        t0 = time.time()
+        build_one(shard_path).write_parquet(tmp)
+        rows = ray.data.read_parquet(tmp).count()
+        with open(os.path.join(tmp, MANIFEST), "w") as f:
+            json.dump(
+                {
+                    "stage": stage,
+                    "partition": pname,
+                    "input": shard_path,
+                    "signature": sig,
+                    "rows": rows,
+                    "wall_sec": round(time.time() - t0, 3),
+                },
+                f,
+                indent=2,
+            )
+        shutil.rmtree(pdir, ignore_errors=True)
+        os.replace(tmp, pdir)
+    return base
+
+
+def list_shards(corpus_dir: str) -> list[str]:
+    if os.path.isdir(corpus_dir):
+        return sorted(
+            os.path.join(corpus_dir, f)
+            for f in os.listdir(corpus_dir)
+            if f.endswith(".parquet")
+        )
+    return [corpus_dir]

@@ -48,6 +48,28 @@ def test_all_stages_written_with_manifests(first_run):
     for s in expected:
         m = ln.read_manifest(OUT, s)
         assert m["rows"] > 0 and m["signature"] and m["wall_sec"] >= 0
+    # chunks stage is partition-level: one manifest per input shard
+    parts = [p for p in os.listdir(os.path.join(OUT, "chunks")) if p.startswith("part=")]
+    assert len(parts) >= 2
+    for p in parts:
+        assert os.path.exists(os.path.join(OUT, "chunks", p, ln.MANIFEST))
+
+
+def test_partition_level_resume(first_run):
+    path, _ = first_run
+    parts_dir = os.path.join(OUT, "chunks")
+    parts = sorted(p for p in os.listdir(parts_dir) if p.startswith("part="))
+    victim, survivor = parts[0], parts[1]
+    surv_mtime = os.path.getmtime(os.path.join(parts_dir, survivor, ln.MANIFEST))
+    mentions_mtime = os.path.getmtime(os.path.join(OUT, "mentions", ln.MANIFEST))
+    shutil.rmtree(os.path.join(parts_dir, victim))
+    run_kg(path, OUT, canonicalize=False)
+    # victim rebuilt, survivor untouched
+    assert os.path.exists(os.path.join(parts_dir, victim, ln.MANIFEST))
+    assert os.path.getmtime(os.path.join(parts_dir, survivor, ln.MANIFEST)) == surv_mtime
+    # identical rebuilt partition -> stable stage signature -> downstream
+    # stages (mentions onward) were NOT recomputed
+    assert os.path.getmtime(os.path.join(OUT, "mentions", ln.MANIFEST)) == mentions_mtime
 
 
 def test_rerun_skips_completed_stages(first_run):
