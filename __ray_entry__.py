@@ -335,6 +335,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
         return embedding_near_dup(emb, threshold=0.95)
 
+    def distinct_lang_source(sf_dir):
+        # distinct-values operator (ds.unique analog) via the bucketed
+        # groupby pattern: shuffle only the key columns
+        from mmgraphrag_ray.stages.groupagg import bucketed_groupby_agg
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+        )
+        return bucketed_groupby_agg(
+            docs, keys=["lang", "source"], aggs={"n_docs": (None, "count")}
+        )
+
     def doc_stats(sf_dir):
         docs = ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -506,6 +518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_simhash_documents": dedup_simhash_documents,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
+        "distinct_lang_source": distinct_lang_source,
         "doc_text_stats": doc_stats,
         "token_count_by_lang": token_count_by_lang,
         "doc_fingerprint": doc_fingerprint,
@@ -549,6 +562,9 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
               FROM documents
             ) WHERE rn = 1
+        """,
+        "distinct_lang_source": """
+            SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY 1, 2
         """,
         "doc_text_stats": f"""
             SELECT doc_id,
