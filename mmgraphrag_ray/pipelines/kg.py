@@ -73,6 +73,35 @@ def build_graph(
     return nodes, finalize_edges(edges)
 
 
+def update_graph(
+    new_files_path: str,
+    existing_nodes_ds: ray.data.Dataset,
+    existing_edges_ds: ray.data.Dataset,
+    cfg: KGConfig = DEFAULT_CONFIG,
+):
+    """Incremental indexing — the reference's actual operating mode: new
+    documents merge into an existing graph via the upsert-with-existing
+    branches of the node/edge merges (text2graph.py:164-191, 232-257); docs
+    already indexed are dropped upstream by the content-hash anti-join
+    (J7, storage.py:223-224 — callers pass new files, or pre-filter with
+    stages/join.broadcast_semi_join(anti=True) on content_sha256).
+
+    NOTE (shared with the reference): incremental results can differ from a
+    from-scratch batch run where its semantics are history-dependent — an
+    existing entity_type counts once regardless of how many mentions built
+    it, and a previously summarized (truncated) description contributes its
+    truncated form.  Weights/source ids/descriptions below the summarize
+    gate are exactly additive."""
+    from ..stages.merge import merge_edges_incremental, merge_nodes_incremental
+
+    mentions = build_mentions(new_files_path, cfg).materialize()
+    ent, rel = split_mentions(mentions)
+    nodes = merge_nodes_incremental(ent, existing_nodes_ds, cfg).materialize()
+    edges = merge_edges_incremental(rel, existing_edges_ds, cfg).materialize()
+    nodes = backfill_unknown_nodes(nodes, edges)
+    return nodes, finalize_edges(edges)
+
+
 def run_kg(
     files_path: str,
     out_dir: str,

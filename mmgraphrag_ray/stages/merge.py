@@ -460,3 +460,101 @@ def finalize_edges(edges_ds):
         return batch[_EDGE_PUBLIC_COLS]
 
     return edges_ds.map_batches(select_public, batch_format="pandas")
+
+
+# --------------------------------------------------- incremental merge
+
+def _nodes_as_partials(nodes_ds):
+    """Existing nodes -> partial rows, mirroring the reference's merge with
+    an already-present node (text2graph.py:164-191): the existing entity_type
+    counts ONCE, existing description/source_id split on <SEP> and set-union
+    with the new mentions."""
+
+    def to_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return _empty_frame(_NODE_PARTIAL_COLS)
+        frames = []
+        t = pd.DataFrame(
+            {"entity_name": batch["entity_name"], "kind": "t",
+             "value": batch["entity_type"], "n": 1}
+        )
+        frames.append(t)
+        for kind, col in (("d", "description"), ("s", "source_id")):
+            expl = batch[["entity_name", col]].copy()
+            expl[col] = expl[col].str.split(GRAPH_FIELD_SEP)
+            expl = expl.explode(col)
+            frames.append(
+                pd.DataFrame(
+                    {"entity_name": expl["entity_name"], "kind": kind,
+                     "value": expl[col], "n": 1}
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        out["bucket"] = _bucket_of(out["entity_name"])
+        return out[_NODE_PARTIAL_COLS]
+
+    return nodes_ds.map_batches(to_partials, batch_format="pandas")
+
+
+def _edges_as_partials(edges_ds):
+    """Existing edges -> partial rows (text2graph.py:232-257: weight joins
+    the sum, order joins the min, desc/source split-unioned)."""
+
+    def to_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return _empty_frame(_EDGE_PARTIAL_COLS)
+        key = batch["src_id"] + _KEY_SEP + batch["tgt_id"]
+        frames = [
+            pd.DataFrame(
+                {"edge_key": key, "kind": "w", "value": "",
+                 "wsum": batch["weight"].astype("float64"),
+                 "omin": batch["order"].astype("int64")}
+            )
+        ]
+        for kind, col in (("d", "description"), ("s", "source_id")):
+            expl = pd.DataFrame({"edge_key": key, col: batch[col].str.split(GRAPH_FIELD_SEP)})
+            expl = expl.explode(col)
+            frames.append(
+                pd.DataFrame(
+                    {"edge_key": expl["edge_key"], "kind": kind,
+                     "value": expl[col], "wsum": 0.0, "omin": 0}
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        out["wsum"] = out["wsum"].astype("float64")
+        out["omin"] = out["omin"].astype("int64")
+        out["bucket"] = _bucket_of(out["edge_key"])
+        return out[_EDGE_PARTIAL_COLS]
+
+    return edges_ds.map_batches(to_partials, batch_format="pandas")
+
+
+def merge_nodes_incremental(new_entity_mentions_ds, existing_nodes_ds, cfg=None):
+    """Union of new-mention partials and existing-node partials through the
+    same bucketed final — the distributed closure of the reference's
+    upsert-with-existing path.  NOTE the summarize gate re-applies to the
+    re-joined description, as it does on every reference upsert."""
+    from ..config import DEFAULT_CONFIG
+
+    cfg = cfg or DEFAULT_CONFIG
+    partials = new_entity_mentions_ds.map_batches(
+        _node_partial, batch_format="pandas"
+    ).union(_nodes_as_partials(existing_nodes_ds))
+    merged = partials.groupby("bucket").map_groups(
+        _make_node_final(cfg.entity_summary_to_max_tokens), batch_format="pandas"
+    )
+    return merged.repartition(N_BUCKETS)
+
+
+def merge_edges_incremental(new_rel_mentions_ds, existing_edges_ds, cfg=None):
+    from ..config import DEFAULT_CONFIG
+
+    cfg = cfg or DEFAULT_CONFIG
+    partials = new_rel_mentions_ds.map_batches(
+        _edge_partial, batch_format="pandas"
+    ).union(_edges_as_partials(existing_edges_ds))
+    merged = partials.groupby("bucket").map_groups(
+        _make_edge_final(cfg.entity_summary_to_max_tokens), batch_format="pandas"
+    )
+    return merged.repartition(N_BUCKETS)
