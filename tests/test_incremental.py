@@ -18,8 +18,8 @@ ALL_DIR = "/tmp/raykg_incr/all"
 
 @pytest.fixture(scope="module")
 def split_corpora():
-    table = generate_files_table(80)
-    for d, t in ((BASE_DIR, table.slice(0, 60)), (NEW_DIR, table.slice(60)), (ALL_DIR, table)):
+    table = generate_files_table(48)
+    for d, t in ((BASE_DIR, table.slice(0, 36)), (NEW_DIR, table.slice(36)), (ALL_DIR, table)):
         os.makedirs(d, exist_ok=True)
         pq.write_table(t, os.path.join(d, "files.parquet"), row_group_size=500)
     return BASE_DIR, NEW_DIR, ALL_DIR

@@ -35,7 +35,7 @@ def _sorted(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @given(mention_frames(), st.randoms(use_true_random=False))
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 def test_node_merge_partitioning_invariance(df, rnd):
     perm = df.sample(frac=1.0, random_state=rnd.randrange(1 << 16)).reset_index(drop=True)
     cut = rnd.randrange(len(perm)) or 1
@@ -63,7 +63,7 @@ def rel_frames(draw):
 
 
 @given(rel_frames(), st.randoms(use_true_random=False))
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 def test_edge_merge_partitioning_invariance(df, rnd):
     perm = df.sample(frac=1.0, random_state=rnd.randrange(1 << 16)).reset_index(drop=True)
     cut = rnd.randrange(len(perm)) or 1
