@@ -57,6 +57,7 @@ def entity_topk(entity_vecs_ds, query_text: str, param: QueryParam) -> pd.DataFr
     import ray
 
     qref = ray.put(qvec)
+    per_batch_keep = max(50, param.top_k)  # partial top-k must cover top_k
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
@@ -66,11 +67,10 @@ def entity_topk(entity_vecs_ds, query_text: str, param: QueryParam) -> pd.DataFr
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         sims = (mat @ q) / norms  # q is already unit-norm
-        keep = sims >= 0  # partial top-k below; threshold applied at reduce
         out = pd.DataFrame(
-            {"entity_name": batch["entity_name"][keep], "distance": sims[keep]}
+            {"entity_name": batch["entity_name"], "distance": sims}
         )
-        return out.nlargest(50, "distance")
+        return out.nlargest(per_batch_keep, "distance")
 
     top = entity_vecs_ds.map_batches(partial, batch_format="pandas").to_pandas()
     top = top[top["distance"] >= param.cosine_threshold]
