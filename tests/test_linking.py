@@ -129,3 +129,48 @@ def test_canonicalize_end_to_end_smoke():
     assert len(alias_df) > 0  # duplicates exist in the corpus by construction
     # no aliased member survives in the canonical node set
     assert not set(alias_df.member_name) & set(cn_df.entity_name)
+
+
+def test_iterative_contraction_equals_single_pass():
+    """SURVEY §7 hard part (a): the reference folds per-image fused-graph
+    iterations (F9) into one alias table + one contraction; prove the
+    equivalence on composed aliases (round 1: B->A, round 2: A->Z gives the
+    composed single-pass map {B->Z, A->Z})."""
+    nodes = pd.DataFrame(
+        {
+            "entity_name": ['"A"', '"B"', '"Z"', '"X"'],
+            "entity_type": ['"T"'] * 4,
+            "description": ['"da"', '"db"', '"dz"', '"dx"'],
+            "source_id": ["c1", "c2", "c3", "c4"],
+        }
+    )
+    edges = pd.DataFrame(
+        {
+            "src_id": ['"B"', '"A"'],
+            "tgt_id": ['"X"', '"X"'],
+            "weight": [1.0, 2.0],
+            "description": ['"bx"', '"ax"'],
+            "source_id": ["c2", "c1"],
+            "order": [1, 1],
+        }
+    )
+    a1 = pd.DataFrame({"member_name": ['"B"'], "canonical_name": ['"A"']})
+    a2 = pd.DataFrame({"member_name": ['"A"'], "canonical_name": ['"Z"']})
+
+    # iterative: contract with a1, then with a2
+    n1, e1 = contract_graph(ray.data.from_pandas(nodes), ray.data.from_pandas(edges),
+                            ray.data.from_pandas(a1))
+    n2, e2 = contract_graph(n1.materialize(), e1.materialize(), ray.data.from_pandas(a2))
+
+    # single pass with the composed alias map
+    comp = pd.DataFrame(
+        {"member_name": ['"B"', '"A"'], "canonical_name": ['"Z"', '"Z"']}
+    )
+    ns, es = contract_graph(ray.data.from_pandas(nodes), ray.data.from_pandas(edges),
+                            ray.data.from_pandas(comp))
+
+    def srt(df):
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(srt(n2.to_pandas()), srt(ns.to_pandas()))
+    pd.testing.assert_frame_equal(srt(e2.to_pandas()), srt(es.to_pandas()), check_dtype=False)

@@ -155,3 +155,25 @@ def test_fused_merge_equals_separate_merges():
 
     pd.testing.assert_frame_equal(srt(n1), srt(n2))
     pd.testing.assert_frame_equal(srt(e1), srt(e2), check_dtype=False)
+
+
+def test_hot_key_combiner_bounds_shuffle_rows():
+    """Skew guard (north_rule): a mega-hot entity mentioned in every batch
+    must NOT ship every raw mention through the shuffle — the per-batch
+    combiner emits one state row per (key, kind, distinct value) per batch."""
+    from mmgraphrag_ray.stages.merge import _node_partial
+
+    n = 5000
+    hot = pd.DataFrame(
+        {
+            "entity_name": ['"HOT"'] * n,
+            "entity_type": ['"FUNCTION"'] * n,
+            "description": ['"same desc"'] * n,  # one distinct desc
+            "source_id": [f"c{i % 7}" for i in range(n)],  # 7 distinct chunks
+        }
+    )
+    partial = _node_partial(hot)
+    # 1 type row + 1 desc row + 7 source rows, NOT 5000 rows
+    assert len(partial) == 9
+    t = partial[partial["kind"] == "t"]
+    assert int(t["n"].iloc[0]) == n  # multiplicity preserved for type mode
