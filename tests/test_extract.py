@@ -106,3 +106,37 @@ def test_render_module_defs_imports_calls():
     assert kinds[('"HELPER"', '"PKG.M"')] == 2.0
     # helper is never an entity -> UNKNOWN backfill candidate downstream
     assert '"HELPER"' not in names
+
+
+def test_actor_pool_extraction_path():
+    """The actor-pool seam for model-backed extractors (cfg.extract_actor_pool)
+    must produce identical mentions to the task-pool default."""
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.config import KGConfig
+    from mmgraphrag_ray.stages.extract import extract_mentions
+
+    chunks = pd.DataFrame(
+        {
+            "chunk_id": ["c1", "c2"],
+            "content": [
+                "# module: m1\ndef f(a):\n    x0 = g(a)\n",
+                "# module: m2\nimport m1\n",
+            ],
+            "doc_id": ["d1", "d2"],
+            "repo": ["r", "r"],
+            "path": ["p1", "p2"],
+            "content_sha256": ["s1", "s2"],
+            "chunk_order_index": [0, 0],
+        }
+    )
+    ds = ray.data.from_pandas(chunks)
+    a = extract_mentions(ds, KGConfig()).to_pandas()
+    b = extract_mentions(
+        ds, KGConfig(extract_actor_pool=True, extract_concurrency=(1, 2))
+    ).to_pandas()
+    cols = sorted(a.columns)
+    a = a[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    b = b[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

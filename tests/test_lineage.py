@@ -112,3 +112,14 @@ def test_config_change_invalidates(first_run):
         != ln.read_manifest(out2, "mentions")["signature"]
     )
     assert before == _stage_mtimes()  # original untouched
+
+
+def test_corrupt_manifest_triggers_recompute(first_run):
+    path, _ = first_run
+    mpath = os.path.join(OUT, "edges", ln.MANIFEST)
+    with open(mpath, "w") as f:
+        f.write("{not json")
+    run_kg(path, OUT, canonicalize=False)
+    # stage rebuilt with a valid manifest
+    m = ln.read_manifest(OUT, "edges")
+    assert m["rows"] > 0 and m["signature"]

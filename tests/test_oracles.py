@@ -1,0 +1,52 @@
+"""In-gate oracle regression guard: a few representative queries() vs
+oracle_sql() comparisons at sf0.001, so a broken SQL mirror or a drifting
+pipeline fails `pytest -x -q` and not just the driver's external check."""
+
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+CASES = ["kg_nodes", "kg_edges", "doc_text_stats", "events_sessions", "ann_topk"]
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def contract():
+    import __ray_entry__ as entry
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    con = duckdb.connect()
+    for t in ["documents", "embeddings", "events", "lineitem", "orders",
+              "customer", "supplier", "part", "nation", "region"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return qs, oracles, con
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_query_matches_oracle(contract, name):
+    qs, oracles, con = contract
+    res = qs[name](SF)
+    ours = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    sql = oracles[name]
+    if "/tmp/raykg_corpus/" in sql:
+        from mmgraphrag_ray.corpus import ensure_corpus
+
+        sql = sql.replace(ensure_corpus("/root/testdata/sf0.01"), ensure_corpus(SF))
+    theirs = con.sql(sql).df()
+    pd.testing.assert_frame_equal(
+        _normalize(ours), _normalize(theirs), check_dtype=False
+    )
