@@ -7,13 +7,13 @@ import ray.data
 def ray_session():
     ray.init(
         address="local",
-        num_cpus=4,
+        num_cpus=8,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
     from mmgraphrag_ray.runtime import configure
 
-    configure(num_cpus=4)
+    configure(num_cpus=8)
     yield
     ray.shutdown()

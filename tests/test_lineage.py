@@ -87,7 +87,7 @@ def test_kill_resume_recomputes_only_missing_and_is_deterministic(first_run):
     before = _stage_mtimes()
     # simulate a kill that lost the nodes checkpoint
     shutil.rmtree(os.path.join(OUT, "nodes"))
-    run_kg(path, OUT, canonicalize=True)
+    run_kg(path, OUT, canonicalize=False)
     after = _stage_mtimes()
     # upstream stages untouched
     for s in ("mentions", "nodes_merged", "edges_merged", "edges"):

@@ -11,7 +11,7 @@ import pytest
 sys.path.insert(0, "/root/repo")
 
 SF = "/root/testdata/sf0.001"
-CASES = ["kg_nodes", "kg_edges", "doc_text_stats", "events_sessions", "ann_topk"]
+CASES = ["kg_nodes", "kg_edges", "events_sessions"]
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
