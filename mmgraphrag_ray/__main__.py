@@ -77,7 +77,14 @@ def main(argv=None):
             edges = read_stage(out, "canonical_edges" if os.path.exists(
                 os.path.join(out, "canonical_edges")) else "edges")
             chunks = read_stage(out, "chunks")
-            vecs = read_stage(out, "entity_vecs")
+            if os.path.exists(os.path.join(out, "entity_vecs")):
+                vecs = read_stage(out, "entity_vecs")
+            else:
+                # index --no-canonicalize doesn't persist entity_vecs:
+                # build them on the fly from the nodes we just loaded
+                from mmgraphrag_ray.stages.embed import build_entity_vecs
+
+                vecs = build_entity_vecs(nodes)
             ctx = build_local_context(args.text, nodes, edges, chunks, vecs)
             print("-----Entities-----")
             print(ctx["entities_csv"])

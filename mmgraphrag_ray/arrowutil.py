@@ -1,0 +1,99 @@
+"""pandas -> Arrow conversion for shuffle-feeding stages.
+
+Ray's hash-shuffle aggregators convert pandas blocks to Arrow with
+``pa.Table.from_pandas`` (pandas_block.py:384), which attaches the pandas
+metadata dict to the Arrow schema.  That schema is unhashable, so every
+aggregator logs ``Failed to hash the schemas (for deduplication):
+unhashable type: 'dict'`` and Ray's schema-dedup fast path is defeated.
+
+``df_to_table`` builds the Arrow table explicitly — no index, no metadata,
+and a STABLE type mapping (object/str -> string, all-null object columns ->
+string instead of Arrow null) so empty partials, all-None tag columns and
+populated blocks all carry byte-identical schemas through the shuffle.
+Stages that feed a ``groupby`` return ``df_to_table(df)`` instead of the
+raw DataFrame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _arrow_type_for(series: pd.Series, override: pa.DataType | None) -> pa.DataType:
+    if override is not None:
+        return override
+    dt = series.dtype
+    if dt == object or str(dt) in ("string", "str"):
+        return pa.string()
+    if str(dt).startswith("datetime64"):
+        return pa.timestamp("ns")
+    return pa.from_numpy_dtype(dt)
+
+
+def strip_pd_metadata(df: pd.DataFrame) -> pa.Table:
+    """Generic DataFrame -> pa.Table with from_pandas type inference but NO
+    pandas schema metadata (for shuffle-feeding stages whose input schema is
+    caller-defined, e.g. the generic dedup_exact).  Only safe when the frame
+    is non-empty and has no all-null object columns — use ``df_to_table``
+    with overrides for fixed-schema partials."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+def df_to_table(df: pd.DataFrame, **type_overrides: pa.DataType) -> pa.Table:
+    """DataFrame -> metadata-free pa.Table with deterministic column types.
+
+    Keyword overrides pin a column to a specific Arrow type (e.g.
+    ``description=pa.large_string()``).  Object columns (including empty and
+    all-None ones) become ``string`` so block schemas never disagree."""
+    arrays, fields = [], []
+    for c in df.columns:
+        t = _arrow_type_for(df[c], type_overrides.get(c))
+        s = df[c]
+        if s.dtype == object or str(s.dtype) in ("string", "str"):
+            values = s.tolist()
+            # pandas uses NaN for missing in object columns; Arrow wants None
+            values = [None if (v is None or (isinstance(v, float) and np.isnan(v))) else v
+                      for v in values]
+            arrays.append(pa.array(values, type=t))
+        else:
+            arrays.append(pa.array(s.to_numpy(), type=t))
+        fields.append(pa.field(c, t))
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
+def dataset_arrow_types(ds) -> dict[str, pa.DataType]:
+    """Column -> Arrow type for a Dataset, whether its blocks are Arrow
+    (schema is pa.Schema) or pandas (PandasBlockSchema with numpy dtypes)."""
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    if isinstance(base, pa.Schema):
+        return {f.name: f.type for f in base}
+    out: dict[str, pa.DataType] = {}
+    for name, dt in zip(base.names, base.types):
+        if isinstance(dt, pa.DataType):
+            out[name] = dt
+        elif dt == object or str(dt) in ("object", "string", "str"):
+            out[name] = pa.string()
+        else:
+            out[name] = pa.from_numpy_dtype(dt)
+    return out
+
+
+def df_to_table_aligned(
+    df: pd.DataFrame, columns: list[str], types: dict[str, pa.DataType]
+) -> pa.Table:
+    """Align a frame to a full column list (missing columns -> typed nulls)
+    and emit a metadata-free Arrow table — for unions of heterogeneous sides
+    feeding one shuffle (e.g. bucketed_join)."""
+    n = len(df)
+    arrays, fields = [], []
+    for c in columns:
+        t = types[c]
+        if c in df.columns:
+            arrays.append(df_to_table(df[[c]], **{c: t}).column(0))
+        else:
+            arrays.append(pa.nulls(n, type=t))
+        fields.append(pa.field(c, t))
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))

@@ -34,7 +34,7 @@ class KGConfig:
     # with warm per-actor state; the deterministic regex extractor is faster
     # as stateless tasks)
     extract_actor_pool: bool = False
-    embed_concurrency: tuple = (1, 4)
+    embed_concurrency: tuple = (1, 16)
     merge_num_partitions: int = 0  # 0 = let Ray pick
     # block budget for the initial read (None = Ray default sizing; a small
     # fixed count keeps tiny bench inputs from exploding into hundreds of

@@ -51,7 +51,7 @@ def dedup_exact(
     equal keys always share a bucket, so the result is identical."""
     import zlib
 
-    def local_first(batch: pd.DataFrame) -> pd.DataFrame:
+    def local_first(batch: pd.DataFrame):
         # mergesort = stable; pre-prune duplicates within the batch
         out = batch.sort_values(order_by, kind="mergesort").drop_duplicates(
             subset=[key], keep="first"
@@ -59,7 +59,11 @@ def dedup_exact(
         out = out.assign(
             _bucket=out[key].map(lambda s: zlib.crc32(str(s).encode()) % n_buckets)
         )
-        return out
+        # Arrow out: pandas blocks entering the hash shuffle carry unhashable
+        # pandas schema metadata, defeating Ray's schema dedup (arrowutil)
+        from ..arrowutil import strip_pd_metadata
+
+        return strip_pd_metadata(out) if len(out) else out
 
     def bucket_first(bucket: pd.DataFrame) -> pd.DataFrame:
         return (

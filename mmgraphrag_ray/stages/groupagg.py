@@ -47,7 +47,10 @@ def bucketed_groupby_agg(
         out_df["_bucket"] = key_str.map(
             lambda s: zlib.crc32(s.encode()) % n_buckets
         ).astype("int32")
-        return out_df
+        # Arrow out: avoid pandas schema metadata in the shuffle (arrowutil)
+        from ..arrowutil import strip_pd_metadata
+
+        return strip_pd_metadata(out_df) if len(out_df) else out_df
 
     def final(bucket: pd.DataFrame) -> pd.DataFrame:
         g = bucket.groupby(keys, sort=False, dropna=False)

@@ -39,26 +39,33 @@ def bucketed_join(left, right, on: str, how: str = "inner", n_buckets: int = 64)
 
     import pandas as pd
 
+    from ..arrowutil import dataset_arrow_types, df_to_table_aligned
+
     left_cols = [c for c in left.schema().names]
     right_cols = [c for c in right.schema().names]
     overlap = (set(left_cols) & set(right_cols)) - {on}
     if overlap:
         raise ValueError(f"bucketed_join column overlap: {overlap}")
 
+    # one unified Arrow schema for BOTH tagged sides: each side's missing
+    # columns ride as typed nulls, so the shuffle sees a single metadata-free
+    # schema (no pandas-metadata hash failures, no per-block schema unify)
+    types = {**dataset_arrow_types(left), **dataset_arrow_types(right)}
+    import pyarrow as pa
+
+    types["_side"], types["_jbucket"] = pa.string(), pa.int32()
+    all_cols = left_cols + [c for c in right_cols if c != on] + ["_side", "_jbucket"]
+
     def tag(side):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            if len(batch) == 0:
-                cols = left_cols if side == "l" else right_cols
-                out = pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
-            else:
-                out = batch.copy()
+        def fn(batch: pd.DataFrame):
+            out = batch.copy()
             out["_side"] = side
             out["_jbucket"] = (
                 out[on].map(lambda s: zlib.crc32(str(s).encode()) % n_buckets).astype("int32")
                 if len(out)
                 else pd.Series(dtype="int32")
             )
-            return out
+            return df_to_table_aligned(out, all_cols, types)
 
         return fn
 

@@ -185,29 +185,30 @@ def cluster_entities(nodes_ds, edges_ds, ent_mentions_ds, max_group: int = 64):
         lambda b: b.rename(columns={"entity_name": "src_id"}), batch_format="pandas"
     ).materialize()
 
-    def tag_e(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
-            return pd.DataFrame(
-                {c: pd.Series(dtype="object") for c in
-                 ["entity_name", "description", "partition", "src_id", "tgt_id", "weight", "_kind", "pbucket"]}
-            )
-        b = b.copy()
-        b["src_id"], b["tgt_id"], b["weight"] = None, None, np.nan
-        b["_kind"] = "e"
-        b["pbucket"] = b["partition"].map(lambda s: zlib.crc32(str(s).encode()) % N_BUCKETS).astype("int32")
-        return b[["entity_name", "description", "partition", "src_id", "tgt_id", "weight", "_kind", "pbucket"]]
+    from ..arrowutil import df_to_table_aligned
 
-    def tag_r(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
-            return pd.DataFrame(
-                {c: pd.Series(dtype="object") for c in
-                 ["entity_name", "description", "partition", "src_id", "tgt_id", "weight", "_kind", "pbucket"]}
-            )
+    TAG_COLS = ["entity_name", "description", "partition", "src_id", "tgt_id",
+                "weight", "_kind", "pbucket"]
+    import pyarrow as pa
+
+    TAG_TYPES = {c: pa.string() for c in TAG_COLS}
+    TAG_TYPES["weight"], TAG_TYPES["pbucket"] = pa.float64(), pa.int32()
+
+    def tag_e(b: pd.DataFrame):
         b = b.copy()
-        b["entity_name"], b["description"] = None, None
+        b["_kind"] = "e"
+        b["pbucket"] = b["partition"].map(
+            lambda s: zlib.crc32(str(s).encode()) % N_BUCKETS
+        ).astype("int32") if len(b) else pd.Series(dtype="int32")
+        return df_to_table_aligned(b, TAG_COLS, TAG_TYPES)
+
+    def tag_r(b: pd.DataFrame):
+        b = b.copy()
         b["_kind"] = "r"
-        b["pbucket"] = b["partition"].map(lambda s: zlib.crc32(str(s).encode()) % N_BUCKETS).astype("int32")
-        return b[["entity_name", "description", "partition", "src_id", "tgt_id", "weight", "_kind", "pbucket"]]
+        b["pbucket"] = b["partition"].map(
+            lambda s: zlib.crc32(str(s).encode()) % N_BUCKETS
+        ).astype("int32") if len(b) else pd.Series(dtype="int32")
+        return df_to_table_aligned(b, TAG_COLS, TAG_TYPES)
 
     both = ent.map_batches(tag_e, batch_format="pandas").union(
         rel.map_batches(tag_r, batch_format="pandas")
@@ -252,18 +253,22 @@ def build_alias_table(clusters_ds, judge_threshold: float = 0.9):
                     canons.append(canon_name)
         return pd.DataFrame({"member_name": members, "canonical_name": canons})
 
-    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
-            out = pd.DataFrame(
-                {c: pd.Series(dtype="object") for c in
-                 ["entity_name", "description", "partition", "group_id", "label", "cbucket"]}
-            )
-            return out
+    def add_bucket(b: pd.DataFrame):
+        import pyarrow as pa
+
+        from ..arrowutil import df_to_table_aligned
+
+        cols = ["entity_name", "description", "partition", "group_id", "label", "cbucket"]
+        types = {"entity_name": pa.string(), "description": pa.string(),
+                 "partition": pa.string(), "group_id": pa.int32(),
+                 "label": pa.int64(), "cbucket": pa.int32()}
         b = b.copy()
         b["cbucket"] = (
-            b["partition"].astype(str) + "\x1f" + b["group_id"].astype(str)
-        ).map(lambda s: zlib.crc32(s.encode()) % N_BUCKETS).astype("int32")
-        return b
+            (b["partition"].astype(str) + "\x1f" + b["group_id"].astype(str))
+            .map(lambda s: zlib.crc32(s.encode()) % N_BUCKETS).astype("int32")
+            if len(b) else pd.Series(dtype="int32")
+        )
+        return df_to_table_aligned(b, cols, types)
 
     return (
         clusters_ds.map_batches(add_bucket, batch_format="pandas")

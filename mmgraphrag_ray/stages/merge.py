@@ -45,7 +45,9 @@ from __future__ import annotations
 import zlib
 
 import pandas as pd
+import pyarrow as pa
 
+from ..arrowutil import df_to_table
 from ..tokenizer import truncate_tokens
 from .. import GRAPH_FIELD_SEP
 
@@ -104,6 +106,28 @@ def _empty_frame(cols: list[str]) -> pd.DataFrame:
     return pd.DataFrame({c: pd.Series(dtype=typed.get(c, "object")) for c in cols})
 
 
+_PARTIAL_TYPES = {
+    "n": pa.int64(), "wsum": pa.float64(), "omin": pa.int64(),
+    "bucket": pa.int32(), "weight": pa.float64(), "order": pa.int32(),
+}
+
+
+def _partials_to_arrow(frame: pd.DataFrame) -> pa.Table:
+    """Partial rows -> metadata-free Arrow before the shuffle (arrowutil):
+    stable string/int64/float64 schema regardless of batch content."""
+    return df_to_table(
+        frame, **{c: t for c, t in _PARTIAL_TYPES.items() if c in frame.columns}
+    )
+
+
+def _node_partial_arrow(batch: pd.DataFrame) -> pa.Table:
+    return _partials_to_arrow(_node_partial(batch))
+
+
+def _edge_partial_arrow(batch: pd.DataFrame) -> pa.Table:
+    return _partials_to_arrow(_edge_partial(batch))
+
+
 def _node_partial(batch: pd.DataFrame) -> pd.DataFrame:
     if len(batch) == 0:
         return _empty_frame(_NODE_PARTIAL_COLS)
@@ -157,7 +181,7 @@ def merge_nodes(entity_mentions_ds, cfg=None):
     from ..config import DEFAULT_CONFIG
 
     cfg = cfg or DEFAULT_CONFIG
-    partials = entity_mentions_ds.map_batches(_node_partial, batch_format="pandas")
+    partials = entity_mentions_ds.map_batches(_node_partial_arrow, batch_format="pandas")
     merged = partials.groupby("bucket").map_groups(
         _make_node_final(cfg.entity_summary_to_max_tokens), batch_format="pandas"
     )
@@ -241,7 +265,7 @@ def merge_edges(rel_mentions_ds, cfg=None):
     from ..config import DEFAULT_CONFIG
 
     cfg = cfg or DEFAULT_CONFIG
-    partials = rel_mentions_ds.map_batches(_edge_partial, batch_format="pandas")
+    partials = rel_mentions_ds.map_batches(_edge_partial_arrow, batch_format="pandas")
     merged = partials.groupby("bucket").map_groups(
         _make_edge_final(cfg.entity_summary_to_max_tokens), batch_format="pandas"
     )
@@ -267,10 +291,10 @@ def merge_graph(entity_mentions_ds, rel_mentions_ds, cfg=None):
 
     UNI = ["table", "key", "kind", "value", "n", "wsum", "omin", "bucket"]
 
-    def _unify_node(batch: pd.DataFrame) -> pd.DataFrame:
+    def _unify_node(batch: pd.DataFrame):
         p = _node_partial(batch)
         if len(p) == 0:
-            return pd.DataFrame({c: pd.Series(dtype="object") for c in UNI})
+            return _partials_to_arrow(pd.DataFrame({c: pd.Series(dtype="object") for c in UNI}))
         out = pd.DataFrame(
             {
                 "table": "n",
@@ -283,12 +307,12 @@ def merge_graph(entity_mentions_ds, rel_mentions_ds, cfg=None):
             }
         )
         out["bucket"] = _bucket_of("n" + out["key"])
-        return out
+        return _partials_to_arrow(out)
 
-    def _unify_edge(batch: pd.DataFrame) -> pd.DataFrame:
+    def _unify_edge(batch: pd.DataFrame):
         p = _edge_partial(batch)
         if len(p) == 0:
-            return pd.DataFrame({c: pd.Series(dtype="object") for c in UNI})
+            return _partials_to_arrow(pd.DataFrame({c: pd.Series(dtype="object") for c in UNI}))
         out = pd.DataFrame(
             {
                 "table": "e",
@@ -301,7 +325,7 @@ def merge_graph(entity_mentions_ds, rel_mentions_ds, cfg=None):
             }
         )
         out["bucket"] = _bucket_of("e" + out["key"])
-        return out
+        return _partials_to_arrow(out)
 
     node_final = _make_node_final(gate)
     edge_final = _make_edge_final(gate)
@@ -436,8 +460,12 @@ def backfill_unknown_nodes(nodes_ds, edges_ds):
     '"UNKNOWN"'-typed nodes (reference text2graph.py:258-268). Returns the
     union nodes dataset. No driver-side materialization: the membership test
     is a bucketed groupby over (endpoint candidates ∪ node-name markers)."""
-    cands = edges_ds.map_batches(_explode_endpoints, batch_format="pandas")
-    markers = nodes_ds.map_batches(_node_marker, batch_format="pandas")
+    cands = edges_ds.map_batches(
+        lambda b: _partials_to_arrow(_explode_endpoints(b)), batch_format="pandas"
+    )
+    markers = nodes_ds.map_batches(
+        lambda b: _partials_to_arrow(_node_marker(b)), batch_format="pandas"
+    )
     unknown = (
         cands.union(markers)
         .groupby("bucket")
@@ -465,10 +493,19 @@ def finalize_edges(edges_ds):
 # --------------------------------------------------- incremental merge
 
 def _nodes_as_partials(nodes_ds):
-    """Existing nodes -> partial rows, mirroring the reference's merge with
-    an already-present node (text2graph.py:164-191): the existing entity_type
-    counts ONCE, existing description/source_id split on <SEP> and set-union
-    with the new mentions."""
+    """Existing nodes -> partial rows for the incremental merge
+    (reference upsert-with-existing, text2graph.py:164-191): the existing
+    entity_type counts ONCE; description and source_id split on <SEP> and
+    set-union with the new mentions.
+
+    DELIBERATE DEVIATION (documented like the tie-break deviations above):
+    the reference appends the existing description as ONE atomic set element
+    (only source_id is split, text2graph.py:168-173), which makes segment
+    order depend on upsert history.  We split BOTH on <SEP> — the idempotent
+    closure — so incremental results equal a from-scratch batch run whenever
+    the algebra is history-free (asserted by test_incremental.py); the two
+    policies contain identical segment SETS, they differ only in ordering
+    and duplicate-segment collapse."""
 
     def to_partials(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:

@@ -93,23 +93,31 @@ def brute_topk(
 
 
 def knn_label_transfer(corpus_ds, query_ids, query_vecs, labels_by_id: dict, k: int = 1):
-    """Nearest-neighbor label transfer (reference fusion.py:313-321, 423-428:
-    image entity takes the cluster label of its nearest text entity).
-    Returns Dataset(query_vec_id, label) using the 1-NN (or majority of k)."""
+    """k-NN label transfer (reference fusion.py:313-321, 423-428: image
+    entity takes the cluster label of its nearest text entity).  Returns
+    Dataset(query_vec_id, label): for k=1 the nearest neighbor's label; for
+    k>1 the majority label among the k nearest, ties broken by (count desc,
+    nearest-rank asc) so the result is deterministic."""
     topk = brute_topk(corpus_ds, query_ids, query_vecs, k=k)
     ref = ray.put(labels_by_id)
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+    def vote(group: pd.DataFrame) -> pd.DataFrame:
         lab = ray.get(ref)
-        best = batch[batch["rank"] == 1]
+        g = group.sort_values("rank", kind="mergesort")
+        labels = [lab.get(int(v)) for v in g["vec_id"]]
+        counts: dict = {}
+        first_rank: dict = {}
+        for r, l in enumerate(labels):
+            counts[l] = counts.get(l, 0) + 1
+            first_rank.setdefault(l, r)
+        best = min(counts, key=lambda l: (-counts[l], first_rank[l]))
         return pd.DataFrame(
-            {
-                "query_vec_id": best["query_vec_id"],
-                "label": [lab.get(int(v)) for v in best["vec_id"]],
-            }
+            {"query_vec_id": [g["query_vec_id"].iloc[0]], "label": [best]}
         )
 
-    return topk.map_batches(assign, batch_format="pandas")
+    # the top-k table is tiny (n_queries x k); the per-query vote is a small
+    # groupby, not a data-scale shuffle
+    return topk.groupby("query_vec_id").map_groups(vote, batch_format="pandas")
 
 
 # ----------------------------------------------------------------- IVF path

@@ -82,16 +82,19 @@ class FingerprintStage:
         )
 
 
+# Module-level singletons: these stages are stateless-cheap (compiled
+# regexes only), so they run as TASK pools on already-warm workers and scale
+# with the cluster instead of being capped by a fixed actor-pool size.
+_TEXT_STATS = TextStatsStage()
+_FINGERPRINT = FingerprintStage()
+
+
 def doc_text_stats(documents_ds):
-    return documents_ds.map_batches(
-        TextStatsStage, batch_format="pyarrow", concurrency=(1, 4)
-    )
+    return documents_ds.map_batches(_TEXT_STATS, batch_format="pyarrow")
 
 
 def doc_fingerprints(documents_ds):
-    return documents_ds.map_batches(
-        FingerprintStage, batch_format="pyarrow", concurrency=(1, 4)
-    )
+    return documents_ds.map_batches(_FINGERPRINT, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- language id
@@ -141,7 +144,8 @@ class LangIdStage:
         )
 
 
+_LANG_ID = LangIdStage()
+
+
 def doc_lang_id(documents_ds):
-    return documents_ds.map_batches(
-        LangIdStage, batch_format="pyarrow", concurrency=(1, 4)
-    )
+    return documents_ds.map_batches(_LANG_ID, batch_format="pyarrow")

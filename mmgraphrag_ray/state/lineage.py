@@ -40,6 +40,8 @@ def input_fingerprint(path: str) -> dict:
     entries = []
     if os.path.isdir(path):
         for root, _dirs, files in os.walk(path):
+            _dirs.sort()  # os.walk order is fs-dependent; sort so the
+            # fingerprint (hence every stage signature) is order-independent
             for f in sorted(files):
                 if f.startswith("_"):
                     continue
