@@ -20,6 +20,12 @@ class KGConfig:
     # stand-in = deterministic feature-hash embedder, same dim)
     embedding_dim: int = 384
     embedding_batch_size: int = 256
+    # gleaning rounds for the extraction seam (reference
+    # `entity_extract_max_gleaning`, text2graph.py:329-369: re-ask the model
+    # with chat history up to N times).  0 keeps the deterministic extractor
+    # on its fast single-pass path; >0 routes through the WireExtractor
+    # actor pool which carries per-chunk history.
+    entity_extract_max_gleaning: int = 0
     # extraction wire format (reference prompt.py:189-192)
     tuple_delimiter: str = "<|>"
     record_delimiter: str = "##"

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
 
 from ..textutils import clean_str, is_float_str, split_by_markers
@@ -153,12 +154,90 @@ def parse_wire(wire: str) -> tuple[list[dict], list[dict]]:
     return entities, rels
 
 
+# description templates per match kind: (entity_type, entity desc, rel desc,
+# rel weight); None entity_type = relationship only (the UNKNOWN-backfill
+# callee case, reference text2graph.py:258-268)
+_KINDS = (
+    ("import", _IMPORT_RE, '"MODULE"',
+     '"Module {s}."', '"Module {m} imports {s}."', 7.0),
+    ("class", _CLASS_RE, '"CLASS"',
+     '"Class {s} in module {m}."', '"Module {m} defines class {s}."', 9.0),
+    ("def", _DEF_RE, '"FUNCTION"',
+     '"Function {s} in module {m}."', '"Module {m} defines function {s}."', 9.0),
+    ("call", _CALL_RE, None, None, '"Module {m} calls {s}."', 2.0),
+)
+
+
+def _batch_extract(contents: list[str]):
+    """Single-pass batch extraction: ONE finditer per pattern over the
+    concatenated batch text (separator \\x00 is unmatchable by every
+    pattern, so matches never span chunks), match positions mapped back to
+    chunk index with searchsorted.  Emits the SAME mention rows as
+    parse_wire(render_wire(content)) per chunk — parity is asserted by
+    tests/test_extract.py — without the per-row render->parse round trip.
+
+    Returns (ent_rows, rel_rows):
+      ent_rows: (chunk_idx, entity_name, entity_type, description)
+      rel_rows: (chunk_idx, src_id, tgt_id, description, weight)
+    """
+    n = len(contents)
+    joined = "\n\x00\n".join(contents)
+    starts = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        lens = np.fromiter((len(c) + 3 for c in contents), dtype=np.int64, count=n)
+        starts[1:] = np.cumsum(lens[:-1])
+
+    def chunk_of(pos: int) -> int:
+        return int(np.searchsorted(starts, pos, side="right") - 1)
+
+    # first `# module:` marker per chunk (render_wire: ALL records of a chunk
+    # attach to its first module, chunks without one emit nothing)
+    module: list[str | None] = [None] * n
+    for m in _MODULE_RE.finditer(joined):
+        i = chunk_of(m.start())
+        if module[i] is None:
+            module[i] = m.group(1)
+
+    ent_rows: list[tuple] = [[] for _ in range(n)]
+    rel_rows: list[tuple] = [[] for _ in range(n)]
+    for i in range(n):
+        mod = module[i]
+        if mod is not None:
+            ent_rows[i].append(
+                (i, f'"{mod.upper()}"', '"MODULE"', f'"Module {mod}."')
+            )
+
+    for _name, pat, etype, edesc, rdesc, weight in _KINDS:
+        for m in pat.finditer(joined):
+            i = chunk_of(m.start())
+            mod = module[i]
+            if mod is None:
+                continue
+            sym = m.group(1)
+            mod_u, sym_u = f'"{mod.upper()}"', f'"{sym.upper()}"'
+            if etype is not None:
+                ent_rows[i].append(
+                    (i, sym_u, etype, edesc.format(s=sym, m=mod))
+                )
+            src, tgt = (mod_u, sym_u) if mod_u <= sym_u else (sym_u, mod_u)
+            rel_rows[i].append(
+                (i, src, tgt, rdesc.format(s=sym, m=mod), weight)
+            )
+    return (
+        [r for rows in ent_rows for r in rows],
+        [r for rows in rel_rows for r in rows],
+    )
+
+
 class CodeExtractor:
-    """Actor-pool extraction stage: chunks -> unified mention rows.
+    """Extraction stage: chunks -> unified mention rows (batch-vectorized).
 
     Output has kind='entity' or 'rel' plus the superset of mention columns;
     split downstream with `split_mentions`.  State (compiled regexes via the
-    module) is per-actor; __call__ is per batch (T1/T3 pattern, SURVEY §2.3).
+    module) is per-actor/worker; __call__ is per batch (T1/T3 pattern,
+    SURVEY §2.3).  The hot path is `_batch_extract` (one regex pass per
+    pattern per batch); the wire render/parse pair below it remains the
+    parser-conformance contract and the gleaning-seam transport.
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -167,56 +246,117 @@ class CodeExtractor:
         contents = batch.column("content").to_pylist()
         chunk_ids = batch.column("chunk_id").to_pylist()
         lineage = {c: batch.column(c).to_pylist() for c in LINEAGE_COLS if c in batch.column_names}
-        out = {
-            "kind": [],
-            "entity_name": [],
-            "entity_type": [],
-            "src_id": [],
-            "tgt_id": [],
-            "weight": [],
-            "order": [],
-            "description": [],
-            "source_id": [],
-            **{c: [] for c in lineage},
+        ents, rels = _batch_extract(contents)
+        return _mentions_to_table(ents, rels, chunk_ids, lineage)
+
+
+def _mentions_to_table(
+    ents: list[tuple], rels: list[tuple], chunk_ids: list, lineage: dict
+) -> pa.Table:
+    """(chunk-indexed entity/rel rows) -> the unified mentions Arrow table."""
+    n_e, n_r = len(ents), len(rels)
+    kind = ["entity"] * n_e + ["rel"] * n_r
+    idx = [r[0] for r in ents] + [r[0] for r in rels]
+    entity_name = [r[1] for r in ents] + [None] * n_r
+    entity_type = [r[2] for r in ents] + [None] * n_r
+    src_id = [None] * n_e + [r[1] for r in rels]
+    tgt_id = [None] * n_e + [r[2] for r in rels]
+    description = [r[3] for r in ents] + [r[3] for r in rels]
+    weight = [None] * n_e + [r[4] for r in rels]
+    order = [None] * n_e + [1] * n_r
+    source_id = [chunk_ids[i] for i in idx]
+    return pa.table(
+        {
+            "kind": pa.array(kind, pa.string()),
+            "entity_name": pa.array(entity_name, pa.string()),
+            "entity_type": pa.array(entity_type, pa.string()),
+            "src_id": pa.array(src_id, pa.string()),
+            "tgt_id": pa.array(tgt_id, pa.string()),
+            "weight": pa.array(weight, pa.float64()),
+            "order": pa.array(order, pa.int32()),
+            "description": pa.array(description, pa.large_string()),
+            "source_id": pa.array(source_id, pa.string()),
+            **{
+                c: pa.array(
+                    [lineage[c][i] for i in idx],
+                    pa.int32() if c == "chunk_order_index" else pa.string(),
+                )
+                for c in lineage
+            },
         }
+    )
 
-        def _push(kind, row, chunk_key, row_idx):
-            out["kind"].append(kind)
-            out["entity_name"].append(row.get("entity_name"))
-            out["entity_type"].append(row.get("entity_type"))
-            out["src_id"].append(row.get("src_id"))
-            out["tgt_id"].append(row.get("tgt_id"))
-            out["weight"].append(row.get("weight"))
-            out["order"].append(row.get("order"))
-            out["description"].append(row["description"])
-            out["source_id"].append(chunk_key)
-            for c in lineage:
-                out[c].append(lineage[c][row_idx])
 
+# ------------------------------------------------------------- gleaning seam
+
+
+def default_model_fn(content: str, history: list[tuple[str, str]]) -> str:
+    """The deterministic stand-in for the reference's LLM seam
+    (text2graph.py:466-468 `text_entity_extraction_func`): round 0 renders
+    the full wire; glean rounds (history non-empty, reference
+    text2graph.py:329-351 `continue_prompt` re-ask) have nothing to add."""
+    if history:
+        return COMPLETION_DELIM
+    return render_wire(content)
+
+
+class WireExtractor:
+    """Actor-pool extractor with the reference's GLEANING loop
+    (text2graph.py:329-369): per chunk, call the model seam, then re-ask up
+    to `max_gleaning` times carrying the chat history, parsing and
+    accumulating each round's records; an optional `loop_fn` (the reference's
+    if_loop yes/no check, text2graph.py:352-360) can stop early.
+
+    model_fn(content, history) -> wire string, where history is the list of
+    (prompt_kind, response) pairs so far — the per-chunk chat history a real
+    model-backed extractor needs.  With the default deterministic seam and
+    any max_gleaning, output equals CodeExtractor exactly (glean rounds
+    return only the completion delimiter).
+    """
+
+    def __init__(self, model_fn=None, max_gleaning: int = 0, loop_fn=None):
+        self.model_fn = model_fn or default_model_fn
+        self.max_gleaning = max_gleaning
+        self.loop_fn = loop_fn
+
+    def extract_chunk(self, content: str) -> tuple[list[dict], list[dict]]:
+        wire = self.model_fn(content, [])
+        history: list[tuple[str, str]] = [("extract", wire)]
+        ents, rels = parse_wire(wire)
+        for _ in range(self.max_gleaning):
+            glean_wire = self.model_fn(content, history)
+            history.append(("glean", glean_wire))
+            e2, r2 = parse_wire(glean_wire)
+            ents.extend(e2)
+            rels.extend(r2)
+            # loop check: continue only if the seam says more records remain
+            if self.loop_fn is not None and not self.loop_fn(content, history):
+                break
+        return ents, rels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_mentions_table(LINEAGE_COLS)
+        contents = batch.column("content").to_pylist()
+        chunk_ids = batch.column("chunk_id").to_pylist()
+        lineage = {
+            c: batch.column(c).to_pylist()
+            for c in LINEAGE_COLS
+            if c in batch.column_names
+        }
+        ent_rows: list[tuple] = []
+        rel_rows: list[tuple] = []
         for i, content in enumerate(contents):
-            ents, rels = parse_wire(render_wire(content))
-            for e in ents:
-                _push("entity", e, chunk_ids[i], i)
-            for r in rels:
-                _push("rel", r, chunk_ids[i], i)
-
-        return pa.table(
-            {
-                "kind": pa.array(out["kind"], pa.string()),
-                "entity_name": pa.array(out["entity_name"], pa.string()),
-                "entity_type": pa.array(out["entity_type"], pa.string()),
-                "src_id": pa.array(out["src_id"], pa.string()),
-                "tgt_id": pa.array(out["tgt_id"], pa.string()),
-                "weight": pa.array(out["weight"], pa.float64()),
-                "order": pa.array(out["order"], pa.int32()),
-                "description": pa.array(out["description"], pa.large_string()),
-                "source_id": pa.array(out["source_id"], pa.string()),
-                **{
-                    c: pa.array(out[c], pa.int32() if c == "chunk_order_index" else pa.string())
-                    for c in lineage
-                },
-            }
-        )
+            ents, rels = self.extract_chunk(content)
+            ent_rows.extend(
+                (i, e["entity_name"], e["entity_type"], e["description"])
+                for e in ents
+            )
+            rel_rows.extend(
+                (i, r["src_id"], r["tgt_id"], r["description"], r["weight"])
+                for r in rels
+            )
+        return _mentions_to_table(ent_rows, rel_rows, chunk_ids, lineage)
 
 
 def _empty_mentions_table(lineage_cols) -> pa.Table:
@@ -242,21 +382,37 @@ def _empty_mentions_table(lineage_cols) -> pa.Table:
 _EXTRACTOR = CodeExtractor()  # module-level: regexes compiled once per worker
 
 
-def extract_mentions(chunks_ds, cfg=None):
+def extract_mentions(chunks_ds, cfg=None, extractor=None):
     """chunks Dataset -> unified mentions Dataset (entity + rel rows).
 
-    The deterministic regex extractor is STATELESS (module-level compiled
-    patterns), so it runs as a task pool on already-warm workers — measured
-    ~2x faster end-to-end than an actor pool, whose per-process cold import
-    dominated at bench scale.  A real model-backed extractor (the reference's
-    LLM seam, with per-actor model state) should set
-    cfg.extract_actor_pool=True to get the actor-pool path."""
+    Three paths:
+    - default: the deterministic batch-vectorized extractor, STATELESS
+      (module-level compiled patterns), as a task pool on already-warm
+      workers — measured ~2x faster end-to-end than an actor pool, whose
+      per-process cold import dominated at bench scale;
+    - `extractor=` a WireExtractor (or compatible callable class instance):
+      runs as an ACTOR pool (per-actor state in __init__, the T1/T3
+      pattern) — the seam for model-backed extraction with gleaning;
+    - cfg.entity_extract_max_gleaning > 0 or cfg.extract_actor_pool: actor
+      pool of WireExtractor over the wire seam."""
     from ..config import DEFAULT_CONFIG
 
     cfg = cfg or DEFAULT_CONFIG
-    if getattr(cfg, "extract_actor_pool", False):
+    gleaning = getattr(cfg, "entity_extract_max_gleaning", 0)
+    if extractor is None and (gleaning > 0 or getattr(cfg, "extract_actor_pool", False)):
+        extractor = WireExtractor(max_gleaning=gleaning)
+    if extractor is not None:
+        inst = extractor
+
+        class _Pool:  # actor class wrapping the (possibly stateful) instance
+            def __init__(self):
+                self.inst = inst
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                return self.inst(batch)
+
         return chunks_ds.map_batches(
-            CodeExtractor,
+            _Pool,
             batch_format="pyarrow",
             batch_size=cfg.extract_batch_size,
             concurrency=cfg.extract_concurrency,

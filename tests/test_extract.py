@@ -140,3 +140,80 @@ def test_actor_pool_extraction_path():
     a = a[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
     b = b[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_batch_extract_parity_with_wire_grammar():
+    """The vectorized batch extractor must emit exactly the rows of
+    parse_wire(render_wire(content)) per chunk (the conformance contract)."""
+    from mmgraphrag_ray.stages.extract import _batch_extract
+
+    contents = [
+        "# module: pkg.m\nimport other.mod\nclass Big:\ndef f_one(a):\n    x0 = helper(a)\n",
+        "def orphan(a):\n    pass\n",  # no module marker -> nothing
+        "import early\n# module: late\nimport early\n",  # marker mid-chunk, dup import
+        "# module: a\n# module: b\nimport c\n",  # first marker wins
+        "",
+    ]
+    ents, rels = _batch_extract(contents)
+    for i, content in enumerate(contents):
+        want_e, want_r = parse_wire(render_wire(content))
+        got_e = sorted((r[1], r[2], r[3]) for r in ents if r[0] == i)
+        exp_e = sorted((e["entity_name"], e["entity_type"], e["description"]) for e in want_e)
+        assert got_e == exp_e, f"chunk {i} entities"
+        got_r = sorted((r[1], r[2], r[3], r[4]) for r in rels if r[0] == i)
+        exp_r = sorted((r["src_id"], r["tgt_id"], r["description"], r["weight"]) for r in want_r)
+        assert got_r == exp_r, f"chunk {i} rels"
+
+
+def test_gleaning_rounds_accumulate_and_merge():
+    """A model seam that yields extra records on the glean round (reference
+    text2graph.py:329-351) must have them accumulated per A1 mention
+    semantics (appended mention rows that merge downstream)."""
+    from mmgraphrag_ray.stages.extract import COMPLETION_DELIM, WireExtractor, render_wire
+
+    D = "<|>"
+
+    def model_fn(content, history):
+        if not history:
+            return render_wire(content)
+        if len(history) == 1:  # first glean round finds one more entity + rel
+            return (
+                f'("entity"{D}"EXTRA"{D}"FUNCTION"{D}"Found on glean.")##\n'
+                f'("relationship"{D}"EXTRA"{D}"M1"{D}"glean rel."{D}3)##\n'
+                + COMPLETION_DELIM
+            )
+        return COMPLETION_DELIM
+
+    ext = WireExtractor(model_fn=model_fn, max_gleaning=2)
+    ents, rels = ext.extract_chunk("# module: m1\ndef f(a):\n    pass\n")
+    names = [e["entity_name"] for e in ents]
+    assert '"EXTRA"' in names and '"M1"' in names and '"F"' in names
+    pairs = {(r["src_id"], r["tgt_id"]) for r in rels}
+    assert ('"EXTRA"', '"M1"') in pairs  # undirected-canonicalized glean rel
+
+
+def test_gleaning_loop_check_stops_early():
+    from mmgraphrag_ray.stages.extract import COMPLETION_DELIM, WireExtractor
+
+    calls = []
+
+    def model_fn(content, history):
+        calls.append(len(history))
+        return COMPLETION_DELIM
+
+    # loop_fn returns False -> stop after the first glean round
+    ext = WireExtractor(model_fn=model_fn, max_gleaning=5,
+                        loop_fn=lambda content, history: False)
+    ext.extract_chunk("# module: m\n")
+    assert calls == [0, 1]  # initial extract + exactly one glean
+
+
+def test_gleaning_zero_is_identity_with_default_seam():
+    """With the deterministic seam, any max_gleaning yields the same rows
+    (glean rounds return only the completion delimiter)."""
+    from mmgraphrag_ray.stages.extract import WireExtractor
+
+    content = "# module: m1\nimport x\ndef f(a):\n    y0 = g(a)\n"
+    base = WireExtractor(max_gleaning=0).extract_chunk(content)
+    gleaned = WireExtractor(max_gleaning=3).extract_chunk(content)
+    assert base == gleaned
