@@ -177,6 +177,124 @@ edges AS (
 )"""
 
 
+def _minhash_cc_sql(threshold: float = 0.8) -> str:
+    """Exact SQL mirror of stages/dedup.py dedup_minhash over `documents`:
+    md5-derived shingle hashes, the same 128 (a,b) permutation constants
+    (embedded as literals), banding, candidate pairs, float Jaccard verify,
+    and connected components as a recursive transitive closure."""
+    from mmgraphrag_ray.stages.dedup import _MERSENNE, _PERM_A, _PERM_B
+
+    perm_rows = ",\n    ".join(
+        f"({i}, {int(a)}::UBIGINT, {int(b)}::UBIGINT)"
+        for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    )
+    return f"""
+WITH RECURSIVE perms(pidx, a, b) AS (VALUES
+    {perm_rows}
+),
+words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+),
+shing AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(list_slice(ws, s, s + 2), ' ') AS shingle
+    FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(s)
+    WHERE len(ws) >= 3
+    UNION ALL
+    SELECT doc_id, array_to_string(ws, ' ') FROM words WHERE len(ws) BETWEEN 1 AND 2
+  )
+),
+hashes AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT) AS h FROM shing
+),
+mh AS (
+  SELECT doc_id, pidx, min((a * h + b) % {_MERSENNE}) AS v
+  FROM hashes CROSS JOIN perms GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, pidx // 8 AS band_id,
+         substr(md5(string_agg(CAST(v AS VARCHAR), '-' ORDER BY pidx)), 1, 16) AS band_hash
+  FROM mh GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+),
+counts AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN shing sa ON sa.doc_id = c.id_a
+  JOIN shing sb ON sb.doc_id = c.id_b AND sa.shingle = sb.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN counts ca ON ca.doc_id = c.id_a
+  JOIN counts cb ON cb.doc_id = c.id_b
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  WHERE CAST(COALESCE(i.i, 0) AS DOUBLE) / (ca.n + cb.n - COALESCE(i.i, 0)) >= {threshold}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION ALL SELECT id_b, id_a FROM verified
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+)
+SELECT id, min(r) AS label FROM reach GROUP BY id
+"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """Exact SQL mirror of stages/dedup.py dedup_simhash: two md5-derived
+    32-bit halves, sign-of-sum bits, 4x16-bit chunk candidate buckets, exact
+    Hamming verify."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+         CAST(('0x' || substr(md5(tok || '#'), 1, 8)) AS BIGINT) AS lo
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, b,
+         sum((CASE WHEN b < 32 THEN (lo >> b) & 1 ELSE (hi >> (b - 32)) & 1 END) * 2 - 1) AS acc
+  FROM th CROSS JOIN unnest(generate_series(0, 63)) AS t(b)
+  GROUP BY 1, 2
+),
+sims0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 AND b >= 32 THEN 1::BIGINT << (b - 32) ELSE 0 END) AS sim_hi,
+         sum(CASE WHEN acc > 0 AND b < 32 THEN 1::BIGINT << b ELSE 0 END) AS sim_lo
+  FROM bits GROUP BY 1
+),
+sims AS (
+  SELECT d.doc_id, COALESCE(s.sim_hi, 0) AS sim_hi, COALESCE(s.sim_lo, 0) AS sim_lo
+  FROM documents d LEFT JOIN sims0 s USING (doc_id)
+),
+chunks AS (
+  SELECT doc_id, sim_hi, sim_lo, c,
+         CASE WHEN c < 2 THEN (sim_lo >> (16 * c)) & 65535
+              ELSE (sim_hi >> (16 * (c - 2))) & 65535 END AS chunk_val
+  FROM sims CROSS JOIN unnest(generate_series(0, 3)) AS t(c)
+)
+SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       CAST(bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) AS BIGINT) AS hamming
+FROM chunks x JOIN chunks y
+  ON x.c = y.c AND x.chunk_val = y.chunk_val AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) <= {max_hamming}
+"""
+
+
 def _corpus(sf_dir: str) -> str:
     from mmgraphrag_ray.corpus import ensure_corpus
 
@@ -330,10 +448,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup_simhash(docs, max_hamming=3)
 
     def embedding_near_dup_pairs(sf_dir):
+        # the synthetic embeddings have max true cosine ~0.51, so the raw
+        # table yields zero pairs at 0.95 (verified).  To positively
+        # exercise the operator, plant deterministic near-dups: scaled
+        # copies of vec_id < 8 (cosine is scale-invariant -> exact pairs
+        # (i, i+1_000_000) must come back).
+        import pyarrow as pa
+
         from mmgraphrag_ray.stages.dedup import embedding_near_dup
 
         emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-        return embedding_near_dup(emb, threshold=0.95)
+
+        def planted(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            keep = ids < 8
+            vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)[keep]
+            return pa.table(
+                {
+                    "vec_id": pa.array((ids[keep] + 1_000_000).tolist(), pa.int64()),
+                    "embedding": pa.array((vecs * 1.5).tolist(), pa.list_(pa.float32())),
+                    "label": pa.array([-1] * int(keep.sum()), pa.int32()),
+                }
+            )
+
+        dup = emb.map_batches(planted, batch_format="pyarrow")
+        # drop the float similarity so the value-hash compare vs the SQL
+        # oracle is engine-exact (pair identity is the contract; numpy and
+        # DuckDB sum float dot-products in different orders)
+        return embedding_near_dup(emb.union(dup), threshold=0.95).drop_columns(
+            ["cosine"]
+        )
 
     def distinct_lang_source(sf_dir):
         # distinct-values operator (ds.unique analog) via the bucketed
@@ -563,6 +709,26 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) WHERE rn = 1
         """,
+        "dedup_minhash_documents": _minhash_cc_sql(threshold=0.8),
+        # LSH recall vs this all-pairs oracle is exact HERE because the only
+        # >=0.95 pairs are the planted scaled copies (same LSH bucket by
+        # construction: positive scaling preserves hyperplane signs); the
+        # corpus's true max cosine is ~0.51 (measured)
+        "embedding_near_dup_pairs": """
+            WITH planted AS (
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_transform(embedding, x -> CAST(1.5 * x AS FLOAT)) AS embedding
+              FROM embeddings WHERE vec_id < 8
+            ),
+            allv AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL SELECT vec_id, embedding FROM planted
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        """,
+        "dedup_simhash_documents": _simhash_pairs_sql(max_hamming=3),
         "distinct_lang_source": """
             SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY 1, 2
         """,

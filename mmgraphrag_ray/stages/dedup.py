@@ -80,13 +80,33 @@ def dedup_exact(
 
 
 # --------------------------------------------------------------- minhash-lsh
+#
+# Every hash in this family is md5-derived (first 8 hex chars as uint32) and
+# every permutation constant is < 2^31, so (a*h + b) stays below 2^64 with NO
+# wraparound — the ENTIRE pipeline (shingle -> minhash -> band -> candidate
+# -> Jaccard verify -> connected components) is mirrored exactly by the
+# DuckDB oracle in __ray_entry__.py (a green CORRECTNESS entry, not
+# rows-only).
 
 _WORD_RE = re.compile(r"[A-Za-z0-9]+")
 _MERSENNE = (1 << 61) - 1
 _N_PERMS, _N_BANDS, _ROWS_PER_BAND = 128, 16, 8
 _rng = np.random.default_rng(42)
-_PERM_A = _rng.integers(1, _MERSENNE, _N_PERMS, dtype=np.int64).astype(np.uint64)
-_PERM_B = _rng.integers(0, _MERSENNE, _N_PERMS, dtype=np.int64).astype(np.uint64)
+# a,b < 2^31 so a*h+b < 2^63+2^31 fits u64/DuckDB UBIGINT without wrap
+_PERM_A = _rng.integers(1, 1 << 31, _N_PERMS, dtype=np.int64).astype(np.uint64)
+_PERM_B = _rng.integers(0, 1 << 31, _N_PERMS, dtype=np.int64).astype(np.uint64)
+
+# a degenerate LSH bucket (empty docs, license boilerplate) would enumerate
+# O(n^2) pairs; above this size we emit a STAR (min-id to each member)
+# instead — connectivity inside the bucket is preserved through the
+# connected-components pass, pair count drops to O(n).
+MAX_BUCKET_ALL_PAIRS = 256
+
+
+def _hash32(s: str) -> int:
+    """First 8 hex chars of md5 as uint32 — SQL mirror:
+    ('0x' || substr(md5(s),1,8))::UBIGINT."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
 def shingle_set(text: str, k: int = 3) -> set:
@@ -97,15 +117,9 @@ def shingle_set(text: str, k: int = 3) -> set:
     return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    return np.array(
-        [zlib.crc32(s.encode()) for s in shingle_set(text, k)], dtype=np.uint64
-    )
-
-
 def minhash_signature(text: str, k: int = 3) -> np.ndarray:
     """128 minhash values via universal hashing (a*h+b mod 2^61-1)."""
-    h = _shingle_hashes(text, k)
+    h = np.array([_hash32(s) for s in shingle_set(text, k)], dtype=np.uint64)
     if len(h) == 0:
         return np.zeros(_N_PERMS, dtype=np.uint64)
     vals = (_PERM_A[:, None] * h[None, :] + _PERM_B[:, None]) % _MERSENNE
@@ -116,35 +130,50 @@ def _band_rows(doc_id, sig: np.ndarray):
     out = []
     for b in range(_N_BANDS):
         chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
-        out.append((doc_id, b, hashlib.md5(chunk.tobytes()).hexdigest()[:16]))
+        key = "-".join(str(int(v)) for v in chunk)
+        out.append((doc_id, b, hashlib.md5(key.encode()).hexdigest()[:16]))
     return out
 
 
+def _pairs_arrow(df: pd.DataFrame):
+    from ..arrowutil import df_to_table
+
+    return df_to_table(df)
+
+
 def minhash_candidate_pairs(
-    docs_ds, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    docs_ds, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
+    max_bucket: int = MAX_BUCKET_ALL_PAIRS,
 ):
     """documents -> candidate near-dup pairs (id_a < id_b) via LSH banding."""
 
-    def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
+    def to_bands(batch: pd.DataFrame):
         rows = []
         for doc_id, text in zip(batch[id_col], batch[text_col]):
             rows.extend(_band_rows(doc_id, minhash_signature(text, k)))
         out = pd.DataFrame(rows, columns=["doc_id", "band_id", "band_hash"])
-        if len(out) == 0:
-            return pd.DataFrame(
-                {"doc_id": pd.Series(dtype="object"),
-                 "band_id": pd.Series(dtype="int64"),
-                 "band_hash": pd.Series(dtype="object")}
-            )
-        out["bucket"] = out["band_hash"].map(
-            lambda s: zlib.crc32(s.encode()) % N_BUCKETS
-        ).astype("int32")
-        return out
+        if len(out):
+            out["bucket"] = out["band_hash"].map(
+                lambda s: zlib.crc32(s.encode()) % N_BUCKETS
+            ).astype("int32")
+        else:
+            out["bucket"] = pd.Series(dtype="int32")
+        return _pairs_arrow(out)
 
     def pairs_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        import logging
+
         rows = []
         for (_b, _h), g in bucket.groupby(["band_id", "band_hash"], sort=False):
             ids = sorted(g["doc_id"].unique())
+            if len(ids) > max_bucket:
+                # hot-bucket guard: star topology instead of all pairs
+                logging.getLogger(__name__).warning(
+                    "minhash LSH bucket with %d members: emitting star pairs",
+                    len(ids),
+                )
+                rows.extend((ids[0], other) for other in ids[1:])
+                continue
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     rows.append((ids[i], ids[j]))
@@ -166,82 +195,141 @@ def minhash_candidate_pairs(
 
 def verify_jaccard(pairs_ds, docs_ds, threshold: float,
                    id_col: str = "doc_id", text_col: str = "text", k: int = 3):
-    """Exact word-shingle Jaccard for candidate pairs. The text lookup is a
-    broadcast of only the CANDIDATE docs' texts (semi-joined), not the corpus."""
-    import ray
+    """Exact word-shingle Jaccard for candidate pairs — JOIN-based: each
+    endpoint's text reaches its pairs through a bucketed join (no driver
+    materialization, no whole-corpus broadcast; candidate volume scales with
+    near-dup density, not corpus size)."""
+    from .join import bucketed_join
 
-    pairs_df = pairs_ds.to_pandas()
-    needed = set(pairs_df["id_a"]) | set(pairs_df["id_b"])
-    texts = (
-        docs_ds.map_batches(
-            lambda b: b[b[id_col].isin(needed)][[id_col, text_col]],
-            batch_format="pandas",
-        ).to_pandas()
+    def rn(frame_cols):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return b.rename(columns=frame_cols)
+        return fn
+
+    texts = docs_ds.map_batches(
+        lambda b: b[[id_col, text_col]], batch_format="pandas"
     )
-    lookup_ref = ray.put(dict(zip(texts[id_col], texts[text_col])))
-    pairs = ray.data.from_pandas(pairs_df) if len(pairs_df) else pairs_ds
+    ta = texts.map_batches(rn({id_col: "id_a", text_col: "text_a"}), batch_format="pandas")
+    tb = texts.map_batches(rn({id_col: "id_b", text_col: "text_b"}), batch_format="pandas")
+    # pin between the two join shuffles (>2 chained hash shuffles deadlock
+    # this Ray build's aggregator scheduling)
+    j1 = bucketed_join(pairs_ds, ta, on="id_a").materialize()
+    j2 = bucketed_join(j1, tb, on="id_b").materialize()
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
             return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        lookup = ray.get(lookup_ref)
         jac = []
-        for a, b in zip(batch["id_a"], batch["id_b"]):
-            sa, sb = shingle_set(lookup[a], k), shingle_set(lookup[b], k)
+        for ta_, tb_ in zip(batch["text_a"], batch["text_b"]):
+            sa, sb = shingle_set(ta_, k), shingle_set(tb_, k)
             denom = len(sa | sb)
             jac.append(len(sa & sb) / denom if denom else 0.0)
-        out = batch.copy()
+        out = batch[["id_a", "id_b"]].copy()
         out["jaccard"] = jac
         return out
 
-    scored = pairs.map_batches(score, batch_format="pandas")
+    scored = j2.map_batches(score, batch_format="pandas")
     return scored.map_batches(
         lambda b: b[b["jaccard"] >= threshold], batch_format="pandas"
     )
 
 
-def connected_components(pairs_ds, all_ids_ds, id_col: str, max_iters: int = 10):
-    """Min-label propagation over verified pairs: every id converges to the
-    smallest id in its component (the cluster representative). Each round is
-    one bucketed groupby over (label proposals ∪ current labels); iteration
-    stops early when no label changes."""
+def connected_components(pairs_ds, all_ids_ds, id_col: str, max_iters: int = 25):
+    """Distributed min-label propagation over verified pairs: every id
+    converges to the smallest id in its component.  Each round is pure
+    shuffle work — two bucketed joins (labels onto both pair endpoints) and
+    one bucketed merge groupby; convergence is detected with a distributed
+    sum over per-id changed flags.  NO driver-side label table at any point
+    (the round-1 to_pandas/broadcast version did not survive scale review).
+    """
+    import logging
+
+    from .join import bucketed_join
+
     labels = all_ids_ds.map_batches(
-        lambda b: pd.DataFrame({"id": b[id_col], "label": b[id_col]})
-        if len(b) else pd.DataFrame({"id": [], "label": []}),
+        lambda b: _pairs_arrow(pd.DataFrame({"id": b[id_col], "label": b[id_col]})),
         batch_format="pandas",
     ).materialize()
     pairs = pairs_ds.materialize()
     if pairs.count() == 0:
         return labels
 
+    pairs = pairs.map_batches(
+        lambda b: b[["id_a", "id_b"]], batch_format="pandas"
+    ).materialize()
+
+    changed_total = None
     for _ in range(max_iters):
-        lab_df = labels.to_pandas()  # labels table is one row per doc id
-        import ray
-
-        lab_ref = ray.put(dict(zip(lab_df["id"], lab_df["label"])))
-
-        def propose(batch: pd.DataFrame) -> pd.DataFrame:
-            if len(batch) == 0:
-                return pd.DataFrame({"id": [], "label": []})
-            lab = ray.get(lab_ref)
-            la = batch["id_a"].map(lab)
-            lb = batch["id_b"].map(lab)
-            lo = np.minimum(la, lb)
-            return pd.DataFrame(
-                {"id": pd.concat([batch["id_a"], batch["id_b"]]),
-                 "label": pd.concat([lo, lo])}
-            )
-
-        proposals = pairs.map_batches(propose, batch_format="pandas")
-        merged = dedup_exact(
-            labels.union(proposals), key="id", order_by=["label"]
+        # label of endpoint a
+        la = bucketed_join(
+            pairs.map_batches(
+                lambda b: b.rename(columns={"id_a": "id"}), batch_format="pandas"
+            ),
+            labels.map_batches(
+                lambda b: b.rename(columns={"label": "label_a"}), batch_format="pandas"
+            ),
+            on="id",
+        ).map_batches(
+            lambda b: b.rename(columns={"id": "id_a"}), batch_format="pandas"
         ).materialize()
-        changed = not merged.to_pandas().sort_values("id").reset_index(drop=True).equals(
-            lab_df.sort_values("id").reset_index(drop=True)
+        # label of endpoint b
+        lab = bucketed_join(
+            la.map_batches(
+                lambda b: b.rename(columns={"id_b": "id"}), batch_format="pandas"
+            ),
+            labels.map_batches(
+                lambda b: b.rename(columns={"label": "label_b"}), batch_format="pandas"
+            ),
+            on="id",
+        ).map_batches(
+            lambda b: b.rename(columns={"id": "id_b"}), batch_format="pandas"
+        ).materialize()
+
+        def propose(batch: pd.DataFrame):
+            lo = np.minimum(batch["label_a"], batch["label_b"])
+            return _pairs_arrow(pd.DataFrame(
+                {"id": pd.concat([batch["id_a"], batch["id_b"]], ignore_index=True),
+                 "label": pd.concat([pd.Series(lo), pd.Series(lo)], ignore_index=True),
+                 "kind": "prop"}
+            ))
+
+        proposals = lab.map_batches(propose, batch_format="pandas")
+        cur = labels.map_batches(
+            lambda b: _pairs_arrow(b.assign(kind="cur")), batch_format="pandas"
         )
-        labels = merged
-        if not changed:
+
+        def add_bucket(b: pd.DataFrame):
+            out = b.assign(
+                _cbucket=b["id"].map(
+                    lambda s: zlib.crc32(str(s).encode()) % N_BUCKETS
+                ).astype("int32")
+            )
+            return _pairs_arrow(out)
+
+        def merge_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+            new = bucket.groupby("id", sort=False)["label"].min()
+            old = bucket[bucket["kind"] == "cur"].set_index("id")["label"]
+            out = pd.DataFrame({"label": new})
+            out["changed"] = (new < old.reindex(new.index)).astype("int64")
+            return out.reset_index(names="id")[["id", "label", "changed"]]
+
+        merged = (
+            cur.union(proposals)
+            .map_batches(add_bucket, batch_format="pandas")
+            .groupby("_cbucket")
+            .map_groups(merge_bucket, batch_format="pandas")
+            .repartition(8)
+            .materialize()
+        )
+        changed_total = merged.sum("changed")
+        labels = merged.drop_columns(["changed"]).materialize()
+        if not changed_total:
             break
+    if changed_total:
+        logging.getLogger(__name__).warning(
+            "connected_components: not converged after %d rounds "
+            "(component diameter exceeds the iteration budget)", max_iters
+        )
     return labels
 
 
@@ -250,10 +338,10 @@ def dedup_minhash(docs_ds, threshold: float = 0.8,
     """Full MinHash-LSH near-dedup: returns Dataset(id, label) where label is
     the component representative (min id); label == id -> survivor."""
     docs_ds = docs_ds.materialize()
-    pairs = minhash_candidate_pairs(docs_ds, id_col, text_col, k)
+    pairs = minhash_candidate_pairs(docs_ds, id_col, text_col, k).materialize()
     verified = verify_jaccard(pairs, docs_ds, threshold, id_col, text_col, k)
     return connected_components(
-        verified.drop_columns(["jaccard"]), docs_ds, id_col
+        verified.drop_columns(["jaccard"]).materialize(), docs_ds, id_col
     )
 
 
@@ -262,51 +350,77 @@ def dedup_minhash(docs_ds, threshold: float = 0.8,
 _TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over lowercased word tokens (crc32-pair hash)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in _TOKEN_RE.findall(text.lower()):
-        h = (zlib.crc32(tok.encode()) << 32) | zlib.crc32((tok + "#").encode())
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits.astype(bool), 1, -1)
-    return int("".join("1" if v > 0 else "0" for v in acc), 2)
+def simhash32_pair(text: str) -> tuple[int, int]:
+    """SimHash as TWO 32-bit halves (hi, lo) over lowercased word tokens.
+    Token hash halves are md5-derived (md5(tok) / md5(tok+'#') first 8 hex),
+    so the whole computation has an exact DuckDB mirror (no >63-bit ints on
+    either side).  Bit b of the fingerprint is sign(sum over tokens of
+    (bit b of token hash ? +1 : -1)) with sign(0) = 0."""
+    toks = _TOKEN_RE.findall(text.lower())
+    if not toks:
+        return 0, 0
+    hi = np.array([_hash32(t) for t in toks], dtype=np.int64)
+    lo = np.array([_hash32(t + "#") for t in toks], dtype=np.int64)
+    shifts = np.arange(32, dtype=np.int64)
+    acc_hi = (2 * ((hi[:, None] >> shifts) & 1) - 1).sum(axis=0)
+    acc_lo = (2 * ((lo[:, None] >> shifts) & 1) - 1).sum(axis=0)
+    out_hi = int(((acc_hi > 0).astype(np.int64) << shifts).sum())
+    out_lo = int(((acc_lo > 0).astype(np.int64) << shifts).sum())
+    return out_hi, out_lo
 
 
-def hamming64(a: int, b: int) -> int:
-    return bin(a ^ b).count("1")
+def hamming64(hi_a: int, lo_a: int, hi_b: int, lo_b: int) -> int:
+    return bin(hi_a ^ hi_b).count("1") + bin(lo_a ^ lo_b).count("1")
 
 
 def dedup_simhash(docs_ds, max_hamming: int = 3,
-                  id_col: str = "doc_id", text_col: str = "text"):
+                  id_col: str = "doc_id", text_col: str = "text",
+                  max_bucket: int = MAX_BUCKET_ALL_PAIRS):
     """SimHash near-dup pairs: 4 x 16-bit chunk bucketing (pigeonhole: any
     pair with Hamming <= 3 shares at least one exact chunk), exact Hamming
-    verify inside buckets. Returns Dataset(id_a, id_b, hamming)."""
+    verify inside buckets, hot buckets capped to star pairs.  Returns
+    Dataset(id_a, id_b, hamming)."""
 
-    def to_chunks(batch: pd.DataFrame) -> pd.DataFrame:
+    def to_chunks(batch: pd.DataFrame):
         rows = []
         for doc_id, text in zip(batch[id_col], batch[text_col]):
-            sh = simhash64(text)
+            hi, lo = simhash32_pair(text)
             for c in range(4):
-                chunk = (sh >> (16 * c)) & 0xFFFF
-                rows.append((doc_id, sh, c, chunk))
-        out = pd.DataFrame(rows, columns=["doc_id", "simhash", "chunk_id", "chunk_val"])
-        if len(out) == 0:
-            return pd.DataFrame(
-                {"doc_id": pd.Series(dtype="object"), "simhash": pd.Series(dtype="object"),
-                 "chunk_id": pd.Series(dtype="int64"), "chunk_val": pd.Series(dtype="int64")}
-            )
-        out["bucket"] = ((out["chunk_id"] * 65536 + out["chunk_val"]) % N_BUCKETS).astype("int32")
-        return out
+                chunk = ((lo >> (16 * c)) & 0xFFFF) if c < 2 else ((hi >> (16 * (c - 2))) & 0xFFFF)
+                rows.append((doc_id, hi, lo, c, chunk))
+        out = pd.DataFrame(
+            rows, columns=["doc_id", "sim_hi", "sim_lo", "chunk_id", "chunk_val"]
+        )
+        if len(out):
+            out["bucket"] = (
+                (out["chunk_id"] * 65536 + out["chunk_val"]) % N_BUCKETS
+            ).astype("int32")
+        else:
+            out["bucket"] = pd.Series(dtype="int32")
+        return _pairs_arrow(out)
 
     def pairs_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        import logging
+
         rows = []
         for (_c, _v), g in bucket.groupby(["chunk_id", "chunk_val"], sort=False):
-            recs = sorted(set(zip(g["doc_id"], g["simhash"])))
-            for i in range(len(recs)):
-                for j in range(i + 1, len(recs)):
-                    d = hamming64(recs[i][1], recs[j][1])
-                    if d <= max_hamming:
-                        rows.append((recs[i][0], recs[j][0], d))
+            recs = sorted(set(zip(g["doc_id"], g["sim_hi"], g["sim_lo"])))
+            if len(recs) > max_bucket:
+                logging.getLogger(__name__).warning(
+                    "simhash chunk bucket with %d members: star pairs", len(recs)
+                )
+                a = recs[0]
+                cand = [(a, r) for r in recs[1:]]
+            else:
+                cand = [
+                    (recs[i], recs[j])
+                    for i in range(len(recs))
+                    for j in range(i + 1, len(recs))
+                ]
+            for ra, rb in cand:
+                d = hamming64(ra[1], ra[2], rb[1], rb[2])
+                if d <= max_hamming:
+                    rows.append((ra[0], rb[0], d))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]).drop_duplicates()
 
     chunks = docs_ds.map_batches(to_chunks, batch_format="pandas")
@@ -329,50 +443,66 @@ def embedding_near_dup(emb_ds, threshold: float = 0.95,
                        n_planes: int = 12):
     """Near-duplicate vectors via random-hyperplane LSH bucketing + exact
     cosine verify within buckets. Deterministic (seeded hyperplanes).
-    Returns Dataset(id_a, id_b, cosine)."""
-    rng = np.random.default_rng(7)
-    planes_list: list[np.ndarray] = []
+    Vectors ride the bucketing shuffle as Arrow fixed_size_list<float32>
+    (compact columnar, not Python objects).  Returns
+    Dataset(id_a, id_b, cosine)."""
+    import pyarrow as pa
 
-    def to_buckets(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            return pd.DataFrame(
-                {"vec_id": pd.Series(dtype="object"), "sig": pd.Series(dtype="object"),
-                 "vec": pd.Series(dtype="object"), "bucket": pd.Series(dtype="int32")}
-            )
-        vecs = np.array(batch[vec_col].tolist(), dtype=np.float64)
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        if len(vecs) == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "sig": pa.array([], pa.string()),
+                "vec": pa.array([], pa.list_(pa.float32())),
+                "bucket": pa.array([], pa.int32()),
+            })
         dim = vecs.shape[1]
-        if not planes_list:
-            planes_list.append(np.random.default_rng(7).standard_normal((n_planes, dim)))
-        planes = planes_list[0]
+        planes = np.random.default_rng(7).standard_normal((n_planes, dim))
         signs = (vecs @ planes.T) >= 0
         sigs = ["".join("1" if s else "0" for s in row) for row in signs]
-        out = pd.DataFrame(
-            {"vec_id": batch[id_col].values, "sig": sigs, "vec": list(vecs)}
-        )
-        out["bucket"] = out["sig"].map(lambda s: zlib.crc32(s.encode()) % N_BUCKETS).astype("int32")
-        return out
+        buckets = [zlib.crc32(s.encode()) % N_BUCKETS for s in sigs]
+        flat = pa.array(vecs.astype(np.float32).ravel(), pa.float32())
+        vec_arr = pa.FixedSizeListArray.from_arrays(flat, dim)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "sig": pa.array(sigs, pa.string()),
+            "vec": vec_arr,
+            "bucket": pa.array(buckets, pa.int32()),
+        })
 
-    def pairs_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_bucket(bucket: pa.Table) -> pd.DataFrame:
+        df_ids = bucket.column("vec_id").to_numpy(zero_copy_only=False)
+        sig = np.asarray(bucket.column("sig").to_pylist())
+        vec_col_arr = bucket.column("vec")
+        if isinstance(vec_col_arr, pa.ChunkedArray):
+            vec_col_arr = vec_col_arr.combine_chunks()
+        dim = vec_col_arr.type.list_size
+        mat_all = np.asarray(vec_col_arr.flatten()).reshape(-1, dim).astype(np.float64)
         rows = []
-        for _sig, g in bucket.groupby("sig", sort=False):
-            if len(g) < 2:
+        order = np.argsort(sig, kind="stable")
+        sig_sorted = sig[order]
+        for s in np.unique(sig_sorted):
+            members = order[sig_sorted == s]
+            if len(members) < 2:
                 continue
-            g = g.sort_values("vec_id", kind="mergesort")
-            mat = np.stack(g["vec"].to_list())
+            members = members[np.argsort(df_ids[members], kind="stable")]
+            mat = mat_all[members]
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             mat = mat / norms
             sims = mat @ mat.T
-            ids = g["vec_id"].to_list()
+            ids = df_ids[members]
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     if sims[i, j] >= threshold:
-                        rows.append((ids[i], ids[j], float(sims[i, j])))
+                        rows.append((int(ids[i]), int(ids[j]), float(sims[i, j])))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
 
-    buckets = emb_ds.map_batches(to_buckets, batch_format="pandas")
+    buckets = emb_ds.map_batches(to_buckets, batch_format="pyarrow")
     return (
         buckets.groupby("bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
         .repartition(8)
     )

@@ -75,14 +75,23 @@ def bucketed_join(left, right, on: str, how: str = "inner", n_buckets: int = 64)
 
     out_cols = left_cols + [c for c in right_cols if c != on]
 
-    def join_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
-        l = bucket[bucket["_side"] == "l"][left_cols]
-        r = bucket[bucket["_side"] == "r"][right_cols]
-        return l.merge(r, on=on, how="inner" if how == "inner" else "left")[out_cols]
+    def join_bucket(bucket: "pa.Table") -> "pa.Table":
+        # Arrow-native join: integer key columns keep int64-with-nulls
+        # semantics (a pandas merge would upcast nullable ints to float,
+        # corrupting downstream key hashing/rejoining)
+        import pyarrow.compute as pc
+
+        side = bucket.column("_side")
+        l = bucket.filter(pc.equal(side, "l")).select(left_cols)
+        r = bucket.filter(pc.equal(side, "r")).select(right_cols)
+        joined = l.join(
+            r, keys=on, join_type="inner" if how == "inner" else "left outer"
+        )
+        return joined.select(out_cols)
 
     return (
         both.groupby("_jbucket")
-        .map_groups(join_bucket, batch_format="pandas")
+        .map_groups(join_bucket, batch_format="pyarrow")
         .repartition(16)
     )
 

@@ -13,7 +13,7 @@ from mmgraphrag_ray.stages.dedup import (
     hamming64,
     minhash_signature,
     shingle_set,
-    simhash64,
+    simhash32_pair,
 )
 
 BASE = (
@@ -46,8 +46,8 @@ def test_dedup_minhash_clusters_near_duplicates():
 
 
 def test_simhash_distance_property():
-    assert hamming64(simhash64(BASE), simhash64(NEAR)) <= 6
-    assert hamming64(simhash64(BASE), simhash64(FAR)) > 10
+    assert hamming64(*simhash32_pair(BASE), *simhash32_pair(NEAR)) <= 6
+    assert hamming64(*simhash32_pair(BASE), *simhash32_pair(FAR)) > 10
 
 
 def test_dedup_simhash_finds_near_pairs():
@@ -84,3 +84,32 @@ def test_embedding_near_dup():
 def test_shingle_set_short_text():
     assert shingle_set("one two", 3) == {"one two"}
     assert shingle_set("", 3) == set()
+
+
+def test_minhash_hot_bucket_capped_star_pairs():
+    """A degenerate bucket (many identical docs) must not enumerate O(n^2)
+    pairs: above max_bucket the stage emits a star, and connectivity still
+    collapses the whole clique into ONE component."""
+    n = 40
+    docs = pd.DataFrame({"doc_id": list(range(1, n + 1)), "text": [BASE] * n})
+    ds = ray.data.from_pandas(docs)
+    from mmgraphrag_ray.stages.dedup import minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(ds, max_bucket=8).to_pandas()
+    # star topology: O(n) pairs, not n*(n-1)/2
+    assert len(pairs) <= 2 * n
+    labels = connected_components(
+        ray.data.from_pandas(pairs), ds, "doc_id"
+    ).to_pandas()
+    assert set(labels["label"]) == {1}
+
+
+def test_connected_components_no_driver_label_broadcast():
+    """Long chain converges via pure shuffle iterations (diameter 5)."""
+    pairs = pd.DataFrame({"id_a": [1, 2, 3, 4, 5], "id_b": [2, 3, 4, 5, 6]})
+    ids = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5, 6, 7]})
+    labels = connected_components(
+        ray.data.from_pandas(pairs), ray.data.from_pandas(ids), "doc_id"
+    ).to_pandas()
+    lab = dict(zip(labels["id"], labels["label"]))
+    assert lab == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 7}
