@@ -278,113 +278,117 @@ def build_alias_table(clusters_ds, judge_threshold: float = 0.9):
     )
 
 
-def contract_graph(nodes_ds, edges_ds, alias_ds, cfg=None):
-    """F8: re-point nodes/edges through the alias table and re-merge.
+ALIAS_BROADCAST_LIMIT = 100_000
 
-    The alias table (member -> canonical) is broadcast via ray.put — it only
-    contains MERGED members (a small fraction of nodes); at cluster scale a
-    bucketed-join variant applies (see bucketed_join), kept broadcast here
-    because the lookup side is the contraction's decision set, not the graph.
-    Re-merging parallel edges / merged nodes uses the A2/A3 algebra over the
-    '<SEP>'-split attribute sets (deterministic closure of the reference's
-    order-dependent nx attr overwrite, fusion.py:930-983)."""
+
+def _alias_applier(alias_ds, broadcast_limit: int = ALIAS_BROADCAST_LIMIT):
+    """Returns a function (ds, cols) -> ds with each name column in `cols`
+    re-pointed through the alias table.  Small alias tables broadcast
+    (ray.put once, dict lookup per batch); big ones route through
+    bucketed_join (how='left', coalesce) so the driver never materializes
+    the alias set — the alias table grows with merge-rate x nodes and is
+    unbounded at 100 TB."""
     import ray
 
-    from ..config import DEFAULT_CONFIG
-    from .merge import _bucket_of, _summarize_series
+    from .join import bucketed_join
 
-    cfg = cfg or DEFAULT_CONFIG
-    alias_df = alias_ds.to_pandas()
-    alias_ref = ray.put(dict(zip(alias_df["member_name"], alias_df["canonical_name"])))
-
-    def repoint_nodes(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
-            return pd.DataFrame(
-                {c: pd.Series(dtype="object") for c in
-                 ["entity_name", "entity_type", "description", "source_id", "bucket"]}
-            )
-        alias = ray.get(alias_ref)
-        b = b.copy()
-        b["entity_name"] = b["entity_name"].map(lambda n: alias.get(n, n))
-        b["bucket"] = _bucket_of(b["entity_name"])
-        return b
-
-    def merge_nodes_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for name, g in bucket.groupby("entity_name", sort=False):
-            if len(g) == 1:
-                r = g.iloc[0]
-                rows.append((name, r["entity_type"], r["description"], r["source_id"]))
-                continue
-            descs = sorted({p for d in g["description"] for p in d.split(GRAPH_FIELD_SEP)})
-            sids = sorted({p for s in g["source_id"] for p in s.split(GRAPH_FIELD_SEP)})
-            # canonical member's own type wins; tie-break lexicographic
-            etype = sorted(g["entity_type"])[0]
-            rows.append(
-                (name, etype, GRAPH_FIELD_SEP.join(descs), GRAPH_FIELD_SEP.join(sids))
-            )
-        out = pd.DataFrame(
-            rows, columns=["entity_name", "entity_type", "description", "source_id"]
+    alias_ds = alias_ds.materialize()
+    if alias_ds.count() <= broadcast_limit:
+        alias_df = alias_ds.to_pandas()
+        alias_ref = ray.put(
+            dict(zip(alias_df["member_name"], alias_df["canonical_name"]))
         )
-        out["description"] = _summarize_series(
-            out["description"], cfg.entity_summary_to_max_tokens
-        )
+
+        def apply_broadcast(ds, cols):
+            def fn(b: pd.DataFrame) -> pd.DataFrame:
+                if len(b) == 0:
+                    return b
+                alias = ray.get(alias_ref)
+                out = b.copy()
+                for c in cols:
+                    out[c] = out[c].map(lambda n: alias.get(n, n))
+                return out
+
+            return ds.map_batches(fn, batch_format="pandas")
+
+        return apply_broadcast
+
+    def apply_join(ds, cols):
+        out = ds
+        for c in cols:
+            side = alias_ds.map_batches(
+                lambda b, c=c: b.rename(
+                    columns={"member_name": c, "canonical_name": f"_canon_{c}"}
+                ),
+                batch_format="pandas",
+            )
+            out = bucketed_join(out, side, on=c, how="left").map_batches(
+                lambda b, c=c: b.assign(
+                    **{c: b[f"_canon_{c}"].where(b[f"_canon_{c}"].notna(), b[c])}
+                ).drop(columns=[f"_canon_{c}"]),
+                batch_format="pandas",
+            ).materialize()  # pin between join shuffles (>2-shuffle deadlock)
         return out
 
+    return apply_join
+
+
+def contract_graph(nodes_ds, edges_ds, alias_ds, cfg=None,
+                   broadcast_limit: int = ALIAS_BROADCAST_LIMIT):
+    """F8: re-point nodes/edges through the alias table and re-merge with
+    the SAME vectorized partial/final machinery as the batch merges
+    (stages/merge.py _nodes_as_partials / _edges_as_partials): descriptions
+    and source ids re-join as sorted <SEP>-sets, edge weights sum, orders
+    min — the deterministic closure of the reference's order-dependent nx
+    attr overwrite (fusion.py:930-983).
+
+    entity_type POLICY: the A2 mode over merged members' types (count desc,
+    tie-break type asc) — each member contributes its type once.  This is
+    the same algebra every other node merge in the engine uses (the r01
+    code took lexicographic min while claiming canonical-wins; now the
+    policy and the code agree and are shared with stages/merge.py)."""
+    from ..config import DEFAULT_CONFIG
+    from .merge import (
+        _edges_as_partials,
+        _make_edge_final,
+        _make_node_final,
+        _nodes_as_partials,
+    )
+
+    cfg = cfg or DEFAULT_CONFIG
+    apply_alias = _alias_applier(alias_ds, broadcast_limit)
+
+    repointed_nodes = apply_alias(nodes_ds, ["entity_name"])
     new_nodes = (
-        nodes_ds.map_batches(repoint_nodes, batch_format="pandas")
+        _nodes_as_partials(repointed_nodes)
         .groupby("bucket")
-        .map_groups(merge_nodes_bucket, batch_format="pandas")
+        .map_groups(
+            _make_node_final(cfg.entity_summary_to_max_tokens), batch_format="pandas"
+        )
         .repartition(16)
     )
 
-    def repoint_edges(b: pd.DataFrame) -> pd.DataFrame:
+    def recanon(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
-            return pd.DataFrame(
-                {c: pd.Series(dtype="object") for c in
-                 ["src_id", "tgt_id", "weight", "description", "source_id", "order", "bucket"]}
-            )
-        alias = ray.get(alias_ref)
-        b = b.copy()
-        src = b["src_id"].map(lambda n: alias.get(n, n))
-        tgt = b["tgt_id"].map(lambda n: alias.get(n, n))
-        b["src_id"], b["tgt_id"] = np.minimum(src, tgt), np.maximum(src, tgt)
-        b["bucket"] = _bucket_of(b["src_id"] + "\x1f" + b["tgt_id"])
-        return b
-
-    def merge_edges_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for (src, tgt), g in bucket.groupby(["src_id", "tgt_id"], sort=False):
-            if len(g) == 1:
-                r = g.iloc[0]
-                rows.append((src, tgt, r["weight"], r["description"], r["source_id"], r["order"]))
-                continue
-            descs = sorted({p for d in g["description"] for p in d.split(GRAPH_FIELD_SEP)})
-            sids = sorted({p for s in g["source_id"] for p in s.split(GRAPH_FIELD_SEP)})
-            rows.append(
-                (
-                    src,
-                    tgt,
-                    float(g["weight"].sum()),
-                    GRAPH_FIELD_SEP.join(descs),
-                    GRAPH_FIELD_SEP.join(sids),
-                    int(g["order"].min()),
-                )
-            )
-        out = pd.DataFrame(
-            rows,
-            columns=["src_id", "tgt_id", "weight", "description", "source_id", "order"],
-        )
-        out["description"] = _summarize_series(
-            out["description"], cfg.entity_summary_to_max_tokens
-        )
-        out["order"] = out["order"].astype("int32")
+            return b
+        out = b.copy()
+        src, tgt = out["src_id"], out["tgt_id"]
+        out["src_id"], out["tgt_id"] = np.minimum(src, tgt), np.maximum(src, tgt)
         return out
 
+    repointed_edges = apply_alias(edges_ds, ["src_id", "tgt_id"]).map_batches(
+        recanon, batch_format="pandas"
+    )
+    EDGE_PUBLIC = ["src_id", "tgt_id", "weight", "description", "source_id", "order"]
     new_edges = (
-        edges_ds.map_batches(repoint_edges, batch_format="pandas")
+        _edges_as_partials(repointed_edges)
         .groupby("bucket")
-        .map_groups(merge_edges_bucket, batch_format="pandas")
+        .map_groups(
+            _make_edge_final(cfg.entity_summary_to_max_tokens), batch_format="pandas"
+        )
+        .map_batches(
+            lambda b: b[EDGE_PUBLIC] if len(b) else b, batch_format="pandas"
+        )
         .repartition(16)
     )
     return new_nodes, new_edges

@@ -529,7 +529,7 @@ def _nodes_as_partials(nodes_ds):
         out = pd.concat(frames, ignore_index=True)
         out["n"] = out["n"].astype("int64")
         out["bucket"] = _bucket_of(out["entity_name"])
-        return out[_NODE_PARTIAL_COLS]
+        return _partials_to_arrow(out[_NODE_PARTIAL_COLS])
 
     return nodes_ds.map_batches(to_partials, batch_format="pandas")
 
@@ -562,7 +562,7 @@ def _edges_as_partials(edges_ds):
         out["wsum"] = out["wsum"].astype("float64")
         out["omin"] = out["omin"].astype("int64")
         out["bucket"] = _bucket_of(out["edge_key"])
-        return out[_EDGE_PARTIAL_COLS]
+        return _partials_to_arrow(out[_EDGE_PARTIAL_COLS])
 
     return edges_ds.map_batches(to_partials, batch_format="pandas")
 
@@ -576,7 +576,7 @@ def merge_nodes_incremental(new_entity_mentions_ds, existing_nodes_ds, cfg=None)
 
     cfg = cfg or DEFAULT_CONFIG
     partials = new_entity_mentions_ds.map_batches(
-        _node_partial, batch_format="pandas"
+        _node_partial_arrow, batch_format="pandas"
     ).union(_nodes_as_partials(existing_nodes_ds))
     merged = partials.groupby("bucket").map_groups(
         _make_node_final(cfg.entity_summary_to_max_tokens), batch_format="pandas"
@@ -589,7 +589,7 @@ def merge_edges_incremental(new_rel_mentions_ds, existing_edges_ds, cfg=None):
 
     cfg = cfg or DEFAULT_CONFIG
     partials = new_rel_mentions_ds.map_batches(
-        _edge_partial, batch_format="pandas"
+        _edge_partial_arrow, batch_format="pandas"
     ).union(_edges_as_partials(existing_edges_ds))
     merged = partials.groupby("bucket").map_groups(
         _make_edge_final(cfg.entity_summary_to_max_tokens), batch_format="pandas"

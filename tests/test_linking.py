@@ -174,3 +174,55 @@ def test_iterative_contraction_equals_single_pass():
 
     pd.testing.assert_frame_equal(srt(n2.to_pandas()), srt(ns.to_pandas()))
     pd.testing.assert_frame_equal(srt(e2.to_pandas()), srt(es.to_pandas()), check_dtype=False)
+
+
+def test_contract_graph_join_path_equals_broadcast_path(ray_session):
+    """Above the broadcast limit the alias table routes through
+    bucketed_join; results must be identical to the broadcast path."""
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.linking import contract_graph
+
+    nodes = pd.DataFrame(
+        {
+            "entity_name": ['"A"', '"B"', '"C"'],
+            "entity_type": ['"T1"', '"T2"', '"T1"'],
+            "description": ['"a."', '"b."', '"c."'],
+            "source_id": ["c1", "c2", "c3"],
+        }
+    )
+    edges = pd.DataFrame(
+        {
+            "src_id": ['"A"', '"B"'],
+            "tgt_id": ['"C"', '"C"'],
+            "weight": [2.0, 3.0],
+            "description": ['"ac."', '"bc."'],
+            "source_id": ["c1", "c2"],
+            "order": [1, 1],
+        }
+    )
+    alias = pd.DataFrame({"member_name": ['"B"'], "canonical_name": ['"A"']})
+
+    def run(limit):
+        n, ed = contract_graph(
+            ray.data.from_pandas(nodes),
+            ray.data.from_pandas(edges),
+            ray.data.from_pandas(alias),
+            broadcast_limit=limit,
+        )
+        nd = n.to_pandas().sort_values("entity_name").reset_index(drop=True)
+        edd = ed.to_pandas().sort_values(["src_id", "tgt_id"]).reset_index(drop=True)
+        return nd, edd
+
+    n_b, e_b = run(100)   # broadcast path
+    n_j, e_j = run(0)     # join path
+    pd.testing.assert_frame_equal(n_b, n_j)
+    pd.testing.assert_frame_equal(
+        e_b.astype({"weight": "float64", "order": "int64"}),
+        e_j.astype({"weight": "float64", "order": "int64"}),
+    )
+    # B merged into A: the parallel edges (A,C) re-merge with summed weight
+    merged = e_b[(e_b.src_id == '"A"') & (e_b.tgt_id == '"C"')]
+    assert len(merged) == 1 and float(merged.weight.iloc[0]) == 5.0
+    assert set(n_b.entity_name) == {'"A"', '"C"'}
