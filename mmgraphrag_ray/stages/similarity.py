@@ -23,6 +23,16 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _partial_arrow(df: pd.DataFrame, id_type: pa.DataType) -> pa.Table:
+    """Typed, metadata-free Arrow for the top-k partials feeding the final
+    groupby (query and corpus ids share one id domain here)."""
+    from ..arrowutil import df_to_table
+
+    return df_to_table(
+        df, query_vec_id=id_type, vec_id=id_type, sim=pa.float64()
+    )
+
+
 def brute_topk(
     corpus_ds,
     query_ids: np.ndarray,
@@ -41,14 +51,19 @@ def brute_topk(
     """
     qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
     qids = np.asarray(query_ids)
+    id_type = (
+        pa.from_numpy_dtype(qids.dtype) if qids.dtype != object else pa.string()
+    )
     ref = ray.put((qids, qmat))
 
-    def partial_topk(batch: pa.Table) -> pd.DataFrame:
+    def partial_topk(batch: pa.Table):
         q_ids, q = ray.get(ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
         if len(vecs) == 0:
-            return pd.DataFrame({"query_vec_id": [], "vec_id": [], "sim": []})
+            return _partial_arrow(
+                pd.DataFrame({"query_vec_id": [], "vec_id": [], "sim": []}), id_type
+            )
         sims = _normalize(vecs) @ q.T  # (batch, nq)
         frames = []
         for j in range(q.shape[0]):
@@ -74,8 +89,10 @@ def brute_topk(
                 )
             )
         if not frames:
-            return pd.DataFrame({"query_vec_id": [], "vec_id": [], "sim": []})
-        return pd.concat(frames, ignore_index=True)
+            return _partial_arrow(
+                pd.DataFrame({"query_vec_id": [], "vec_id": [], "sim": []}), id_type
+            )
+        return _partial_arrow(pd.concat(frames, ignore_index=True), id_type)
 
     def final_topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
@@ -156,25 +173,49 @@ def ivf_topk(
     Same output schema as brute_topk (query_vec_id, rank, vec_id)."""
     import pyarrow as pa
 
+    # quantizer training sample: per-batch partial min-k by id (map-side
+    # top-k, no shuffle), tiny driver concat — same rows as the former
+    # sort(id).limit(N) (which all-to-all-shuffled the WHOLE corpus to take
+    # 256 rows), at a scan's cost
+    def partial_min_ids(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pd.DataFrame({id_col: [], vec_col: []})
+        take = min(train_sample, len(ids))
+        part = np.argpartition(ids, take - 1)[:take]
+        part = part[np.argsort(ids[part], kind="stable")]
+        vecs = batch.column(vec_col).to_pylist()
+        return pd.DataFrame(
+            {id_col: ids[part], vec_col: [vecs[i] for i in part]}
+        )
+
     sample_df = (
-        corpus_ds.sort(id_col).limit(train_sample).to_pandas()
+        corpus_ds.map_batches(partial_min_ids, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(id_col, kind="mergesort")
+        .head(train_sample)
     )
     sample = np.array(sample_df[vec_col].tolist(), dtype=np.float64)
     cents = _lloyd(sample, n_centroids)
 
     qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
     qids = np.asarray(query_ids)
+    id_type = (
+        pa.from_numpy_dtype(qids.dtype) if qids.dtype != object else pa.string()
+    )
     # probe set per query: nprobe nearest centroids (euclidean on raw vecs)
     qd = ((np.asarray(query_vecs, dtype=np.float64)[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     probes = np.argsort(qd, axis=1)[:, :nprobe]
     ref = ray.put((qids, qmat, cents, probes))
 
-    def partial_topk(batch: pa.Table) -> pd.DataFrame:
+    def partial_topk(batch: pa.Table):
         q_ids, q, c, pr = ray.get(ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         raw = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
         if len(raw) == 0:
-            return pd.DataFrame({"query_vec_id": [], "vec_id": [], "sim": []})
+            return _partial_arrow(
+                pd.DataFrame({"query_vec_id": [], "vec_id": [], "sim": []}), id_type
+            )
         d = ((raw[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         cell = d.argmin(axis=1)
         vecs = _normalize(raw)
@@ -194,8 +235,10 @@ def ivf_topk(
                 )
             )
         if not frames:
-            return pd.DataFrame({"query_vec_id": [], "vec_id": [], "sim": []})
-        return pd.concat(frames, ignore_index=True)
+            return _partial_arrow(
+                pd.DataFrame({"query_vec_id": [], "vec_id": [], "sim": []}), id_type
+            )
+        return _partial_arrow(pd.concat(frames, ignore_index=True), id_type)
 
     def final_topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)

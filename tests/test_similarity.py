@@ -69,3 +69,27 @@ def test_knn_label_transfer(emb):
     out = knn_label_transfer(ds, np.arange(2), vecs[:2], labels_by_id, k=1).to_pandas()
     assert len(out) == 2
     assert set(out["label"]) <= {0, 1, 2, 3}
+
+
+def test_ivf_recall_vs_brute(ray_session):
+    """IVF with nprobe=4/16 must keep recall@5 >= 0.6 vs exact brute force
+    on the synthetic embeddings (tested invariant in lieu of a SQL oracle:
+    the probe math is approximate by design)."""
+    import numpy as np
+    import ray.data
+
+    from mmgraphrag_ray.stages.similarity import brute_topk, ivf_topk
+
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet").materialize()
+    qdf = emb.filter(expr="vec_id < 8").to_pandas()
+    qids = qdf["vec_id"].to_numpy()
+    qvecs = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+    exact = brute_topk(emb, qids, qvecs, k=5).to_pandas()
+    approx = ivf_topk(emb, qids, qvecs, k=5, n_centroids=16, nprobe=4).to_pandas()
+    exact_sets = exact.groupby("query_vec_id")["vec_id"].apply(set)
+    approx_sets = approx.groupby("query_vec_id")["vec_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets.index
+    ]
+    assert np.mean(recalls) >= 0.6, recalls
