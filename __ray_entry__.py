@@ -566,6 +566,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ctx["entities"]
 
+    def kg_node_degrees(sf_dir):
+        # the degree table that ranks entities/edges in the local-query
+        # context (reference storage.py:451-460) — value-oracled on its own
+        # since the cosine top-k half of the query path is not
+        # SQL-expressible (feature-hash embedder)
+        from mmgraphrag_ray.query import node_degrees
+
+        _, edges = _build_graph_cached(sf_dir)
+        return node_degrees(edges)
+
     def ann_topk(sf_dir):
         emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
         qdf = emb.filter(expr="vec_id < 8").to_pandas()
@@ -672,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": media_decode,
         "media_feature_vecs": media_feature_vecs,
         "kg_query_context": kg_query_context,
+        "kg_node_degrees": kg_node_degrees,
         "kg_resolve_refs": kg_resolve_refs,
         "code_strip_comments": code_strip_comments,
         "doc_sample": doc_sample,
@@ -701,6 +712,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions": kg + "\nSELECT * FROM ent_mentions",
         "kg_rel_mentions": kg + "\nSELECT * FROM rel_mentions",
         "kg_nodes": kg + merge + "\nSELECT * FROM nodes",
+        "kg_node_degrees": kg + merge + """
+            SELECT entity_name, count(*) AS degree FROM (
+              SELECT src_id AS entity_name FROM edges
+              UNION ALL SELECT tgt_id FROM edges
+            ) GROUP BY 1
+        """,
         "kg_edges": kg + merge + "\nSELECT * FROM edges",
         "dedup_exact_documents": """
             SELECT doc_id, text, lang, source, n_chars, text_md5 FROM (

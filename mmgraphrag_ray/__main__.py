@@ -85,7 +85,10 @@ def main(argv=None):
                 from mmgraphrag_ray.stages.embed import build_entity_vecs
 
                 vecs = build_entity_vecs(nodes)
-            ctx = build_local_context(args.text, nodes, edges, chunks, vecs)
+            ctx = build_local_context(
+                args.text, nodes, edges, chunks, vecs,
+                audit_dir=os.path.join(out, "audit"),
+            )
             print("-----Entities-----")
             print(ctx["entities_csv"])
             print("-----Relationships-----")

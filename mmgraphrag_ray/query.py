@@ -98,6 +98,52 @@ def node_degrees(edges_ds):
     )
 
 
+def remap_source_ids(source_id: str, remap: dict[str, str]) -> str:
+    """J3 — the reference's img_path -> chunk_id source remap
+    (query.py:44-61 img_path2chunk_id): every <SEP> segment that is NOT a
+    chunk id is looked up in `remap` (media id / path -> chunk id); mapped
+    values replace, unmapped non-chunk values are kept, and the set is
+    deduplicated (the reference uses a set).  Sorted join for determinism."""
+    out = set()
+    for seg in source_id.split(GRAPH_FIELD_SEP):
+        if not seg.startswith("chunk-") and seg in remap:
+            out.add(remap[seg])
+        else:
+            out.add(seg)
+    return GRAPH_FIELD_SEP.join(sorted(out))
+
+
+def write_audit_row(audit_dir: str, query_text: str, ctx: dict) -> str:
+    """S9 — the reference's context audit sink (query.py:392-397 appends the
+    context to working_dir/context.csv).  Here: one parquet part per query
+    under <audit_dir>/, named by content hash (idempotent re-runs overwrite
+    the same part; a directory of parts IS the append log, and stays
+    readable as one table)."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(audit_dir, exist_ok=True)
+    key = hashlib.md5(
+        (query_text + "\x1f" + ctx["entities_csv"]).encode()
+    ).hexdigest()
+    path = os.path.join(audit_dir, f"part-{key}.parquet")
+    tbl = pa.table(
+        {
+            "query": pa.array([query_text], pa.large_string()),
+            "entities_csv": pa.array([ctx["entities_csv"]], pa.large_string()),
+            "relations_csv": pa.array([ctx["relations_csv"]], pa.large_string()),
+            "text_units_csv": pa.array([ctx["text_units_csv"]], pa.large_string()),
+        }
+    )
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def build_local_context(
     query_text: str,
     nodes_ds,
@@ -105,14 +151,18 @@ def build_local_context(
     chunks_ds,
     entity_vecs_ds,
     param: QueryParam = QueryParam(),
+    source_remap: dict[str, str] | None = None,
+    audit_dir: str | None = None,
 ) -> dict:
     """Returns {entities_csv, relations_csv, text_units_csv, ...tables} for a
     query — the reference's _build_local_query_context (query.py:215-311)
     minus the LLM answer step (sandbox has no model; the context string IS
-    the deliverable of the data path)."""
+    the deliverable of the data path).  `source_remap` applies the J3
+    media-id -> chunk-id remap before text-unit retrieval; `audit_dir`
+    persists the context as a parquet sidecar (S9)."""
     top = entity_topk(entity_vecs_ds, query_text, param)
     if len(top) == 0:
-        return {
+        ctx = {
             "entities_csv": "",
             "relations_csv": "",
             "text_units_csv": "",
@@ -120,9 +170,16 @@ def build_local_context(
             "relations": pd.DataFrame(),
             "text_units": pd.DataFrame(),
         }
+        if audit_dir:
+            write_audit_row(audit_dir, query_text, ctx)
+        return ctx
     names = list(top["entity_name"])
 
     node_df = broadcast_semi_join(nodes_ds, names, "entity_name").to_pandas()
+    if source_remap:
+        node_df["source_id"] = node_df["source_id"].map(
+            lambda s: remap_source_ids(s, source_remap)
+        )
     # preserve retrieval (similarity) order, as the reference zips vdb
     # results with node fetches (query.py:245-253)
     order = {n: i for i, n in enumerate(names)}
@@ -157,6 +214,10 @@ def build_local_context(
             neighbors_of[tgt].append(src)
     one_hop = sorted({m for ns in neighbors_of.values() for m in ns})
     hop_df = broadcast_semi_join(nodes_ds, one_hop, "entity_name").to_pandas()
+    if source_remap:
+        hop_df["source_id"] = hop_df["source_id"].map(
+            lambda s: remap_source_ids(s, source_remap)
+        )
     hop_chunks = {
         n: set(s.split(GRAPH_FIELD_SEP))
         for n, s in zip(hop_df["entity_name"], hop_df["source_id"])
@@ -221,7 +282,7 @@ def build_local_context(
         [i, t["content"]] for i, t in enumerate(units)
     ]
 
-    return {
+    ctx = {
         "entities_csv": list_of_list_to_csv(entities_section),
         "relations_csv": list_of_list_to_csv(relations_section),
         "text_units_csv": list_of_list_to_csv(text_units_section),
@@ -229,3 +290,6 @@ def build_local_context(
         "relations": pd.DataFrame(edge_rows),
         "text_units": pd.DataFrame(units),
     }
+    if audit_dir:
+        write_audit_row(audit_dir, query_text, ctx)
+    return ctx

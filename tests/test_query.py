@@ -101,3 +101,45 @@ def test_graphml_roundtrip(tmp_path, graph_tables):
     pd.testing.assert_frame_equal(
         ed.sort_values(["src_id", "tgt_id"]).reset_index(drop=True), ed2
     )
+
+
+def test_remap_source_ids_j3():
+    """J3: non-chunk source segments remap to chunk ids, mapped+unmapped
+    dedup as a set (reference query.py:44-61 img_path2chunk_id)."""
+    from mmgraphrag_ray import GRAPH_FIELD_SEP as SEP
+    from mmgraphrag_ray.query import remap_source_ids
+
+    remap = {"media-1": "chunk-aaa", "media-2": "chunk-bbb"}
+    src = SEP.join(["chunk-aaa", "media-1", "media-2", "media-unmapped"])
+    out = remap_source_ids(src, remap)
+    # media-1 collapses into the already-present chunk-aaa (set semantics)
+    assert out == SEP.join(sorted({"chunk-aaa", "chunk-bbb", "media-unmapped"}))
+
+
+def test_audit_sidecar_written(ray_session, tmp_path):
+    """S9: build_local_context persists the context as a parquet sidecar."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mmgraphrag_ray.pipelines.kg import build_chunks, build_graph
+    from mmgraphrag_ray.corpus import ensure_corpus
+    from mmgraphrag_ray.query import build_local_context
+    from mmgraphrag_ray.stages.embed import build_entity_vecs
+
+    corpus = ensure_corpus("/root/testdata/sf0.001")
+    nodes, edges = build_graph(corpus)
+    nodes, edges = nodes.materialize(), edges.materialize()
+    chunks = build_chunks(corpus).materialize()
+    vecs = build_entity_vecs(nodes).materialize()
+    audit = str(tmp_path / "audit")
+    q = "which module defines the shared helpers"
+    ctx = build_local_context(q, nodes, edges, chunks, vecs, audit_dir=audit)
+    t = pq.read_table(audit)
+    assert t.num_rows == 1
+    row = t.to_pylist()[0]
+    assert row["query"] == q
+    assert row["entities_csv"] == ctx["entities_csv"]
+    # idempotent: same query+context -> same part file, still one row
+    build_local_context(q, nodes, edges, chunks, vecs, audit_dir=audit)
+    assert pq.read_table(audit).num_rows == 1
