@@ -394,6 +394,89 @@ def contract_graph(nodes_ds, edges_ds, alias_ds, cfg=None,
     return new_nodes, new_edges
 
 
+def enhance_unaligned_entities(
+    nodes_ds,
+    edges_ds,
+    alias_ds,
+    enhancer,
+    entity_types: tuple = ('"UNKNOWN"',),
+    cfg=None,
+):
+    """F6 — entity enhancement (reference fusion.py:636-727), deterministic
+    analog: nodes of the target types that were NOT aligned by the judge
+    (absent from the alias table as member or canonical) pass through the
+    `enhancer` seam ``(entity_name, description) -> (new_name, new_desc) |
+    None``.  Each returned rewrite becomes (a) a description update and (b)
+    an old->new rename routed through the SAME contraction machinery F8 uses
+    (the reference relabels the nx node and re-points its edges,
+    fusion.py:683-727; re-merging parallel edges per A3 is the deterministic
+    closure).  F7's whole-image-node alignment is this same data plane with
+    the ORI_IMG-analog node as the rewrite subject.
+
+    Returns (new_nodes, new_edges, rewrite_table).  The `enhancer` is the
+    LLM seam; the reference prompts it with nearby chunks — callers embed
+    that context in the closure."""
+    import ray
+
+    from ..config import DEFAULT_CONFIG
+
+    cfg = cfg or DEFAULT_CONFIG
+    alias_df = alias_ds.to_pandas() if hasattr(alias_ds, "to_pandas") else alias_ds
+    aligned = frozenset(alias_df["member_name"]) | frozenset(alias_df["canonical_name"])
+    aligned_ref = ray.put(aligned)
+    types = frozenset(entity_types)
+
+    def rewrites(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {"member_name": pd.Series(dtype=str),
+                 "canonical_name": pd.Series(dtype=str),
+                 "new_description": pd.Series(dtype=str)}
+            )
+        al = ray.get(aligned_ref)
+        target = batch[
+            batch["entity_type"].isin(types) & ~batch["entity_name"].isin(al)
+        ]
+        old, new, descs = [], [], []
+        for name, desc in zip(target["entity_name"], target["description"]):
+            out = enhancer(name, desc)
+            if out is None:
+                continue
+            new_name, new_desc = out
+            old.append(name)
+            new.append(new_name)
+            descs.append(new_desc)
+        return pd.DataFrame(
+            {"member_name": old, "canonical_name": new, "new_description": descs}
+        )
+
+    rewrite_tbl = nodes_ds.map_batches(rewrites, batch_format="pandas").materialize()
+    rw_df = rewrite_tbl.to_pandas()
+    if len(rw_df) == 0:
+        return nodes_ds, edges_ds, rewrite_tbl
+
+    desc_ref = ray.put(dict(zip(rw_df["member_name"], rw_df["new_description"])))
+
+    def apply_desc(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return batch
+        dmap = ray.get(desc_ref)
+        out = batch.copy()
+        hit = out["entity_name"].isin(dmap)
+        if hit.any():
+            out.loc[hit, "description"] = out.loc[hit, "entity_name"].map(dmap)
+        return out
+
+    rewritten_nodes = nodes_ds.map_batches(apply_desc, batch_format="pandas")
+    new_nodes, new_edges = contract_graph(
+        rewritten_nodes,
+        edges_ds,
+        rewrite_tbl.drop_columns(["new_description"]),
+        cfg,
+    )
+    return new_nodes, new_edges, rewrite_tbl
+
+
 def canonicalize_graph(nodes_ds, edges_ds, ent_mentions_ds, cfg=None, max_group: int = 64):
     """Full F2-F8 pass: cluster -> alias table -> contraction.
     Returns (canonical_nodes, canonical_edges, alias_table, clusters)."""

@@ -226,3 +226,60 @@ def test_contract_graph_join_path_equals_broadcast_path(ray_session):
     merged = e_b[(e_b.src_id == '"A"') & (e_b.tgt_id == '"C"')]
     assert len(merged) == 1 and float(merged.weight.iloc[0]) == 5.0
     assert set(n_b.entity_name) == {'"A"', '"C"'}
+
+
+def test_enhance_unaligned_entities_f6(ray_session):
+    """F6: an UNKNOWN entity missing from the alias table is renamed and
+    description-rewritten through the enhancer seam; its edges re-point to
+    the new name and re-merge per A3 (reference fusion.py:636-727)."""
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.linking import enhance_unaligned_entities
+
+    nodes = pd.DataFrame(
+        {
+            "entity_name": ['"HELPER"', '"M1"', '"ALIGNED_X"'],
+            "entity_type": ['"UNKNOWN"', '"MODULE"', '"UNKNOWN"'],
+            "description": ['"Module m1 calls helper."', '"Module m1."', '"x."'],
+            "source_id": ["c1", "c1", "c2"],
+        }
+    )
+    edges = pd.DataFrame(
+        {
+            "src_id": ['"HELPER"', '"HELPER"'],
+            "tgt_id": ['"M1"', '"M1"'],
+            "weight": [2.0, 2.0],
+            "description": ['"Module m1 calls helper."', '"second call site."'],
+            "source_id": ["c1", "c3"],
+            "order": [1, 1],
+        }
+    )
+    # ALIGNED_X is already in the alias table -> must NOT be enhanced
+    alias = pd.DataFrame(
+        {"member_name": ['"ALIGNED_X"'], "canonical_name": ['"X"']}
+    )
+
+    def enhancer(name, desc):
+        return name.strip('"').join(['"', '_RESOLVED"']), f'"[enhanced] {desc}"'
+
+    new_nodes, new_edges, rewrites = enhance_unaligned_entities(
+        ray.data.from_pandas(nodes),
+        ray.data.from_pandas(edges),
+        ray.data.from_pandas(alias),
+        enhancer,
+    )
+    nd = new_nodes.to_pandas()
+    names = set(nd.entity_name)
+    assert '"HELPER_RESOLVED"' in names and '"HELPER"' not in names
+    assert '"ALIGNED_X"' in names  # aligned entity untouched
+    row = nd[nd.entity_name == '"HELPER_RESOLVED"'].iloc[0]
+    assert row["description"].startswith('"[enhanced]')
+    ed = new_edges.to_pandas()
+    # both parallel edges re-pointed to the new name and re-merged (A3)
+    merged = ed[(ed.src_id == '"HELPER_RESOLVED"') & (ed.tgt_id == '"M1"')]
+    assert len(merged) == 1
+    assert float(merged.weight.iloc[0]) == 4.0
+    assert '"second call site."' in merged.description.iloc[0]
+    rw = rewrites.to_pandas()
+    assert set(rw.member_name) == {'"HELPER"'}
