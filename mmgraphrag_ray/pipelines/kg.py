@@ -171,8 +171,27 @@ def run_kg(
     mentions = ensure("mentions", 2, ["chunks"], _mentions_from_chunks)
     ent, rel = split_mentions(mentions)
 
-    nodes_merged = ensure("nodes_merged", 1, ["mentions"], lambda: merge_nodes(ent, cfg))
-    edges_merged = ensure("edges_merged", 1, ["mentions"], lambda: merge_edges(rel, cfg))
+    # BUCKET-granular resume for the merge shuffles: one manifest per reduce
+    # bucket; a kill mid-merge recomputes only the missing buckets on rerun
+    from ..stages.merge import N_BUCKETS as MERGE_BUCKETS
+
+    merge_upstream = [fp_in, {"stage": "mentions", "sig": sigs["mentions"]}]
+    ln.bucketed_stage(
+        out_dir, "nodes_merged", MERGE_BUCKETS,
+        lambda missing: merge_nodes(ent, cfg, buckets=missing, emit_bucket_col=True),
+        cfg, merge_upstream,
+    )
+    sigs["nodes_merged"] = ln.bucketed_stage_signature(out_dir, "nodes_merged", cfg, MERGE_BUCKETS)
+    done["nodes_merged"] = ln.stage_dir(out_dir, "nodes_merged")
+    ln.bucketed_stage(
+        out_dir, "edges_merged", MERGE_BUCKETS,
+        lambda missing: merge_edges(rel, cfg, buckets=missing, emit_bucket_col=True),
+        cfg, merge_upstream,
+    )
+    sigs["edges_merged"] = ln.bucketed_stage_signature(out_dir, "edges_merged", cfg, MERGE_BUCKETS)
+    done["edges_merged"] = ln.stage_dir(out_dir, "edges_merged")
+    nodes_merged = ln.read_stage(out_dir, "nodes_merged")
+    edges_merged = ln.read_stage(out_dir, "edges_merged")
 
     nodes = ensure(
         "nodes", 1, ["nodes_merged", "edges_merged"],

@@ -176,14 +176,47 @@ def _make_node_final(gate_tokens: int):
     return node_bucket_final
 
 
-def merge_nodes(entity_mentions_ds, cfg=None):
-    """mentions(entity_name, entity_type, description, source_id) -> nodes."""
+def _restrict_buckets(partials_ds, buckets):
+    """Filter partial rows to a bucket subset (bucket-granular shuffle
+    resume: reduce+write only the missing buckets; see lineage.bucketed_stage)."""
+    if buckets is None:
+        return partials_ds
+    keep = frozenset(int(b) for b in buckets)
+
+    def flt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t.column("bucket"), pa.array(sorted(keep), pa.int32())))
+
+    return partials_ds.map_batches(flt, batch_format="pyarrow")
+
+
+def _with_bucket_col(final_fn, emit: bool):
+    if not emit:
+        return final_fn
+
+    def wrapped(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = final_fn(bucket)
+        out["_rbucket"] = int(bucket["bucket"].iloc[0]) if len(bucket) else -1
+        return out
+
+    return wrapped
+
+
+def merge_nodes(entity_mentions_ds, cfg=None, buckets=None, emit_bucket_col=False):
+    """mentions(entity_name, entity_type, description, source_id) -> nodes.
+
+    `buckets` restricts the reduce to a bucket subset and `emit_bucket_col`
+    tags output rows with their reduce bucket — together they give the
+    write path bucket-granular resume (lineage.bucketed_stage)."""
     from ..config import DEFAULT_CONFIG
 
     cfg = cfg or DEFAULT_CONFIG
     partials = entity_mentions_ds.map_batches(_node_partial_arrow, batch_format="pandas")
+    partials = _restrict_buckets(partials, buckets)
     merged = partials.groupby("bucket").map_groups(
-        _make_node_final(cfg.entity_summary_to_max_tokens), batch_format="pandas"
+        _with_bucket_col(_make_node_final(cfg.entity_summary_to_max_tokens), emit_bucket_col),
+        batch_format="pandas",
     )
     # coalesce away the schema-less empty blocks hash-shuffle map_groups
     # emits for empty partitions (they crash any downstream shuffle)
@@ -259,15 +292,18 @@ def _make_edge_final(gate_tokens: int):
     return edge_bucket_final
 
 
-def merge_edges(rel_mentions_ds, cfg=None):
+def merge_edges(rel_mentions_ds, cfg=None, buckets=None, emit_bucket_col=False):
     """rel_mentions(src_id<=tgt_id, weight, description, source_id, order)
-    -> edges (with internal description_full column)."""
+    -> edges (with internal description_full column).  `buckets` /
+    `emit_bucket_col`: bucket-granular resume, see merge_nodes."""
     from ..config import DEFAULT_CONFIG
 
     cfg = cfg or DEFAULT_CONFIG
     partials = rel_mentions_ds.map_batches(_edge_partial_arrow, batch_format="pandas")
+    partials = _restrict_buckets(partials, buckets)
     merged = partials.groupby("bucket").map_groups(
-        _make_edge_final(cfg.entity_summary_to_max_tokens), batch_format="pandas"
+        _with_bucket_col(_make_edge_final(cfg.entity_summary_to_max_tokens), emit_bucket_col),
+        batch_format="pandas",
     )
     return merged.repartition(16)
 

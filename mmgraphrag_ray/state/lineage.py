@@ -170,6 +170,128 @@ def partitioned_stage(
     return base
 
 
+def bucketed_stage(
+    out_dir: str,
+    stage: str,
+    n_buckets: int,
+    build_missing,
+    cfg,
+    upstream: list,
+    version: int = 1,
+    bucket_col: str = "_rbucket",
+) -> str:
+    """KEY-RANGE (hash-bucket) checkpointing for a SHUFFLE stage: the stage
+    output is partitioned by its reduce bucket (crc32(key) % n_buckets — the
+    same bucket the merge shuffle already groups by), one manifest per
+    bucket.  A rerun recomputes ONLY the missing/stale buckets: the map side
+    re-scans its input (a half-finished shuffle has no resumable map state),
+    but reduce + write are restricted to the missing bucket set, and
+    completed buckets are never rewritten.  This upgrades the merge shuffles
+    from stage-granular to bucket-granular resume (north_rule per-partition
+    lineage for the wide stages).
+
+    ``build_missing(missing: list[int]) -> Dataset`` must return the stage
+    output restricted to those buckets, carrying `bucket_col`.  Bucket dirs
+    are named ``bucket_<b>`` (NOT hive ``key=value``) so re-reading the
+    stage does not invent a partition column."""
+    base = stage_dir(out_dir, stage)
+    os.makedirs(base, exist_ok=True)
+
+    def bucket_sig(b: int) -> str:
+        return stage_signature(f"{stage}/bucket_{b}", version, cfg, upstream)
+
+    def write_stage_manifest() -> None:
+        # stage-level summary over the bucket manifests (observability +
+        # the same read_manifest surface every other stage has)
+        rows, sigs = 0, []
+        for b in range(n_buckets):
+            try:
+                with open(os.path.join(base, f"bucket_{b}", MANIFEST)) as f:
+                    m = json.load(f)
+                rows += int(m.get("rows", 0))
+                sigs.append(m.get("signature"))
+            except (OSError, json.JSONDecodeError):
+                sigs.append(None)
+        payload = {
+            "stage": stage,
+            "granularity": "bucket",
+            "n_buckets": n_buckets,
+            "signature": stage_signature(stage, 1, cfg, [{"buckets": sigs}]),
+            "rows": rows,
+            "wall_sec": 0,  # per-bucket manifests carry the real timings
+        }
+        mpath = os.path.join(base, MANIFEST)
+        try:  # no-op rerun must not touch the file (mtime = resume evidence)
+            with open(mpath) as f:
+                if json.load(f) == payload:
+                    return
+        except (OSError, json.JSONDecodeError):
+            pass
+        with open(mpath, "w") as f:
+            json.dump(payload, f, indent=2)
+
+    missing = []
+    for b in range(n_buckets):
+        mpath = os.path.join(base, f"bucket_{b}", MANIFEST)
+        try:
+            with open(mpath) as f:
+                if json.load(f).get("signature") == bucket_sig(b):
+                    continue
+        except (OSError, json.JSONDecodeError):
+            pass
+        missing.append(b)
+    if not missing:
+        write_stage_manifest()
+        return base
+
+    tmp = base + f"._tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    t0 = time.time()
+    ds = build_missing(missing)
+    ds.write_parquet(tmp, partition_cols=[bucket_col])
+    wall = time.time() - t0
+    for b in missing:
+        src = os.path.join(tmp, f"{bucket_col}={b}")
+        dst = os.path.join(base, f"bucket_{b}")
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.exists(src):
+            rows = ray.data.read_parquet(src).count()
+            os.replace(src, dst)
+        else:  # empty bucket: stamp a manifest so reruns skip it
+            rows = 0
+            os.makedirs(dst, exist_ok=True)
+        with open(os.path.join(dst, MANIFEST), "w") as f:
+            json.dump(
+                {
+                    "stage": stage,
+                    "bucket": b,
+                    "signature": bucket_sig(b),
+                    "rows": rows,
+                    "wall_sec": round(wall, 3),
+                },
+                f,
+                indent=2,
+            )
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_stage_manifest()
+    return base
+
+
+def bucketed_stage_signature(out_dir: str, stage: str, cfg, n_buckets: int) -> str:
+    """Stage-level signature = the set of bucket signatures (stable across a
+    bucket REBUILD with identical inputs, so downstream stages are not
+    invalidated by a resume that reproduced the same data)."""
+    sigs = []
+    for b in range(n_buckets):
+        mpath = os.path.join(stage_dir(out_dir, stage), f"bucket_{b}", MANIFEST)
+        try:
+            with open(mpath) as f:
+                sigs.append(json.load(f)["signature"])
+        except (OSError, json.JSONDecodeError, KeyError):
+            sigs.append(None)
+    return stage_signature(stage, 1, cfg, [{"buckets": sigs}])
+
+
 def list_shards(corpus_dir: str) -> list[str]:
     if os.path.isdir(corpus_dir):
         return sorted(

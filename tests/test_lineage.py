@@ -123,3 +123,42 @@ def test_corrupt_manifest_triggers_recompute(first_run):
     # stage rebuilt with a valid manifest
     m = ln.read_manifest(OUT, "edges")
     assert m["rows"] > 0 and m["signature"]
+
+
+def test_bucket_granular_merge_resume(first_run):
+    """Deleting individual merge-shuffle bucket checkpoints recomputes ONLY
+    those buckets on rerun (key-range manifests for the wide stages);
+    untouched buckets keep their files and the final table is unchanged."""
+    path, _ = first_run
+    before = _read_sorted("nodes_merged")
+
+    base = os.path.join(OUT, "nodes_merged")
+    victims = ["bucket_3", "bucket_17"]
+    for v in victims:
+        shutil.rmtree(os.path.join(base, v))
+    survivor = os.path.join(base, "bucket_5", ln.MANIFEST)
+    survivor_mtime = os.path.getmtime(survivor)
+
+    run_kg(path, OUT, canonicalize=False)
+
+    # victims restored, survivor untouched (not rewritten)
+    for v in victims:
+        assert os.path.exists(os.path.join(base, v, ln.MANIFEST)), v
+    assert os.path.getmtime(survivor) == survivor_mtime
+    after = _read_sorted("nodes_merged")
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_bucketed_stage_signature_stable_across_rebuild(first_run):
+    """A bucket rebuild that reproduces identical data must not invalidate
+    downstream stages: the stage-level signature is the set of bucket
+    signatures, which depend only on inputs+config."""
+    path, _ = first_run
+    from mmgraphrag_ray.config import DEFAULT_CONFIG
+    from mmgraphrag_ray.stages.merge import N_BUCKETS
+
+    sig1 = ln.bucketed_stage_signature(OUT, "edges_merged", DEFAULT_CONFIG, N_BUCKETS)
+    shutil.rmtree(os.path.join(OUT, "edges_merged", "bucket_9"))
+    run_kg(path, OUT, canonicalize=False)
+    sig2 = ln.bucketed_stage_signature(OUT, "edges_merged", DEFAULT_CONFIG, N_BUCKETS)
+    assert sig1 == sig2
