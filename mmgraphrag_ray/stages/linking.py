@@ -110,16 +110,67 @@ def spectral_cluster_group(
 # ------------------------------------------------------------ partitioning
 
 
-def assign_partitions(ent_mentions_ds):
-    """entity -> partition key (the repo that first mentions it, min by
-    name for determinism). Returns Dataset(entity_name, partition)."""
+def assign_partitions(ent_mentions_ds, mode: str = "repo", window: int = 3):
+    """entity -> partition key.  Returns Dataset(entity_name, partition).
+
+    mode='repo' (default): the repo that first mentions it (min for
+    determinism) — bounded-size lexicographic windows downstream.
+
+    mode='chunk_window': the J2 POSITIONAL-locality analog of the
+    reference's chunk_order_index in [i-1, i+1] neighborhood windows
+    (fusion.py:156-202): partition = (doc_id, chunk_order_index // window)
+    of the entity's smallest (doc_id, chunk_order) mention, so entities
+    mentioned in adjacent chunks of the same document co-cluster — tumbling
+    rather than sliding (each entity belongs to exactly ONE window, keeping
+    cluster labels single-valued; the reference anchors ±1 around an image
+    chunk, which a per-entity partition cannot reproduce without duplicating
+    entities across overlapping windows)."""
+    import pandas as pd
+
     from .groupagg import bucketed_groupby_agg
 
-    return bucketed_groupby_agg(
-        ent_mentions_ds,
+    if mode == "repo":
+        return bucketed_groupby_agg(
+            ent_mentions_ds,
+            keys=["entity_name"],
+            aggs={"partition": ("repo", "min")},
+        )
+    if mode != "chunk_window":
+        raise ValueError(f"unknown partition mode {mode!r}")
+
+    def poskey(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"entity_name": pd.Series(dtype=str), "_pos": pd.Series(dtype=str)}
+            )
+        return pd.DataFrame(
+            {
+                "entity_name": b["entity_name"],
+                # zero-padded so lexicographic min == numeric min
+                "_pos": b["doc_id"] + "#" + b["chunk_order_index"].astype(int).map(
+                    "{:06d}".format
+                ),
+            }
+        )
+
+    first = bucketed_groupby_agg(
+        ent_mentions_ds.map_batches(poskey, batch_format="pandas"),
         keys=["entity_name"],
-        aggs={"partition": ("repo", "min")},
+        aggs={"pos": ("_pos", "min")},
     )
+
+    def to_window(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"entity_name": pd.Series(dtype=str), "partition": pd.Series(dtype=str)}
+            )
+        split = b["pos"].str.rsplit("#", n=1, expand=True)
+        win = (split[1].astype(int) // window).astype(str)
+        return pd.DataFrame(
+            {"entity_name": b["entity_name"], "partition": split[0] + "#w" + win}
+        )
+
+    return first.map_batches(to_window, batch_format="pandas")
 
 
 def _cluster_partition_factory(max_group: int):
@@ -164,14 +215,15 @@ def _cluster_partition_factory(max_group: int):
     return cluster_bucket
 
 
-def cluster_entities(nodes_ds, edges_ds, ent_mentions_ds, max_group: int = 64):
+def cluster_entities(nodes_ds, edges_ds, ent_mentions_ds, max_group: int = 64,
+                     partition_mode: str = "repo", window: int = 3):
     """F2: per-neighborhood spectral clustering.
     Returns Dataset(entity_name, partition, group_id, label)."""
     # Each bucketed_join and the final clustering groupby is an all-to-all;
     # chaining >2 hash-shuffle operators in ONE streaming DAG deadlocks Ray
     # 2.49's aggregator scheduling (observed), so the small join outputs are
     # pinned between shuffles (the write path checkpoints them to parquet).
-    parts = assign_partitions(ent_mentions_ds).materialize()
+    parts = assign_partitions(ent_mentions_ds, partition_mode, window).materialize()
     ent = bucketed_join(
         nodes_ds.select_columns(["entity_name", "description"]), parts, on="entity_name"
     ).materialize()
@@ -477,10 +529,13 @@ def enhance_unaligned_entities(
     return new_nodes, new_edges, rewrite_tbl
 
 
-def canonicalize_graph(nodes_ds, edges_ds, ent_mentions_ds, cfg=None, max_group: int = 64):
+def canonicalize_graph(nodes_ds, edges_ds, ent_mentions_ds, cfg=None, max_group: int = 64,
+                       partition_mode: str = "repo", window: int = 3):
     """Full F2-F8 pass: cluster -> alias table -> contraction.
     Returns (canonical_nodes, canonical_edges, alias_table, clusters)."""
-    clusters = cluster_entities(nodes_ds, edges_ds, ent_mentions_ds, max_group).materialize()
+    clusters = cluster_entities(
+        nodes_ds, edges_ds, ent_mentions_ds, max_group, partition_mode, window
+    ).materialize()
     alias = build_alias_table(clusters).materialize()
     new_nodes, new_edges = contract_graph(nodes_ds, edges_ds, alias, cfg)
     return new_nodes, new_edges, alias, clusters

@@ -283,3 +283,30 @@ def test_enhance_unaligned_entities_f6(ray_session):
     assert '"second call site."' in merged.description.iloc[0]
     rw = rewrites.to_pandas()
     assert set(rw.member_name) == {'"HELPER"'}
+
+
+def test_chunk_window_partitioning_j2(ray_session):
+    """J2: chunk_window mode co-partitions entities mentioned in adjacent
+    chunks of one document (positional locality, reference fusion.py:156-202)
+    and separates distant ones."""
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.linking import assign_partitions
+
+    mentions = pd.DataFrame(
+        {
+            "entity_name": ['"A"', '"B"', '"C"', '"A"'],
+            "doc_id": ["d1", "d1", "d1", "d2"],
+            "repo": ["r1", "r1", "r1", "r2"],
+            "chunk_order_index": [0, 1, 9, 5],
+        }
+    )
+    parts = assign_partitions(
+        ray.data.from_pandas(mentions), mode="chunk_window", window=3
+    ).to_pandas()
+    p = dict(zip(parts["entity_name"], parts["partition"]))
+    # A (chunk 0, first mention wins) and B (chunk 1) share the d1 window 0
+    assert p['"A"'] == p['"B"'] == "d1#w0"
+    # C is 8 chunks away -> different window
+    assert p['"C"'] == "d1#w3"
