@@ -451,6 +451,12 @@ def _explode_endpoints(batch: pd.DataFrame) -> pd.DataFrame:
             )
         )
     out = pd.concat(frames, ignore_index=True)
+    # combiner: only the min-(src,tgt) candidate per endpoint can win the
+    # final (min of per-batch mins == global min), so pre-reduce before the
+    # shuffle — halves+ the payload rows the anti-join moves
+    out = out.sort_values(
+        ["entity_name", "src_id", "tgt_id"], kind="mergesort"
+    ).drop_duplicates(subset=["entity_name"], keep="first")
     out["bucket"] = _bucket_of(out["entity_name"])
     return out
 
