@@ -16,7 +16,6 @@ raw DataFrame.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -52,11 +51,8 @@ def df_to_table(df: pd.DataFrame, **type_overrides: pa.DataType) -> pa.Table:
         t = _arrow_type_for(df[c], type_overrides.get(c))
         s = df[c]
         if s.dtype == object or str(s.dtype) in ("string", "str"):
-            values = s.tolist()
-            # pandas uses NaN for missing in object columns; Arrow wants None
-            values = [None if (v is None or (isinstance(v, float) and np.isnan(v))) else v
-                      for v in values]
-            arrays.append(pa.array(values, type=t))
+            # C-level conversion; NaN/None in object columns become nulls
+            arrays.append(pa.Array.from_pandas(s, type=t))
         else:
             arrays.append(pa.array(s.to_numpy(), type=t))
         fields.append(pa.field(c, t))
