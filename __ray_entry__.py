@@ -566,6 +566,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ctx["entities"]
 
+    def kg_enhanced_nodes(sf_dir):
+        # F6 entity enhancement with a DETERMINISTIC enhancer over an empty
+        # alias table: every '"UNKNOWN"' node (the unaligned-entity analog)
+        # is renamed <NAME>_R with a fixed rewritten description, then the
+        # graph re-merges through the contraction — fully SQL-mirrorable
+        import pandas as pd
+
+        from mmgraphrag_ray.stages.linking import enhance_unaligned_entities
+
+        nodes, edges = _build_graph_cached(sf_dir)
+        empty_alias = pd.DataFrame(
+            {"member_name": pd.Series(dtype=str), "canonical_name": pd.Series(dtype=str)}
+        )
+
+        def enhancer(name, desc):
+            return name[:-1] + '_R"', '"Enhanced: unresolved reference."'
+
+        n2, _e2, _rw = enhance_unaligned_entities(nodes, edges, empty_alias, enhancer)
+        return n2
+
     def kg_node_degrees(sf_dir):
         # the degree table that ranks entities/edges in the local-query
         # context (reference storage.py:451-460) — value-oracled on its own
@@ -683,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_feature_vecs": media_feature_vecs,
         "kg_query_context": kg_query_context,
         "kg_node_degrees": kg_node_degrees,
+        "kg_enhanced_nodes": kg_enhanced_nodes,
         "kg_resolve_refs": kg_resolve_refs,
         "code_strip_comments": code_strip_comments,
         "doc_sample": doc_sample,
@@ -712,6 +733,42 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions": kg + "\nSELECT * FROM ent_mentions",
         "kg_rel_mentions": kg + "\nSELECT * FROM rel_mentions",
         "kg_nodes": kg + merge + "\nSELECT * FROM nodes",
+        "kg_enhanced_nodes": kg + merge + f""",
+ren AS (
+  SELECT CASE WHEN entity_type = '"UNKNOWN"'
+              THEN substr(entity_name, 1, length(entity_name) - 1) || '_R"'
+              ELSE entity_name END AS new_name,
+         entity_type,
+         CASE WHEN entity_type = '"UNKNOWN"'
+              THEN '"Enhanced: unresolved reference."'
+              ELSE description END AS description,
+         source_id
+  FROM nodes
+),
+tmode AS (
+  SELECT new_name, entity_type FROM (
+    SELECT new_name, entity_type, count(*) AS c,
+           row_number() OVER (PARTITION BY new_name ORDER BY count(*) DESC, entity_type ASC) AS rn
+    FROM ren GROUP BY new_name, entity_type
+  ) WHERE rn = 1
+),
+dsegs AS (
+  SELECT DISTINCT new_name, unnest(string_split(description, '<SEP>')) AS seg FROM ren
+),
+ssegs AS (
+  SELECT DISTINCT new_name, unnest(string_split(source_id, '<SEP>')) AS seg FROM ren
+),
+dagg AS (
+  SELECT new_name, string_agg(seg, '<SEP>' ORDER BY seg) AS description FROM dsegs GROUP BY 1
+),
+sagg AS (
+  SELECT new_name, string_agg(seg, '<SEP>' ORDER BY seg) AS source_id FROM ssegs GROUP BY 1
+)
+SELECT d.new_name AS entity_name, t.entity_type,
+       {_trunc('d.description')} AS description, s.source_id
+FROM dagg d JOIN tmode t ON t.new_name = d.new_name
+JOIN sagg s ON s.new_name = d.new_name
+""",
         "kg_node_degrees": kg + merge + """
             SELECT entity_name, count(*) AS degree FROM (
               SELECT src_id AS entity_name FROM edges

@@ -151,7 +151,10 @@ def _scaling_main() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     cpus = [int(x) for x in os.environ.get("RAYKG_SCALING_CPUS", "2,8").split(",")]
-    lo, hi = run(cpus[0], 2), run(cpus[1], 4)
+    reps = [
+        int(x) for x in os.environ.get("RAYKG_SCALING_REPEATS", "2,4").split(",")
+    ]
+    lo, hi = run(cpus[0], reps[0]), run(cpus[1], reps[1])
     tput_lo, tput_hi = lo["files_per_sec"], hi["files_per_sec"]
     eff = tput_hi / ((cpus[1] / cpus[0]) * tput_lo)
     print(
