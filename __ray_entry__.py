@@ -295,6 +295,39 @@ WHERE bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) <=
 """
 
 
+def _doc_quality_sql() -> str:
+    """Mirror of stages/textstats.py QualityScoreStage — identical integer
+    counts, identical IEEE expression shape."""
+    from mmgraphrag_ray.stages.textstats import _QUALITY_STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in _QUALITY_STOPWORDS)
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, regexp_extract_all(text, '[A-Za-z]+') AS ws FROM documents
+),
+c AS (
+  SELECT doc_id,
+         len(ws) AS nw,
+         len(list_filter(ws, x -> list_contains([{stops}], lower(x)))) AS ns,
+         COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS wl,
+         len(regexp_extract_all(text, '[A-Za-z0-9]')) AS na,
+         length(text) AS nc
+  FROM w
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN nw > 0 THEN CAST(ns AS DOUBLE) / nw ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN nw > 0 THEN CAST(wl AS DOUBLE) / nw ELSE 0.0 END AS mean_word_len,
+         CASE WHEN nc > 0 THEN CAST(na AS DOUBLE) / nc ELSE 0.0 END AS alnum_ratio
+  FROM c
+)
+SELECT doc_id, stopword_ratio, mean_word_len, alnum_ratio,
+       stopword_ratio * 0.5 + least(mean_word_len / 10.0, 1.0) * 0.3
+         + alnum_ratio * 0.2 AS quality_score
+FROM r
+"""
+
+
 def _corpus(sf_dir: str) -> str:
     from mmgraphrag_ray.corpus import ensure_corpus
 
@@ -527,6 +560,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             aggs={"total_tokens": ("n_tokens", "sum"), "n_docs": (None, "count")},
         )
 
+    def doc_quality(sf_dir):
+        from mmgraphrag_ray.stages.textstats import doc_quality_scores
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return doc_quality_scores(docs)
+
     def doc_fingerprint(sf_dir):
         docs = ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -697,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_lang_source": distinct_lang_source,
         "doc_text_stats": doc_stats,
         "token_count_by_lang": token_count_by_lang,
+        "doc_quality": doc_quality,
         "doc_fingerprint": doc_fingerprint,
         "doc_lang_id": doc_lang_id_q,
         "media_decode": media_decode,
@@ -824,6 +866,7 @@ JOIN sagg s ON s.new_name = d.new_name
                    count(*) AS n_docs
             FROM documents GROUP BY lang
         """,
+        "doc_quality": _doc_quality_sql(),
         "doc_fingerprint": """
             SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents

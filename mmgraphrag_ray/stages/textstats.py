@@ -149,3 +149,59 @@ _LANG_ID = LangIdStage()
 
 def doc_lang_id(documents_ds):
     return documents_ds.map_batches(_LANG_ID, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------- quality scoring
+
+# fixed inventory so the DuckDB oracle can inline the same list
+_QUALITY_STOPWORDS = sorted(
+    {"the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+     "a", "an", "on", "with", "as", "by", "at", "this", "are", "be"}
+)
+
+
+class QualityScoreStage:
+    """Heuristic document quality (the C4/Gopher-style rule family):
+    stopword ratio, mean word length, non-alnum ratio, and a composite
+    score = stopword_ratio * 0.5 + bounded_word_len * 0.3 + alnum_ratio
+    * 0.2 — every term an IEEE op over integer counts shared with the SQL
+    oracle, so the score is engine-exact."""
+
+    def __init__(self):
+        self.word = re.compile(WORD_RE)
+        self.alnum = re.compile(r"[A-Za-z0-9]")
+        self.stop = frozenset(_QUALITY_STOPWORDS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_stop, n_words, wlen_sum, n_alnum, n_chars = [], [], [], [], []
+        for t in texts:
+            words = self.word.findall(t)
+            n_words.append(len(words))
+            n_stop.append(sum(1 for w in words if w.lower() in self.stop))
+            wlen_sum.append(sum(len(w) for w in words))
+            n_alnum.append(len(self.alnum.findall(t)))
+            n_chars.append(len(t))
+        sr = [s / w if w else 0.0 for s, w in zip(n_stop, n_words)]
+        mw = [l / w if w else 0.0 for l, w in zip(wlen_sum, n_words)]
+        ar = [a / c if c else 0.0 for a, c in zip(n_alnum, n_chars)]
+        score = [
+            s * 0.5 + min(m / 10.0, 1.0) * 0.3 + a * 0.2
+            for s, m, a in zip(sr, mw, ar)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "stopword_ratio": pa.array(sr, pa.float64()),
+                "mean_word_len": pa.array(mw, pa.float64()),
+                "alnum_ratio": pa.array(ar, pa.float64()),
+                "quality_score": pa.array(score, pa.float64()),
+            }
+        )
+
+
+_QUALITY = QualityScoreStage()
+
+
+def doc_quality_scores(documents_ds):
+    return documents_ds.map_batches(_QUALITY, batch_format="pyarrow")
