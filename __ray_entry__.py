@@ -250,6 +250,61 @@ SELECT id, min(r) AS label FROM reach GROUP BY id
 """
 
 
+def _jaccard_cc_sql(threshold: float = 0.8, max_df: int = 64) -> str:
+    """Exact SQL mirror of stages/dedup.py dedup_jaccard over `documents`:
+    shared-shingle blocking (16-hex md5 of the shingle, document-frequency
+    cap mirrored from JACCARD_MAX_DF), exact Jaccard verify, recursive-CTE
+    connected components."""
+    return f"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+),
+shing AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(list_slice(ws, s, s + 2), ' ') AS shingle
+    FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(s)
+    WHERE len(ws) >= 3
+    UNION ALL
+    SELECT doc_id, array_to_string(ws, ' ') FROM words WHERE len(ws) BETWEEN 1 AND 2
+  )
+),
+sh AS (SELECT doc_id, substr(md5(shingle), 1, 16) AS sh FROM shing),
+df AS (SELECT sh, count(DISTINCT doc_id) AS n FROM sh GROUP BY 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a
+  JOIN df ON df.sh = a.sh AND df.n <= {max_df}
+  JOIN sh b ON b.sh = a.sh AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN shing sa ON sa.doc_id = c.id_a
+  JOIN shing sb ON sb.doc_id = c.id_b AND sa.shingle = sb.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN counts ca ON ca.doc_id = c.id_a
+  JOIN counts cb ON cb.doc_id = c.id_b
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  WHERE CAST(COALESCE(i.i, 0) AS DOUBLE) / (ca.n + cb.n - COALESCE(i.i, 0)) >= {threshold}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION ALL SELECT id_b, id_a FROM verified
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+)
+SELECT id, min(r) AS label FROM reach GROUP BY id
+"""
+
+
 def _simhash_pairs_sql(max_hamming: int = 3) -> str:
     """Exact SQL mirror of stages/dedup.py dedup_simhash: two md5-derived
     32-bit halves, sign-of-sum bits, 4x16-bit chunk candidate buckets, exact
@@ -471,6 +526,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         return dedup_minhash(docs, threshold=0.8)
+
+    def dedup_jaccard_documents(sf_dir):
+        from mmgraphrag_ray.stages.dedup import dedup_jaccard
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return dedup_jaccard(docs, threshold=0.8)
 
     def dedup_simhash_documents(sf_dir):
         from mmgraphrag_ray.stages.dedup import dedup_simhash
@@ -733,6 +796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_vecs": kg_entity_vecs,
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
+        "dedup_jaccard_documents": dedup_jaccard_documents,
         "dedup_simhash_documents": dedup_simhash_documents,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "distinct_lang_source": distinct_lang_source,
@@ -826,6 +890,7 @@ JOIN sagg s ON s.new_name = d.new_name
             ) WHERE rn = 1
         """,
         "dedup_minhash_documents": _minhash_cc_sql(threshold=0.8),
+        "dedup_jaccard_documents": _jaccard_cc_sql(threshold=0.8),
         # LSH recall vs this all-pairs oracle is exact HERE because the only
         # >=0.95 pairs are the planted scaled copies (same LSH bucket by
         # construction: positive scaling preserves hyperplane signs); the

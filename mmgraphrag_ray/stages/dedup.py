@@ -345,6 +345,81 @@ def dedup_minhash(docs_ds, threshold: float = 0.8,
     )
 
 
+# ---------------------------------------------------------- n-gram jaccard
+
+# blocking key: shingles shared by more than this many docs are too common
+# to discriminate (stopword runs, license boilerplate) and would emit
+# O(df^2) candidate pairs — skip them.  A true near-dup pair shares MANY
+# shingles, so losing the hot ones costs no recall in practice; the cap is
+# mirrored verbatim in the SQL oracle so both sides skip identically.
+JACCARD_MAX_DF = 64
+
+
+def jaccard_candidate_pairs(
+    docs_ds, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
+    max_df: int = JACCARD_MAX_DF,
+):
+    """documents -> candidate pairs (id_a < id_b) that share at least one
+    word k-gram shingle with document frequency <= max_df.  Unlike MinHash
+    this blocking is exhaustive up to the df cap: every pair with a rare
+    shared shingle becomes a candidate (no banding probability).  Shuffle
+    rows carry the 16-hex md5 of the shingle, not the text."""
+
+    def to_shingle_rows(batch: pd.DataFrame):
+        ids, shs = [], []
+        for doc_id, text in zip(batch[id_col], batch[text_col]):
+            for s in shingle_set(text, k):
+                ids.append(doc_id)
+                shs.append(hashlib.md5(s.encode()).hexdigest()[:16])
+        out = pd.DataFrame({"doc_id": ids, "sh": shs})
+        if len(out):
+            out["bucket"] = out["sh"].map(
+                lambda s: zlib.crc32(s.encode()) % N_BUCKETS
+            ).astype("int32")
+        else:
+            out["bucket"] = pd.Series(dtype="int32")
+        return _pairs_arrow(out)
+
+    def pairs_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _sh, g in bucket.groupby("sh", sort=False):
+            ids = sorted(g["doc_id"].unique())
+            if len(ids) > max_df:  # hot shingle: non-discriminative, skip
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    rows.append((ids[i], ids[j]))
+        return pd.DataFrame(rows, columns=["id_a", "id_b"]).drop_duplicates()
+
+    rows = docs_ds.map_batches(to_shingle_rows, batch_format="pandas")
+    pairs = (
+        rows.groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .repartition(8)
+    )
+    return dedup_exact(pairs.map_batches(
+        lambda b: b.assign(pair=b["id_a"].astype(str) + "|" + b["id_b"].astype(str))
+        if len(b) else b.assign(pair=pd.Series(dtype="object")),
+        batch_format="pandas",
+    ), key="pair", order_by=["id_a", "id_b"]).drop_columns(["pair"])
+
+
+def dedup_jaccard(docs_ds, threshold: float = 0.8,
+                  id_col: str = "doc_id", text_col: str = "text", k: int = 3,
+                  max_df: int = JACCARD_MAX_DF):
+    """Exhaustive n-gram-Jaccard near-dedup (the non-probabilistic sibling
+    of dedup_minhash): shared-shingle blocking with a document-frequency cap
+    instead of LSH banding, then the same exact-Jaccard verify and
+    connected-components labeling.  Returns Dataset(id, label)."""
+    docs_ds = docs_ds.materialize()
+    pairs = jaccard_candidate_pairs(docs_ds, id_col, text_col, k, max_df)
+    verified = verify_jaccard(pairs.materialize(), docs_ds, threshold,
+                              id_col, text_col, k)
+    return connected_components(
+        verified.drop_columns(["jaccard"]).materialize(), docs_ds, id_col
+    )
+
+
 # ------------------------------------------------------------------ simhash
 
 _TOKEN_RE = re.compile(r"[A-Za-z0-9]+")

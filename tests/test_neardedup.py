@@ -114,3 +114,33 @@ def test_connected_components_no_driver_label_broadcast():
     ).to_pandas()
     lab = dict(zip(labels["id"], labels["label"]))
     assert lab == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7}
+
+
+def test_dedup_jaccard_clusters_near_duplicates():
+    from mmgraphrag_ray.stages.dedup import dedup_jaccard
+
+    docs = pd.DataFrame({"doc_id": [1, 2, 3], "text": [BASE, NEAR, FAR]})
+    labels = dedup_jaccard(ray.data.from_pandas(docs), threshold=0.7).to_pandas()
+    lab = dict(zip(labels["id"], labels["label"]))
+    assert lab[1] == lab[2] == 1
+    assert lab[3] == 3
+
+
+def test_jaccard_hot_shingle_skipped():
+    from mmgraphrag_ray.stages.dedup import jaccard_candidate_pairs
+
+    # every doc shares one hot shingle; with max_df below the corpus size the
+    # hot shingle is skipped, so only the docs that also share a RARE
+    # shingle pair up
+    common = "alpha beta gamma"
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(10)),
+            "text": [f"{common} unique{i} filler{i} tail{i}" for i in range(8)]
+            + [f"{common} shared rare trigram one", f"{common} shared rare trigram two"],
+        }
+    )
+    pairs = jaccard_candidate_pairs(
+        ray.data.from_pandas(docs), max_df=5
+    ).to_pandas()
+    assert set(zip(pairs.id_a, pairs.id_b)) == {(8, 9)}
