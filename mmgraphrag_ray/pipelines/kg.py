@@ -19,7 +19,7 @@ import ray.data
 from ..config import DEFAULT_CONFIG, KGConfig
 from ..sources.files import read_files
 from ..stages.chunk import chunk_files
-from ..stages.dedup import dedup_exact
+from ..stages.dedup import dedup_exact, dedup_exact_broadcast  # noqa: F401
 from ..stages.extract import extract_mentions, split_mentions  # noqa: F401
 from ..stages.merge import (
     backfill_unknown_nodes,
@@ -35,16 +35,19 @@ def build_chunks(files_path: str, cfg: KGConfig = DEFAULT_CONFIG) -> ray.data.Da
 
     configure()
     files = read_files(files_path, override_num_blocks=cfg.read_num_blocks)
-    chunks = chunk_files(files, cfg)
-    # ONE dedup shuffle covers both reference dedups: the doc-level
-    # content-hash anti-join (preprocessing.py:107-118) is subsumed by the
-    # chunk-level keyed insert (preprocessing.py:126-150) because duplicate
-    # files share doc_id = md5(content) and produce identical chunk windows;
-    # the min-(doc_id, repo, path) survivor equals the two-stage result
+    # Pinned once: consumed by the key-only dedup pass and the filter pass.
+    chunks = chunk_files(files, cfg).materialize()
+    # ONE dedup covers both reference dedups: the doc-level content-hash
+    # anti-join (preprocessing.py:107-118) is subsumed by the chunk-level
+    # keyed insert (preprocessing.py:126-150) because duplicate files share
+    # doc_id = md5(content) and produce identical chunk windows; the
+    # min-(doc_id, repo, path) survivor equals the two-stage result
     # (deviation only for identical content at identical repo+path with
     # different commits, which the id scheme cannot distinguish anyway).
-    # Saves a full-payload shuffle per run vs deduping files then chunks.
-    return dedup_exact(
+    # Broadcast variant: only the 5 short key columns take the shuffle —
+    # chunk payloads never move (falls back to the payload shuffle above a
+    # duplicate-count guard).
+    return dedup_exact_broadcast(
         chunks, key="chunk_id", order_by=["doc_id", "repo", "path", "chunk_order_index"]
     )
 

@@ -43,4 +43,12 @@ def configure(num_cpus: int | None = None, force: bool = False) -> None:
 
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ctx.default_hash_shuffle_parallelism = max(16, n)
-    ctx.max_hash_shuffle_aggregators = max(2, n // 4)
+    # Reduce-side parallelism must GROW with the cluster or shuffles become
+    # the serial section (measured: max(2, n//4) pinned both the 2- and
+    # 8-CPU scaling legs at 2 aggregators -> E = 0.57).  n//2 keeps the
+    # aggregator pool proportional while staying far under the ~200-actor
+    # default that fork-bombs a single node.
+    agg_env = os.environ.get("RAYKG_MAX_AGGREGATORS")
+    ctx.max_hash_shuffle_aggregators = (
+        int(agg_env) if agg_env else max(1, n // 2)
+    )

@@ -79,6 +79,79 @@ def dedup_exact(
     return out.repartition(n_buckets)
 
 
+def dedup_exact_broadcast(
+    ds: ray.data.Dataset,
+    key: str,
+    order_by: list[str],
+    n_buckets: int = N_BUCKETS,
+    max_broadcast_losers: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Same result as dedup_exact, but the row PAYLOAD never shuffles.
+
+    dedup_exact moves every byte of every row through an all-to-all to drop
+    the (typically few) duplicates.  Here only the key + order_by columns
+    (short strings/ints) take the shuffle; the duplicate rows it identifies
+    ("losers" — every row whose order_by tuple is not the minimum for its
+    key) are broadcast once via ray.put as a set of composite row keys and
+    dropped by a map-side filter over the ORIGINAL dataset.  Shuffled bytes
+    scale with key width x rows, not payload width x rows.
+
+    `ds` is consumed twice (key pass + filter pass), so callers should pass
+    a pinned (materialized / checkpointed) dataset — one node-local pin
+    replaces a network all-to-all of the payload.
+
+    If more than `max_broadcast_losers` duplicates exist (a heavily
+    duplicated corpus), broadcasting would blow the driver — fall back to
+    the payload-shuffle dedup_exact, which handles any dup rate."""
+    import ray as _ray
+
+    cols = [key] + [c for c in order_by if c != key]
+
+    def local_first_keys(batch: pd.DataFrame):
+        from ..arrowutil import strip_pd_metadata
+
+        out = batch[cols].copy()
+        out["_bucket"] = out[key].map(
+            lambda s: zlib.crc32(str(s).encode()) % n_buckets
+        )
+        return strip_pd_metadata(out) if len(out) else out
+
+    def bucket_losers(bucket: pd.DataFrame) -> pd.DataFrame:
+        srt = bucket.sort_values(order_by, kind="mergesort")
+        lose = srt[srt.duplicated(subset=[key], keep="first")]
+        return lose.drop(columns=["_bucket"])
+
+    keys_ds = ds.map_batches(local_first_keys, batch_format="pandas")
+    losers = (
+        keys_ds.groupby("_bucket")
+        .map_groups(bucket_losers, batch_format="pandas")
+        .repartition(8)
+        .materialize()
+    )
+    n_losers = losers.count()
+    if n_losers == 0:
+        return ds
+    if n_losers > max_broadcast_losers:
+        return dedup_exact(ds, key, order_by, n_buckets)
+
+    loser_keys = set()
+    for b in losers.iter_batches(batch_format="pandas"):
+        for row in zip(*(b[c].astype(str) for c in cols)):
+            loser_keys.add("\x00".join(row))
+    ref = _ray.put(frozenset(loser_keys))
+
+    def drop_losers(batch: pd.DataFrame) -> pd.DataFrame:
+        lose = _ray.get(ref)
+        rk = [
+            "\x00".join(vals)
+            for vals in zip(*(batch[c].astype(str) for c in cols))
+        ]
+        mask = [k not in lose for k in rk]
+        return batch[pd.Series(mask, index=batch.index)]
+
+    return ds.map_batches(drop_losers, batch_format="pandas")
+
+
 # --------------------------------------------------------------- minhash-lsh
 #
 # Every hash in this family is md5-derived (first 8 hex chars as uint32) and

@@ -44,8 +44,10 @@ from __future__ import annotations
 
 import zlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..arrowutil import df_to_table
 from ..tokenizer import truncate_tokens
@@ -86,6 +88,160 @@ def _join_sorted(frame: pd.DataFrame, key: str, val: str) -> pd.Series:
     """Per-key sorted-set '<SEP>' join; input rows are already unique pairs."""
     frame = frame.drop_duplicates([key, val]).sort_values([key, val], kind="mergesort")
     return frame.groupby(key, sort=False)[val].agg(GRAPH_FIELD_SEP.join)
+
+
+# ------------------------------------------------- arrow final kernels
+#
+# The reduce finals are the single biggest CPU sink of kg_full (measured
+# 117 s CPU at 60k files as pandas sort_values + groupby.agg(str.join)).
+# These kernels do the same algebra in Arrow C++: sort_indices for the
+# ordering, neighbor-inequality for group boundaries, binary_join for the
+# <SEP> concatenation.  Semantics are byte-identical to the pandas
+# versions (same sorted-unique-set joins, same mode tie-breaks) — the
+# pandas wrappers below delegate here, so every caller shares one code
+# path and the SQL oracles keep passing unchanged.
+
+
+def _as_array(col) -> pa.Array:
+    """Table column (ChunkedArray or Array) -> single contiguous Array."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.ChunkedArray):  # older pyarrow returns ChunkedArray
+        col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+    return col
+
+
+def _group_starts(keys: pa.Array) -> np.ndarray:
+    """Indices where a new key group begins in an already-sorted array."""
+    n = len(keys)
+    if n == 0:
+        return np.array([], dtype=np.int64)
+    neq = pc.not_equal(keys.slice(1, n - 1), keys.slice(0, n - 1))
+    return np.concatenate(
+        ([0], np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1)
+    )
+
+
+def _sorted_group_join_arrow(t: pa.Table, key: str, val: str):
+    """(key,val) rows -> (sorted unique keys, sorted-unique-set <SEP> join
+    per key), both pa.Array."""
+    u = t.select([key, val]).group_by([key, val]).aggregate([])
+    idx = pc.sort_indices(
+        u, sort_keys=[(key, "ascending"), (val, "ascending")]
+    )
+    u = u.take(idx)
+    if u.num_rows == 0:
+        return pa.array([], pa.string()), pa.array([], pa.string())
+    k = _as_array(u.column(key))
+    starts = _group_starts(k)
+    offsets = np.concatenate((starts, [u.num_rows])).astype(np.int64)
+    vals = _as_array(u.column(val))
+    lists = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), vals)
+    joined = pc.binary_join(lists, GRAPH_FIELD_SEP)
+    return k.take(pa.array(starts, pa.int64())), joined
+
+
+def _mode_per_key_arrow(t: pa.Table, key: str, val: str, n: str):
+    """A2 type-mode policy: per key, the value with the highest summed `n`;
+    ties break lexicographically ascending."""
+    c = t.select([key, val, n]).group_by([key, val]).aggregate([(n, "sum")])
+    idx = pc.sort_indices(
+        c,
+        sort_keys=[(key, "ascending"), (f"{n}_sum", "descending"), (val, "ascending")],
+    )
+    c = c.take(idx)
+    if c.num_rows == 0:
+        return pa.array([], pa.string()), pa.array([], pa.string())
+    k = _as_array(c.column(key))
+    starts = pa.array(_group_starts(k), pa.int64())
+    return k.take(starts), _as_array(c.column(val)).take(starts)
+
+
+def _summarize_array(descs: pa.Array, gate_tokens: int) -> pa.Array:
+    """Arrow port of _summarize_series: only rows with >= gate CHARS can
+    reach the token gate; scatter-replace just those."""
+    maybe = pc.greater_equal(pc.utf8_length(descs), gate_tokens)
+    if not pc.any(maybe).as_py():
+        return descs
+    arr = descs.to_numpy(zero_copy_only=False)
+    for i in np.flatnonzero(maybe.to_numpy(zero_copy_only=False)):
+        arr[i] = summarize_description(arr[i], gate_tokens)
+    return pa.array(arr, pa.string())
+
+
+def _check_aligned(a: pa.Array, b: pa.Array, what: str) -> None:
+    if len(a) != len(b) or (len(a) and not pc.all(pc.equal(a, b)).as_py()):
+        raise ValueError(
+            f"merge final: per-kind key sets diverged ({what}) — every "
+            "partial producer must emit all kinds for every key"
+        )
+
+
+def _node_final_arrow(bucket: pa.Table, gate_tokens: int) -> pa.Table:
+    kind = bucket.column("kind")
+    tkeys, types = _mode_per_key_arrow(
+        bucket.filter(pc.equal(kind, "t")), "entity_name", "value", "n"
+    )
+    dkeys, descs = _sorted_group_join_arrow(
+        bucket.filter(pc.equal(kind, "d")), "entity_name", "value"
+    )
+    skeys, sids = _sorted_group_join_arrow(
+        bucket.filter(pc.equal(kind, "s")), "entity_name", "value"
+    )
+    _check_aligned(tkeys, dkeys, "node t/d")
+    _check_aligned(tkeys, skeys, "node t/s")
+    return pa.table(
+        {
+            "entity_name": tkeys,
+            "entity_type": types,
+            "description": _summarize_array(descs, gate_tokens),
+            "source_id": sids,
+        }
+    )
+
+
+def _edge_final_arrow(bucket: pa.Table, gate_tokens: int) -> pa.Table:
+    kind = bucket.column("kind")
+    w = bucket.filter(pc.equal(kind, "w"))
+    agg = w.select(["edge_key", "wsum", "omin"]).group_by("edge_key").aggregate(
+        [("wsum", "sum"), ("omin", "min")]
+    )
+    agg = agg.take(
+        pc.sort_indices(agg, sort_keys=[("edge_key", "ascending")])
+    )
+    dkeys, descs_full = _sorted_group_join_arrow(
+        bucket.filter(pc.equal(kind, "d")), "edge_key", "value"
+    )
+    skeys, sids = _sorted_group_join_arrow(
+        bucket.filter(pc.equal(kind, "s")), "edge_key", "value"
+    )
+    if agg.num_rows == 0:
+        return pa.table(
+            {
+                "src_id": pa.array([], pa.string()),
+                "tgt_id": pa.array([], pa.string()),
+                "weight": pa.array([], pa.float64()),
+                "description": pa.array([], pa.string()),
+                "description_full": pa.array([], pa.string()),
+                "source_id": pa.array([], pa.string()),
+                "order": pa.array([], pa.int32()),
+            }
+        )
+    keys = _as_array(agg.column("edge_key"))
+    _check_aligned(keys, dkeys, "edge w/d")
+    _check_aligned(keys, skeys, "edge w/s")
+    split = pc.split_pattern(keys, pattern=_KEY_SEP, max_splits=1)
+    return pa.table(
+        {
+            "src_id": pc.list_element(split, 0),
+            "tgt_id": pc.list_element(split, 1),
+            "weight": agg.column("wsum_sum"),
+            "description": _summarize_array(descs_full, gate_tokens),
+            "description_full": descs_full,
+            "source_id": sids,
+            "order": pc.cast(agg.column("omin_min"), pa.int32()),
+        }
+    )
 
 
 # ---------------------------------------------------------------- node merge
@@ -154,24 +310,9 @@ def _node_partial(batch: pd.DataFrame) -> pd.DataFrame:
 
 def _make_node_final(gate_tokens: int):
     def node_bucket_final(bucket: pd.DataFrame) -> pd.DataFrame:
-        t = bucket[bucket["kind"] == "t"]
-        counts = t.groupby(["entity_name", "value"], as_index=False, sort=False)["n"].sum()
-        counts = counts.sort_values(
-            ["entity_name", "n", "value"], ascending=[True, False, True], kind="mergesort"
-        ).drop_duplicates("entity_name")
-        types = counts.set_index("entity_name")["value"]
-
-        descs = _join_sorted(bucket[bucket["kind"] == "d"], "entity_name", "value")
-        sids = _join_sorted(bucket[bucket["kind"] == "s"], "entity_name", "value")
-
-        out = pd.DataFrame(
-            {
-                "entity_type": types,
-                "description": _summarize_series(descs, gate_tokens),
-                "source_id": sids,
-            }
-        ).reset_index(names="entity_name")
-        return out[["entity_name", "entity_type", "description", "source_id"]]
+        cols = ["entity_name", "kind", "value", "n"]
+        t = df_to_table(bucket[cols], n=pa.int64())
+        return _node_final_arrow(t, gate_tokens).to_pandas()
 
     return node_bucket_final
 
@@ -251,43 +392,13 @@ def _edge_partial(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def _make_edge_final(gate_tokens: int):
+    # public description gets the summarize gate; description_full (the
+    # pre-summarize join) feeds UNKNOWN backfill — the reference inserts
+    # endpoint nodes BEFORE summarizing (text2graph.py:258-271).
     def edge_bucket_final(bucket: pd.DataFrame) -> pd.DataFrame:
-        w = bucket[bucket["kind"] == "w"]
-        agg = w.groupby("edge_key", sort=False).agg(
-            weight=("wsum", "sum"), order=("omin", "min")
-        )
-        descs_full = _join_sorted(bucket[bucket["kind"] == "d"], "edge_key", "value")
-        sids = _join_sorted(bucket[bucket["kind"] == "s"], "edge_key", "value")
-
-        out = pd.DataFrame(
-            {
-                "weight": agg["weight"],
-                "order": agg["order"].astype("int32"),
-                "description_full": descs_full,
-                "source_id": sids,
-            }
-        ).reset_index(names="edge_key")
-        split = out["edge_key"].str.split(_KEY_SEP, n=1, expand=True)
-        if len(out) == 0:
-            return pd.DataFrame(
-                {
-                    "src_id": pd.Series(dtype=str),
-                    "tgt_id": pd.Series(dtype=str),
-                    "weight": pd.Series(dtype="float64"),
-                    "description": pd.Series(dtype=str),
-                    "description_full": pd.Series(dtype=str),
-                    "source_id": pd.Series(dtype=str),
-                    "order": pd.Series(dtype="int32"),
-                }
-            )
-        out["src_id"], out["tgt_id"] = split[0], split[1]
-        # public description gets the summarize gate; description_full (the
-        # pre-summarize join) feeds UNKNOWN backfill — the reference inserts
-        # endpoint nodes BEFORE summarizing (text2graph.py:258-271).
-        out["description"] = _summarize_series(out["description_full"], gate_tokens)
-        return out[
-            ["src_id", "tgt_id", "weight", "description", "description_full", "source_id", "order"]
-        ]
+        cols = ["edge_key", "kind", "value", "wsum", "omin"]
+        t = df_to_table(bucket[cols], wsum=pa.float64(), omin=pa.int64())
+        return _edge_final_arrow(t, gate_tokens).to_pandas()
 
     return edge_bucket_final
 
@@ -363,48 +474,58 @@ def merge_graph(entity_mentions_ds, rel_mentions_ds, cfg=None):
         out["bucket"] = _bucket_of("e" + out["key"])
         return _partials_to_arrow(out)
 
-    node_final = _make_node_final(gate)
-    edge_final = _make_edge_final(gate)
+    OUT_TYPES = {
+        "table": pa.string(), "entity_name": pa.string(),
+        "entity_type": pa.string(), "src_id": pa.string(),
+        "tgt_id": pa.string(), "weight": pa.float64(),
+        "description": pa.string(), "description_full": pa.string(),
+        "source_id": pa.string(), "order": pa.int32(),
+    }
+    OUT_SCHEMA = pa.schema(list(OUT_TYPES.items()))
 
-    OUT_COLS = [
-        "table", "entity_name", "entity_type", "src_id", "tgt_id", "weight",
-        "description", "description_full", "source_id", "order",
-    ]
+    def _pad(t: pa.Table, table_tag: str) -> pa.Table:
+        n = t.num_rows
+        cols = []
+        for name, typ in OUT_TYPES.items():
+            if name == "table":
+                cols.append(pa.array([table_tag] * n, typ))
+            elif name in t.column_names:
+                cols.append(pc.cast(t.column(name), typ))
+            else:
+                cols.append(pa.nulls(n, typ))
+        return pa.table(dict(zip(OUT_TYPES.keys(), cols)))
 
-    def fused_final(bucket: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        nrows = bucket[bucket["table"] == "n"]
-        if len(nrows):
-            nf = node_final(
-                nrows.rename(columns={"key": "entity_name"})[
-                    ["entity_name", "kind", "value", "n"]
-                ]
+    def fused_final(bucket: pa.Table) -> pa.Table:
+        tcol = bucket.column("table")
+        parts = []
+        nrows = bucket.filter(pc.equal(tcol, "n"))
+        if nrows.num_rows:
+            nf = _node_final_arrow(
+                nrows.rename_columns(
+                    [("entity_name" if c == "key" else c) for c in nrows.column_names]
+                ),
+                gate,
             )
-            nf["table"] = "n"
-            frames.append(nf)
-        erows = bucket[bucket["table"] == "e"]
-        if len(erows):
-            ef = edge_final(
-                erows.rename(columns={"key": "edge_key"})[
-                    ["edge_key", "kind", "value", "wsum", "omin"]
-                ]
+            parts.append(_pad(nf, "n"))
+        erows = bucket.filter(pc.equal(tcol, "e"))
+        if erows.num_rows:
+            ef = _edge_final_arrow(
+                erows.rename_columns(
+                    [("edge_key" if c == "key" else c) for c in erows.column_names]
+                ),
+                gate,
             )
-            ef["table"] = "e"
-            frames.append(ef)
-        if not frames:
-            return pd.DataFrame({c: pd.Series(dtype="object") for c in OUT_COLS})
-        out = pd.concat(frames, ignore_index=True)
-        for c in OUT_COLS:
-            if c not in out.columns:
-                out[c] = None
-        return out[OUT_COLS]
+            parts.append(_pad(ef, "e"))
+        if not parts:
+            return OUT_SCHEMA.empty_table()
+        return pa.concat_tables(parts)
 
     both = entity_mentions_ds.map_batches(_unify_node, batch_format="pandas").union(
         rel_mentions_ds.map_batches(_unify_edge, batch_format="pandas")
     )
     merged = (
         both.groupby("bucket")
-        .map_groups(fused_final, batch_format="pandas")
+        .map_groups(fused_final, batch_format="pyarrow")
         .repartition(N_BUCKETS)
         .materialize()
     )
