@@ -177,6 +177,154 @@ edges AS (
 )"""
 
 
+def _lang_id_sql() -> str:
+    """Exact SQL mirror of stages/textstats.py LangIdStage over `documents`:
+    ASCII word tokens lowered per-token (NOT lower(text) — keeps non-ASCII
+    lowercasing out, matching the Python [A-Za-z]+-then-lower order), per-
+    language stopword hit counts, argmax; zero hits or a top-2 tie -> unknown."""
+    from mmgraphrag_ray.stages.textstats import _LANG_STOPWORDS
+
+    langs = sorted(_LANG_STOPWORDS)
+    count_cols = ",\n    ".join(
+        "len(list_filter(ws, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[lang]))
+        + f"], x))) AS c_{lang}"
+        for lang in langs
+    )
+    maxexpr = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
+    n_at_max = " + ".join(f"CASE WHEN c_{lang} = m THEN 1 ELSE 0 END" for lang in langs)
+    pick = " ".join(f"WHEN c_{lang} = m THEN '{lang}'" for lang in langs)
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)) AS ws
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    {count_cols}
+  FROM w
+),
+m AS (SELECT *, {maxexpr} AS m FROM c)
+SELECT doc_id,
+       CASE WHEN m = 0 OR ({n_at_max}) > 1 THEN 'unknown'
+            ELSE CASE {pick} END END AS lang_pred
+FROM m
+"""
+
+
+def _resolve_refs_sql() -> str:
+    """Exact SQL mirror of stages/resolve.py resolve_symbol_refs (appended to
+    the kg CTE): FUNCTION/CLASS mentions joined to their defining chunk are
+    the candidates; 'Module M calls s.' rel mentions are the call sites;
+    score = count of caller-module [A-Za-z0-9]+ words (duplicates counted)
+    contained as substrings in the candidate chunk; argmax, ties -> min
+    chunk_id; call sites with no candidate are dropped (inner join)."""
+    call_re = r'^"Module ([A-Za-z_][A-Za-z0-9_.]*) calls ([A-Za-z_][A-Za-z0-9_]*)\."$'
+    return f""",
+rdefs AS (
+  SELECT DISTINCT e.entity_name AS symbol, e.source_id AS chunk_id, c.content
+  FROM ent_mentions e JOIN chunks c ON c.chunk_id = e.source_id
+  WHERE e.entity_type IN ('"FUNCTION"', '"CLASS"')
+),
+rcalls AS (
+  SELECT DISTINCT
+    regexp_extract(description, '{call_re}', 1) AS caller_module,
+    '"' || upper(regexp_extract(description, '{call_re}', 2)) || '"' AS symbol
+  FROM rel_mentions
+  WHERE regexp_matches(description, '{call_re}')
+),
+rscored AS (
+  SELECT c.caller_module, c.symbol, d.chunk_id,
+         len(list_filter(regexp_extract_all(c.caller_module, '[A-Za-z0-9]+'),
+                         w -> contains(d.content, w))) AS score
+  FROM rcalls c JOIN rdefs d ON d.symbol = c.symbol
+)
+SELECT caller_module, symbol, chunk_id AS def_chunk_id, CAST(score AS BIGINT) AS score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY caller_module, symbol ORDER BY score DESC, chunk_id ASC) AS rn
+  FROM rscored
+) WHERE rn = 1
+"""
+
+
+def _ivf_sql(k: int = 5, n_centroids: int = 16, nprobe: int = 4,
+             train_sample: int = 256) -> str:
+    """Exact SQL mirror of stages/similarity.py ivf_topk over `embeddings`
+    (queries = vec_id < 8, matching the driver query).  The quantizer is
+    deterministic given the table: the training sample (train_sample smallest
+    vec_ids) and Lloyd iterations run HERE at oracle-build time through the
+    SAME `_lloyd` code the Ray path uses, and the resulting centroids + per-
+    query probe sets are embedded as literals; SQL then reproduces the data-
+    plane half — nearest-centroid cell assignment (euclidean, ties -> lowest
+    centroid index, matching np.argmin) and cosine top-k over probed cells."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mmgraphrag_ray.stages.similarity import _lloyd
+
+    tbl = pq.read_table(f"{SF001}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_numpy()
+    vecs = tbl.column("embedding").to_pylist()
+    order = np.argsort(ids, kind="stable")[:train_sample]
+    sample = np.array([vecs[i] for i in order], dtype=np.float64)
+    cents = _lloyd(sample, n_centroids)
+    qpos = np.flatnonzero(ids < 8)
+    qids = ids[qpos]
+    qv = np.array([vecs[i] for i in qpos], dtype=np.float64)
+    qd = ((qv[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qd, axis=1)[:, :nprobe]
+
+    cent_rows = ",\n    ".join(
+        f"({cid}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for cid, c in enumerate(cents)
+    )
+    probe_rows = ",\n    ".join(
+        f"({int(q)}, {int(cell)})" for q, row in zip(qids, probes) for cell in row
+    )
+    return f"""
+WITH cents(cid, c) AS (VALUES
+    {cent_rows}
+),
+probes(query_vec_id, cell) AS (VALUES
+    {probe_rows}
+),
+emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.c) ASC, c.cid ASC) AS rn
+    FROM emb e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT p.query_vec_id, a.vec_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_vec_id
+),
+pairs AS (
+  SELECT c.query_vec_id, c.vec_id, list_cosine_similarity(q.v, e.v) AS sim
+  FROM cand c
+  JOIN emb e ON e.vec_id = c.vec_id
+  JOIN emb q ON q.vec_id = c.query_vec_id
+),
+ranked AS (
+  SELECT query_vec_id, vec_id,
+         row_number() OVER (PARTITION BY query_vec_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM pairs
+)
+SELECT CAST(query_vec_id AS BIGINT) AS query_vec_id,
+       CAST(rank AS BIGINT) AS rank, vec_id
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _minhash_cc_sql(threshold: float = 0.8) -> str:
     """Exact SQL mirror of stages/dedup.py dedup_minhash over `documents`:
     md5-derived shingle hashes, the same 128 (a,b) permutation constants
@@ -932,6 +1080,8 @@ JOIN sagg s ON s.new_name = d.new_name
             FROM documents GROUP BY lang
         """,
         "doc_quality": _doc_quality_sql(),
+        "doc_lang_id": _lang_id_sql(),
+        "kg_resolve_refs": kg + _resolve_refs_sql(),
         "doc_fingerprint": """
             SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
@@ -946,6 +1096,7 @@ JOIN sagg s ON s.new_name = d.new_name
         "doc_sample": """
             SELECT * FROM documents WHERE doc_id % 10 = 0
         """,
+        "ann_ivf_topk": _ivf_sql(),
         "knn_label": """
             WITH q AS (SELECT vec_id AS query_vec_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
             pairs AS (
