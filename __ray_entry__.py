@@ -646,6 +646,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nodes, _ = _build_graph_cached(sf_dir)
         return build_entity_vecs(nodes)
 
+    def kg_entity_vec_components(sf_dir):
+        # integer-exact sparse pre-norm form of kg_entity_vecs (T3/A6):
+        # the float list column can't value-compare, these components can
+        from mmgraphrag_ray.stages.embed import entity_vec_components
+
+        nodes, _ = _build_graph_cached(sf_dir)
+        return entity_vec_components(nodes)
+
     def kg_edges(sf_dir):
         _, edges = _build_graph_cached(sf_dir)
         return edges
@@ -784,6 +792,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         return doc_fingerprints(docs)
+
+    def doc_topk_ngrams(sf_dir):
+        from mmgraphrag_ray.stages.textstats import doc_topk_ngrams as topk
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text"]
+        )
+        return topk(docs, n=2, k=20)
 
     def doc_lang_id_q(sf_dir):
         from mmgraphrag_ray.stages.textstats import doc_lang_id
@@ -942,6 +958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_canonical_nodes": kg_canonical_nodes,
         "kg_alias_table": kg_alias_table,
         "kg_entity_vecs": kg_entity_vecs,
+        "kg_entity_vec_components": kg_entity_vec_components,
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_jaccard_documents": dedup_jaccard_documents,
@@ -951,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_text_stats": doc_stats,
         "token_count_by_lang": token_count_by_lang,
         "doc_quality": doc_quality,
+        "doc_topk_ngrams": doc_topk_ngrams,
         "doc_fingerprint": doc_fingerprint,
         "doc_lang_id": doc_lang_id_q,
         "media_decode": media_decode,
@@ -1029,6 +1047,32 @@ JOIN sagg s ON s.new_name = d.new_name
               UNION ALL SELECT tgt_id FROM edges
             ) GROUP BY 1
         """,
+        # exact mirror of stages/embed.py HashEmbedder pre-normalization
+        # components: content = name || description (fusion.py:133-141),
+        # token regex [a-z_]+|[0-9]+ over lower(), md5-derived uint32 hash,
+        # coordinate = h % 384, sign = bit 16 of h
+        "kg_entity_vec_components": kg + merge + """,
+vc AS (
+  SELECT 'ent-' || md5(entity_name) AS entity_id, entity_name,
+         entity_name || description AS content
+  FROM nodes
+),
+vtok AS (
+  SELECT entity_id, entity_name,
+         unnest(regexp_extract_all(lower(content), '[a-z_]+|[0-9]+')) AS tok
+  FROM vc
+),
+vh AS (
+  SELECT entity_id, entity_name,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) AS hv
+  FROM vtok
+)
+SELECT entity_id, entity_name,
+       CAST(hv % 384 AS BIGINT) AS dim_idx,
+       CAST(SUM(CASE WHEN (hv // 65536) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT)
+         AS component
+FROM vh GROUP BY 1, 2, 3
+        """,
         "kg_edges": kg + merge + "\nSELECT * FROM edges",
         "dedup_exact_documents": """
             SELECT doc_id, text, lang, source, n_chars, text_md5 FROM (
@@ -1080,6 +1124,23 @@ JOIN sagg s ON s.new_name = d.new_name
             FROM documents GROUP BY lang
         """,
         "doc_quality": _doc_quality_sql(),
+        # exact mirror of stages/textstats.py doc_topk_ngrams (n=2, k=20):
+        # [A-Za-z]+ words lowercased, adjacent pairs, rank (cnt desc, ngram asc)
+        "doc_topk_ngrams": """
+            WITH words AS (
+              SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws
+              FROM documents
+            ),
+            grams AS (
+              SELECT w.ws[g.i] || ' ' || w.ws[g.i + 1] AS ngram
+              FROM words w, UNNEST(range(1, len(w.ws))) AS g(i)
+            ),
+            counted AS (SELECT ngram, count(*) AS cnt FROM grams GROUP BY 1)
+            SELECT ngram, cnt FROM (
+              SELECT *, row_number() OVER (ORDER BY cnt DESC, ngram ASC) AS rn
+              FROM counted
+            ) WHERE rn <= 20
+        """,
         "doc_lang_id": _lang_id_sql(),
         "kg_resolve_refs": kg + _resolve_refs_sql(),
         "doc_fingerprint": """

@@ -3,10 +3,18 @@
 The reference loads all-MiniLM-L6-v2 (384-dim, CPU) once per process
 (parameter.py:29-37, llm.py:58-64) and encodes batches of 32
 (storage.py:279-295).  Offline stand-in: a deterministic feature-hashing
-embedder — tokens hash (crc32) to coordinates, signs from a second hash,
+embedder — tokens hash to coordinates, signs from a second hash bit,
 L2-normalized — with the same interface/shape, run as an actor POOL
 (model state built once per actor in __init__, batches in __call__),
 which is the canonical pattern for any real model scorer.
+
+Token hashes are md5-derived (first 8 hex chars as uint32), the engine's
+SQL-mirrorable hash family (stages/dedup.py:157): coordinate = h % 384,
+sign = bit 16 of h.  That makes the pre-normalization components exactly
+expressible in DuckDB (see entity_vec_components + the
+kg_entity_vec_components oracle in __ray_entry__.py); per-token md5 cost
+is amortized by a per-embedder token memo (code corpora repeat tokens
+heavily).
 
 Also builds the entity vector table (reference A6, fusion.py:100-153 +
 storage.py:271-295): one row per graph node,
@@ -15,8 +23,8 @@ storage.py:271-295): one row per graph node,
 
 from __future__ import annotations
 
+import hashlib
 import re
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -26,20 +34,34 @@ from ..textutils import md5_hex
 EMBED_DIM = 384
 
 
+def _tok_h32(tok: str) -> int:
+    """First 8 hex chars of md5 as uint32 — SQL mirror:
+    ('0x' || substr(md5(tok),1,8))::UBIGINT."""
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+
+
 class HashEmbedder:
     """Deterministic 384-dim feature-hash embedder (MiniLM stand-in)."""
 
     def __init__(self, dim: int = EMBED_DIM):
         self.dim = dim
         self.token_re = re.compile(r"[A-Za-z_]+|[0-9]+")
+        # token -> (coordinate, sign); per-actor state, built lazily
+        self._memo: dict[str, tuple[int, float]] = {}
+
+    def _coord(self, tok: str) -> tuple[int, float]:
+        c = self._memo.get(tok)
+        if c is None:
+            h = _tok_h32(tok)
+            c = (h % self.dim, 1.0 if (h >> 16) & 1 else -1.0)
+            self._memo[tok] = c
+        return c
 
     def encode(self, texts: list[str]) -> np.ndarray:
         out = np.zeros((len(texts), self.dim), dtype=np.float32)
         for i, text in enumerate(texts):
             for tok in self.token_re.findall(text.lower()):
-                h = zlib.crc32(tok.encode())
-                idx = h % self.dim
-                sign = 1.0 if (h >> 16) & 1 else -1.0
+                idx, sign = self._coord(tok)
                 out[i, idx] += sign
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
@@ -99,4 +121,59 @@ def build_entity_vecs(nodes_ds, cfg=None):
         batch_format="pyarrow",
         batch_size=cfg.embedding_batch_size,
         concurrency=cfg.embed_concurrency,
+    )
+
+
+_COMP_SCHEMA = pa.schema(
+    [
+        ("entity_id", pa.string()),
+        ("entity_name", pa.string()),
+        ("dim_idx", pa.int64()),
+        ("component", pa.int64()),
+    ]
+)
+
+
+class _VecComponents:
+    """Actor-pool stage: nodes -> sparse PRE-normalization feature-hash
+    components, one row per (entity, touched coordinate).  This is the
+    integer-exact sparse form of what HashEmbedder normalizes — every
+    coordinate a token hashed to appears, including sign-cancelled zeros,
+    so a SQL GROUP BY over token hashes reproduces it bit-for-bit (the
+    value oracle for the T3/A6 embedding seam; floats never compare)."""
+
+    def __init__(self):
+        self.emb = HashEmbedder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = _vdb_content(batch)
+        ids, names, comps, idxs = [], [], [], []
+        for eid, name, text in zip(
+            t.column("entity_id").to_pylist(),
+            t.column("entity_name").to_pylist(),
+            t.column("content").to_pylist(),
+        ):
+            acc: dict[int, int] = {}
+            for tok in self.emb.token_re.findall(text.lower()):
+                idx, sign = self.emb._coord(tok)
+                acc[idx] = acc.get(idx, 0) + int(sign)
+            for idx in sorted(acc):
+                ids.append(eid)
+                names.append(name)
+                idxs.append(idx)
+                comps.append(acc[idx])
+        return pa.table(
+            {
+                "entity_id": pa.array(ids, pa.string()),
+                "entity_name": pa.array(names, pa.string()),
+                "dim_idx": pa.array(idxs, pa.int64()),
+                "component": pa.array(comps, pa.int64()),
+            }
+        )
+
+
+def entity_vec_components(nodes_ds):
+    """nodes Dataset -> (entity_id, entity_name, dim_idx, component)."""
+    return nodes_ds.map_batches(
+        _VecComponents, batch_format="pyarrow", concurrency=(1, 8)
     )

@@ -205,3 +205,60 @@ _QUALITY = QualityScoreStage()
 
 def doc_quality_scores(documents_ds):
     return documents_ds.map_batches(_QUALITY, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ top-k n-grams
+
+class NgramCountStage:
+    """Per-batch n-gram combiner (actor pool: regex compiled once).
+
+    Emits PARTIAL counts — one row per distinct n-gram per batch — so the
+    shuffle moves a bounded vocabulary table, never per-occurrence rows
+    (the pre-aggregation rule for wide groupbys at corpus scale)."""
+
+    def __init__(self, n: int = 2):
+        self.n = n
+        self.word = re.compile(WORD_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        acc: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            ws = [w.lower() for w in self.word.findall(text)]
+            for i in range(len(ws) - self.n + 1):
+                acc[" ".join(ws[i : i + self.n])] += 1
+        return pa.table(
+            {
+                "ngram": pa.array(list(acc.keys()), pa.string()),
+                "cnt": pa.array(list(acc.values()), pa.int64()),
+            }
+        )
+
+
+def doc_topk_ngrams(documents_ds, n: int = 2, k: int = 20):
+    """Global top-k most frequent word n-grams over `documents.text`.
+
+    Three-layer scale shape: (1) per-batch combiner (NgramCountStage),
+    (2) bucketed partial-sum groupby — each n-gram's total lands whole in
+    one bucket, (3) per-block top-k candidates, then one tiny global sort
+    over <= blocks x k rows.  Ties rank (cnt desc, ngram asc) — the exact
+    row_number() order of the SQL oracle."""
+    import pandas as pd
+
+    from .groupagg import bucketed_groupby_agg
+
+    partials = documents_ds.map_batches(
+        NgramCountStage(n), batch_format="pyarrow"
+    )
+    counts = bucketed_groupby_agg(partials, ["ngram"], {"cnt": ("cnt", "sum")})
+
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"ngram": pd.Series(dtype="string"), "cnt": pd.Series(dtype="int64")})
+        return b.sort_values(
+            ["cnt", "ngram"], ascending=[False, True], kind="mergesort"
+        ).head(k)[["ngram", "cnt"]]
+
+    cand = counts.map_batches(block_topk, batch_format="pandas")
+    return cand.sort(["cnt", "ngram"], descending=[True, False]).limit(k)

@@ -61,3 +61,27 @@ def test_content_stripped():
     fn = make_chunker(100, 10)
     out = fn(_batch(["  leading and trailing   "])).to_pydict()
     assert out["content"] == ["leading and trailing"]
+
+
+def test_doc_topk_ngrams_counts_and_ties(ray_session):
+    """Combiner + bucketed sum + global top-k: exact counts, deterministic
+    (cnt desc, ngram asc) tie order."""
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.textstats import doc_topk_ngrams
+
+    docs = pd.DataFrame(
+        {
+            "text": [
+                "alpha beta alpha beta gamma",
+                "alpha beta delta alpha",
+                "zz yy",
+            ]
+        }
+    )
+    out = doc_topk_ngrams(ray.data.from_pandas(docs), n=2, k=3).to_pandas()
+    # pairs: (alpha beta) x3, (beta alpha) x1, (beta gamma) x1,
+    # (beta delta) x1, (delta alpha) x1, (zz yy) x1
+    assert list(out.ngram) == ["alpha beta", "beta alpha", "beta delta"]
+    assert list(out.cnt) == [3, 1, 1]

@@ -40,3 +40,29 @@ def test_build_entity_vecs():
     assert len(vecs) == 2
     assert vecs.iloc[0].entity_id == "ent-" + md5_hex(vecs.iloc[0].entity_name)
     assert len(vecs.iloc[0].embedding) == EMBED_DIM
+
+
+def test_vec_components_consistent_with_embedding(ray_session):
+    """Sparse integer components, normalized, must equal the dense embedding
+    (the value-oracle form and the float form are the same math)."""
+    from mmgraphrag_ray.stages.embed import entity_vec_components
+
+    nodes = pd.DataFrame(
+        {
+            "entity_name": ['"PARSE_CONFIG"', '"LOAD_FILE"'],
+            "entity_type": ['"T"', '"T"'],
+            "description": ['"parses the config file."', '"loads a file from disk."'],
+            "source_id": ["c1", "c2"],
+        }
+    )
+    ds = ray.data.from_pandas(nodes)
+    comp = entity_vec_components(ds).to_pandas()
+    vecs = build_entity_vecs(ds).to_pandas()
+    for _, vrow in vecs.iterrows():
+        sparse = comp[comp.entity_id == vrow.entity_id]
+        dense = np.zeros(EMBED_DIM, dtype=np.float32)
+        dense[sparse.dim_idx.to_numpy()] = sparse.component.to_numpy()
+        n = np.linalg.norm(dense)
+        if n:
+            dense = dense / n
+        assert np.allclose(dense, np.array(vrow.embedding), atol=1e-6)

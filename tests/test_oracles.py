@@ -11,7 +11,13 @@ import pytest
 sys.path.insert(0, "/root/repo")
 
 SF = "/root/testdata/sf0.001"
-CASES = ["kg_nodes", "kg_edges", "events_sessions"]
+CASES = [
+    "kg_nodes",
+    "kg_edges",
+    "events_sessions",
+    "doc_topk_ngrams",
+    "kg_entity_vec_components",
+]
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
