@@ -673,7 +673,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return batch.append_column("text_md5", pa.array(md5s, pa.string()))
 
         hashed = docs.map_batches(add_hash, batch_format="pyarrow")
-        return dedup_exact(hashed, key="text_md5", order_by=["doc_id"])
+        # broadcast variant: only (text_md5, doc_id) shuffles/collects, the
+        # document payload never moves (same survivor rule as dedup_exact)
+        from mmgraphrag_ray.stages.dedup import dedup_exact_broadcast
+
+        return dedup_exact_broadcast(
+            hashed.materialize(), key="text_md5", order_by=["doc_id"]
+        )
 
     def dedup_minhash_documents(sf_dir):
         from mmgraphrag_ray.stages.dedup import dedup_minhash

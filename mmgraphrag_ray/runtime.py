@@ -52,3 +52,61 @@ def configure(num_cpus: int | None = None, force: bool = False) -> None:
     ctx.max_hash_shuffle_aggregators = (
         int(agg_env) if agg_env else max(1, n // 2)
     )
+    _patch_hash_shuffle_schema_broadcast()
+
+
+def _patch_hash_shuffle_schema_broadcast() -> None:
+    """Work around a Ray 2.49 hash-shuffle race (driver-side, so a plain
+    monkey-patch reaches it): `HashShufflingOperatorBase` broadcasts block
+    schemas to its aggregator pool only alongside the FIRST shuffle task of
+    each input sequence — but if that first block has zero rows, the worker
+    task early-returns without sending anything while the driver still
+    marks schemas as broadcasted.  Any aggregator partition that then
+    receives no real shard finalizes a zero-column table and dies in
+    `sort_by('<key>')` (ArrowInvalid: no match for FieldRef).  Zero-row
+    blocks are routine here: every groupby hash-partition / fixed-count
+    repartition emits them when data is small relative to partition count.
+
+    Fix: per input bundle, submit non-empty blocks first so the schema
+    broadcast rides a block that has a schema; if a bundle is entirely
+    empty and schemas haven't been broadcast yet, suppress the flag for the
+    duration so a later non-empty bundle still broadcasts."""
+    try:
+        from ray.data._internal.execution.interfaces.ref_bundle import RefBundle
+        from ray.data._internal.execution.operators.hash_shuffle import (
+            HashShufflingOperatorBase,
+        )
+    except Exception:  # noqa: BLE001 — future Ray versions: patch not needed
+        return
+    if getattr(HashShufflingOperatorBase, "_raykg_schema_patch", False):
+        return
+
+    orig = HashShufflingOperatorBase._do_add_input_inner
+
+    def patched(self, input_bundle, input_index):
+        try:
+            blocks = input_bundle.blocks
+            empty = tuple(b for b in blocks if not (b[1].num_rows or 0))
+            if not empty or self._has_schemas_broadcasted[input_index]:
+                return orig(self, input_bundle, input_index)
+            nonempty = tuple(b for b in blocks if (b[1].num_rows or 0))
+            if nonempty:
+                reordered = RefBundle(
+                    blocks=nonempty + empty,
+                    schema=input_bundle.schema,
+                    owns_blocks=input_bundle.owns_blocks,
+                    output_split_idx=input_bundle.output_split_idx,
+                )
+                return orig(self, reordered, input_index)
+            # all-empty bundle before any broadcast: don't consume the
+            # one-shot broadcast on blocks that can't carry a schema
+            self._has_schemas_broadcasted[input_index] = True
+            try:
+                return orig(self, input_bundle, input_index)
+            finally:
+                self._has_schemas_broadcasted[input_index] = False
+        except AttributeError:
+            return orig(self, input_bundle, input_index)
+
+    HashShufflingOperatorBase._do_add_input_inner = patched
+    HashShufflingOperatorBase._raykg_schema_patch = True

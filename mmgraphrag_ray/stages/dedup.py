@@ -103,6 +103,8 @@ def dedup_exact_broadcast(
     If more than `max_broadcast_losers` duplicates exist (a heavily
     duplicated corpus), broadcasting would blow the driver — fall back to
     the payload-shuffle dedup_exact, which handles any dup rate."""
+    import os
+
     import ray as _ray
 
     cols = [key] + [c for c in order_by if c != key]
@@ -121,21 +123,44 @@ def dedup_exact_broadcast(
         lose = srt[srt.duplicated(subset=[key], keep="first")]
         return lose.drop(columns=["_bucket"])
 
-    keys_ds = ds.map_batches(local_first_keys, batch_format="pandas")
-    losers = (
-        keys_ds.groupby("_bucket")
-        .map_groups(bucket_losers, batch_format="pandas")
-        .repartition(8)
-        .materialize()
-    )
-    n_losers = losers.count()
-    if n_losers == 0:
-        return ds
-    if n_losers > max_broadcast_losers:
-        return dedup_exact(ds, key, order_by, n_buckets)
+    # Small-side fast path (broadcast-join-threshold pattern): below
+    # `max_local_keys` key TUPLES (not payload rows — keys are a handful of
+    # short strings each), the loser computation runs as one vectorized
+    # pandas pass on the driver instead of paying a hash-shuffle op's fixed
+    # setup latency (~2.5 s of aggregator-pool spin-up per op on this Ray
+    # build, regardless of data size).  Above the bound — the 100-TB
+    # regime — the existing bucketed shuffle computes the identical result
+    # (same stable sort + keep-first), distributed.  `ds` is pinned per the
+    # docstring, so count() is metadata-only.
+    max_local_keys = int(os.environ.get("RAYKG_LOCAL_KEYS_MAX", "1000000"))
+    if ds.count() <= max_local_keys:
+        keys_df = ds.map_batches(
+            lambda b: b[cols], batch_format="pandas"
+        ).to_pandas()
+        srt = keys_df.sort_values(order_by, kind="mergesort")
+        losers_df = srt[srt.duplicated(subset=[key], keep="first")]
+        if len(losers_df) == 0:
+            return ds
+        if len(losers_df) > max_broadcast_losers:
+            return dedup_exact(ds, key, order_by, n_buckets)
+        loser_iter = [losers_df]
+    else:
+        keys_ds = ds.map_batches(local_first_keys, batch_format="pandas")
+        losers = (
+            keys_ds.groupby("_bucket")
+            .map_groups(bucket_losers, batch_format="pandas")
+            .repartition(8)
+            .materialize()
+        )
+        n_losers = losers.count()
+        if n_losers == 0:
+            return ds
+        if n_losers > max_broadcast_losers:
+            return dedup_exact(ds, key, order_by, n_buckets)
+        loser_iter = losers.iter_batches(batch_format="pandas")
 
     loser_keys = set()
-    for b in losers.iter_batches(batch_format="pandas"):
+    for b in loser_iter:
         for row in zip(*(b[c].astype(str) for c in cols)):
             loser_keys.add("\x00".join(row))
     ref = _ray.put(frozenset(loser_keys))

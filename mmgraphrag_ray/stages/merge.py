@@ -624,10 +624,64 @@ def _unknown_from_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
 
 
 def backfill_unknown_nodes(nodes_ds, edges_ds):
-    """Distributed anti-join: edge endpoints absent from nodes become
-    '"UNKNOWN"'-typed nodes (reference text2graph.py:258-268). Returns the
-    union nodes dataset. No driver-side materialization: the membership test
-    is a bucketed groupby over (endpoint candidates ∪ node-name markers)."""
+    """Anti-join: edge endpoints absent from nodes become '"UNKNOWN"'-typed
+    nodes (reference text2graph.py:258-268). Returns the union nodes dataset.
+
+    Small-side broadcast path (the broadcast-join-threshold pattern): node
+    NAMES are a key-only column — below `RAYKG_BROADCAST_NAMES_MAX` distinct
+    names they're ray.put once and the anti-join runs as a map-side filter
+    over the edges, skipping a hash-shuffle op's fixed setup latency.  The
+    few surviving endpoints reduce in one coalesced block.  Above the bound
+    (billions of entities), the bucketed-groupby variant computes the
+    identical result with no driver state."""
+    import os
+
+    import ray as _ray
+
+    max_names = int(os.environ.get("RAYKG_BROADCAST_NAMES_MAX", "5000000"))
+    # nodes_ds is a cheap projection over the pinned merge output, so this
+    # count is one map pass, not a recomputation of the merge shuffle.
+    if nodes_ds.count() <= max_names:
+        names_df = nodes_ds.map_batches(
+            lambda b: b[["entity_name"]].drop_duplicates()
+            if len(b)
+            else _empty_frame(["entity_name"]),
+            batch_format="pandas",
+        ).to_pandas()
+        ref = _ray.put(frozenset(names_df["entity_name"]))
+
+        def probe_endpoints(batch: pd.DataFrame) -> pd.DataFrame:
+            known = _ray.get(ref)
+            out = _explode_endpoints(batch)
+            out = out[~out["entity_name"].isin(known)]
+            return _partials_to_arrow(out) if len(out) else out
+
+        survivors = edges_ds.map_batches(probe_endpoints, batch_format="pandas")
+
+        def final_min(batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:
+                return _empty_frame(
+                    ["entity_name", "entity_type", "description", "source_id"]
+                )
+            best = batch.sort_values(
+                ["entity_name", "src_id", "tgt_id"], kind="mergesort"
+            ).drop_duplicates(subset=["entity_name"], keep="first")
+            return pd.DataFrame(
+                {
+                    "entity_name": best["entity_name"],
+                    "entity_type": '"UNKNOWN"',
+                    "description": best["description"],
+                    "source_id": best["source_id"],
+                }
+            )
+
+        # survivors are the rare UNKNOWN endpoints — coalesce to one block
+        # for the global min-(src,tgt) reduce (no aggregator-actor shuffle)
+        unknown = survivors.repartition(1).map_batches(
+            final_min, batch_format="pandas", batch_size=None
+        )
+        return nodes_ds.union(unknown)
+
     cands = edges_ds.map_batches(
         lambda b: _partials_to_arrow(_explode_endpoints(b)), batch_format="pandas"
     )
