@@ -531,6 +531,68 @@ FROM r
 """
 
 
+def _query_context_sql(query_text: str, top_k: int = 10) -> str:
+    """Entities section of build_local_context (query.py:147-206) in exact
+    integer arithmetic: the hash embedder's pre-normalization components are
+    integers (see kg_entity_vec_components), so the cosine threshold
+    cos >= 0.2 becomes dot > 0 AND 25*dot^2 >= e2*q2 and the ranking key
+    cos^2 = dot^2/e2 (q-norm constant) — no float embedding math in SQL.
+    The query vector's components are computed here (pure Python, no Ray)
+    and inlined as a VALUES list."""
+    from collections import Counter
+
+    from mmgraphrag_ray.stages.embed import EMBED_DIM, HashEmbedder, _tok_h32
+
+    emb = HashEmbedder()
+    comps: Counter = Counter()
+    for tok in emb.token_re.findall(query_text.lower()):
+        h = _tok_h32(tok)
+        comps[h % EMBED_DIM] += 1 if (h >> 16) & 1 else -1
+    comps = {d: c for d, c in comps.items() if c != 0}
+    q2 = sum(c * c for c in comps.values())
+    values = ", ".join(f"({d}, {c})" for d, c in sorted(comps.items()))
+    return f""",
+qc(dim_idx, qcomp) AS (VALUES {values}),
+vtok AS (
+  SELECT entity_name,
+         unnest(regexp_extract_all(lower(entity_name || description),
+                                   '[a-z_]+|[0-9]+')) AS tok
+  FROM nodes
+),
+ec AS (
+  SELECT entity_name, CAST(hv % {EMBED_DIM} AS BIGINT) AS dim_idx,
+         SUM(CASE WHEN (hv // 65536) % 2 = 1 THEN 1 ELSE -1 END) AS component
+  FROM (SELECT entity_name,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) AS hv
+        FROM vtok)
+  GROUP BY 1, 2
+),
+enorm AS (SELECT entity_name, SUM(component * component) AS e2 FROM ec GROUP BY 1),
+dotp AS (
+  SELECT ec.entity_name, SUM(ec.component * qc.qcomp) AS dot
+  FROM ec JOIN qc ON ec.dim_idx = qc.dim_idx GROUP BY 1
+),
+kept AS (
+  SELECT d.entity_name
+  FROM dotp d JOIN enorm e ON d.entity_name = e.entity_name
+  WHERE d.dot > 0 AND 25 * d.dot * d.dot >= e.e2 * {q2}
+  ORDER BY CAST(d.dot * d.dot AS DOUBLE) / e.e2 DESC, d.entity_name ASC
+  LIMIT {top_k}
+),
+deg AS (
+  SELECT entity_name, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT src_id AS entity_name FROM edges
+    UNION ALL SELECT tgt_id FROM edges
+  ) GROUP BY 1
+)
+SELECT n.entity_name, n.entity_type, n.description, n.source_id,
+       COALESCE(deg.degree, 0) AS "rank"
+FROM kept k
+JOIN nodes n ON n.entity_name = k.entity_name
+LEFT JOIN deg ON deg.entity_name = n.entity_name
+"""
+
+
 def _corpus(sf_dir: str) -> str:
     from mmgraphrag_ray.corpus import ensure_corpus
 
@@ -827,6 +889,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n = max(30, int(300 * _sf_of(sf_dir)))
         return media_features(ray.data.from_arrow(synth_media_table(n)))
 
+    def kg_mm_answer(sf_dir):
+        # ORI_IMG multimodal answer path (reference query.py:414-469) with
+        # deterministic model seams over a media KV derived from documents
+        # (payload = utf-8 text bytes, so the base64/md5 chain has an exact
+        # SQL mirror).  "Retrieval" = the 3 smallest doc_ids, standing in
+        # for similarity order.
+        import hashlib
+
+        import pandas as pd
+        import pyarrow as pa
+
+        from mmgraphrag_ray.query import multimodal_answer_merge
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def to_media(batch: pa.Table) -> pa.Table:
+            ids = [str(i) for i in batch.column("doc_id").to_pylist()]
+            texts = batch.column("text").to_pylist()
+            return pa.table(
+                {
+                    "entity_name": pa.array(ids, pa.string()),
+                    "payload": pa.array([t.encode() for t in texts], pa.binary()),
+                    "caption": pa.array([f"cap {i}" for i in ids], pa.string()),
+                    "footnote": pa.array([f"fn {i}" for i in ids], pa.string()),
+                }
+            )
+
+        media = docs.map_batches(to_media, batch_format="pyarrow")
+        # distributed partial min-k per batch, tiny driver reduce (same
+        # pattern as entity_topk — no sort of the corpus)
+        def min3(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            idx = pc.array_sort_indices(batch.column("doc_id"))[:3]
+            return batch.take(idx)
+
+        sel = [
+            str(i)
+            for i in sorted(
+                docs.select_columns(["doc_id"])
+                .map_batches(min3, batch_format="pyarrow")
+                .to_pandas()["doc_id"]
+            )[:3]
+        ]
+        entities = pd.DataFrame(
+            {"entity_name": sel, "entity_type": ['"ORI_IMG"'] * len(sel)}
+        )
+        ctx = {"entities": entities, "entities_csv": "ctx"}
+
+        def mm_fn(q, payload_b64, information, context):
+            return "mm:" + hashlib.md5(payload_b64.encode()).hexdigest()
+
+        out = multimodal_answer_merge(
+            "which module defines the shared helper functions",
+            ctx,
+            media,
+            answer_fn=lambda q, c: "text-answer",
+            mm_answer_fn=mm_fn,
+        )
+        return pd.DataFrame(
+            {"mm_entity": out["mm_entities"], "mm_response": out["mm_responses"]}
+        )
+
     def kg_query_context(sf_dir):
         from mmgraphrag_ray.pipelines.kg import build_chunks
         from mmgraphrag_ray.query import build_local_context
@@ -836,7 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         chunks = build_chunks(_corpus(sf_dir)).materialize()
         vecs = build_entity_vecs(nodes).materialize()
         ctx = build_local_context(
-            "which module defines the shared helper functions", nodes, edges, chunks, vecs
+            "parse function for the config module", nodes, edges, chunks, vecs
         )
         return ctx["entities"]
 
@@ -980,6 +1107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": media_decode,
         "media_feature_vecs": media_feature_vecs,
         "kg_query_context": kg_query_context,
+        "kg_mm_answer": kg_mm_answer,
         "kg_node_degrees": kg_node_degrees,
         "kg_enhanced_nodes": kg_enhanced_nodes,
         "kg_resolve_refs": kg_resolve_refs,
@@ -1052,6 +1180,19 @@ JOIN sagg s ON s.new_name = d.new_name
               SELECT src_id AS entity_name FROM edges
               UNION ALL SELECT tgt_id FROM edges
             ) GROUP BY 1
+        """,
+        # entities section of the local query context: integer-exact cosine
+        # top-k (threshold 0.2, k=10) + degree rank — see _query_context_sql
+        "kg_query_context": kg
+        + merge
+        + _query_context_sql("parse function for the config module"),
+        # multimodal answer fan-out with deterministic seams: payload is the
+        # document's utf-8 bytes, so base64+md5 mirror exactly in SQL
+        "kg_mm_answer": """
+            WITH sel AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3)
+            SELECT CAST(d.doc_id AS VARCHAR) AS mm_entity,
+                   'mm:' || md5(base64(encode(d.text))) AS mm_response
+            FROM documents d JOIN sel USING (doc_id)
         """,
         # exact mirror of stages/embed.py HashEmbedder pre-normalization
         # components: content = name || description (fusion.py:133-141),

@@ -47,6 +47,7 @@ class QueryParam:
     local_max_token_for_text_unit: int = 4000
     local_max_token_for_local_context: int = 6000
     cosine_threshold: float = 0.2
+    number_of_mmentities: int = 3  # reference parameter.py:22
 
 
 def entity_topk(entity_vecs_ds, query_text: str, param: QueryParam) -> pd.DataFrame:
@@ -162,11 +163,18 @@ def build_local_context(
     persists the context as a parquet sidecar (S9)."""
     top = entity_topk(entity_vecs_ds, query_text, param)
     if len(top) == 0:
+        # typed empty frames: a zero-hit query must still carry the context
+        # schema (the driver's correctness gate compares schemas)
+        empty_entities = pd.DataFrame(
+            {c: pd.Series(dtype=str)
+             for c in ("entity_name", "entity_type", "description", "source_id")}
+        )
+        empty_entities["rank"] = pd.Series(dtype="int64")
         ctx = {
             "entities_csv": "",
             "relations_csv": "",
             "text_units_csv": "",
-            "entities": pd.DataFrame(),
+            "entities": empty_entities,
             "relations": pd.DataFrame(),
             "text_units": pd.DataFrame(),
         }
@@ -293,3 +301,75 @@ def build_local_context(
     if audit_dir:
         write_audit_row(audit_dir, query_text, ctx)
     return ctx
+
+
+def multimodal_answer_merge(
+    query_text: str,
+    ctx: dict,
+    media_ds,
+    answer_fn,
+    mm_answer_fn,
+    merge_fn=None,
+    param: QueryParam = QueryParam(),
+) -> dict:
+    """The reference's ORI_IMG-triggered multimodal answer path
+    (query.py:414-469) with the three model calls as injected seams — the
+    data plane (entity selection, media KV lookup, base64 payload encode,
+    per-image fan-out, ordered merge) is real; the sandbox has no model, so
+    callers plug deterministic or real functions.
+
+    Reference semantics preserved:
+      - a text answer is produced first from the CSV context
+        (query.py:406-410): ``answer_fn(query_text, context_csv)``;
+      - multimodal entities = retrieved entities whose type is ORI_IMG, in
+        RETRIEVAL order, lowercased, capped at param.number_of_mmentities
+        (query.py:414-420);
+      - entities missing from the media store are skipped, order kept
+        (query.py:430 `if entity in image_data`);
+      - per image: ``mm_answer_fn(query, payload_b64, "<caption>, <footnote>",
+        context_csv)`` (query.py:439-454);
+      - no multimodal entities -> the text answer IS the final answer
+        (query.py:422-423);
+      - else the mm responses merge, then merge with the text answer
+        (query.py:457-469): ``merge_fn(query, mm_responses, text_answer)``;
+        the default concatenates deterministically in response order.
+
+    `media_ds` is the kv_store_image_data analog: a Dataset with columns
+    (entity_name, payload: binary, caption, footnote).  The lookup is a
+    broadcast semi-join (<= number_of_mmentities keys) — the media table
+    never materializes beyond the matched rows.
+    """
+    import base64
+
+    entities = ctx["entities"]
+    mm_names = []
+    if len(entities):
+        ori = entities[entities["entity_type"].str.strip('"') == "ORI_IMG"]
+        mm_names = [n.strip('"').lower() for n in ori["entity_name"]]
+    mm_names = mm_names[: param.number_of_mmentities]
+
+    text_answer = answer_fn(query_text, ctx["entities_csv"])
+    if not mm_names:
+        return {"answer": text_answer, "mm_responses": [], "mm_entities": []}
+
+    rows = broadcast_semi_join(media_ds, set(mm_names), "entity_name").to_pandas()
+    by_name = {r["entity_name"]: r for _, r in rows.iterrows()}
+    mm_responses = []
+    used = []
+    for name in mm_names:  # retrieval order, skip missing (query.py:430)
+        if name not in by_name:
+            continue
+        r = by_name[name]
+        payload_b64 = base64.b64encode(bytes(r["payload"])).decode("utf-8")
+        information = f"{r['caption']}, {r['footnote']}"
+        mm_responses.append(
+            mm_answer_fn(query_text, payload_b64, information, ctx["entities_csv"])
+        )
+        used.append(name)
+    if merge_fn is None:
+        merge_fn = lambda q, mms, ans: ans + "\n" + "\n".join(mms)  # noqa: E731
+    return {
+        "answer": merge_fn(query_text, mm_responses, text_answer),
+        "mm_responses": mm_responses,
+        "mm_entities": used,
+    }

@@ -143,3 +143,56 @@ def test_audit_sidecar_written(ray_session, tmp_path):
     # idempotent: same query+context -> same part file, still one row
     build_local_context(q, nodes, edges, chunks, vecs, audit_dir=audit)
     assert pq.read_table(audit).num_rows == 1
+
+
+def test_multimodal_answer_merge():
+    """ORI_IMG answer path (reference query.py:414-469): entity selection in
+    retrieval order, media KV lookup with missing-entity skip, cap at
+    number_of_mmentities, base64 payload encode, deterministic merge."""
+    import base64
+
+    from mmgraphrag_ray.query import multimodal_answer_merge
+
+    entities = pd.DataFrame(
+        {
+            "entity_name": ['"IMG_B"', '"FN_X"', '"IMG_A"', '"IMG_GONE"', '"IMG_C"'],
+            "entity_type": ['"ORI_IMG"', '"FUNCTION"', '"ORI_IMG"', '"ORI_IMG"', '"ORI_IMG"'],
+        }
+    )
+    ctx = {"entities": entities, "entities_csv": "CSVCTX"}
+    media = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "entity_name": ["img_a", "img_b", "img_c", "img_z"],
+                "payload": [b"A-bytes", b"B-bytes", b"C-bytes", b"Z-bytes"],
+                "caption": ["cap a", "cap b", "cap c", "cap z"],
+                "footnote": ["fn a", "fn b", "fn c", "fn z"],
+            }
+        )
+    )
+    calls = []
+
+    def mm_fn(q, payload_b64, information, context):
+        calls.append((q, base64.b64decode(payload_b64), information, context))
+        return f"mm:{information}"
+
+    out = multimodal_answer_merge(
+        "the query", ctx, media, answer_fn=lambda q, c: f"text:{q}|{c}", mm_answer_fn=mm_fn
+    )
+    # retrieval order (B, A, GONE, C), GONE skipped, cap=3 applied BEFORE the
+    # lookup (reference slices first: B, A, GONE -> B, A survive)
+    assert out["mm_entities"] == ["img_b", "img_a"]
+    assert out["mm_responses"] == ["mm:cap b, fn b", "mm:cap a, fn a"]
+    assert calls[0][1] == b"B-bytes" and calls[1][1] == b"A-bytes"
+    assert calls[0][3] == "CSVCTX"
+    assert out["answer"] == "text:the query|CSVCTX\nmm:cap b, fn b\nmm:cap a, fn a"
+
+    # no ORI_IMG entities -> text answer only (reference query.py:422-423)
+    out2 = multimodal_answer_merge(
+        "q2",
+        {"entities": entities[entities.entity_type == '"FUNCTION"'], "entities_csv": ""},
+        media,
+        answer_fn=lambda q, c: "plain",
+        mm_answer_fn=mm_fn,
+    )
+    assert out2 == {"answer": "plain", "mm_responses": [], "mm_entities": []}
