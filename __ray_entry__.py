@@ -877,17 +877,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return doc_lang_id(docs)
 
+    # media fixture size is sf-independent (synthetic corpus, no external
+    # data): the decode/feature oracles mirror the generator formulas over
+    # range(300) so the same SQL holds at every sf
+    MEDIA_N = 300
+
     def media_decode(sf_dir):
         from mmgraphrag_ray.stages.multimodal import decode_media, synth_media_table
 
-        n = max(30, int(300 * _sf_of(sf_dir)))
-        return decode_media(ray.data.from_arrow(synth_media_table(n)))
+        return decode_media(ray.data.from_arrow(synth_media_table(MEDIA_N)))
 
     def media_feature_vecs(sf_dir):
         from mmgraphrag_ray.stages.multimodal import media_features, synth_media_table
 
-        n = max(30, int(300 * _sf_of(sf_dir)))
-        return media_features(ray.data.from_arrow(synth_media_table(n)))
+        return media_features(ray.data.from_arrow(synth_media_table(MEDIA_N)))
+
+    def media_feature_components(sf_dir):
+        from mmgraphrag_ray.stages.multimodal import (
+            media_feature_components as mfc,
+            synth_media_table,
+        )
+
+        return mfc(ray.data.from_arrow(synth_media_table(MEDIA_N)))
 
     def kg_mm_answer(sf_dir):
         # ORI_IMG multimodal answer path (reference query.py:414-469) with
@@ -1106,6 +1117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": doc_lang_id_q,
         "media_decode": media_decode,
         "media_feature_vecs": media_feature_vecs,
+        "media_feature_components": media_feature_components,
         "kg_query_context": kg_query_context,
         "kg_mm_answer": kg_mm_answer,
         "kg_node_degrees": kg_node_degrees,
@@ -1193,6 +1205,57 @@ JOIN sagg s ON s.new_name = d.new_name
             SELECT CAST(d.doc_id AS VARCHAR) AS mm_entity,
                    'mm:' || md5(base64(encode(d.text))) AS mm_response
             FROM documents d JOIN sel USING (doc_id)
+        """,
+        # generator-formula mirror of synth_media_table (multimodal.py:39-47)
+        # — value-checks the pack->decode roundtrip end-to-end
+        "media_decode": """
+            SELECT i AS media_id,
+                   CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(64 + (i * 7) % 512 AS INT) AS width,
+                   CAST(64 + (i * 13) % 512 AS INT) AS height,
+                   CAST(CASE WHEN i % 3 = 0 THEN 1
+                             ELSE 8 + i % 24 END AS INT) AS n_frames
+            FROM range(300) t(i)
+        """,
+        # exact mirror of the fake feature extraction (multimodal.py
+        # _feature_hits): payload hex = 'FAKE' + kind byte + 3 LE uint16 +
+        # 16 chained md5 digests; one hit per 8-byte stride window, window
+        # hash = md5 of the window's lowercase hex (md5(BLOB) is unavailable,
+        # so both sides hash the hex string), dim = h%64, sign = bit 16
+        "media_feature_components": """
+            WITH m AS (
+              SELECT i AS media_id,
+                     CASE CAST(i % 3 AS INT) WHEN 0 THEN '69'
+                          WHEN 1 THEN '61' ELSE '76' END AS kind_hex,
+                     64 + (i * 7) % 512 AS w,
+                     64 + (i * 13) % 512 AS h,
+                     CASE WHEN i % 3 = 0 THEN 1 ELSE 8 + i % 24 END AS f
+              FROM range(300) t(i)
+            ),
+            body AS (
+              SELECT i AS media_id,
+                     string_agg(md5(concat(i, '-', j)), '' ORDER BY j) AS body_hex
+              FROM range(300) t(i) CROSS JOIN range(16) r(j) GROUP BY 1
+            ),
+            payload AS (
+              SELECT m.media_id,
+                     '46414b45' || kind_hex ||
+                     printf('%02x%02x', w % 256, w // 256) ||
+                     printf('%02x%02x', h % 256, h // 256) ||
+                     printf('%02x%02x', f % 256, f // 256) || body_hex AS hex
+              FROM m JOIN body USING (media_id)
+            ),
+            hits AS (
+              SELECT media_id,
+                     CAST(('0x' || substr(md5(substr(hex, CAST(o.off * 2 + 1 AS INT), 16)),
+                                          1, 8)) AS UBIGINT) AS hv
+              FROM payload CROSS JOIN range(0, 259, 8) o(off)
+            )
+            SELECT media_id, CAST(hv % 64 AS BIGINT) AS dim_idx,
+                   CAST(SUM(CASE WHEN (hv // 65536) % 2 = 1
+                                 THEN 1 ELSE -1 END) AS BIGINT) AS component
+            FROM hits GROUP BY 1, 2
         """,
         # exact mirror of stages/embed.py HashEmbedder pre-normalization
         # components: content = name || description (fusion.py:133-141),

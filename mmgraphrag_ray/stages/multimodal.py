@@ -13,15 +13,18 @@ Media table schema:
           payload: binary, meta: string(json))
 
 Payload wire format (deterministic fake): b'FAKE' + kind[0] + uint16 width +
-uint16 height + uint16 n_frames + pseudo-random body bytes seeded by
-media_id.  A real JPEG/PNG/WAV decoder raises NotImplementedError here.
+uint16 height + uint16 n_frames + 256 body bytes from an md5 chain seeded by
+media_id (md5 is the engine's SQL-mirrorable hash family — the whole packed
+payload, and therefore the fake feature extraction below, has an exact DuckDB
+oracle; see media_feature_components in __ray_entry__.py).  A real
+JPEG/PNG/WAV decoder raises NotImplementedError here.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import struct
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -31,8 +34,9 @@ FEATURE_DIM = 64
 
 
 def make_payload(media_id: int, kind: str, width: int, height: int, n_frames: int) -> bytes:
-    rng = np.random.default_rng(media_id)
-    body = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
+    body = b"".join(
+        hashlib.md5(f"{media_id}-{j}".encode()).digest() for j in range(16)
+    )
     return MAGIC + kind[:1].encode() + struct.pack("<HHH", width, height, n_frames) + body
 
 
@@ -99,6 +103,21 @@ class MediaDecoder:
         )
 
 
+def _win_h32(window: bytes) -> int:
+    """8-byte-window hash: md5 over the window's lowercase hex — the engine's
+    SQL-mirrorable family (DuckDB: ('0x'||substr(md5(win_hex),1,8))::UBIGINT;
+    md5(BLOB) does not exist there, so both sides hash the hex string)."""
+    return int(hashlib.md5(window.hex().encode()).hexdigest()[:8], 16)
+
+
+def _feature_hits(payload: bytes):
+    """(dim, sign) stream of the fake feature extraction: one hit per 8-byte
+    stride window over the full payload."""
+    for off in range(0, max(1, len(payload) - 8), 8):
+        h = _win_h32(payload[off : off + 8])
+        yield h % FEATURE_DIM, 1 if (h >> 16) & 1 else -1
+
+
 class MediaFeatureExtractor:
     """Actor-pool feature stage: payload bytes -> FEATURE_DIM float32 vector
     (deterministic rolling-hash features standing in for a vision encoder)."""
@@ -114,16 +133,44 @@ class MediaFeatureExtractor:
         feats = []
         for payload in batch.column("payload").to_pylist():
             vec = np.zeros(FEATURE_DIM, dtype=np.float32)
-            for off in range(0, max(1, len(payload) - 8), 8):
-                window = payload[off : off + 8]
-                h = zlib.crc32(window)
-                vec[h % FEATURE_DIM] += 1.0 if (h >> 16) & 1 else -1.0
+            for dim, sign in _feature_hits(payload):
+                vec[dim] += sign
             n = float(np.linalg.norm(vec)) or 1.0
             feats.append((vec / n).tolist())
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
                 "feature": pa.array(feats, pa.list_(pa.float32(), FEATURE_DIM)),
+            }
+        )
+
+
+class _MediaFeatureComponents:
+    """payload -> sparse PRE-normalization feature components, one row per
+    (media_id, touched dim): the integer-exact form of MediaFeatureExtractor
+    (same pattern as stages/embed.py _VecComponents)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids, dims, comps = [], [], []
+        if batch.num_rows and "payload" in batch.column_names:
+            for mid, payload in zip(
+                batch.column("media_id").to_pylist(),
+                batch.column("payload").to_pylist(),
+            ):
+                c: Counter = Counter()
+                for dim, sign in _feature_hits(payload):
+                    c[dim] += sign
+                for dim in sorted(c):
+                    ids.append(mid)
+                    dims.append(dim)
+                    comps.append(c[dim])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "dim_idx": pa.array(dims, pa.int64()),
+                "component": pa.array(comps, pa.int64()),
             }
         )
 
@@ -166,6 +213,17 @@ def decode_media(media_ds, concurrency=(1, 4), batch_size: int = 32):
 def media_features(media_ds, concurrency=(1, 4), batch_size: int = 32):
     return media_ds.map_batches(
         MediaFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def media_feature_components(media_ds, concurrency=(1, 4), batch_size: int = 32):
+    """Exploded integer feature components (media_id, dim_idx, component) —
+    the SQL-checkable view of media_features (oracle in __ray_entry__.py)."""
+    return media_ds.map_batches(
+        _MediaFeatureComponents,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
