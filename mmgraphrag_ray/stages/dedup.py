@@ -296,7 +296,10 @@ def verify_jaccard(pairs_ds, docs_ds, threshold: float,
     """Exact word-shingle Jaccard for candidate pairs — JOIN-based: each
     endpoint's text reaches its pairs through a bucketed join (no driver
     materialization, no whole-corpus broadcast; candidate volume scales with
-    near-dup density, not corpus size)."""
+    near-dup density, not corpus size).  The pair table is the designated
+    small side: below the join's broadcast cap both joins run as map-side
+    broadcast hash joins over the text table (no shuffle); above it they
+    fall back to the bucketed shuffle."""
     from .join import bucketed_join
 
     def rn(frame_cols):
@@ -311,8 +314,8 @@ def verify_jaccard(pairs_ds, docs_ds, threshold: float,
     tb = texts.map_batches(rn({id_col: "id_b", text_col: "text_b"}), batch_format="pandas")
     # pin between the two join shuffles (>2 chained hash shuffles deadlock
     # this Ray build's aggregator scheduling)
-    j1 = bucketed_join(pairs_ds, ta, on="id_a").materialize()
-    j2 = bucketed_join(j1, tb, on="id_b").materialize()
+    j1 = bucketed_join(pairs_ds, ta, on="id_a", small_side="left").materialize()
+    j2 = bucketed_join(j1, tb, on="id_b", small_side="left").materialize()
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
@@ -332,15 +335,60 @@ def verify_jaccard(pairs_ds, docs_ds, threshold: float,
     )
 
 
+def _cc_local_unionfind(pairs, labels):
+    """Driver union-find over a SMALL pair/label set (guarded by the caller):
+    min-id-rooted with path compression — the exact result the shuffle
+    iterations converge to, in one pass."""
+    import ray as _ray
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for b in pairs.iter_batches(batch_format="pandas"):
+        for a_id, b_id in zip(b["id_a"], b["id_b"]):
+            ra, rb = find(a_id), find(b_id)
+            if ra == rb:
+                continue
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+
+    def relabel(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return batch
+        out = batch.copy()
+        out["label"] = [find(i) for i in out["id"]]
+        return _pairs_arrow(out)
+
+    # one map over the already-materialized label blocks; `parent` rides the
+    # task closure (small by the caller's guard)
+    return labels.map_batches(relabel, batch_format="pandas").materialize()
+
+
 def connected_components(pairs_ds, all_ids_ds, id_col: str, max_iters: int = 25):
     """Distributed min-label propagation over verified pairs: every id
     converges to the smallest id in its component.  Each round is pure
     shuffle work — two bucketed joins (labels onto both pair endpoints) and
     one bucketed merge groupby; convergence is detected with a distributed
     sum over per-id changed flags.  NO driver-side label table at any point
-    (the round-1 to_pandas/broadcast version did not survive scale review).
+    in the scale path (the round-1 to_pandas/broadcast version did not
+    survive scale review).
+
+    Small-side fast path (broadcast-join-threshold pattern, as in
+    dedup_exact_broadcast / backfill_unknown_nodes): below
+    `RAYKG_CC_LOCAL_MAX` total rows (ids + pairs — each a couple of short
+    scalars), a driver union-find computes the identical min-label result,
+    skipping ~3 hash-shuffle ops x rounds of fixed setup latency.  Above
+    the bound — the 100-TB regime — the shuffle iterations run unchanged.
     """
     import logging
+    import os
 
     from .join import bucketed_join
 
@@ -355,6 +403,10 @@ def connected_components(pairs_ds, all_ids_ds, id_col: str, max_iters: int = 25)
     pairs = pairs.map_batches(
         lambda b: b[["id_a", "id_b"]], batch_format="pandas"
     ).materialize()
+
+    max_local = int(os.environ.get("RAYKG_CC_LOCAL_MAX", "2000000"))
+    if labels.count() + pairs.count() <= max_local:
+        return _cc_local_unionfind(pairs, labels)
 
     changed_total = None
     for _ in range(max_iters):

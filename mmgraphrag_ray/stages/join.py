@@ -29,15 +29,33 @@ def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner"):
     return ds.map_batches(join_batch, batch_format="pandas")
 
 
-def bucketed_join(left, right, on: str, how: str = "inner", n_buckets: int = 64):
+def bucketed_join(
+    left,
+    right,
+    on: str,
+    how: str = "inner",
+    n_buckets: int = 64,
+    small_side: str | None = None,
+):
     """Hash-partitioned join of two Datasets on one key column — the
     portable large-large join: both sides get bucket = crc32(key) % B, the
     union is grouped by bucket, and matching buckets merge pairwise inside
     map_groups (ray_guide pattern). Columns other than `on` must be disjoint.
-    `how` supports inner/left (left = preserve left rows)."""
+    `how` supports inner/left (left = preserve left rows).
+
+    `small_side` ('left'/'right') is the caller's claim that one side is a
+    dimension table: if its row count is within `RAYKG_JOIN_BROADCAST_MAX`,
+    it is collected once, `ray.put`, and the join runs as a broadcast hash
+    join per batch of the big side — no shuffle (the classic small-side
+    plan every engine picks).  The claim is only a hint: above the cap the
+    bucketed shuffle computes the identical result.  `small_side='left'`
+    requires how='inner' (a broadcast left side cannot preserve left rows);
+    callers should pass a materialized or cheap-to-count small side."""
+    import os
     import zlib
 
     import pandas as pd
+    import pyarrow as pa
 
     from ..arrowutil import dataset_arrow_types, df_to_table_aligned
 
@@ -46,6 +64,51 @@ def bucketed_join(left, right, on: str, how: str = "inner", n_buckets: int = 64)
     overlap = (set(left_cols) & set(right_cols)) - {on}
     if overlap:
         raise ValueError(f"bucketed_join column overlap: {overlap}")
+
+    out_cols_b = left_cols + [c for c in right_cols if c != on]
+    if small_side == "left" and how != "inner":
+        small_side = None
+    if small_side is not None:
+        cap = int(os.environ.get("RAYKG_JOIN_BROADCAST_MAX", "500000"))
+        small = left if small_side == "left" else right
+        if small.count() <= cap:
+            from ..arrowutil import df_to_table
+
+            small_cols = left_cols if small_side == "left" else right_cols
+            # blocks may be pandas or arrow depending on upstream stages
+            blocks = [ray.get(r) for r in small.to_arrow_refs()]
+            tbls = [
+                (df_to_table(b) if isinstance(b, pd.DataFrame) else b)
+                .replace_schema_metadata(None)
+                for b in blocks
+            ]
+            tbls = [t for t in tbls if t.num_rows]
+            if tbls:
+                small_tbl = pa.concat_tables(tbls, promote_options="default").combine_chunks()
+            else:
+                types = dataset_arrow_types(small)
+                small_tbl = pa.schema(
+                    [(c, types[c]) for c in small_cols]
+                ).empty_table()
+            ref = ray.put(small_tbl)
+            big = right if small_side == "left" else left
+
+            def bj(batch: pa.Table) -> pa.Table:
+                s = ray.get(ref)
+                batch = batch.replace_schema_metadata(None)
+                if small_side == "left":
+                    joined = s.select(left_cols).join(
+                        batch.select(right_cols), keys=on, join_type="inner"
+                    )
+                else:
+                    joined = batch.select(left_cols).join(
+                        s.select(right_cols),
+                        keys=on,
+                        join_type="inner" if how == "inner" else "left outer",
+                    )
+                return joined.select(out_cols_b)
+
+            return big.map_batches(bj, batch_format="pyarrow")
 
     # one unified Arrow schema for BOTH tagged sides: each side's missing
     # columns ride as typed nulls, so the shuffle sees a single metadata-free

@@ -1,0 +1,82 @@
+"""bucketed_join: shuffle path vs the small-side broadcast hash-join path
+(`small_side=` hint) must agree, including the guard fallback and the
+left-join restriction."""
+
+import pandas as pd
+import pytest
+import ray.data
+
+from mmgraphrag_ray.stages.join import bucketed_join
+
+LEFT = pd.DataFrame({"k": [1, 2, 2, 5], "lv": ["a", "b", "c", "d"]})
+RIGHT = pd.DataFrame({"k": [1, 2, 3], "rv": ["x", "y", "z"]})
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df.sort_values(list(df.columns)).reset_index(drop=True).astype({"k": "int64"})
+    )
+
+
+@pytest.fixture()
+def sides():
+    return (
+        ray.data.from_pandas(LEFT).materialize(),
+        ray.data.from_pandas(RIGHT).materialize(),
+    )
+
+
+def test_broadcast_right_matches_shuffle_inner(sides):
+    left, right = sides
+    shuffled = _norm(bucketed_join(left, right, on="k").to_pandas())
+    broadcast = _norm(
+        bucketed_join(left, right, on="k", small_side="right").to_pandas()
+    )
+    assert broadcast.equals(shuffled)
+    assert set(broadcast["lv"]) == {"a", "b", "c"}
+
+
+def test_broadcast_left_matches_shuffle_inner(sides):
+    left, right = sides
+    shuffled = _norm(bucketed_join(left, right, on="k").to_pandas())
+    broadcast = _norm(
+        bucketed_join(left, right, on="k", small_side="left").to_pandas()
+    )
+    assert broadcast.equals(shuffled)
+
+
+def test_broadcast_right_left_join_preserves_left_rows(sides):
+    left, right = sides
+    out = bucketed_join(
+        left, right, on="k", how="left", small_side="right"
+    ).to_pandas()
+    assert len(out) == 4
+    assert out.loc[out["k"] == 5, "rv"].isna().all()
+
+
+def test_broadcast_left_hint_ignored_for_left_join(sides):
+    # small_side='left' cannot preserve left rows under broadcast; the hint
+    # must silently fall back to the shuffle plan with identical results
+    left, right = sides
+    out = _norm(
+        bucketed_join(left, right, on="k", how="left", small_side="left")
+        .to_pandas()
+        .fillna("~")
+    )
+    assert len(out) == 4
+
+
+def test_broadcast_cap_falls_back_to_shuffle(sides, monkeypatch):
+    monkeypatch.setenv("RAYKG_JOIN_BROADCAST_MAX", "0")
+    left, right = sides
+    out = _norm(bucketed_join(left, right, on="k", small_side="right").to_pandas())
+    assert out.equals(_norm(bucketed_join(left, right, on="k").to_pandas()))
+
+
+def test_broadcast_empty_small_side(sides):
+    left, _ = sides
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"k": pd.Series(dtype="int64"), "rv": pd.Series(dtype=str)})
+    ).materialize()
+    out = bucketed_join(left, empty, on="k", small_side="right").to_pandas()
+    assert len(out) == 0

@@ -104,9 +104,12 @@ def test_minhash_hot_bucket_capped_star_pairs():
     assert set(labels["label"]) == {1}
 
 
-def test_connected_components_no_driver_label_broadcast():
+def test_connected_components_no_driver_label_broadcast(monkeypatch):
     """Multi-hop chain converges via pure shuffle iterations (diameter 3 —
-    needs >1 propagation round, bounded to keep the gate fast)."""
+    needs >1 propagation round, bounded to keep the gate fast).  Forces the
+    distributed path (RAYKG_CC_LOCAL_MAX=0) so the scale code stays covered
+    even though small inputs normally take the union-find fast path."""
+    monkeypatch.setenv("RAYKG_CC_LOCAL_MAX", "0")
     pairs = pd.DataFrame({"id_a": [1, 2, 3], "id_b": [2, 3, 4]})
     ids = pd.DataFrame({"doc_id": [1, 2, 3, 4, 7]})
     labels = connected_components(
