@@ -651,9 +651,39 @@ def backfill_unknown_nodes(nodes_ds, edges_ds):
         ref = _ray.put(frozenset(names_df["entity_name"]))
 
         def probe_endpoints(batch: pd.DataFrame) -> pd.DataFrame:
+            # membership-test FIRST, explode/min-reduce only the survivors:
+            # the full explode sorts 2x|edges| long-string rows per batch,
+            # while unknown endpoints are typically a few percent.  Also
+            # set-membership per value, NOT pd.isin(known): isin rehashes
+            # the entire broadcast name set on EVERY batch (O(|names|) per
+            # block — both measured dominant at ~1M names / 1.4M edges).
             known = _ray.get(ref)
-            out = _explode_endpoints(batch)
-            out = out[~out["entity_name"].isin(known)]
+            frames = []
+            for endpoint_col in ("src_id", "tgt_id"):
+                vals = batch[endpoint_col]
+                miss = np.fromiter(
+                    (v not in known for v in vals), dtype=bool, count=len(vals)
+                )
+                if miss.any():
+                    sub = batch[miss]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "entity_name": sub[endpoint_col],
+                                "kind": "cand",
+                                "src_id": sub["src_id"],
+                                "tgt_id": sub["tgt_id"],
+                                "description": sub["description_full"],
+                                "source_id": sub["source_id"],
+                            }
+                        )
+                    )
+            if not frames:
+                return _empty_frame(_ENDPOINT_COLS[:-1])
+            out = pd.concat(frames, ignore_index=True)
+            out = out.sort_values(
+                ["entity_name", "src_id", "tgt_id"], kind="mergesort"
+            ).drop_duplicates(subset=["entity_name"], keep="first")
             return _partials_to_arrow(out) if len(out) else out
 
         survivors = edges_ds.map_batches(probe_endpoints, batch_format="pandas")
