@@ -638,7 +638,11 @@ def backfill_unknown_nodes(nodes_ds, edges_ds):
 
     import ray as _ray
 
-    max_names = int(os.environ.get("RAYKG_BROADCAST_NAMES_MAX", "5000000"))
+    # 200k default: A/B at 60k files / ~770k names showed the bucketed
+    # shuffle at parity-or-better with the broadcast probe while carrying no
+    # driver-side name table and no serial reduce tail — broadcast only pays
+    # off where it skips a shuffle op's fixed ~2.5 s setup on SMALL graphs
+    max_names = int(os.environ.get("RAYKG_BROADCAST_NAMES_MAX", "200000"))
     # nodes_ds is a cheap projection over the pinned merge output, so this
     # count is one map pass, not a recomputation of the merge shuffle.
     if nodes_ds.count() <= max_names:
@@ -705,10 +709,26 @@ def backfill_unknown_nodes(nodes_ds, edges_ds):
                 }
             )
 
-        # survivors are the rare UNKNOWN endpoints — coalesce to one block
-        # for the global min-(src,tgt) reduce (no aggregator-actor shuffle)
-        unknown = survivors.repartition(1).map_batches(
-            final_min, batch_format="pandas", batch_size=None
+        def partial_min(batch: pd.DataFrame) -> pd.DataFrame:
+            # min of per-block mins == global min, so intermediate levels
+            # keep the full candidate row (incl. the (src,tgt) tie-break key)
+            if len(batch) == 0:
+                return _empty_frame(_ENDPOINT_COLS[:-1])
+            out = batch.sort_values(
+                ["entity_name", "src_id", "tgt_id"], kind="mergesort"
+            ).drop_duplicates(subset=["entity_name"], keep="first")
+            return _partials_to_arrow(out)
+
+        # survivors are the rare UNKNOWN endpoints, already min-reduced per
+        # probe block — tree reduce: an 8-way intermediate level in parallel,
+        # then the global min-(src,tgt) pass over one small coalesced block
+        # (no aggregator-actor shuffle; the serial tail sees only the
+        # twice-reduced partials)
+        unknown = (
+            survivors.repartition(8)
+            .map_batches(partial_min, batch_format="pandas", batch_size=None)
+            .repartition(1)
+            .map_batches(final_min, batch_format="pandas", batch_size=None)
         )
         return nodes_ds.union(unknown)
 

@@ -107,6 +107,22 @@ def test_unknown_backfill():
     assert (all_nodes.entity_name == '"A"').sum() == 1
 
 
+def test_unknown_backfill_bucketed_path_matches(monkeypatch):
+    """The bucketed-shuffle anti-join (scale path, taken above the name-count
+    cap) must produce the same rows as the broadcast probe."""
+    nodes = merge_nodes(ray.data.from_pandas(_ent_mentions()), CFG).materialize()
+    edges = merge_edges(ray.data.from_pandas(_rel_mentions()), CFG).materialize()
+    broadcast = backfill_unknown_nodes(nodes, edges).to_pandas()
+    monkeypatch.setenv("RAYKG_BROADCAST_NAMES_MAX", "0")
+    bucketed = backfill_unknown_nodes(nodes, edges).to_pandas()
+    key = ["entity_name", "entity_type", "description", "source_id"]
+    assert (
+        broadcast.sort_values("entity_name")[key]
+        .reset_index(drop=True)
+        .equals(bucketed.sort_values("entity_name")[key].reset_index(drop=True))
+    )
+
+
 def test_summarize_gate_truncates_at_threshold():
     short = "w " * 10
     assert summarize_description(short, 500) == short
