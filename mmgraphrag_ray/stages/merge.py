@@ -732,18 +732,115 @@ def backfill_unknown_nodes(nodes_ds, edges_ds):
         )
         return nodes_ds.union(unknown)
 
-    cands = edges_ds.map_batches(
-        lambda b: _partials_to_arrow(_explode_endpoints(b)), batch_format="pandas"
-    )
-    markers = nodes_ds.map_batches(
-        lambda b: _partials_to_arrow(_node_marker(b)), batch_format="pandas"
-    )
-    unknown = (
-        cands.union(markers)
+    # Bucketed scale path — KEY-ONLY shuffle: candidates carry just
+    # (endpoint, src, tgt), never the description payload (shuffled bytes
+    # scale with key width, like every other shuffle in this engine).  The
+    # few winners' payloads are fetched afterwards with one map-side pass
+    # over the edges against a broadcast winner-key dict; if winners are
+    # pathologically many (> RAYKG_BACKFILL_WINNERS_MAX), fall back to the
+    # payload-carrying shuffle which handles any rate.
+    def _explode_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return _empty_frame(["entity_name", "kind", "src_id", "tgt_id", "bucket"])
+        out = pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "entity_name": batch[c],
+                        "kind": "cand",
+                        "src_id": batch["src_id"],
+                        "tgt_id": batch["tgt_id"],
+                    }
+                )
+                for c in ("src_id", "tgt_id")
+            ],
+            ignore_index=True,
+        )
+        out = out.sort_values(
+            ["entity_name", "src_id", "tgt_id"], kind="mergesort"
+        ).drop_duplicates(subset=["entity_name"], keep="first")
+        out["bucket"] = _bucket_of(out["entity_name"])
+        return _partials_to_arrow(out)
+
+    def _marker_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return _empty_frame(["entity_name", "kind", "src_id", "tgt_id", "bucket"])
+        out = pd.DataFrame(
+            {
+                "entity_name": batch["entity_name"],
+                "kind": "node",
+                "src_id": None,
+                "tgt_id": None,
+            }
+        )
+        out["bucket"] = _bucket_of(out["entity_name"])
+        return _partials_to_arrow(out)
+
+    def _winners_from_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        known = set(bucket.loc[bucket["kind"] == "node", "entity_name"])
+        cands_b = bucket[
+            (bucket["kind"] == "cand") & ~bucket["entity_name"].isin(known)
+        ]
+        best = cands_b.sort_values(
+            ["entity_name", "src_id", "tgt_id"], kind="mergesort"
+        ).drop_duplicates(subset=["entity_name"], keep="first")
+        return best[["entity_name", "src_id", "tgt_id"]]
+
+    winners = (
+        edges_ds.map_batches(_explode_keys, batch_format="pandas")
+        .union(nodes_ds.map_batches(_marker_keys, batch_format="pandas"))
         .groupby("bucket")
-        .map_groups(_unknown_from_bucket, batch_format="pandas")
+        .map_groups(_winners_from_bucket, batch_format="pandas")
         .repartition(8)
+        .materialize()
     )
+    max_winners = int(os.environ.get("RAYKG_BACKFILL_WINNERS_MAX", "2000000"))
+    if winners.count() > max_winners:
+        cands = edges_ds.map_batches(
+            lambda b: _partials_to_arrow(_explode_endpoints(b)), batch_format="pandas"
+        )
+        markers = nodes_ds.map_batches(
+            lambda b: _partials_to_arrow(_node_marker(b)), batch_format="pandas"
+        )
+        unknown = (
+            cands.union(markers)
+            .groupby("bucket")
+            .map_groups(_unknown_from_bucket, batch_format="pandas")
+            .repartition(8)
+        )
+        return nodes_ds.union(unknown)
+
+    by_edge: dict = {}
+    for b in winners.iter_batches(batch_format="pandas"):
+        for name, s, t in zip(b["entity_name"], b["src_id"], b["tgt_id"]):
+            by_edge.setdefault((s, t), []).append(name)
+    wref = _ray.put(by_edge)
+
+    def fetch_payloads(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = _ray.get(wref)
+        names, descs, sources = [], [], []
+        for s, t, d, src in zip(
+            batch["src_id"], batch["tgt_id"],
+            batch["description_full"], batch["source_id"],
+        ):
+            for name in lookup.get((s, t), ()):
+                names.append(name)
+                descs.append(d)
+                sources.append(src)
+        return df_to_table(
+            pd.DataFrame(
+                {
+                    "entity_name": pd.Series(names, dtype="object"),
+                    "entity_type": pd.Series(['"UNKNOWN"'] * len(names), dtype="object"),
+                    "description": pd.Series(descs, dtype="object"),
+                    "source_id": pd.Series(sources, dtype="object"),
+                }
+            ),
+            entity_name=pa.string(), entity_type=pa.string(),
+            description=pa.string(), source_id=pa.string(),
+        )
+
+    unknown = edges_ds.map_batches(fetch_payloads, batch_format="pandas").repartition(4)
     return nodes_ds.union(unknown)
 
 
