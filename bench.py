@@ -10,13 +10,15 @@ ray.init(num_cpus=$RAY_GRAFT_CPUS or 32).  Prints ONE JSON line:
    "files": N, "files_per_sec": X}
 
 --scaling: runs the SAME headline job in fresh processes at two CPU levels
-(default N=2 and 4N=8; override with RAYKG_SCALING_CPUS="8,32") over one
-larger fixed corpus and reports both throughputs + scaling efficiency
-E = (files/sec@4N) / (4 x files/sec@N) — the sandbox evidence protocol for
-the north_rule's N-vs-4N-node criterion.  The (2, 8) default keeps both
-levels in the compute-bound regime this single-node sandbox can exercise
-(at 32 CPUs the ~70 MB bench corpus is coordination-bound, which a real
-multi-node 100 TB run would not be; see BASELINE.md for both pairs).
+(default N=4 and 4N=16; override with RAYKG_SCALING_CPUS="2,8") over one
+larger fixed corpus, INTERLEAVING the levels (min-of-N each) so both sample
+the same host-noise epochs, and reports both throughputs + scaling
+efficiency E = (files/sec@4N) / (4 x files/sec@N) — the sandbox evidence
+protocol for the north_rule's N-vs-4N-node criterion.  The (4, 16) default
+keeps both levels in the compute-bound regime this single-node sandbox can
+exercise: at 32 CPUs the bench corpus is coordination-bound, and at 2 CPUs
+Ray's out-of-budget system processes subsidize the level, deflating E (see
+BASELINE.md for the full pair portfolio).
 """
 
 from __future__ import annotations
@@ -28,7 +30,7 @@ import subprocess
 import sys
 import time
 
-SCALING_FILES = int(os.environ.get("RAYKG_SCALING_FILES", "20000"))
+SCALING_FILES = int(os.environ.get("RAYKG_SCALING_FILES", "60000"))
 
 
 def _run_headline(corpus_path: str, n_files: int, out_dir: str) -> float:
@@ -151,7 +153,13 @@ def _scaling_main() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    cpus = [int(x) for x in os.environ.get("RAYKG_SCALING_CPUS", "2,8").split(",")]
+    # (4, 16) default: still an N-vs-4N pair, but it avoids the tiny-N
+    # distortion where Ray's system processes (raylet/GCS/driver, which run
+    # OUTSIDE the num_cpus task budget on this 32-core host) subsidize a
+    # 2-CPU level far more per allocated CPU than an 8-CPU one, deflating E
+    # (measured: 2->4 CPUs only 1.55x faster on the same input).  Both
+    # levels stay compute-bound at the default 20k-120k-file corpus sizes.
+    cpus = [int(x) for x in os.environ.get("RAYKG_SCALING_CPUS", "4,16").split(",")]
     reps = [
         int(x) for x in os.environ.get("RAYKG_SCALING_REPEATS", "2,4").split(",")
     ]
