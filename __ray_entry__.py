@@ -1133,6 +1133,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": relational.topk_orders,
         "events_window": relational.events_window,
         "events_sessions": relational.events_sessions,
+        "events_asof_orders": relational.events_asof_orders,
+        "lineitem_ship_range_join": relational.lineitem_ship_range_join,
+        "topk_orders_per_segment": relational.topk_orders_per_segment,
+        "user_running_stats": relational.user_running_stats,
+        "segment_price_quantiles": relational.segment_price_quantiles,
     }
 
 
@@ -1423,6 +1428,63 @@ FROM vh GROUP BY 1, 2, 3
                    min(value) AS min_value,
                    max(value) AS max_value
             FROM events GROUP BY 1, 2
+        """,
+        # as-of join: latest order day at or before each event's timestamp;
+        # right side pre-aggregated per (custkey, day) so the pick is unique
+        "events_asof_orders": """
+            WITH od AS (
+              SELECT o_custkey AS od_user, o_orderdate AS last_order_date,
+                     count(*) AS last_order_n,
+                     max(o_totalprice) AS last_order_max_price
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   od.last_order_date, od.last_order_n, od.last_order_max_price
+            FROM events e ASOF LEFT JOIN od
+              ON e.user_id = od.od_user AND e.ts >= od.last_order_date
+        """,
+        # per-key interval join, half-open window [orderdate, orderdate+30d)
+        "lineitem_ship_range_join": """
+            SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderdate,
+                   o.o_orderdate + INTERVAL 30 DAY AS win_end
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate >= o.o_orderdate
+             AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+        """,
+        "topk_orders_per_segment": """
+            SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment,
+                   CAST(rn AS BIGINT) AS rank
+            FROM (
+              SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment,
+                     row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders JOIN customer ON o_custkey = c_custkey
+            ) WHERE rn <= 3
+        """,
+        # running aggregates in (ts, event_id) order — the exact columns
+        # only (count/min/max pick actual elements; a running float SUM
+        # associates differently under DuckDB's segment-tree windows)
+        "user_running_stats": """
+            SELECT event_id, user_id, ts, value,
+                   CAST(row_number() OVER w AS BIGINT) AS n_so_far,
+                   min(value) OVER w AS min_so_far,
+                   max(value) OVER w AS max_so_far
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        """,
+        # exact discrete (type-1) quantiles: value = sorted[ceil(q*n)-1],
+        # always an actual element, so float-exact across engines
+        "segment_price_quantiles": """
+            SELECT c_mktsegment,
+                   quantile_disc(o_totalprice, 0.25) AS p25,
+                   quantile_disc(o_totalprice, 0.50) AS p50,
+                   quantile_disc(o_totalprice, 0.90) AS p90,
+                   count(*) AS n_rows
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
         """,
         "events_sessions": """
             WITH o AS (

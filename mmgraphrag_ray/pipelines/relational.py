@@ -89,6 +89,109 @@ def events_window(sf_dir: str):
     )
 
 
+def events_asof_orders(sf_dir: str):
+    """As-of join (the dimension-history lookup Ray Data lacks natively):
+    each event picks the user's LATEST order day at or before the event
+    timestamp — ``ASOF LEFT JOIN`` in DuckDB.  The right side is first
+    pre-aggregated per (custkey, orderdate) so the as-of pick is
+    deterministic (no same-day ties); both sides then meet in ONE hash
+    shuffle on the key (stages/window.asof_join)."""
+    from ..stages.window import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+    day = bucketed_groupby_agg(
+        orders.map_batches(
+            lambda b: b.rename(columns={"o_custkey": "user_id"}),
+            batch_format="pandas",
+        ),
+        keys=["user_id", "o_orderdate"],
+        aggs={
+            "last_order_n": (None, "count"),
+            "last_order_max_price": ("o_totalprice", "max"),
+        },
+    ).map_batches(
+        lambda b: b.rename(columns={"o_orderdate": "last_order_date"}),
+        batch_format="pandas",
+    )
+    return asof_join(ev, day, on="user_id", left_ts="ts", right_ts="last_order_date")
+
+
+def lineitem_ship_range_join(sf_dir: str, days: int = 30):
+    """Interval join: lineitems that SHIPPED inside the half-open window
+    [orderdate, orderdate + ``days``) of their own order — the per-key
+    range join (stages/window.range_join).  The equality key (orderkey)
+    partitions; the range predicate filters inside the bucket.  TPC-H ships
+    1-121 days after the order, so a 30-day window keeps a real subset."""
+    from ..stages.window import range_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def widen(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.rename(columns={"o_orderkey": "l_orderkey"})
+        out["win_end"] = out["o_orderdate"] + pd.Timedelta(days=days)
+        return out
+
+    win = orders.map_batches(widen, batch_format="pandas")
+    return range_join(
+        li, win, on="l_orderkey", left_point="l_shipdate",
+        right_lo="o_orderdate", right_hi="win_end",
+    )
+
+
+def topk_orders_per_segment(sf_dir: str, k: int = 3):
+    """Grouped top-k (window-rank analog): the k priciest orders per market
+    segment, rank emitted.  Per-batch combiner keeps only k rows per
+    segment per batch before the shuffle (stages/window.grouped_topk)."""
+    from ..stages.window import grouped_topk
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, on="o_custkey")
+    return grouped_topk(
+        joined,
+        keys=["c_mktsegment"],
+        order_col="o_totalprice",
+        k=k,
+        tie_cols=["o_orderkey"],
+    )
+
+
+def user_running_stats(sf_dir: str):
+    """Per-user running aggregates over the event stream in (ts, event_id)
+    order — the SQL window frame ROWS UNBOUNDED PRECEDING, partitioned by
+    user (stages/window.running_agg).  The driver-compared columns are the
+    cross-engine-exact ones (count/min/max); the running float sum is
+    dropped here because SQL segment-tree windows associate additions
+    differently in the last ulps (it is tested against pandas cumsum in
+    tests/test_window.py instead)."""
+    from ..stages.window import running_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = running_agg(ev, key="user_id", order_cols=["ts", "event_id"], value_col="value")
+    return out.select_columns(
+        ["event_id", "user_id", "ts", "value", "n_so_far", "min_so_far", "max_so_far"]
+    )
+
+
+def segment_price_quantiles(sf_dir: str):
+    """Exact discrete price quantiles per market segment (p25/p50/p90,
+    DuckDB quantile_disc semantics) — stages/window.group_quantiles."""
+    from ..stages.window import group_quantiles
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, on="o_custkey").select_columns(
+        ["c_mktsegment", "o_totalprice"]
+    )
+    return group_quantiles(
+        joined, keys=["c_mktsegment"], value_col="o_totalprice", qs=[0.25, 0.5, 0.9]
+    )
+
+
 def events_sessions(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user (gap-based): events of one user sorted by ts;
     a gap > `gap_minutes` starts a new session.  Ray shape: partition by

@@ -1,0 +1,325 @@
+"""Temporal joins and windowed aggregates — the custom-operator family a
+large-scale training-data pipeline needs beyond plain groupbys (SURVEY
+§2.10 scopes streaming semantics out of the reference; these are the batch
+re-expressions Ray Data lacks natively):
+
+- ``asof_join``      — per-key "latest right row at or before the left
+                       timestamp" (pandas ``merge_asof`` inside a hash
+                       bucket; the classic event→dimension-history join).
+- ``range_join``     — per-key interval join: left points matched to right
+                       [lo, hi) intervals sharing an equality key.
+- ``grouped_topk``   — top-k rows per key with a per-batch combiner so only
+                       k rows per key per batch ride the shuffle.
+- ``running_agg``    — per-key cumulative count/max/sum in event order
+                       (window frame ROWS UNBOUNDED PRECEDING).
+- ``group_quantiles``— exact discrete (type-1) quantiles per key,
+                       DuckDB ``quantile_disc`` semantics.
+
+Partitioning contract (shared with stages/merge.py, stages/join.py): every
+operator shuffles ONCE on ``crc32(key) % n_buckets``; all per-key state
+lives inside one reduce bucket, so skewed keys bound per-task memory by the
+largest single key, not the table.  For ``grouped_topk`` the combiner also
+bounds what the shuffle carries.  ``running_agg`` / ``group_quantiles``
+assume one key's rows fit a worker (true for per-user/per-segment state;
+the 100-TB fallback is a distributed sort + rank-select, documented in
+BASELINE.md engineering notes).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+
+N_BUCKETS = 64
+
+
+def _bucket_of(series: pd.Series, n_buckets: int) -> pd.Series:
+    if len(series) == 0:
+        return pd.Series(dtype="int32")
+    return series.map(lambda s: zlib.crc32(str(s).encode()) % n_buckets).astype(
+        "int32"
+    )
+
+
+def _tagged_union(left, right, on: str, n_buckets: int):
+    """Union the two sides under ONE metadata-free Arrow schema (each side's
+    missing columns ride as typed nulls) so the hash shuffle sees a single
+    hashable schema — same pattern as stages/join.bucketed_join."""
+    import pyarrow as pa
+
+    from ..arrowutil import dataset_arrow_types, df_to_table_aligned
+
+    left_cols = list(left.schema().names)
+    right_cols = list(right.schema().names)
+    overlap = (set(left_cols) & set(right_cols)) - {on}
+    if overlap:
+        raise ValueError(f"column overlap outside the key: {overlap}")
+    types = {**dataset_arrow_types(left), **dataset_arrow_types(right)}
+    types["_side"], types["_wbucket"] = pa.string(), pa.int32()
+    all_cols = left_cols + [c for c in right_cols if c != on] + ["_side", "_wbucket"]
+
+    def tag(side):
+        def fn(batch: pd.DataFrame):
+            out = batch.copy()
+            out["_side"] = side
+            out["_wbucket"] = _bucket_of(out[on], n_buckets)
+            return df_to_table_aligned(out, all_cols, types)
+
+        return fn
+
+    both = left.map_batches(tag("l"), batch_format="pandas").union(
+        right.map_batches(tag("r"), batch_format="pandas")
+    )
+    return both, left_cols, right_cols
+
+
+def asof_join(
+    left,
+    right,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    n_buckets: int = N_BUCKETS,
+):
+    """Left as-of join: each left row picks the right row with the greatest
+    ``right_ts`` <= ``left_ts`` for the same ``on`` key (DuckDB
+    ``ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts``); left rows with no
+    match keep nulls.  Right-side (key, ts) pairs must be unique — callers
+    pre-aggregate the right side to make the pick deterministic.
+
+    Shape: ONE hash shuffle on the key; ``pd.merge_asof`` (a sorted merge,
+    O(n log n) per bucket) does the per-key backward search inside the
+    bucket.  Nothing is driver-materialized and no side is broadcast, so
+    both sides may be arbitrarily large."""
+    import pyarrow as pa
+
+    from ..arrowutil import dataset_arrow_types
+
+    both, left_cols, right_cols = _tagged_union(left, right, on, n_buckets)
+    out_cols = left_cols + [c for c in right_cols if c != on]
+    right_int_cols = [
+        c
+        for c, t in dataset_arrow_types(right).items()
+        if c != on and pa.types.is_integer(t)
+    ]
+
+    def join_bucket(bucket: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        # split sides in Arrow BEFORE to_pandas: each side's own columns are
+        # null-free there, so ints stay int64 instead of NaN-floating
+        side = bucket.column("_side")
+        l = bucket.filter(pc.equal(side, "l")).select(left_cols).to_pandas()
+        r = bucket.filter(pc.equal(side, "r")).select(right_cols).to_pandas()
+        if len(l) == 0:
+            out = l.reindex(columns=out_cols)
+        else:
+            l = l.sort_values(left_ts, kind="mergesort")
+            r = r.sort_values(right_ts, kind="mergesort")
+            out = pd.merge_asof(
+                l, r, left_on=left_ts, right_on=right_ts, by=on, direction="backward"
+            )[out_cols]
+        # unmatched right ints NaN-float under pandas; pin them to nullable
+        # Int64 so every output block shares one schema
+        for c in right_int_cols:
+            out[c] = out[c].astype("Int64")
+        return out
+
+    return (
+        both.groupby("_wbucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+        .repartition(8)
+    )
+
+
+def range_join(
+    left,
+    right,
+    on: str,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    n_buckets: int = N_BUCKETS,
+):
+    """Inner interval join: pairs (left, right) sharing the equality key
+    ``on`` with ``right_lo <= left_point < right_hi`` (half-open, the usual
+    window convention).  The equality key does the partitioning — the range
+    predicate only filters within a key — so this is ONE hash shuffle;
+    per-key fanout (a point matching many overlapping intervals) bounds the
+    output, not the input size."""
+    import pyarrow as pa
+
+    both, left_cols, right_cols = _tagged_union(left, right, on, n_buckets)
+    out_cols = left_cols + [c for c in right_cols if c != on]
+
+    def join_bucket(bucket: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        side = bucket.column("_side")
+        l = bucket.filter(pc.equal(side, "l")).select(left_cols).to_pandas()
+        r = bucket.filter(pc.equal(side, "r")).select(right_cols).to_pandas()
+        if len(l) == 0 or len(r) == 0:
+            return l.merge(r, on=on, how="inner").reindex(columns=out_cols)
+        merged = l.merge(r, on=on, how="inner")
+        mask = (merged[left_point] >= merged[right_lo]) & (
+            merged[left_point] < merged[right_hi]
+        )
+        return merged[mask][out_cols]
+
+    return (
+        both.groupby("_wbucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+        .repartition(8)
+    )
+
+
+def grouped_topk(
+    ds,
+    keys: list[str],
+    order_col: str,
+    k: int,
+    tie_cols: list[str] | None = None,
+    descending: bool = True,
+    n_buckets: int = N_BUCKETS,
+):
+    """Top-k rows per key group, ranked by ``order_col`` (desc by default)
+    with deterministic ``tie_cols`` (asc) tie-break; emits a 1-based
+    ``rank`` column.  Per-batch combiner first: each input batch keeps at
+    most k rows per key, so the shuffle carries O(k · keys-per-batch) rows
+    — the same partial/final split as stages/groupagg.py."""
+    tie_cols = tie_cols or []
+    sort_cols = [order_col] + tie_cols
+    ascending = [not descending] + [True] * len(tie_cols)
+
+    def topk_frame(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        df = df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        return df.groupby(keys, sort=False, dropna=False).head(k)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..arrowutil import strip_pd_metadata
+
+        out = topk_frame(batch)
+        if len(out) == 0:
+            return out
+        key_str = out[keys[0]].astype(str)
+        for kk in keys[1:]:
+            key_str = key_str + "\x1f" + out[kk].astype(str)
+        out = out.copy()
+        out["_bucket"] = key_str.map(
+            lambda s: zlib.crc32(s.encode()) % n_buckets
+        ).astype("int32")
+        return strip_pd_metadata(out)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = topk_frame(bucket.drop(columns=["_bucket"]))
+        out = out.copy()
+        out["rank"] = out.groupby(keys, sort=False, dropna=False).cumcount() + 1
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(final, batch_format="pandas")
+        .repartition(8)
+    )
+
+
+def running_agg(
+    ds,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    n_buckets: int = N_BUCKETS,
+):
+    """Per-key running aggregates in event order (SQL frame ``PARTITION BY
+    key ORDER BY order_cols ROWS UNBOUNDED PRECEDING``): cumulative row
+    count ``n_so_far``, running ``min_so_far``/``max_so_far`` and running
+    ``sum_so_far`` of ``value_col``.  count/min/max are float-exact across
+    engines; the running sum adds left-to-right (numpy cumsum), which a SQL
+    engine's segment-tree window may associate differently in the last
+    ulps — callers needing cross-engine bit-equality should compare the
+    exact columns only.  One hash shuffle on the key; ``order_cols`` must
+    make the order total (include a unique id to break timestamp ties)."""
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return bucket.assign(
+                n_so_far=pd.Series(dtype="int64"),
+                min_so_far=pd.Series(dtype="float64"),
+                max_so_far=pd.Series(dtype="float64"),
+                sum_so_far=pd.Series(dtype="float64"),
+            ).drop(columns=["_wbucket"], errors="ignore")
+        b = bucket.sort_values([key] + order_cols, kind="mergesort")
+        g = b.groupby(key, sort=False)
+        b = b.assign(
+            n_so_far=(g.cumcount() + 1).astype("int64"),
+            min_so_far=g[value_col].cummin(),
+            max_so_far=g[value_col].cummax(),
+            sum_so_far=g[value_col].cumsum(),
+        )
+        return b.drop(columns=["_wbucket"])
+
+    def add_bucket(batch: pd.DataFrame):
+        from ..arrowutil import strip_pd_metadata
+
+        out = batch.copy()
+        out["_wbucket"] = _bucket_of(out[key], n_buckets)
+        return strip_pd_metadata(out) if len(out) else out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_wbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(8)
+    )
+
+
+def group_quantiles(
+    ds,
+    keys: list[str],
+    value_col: str,
+    qs: list[float],
+    n_buckets: int = N_BUCKETS,
+):
+    """Exact discrete quantiles per key: the type-1 selection
+    ``sorted_values[ceil(q·n) - 1]`` — DuckDB ``quantile_disc`` semantics,
+    so the value is always an actual element (float-exact across engines).
+    Output: keys..., one ``p<q>`` column per requested quantile, plus
+    ``n_rows``.  One hash shuffle; assumes one key's values fit a worker
+    (exact quantiles are a per-key sort — the scale fallback for huge
+    single keys is a distributed sort + rank select)."""
+
+    def add_bucket(batch: pd.DataFrame):
+        from ..arrowutil import strip_pd_metadata
+
+        out = batch[keys + [value_col]].copy()
+        key_str = out[keys[0]].astype(str)
+        for kk in keys[1:]:
+            key_str = key_str + "\x1f" + out[kk].astype(str)
+        out["_bucket"] = key_str.map(
+            lambda s: zlib.crc32(s.encode()) % n_buckets
+        ).astype("int32")
+        return strip_pd_metadata(out) if len(out) else out
+
+    qcols = [f"p{int(round(q * 100)):02d}" for q in qs]
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in bucket.groupby(keys, sort=False, dropna=False):
+            vals = np.sort(g[value_col].to_numpy())
+            n = len(vals)
+            picks = [vals[min(max(int(np.ceil(q * n)) - 1, 0), n - 1)] for q in qs]
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            rows.append((*kv, *picks, n))
+        return pd.DataFrame(rows, columns=keys + qcols + ["n_rows"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(8)
+    )

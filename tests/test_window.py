@@ -1,0 +1,275 @@
+"""stages/window.py — as-of join, range join, grouped top-k, running
+aggregates, group quantiles (the windowed-operator extension family)."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from mmgraphrag_ray.stages.window import (
+    asof_join,
+    grouped_topk,
+    group_quantiles,
+    range_join,
+    running_agg,
+)
+
+
+def _events() -> pd.DataFrame:
+    rng = np.random.RandomState(7)
+    n = 400
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "key": rng.randint(0, 9, n).astype("int64"),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.randint(0, 10_000, n), unit="m"),
+            "value": rng.rand(n).round(4),
+        }
+    )
+
+
+def _dims() -> pd.DataFrame:
+    rng = np.random.RandomState(11)
+    n = 60
+    df = pd.DataFrame(
+        {
+            "key": rng.randint(0, 12, n).astype("int64"),  # keys 9-11 never match
+            "dts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.randint(-500, 9_000, n), unit="m"),
+            "dim_val": np.arange(n, dtype="int64"),
+        }
+    )
+    # asof right side must be unique per (key, ts)
+    return df.drop_duplicates(["key", "dts"]).reset_index(drop=True)
+
+
+def test_asof_join_matches_pandas_merge_asof():
+    left, right = _events(), _dims()
+    got = (
+        asof_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on="key",
+            left_ts="ts",
+            right_ts="dts",
+            n_buckets=5,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("dts", kind="mergesort"),
+        left_on="ts",
+        right_on="dts",
+        by="key",
+        direction="backward",
+    ).sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(left)
+    pd.testing.assert_series_equal(got["dts"], want["dts"], check_names=False)
+    # unmatched left rows survive with nulls; matched ints stay integral
+    assert str(got["dim_val"].dtype) == "Int64"
+    pd.testing.assert_series_equal(
+        got["dim_val"].astype("float64"),
+        want["dim_val"].astype("float64"),
+        check_names=False,
+    )
+
+
+def test_asof_join_left_rows_all_preserved_when_no_right():
+    left = _events()
+    right = _dims().iloc[0:0]
+    got = asof_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        on="key",
+        left_ts="ts",
+        right_ts="dts",
+        n_buckets=3,
+    ).to_pandas()
+    assert len(got) == len(left)
+    assert got["dim_val"].isna().all()
+
+
+def test_range_join_half_open_boundaries():
+    left = pd.DataFrame(
+        {
+            "key": pd.Series([1, 1, 1, 2], dtype="int64"),
+            "pt": pd.Series([5, 10, 15, 10], dtype="int64"),
+            "lid": pd.Series([0, 1, 2, 3], dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "key": pd.Series([1, 1, 2], dtype="int64"),
+            "lo": pd.Series([5, 10, 0], dtype="int64"),
+            "hi": pd.Series([10, 15, 10], dtype="int64"),
+            "rid": pd.Series([100, 101, 102], dtype="int64"),
+        }
+    )
+    got = (
+        range_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on="key",
+            left_point="pt",
+            right_lo="lo",
+            right_hi="hi",
+            n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    # pt=5 ∈ [5,10) → rid 100; pt=10 ∈ [10,15) only (half-open); pt=15 none;
+    # key 2 pt=10 ∉ [0,10)
+    assert list(zip(got["lid"], got["rid"])) == [(0, 100), (1, 101)]
+
+
+def test_range_join_matches_bruteforce():
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame(
+        {
+            "key": rng.randint(0, 6, 200).astype("int64"),
+            "pt": rng.randint(0, 1000, 200).astype("int64"),
+            "lid": np.arange(200, dtype="int64"),
+        }
+    )
+    lo = rng.randint(0, 900, 40).astype("int64")
+    right = pd.DataFrame(
+        {
+            "key": rng.randint(0, 6, 40).astype("int64"),
+            "lo": lo,
+            "hi": lo + rng.randint(1, 200, 40).astype("int64"),
+            "rid": np.arange(40, dtype="int64"),
+        }
+    )
+    got = (
+        range_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on="key",
+            left_point="pt",
+            right_lo="lo",
+            right_hi="hi",
+            n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    brute = left.merge(right, on="key")
+    brute = brute[(brute["pt"] >= brute["lo"]) & (brute["pt"] < brute["hi"])]
+    want = brute.sort_values(["lid", "rid"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert list(got["lid"]) == list(want["lid"])
+    assert list(got["rid"]) == list(want["rid"])
+
+
+def test_grouped_topk_rank_and_ties():
+    df = pd.DataFrame(
+        {
+            "g": pd.Series(["a"] * 4 + ["b"] * 2, dtype=object),
+            "score": pd.Series([3.0, 3.0, 2.0, 1.0, 5.0, 5.0]),
+            "id": pd.Series([11, 10, 12, 13, 20, 21], dtype="int64"),
+        }
+    )
+    got = (
+        grouped_topk(
+            ray.data.from_pandas(df),
+            keys=["g"],
+            order_col="score",
+            k=2,
+            tie_cols=["id"],
+            n_buckets=3,
+        )
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    # ties break by id asc: group a keeps (3.0,10),(3.0,11); b keeps (5.0,20),(5.0,21)
+    assert list(got["id"]) == [10, 11, 20, 21]
+    assert list(got["rank"]) == [1, 2, 1, 2]
+
+
+def test_grouped_topk_batch_split_invariant():
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame(
+        {
+            "g": rng.randint(0, 7, 500).astype("int64"),
+            "score": rng.rand(500).round(6),
+            "id": np.arange(500, dtype="int64"),
+        }
+    )
+
+    def run(nblocks):
+        return (
+            grouped_topk(
+                ray.data.from_pandas(df).repartition(nblocks),
+                keys=["g"],
+                order_col="score",
+                k=3,
+                tie_cols=["id"],
+            )
+            .to_pandas()
+            .sort_values(["g", "rank"])
+            .reset_index(drop=True)
+        )
+
+    a, b = run(1), run(13)
+    # combiner (per-batch partial top-k) must not change the result
+    pd.testing.assert_frame_equal(a, b)
+    want = df.sort_values(["score", "id"], ascending=[False, True]).groupby("g").head(3)
+    assert sorted(a["id"]) == sorted(want["id"])
+
+
+def test_running_agg_matches_pandas_cumulatives():
+    ev = _events().rename(columns={"key": "user"})
+    got = (
+        running_agg(
+            ray.data.from_pandas(ev),
+            key="user",
+            order_cols=["ts", "event_id"],
+            value_col="value",
+            n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    w = ev.sort_values(["user", "ts", "event_id"], kind="mergesort")
+    g = w.groupby("user", sort=False)
+    w = w.assign(
+        n=(g.cumcount() + 1).astype("int64"),
+        mn=g["value"].cummin(),
+        mx=g["value"].cummax(),
+        sm=g["value"].cumsum(),
+    ).sort_values("event_id").reset_index(drop=True)
+    assert list(got["n_so_far"]) == list(w["n"])
+    assert np.allclose(got["min_so_far"], w["mn"])
+    assert np.allclose(got["max_so_far"], w["mx"])
+    # the float running sum is exact vs the same-order pandas cumsum
+    assert list(got["sum_so_far"]) == list(w["sm"])
+
+
+def test_group_quantiles_type1_selection():
+    df = pd.DataFrame(
+        {
+            "g": pd.Series(["x"] * 4 + ["y"] * 5, dtype=object),
+            "v": pd.Series([1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 30.0, 40.0, 50.0]),
+        }
+    )
+    got = (
+        group_quantiles(
+            ray.data.from_pandas(df), keys=["g"], value_col="v", qs=[0.5, 0.9],
+            n_buckets=3,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    # type-1 (DuckDB quantile_disc): sorted[ceil(q*n)-1]
+    assert list(got["p50"]) == [2.0, 30.0]  # n=4 → idx 1; n=5 → idx 2
+    assert list(got["p90"]) == [4.0, 50.0]  # ceil(3.6)=4 → idx 3; ceil(4.5)=5 → idx 4
+    assert list(got["n_rows"]) == [4, 5]
