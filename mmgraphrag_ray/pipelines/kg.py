@@ -67,11 +67,11 @@ def build_graph(
         # materialize the (small, post-extraction) mentions once so the
         # entity/relationship branches don't re-run chunk+extract twice.
         mentions_ds = build_mentions(files_path, cfg).materialize()
-    ent, rel = split_mentions(mentions_ds)
-    # fused single-shuffle node+edge merge; outputs are pinned (each is
+    # fused single-shuffle node+edge merge over the UNIFIED mentions table
+    # (one scan computes both partials); outputs are pinned (each is
     # consumed twice: backfill + sink). The write path (state/lineage.py)
     # checkpoints them to parquet instead.
-    nodes, edges = merge_graph(ent, rel, cfg)
+    nodes, edges = merge_graph(cfg=cfg, mentions_ds=mentions_ds)
     nodes = backfill_unknown_nodes(nodes, edges)
     return nodes, finalize_edges(edges)
 

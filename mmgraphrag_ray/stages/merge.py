@@ -422,12 +422,17 @@ def merge_edges(rel_mentions_ds, cfg=None, buckets=None, emit_bucket_col=False):
 # ------------------------------------------------- fused node+edge merge
 
 
-def merge_graph(entity_mentions_ds, rel_mentions_ds, cfg=None):
+def merge_graph(entity_mentions_ds=None, rel_mentions_ds=None, cfg=None, mentions_ds=None):
     """Node AND edge merges through ONE shuffle: partial rows from both
     tables share a unified tall schema and a routing bucket
     crc32(table+key) % N; one groupby(bucket) runs both vectorized finals.
     Halves the all-to-all count of the merge phase (same algebra as
     merge_nodes/merge_edges — equality asserted by tests).
+
+    Pass EITHER the pre-split (entity_mentions_ds, rel_mentions_ds) pair OR
+    the unified ``mentions_ds``: the unified path computes both partials in
+    ONE scan per batch (one task pool instead of two filtered re-scans of
+    the mentions table — measured ~2-3 s at sf0.1/32 CPUs).
 
     Returns (nodes_ds, edges_ds) — lazy projections over the ONE
     materialized fused table (multiple consumers re-map, never re-shuffle)."""
@@ -438,10 +443,15 @@ def merge_graph(entity_mentions_ds, rel_mentions_ds, cfg=None):
 
     UNI = ["table", "key", "kind", "value", "n", "wsum", "omin", "bucket"]
 
-    def _unify_node(batch: pd.DataFrame):
+    def _empty_uni():
+        return _partials_to_arrow(
+            pd.DataFrame({c: pd.Series(dtype="object") for c in UNI})
+        )
+
+    def _node_uni_frame(batch: pd.DataFrame) -> pd.DataFrame | None:
         p = _node_partial(batch)
         if len(p) == 0:
-            return _partials_to_arrow(pd.DataFrame({c: pd.Series(dtype="object") for c in UNI}))
+            return None
         out = pd.DataFrame(
             {
                 "table": "n",
@@ -454,12 +464,12 @@ def merge_graph(entity_mentions_ds, rel_mentions_ds, cfg=None):
             }
         )
         out["bucket"] = _bucket_of("n" + out["key"])
-        return _partials_to_arrow(out)
+        return out
 
-    def _unify_edge(batch: pd.DataFrame):
+    def _edge_uni_frame(batch: pd.DataFrame) -> pd.DataFrame | None:
         p = _edge_partial(batch)
         if len(p) == 0:
-            return _partials_to_arrow(pd.DataFrame({c: pd.Series(dtype="object") for c in UNI}))
+            return None
         out = pd.DataFrame(
             {
                 "table": "e",
@@ -472,7 +482,31 @@ def merge_graph(entity_mentions_ds, rel_mentions_ds, cfg=None):
             }
         )
         out["bucket"] = _bucket_of("e" + out["key"])
-        return _partials_to_arrow(out)
+        return out
+
+    def _unify_node(batch: pd.DataFrame):
+        f = _node_uni_frame(batch)
+        return _partials_to_arrow(f) if f is not None else _empty_uni()
+
+    def _unify_edge(batch: pd.DataFrame):
+        f = _edge_uni_frame(batch)
+        return _partials_to_arrow(f) if f is not None else _empty_uni()
+
+    def _unify_both(batch: pd.DataFrame):
+        parts = []
+        ent = batch[batch["kind"] == "entity"]
+        if len(ent):
+            f = _node_uni_frame(ent)
+            if f is not None:
+                parts.append(f)
+        rel = batch[batch["kind"] == "rel"]
+        if len(rel):
+            f = _edge_uni_frame(rel)
+            if f is not None:
+                parts.append(f)
+        if not parts:
+            return _empty_uni()
+        return _partials_to_arrow(pd.concat(parts, ignore_index=True))
 
     OUT_TYPES = {
         "table": pa.string(), "entity_name": pa.string(),
@@ -520,9 +554,12 @@ def merge_graph(entity_mentions_ds, rel_mentions_ds, cfg=None):
             return OUT_SCHEMA.empty_table()
         return pa.concat_tables(parts)
 
-    both = entity_mentions_ds.map_batches(_unify_node, batch_format="pandas").union(
-        rel_mentions_ds.map_batches(_unify_edge, batch_format="pandas")
-    )
+    if mentions_ds is not None:
+        both = mentions_ds.map_batches(_unify_both, batch_format="pandas")
+    else:
+        both = entity_mentions_ds.map_batches(_unify_node, batch_format="pandas").union(
+            rel_mentions_ds.map_batches(_unify_edge, batch_format="pandas")
+        )
     merged = (
         both.groupby("bucket")
         .map_groups(fused_final, batch_format="pyarrow")

@@ -193,3 +193,32 @@ def test_hot_key_combiner_bounds_shuffle_rows():
     assert len(partial) == 9
     t = partial[partial["kind"] == "t"]
     assert int(t["n"].iloc[0]) == n  # multiplicity preserved for type mode
+
+
+def test_fused_merge_unified_mentions_path():
+    """merge_graph(mentions_ds=...) — ONE scan computing both partials —
+    must equal the pre-split two-scan path."""
+    import numpy as np
+    import ray.data
+
+    from mmgraphrag_ray.stages.merge import finalize_edges, merge_graph
+
+    ent, rel = _ent_mentions(), _rel_mentions()
+    uni = pd.concat(
+        [
+            ent.assign(kind="entity", src_id=None, tgt_id=None,
+                       weight=np.nan, order=pd.Series(dtype="float64")),
+            rel.assign(kind="rel", entity_name=None, entity_type=None),
+        ],
+        ignore_index=True,
+    )
+    n1, e1 = merge_graph(ray.data.from_pandas(ent), ray.data.from_pandas(rel), CFG)
+    n2, e2 = merge_graph(cfg=CFG, mentions_ds=ray.data.from_pandas(uni))
+    n1, e1 = n1.to_pandas(), finalize_edges(e1).to_pandas()
+    n2, e2 = n2.to_pandas(), finalize_edges(e2).to_pandas()
+
+    def srt(df):
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(srt(n1), srt(n2))
+    pd.testing.assert_frame_equal(srt(e1), srt(e2), check_dtype=False)
