@@ -1133,6 +1133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": relational.topk_orders,
         "events_window": relational.events_window,
         "events_sessions": relational.events_sessions,
+        "events_sliding_window": relational.events_sliding_window,
         "events_asof_orders": relational.events_asof_orders,
         "lineitem_ship_range_join": relational.lineitem_ship_range_join,
         "topk_orders_per_segment": relational.topk_orders_per_segment,
@@ -1428,6 +1429,21 @@ FROM vh GROUP BY 1, 2, 3
                    min(value) AS min_value,
                    max(value) AS max_value
             FROM events GROUP BY 1, 2
+        """,
+        # hopping window: 1 h length, 15 min hop — each event joins the 4
+        # epoch-aligned windows containing it
+        "events_sliding_window": """
+            WITH expanded AS (
+              SELECT user_id, value,
+                     to_timestamp(floor(epoch(ts) / 900) * 900
+                                  - k.k * 900)::TIMESTAMP AS win_start
+              FROM events CROSS JOIN range(4) k(k)
+            )
+            SELECT user_id, win_start,
+                   count(*) AS n_events,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM expanded GROUP BY 1, 2
         """,
         # as-of join: latest order day at or before each event's timestamp;
         # right side pre-aggregated per (custkey, day) so the pick is unique

@@ -192,6 +192,27 @@ def segment_price_quantiles(sf_dir: str):
     )
 
 
+def events_sliding_window(sf_dir: str):
+    """Hopping (sliding) 1-hour window with 15-minute hop per user: each
+    event lands in 4 overlapping windows (stages/window.sliding_window_expand
+    — vectorized per-batch replication), then one exact keyed aggregate."""
+    from ..stages.window import sliding_window_expand
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    expanded = sliding_window_expand(
+        ev, ts_col="ts", window=pd.Timedelta(hours=1), hop=pd.Timedelta(minutes=15)
+    ).select_columns(["user_id", "win_start", "value"])
+    return bucketed_groupby_agg(
+        expanded,
+        keys=["user_id", "win_start"],
+        aggs={
+            "n_events": (None, "count"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+    )
+
+
 def events_sessions(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user (gap-based): events of one user sorted by ts;
     a gap > `gap_minutes` starts a new session.  Ray shape: partition by

@@ -278,6 +278,40 @@ def running_agg(
     )
 
 
+def sliding_window_expand(
+    ds,
+    ts_col: str,
+    window: "pd.Timedelta",
+    hop: "pd.Timedelta",
+    out_col: str = "win_start",
+):
+    """Expand each row into the hopping windows containing it: windows of
+    length ``window`` starting every ``hop`` (epoch-aligned).  A row at time
+    t joins the window/hop windows with start in (t - window, t]; emits one
+    copy per window with ``out_col`` = window start.  Pure per-batch
+    replication (vectorized tile/repeat) — the downstream aggregate is a
+    normal keyed groupby, so the shuffle carries window/hop copies (bounded
+    fanout, the standard hopping-window trade)."""
+    k = int(window // hop)
+    if window % hop:
+        raise ValueError("window must be a multiple of hop")
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            out = batch.copy()
+            out[out_col] = pd.Series(dtype="datetime64[us]")
+            return out
+        base = batch[ts_col].dt.floor(hop)
+        reps = pd.concat([batch] * k, ignore_index=True)
+        offsets = np.repeat(np.arange(k), len(batch))
+        reps[out_col] = pd.concat([base] * k, ignore_index=True) - pd.to_timedelta(
+            offsets * hop
+        )
+        return reps
+
+    return ds.map_batches(expand, batch_format="pandas")
+
+
 def group_quantiles(
     ds,
     keys: list[str],

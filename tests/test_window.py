@@ -273,3 +273,22 @@ def test_group_quantiles_type1_selection():
     assert list(got["p50"]) == [2.0, 30.0]  # n=4 → idx 1; n=5 → idx 2
     assert list(got["p90"]) == [4.0, 50.0]  # ceil(3.6)=4 → idx 3; ceil(4.5)=5 → idx 4
     assert list(got["n_rows"]) == [4, 5]
+
+
+def test_sliding_window_expand_membership():
+    from mmgraphrag_ray.stages.window import sliding_window_expand
+
+    ev = _events()
+    got = sliding_window_expand(
+        ray.data.from_pandas(ev),
+        ts_col="ts",
+        window=pd.Timedelta(hours=1),
+        hop=pd.Timedelta(minutes=15),
+    ).to_pandas()
+    # every event lands in exactly window/hop = 4 windows...
+    assert len(got) == 4 * len(ev)
+    # ...each of which actually contains it: win_start <= ts < win_start + 1h
+    assert (got["win_start"] <= got["ts"]).all()
+    assert (got["ts"] < got["win_start"] + pd.Timedelta(hours=1)).all()
+    # window starts are hop-aligned
+    assert (got["win_start"].astype("int64") % (15 * 60 * 1_000_000)).eq(0).all()
