@@ -106,6 +106,7 @@ def _bench_main() -> None:
             "ann_topk",
             "q1_pricing",
             "events_window",
+            "events_asof_orders",
         ]:
             t0 = time.time()
             res = qs[name](sf_dir)

@@ -17,6 +17,8 @@ CASES = [
     "events_sessions",
     "doc_topk_ngrams",
     "kg_entity_vec_components",
+    "events_asof_orders",
+    "segment_price_quantiles",
 ]
 
 
