@@ -1134,6 +1134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": relational.events_window,
         "events_sessions": relational.events_sessions,
         "events_sliding_window": relational.events_sliding_window,
+        "events_hll_registers": relational.events_hll_registers,
         "events_asof_orders": relational.events_asof_orders,
         "lineitem_ship_range_join": relational.lineitem_ship_range_join,
         "topk_orders_per_segment": relational.topk_orders_per_segment,
@@ -1429,6 +1430,26 @@ FROM vh GROUP BY 1, 2, 3
                    min(value) AS min_value,
                    max(value) AS max_value
             FROM events GROUP BY 1, 2
+        """,
+        # HyperLogLog register table (m=64, md5-derived 64-bit hash, 58-bit
+        # remainder): register = h % 64, rho = leading-zero count + 1 of the
+        # remainder — integer-exact mirror of stages/sketch.py
+        "events_hll_registers": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                          AS UBIGINT) AS hv
+              FROM events
+            ),
+            r AS (
+              SELECT event_type,
+                     CAST(hv % 64 AS BIGINT) AS register,
+                     CAST(CASE WHEN hv // 64 = 0 THEN 59
+                          ELSE 59 - length(bin(hv // 64)) END AS BIGINT) AS rho
+              FROM h
+            )
+            SELECT event_type, register, max(rho) AS max_rho
+            FROM r GROUP BY 1, 2
         """,
         # hopping window: 1 h length, 15 min hop — each event joins the 4
         # epoch-aligned windows containing it

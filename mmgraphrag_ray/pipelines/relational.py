@@ -213,6 +213,16 @@ def events_sliding_window(sf_dir: str):
     )
 
 
+def events_hll_registers(sf_dir: str):
+    """HyperLogLog register table for approx-distinct users per event type
+    (stages/sketch.py): md5-derived hashing makes the registers — and hence
+    the estimate — integer-exact and SQL-mirrorable."""
+    from ..stages.sketch import hll_registers
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_registers(ev, group_col="event_type", value_col="user_id")
+
+
 def events_sessions(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user (gap-based): events of one user sorted by ts;
     a gap > `gap_minutes` starts a new session.  Ray shape: partition by

@@ -1,0 +1,114 @@
+"""Distributed sketches — approximate aggregates whose state is a few
+bytes per group, the 100-TB alternative to exact distinct counts.
+
+``hll_registers`` builds a HyperLogLog register table per group: the hash
+is md5-derived (deterministic across engines), so the register table —
+and therefore the estimate — is integer-exact and SQL-mirrorable, unlike
+library HLLs with engine-private hashing.  The combiner keeps at most
+``groups × m`` rows per batch regardless of input size, and register
+merge is a plain max — associative, commutative, skew-immune (a hot
+group still only ever has m register rows in flight).
+
+``hll_estimate`` turns a register table into the cardinality estimate
+(classic Flajolet HLL with the small-range linear-counting correction).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+
+M = 64          # registers (b = 6 bits); relative error ~ 1.04/sqrt(M) = 13%
+_W_BITS = 58    # hash bits left after the register index
+N_BUCKETS = 16
+
+
+def _hash64(values) -> np.ndarray:
+    return np.fromiter(
+        (int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16) for v in values),
+        dtype=np.uint64,
+    )
+
+
+def _rho(w: np.ndarray) -> np.ndarray:
+    """Position of the leftmost 1-bit in the 58-bit remainder (1-based from
+    the left); all-zero remainder caps at 59."""
+    out = np.full(len(w), _W_BITS + 1, dtype=np.int64)
+    nz = w != 0
+    # bit_length via log2 is unsafe for >53-bit ints; use Python bit_length
+    out[nz] = [_W_BITS + 1 - int(x).bit_length() for x in w[nz]]
+    return out
+
+
+def hll_registers(ds, group_col: str, value_col: str, n_buckets: int = N_BUCKETS):
+    """-> Dataset(group_col, register, max_rho): the per-group HLL register
+    table over distinct ``value_col`` values.  Two-layer shape shared with
+    stages/groupagg.py: per-batch partial (dedup values, hash, per-register
+    max) then a bucketed max-merge — the shuffle carries at most
+    groups x 64 rows per batch."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..arrowutil import strip_pd_metadata
+
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    group_col: pd.Series(dtype=batch[group_col].dtype if group_col in batch else object),
+                    "register": pd.Series(dtype="int64"),
+                    "max_rho": pd.Series(dtype="int64"),
+                    "_bucket": pd.Series(dtype="int32"),
+                }
+            )
+        d = batch[[group_col, value_col]].drop_duplicates()
+        h = _hash64(d[value_col].to_numpy())
+        out = pd.DataFrame(
+            {
+                group_col: d[group_col].to_numpy(),
+                "register": (h % M).astype("int64"),
+                "max_rho": _rho(h // M),
+            }
+        )
+        out = (
+            out.groupby([group_col, "register"], sort=False)["max_rho"]
+            .max()
+            .reset_index()
+        )
+        out["_bucket"] = out[group_col].map(
+            lambda s: zlib.crc32(str(s).encode()) % n_buckets
+        ).astype("int32")
+        return strip_pd_metadata(out)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby([group_col, "register"], sort=False)["max_rho"]
+            .max()
+            .reset_index()
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(final, batch_format="pandas")
+        .repartition(4)
+    )
+
+
+def hll_estimate(registers: pd.DataFrame, group_col: str) -> pd.DataFrame:
+    """Register table (as from ``hll_registers``) -> per-group cardinality
+    estimate.  alpha_64 * m^2 / sum(2^-M_j) with the linear-counting
+    small-range correction (Flajolet et al. 2007); absent registers count
+    as M_j = 0."""
+    alpha = 0.709  # alpha_m for m = 64
+    rows = []
+    for g, grp in registers.groupby(group_col, sort=False):
+        regs = np.zeros(M, dtype=np.int64)
+        regs[grp["register"].to_numpy()] = grp["max_rho"].to_numpy()
+        est = alpha * M * M / np.sum(np.exp2(-regs.astype(np.float64)))
+        zeros = int(np.sum(regs == 0))
+        if est <= 2.5 * M and zeros:
+            est = M * np.log(M / zeros)
+        rows.append((g, float(est)))
+    return pd.DataFrame(rows, columns=[group_col, "approx_distinct"])

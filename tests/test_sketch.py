@@ -1,0 +1,73 @@
+"""stages/sketch.py — HyperLogLog register build + estimate."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from mmgraphrag_ray.stages.sketch import M, hll_estimate, hll_registers
+
+
+def _data(n_groups=3, per_group=5000):
+    rng = np.random.RandomState(13)
+    gs, vs = [], []
+    for g in range(n_groups):
+        # distinct cardinality differs per group: 500, 1500, 2500
+        card = 500 + g * 1000
+        gs.extend([f"g{g}"] * per_group)
+        vs.extend(rng.randint(0, card, per_group).tolist())
+    return pd.DataFrame({"g": pd.Series(gs, dtype=object), "v": pd.Series(vs, dtype="int64")})
+
+
+def test_hll_registers_batch_split_invariant():
+    df = _data()
+
+    def run(nblocks):
+        return (
+            hll_registers(
+                ray.data.from_pandas(df).repartition(nblocks), "g", "v", n_buckets=4
+            )
+            .to_pandas()
+            .sort_values(["g", "register"])
+            .reset_index(drop=True)
+        )
+
+    a, b = run(1), run(9)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["register"] >= 0).all() and (a["register"] < M).all()
+    assert (a["max_rho"] >= 1).all() and (a["max_rho"] <= 59).all()
+
+
+def test_hll_estimate_within_error_bound():
+    df = _data()
+    regs = hll_registers(ray.data.from_pandas(df), "g", "v", n_buckets=4).to_pandas()
+    est = hll_estimate(regs, "g").set_index("g")["approx_distinct"]
+    truth = df.groupby("g")["v"].nunique()
+    for g in truth.index:
+        rel = abs(est[g] - truth[g]) / truth[g]
+        # m=64 -> sigma ~ 13%; 3-sigma bound
+        assert rel < 0.4, (g, est[g], truth[g])
+
+
+def test_hll_merge_is_max_union():
+    """Registers of a union equal elementwise max of the parts' registers —
+    the property that makes the sketch mergeable across shards."""
+    df = _data(n_groups=1)
+    half1, half2 = df.iloc[: len(df) // 2], df.iloc[len(df) // 2 :]
+    r_all = (
+        hll_registers(ray.data.from_pandas(df), "g", "v", n_buckets=2)
+        .to_pandas()
+        .set_index("register")["max_rho"]
+    )
+    r1 = (
+        hll_registers(ray.data.from_pandas(half1), "g", "v", n_buckets=2)
+        .to_pandas()
+        .set_index("register")["max_rho"]
+    )
+    r2 = (
+        hll_registers(ray.data.from_pandas(half2), "g", "v", n_buckets=2)
+        .to_pandas()
+        .set_index("register")["max_rho"]
+    )
+    merged = pd.concat([r1, r2], axis=1).fillna(0).max(axis=1).astype("int64")
+    merged = merged[merged > 0].sort_index()
+    pd.testing.assert_series_equal(r_all.sort_index(), merged, check_names=False)
