@@ -82,6 +82,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     n_buckets: int = N_BUCKETS,
+    small_right: bool = False,
 ):
     """Left as-of join: each left row picks the right row with the greatest
     ``right_ts`` <= ``left_ts`` for the same ``on`` key (DuckDB
@@ -92,18 +93,60 @@ def asof_join(
     Shape: ONE hash shuffle on the key; ``pd.merge_asof`` (a sorted merge,
     O(n log n) per bucket) does the per-key backward search inside the
     bucket.  Nothing is driver-materialized and no side is broadcast, so
-    both sides may be arbitrarily large."""
+    both sides may be arbitrarily large.
+
+    ``small_right=True`` is the caller's claim that the right side is a
+    dimension-history table: if its row count is within
+    ``RAYKG_JOIN_BROADCAST_MAX`` it is collected once, sorted, ``ray.put``,
+    and each left batch merge_asofs against it locally — NO shuffle, the
+    classic broadcast plan (identical result; falls back to the shuffle
+    above the cap)."""
     import pyarrow as pa
 
     from ..arrowutil import dataset_arrow_types
 
-    both, left_cols, right_cols = _tagged_union(left, right, on, n_buckets)
-    out_cols = left_cols + [c for c in right_cols if c != on]
-    right_int_cols = [
+    right_int_cols_all = [
         c
         for c, t in dataset_arrow_types(right).items()
         if c != on and pa.types.is_integer(t)
     ]
+    if small_right:
+        import os
+
+        import ray
+
+        cap = int(os.environ.get("RAYKG_JOIN_BROADCAST_MAX", "500000"))
+        right = right.materialize()
+        if right.count() <= cap:
+            left_cols_b = list(left.schema().names)
+            right_cols_b = list(right.schema().names)
+            overlap = (set(left_cols_b) & set(right_cols_b)) - {on}
+            if overlap:
+                raise ValueError(f"column overlap outside the key: {overlap}")
+            out_cols_b = left_cols_b + [c for c in right_cols_b if c != on]
+            r_sorted = right.to_pandas().sort_values(right_ts, kind="mergesort")
+            ref = ray.put(r_sorted)
+
+            def bj(batch: pd.DataFrame) -> pd.DataFrame:
+                if len(batch) == 0:
+                    return batch.reindex(columns=out_cols_b)
+                out = pd.merge_asof(
+                    batch.sort_values(left_ts, kind="mergesort"),
+                    ray.get(ref),
+                    left_on=left_ts,
+                    right_on=right_ts,
+                    by=on,
+                    direction="backward",
+                )[out_cols_b]
+                for c in right_int_cols_all:
+                    out[c] = out[c].astype("Int64")
+                return out
+
+            return left.map_batches(bj, batch_format="pandas")
+
+    both, left_cols, right_cols = _tagged_union(left, right, on, n_buckets)
+    out_cols = left_cols + [c for c in right_cols if c != on]
+    right_int_cols = right_int_cols_all
 
     def join_bucket(bucket: pa.Table) -> pd.DataFrame:
         import pyarrow.compute as pc

@@ -292,3 +292,26 @@ def test_sliding_window_expand_membership():
     assert (got["ts"] < got["win_start"] + pd.Timedelta(hours=1)).all()
     # window starts are hop-aligned
     assert (got["win_start"].astype("int64") % (15 * 60 * 1_000_000)).eq(0).all()
+
+
+def test_asof_join_broadcast_plan_equals_shuffle_plan():
+    left, right = _events(), _dims()
+    kw = dict(on="key", left_ts="ts", right_ts="dts")
+    a = (
+        asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right), **kw)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        asof_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            small_right=True,
+            **kw,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
