@@ -114,7 +114,13 @@ def events_asof_orders(sf_dir: str):
         lambda b: b.rename(columns={"o_orderdate": "last_order_date"}),
         batch_format="pandas",
     )
-    return asof_join(ev, day, on="user_id", left_ts="ts", right_ts="last_order_date")
+    # the per-day order dimension is small (<= orders row count); claim the
+    # broadcast plan — identical result, falls back to the shuffle above
+    # RAYKG_JOIN_BROADCAST_MAX (plan parity pinned in tests/test_window.py)
+    return asof_join(
+        ev, day, on="user_id", left_ts="ts", right_ts="last_order_date",
+        small_right=True,
+    )
 
 
 def lineitem_ship_range_join(sf_dir: str, days: int = 30):
