@@ -98,28 +98,63 @@ def events_asof_orders(sf_dir: str):
     shuffle on the key (stages/window.asof_join)."""
     from ..stages.window import asof_join
 
+    import os
+
+    import ray.data as rd
+
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
-    day = bucketed_groupby_agg(
-        orders.map_batches(
-            lambda b: b.rename(columns={"o_custkey": "user_id"}),
+
+    def day_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["o_custkey", "o_orderdate"], sort=False)
+        out = pd.DataFrame(
+            {
+                "last_order_n": g.size().astype("int64"),
+                "last_order_max_price": g["o_totalprice"].max(),
+            }
+        ).reset_index()
+        return out.rename(
+            columns={"o_custkey": "user_id", "o_orderdate": "last_order_date"}
+        )
+
+    # per-batch combiner first; the cross-batch FINAL aggregate runs
+    # driver-side under the broadcast cap (the same rows asof_join's
+    # broadcast plan would collect anyway), else via the groupby shuffle
+    parts = orders.map_batches(day_partial, batch_format="pandas").materialize()
+    cap = int(os.environ.get("RAYKG_JOIN_BROADCAST_MAX", "500000"))
+    if parts.count() <= cap:
+        df = parts.to_pandas()
+        g = df.groupby(["user_id", "last_order_date"], sort=False)
+        day = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "last_order_n": g["last_order_n"].sum(),
+                    "last_order_max_price": g["last_order_max_price"].max(),
+                }
+            ).reset_index()
+        )
+        small = True
+    else:
+        day = bucketed_groupby_agg(
+            parts.map_batches(
+                lambda b: b.rename(columns={"last_order_date": "o_orderdate"}),
+                batch_format="pandas",
+            ),
+            keys=["user_id", "o_orderdate"],
+            aggs={
+                "last_order_n": ("last_order_n", "sum"),
+                "last_order_max_price": ("last_order_max_price", "max"),
+            },
+        ).map_batches(
+            lambda b: b.rename(columns={"o_orderdate": "last_order_date"}),
             batch_format="pandas",
-        ),
-        keys=["user_id", "o_orderdate"],
-        aggs={
-            "last_order_n": (None, "count"),
-            "last_order_max_price": ("o_totalprice", "max"),
-        },
-    ).map_batches(
-        lambda b: b.rename(columns={"o_orderdate": "last_order_date"}),
-        batch_format="pandas",
-    )
-    # the per-day order dimension is small (<= orders row count); claim the
-    # broadcast plan — identical result, falls back to the shuffle above
-    # RAYKG_JOIN_BROADCAST_MAX (plan parity pinned in tests/test_window.py)
+        )
+        small = False
+    # broadcast asof plan under the same cap — identical result, shuffle
+    # fallback above it (plan parity pinned in tests/test_window.py)
     return asof_join(
         ev, day, on="user_id", left_ts="ts", right_ts="last_order_date",
-        small_right=True,
+        small_right=small,
     )
 
 
