@@ -42,7 +42,13 @@ def configure(num_cpus: int | None = None, force: bool = False) -> None:
     n = num_cpus or 8
 
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ctx.default_hash_shuffle_parallelism = max(16, n)
+    # Partition count drives map-side fan-out: every input block submits one
+    # shard per partition and BLOCKS until the aggregator accepts it
+    # (hash_shuffle.py _shuffle_block), so more partitions = more actor
+    # round-trips per block. max(16, n) keeps reduce parallelism scaling
+    # with CPUs; RAYKG_SHUFFLE_PARALLELISM overrides for tuning.
+    par_env = os.environ.get("RAYKG_SHUFFLE_PARALLELISM")
+    ctx.default_hash_shuffle_parallelism = int(par_env) if par_env else max(16, n)
     # Reduce-side parallelism must GROW with the cluster or shuffles become
     # the serial section (measured: max(2, n//4) pinned both the 2- and
     # 8-CPU scaling legs at 2 aggregators -> E = 0.57).  n//2 keeps the
