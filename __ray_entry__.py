@@ -259,12 +259,18 @@ def _ivf_sql(k: int = 5, n_centroids: int = 16, nprobe: int = 4,
     query probe sets are embedded as literals; SQL then reproduces the data-
     plane half — nearest-centroid cell assignment (euclidean, ties -> lowest
     centroid index, matching np.argmin) and cosine top-k over probed cells."""
+    import os
+
     import numpy as np
     import pyarrow.parquet as pq
 
     from mmgraphrag_ray.stages.similarity import _lloyd
 
-    tbl = pq.read_table(f"{SF001}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # centroid/probe literals must come from the SAME table the oracle's
+    # views will read; the driver contract is sf0.01, checkers at another
+    # sf set RAYKG_ORACLE_SF so the mirror stays scale-portable
+    sf_dir = os.environ.get("RAYKG_ORACLE_SF", SF001)
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = tbl.column("vec_id").to_numpy()
     vecs = tbl.column("embedding").to_pylist()
     order = np.argsort(ids, kind="stable")[:train_sample]

@@ -30,6 +30,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # scale-dependent oracle literals (IVF centroids) follow the target sf
+    os.environ["RAYKG_ORACLE_SF"] = sf_dir
     only = set(sys.argv[2:])
 
     import ray
