@@ -1141,6 +1141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": relational.events_sessions,
         "events_sliding_window": relational.events_sliding_window,
         "events_hll_registers": relational.events_hll_registers,
+        "customer_bloom_semi_events": relational.customer_bloom_semi_events,
         "events_asof_orders": relational.events_asof_orders,
         "lineitem_ship_range_join": relational.lineitem_ship_range_join,
         "topk_orders_per_segment": relational.topk_orders_per_segment,
@@ -1456,6 +1457,32 @@ FROM vh GROUP BY 1, 2, 3
             )
             SELECT event_type, register, max(rho) AS max_rho
             FROM r GROUP BY 1, 2
+        """,
+        # Bloom semi-join mirror (m=2^20 bits, k=4 hashes = the 4 8-hex-char
+        # words of one md5): a probe key survives iff EVERY word's bit
+        # position appears among the build side's distinct positions —
+        # reproduces the Ray filter exactly, false positives included
+        "customer_bloom_semi_events": """
+            WITH bk AS (SELECT DISTINCT user_id AS key FROM events),
+            pos AS (
+              SELECT DISTINCT
+                CAST(('0x' || substr(md5(CAST(key AS VARCHAR)),
+                                     CAST(i * 8 + 1 AS INT), 8)) AS UBIGINT)
+                  % 1048576 AS p
+              FROM bk CROSS JOIN range(4) t(i)
+            ),
+            cand AS (
+              SELECT c_custkey, i,
+                CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                     CAST(i * 8 + 1 AS INT), 8)) AS UBIGINT)
+                  % 1048576 AS p
+              FROM customer CROSS JOIN range(4) t(i)
+            ),
+            keep AS (
+              SELECT c_custkey FROM cand JOIN pos USING (p)
+              GROUP BY c_custkey HAVING count(DISTINCT i) = 4
+            )
+            SELECT c.* FROM customer c JOIN keep USING (c_custkey)
         """,
         # hopping window: 1 h length, 15 min hop — each event joins the 4
         # epoch-aligned windows containing it

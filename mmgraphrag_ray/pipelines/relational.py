@@ -264,6 +264,19 @@ def events_hll_registers(sf_dir: str):
     return hll_registers(ev, group_col="event_type", value_col="user_id")
 
 
+def customer_bloom_semi_events(sf_dir: str):
+    """Bloom-filter semi-join (stages/sketch.py): customers whose key MIGHT
+    appear as an events user — the no-shuffle join-pruning pre-filter.
+    Deterministic md5 bit schedule, so the kept set (true matches + the
+    filter's false positives) is exactly reproducible in SQL."""
+    from ..stages.sketch import bloom_build, bloom_semi_join
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    cust = _read(sf_dir, "customer")
+    bits = bloom_build(ev, "user_id")
+    return bloom_semi_join(cust, bits, "c_custkey")
+
+
 def events_sessions(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user (gap-based): events of one user sorted by ts;
     a gap > `gap_minutes` starts a new session.  Ray shape: partition by

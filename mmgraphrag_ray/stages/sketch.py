@@ -96,6 +96,63 @@ def hll_registers(ds, group_col: str, value_col: str, n_buckets: int = N_BUCKETS
     )
 
 
+BLOOM_M = 1 << 20   # bits; constant-size state regardless of build side
+BLOOM_K = 4         # hash functions (4 x 8 hex chars of one md5)
+
+
+def _bloom_positions(values) -> np.ndarray:
+    """k deterministic bit positions per value: the md5 hex split into k
+    8-char words, each mod m — cross-engine reproducible."""
+    out = np.empty((len(values), BLOOM_K), dtype=np.int64)
+    for i, v in enumerate(values):
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        for j in range(BLOOM_K):
+            out[i, j] = int(h[j * 8 : (j + 1) * 8], 16) % BLOOM_M
+    return out
+
+
+def bloom_build(ds, key_col: str):
+    """Build a Bloom filter over the distinct keys of ``ds`` and return the
+    object-store ref of the packed bitmap.  Each batch reduces to ONE
+    fixed-size packed bitmap row (m/8 = 128 KiB), so the driver combine is
+    a constant-size OR per input block — no shuffle, state independent of
+    build-side cardinality (the property that makes bloom pruning viable at
+    100 TB where a broadcast key SET would not fit)."""
+    import ray
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(BLOOM_M, dtype=bool)
+        if len(batch):
+            keys = batch[key_col].drop_duplicates().to_numpy()
+            bits[_bloom_positions(keys).ravel()] = True
+        return pd.DataFrame({"bitmap": [np.packbits(bits).tobytes()]})
+
+    packed = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    bits = np.zeros(BLOOM_M // 8, dtype=np.uint8)
+    for b in packed["bitmap"]:
+        bits |= np.frombuffer(b, dtype=np.uint8)
+    return ray.put(np.unpackbits(bits).astype(bool))
+
+
+def bloom_semi_join(probe_ds, bits_ref, key_col: str):
+    """Keep probe rows whose key MIGHT be in the build side (all k bloom
+    bits set) — a no-shuffle semi-join pre-filter with deterministic false
+    positives (same md5 bit schedule as ``bloom_build``, so the surviving
+    row set is exactly reproducible in SQL)."""
+    import ray
+
+    def filt(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return batch
+        bits = ray.get(bits_ref)
+        keys = batch[key_col].to_numpy()
+        uniq, inv = np.unique(keys.astype(str), return_inverse=True)
+        ok_uniq = bits[_bloom_positions(uniq)].all(axis=1)
+        return batch[ok_uniq[inv]]
+
+    return probe_ds.map_batches(filt, batch_format="pandas")
+
+
 def hll_estimate(registers: pd.DataFrame, group_col: str) -> pd.DataFrame:
     """Register table (as from ``hll_registers``) -> per-group cardinality
     estimate.  alpha_64 * m^2 / sum(2^-M_j) with the linear-counting

@@ -71,3 +71,48 @@ def test_hll_merge_is_max_union():
     merged = pd.concat([r1, r2], axis=1).fillna(0).max(axis=1).astype("int64")
     merged = merged[merged > 0].sort_index()
     pd.testing.assert_series_equal(r_all.sort_index(), merged, check_names=False)
+
+
+def test_bloom_semi_join_no_false_negatives_and_deterministic():
+    from mmgraphrag_ray.stages.sketch import (
+        BLOOM_K,
+        BLOOM_M,
+        _bloom_positions,
+        bloom_build,
+        bloom_semi_join,
+    )
+
+    rng = np.random.RandomState(23)
+    build = pd.DataFrame({"k": rng.choice(5000, 800, replace=False).astype("int64")})
+    probe = pd.DataFrame(
+        {"k": np.arange(5000, dtype="int64"), "payload": np.arange(5000, dtype="int64") * 2}
+    )
+    bits_ref = bloom_build(ray.data.from_pandas(build).repartition(7), "k")
+    kept = (
+        bloom_semi_join(ray.data.from_pandas(probe).repartition(5), bits_ref, "k")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # no false negatives: every build key survives
+    assert set(build["k"]).issubset(set(kept["k"]))
+    # exact reference: a key survives iff all K of its positions are set
+    bits = np.zeros(BLOOM_M, dtype=bool)
+    bits[_bloom_positions(build["k"].to_numpy()).ravel()] = True
+    want = probe[bits[_bloom_positions(probe["k"].to_numpy())].all(axis=1)]
+    assert list(kept["k"]) == sorted(want["k"])
+    # filter actually prunes: true members + a tiny fp tail, nowhere near
+    # the probe size (fill ratio 800*4/2^20 -> fp rate ~1e-10)
+    assert len(build) <= len(kept) <= len(build) + 50 < len(probe)
+    assert BLOOM_K == 4
+
+
+def test_bloom_build_block_split_invariant():
+    from mmgraphrag_ray.stages.sketch import bloom_build
+
+    import ray as _ray
+
+    df = pd.DataFrame({"k": np.arange(300, dtype="int64")})
+    a = _ray.get(bloom_build(ray.data.from_pandas(df).repartition(1), "k"))
+    b = _ray.get(bloom_build(ray.data.from_pandas(df).repartition(11), "k"))
+    assert (a == b).all()
