@@ -1142,6 +1142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": relational.events_sliding_window,
         "events_hll_registers": relational.events_hll_registers,
         "customer_bloom_semi_events": relational.customer_bloom_semi_events,
+        "doc_consistent_sample": relational.doc_consistent_sample,
         "events_asof_orders": relational.events_asof_orders,
         "lineitem_ship_range_join": relational.lineitem_ship_range_join,
         "topk_orders_per_segment": relational.topk_orders_per_segment,
@@ -1457,6 +1458,12 @@ FROM vh GROUP BY 1, 2, 3
             )
             SELECT event_type, register, max(rho) AS max_rho
             FROM r GROUP BY 1, 2
+        """,
+        # consistent hash-threshold sample: membership = f(key) only
+        "doc_consistent_sample": """
+            SELECT * FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) % 100 < 10
         """,
         # Bloom semi-join mirror (m=2^20 bits, k=4 hashes = the 4 8-hex-char
         # words of one md5): a probe key survives iff EVERY word's bit

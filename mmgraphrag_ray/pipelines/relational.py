@@ -264,6 +264,27 @@ def events_hll_registers(sf_dir: str):
     return hll_registers(ev, group_col="event_type", value_col="user_id")
 
 
+def doc_consistent_sample(sf_dir: str, percent: int = 10):
+    """Consistent (hash-threshold) sample: keep documents whose
+    md5(doc_id)-derived bucket falls below ``percent`` of 100 — the
+    standard stable holdout selector (membership depends only on the key,
+    so it is reproducible across runs, engines and growing corpora, unlike
+    RNG sampling). Pure per-batch filter, no shuffle."""
+    import hashlib
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        buckets = b["doc_id"].map(
+            lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 100
+        )
+        return b[buckets < percent]
+
+    return docs.map_batches(keep, batch_format="pandas")
+
+
 def customer_bloom_semi_events(sf_dir: str):
     """Bloom-filter semi-join (stages/sketch.py): customers whose key MIGHT
     appear as an events user — the no-shuffle join-pruning pre-filter.

@@ -315,3 +315,37 @@ def test_asof_join_broadcast_plan_equals_shuffle_plan():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_range_join_hot_key_completes_and_is_exact():
+    """One key holding most rows on both sides (skew case): the bucketed
+    plan bounds the work to that key's own output size."""
+    left = pd.DataFrame(
+        {
+            "key": pd.Series([7] * 3000 + [1, 2, 3], dtype="int64"),
+            "pt": pd.Series(list(range(3000)) + [5, 5, 5], dtype="int64"),
+            "lid": np.arange(3003, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "key": pd.Series([7] * 40 + [1], dtype="int64"),
+            "lo": pd.Series([i * 100 for i in range(40)] + [0], dtype="int64"),
+            "hi": pd.Series([i * 100 + 50 for i in range(40)] + [10], dtype="int64"),
+            "rid": np.arange(41, dtype="int64"),
+        }
+    )
+    got = range_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        on="key",
+        left_point="pt",
+        right_lo="lo",
+        right_hi="hi",
+        n_buckets=8,
+    ).to_pandas()
+    brute = left.merge(right, on="key")
+    want = brute[(brute["pt"] >= brute["lo"]) & (brute["pt"] < brute["hi"])]
+    # intervals i=0..29 lie under the 0..2999 point range: 30 x 50 matches
+    assert len(got) == len(want) == 30 * 50 + 1
+    assert sorted(zip(got["lid"], got["rid"])) == sorted(zip(want["lid"], want["rid"]))
