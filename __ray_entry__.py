@@ -249,6 +249,46 @@ FROM (
 """
 
 
+def _pagerank_sql(iterations: int = 3) -> str:
+    """Unrolled integer power iteration over the merge CTE's nodes/edges —
+    the exact mirror of stages/graphalgo.pagerank_int (SCALE=1e12,
+    damping 85/100, undirected contributions)."""
+    scale = 10**12
+    parts = [
+        """,
+pr_bid AS (
+  SELECT src_id AS u, tgt_id AS v FROM edges
+  UNION ALL SELECT tgt_id AS u, src_id AS v FROM edges
+),
+pr_deg AS (SELECT u, count(*) AS d FROM pr_bid GROUP BY 1),
+pr_n AS (SELECT count(*) AS n FROM nodes),
+pr_r0 AS (
+  SELECT entity_name AS node,
+         CAST(%d // (SELECT n FROM pr_n) AS BIGINT) AS r
+  FROM nodes
+)""" % scale
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+pr_c{i} AS (
+  SELECT b.v AS node, SUM((85 * pr_r{i - 1}.r // 100) // pr_deg.d) AS s
+  FROM pr_bid b
+  JOIN pr_r{i - 1} ON pr_r{i - 1}.node = b.u
+  JOIN pr_deg ON pr_deg.u = b.u
+  GROUP BY 1
+),
+pr_r{i} AS (
+  SELECT nd.entity_name AS node,
+         CAST((({scale} * 15 // 100) // (SELECT n FROM pr_n))
+              + COALESCE(pr_c{i}.s, 0) AS BIGINT) AS r
+  FROM nodes nd LEFT JOIN pr_c{i} ON pr_c{i}.node = nd.entity_name
+)"""
+        )
+    parts.append(f"\nSELECT node, r AS rank FROM pr_r{iterations}")
+    return "".join(parts)
+
+
 def _ivf_sql(k: int = 5, n_centroids: int = 16, nprobe: int = 4,
              train_sample: int = 256) -> str:
     """Exact SQL mirror of stages/similarity.py ivf_topk over `embeddings`
@@ -1014,6 +1054,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _, edges = _build_graph_cached(sf_dir)
         return node_degrees(edges)
 
+    def kg_pagerank(sf_dir):
+        # iterative graph algorithm over the constructed KG: 3 integer
+        # power-iteration steps (stages/graphalgo.py) — integer sums are
+        # shuffle-order-independent, so the ranks are bit-deterministic
+        # and exactly SQL-mirrorable (unrolled iterations in the oracle)
+        from mmgraphrag_ray.stages.graphalgo import pagerank_int
+
+        nodes, edges = _build_graph_cached(sf_dir)
+        ranks = pagerank_int(nodes, edges, iterations=3)
+        return ranks.map_batches(
+            lambda b: b.rename(columns={"r": "rank"}), batch_format="pandas"
+        )
+
     def ann_topk(sf_dir):
         emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
         qdf = emb.filter(expr="vec_id < 8").to_pandas()
@@ -1127,6 +1180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_query_context": kg_query_context,
         "kg_mm_answer": kg_mm_answer,
         "kg_node_degrees": kg_node_degrees,
+        "kg_pagerank": kg_pagerank,
         "kg_enhanced_nodes": kg_enhanced_nodes,
         "kg_resolve_refs": kg_resolve_refs,
         "code_strip_comments": code_strip_comments,
@@ -1208,6 +1262,10 @@ JOIN sagg s ON s.new_name = d.new_name
               UNION ALL SELECT tgt_id FROM edges
             ) GROUP BY 1
         """,
+        # integer PageRank, 3 unrolled power steps: contribution =
+        # (85*r//100)//deg, teleport = ((1e12*15)//100)//N — all-integer, so
+        # both engines lose identical floor mass and sums are order-free
+        "kg_pagerank": kg + merge + _pagerank_sql(iterations=3),
         # entities section of the local query context: integer-exact cosine
         # top-k (threshold 0.2, k=10) + degree rank — see _query_context_sql
         "kg_query_context": kg

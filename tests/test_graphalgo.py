@@ -1,0 +1,86 @@
+"""stages/graphalgo.py — integer PageRank."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from mmgraphrag_ray.stages.graphalgo import SCALE, pagerank_int
+
+
+def _graph():
+    nodes = pd.DataFrame({"entity_name": [f"n{i}" for i in range(6)]})
+    edges = pd.DataFrame(
+        {
+            "src_id": ["n0", "n0", "n1", "n2", "n3"],
+            "tgt_id": ["n1", "n2", "n2", "n3", "n0"],
+        }
+    )
+    return nodes, edges
+
+
+def _reference(nodes: pd.DataFrame, edges: pd.DataFrame, iterations: int) -> dict:
+    names = list(nodes["entity_name"])
+    n = len(names)
+    bid = list(zip(edges["src_id"], edges["tgt_id"])) + list(
+        zip(edges["tgt_id"], edges["src_id"])
+    )
+    deg: dict = {}
+    for u, _ in bid:
+        deg[u] = deg.get(u, 0) + 1
+    r = {v: SCALE // n for v in names}
+    teleport = ((SCALE * 15) // 100) // n
+    for _ in range(iterations):
+        nxt = {v: teleport for v in names}
+        for u, v in bid:
+            nxt[v] += (85 * r[u] // 100) // deg[u]
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_pure_reference():
+    nodes, edges = _graph()
+    got = (
+        pagerank_int(
+            ray.data.from_pandas(nodes), ray.data.from_pandas(edges), iterations=3
+        )
+        .to_pandas()
+        .set_index("node")["r"]
+        .to_dict()
+    )
+    assert got == _reference(nodes, edges, 3)
+
+
+def test_pagerank_block_split_invariant_and_mass_bounded():
+    rng = np.random.RandomState(31)
+    names = [f"v{i}" for i in range(80)]
+    nodes = pd.DataFrame({"entity_name": names})
+    edges = pd.DataFrame(
+        {
+            "src_id": rng.choice(names, 300),
+            "tgt_id": rng.choice(names, 300),
+        }
+    )
+    edges = edges[edges["src_id"] != edges["tgt_id"]].drop_duplicates()
+
+    def run(nblocks):
+        return (
+            pagerank_int(
+                ray.data.from_pandas(nodes).repartition(nblocks),
+                ray.data.from_pandas(edges).repartition(nblocks),
+                iterations=2,
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+
+    a, b = run(1), run(7)
+    pd.testing.assert_frame_equal(a, b)
+    # total mass: never exceeds SCALE; floor losses only shrink it
+    assert a["r"].sum() <= SCALE
+    assert (a["r"] >= ((SCALE * 15) // 100) // len(names)).all()
+    # an isolated node keeps exactly the teleport share
+    isolated = set(names) - set(edges["src_id"]) - set(edges["tgt_id"])
+    if isolated:
+        v = next(iter(isolated))
+        assert int(a.set_index("node").loc[v, "r"]) == ((SCALE * 15) // 100) // len(names)
