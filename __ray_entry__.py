@@ -1196,6 +1196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": relational.events_sliding_window,
         "events_hll_registers": relational.events_hll_registers,
         "customer_bloom_semi_events": relational.customer_bloom_semi_events,
+        "events_cm_registers": relational.events_cm_registers,
         "doc_consistent_sample": relational.doc_consistent_sample,
         "events_asof_orders": relational.events_asof_orders,
         "lineitem_ship_range_join": relational.lineitem_ship_range_join,
@@ -1516,6 +1517,20 @@ FROM vh GROUP BY 1, 2, 3
             )
             SELECT event_type, register, max(rho) AS max_rho
             FROM r GROUP BY 1, 2
+        """,
+        # count-min registers (d=4 rows x w=256 cols, the 4 md5 words):
+        # counter sums are integers -> order-free, exact mirror
+        "events_cm_registers": """
+            WITH pos AS (
+              SELECT i.i AS row,
+                     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                          CAST(i.i * 8 + 1 AS INT), 8)) AS UBIGINT)
+                       % 256 AS col
+              FROM events CROSS JOIN range(4) i(i)
+            )
+            SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col,
+                   count(*) AS cnt
+            FROM pos GROUP BY 1, 2
         """,
         # consistent hash-threshold sample: membership = f(key) only
         "doc_consistent_sample": """

@@ -285,6 +285,16 @@ def doc_consistent_sample(sf_dir: str, percent: int = 10):
     return docs.map_batches(keep, batch_format="pandas")
 
 
+def events_cm_registers(sf_dir: str):
+    """Count-min sketch register table over event user occurrences
+    (stages/sketch.py): 4 x 256 integer counters, order-independent and
+    SQL-exact; per-batch combiner bounds the shuffle at d*w rows/batch."""
+    from ..stages.sketch import cm_registers
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    return cm_registers(ev, key_col="user_id")
+
+
 def customer_bloom_semi_events(sf_dir: str):
     """Bloom-filter semi-join (stages/sketch.py): customers whose key MIGHT
     appear as an events user — the no-shuffle join-pruning pre-filter.

@@ -96,6 +96,80 @@ def hll_registers(ds, group_col: str, value_col: str, n_buckets: int = N_BUCKETS
     )
 
 
+CM_W = 256          # count-min width (columns per hash row)
+CM_D = 4            # count-min depth (hash rows; the 4 md5 words again)
+
+
+def cm_registers(ds, key_col: str, n_buckets: int = N_BUCKETS):
+    """Count-min sketch register table over ``key_col`` occurrences:
+    -> Dataset(row, col, cnt) with d x w = 4 x 256 counters.  Counter sums
+    are integers, so the table is order-independent and SQL-exact.  The
+    per-batch combiner reduces every batch to <= d*w rows; the final is a
+    single tiny grouped sum — constant shuffle volume at any input size."""
+
+    def positions(values) -> np.ndarray:
+        out = np.empty((len(values), CM_D), dtype=np.int64)
+        for i, v in enumerate(values):
+            h = hashlib.md5(str(v).encode()).hexdigest()
+            for j in range(CM_D):
+                out[i, j] = int(h[j * 8 : (j + 1) * 8], 16) % CM_W
+        return out
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..arrowutil import strip_pd_metadata
+
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    "row": pd.Series(dtype="int64"),
+                    "col": pd.Series(dtype="int64"),
+                    "cnt": pd.Series(dtype="int64"),
+                    "_bucket": pd.Series(dtype="int32"),
+                }
+            )
+        vc = batch[key_col].value_counts()
+        pos = positions(vc.index.to_numpy())
+        mat = np.zeros((CM_D, CM_W), dtype=np.int64)
+        counts = vc.to_numpy()
+        for j in range(CM_D):
+            np.add.at(mat[j], pos[:, j], counts)
+        rows, cols = np.nonzero(mat)
+        out = pd.DataFrame(
+            {"row": rows.astype("int64"), "col": cols.astype("int64"), "cnt": mat[rows, cols]}
+        )
+        out["_bucket"] = ((out["row"] * CM_W + out["col"]) % n_buckets).astype("int32")
+        return strip_pd_metadata(out)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(["row", "col"], sort=False)["cnt"].sum().reset_index()
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(final, batch_format="pandas")
+        .repartition(4)
+    )
+
+
+def cm_estimate(registers: pd.DataFrame, keys) -> pd.DataFrame:
+    """Point-query the sketch: estimate = min over the d rows of the key's
+    counters (the count-min upper-bound estimator)."""
+    mat = np.zeros((CM_D, CM_W), dtype=np.int64)
+    mat[registers["row"].to_numpy(), registers["col"].to_numpy()] = registers[
+        "cnt"
+    ].to_numpy()
+    rows = []
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        est = min(
+            mat[j, int(h[j * 8 : (j + 1) * 8], 16) % CM_W] for j in range(CM_D)
+        )
+        rows.append((k, int(est)))
+    return pd.DataFrame(rows, columns=["key", "approx_count"])
+
+
 BLOOM_M = 1 << 20   # bits; constant-size state regardless of build side
 BLOOM_K = 4         # hash functions (4 x 8 hex chars of one md5)
 

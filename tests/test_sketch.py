@@ -116,3 +116,30 @@ def test_bloom_build_block_split_invariant():
     a = _ray.get(bloom_build(ray.data.from_pandas(df).repartition(1), "k"))
     b = _ray.get(bloom_build(ray.data.from_pandas(df).repartition(11), "k"))
     assert (a == b).all()
+
+
+def test_cm_sketch_upper_bound_and_split_invariance():
+    from mmgraphrag_ray.stages.sketch import cm_estimate, cm_registers
+
+    rng = np.random.RandomState(41)
+    keys = rng.zipf(1.5, 20000) % 1000  # skewed counts
+    df = pd.DataFrame({"k": keys.astype("int64")})
+
+    def run(nblocks):
+        return (
+            cm_registers(ray.data.from_pandas(df).repartition(nblocks), "k", n_buckets=4)
+            .to_pandas()
+            .sort_values(["row", "col"])
+            .reset_index(drop=True)
+        )
+
+    a, b = run(1), run(9)
+    pd.testing.assert_frame_equal(a, b)
+    truth = df["k"].value_counts()
+    est = cm_estimate(a, truth.index.tolist()).set_index("key")["approx_count"]
+    # count-min never underestimates; total mass per row is exact
+    assert (est >= truth).all()
+    assert a.groupby("row")["cnt"].sum().eq(len(df)).all()
+    # heavy hitters are near-exact (collisions only ADD small-key mass)
+    top = truth.head(5)
+    assert (est[top.index] - top <= len(df) * 0.02).all()
