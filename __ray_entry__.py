@@ -1565,12 +1565,15 @@ FROM vh GROUP BY 1, 2, 3
             SELECT c.* FROM customer c JOIN keep USING (c_custkey)
         """,
         # hopping window: 1 h length, 15 min hop — each event joins the 4
-        # epoch-aligned windows containing it
+        # epoch-aligned windows containing it.  TZ-free arithmetic: a
+        # to_timestamp(...)::TIMESTAMP round-trip converts via the session
+        # TimeZone and shifts win_start on non-UTC hosts (same portability
+        # class as the IVF-oracle fix)
         "events_sliding_window": """
             WITH expanded AS (
               SELECT user_id, value,
-                     to_timestamp(floor(epoch(ts) / 900) * 900
-                                  - k.k * 900)::TIMESTAMP AS win_start
+                     ts - to_microseconds(epoch_us(ts) % 900000000)
+                        - to_microseconds(k.k * 900000000) AS win_start
               FROM events CROSS JOIN range(4) k(k)
             )
             SELECT user_id, win_start,

@@ -58,6 +58,8 @@ def pagerank_int(nodes_ds, edges_ds, iterations: int = 3,
     for _ in range(iterations):
         # rank + degree per source node (ranks/deg are node-sized tables —
         # small next to edges — so the join claims the broadcast plan)
+        # materialize small sides: bucketed_join's broadcast path calls
+        # count() then to_arrow_refs(), which re-executes a LAZY plan twice
         rd = bucketed_join(
             ranks.map_batches(
                 lambda b: b.rename(columns={"node": "u"}), batch_format="pandas"
@@ -65,7 +67,7 @@ def pagerank_int(nodes_ds, edges_ds, iterations: int = 3,
             deg,
             on="u",
             small_side="right",
-        )
+        ).materialize()
         contrib_src = bucketed_join(bid, rd, on="u", small_side="right")
 
         def per_edge(b: pd.DataFrame) -> pd.DataFrame:
@@ -80,7 +82,7 @@ def pagerank_int(nodes_ds, edges_ds, iterations: int = 3,
             contrib_src.map_batches(per_edge, batch_format="pandas"),
             keys=["v"],
             aggs={"s": ("c", "sum")},
-        )
+        ).materialize()
         joined = bucketed_join(
             nodes, sums.map_batches(
                 lambda b: b.rename(columns={"v": "node"}), batch_format="pandas"

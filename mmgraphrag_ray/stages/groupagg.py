@@ -23,6 +23,18 @@ N_BUCKETS = 64
 _FINAL_OP = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
 
 
+def key_bucket(df: pd.DataFrame, keys: list[str], n_buckets: int) -> pd.Series:
+    """THE routing bucket for multi-key grouped shuffles: crc32 of the
+    '\\x1f'-joined stringified key tuple, mod n_buckets.  Shared by every
+    operator that buckets on composite keys (groupagg, window.grouped_topk,
+    window.group_quantiles) — the hash and separator must stay byte-
+    identical across them for bucket compatibility."""
+    key_str = df[keys[0]].astype(str)
+    for k in keys[1:]:
+        key_str = key_str + "\x1f" + df[k].astype(str)
+    return key_str.map(lambda s: zlib.crc32(s.encode()) % n_buckets).astype("int32")
+
+
 def bucketed_groupby_agg(
     ds,
     keys: list[str],
@@ -41,12 +53,7 @@ def bucketed_groupby_agg(
         for out, (col, op) in aggs.items():
             cols[out] = g.size() if op == "count" else g[col].agg(op)
         out_df = pd.DataFrame(cols).reset_index()
-        key_str = out_df[keys[0]].astype(str)
-        for k in keys[1:]:
-            key_str = key_str + "\x1f" + out_df[k].astype(str)
-        out_df["_bucket"] = key_str.map(
-            lambda s: zlib.crc32(s.encode()) % n_buckets
-        ).astype("int32")
+        out_df["_bucket"] = key_bucket(out_df, keys, n_buckets)
         # Arrow out: avoid pandas schema metadata in the shuffle (arrowutil)
         from ..arrowutil import strip_pd_metadata
 

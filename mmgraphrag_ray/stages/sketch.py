@@ -100,20 +100,25 @@ CM_W = 256          # count-min width (columns per hash row)
 CM_D = 4            # count-min depth (hash rows; the 4 md5 words again)
 
 
+def md5_word_positions(values, k: int, modulus: int) -> np.ndarray:
+    """k positions per value: the k leading 8-hex-char words of md5(str(v)),
+    each mod ``modulus``.  THE shared bit/counter schedule of the sketch
+    family (bloom k=4, count-min d=4) — cross-engine reproducible, and the
+    SQL mirrors hard-code the same substr(md5(...), i*8+1, 8) words."""
+    out = np.empty((len(values), k), dtype=np.int64)
+    for i, v in enumerate(values):
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        for j in range(k):
+            out[i, j] = int(h[j * 8 : (j + 1) * 8], 16) % modulus
+    return out
+
+
 def cm_registers(ds, key_col: str, n_buckets: int = N_BUCKETS):
     """Count-min sketch register table over ``key_col`` occurrences:
     -> Dataset(row, col, cnt) with d x w = 4 x 256 counters.  Counter sums
     are integers, so the table is order-independent and SQL-exact.  The
     per-batch combiner reduces every batch to <= d*w rows; the final is a
     single tiny grouped sum — constant shuffle volume at any input size."""
-
-    def positions(values) -> np.ndarray:
-        out = np.empty((len(values), CM_D), dtype=np.int64)
-        for i, v in enumerate(values):
-            h = hashlib.md5(str(v).encode()).hexdigest()
-            for j in range(CM_D):
-                out[i, j] = int(h[j * 8 : (j + 1) * 8], 16) % CM_W
-        return out
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         from ..arrowutil import strip_pd_metadata
@@ -128,7 +133,7 @@ def cm_registers(ds, key_col: str, n_buckets: int = N_BUCKETS):
                 }
             )
         vc = batch[key_col].value_counts()
-        pos = positions(vc.index.to_numpy())
+        pos = md5_word_positions(vc.index.to_numpy(), CM_D, CM_W)
         mat = np.zeros((CM_D, CM_W), dtype=np.int64)
         counts = vc.to_numpy()
         for j in range(CM_D):
@@ -160,13 +165,11 @@ def cm_estimate(registers: pd.DataFrame, keys) -> pd.DataFrame:
     mat[registers["row"].to_numpy(), registers["col"].to_numpy()] = registers[
         "cnt"
     ].to_numpy()
-    rows = []
-    for k in keys:
-        h = hashlib.md5(str(k).encode()).hexdigest()
-        est = min(
-            mat[j, int(h[j * 8 : (j + 1) * 8], 16) % CM_W] for j in range(CM_D)
-        )
-        rows.append((k, int(est)))
+    pos = md5_word_positions(list(keys), CM_D, CM_W)
+    rows = [
+        (k, int(min(mat[j, pos[i, j]] for j in range(CM_D))))
+        for i, k in enumerate(keys)
+    ]
     return pd.DataFrame(rows, columns=["key", "approx_count"])
 
 
@@ -175,14 +178,9 @@ BLOOM_K = 4         # hash functions (4 x 8 hex chars of one md5)
 
 
 def _bloom_positions(values) -> np.ndarray:
-    """k deterministic bit positions per value: the md5 hex split into k
-    8-char words, each mod m — cross-engine reproducible."""
-    out = np.empty((len(values), BLOOM_K), dtype=np.int64)
-    for i, v in enumerate(values):
-        h = hashlib.md5(str(v).encode()).hexdigest()
-        for j in range(BLOOM_K):
-            out[i, j] = int(h[j * 8 : (j + 1) * 8], 16) % BLOOM_M
-    return out
+    """Bloom bit schedule: the shared md5-word positions with k=BLOOM_K,
+    modulus=BLOOM_M."""
+    return md5_word_positions(values, BLOOM_K, BLOOM_M)
 
 
 def bloom_build(ds, key_col: str):

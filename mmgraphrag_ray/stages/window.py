@@ -128,8 +128,8 @@ def asof_join(
             ref = ray.put(r_sorted)
 
             def bj(batch: pd.DataFrame) -> pd.DataFrame:
-                if len(batch) == 0:
-                    return batch.reindex(columns=out_cols_b)
+                # merge_asof handles an empty batch and keeps the broadcast
+                # side's dtypes, so empty blocks share the non-empty schema
                 out = pd.merge_asof(
                     batch.sort_values(left_ts, kind="mergesort"),
                     ray.get(ref),
@@ -156,14 +156,13 @@ def asof_join(
         side = bucket.column("_side")
         l = bucket.filter(pc.equal(side, "l")).select(left_cols).to_pandas()
         r = bucket.filter(pc.equal(side, "r")).select(right_cols).to_pandas()
-        if len(l) == 0:
-            out = l.reindex(columns=out_cols)
-        else:
-            l = l.sort_values(left_ts, kind="mergesort")
-            r = r.sort_values(right_ts, kind="mergesort")
-            out = pd.merge_asof(
-                l, r, left_on=left_ts, right_on=right_ts, by=on, direction="backward"
-            )[out_cols]
+        # merge_asof handles empty sides and keeps both frames' dtypes, so
+        # every block (incl. all-right buckets) shares one schema
+        l = l.sort_values(left_ts, kind="mergesort")
+        r = r.sort_values(right_ts, kind="mergesort")
+        out = pd.merge_asof(
+            l, r, left_on=left_ts, right_on=right_ts, by=on, direction="backward"
+        )[out_cols]
         # unmatched right ints NaN-float under pandas; pin them to nullable
         # Int64 so every output block shares one schema
         for c in right_int_cols:
@@ -190,12 +189,16 @@ def range_join(
     ``on`` with ``right_lo <= left_point < right_hi`` (half-open, the usual
     window convention).  The equality key does the partitioning — the range
     predicate only filters within a key — so this is ONE hash shuffle;
-    per-key fanout (a point matching many overlapping intervals) bounds the
-    output, not the input size."""
+    the pre-mask intermediate is a per-key equality join, so the bucket task
+    processes the LEFT side in fixed-size chunks: peak memory is chunk_rows
+    x the hottest key's interval count — bounded even when one key dominates
+    both sides (the output itself still pays the true match fanout, as any
+    range join must)."""
     import pyarrow as pa
 
     both, left_cols, right_cols = _tagged_union(left, right, on, n_buckets)
     out_cols = left_cols + [c for c in right_cols if c != on]
+    chunk_rows = 8192
 
     def join_bucket(bucket: pa.Table) -> pd.DataFrame:
         import pyarrow.compute as pc
@@ -205,11 +208,14 @@ def range_join(
         r = bucket.filter(pc.equal(side, "r")).select(right_cols).to_pandas()
         if len(l) == 0 or len(r) == 0:
             return l.merge(r, on=on, how="inner").reindex(columns=out_cols)
-        merged = l.merge(r, on=on, how="inner")
-        mask = (merged[left_point] >= merged[right_lo]) & (
-            merged[left_point] < merged[right_hi]
-        )
-        return merged[mask][out_cols]
+        outs = []
+        for i in range(0, len(l), chunk_rows):
+            merged = l.iloc[i : i + chunk_rows].merge(r, on=on, how="inner")
+            mask = (merged[left_point] >= merged[right_lo]) & (
+                merged[left_point] < merged[right_hi]
+            )
+            outs.append(merged[mask][out_cols])
+        return pd.concat(outs, ignore_index=True)
 
     return (
         both.groupby("_wbucket")
@@ -245,17 +251,13 @@ def grouped_topk(
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         from ..arrowutil import strip_pd_metadata
 
-        out = topk_frame(batch)
-        if len(out) == 0:
-            return out
-        key_str = out[keys[0]].astype(str)
-        for kk in keys[1:]:
-            key_str = key_str + "\x1f" + out[kk].astype(str)
-        out = out.copy()
-        out["_bucket"] = key_str.map(
-            lambda s: zlib.crc32(s.encode()) % n_buckets
-        ).astype("int32")
-        return strip_pd_metadata(out)
+        from .groupagg import key_bucket
+
+        out = topk_frame(batch).copy()
+        # empty batches still carry the _bucket column so every block
+        # entering the shuffle shares one schema
+        out["_bucket"] = key_bucket(out, keys, n_buckets)
+        return strip_pd_metadata(out) if len(out) else out
 
     def final(bucket: pd.DataFrame) -> pd.DataFrame:
         out = topk_frame(bucket.drop(columns=["_bucket"]))
@@ -342,7 +344,8 @@ def sliding_window_expand(
     def expand(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
             out = batch.copy()
-            out[out_col] = pd.Series(dtype="datetime64[us]")
+            # match the non-empty branch's unit (input-native, e.g. ns vs us)
+            out[out_col] = pd.Series(dtype=batch[ts_col].dtype)
             return out
         base = batch[ts_col].dt.floor(hop)
         reps = pd.concat([batch] * k, ignore_index=True)
@@ -373,13 +376,10 @@ def group_quantiles(
     def add_bucket(batch: pd.DataFrame):
         from ..arrowutil import strip_pd_metadata
 
+        from .groupagg import key_bucket
+
         out = batch[keys + [value_col]].copy()
-        key_str = out[keys[0]].astype(str)
-        for kk in keys[1:]:
-            key_str = key_str + "\x1f" + out[kk].astype(str)
-        out["_bucket"] = key_str.map(
-            lambda s: zlib.crc32(s.encode()) % n_buckets
-        ).astype("int32")
+        out["_bucket"] = key_bucket(out, keys, n_buckets)
         return strip_pd_metadata(out) if len(out) else out
 
     qcols = [f"p{int(round(q * 100)):02d}" for q in qs]
@@ -387,11 +387,16 @@ def group_quantiles(
     def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for kv, g in bucket.groupby(keys, sort=False, dropna=False):
-            vals = np.sort(g[value_col].to_numpy())
+            # NULL values are excluded from the selection (quantile_disc
+            # semantics); n_rows still counts every row (count(*))
+            vals = np.sort(g[value_col].dropna().to_numpy())
             n = len(vals)
-            picks = [vals[min(max(int(np.ceil(q * n)) - 1, 0), n - 1)] for q in qs]
+            if n == 0:
+                picks = [None] * len(qs)
+            else:
+                picks = [vals[min(max(int(np.ceil(q * n)) - 1, 0), n - 1)] for q in qs]
             kv = kv if isinstance(kv, tuple) else (kv,)
-            rows.append((*kv, *picks, n))
+            rows.append((*kv, *picks, len(g)))
         return pd.DataFrame(rows, columns=keys + qcols + ["n_rows"])
 
     return (
