@@ -933,6 +933,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return decode_media(ray.data.from_arrow(synth_media_table(MEDIA_N)))
 
+    def media_frame_sample(sf_dir):
+        # frame-sample flat-map layout (multimodal.py sample_frames): videos
+        # emit every-4th frame, images/audio pass through as frame 0 — the
+        # payload header is decoded on the Ray side, the oracle mirrors the
+        # generator formula, so the roundtrip is value-checked
+        from mmgraphrag_ray.stages.multimodal import sample_frames, synth_media_table
+
+        return sample_frames(ray.data.from_arrow(synth_media_table(MEDIA_N)))
+
     def media_feature_vecs(sf_dir):
         from mmgraphrag_ray.stages.multimodal import media_features, synth_media_table
 
@@ -1175,6 +1184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_lang_id": doc_lang_id_q,
         "media_decode": media_decode,
+        "media_frame_sample": media_frame_sample,
         "media_feature_vecs": media_feature_vecs,
         "media_feature_components": media_feature_components,
         "kg_query_context": kg_query_context,
@@ -1291,6 +1301,22 @@ JOIN sagg s ON s.new_name = d.new_name
                    CAST(CASE WHEN i % 3 = 0 THEN 1
                              ELSE 8 + i % 24 END AS INT) AS n_frames
             FROM range(300) t(i)
+        """,
+        # sample_frames mirror: every-4th frame for videos, frame 0 for
+        # image/audio — n_frames from the generator formula
+        "media_frame_sample": """
+            WITH m AS (
+              SELECT i AS media_id,
+                     CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                          WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                     CASE WHEN i % 3 = 0 THEN 1 ELSE 8 + i % 24 END AS f
+              FROM range(300) t(i)
+            )
+            SELECT media_id, kind,
+                   CAST(unnest(CASE WHEN kind = 'video'
+                        THEN generate_series(0, CAST(f - 1 AS INT), 4)
+                        ELSE [0] END) AS INT) AS frame_id
+            FROM m
         """,
         # exact mirror of the fake feature extraction (multimodal.py
         # _feature_hits): payload hex = 'FAKE' + kind byte + 3 LE uint16 +
