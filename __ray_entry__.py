@@ -289,6 +289,73 @@ pr_r{i} AS (
     return "".join(parts)
 
 
+def _label_prop_sql(rounds: int = 4) -> str:
+    """Unrolled min-label propagation over the merge CTE's nodes/edges —
+    the exact mirror of stages/graphalgo.min_label_rounds (labels are node
+    names; min is binary-collation string min on both engines)."""
+    parts = [
+        """,
+lp_bid AS (
+  SELECT src_id AS u, tgt_id AS v FROM edges
+  UNION ALL SELECT tgt_id AS u, src_id AS v FROM edges
+),
+lp_r0 AS (SELECT entity_name AS node, entity_name AS label FROM nodes)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+lp_n{i} AS (
+  SELECT b.v AS node, min(r.label) AS nbr
+  FROM lp_bid b JOIN lp_r{i - 1} r ON r.node = b.u GROUP BY 1
+),
+lp_r{i} AS (
+  SELECT r.node,
+         CASE WHEN n.nbr IS NULL OR r.label <= n.nbr THEN r.label
+              ELSE n.nbr END AS label
+  FROM lp_r{i - 1} r LEFT JOIN lp_n{i} n ON n.node = r.node
+)"""
+        )
+    parts.append(f"\nSELECT node, label FROM lp_r{rounds}")
+    return "".join(parts)
+
+
+def _triangles_sql() -> str:
+    """Degree-ordered triangle counting over the merge CTE's edges — the
+    exact mirror of stages/graphalgo.triangle_counts (orientation key =
+    zero-padded degree || '|' || name; each triangle found once from its
+    minimum-key corner, credited to all three)."""
+    return """,
+tr_bid AS (
+  SELECT src_id AS u, tgt_id AS v FROM edges
+  UNION ALL SELECT tgt_id AS u, src_id AS v FROM edges
+),
+tr_deg AS (SELECT u, count(*) AS d FROM tr_bid GROUP BY 1),
+tr_key AS (SELECT u, printf('%09d', d) || '|' || u AS okey FROM tr_deg),
+tr_or AS (
+  SELECT e.src_id AS src, ks.okey AS skey, e.tgt_id AS dst, kt.okey AS dkey
+  FROM edges e
+  JOIN tr_key ks ON ks.u = e.src_id JOIN tr_key kt ON kt.u = e.tgt_id
+  WHERE ks.okey < kt.okey
+  UNION ALL
+  SELECT e.tgt_id, kt.okey, e.src_id, ks.okey
+  FROM edges e
+  JOIN tr_key ks ON ks.u = e.src_id JOIN tr_key kt ON kt.u = e.tgt_id
+  WHERE kt.okey < ks.okey
+),
+tr_tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM tr_or e1
+  JOIN tr_or e2 ON e2.src = e1.src AND e1.dkey < e2.dkey
+  JOIN tr_or e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+tr_corners AS (
+  SELECT a AS node FROM tr_tri
+  UNION ALL SELECT b FROM tr_tri
+  UNION ALL SELECT c FROM tr_tri
+)
+SELECT node, count(*) AS n_triangles FROM tr_corners GROUP BY 1"""
+
+
 def _ivf_sql(k: int = 5, n_centroids: int = 16, nprobe: int = 4,
              train_sample: int = 256) -> str:
     """Exact SQL mirror of stages/similarity.py ivf_topk over `embeddings`
@@ -1076,6 +1143,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b.rename(columns={"r": "rank"}), batch_format="pandas"
         )
 
+    def kg_label_prop(sf_dir):
+        # K=4 rounds of min-label propagation over the KG — the fixed-round
+        # form of distributed connected components; labels are node-name
+        # strings (bytewise min, identical in pandas + DuckDB binary
+        # collation), oracled via 4 unrolled SQL iterations
+        from mmgraphrag_ray.stages.graphalgo import min_label_rounds
+
+        nodes, edges = _build_graph_cached(sf_dir)
+        return min_label_rounds(nodes, edges, rounds=4)
+
+    def kg_triangles(sf_dir):
+        # per-node triangle participation via degree-ordered orientation
+        # (hub-safe wedge enumeration; stages/graphalgo.py)
+        from mmgraphrag_ray.stages.graphalgo import triangle_counts
+
+        nodes, edges = _build_graph_cached(sf_dir)
+        return triangle_counts(nodes, edges)
+
+    def token_postings_q(sf_dir):
+        # inverted-index build: token -> df + capped sorted posting list
+        from mmgraphrag_ray.stages.index import token_postings
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return token_postings(docs, min_df=2)
+
+    def doc_tfidf_topk_q(sf_dir):
+        # top-3 terms per doc by integer tf-idf surrogate tf*1e6//df
+        from mmgraphrag_ray.stages.index import doc_tfidf_topk
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return doc_tfidf_topk(docs, k=3)
+
+    def doc_repetition(sf_dir):
+        from mmgraphrag_ray.stages.textstats import doc_repetition_stats
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return doc_repetition_stats(docs)
+
     def ann_topk(sf_dir):
         emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
         qdf = emb.filter(expr="vec_id < 8").to_pandas()
@@ -1191,6 +1299,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mm_answer": kg_mm_answer,
         "kg_node_degrees": kg_node_degrees,
         "kg_pagerank": kg_pagerank,
+        "kg_label_prop": kg_label_prop,
+        "kg_triangles": kg_triangles,
+        "token_postings": token_postings_q,
+        "doc_tfidf_topk": doc_tfidf_topk_q,
+        "doc_repetition": doc_repetition,
         "kg_enhanced_nodes": kg_enhanced_nodes,
         "kg_resolve_refs": kg_resolve_refs,
         "code_strip_comments": code_strip_comments,
@@ -1208,6 +1321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_bloom_semi_events": relational.customer_bloom_semi_events,
         "events_cm_registers": relational.events_cm_registers,
         "doc_consistent_sample": relational.doc_consistent_sample,
+        "doc_stratified_sample": relational.doc_stratified_sample,
         "events_asof_orders": relational.events_asof_orders,
         "lineitem_ship_range_join": relational.lineitem_ship_range_join,
         "topk_orders_per_segment": relational.topk_orders_per_segment,
@@ -1277,6 +1391,105 @@ JOIN sagg s ON s.new_name = d.new_name
         # (85*r//100)//deg, teleport = ((1e12*15)//100)//N — all-integer, so
         # both engines lose identical floor mass and sums are order-free
         "kg_pagerank": kg + merge + _pagerank_sql(iterations=3),
+        # fixed-round min-label propagation (distributed-CC building block):
+        # 4 unrolled join+grouped-min iterations
+        "kg_label_prop": kg + merge + _label_prop_sql(rounds=4),
+        # degree-ordered triangle counting: orientation keys kill hub
+        # explosion; each triangle counted once from its min-key corner
+        "kg_triangles": kg + merge + _triangles_sql(),
+        # inverted index: distinct (token, doc) pairs -> df + the first 16
+        # doc ids ascending (capped partials compose exactly, index.py)
+        "token_postings": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+                FROM documents
+              )
+            )
+            SELECT token, count(*) AS df,
+                   array_to_string(
+                     list_slice(list(doc_id ORDER BY doc_id), 1, 16), ','
+                   ) AS postings
+            FROM toks GROUP BY token HAVING count(*) >= 2
+        """,
+        # integer tf-idf surrogate: score = tf * 1e6 // df, top-3 per doc
+        # by (score desc, token asc) — floor division keeps both engines
+        # bit-identical (float idf would hash-diverge)
+        "doc_tfidf_topk": """
+            WITH tf AS (
+              SELECT doc_id, token, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+                FROM documents
+              ) GROUP BY 1, 2
+            ),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            sc AS (
+              SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                     tf.tf * 1000000 // df.df AS score
+              FROM tf JOIN df USING (token)
+            )
+            SELECT doc_id, token, tf, df, score, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, token
+              ) AS rank FROM sc
+            ) WHERE rank <= 3
+        """,
+        # Gopher-style repetition signals: duplicate non-empty lines + the
+        # most frequent word bigram (tie -> lexicographic min); all-integer
+        # outputs so the table hash-matches exactly
+        "doc_repetition": """
+            WITH big AS (
+              SELECT doc_id,
+                     w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] AS bg
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z]+') AS w
+                    FROM documents) ws,
+                   unnest(generate_series(1, len(w) - 1)) t(i)
+              WHERE len(w) >= 2
+            ),
+            bc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+            topb AS (
+              SELECT doc_id, bg, c FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY c DESC, bg
+                ) AS rn FROM bc
+              ) WHERE rn = 1
+            ),
+            bt AS (SELECT doc_id, count(*) AS n_bigrams FROM big GROUP BY 1),
+            ln AS (
+              SELECT doc_id, l FROM (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                FROM documents
+              )
+              WHERE trim(l, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) <> ''
+            ),
+            lc AS (
+              SELECT doc_id, count(*) AS n_lines,
+                     count(DISTINCT l) AS nd
+              FROM ln GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(lc.n_lines, 0) AS n_lines,
+                   COALESCE(lc.n_lines - lc.nd, 0) AS n_dup_lines,
+                   COALESCE(bt.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(topb.bg, '') AS top_bigram,
+                   COALESCE(topb.c, 0) AS top_bigram_cnt
+            FROM documents d
+            LEFT JOIN lc USING (doc_id)
+            LEFT JOIN bt USING (doc_id)
+            LEFT JOIN topb USING (doc_id)
+        """,
+        # stratified consistent sample: per-lang md5 hash-threshold
+        # (en downsampled to 10%, tail langs kept at 30%)
+        "doc_stratified_sample": """
+            SELECT * FROM documents
+            WHERE CAST(('0x' || substr(
+                    md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % 100
+                  < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
+        """,
         # entities section of the local query context: integer-exact cosine
         # top-k (threshold 0.2, k=10) + degree rank — see _query_context_sql
         "kg_query_context": kg

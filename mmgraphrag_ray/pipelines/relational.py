@@ -285,6 +285,33 @@ def doc_consistent_sample(sf_dir: str, percent: int = 10):
     return docs.map_batches(keep, batch_format="pandas")
 
 
+def doc_stratified_sample(sf_dir: str, rates: dict | None = None,
+                          default_percent: int = 30):
+    """Stratified consistent sample: per-language sampling rates (e.g.
+    downsample the dominant language, keep more of the tails — the standard
+    corpus-rebalancing op for multilingual training data).  Membership is
+    md5(lang:doc_id)-derived, so it is a pure function of the row key:
+    stable across runs, engines, and corpus growth, and requires NO shuffle
+    — one vectorizable filter pass.  Rates are percent-of-100 per lang."""
+    import hashlib
+
+    rates = rates if rates is not None else {"en": 10}
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        buckets = [
+            int(hashlib.md5(f"{lang}:{d}".encode()).hexdigest()[:8], 16) % 100
+            for lang, d in zip(b["lang"], b["doc_id"])
+        ]
+        limits = b["lang"].map(lambda l: rates.get(l, default_percent))
+        mask = pd.Series(buckets, index=b.index) < limits
+        return b[mask]
+
+    return docs.map_batches(keep, batch_format="pandas")
+
+
 def events_cm_registers(sf_dir: str):
     """Count-min sketch register table over event user occurrences
     (stages/sketch.py): 4 x 256 integer counters, order-independent and

@@ -17,9 +17,225 @@ iteration (bounded state: one int64 per node).
 from __future__ import annotations
 
 import pandas as pd
+import ray.data
 
 SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100
+
+
+def min_label_rounds(nodes_ds, edges_ds, rounds: int = 4,
+                     node_col: str = "entity_name",
+                     src_col: str = "src_id", tgt_col: str = "tgt_id"):
+    """K rounds of min-label propagation over the undirected KG — the
+    building block of distributed connected components (stages/dedup.py
+    connected_components iterates this same step to convergence; here the
+    round count is FIXED so the intermediate state is value-comparable
+    across engines via K unrolled SQL iterations).
+
+    label_0(v) = v; label_{t+1}(v) = min(label_t(v), min over neighbors u
+    of label_t(u)).  Labels are the node-name strings; min is bytewise
+    (ASCII/UTF-8 code-point order — identical in pandas and DuckDB's
+    binary collation).  Each round: ONE key-partitioned join (label table
+    is node-sized -> broadcast plan under the cap) + ONE grouped min with
+    a per-batch combiner.  State = one string per node.
+
+    -> Dataset(node, label)."""
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    nodes = nodes_ds.map_batches(
+        lambda b: b[[node_col]].rename(columns={node_col: "node"}),
+        batch_format="pandas",
+    ).materialize()
+
+    def bidir(b: pd.DataFrame) -> pd.DataFrame:
+        fwd = b[[src_col, tgt_col]].rename(columns={src_col: "u", tgt_col: "v"})
+        rev = b[[tgt_col, src_col]].rename(columns={tgt_col: "u", src_col: "v"})
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    bid = edges_ds.map_batches(bidir, batch_format="pandas").materialize()
+    labels = nodes.map_batches(
+        lambda b: b.assign(label=b["node"]), batch_format="pandas"
+    ).materialize()
+
+    for _ in range(rounds):
+        # neighbor labels: edge (u -> v) carries label(u) to v
+        nbr = bucketed_join(
+            bid,
+            labels.map_batches(
+                lambda b: b.rename(columns={"node": "u"}), batch_format="pandas"
+            ),
+            on="u",
+            small_side="right",
+        )
+        nbr_min = bucketed_groupby_agg(
+            nbr.map_batches(
+                lambda b: b[["v", "label"]], batch_format="pandas"
+            ),
+            keys=["v"],
+            aggs={"nbr_label": ("label", "min")},
+        ).materialize()
+        joined = bucketed_join(
+            labels,
+            nbr_min.map_batches(
+                lambda b: b.rename(columns={"v": "node"}), batch_format="pandas"
+            ),
+            on="node",
+            how="left",
+            small_side="right",
+        )
+
+        def take_min(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame(
+                    {"node": pd.Series(dtype=object),
+                     "label": pd.Series(dtype=object)}
+                )
+            lab = b["label"].where(
+                b["nbr_label"].isna() | (b["label"] <= b["nbr_label"]),
+                b["nbr_label"],
+            )
+            return pd.DataFrame({"node": b["node"], "label": lab})
+
+        labels = joined.map_batches(take_min, batch_format="pandas").materialize()
+
+    return labels
+
+
+def triangle_counts(nodes_ds, edges_ds,
+                    node_col: str = "entity_name",
+                    src_col: str = "src_id", tgt_col: str = "tgt_id"):
+    """Per-node triangle participation counts over the undirected KG, via
+    DEGREE-ORDERED edge orientation (the standard scale trick: orient every
+    edge from the (degree, name)-smaller endpoint to the larger, so each
+    node's out-degree is O(sqrt(m)) and wedge enumeration never explodes on
+    hub nodes — crucial for the UNKNOWN-style hubs this KG produces).
+
+    Plan: degree table (grouped count) -> two key-partitioned joins to
+    stamp both endpoint orientation keys -> wedge enumeration per source
+    node inside a bucketed groupby (out-neighbors sorted by orientation
+    key; pairs are emitted only in key order) -> one bucketed join of
+    wedges against oriented edges on the composite (v, w) key -> per-node
+    grouped count (each triangle credits all three corners).
+
+    -> Dataset(node, n_triangles) for nodes in >= 1 triangle."""
+    import zlib
+
+    from ..arrowutil import strip_pd_metadata
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    def bidir(b: pd.DataFrame) -> pd.DataFrame:
+        fwd = b[[src_col, tgt_col]].rename(columns={src_col: "u", tgt_col: "v"})
+        rev = b[[tgt_col, src_col]].rename(columns={tgt_col: "u", src_col: "v"})
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    bid = edges_ds.map_batches(bidir, batch_format="pandas").materialize()
+    deg = bucketed_groupby_agg(
+        bid.map_batches(lambda b: b[["u"]], batch_format="pandas"),
+        keys=["u"],
+        aggs={"d": (None, "count")},
+    ).materialize()
+
+    # orientation key: zero-padded degree then name — a total order whose
+    # string comparison is identical in pandas and SQL
+    def okey_frame(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["okey"] = out["d"].map(lambda d: f"{int(d):09d}") + "|" + out["u"].astype(str)
+        return out[["u", "okey"]]
+
+    okeys = deg.map_batches(okey_frame, batch_format="pandas").materialize()
+
+    # stamp both endpoints with their orientation keys (okeys is node-sized
+    # — the designated small side of both joins)
+    e1 = bucketed_join(bid, okeys, on="u", small_side="right").materialize()
+
+    def rn_v(b: pd.DataFrame) -> pd.DataFrame:
+        return b.rename(columns={"okey": "ukey", "v": "_v"}).rename(
+            columns={"_v": "u", "u": "v"}
+        )  # swap so the second join keys on the other endpoint
+
+    e2 = bucketed_join(
+        e1.map_batches(rn_v, batch_format="pandas"), okeys, on="u",
+        small_side="right",
+    )
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        # rows now: u=original v endpoint, v=original u endpoint,
+        # ukey=key(original u), okey=key(original v); keep each undirected
+        # edge once, oriented smaller-key -> larger-key
+        if len(b) == 0:
+            return pd.DataFrame({
+                "src": pd.Series(dtype=object), "skey": pd.Series(dtype=object),
+                "dst": pd.Series(dtype=object), "dkey": pd.Series(dtype=object),
+            })
+        keep = b[b["ukey"] < b["okey"]]
+        return pd.DataFrame({
+            "src": keep["v"], "skey": keep["ukey"],
+            "dst": keep["u"], "dkey": keep["okey"],
+        })
+
+    oriented = e2.map_batches(orient, batch_format="pandas").materialize()
+
+    def add_src_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.assign(
+            _bucket=b["src"].map(
+                lambda s: zlib.crc32(str(s).encode()) % 64
+            ).astype("int32")
+        )
+        return strip_pd_metadata(out) if len(out) else out
+
+    def wedges(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for u, g in bucket.groupby("src", sort=False):
+            nb = sorted(zip(g["dkey"], g["dst"]))  # orientation-key order
+            for i in range(len(nb)):
+                for j in range(i + 1, len(nb)):
+                    rows.append((u, nb[i][1], nb[j][1]))
+        if not rows:  # typed empty: keeps every block's schema identical
+            return pd.DataFrame(
+                {c: pd.Series(dtype="string")
+                 for c in ("w_u", "w_v", "w_w", "vw")}
+            )
+        out = pd.DataFrame(rows, columns=["w_u", "w_v", "w_w"])
+        out["vw"] = out["w_v"].astype(str) + "\x1f" + out["w_w"].astype(str)
+        return out
+
+    wedge_ds = (
+        oriented.map_batches(add_src_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(wedges, batch_format="pandas")
+        .repartition(8)
+        .materialize()
+    )
+    if wedge_ds.count() == 0:  # triangle-free graph (e.g. pure star/tree)
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.string()),
+                      "n_triangles": pa.array([], pa.int64())})
+        )
+
+    closing = oriented.map_batches(
+        lambda b: pd.DataFrame({
+            "vw": b["src"].astype(str) + "\x1f" + b["dst"].astype(str)
+        }) if len(b) else pd.DataFrame({"vw": pd.Series(dtype=object)}),
+        batch_format="pandas",
+    )
+    tris = bucketed_join(wedge_ds, closing, on="vw", small_side="right")
+
+    def corners(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"node": pd.Series(dtype=object)})
+        return pd.DataFrame(
+            {"node": pd.concat([b["w_u"], b["w_v"], b["w_w"]], ignore_index=True)}
+        )
+
+    return bucketed_groupby_agg(
+        tris.map_batches(corners, batch_format="pandas"),
+        keys=["node"],
+        aggs={"n_triangles": (None, "count")},
+    )
 
 
 def pagerank_int(nodes_ds, edges_ds, iterations: int = 3,

@@ -1,0 +1,192 @@
+"""Inverted-index construction + TF-IDF term scoring over `documents`.
+
+The classic retrieval-side operators a large-scale training/eval pipeline
+needs next to dedup and quality filtering (the reference's retrieval is
+vector-only — NanoVectorDB, storage.py:236-290; these are the lexical
+complements, built the same Ray-Data-first way):
+
+- ``token_postings``: token -> document frequency + a capped, sorted
+  posting list.  Per-batch combiner emits one row per distinct token per
+  batch (never per-occurrence rows), so the shuffle moves a vocabulary
+  table bounded by batches x vocab, not token occurrences.  Because every
+  doc's rows live in exactly one input batch, per-batch distinct (token,
+  doc) pairs are globally distinct and partial df counts sum exactly.
+- ``doc_tfidf_topk``: top-k terms per document by an ALL-INTEGER tf-idf
+  surrogate ``score = tf * SCORE_SCALE // df`` (floor division — rarer
+  tokens score higher, ties break on the token string), so the ranking is
+  bit-deterministic under any shuffle order and exactly SQL-mirrorable
+  (float idf = ln(N/df) would hash-diverge across engines).
+
+Both use the md5-free lowercase ``[a-z]+`` word inventory shared with the
+textstats oracles.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pyarrow as pa
+
+TOKEN_RE = r"[a-z]+"
+SCORE_SCALE = 1_000_000
+MAX_POSTINGS = 16
+
+
+class _DocTokenStage:
+    """Per-batch combiner: distinct (token, doc) pairs -> one partial row
+    per token with (partial df, capped ascending doc-id list)."""
+
+    def __init__(self, id_col: str, text_col: str, max_postings: int):
+        self.word = re.compile(TOKEN_RE)
+        self.id_col, self.text_col = id_col, text_col
+        self.max_postings = max_postings
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        per_tok: dict[str, list[int]] = {}
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        for doc_id, text in zip(ids, texts):
+            for tok in set(self.word.findall(text.lower())):
+                per_tok.setdefault(tok, []).append(doc_id)
+        toks, dfs, posts = [], [], []
+        for tok, doc_ids in per_tok.items():
+            doc_ids.sort()
+            toks.append(tok)
+            dfs.append(len(doc_ids))
+            posts.append(doc_ids[: self.max_postings])
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "df": pa.array(dfs, pa.int64()),
+                "post": pa.array(posts, pa.list_(pa.int64())),
+            }
+        )
+
+
+def token_postings(
+    documents_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = MAX_POSTINGS,
+    min_df: int = 1,
+):
+    """-> Dataset(token, df, postings) — document frequency plus the first
+    ``max_postings`` doc ids (ascending, comma-joined string).  Capped
+    partials compose exactly: each partial keeps its smallest ids, so the
+    global smallest ``max_postings`` ids are always within the union of
+    partial lists."""
+    import zlib
+
+    from ..arrowutil import strip_pd_metadata
+
+    partials = documents_ds.map_batches(
+        _DocTokenStage(id_col, text_col, max_postings), batch_format="pyarrow"
+    )
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.assign(
+            _bucket=b["token"]
+            .map(lambda s: zlib.crc32(s.encode()) % 64)
+            .astype("int32")
+        )
+        return strip_pd_metadata(out) if len(out) else out
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        toks, dfs, posts = [], [], []
+        for tok, g in bucket.groupby("token", sort=False):
+            df_total = int(g["df"].sum())
+            if df_total < min_df:
+                continue
+            merged: list[int] = []
+            for lst in g["post"]:
+                merged.extend(int(x) for x in lst)
+            merged.sort()
+            toks.append(tok)
+            dfs.append(df_total)
+            posts.append(",".join(str(x) for x in merged[:max_postings]))
+        return pd.DataFrame({"token": toks, "df": dfs, "postings": posts})
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(final, batch_format="pandas")
+        .repartition(8)
+    )
+
+
+class _TermFreqStage:
+    """Exact per-document term frequencies: (doc_id, token, tf) rows."""
+
+    def __init__(self, id_col: str, text_col: str):
+        self.word = re.compile(TOKEN_RE)
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids_out, toks, tfs = [], [], []
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        for doc_id, text in zip(ids, texts):
+            for tok, tf in Counter(self.word.findall(text.lower())).items():
+                ids_out.append(doc_id)
+                toks.append(tok)
+                tfs.append(tf)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "token": pa.array(toks, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+
+def doc_tfidf_topk(
+    documents_ds,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Top-k terms per document by integer tf-idf surrogate.
+
+    -> Dataset(doc_id, token, tf, df, score, rank) with
+    ``score = tf * SCORE_SCALE // df`` and rank 1..k per doc ordered by
+    (score desc, token asc).  Plan: tf rows (map-side, exact) ⋈ df table
+    (token-bucketed join — both sides shuffled by token, no broadcast of
+    the vocabulary), then the combiner-based grouped top-k."""
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+    from .window import grouped_topk
+
+    documents_ds = documents_ds.materialize()
+    tf_rows = documents_ds.map_batches(
+        _TermFreqStage(id_col, text_col), batch_format="pyarrow"
+    ).materialize()
+    # df = number of docs containing the token = count of tf rows per token
+    df_tbl = bucketed_groupby_agg(
+        tf_rows.map_batches(lambda b: b[["token"]], batch_format="pandas"),
+        keys=["token"],
+        aggs={"df": (None, "count")},
+    )
+    joined = bucketed_join(tf_rows, df_tbl, on="token", small_side="right")
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "token": pd.Series(dtype="string"),
+                    "tf": pd.Series(dtype="int64"),
+                    "df": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="int64"),
+                }
+            )
+        out = b[["doc_id", "token", "tf", "df"]].copy()
+        out["score"] = out["tf"] * SCORE_SCALE // out["df"]
+        return out
+
+    scored = joined.map_batches(score, batch_format="pandas")
+    return grouped_topk(
+        scored, keys=["doc_id"], order_col="score", k=k, tie_cols=["token"]
+    )

@@ -207,6 +207,63 @@ def doc_quality_scores(documents_ds):
     return documents_ds.map_batches(_QUALITY, batch_format="pyarrow")
 
 
+# ------------------------------------------------------- repetition signals
+
+class RepetitionStage:
+    """Gopher-style repetition signals per document (the rule family used
+    to drop boilerplate/templated text from training corpora): duplicate
+    non-empty-line count and the most frequent word bigram.  All outputs
+    are integers/strings (ratios left to the consumer), so the whole table
+    is bit-exact against the SQL oracle.
+
+    Columns: n_lines (non-empty after strip), n_dup_lines (lines minus
+    distinct lines), n_bigrams, top_bigram (tie -> lexicographically
+    smallest; '' when < 2 words), top_bigram_cnt."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-z]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        n_lines, n_dup, n_big, top_bg, top_cnt = [], [], [], [], []
+        for t in texts:
+            lines = [l for l in t.split("\n") if l.strip() != ""]
+            n_lines.append(len(lines))
+            n_dup.append(len(lines) - len(set(lines)))
+            ws = self.word.findall(t.lower())
+            bigs = Counter(
+                ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)
+            )
+            n_big.append(sum(bigs.values()))
+            if bigs:
+                best = min(bigs.items(), key=lambda kv: (-kv[1], kv[0]))
+                top_bg.append(best[0])
+                top_cnt.append(best[1])
+            else:
+                top_bg.append("")
+                top_cnt.append(0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_dup_lines": pa.array(n_dup, pa.int64()),
+                "n_bigrams": pa.array(n_big, pa.int64()),
+                "top_bigram": pa.array(top_bg, pa.string()),
+                "top_bigram_cnt": pa.array(top_cnt, pa.int64()),
+            }
+        )
+
+
+_REPETITION = RepetitionStage()
+
+
+def doc_repetition_stats(documents_ds):
+    return documents_ds.map_batches(_REPETITION, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------ top-k n-grams
 
 class NgramCountStage:
