@@ -1184,6 +1184,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      columns=["doc_id", "text"])
         return doc_repetition_stats(docs)
 
+    def doc_pack_sequences(sf_dir):
+        # sequence packing: distributed prefix sum over doc_id order ->
+        # per-doc token spans in fixed 512-token training windows
+        from mmgraphrag_ray.stages.pack import pack_sequences
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return pack_sequences(docs, window=512, range_size=100)
+
     def ann_topk(sf_dir):
         emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
         qdf = emb.filter(expr="vec_id < 8").to_pandas()
@@ -1304,6 +1313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_postings": token_postings_q,
         "doc_tfidf_topk": doc_tfidf_topk_q,
         "doc_repetition": doc_repetition,
+        "doc_pack_sequences": doc_pack_sequences,
         "kg_enhanced_nodes": kg_enhanced_nodes,
         "kg_resolve_refs": kg_resolve_refs,
         "code_strip_comments": code_strip_comments,
@@ -1480,6 +1490,29 @@ JOIN sagg s ON s.new_name = d.new_name
             LEFT JOIN lc USING (doc_id)
             LEFT JOIN bt USING (doc_id)
             LEFT JOIN topb USING (doc_id)
+        """,
+        # sequence packing: exclusive prefix sum over doc_id order is ONE
+        # window sum in SQL; the Ray side computes it as a distributed scan
+        # (per-range sums -> driver cumsum of range totals -> local cumsum)
+        "doc_pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+              FROM documents
+            ), s AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS start_off
+              FROM t
+            )
+            SELECT doc_id, n_tokens, start_off,
+                   start_off + n_tokens AS end_off,
+                   start_off // 512 AS first_seq,
+                   (CASE WHEN n_tokens = 0 THEN start_off
+                         ELSE start_off + n_tokens - 1 END) // 512 AS last_seq
+            FROM s
         """,
         # stratified consistent sample: per-lang md5 hash-threshold
         # (en downsampled to 10%, tail langs kept at 30%)

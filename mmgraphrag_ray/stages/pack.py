@@ -1,0 +1,129 @@
+"""Sequence packing — the pretraining-data op that concatenates a document
+stream into fixed-size token windows (one training sequence = ``window``
+tokens, documents packed back to back in doc_id order).
+
+The core primitive is a DISTRIBUTED PREFIX SUM (exclusive scan) over an
+ordered corpus, done without a global sort:
+
+1. map: per-doc token counts, stamped with a deterministic RANGE id
+   (``doc_id // range_size`` — the corpus's natural ordered partitioning);
+2. one tiny grouped sum: total tokens per range (rows = number of ranges,
+   NOT number of docs — this is the only thing the driver ever holds);
+3. driver: cumulative sum over the range totals -> per-range start offset,
+   broadcast via the task closure (bytes ~ #ranges);
+4. map side again: per-range local cumsum in doc_id order + the range's
+   broadcast offset = every doc's exact global token offset.
+
+At 100 TB the driver state is one int per range (e.g. 1e5 ranges for 1e12
+docs at range_size=1e7) — the scan never materializes per-doc data outside
+the workers.  Output rows are per-doc spans: which packed sequences the doc
+lands in.  All-integer, so the table is bit-exact against the SQL mirror
+(a single ``sum() OVER (ORDER BY doc_id)`` window).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pyarrow as pa
+
+TOKEN_RE = r"[a-z0-9]+"
+
+
+class _TokenCountStage:
+    def __init__(self, id_col: str, text_col: str, range_size: int):
+        self.word = re.compile(TOKEN_RE)
+        self.id_col, self.text_col = id_col, text_col
+        self.range_size = range_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        counts = [len(self.word.findall(t.lower())) for t in texts]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(counts, pa.int64()),
+                "rng": pa.array(
+                    [i // self.range_size for i in ids], pa.int64()
+                ),
+            }
+        )
+
+
+def pack_sequences(
+    documents_ds,
+    window: int = 512,
+    range_size: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """-> Dataset(doc_id, n_tokens, start_off, end_off, first_seq, last_seq)
+
+    ``start_off`` is the doc's exclusive-prefix-sum token offset in doc_id
+    order; sequence ``s`` covers tokens [s*window, (s+1)*window); a doc
+    spans sequences first_seq..last_seq (empty docs occupy zero tokens and
+    report the sequence their offset falls into)."""
+    import zlib
+
+    from ..arrowutil import strip_pd_metadata
+    from .groupagg import bucketed_groupby_agg
+
+    counts = documents_ds.map_batches(
+        _TokenCountStage(id_col, text_col, range_size), batch_format="pyarrow"
+    ).materialize()
+
+    # tiny table: one row per range — the ONLY data the driver touches
+    range_sums = bucketed_groupby_agg(
+        counts.map_batches(lambda b: b[["rng", "n_tokens"]], batch_format="pandas"),
+        keys=["rng"],
+        aggs={"rsum": ("n_tokens", "sum")},
+    ).to_pandas().sort_values("rng", kind="mergesort")
+    csum = range_sums["rsum"].cumsum()
+    offsets = dict(
+        zip(range_sums["rng"], (csum - range_sums["rsum"]).astype("int64"))
+    )
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.assign(
+            _bucket=b["rng"].map(
+                lambda r: zlib.crc32(str(int(r)).encode()) % 64
+            ).astype("int32")
+        )
+        return strip_pd_metadata(out) if len(out) else out
+
+    def scan_range(bucket: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for rng, g in bucket.groupby("rng", sort=False):
+            g = g.sort_values("doc_id", kind="mergesort")
+            local = g["n_tokens"].cumsum() - g["n_tokens"]
+            start = (local + offsets[int(rng)]).astype("int64")
+            end = start + g["n_tokens"]
+            last_pos = end.where(g["n_tokens"] == 0, end - 1)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": g["doc_id"],
+                        "n_tokens": g["n_tokens"],
+                        "start_off": start,
+                        "end_off": end,
+                        "first_seq": start // window,
+                        "last_seq": (last_pos // window).astype("int64"),
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64")
+                 for c in ("doc_id", "n_tokens", "start_off", "end_off",
+                           "first_seq", "last_seq")}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        counts.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(scan_range, batch_format="pandas")
+        .repartition(8)
+    )

@@ -1,0 +1,80 @@
+"""stages/pack.py — sequence packing via distributed prefix sum.
+
+The operator's contract: ``start_off`` is the exclusive prefix sum of
+per-doc token counts in doc_id order, and each doc's span maps to the
+fixed-size training windows it lands in.  The reference point is a plain
+single-process cumsum over the same token counts.
+"""
+
+import re
+
+import pandas as pd
+import ray.data
+
+from mmgraphrag_ray.stages.pack import TOKEN_RE, pack_sequences
+
+WORD = re.compile(TOKEN_RE)
+
+
+def _docs():
+    texts = [
+        "alpha beta gamma",          # 3 tokens
+        "",                          # empty doc: zero-width span
+        "one two three four five " * 120,  # 600 tokens: crosses a window
+        "x",                         # 1 token
+        "   \t\n ",                  # whitespace only -> 0 tokens
+        "seven eight " * 40,         # 80 tokens
+    ]
+    return pd.DataFrame({"doc_id": pd.Series(range(6), dtype="int64"),
+                         "text": pd.Series(texts, dtype=object)})
+
+
+def _expected(df: pd.DataFrame, window: int) -> pd.DataFrame:
+    n = df["text"].map(lambda t: len(WORD.findall(t.lower()))).astype("int64")
+    start = n.cumsum() - n
+    end = start + n
+    last_pos = end.where(n == 0, end - 1)
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_tokens": n,
+            "start_off": start,
+            "end_off": end,
+            "first_seq": start // window,
+            "last_seq": (last_pos // window).astype("int64"),
+        }
+    )
+
+
+def _run(df, window, range_size, nblocks):
+    ds = ray.data.from_pandas(df).repartition(nblocks)
+    out = pack_sequences(ds, window=window, range_size=range_size)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def test_pack_sequences_matches_serial_scan():
+    df = _docs()
+    got = _run(df, window=512, range_size=2, nblocks=3)
+    pd.testing.assert_frame_equal(got, _expected(df, 512))
+
+
+def test_pack_sequences_block_and_range_split_invariant():
+    df = _docs()
+    a = _run(df, window=64, range_size=1, nblocks=1)
+    b = _run(df, window=64, range_size=3, nblocks=4)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_sequences_window_spans():
+    # 600-token doc starting at offset 3 with window=64 spans many windows
+    df = _docs()
+    got = _run(df, window=64, range_size=100, nblocks=2)
+    row = got[got["doc_id"] == 2].iloc[0]
+    assert row["n_tokens"] == 600
+    assert row["start_off"] == 3
+    assert row["first_seq"] == 0
+    assert row["last_seq"] == (3 + 600 - 1) // 64
+    # empty docs occupy zero tokens: first_seq == last_seq, end == start
+    empty = got[got["doc_id"] == 1].iloc[0]
+    assert empty["start_off"] == empty["end_off"]
+    assert empty["first_seq"] == empty["last_seq"]
