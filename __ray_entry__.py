@@ -1337,6 +1337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders_per_segment": relational.topk_orders_per_segment,
         "user_running_stats": relational.user_running_stats,
         "segment_price_quantiles": relational.segment_price_quantiles,
+        "price_global_quantiles": relational.price_global_quantiles,
     }
 
 
@@ -1910,6 +1911,23 @@ FROM vh GROUP BY 1, 2, 3
                    count(*) AS n_rows
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
+        """,
+        # GLOBAL exact quantiles: the Ray side never sorts or collects the
+        # column (histogram refinement); picks are actual elements so the
+        # float values are bit-exact against quantile_disc
+        "price_global_quantiles": """
+            WITH v AS (SELECT l_extendedprice AS x FROM lineitem
+                       WHERE l_extendedprice IS NOT NULL),
+                 c AS (SELECT count(*) AS n FROM v)
+            SELECT t.q, t.value, CAST(ceil(t.qq * c.n) AS BIGINT) AS rank, c.n AS n
+            FROM c, (
+              SELECT 'p25' AS q, 0.25 AS qq, quantile_disc(x, 0.25) AS value FROM v
+              UNION ALL
+              SELECT 'p50', 0.50, quantile_disc(x, 0.50) FROM v
+              UNION ALL
+              SELECT 'p75', 0.75, quantile_disc(x, 0.75) FROM v
+              UNION ALL
+              SELECT 'p99', 0.99, quantile_disc(x, 0.99) FROM v) t
         """,
         "events_sessions": """
             WITH o AS (

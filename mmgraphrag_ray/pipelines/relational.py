@@ -233,6 +233,18 @@ def segment_price_quantiles(sf_dir: str):
     )
 
 
+def price_global_quantiles(sf_dir: str):
+    """Exact GLOBAL price quantiles (p25/p50/p75/p99, quantile_disc
+    semantics) over the full lineitem price column without a global sort —
+    stages/groupagg.global_quantiles (iterative histogram refinement; the
+    driver only holds bin counts, never values, until the final <=bin_cap
+    candidate fetch)."""
+    from ..stages.groupagg import global_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return global_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.75, 0.99])
+
+
 def events_sliding_window(sf_dir: str):
     """Hopping (sliding) 1-hour window with 15-minute hop per user: each
     event lands in 4 overlapping windows (stages/window.sliding_window_expand

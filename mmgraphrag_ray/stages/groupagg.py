@@ -16,7 +16,9 @@ from __future__ import annotations
 
 import zlib
 
+import numpy as np
 import pandas as pd
+import ray.data
 
 N_BUCKETS = 64
 
@@ -68,3 +70,187 @@ def bucketed_groupby_agg(
     out = partials.groupby("_bucket").map_groups(final, batch_format="pandas")
     # coalesce away schema-less empty blocks from empty hash partitions
     return out.repartition(8)
+
+
+def _bin_index(v: "np.ndarray", lo: float, hi: float, n_bins: int) -> "np.ndarray":
+    """The ONE binning formula, shared by the histogram pass and the
+    candidate-fetch filter so a value lands in the same bin in both
+    (identical float64 ops — no derived bin-boundary arithmetic)."""
+    idx = ((v - lo) * n_bins / (hi - lo)).astype("int64")
+    return np.clip(idx, 0, n_bins - 1)
+
+
+def global_quantiles(
+    ds,
+    value_col: str,
+    qs: list[float],
+    n_bins: int = 1024,
+    bin_cap: int = 100_000,
+    max_rounds: int = 8,
+):
+    """Exact GLOBAL discrete quantiles (type-1 ``sorted[ceil(q*n)-1]``,
+    DuckDB ``quantile_disc`` semantics) over a column too large to sort or
+    to shuffle to one group — the global counterpart of
+    ``window.group_quantiles``.
+
+    Iterative histogram refinement (the classic distributed selection):
+
+    1. one streaming pass -> per-batch (min, max, non-null count) partials;
+    2. per round, ONE streaming histogram pass over all active search
+       ranges (<= len(qs) of them): value -> bin via :func:`_bin_index`,
+       per-batch combiner emits <= ranges x n_bins count rows, a bucketed
+       grouped sum reduces them — the driver only ever holds bin COUNTS
+       (ranges x n_bins int64s), never values;
+    3. the bin containing each target rank becomes the next round's range;
+       a range resolves when its count <= ``bin_cap`` (fetch + select the
+       order statistic from <= bin_cap actual elements) or its values are
+       all identical (min == max short-circuit).
+
+    Convergence: each round divides a range's population by ~n_bins, so
+    rounds ~ log_{n_bins}(n / bin_cap) — 2 rounds cover 10^11 rows at the
+    defaults.  The returned value is always an actual element of the
+    column, so float columns stay bit-exact across engines.
+
+    Output: one row per requested quantile —
+    ``(q: 'pNN', value, rank, n)`` with ``rank`` the 1-based global rank
+    selected and ``n`` the non-null population.
+    """
+    import math
+
+    from ..arrowutil import strip_pd_metadata
+
+    _STATS_EMPTY = {"mn": "float64", "mx": "float64", "cnt": "int64"}
+
+    def mmc(batch: pd.DataFrame) -> pd.DataFrame:
+        v = pd.to_numeric(batch[value_col], errors="coerce").dropna()
+        if not len(v):
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _STATS_EMPTY.items()})
+        return pd.DataFrame(
+            {"mn": [float(v.min())], "mx": [float(v.max())], "cnt": [int(len(v))]}
+        )
+
+    stats = ds.map_batches(mmc, batch_format="pandas").to_pandas()
+    n = int(stats["cnt"].sum()) if len(stats) else 0
+    labels = [f"p{int(round(q * 100)):02d}" for q in qs]
+    out_cols = ("q", "value", "rank", "n")
+    if n == 0:
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.table(
+                {"q": pa.array([], pa.string()), "value": pa.array([], pa.float64()),
+                 "rank": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        )
+    lo0, hi0 = float(stats["mn"].min()), float(stats["mx"].max())
+
+    # active search state per quantile: label -> (lo, hi, local_rank)
+    # local_rank is 1-based within the rows falling in [lo, hi] under the
+    # current bin lineage; initially the global rank within (min, max).
+    active = {
+        lab: (lo0, hi0, min(max(math.ceil(q * n), 1), n))
+        for lab, q in zip(labels, qs)
+    }
+    global_rank = {lab: active[lab][2] for lab in labels}
+    resolved: dict[str, float] = {}
+
+    def histogram_round(ranges: list[tuple[float, float]]):
+        """ranges: per active-range (lo, hi). Returns the reduced
+        (rid, bin) -> (cnt, vmin, vmax) table as a small DataFrame."""
+
+        def hist(batch: pd.DataFrame) -> pd.DataFrame:
+            v = pd.to_numeric(batch[value_col], errors="coerce").dropna().to_numpy()
+            frames = []
+            for rid, (rlo, rhi) in enumerate(ranges):
+                if rlo == rhi:
+                    inr = v[v == rlo]
+                    bins = np.zeros(len(inr), dtype="int64")
+                else:
+                    inr = v[(v >= rlo) & (v <= rhi)]
+                    bins = _bin_index(inr, rlo, rhi, n_bins)
+                if not len(inr):
+                    continue
+                g = pd.DataFrame({"bin": bins, "v": inr}).groupby("bin", sort=False)
+                part = pd.DataFrame(
+                    {"cnt": g.size(), "vmin": g["v"].min(), "vmax": g["v"].max()}
+                ).reset_index()
+                part.insert(0, "rid", np.int64(rid))
+                frames.append(part)
+            if not frames:
+                return pd.DataFrame(
+                    {"rid": pd.Series(dtype="int64"), "bin": pd.Series(dtype="int64"),
+                     "cnt": pd.Series(dtype="int64"), "vmin": pd.Series(dtype="float64"),
+                     "vmax": pd.Series(dtype="float64")}
+                )
+            out = pd.concat(frames, ignore_index=True)
+            return strip_pd_metadata(out)
+
+        return bucketed_groupby_agg(
+            ds.map_batches(hist, batch_format="pandas"),
+            keys=["rid", "bin"],
+            aggs={"cnt": ("cnt", "sum"), "vmin": ("vmin", "min"), "vmax": ("vmax", "max")},
+        ).to_pandas()
+
+    for _ in range(max_rounds):
+        pending = [lab for lab in labels if lab not in resolved]
+        if not pending:
+            break
+        ranges = [(active[lab][0], active[lab][1]) for lab in pending]
+        hist_df = histogram_round(ranges)
+        fetch: list[tuple[str, float, float, int, int, int]] = []
+        for rid, lab in enumerate(pending):
+            rlo, rhi, lrank = active[lab]
+            h = hist_df[hist_df["rid"] == rid].sort_values("bin")
+            csum = h["cnt"].cumsum()
+            pos = int(np.searchsorted(csum.to_numpy(), lrank, side="left"))
+            row = h.iloc[pos]
+            before = int(csum.iloc[pos - 1]) if pos else 0
+            new_rank = lrank - before
+            bmin, bmax, bcnt = float(row["vmin"]), float(row["vmax"]), int(row["cnt"])
+            if bmin == bmax:
+                resolved[lab] = bmin
+            elif bcnt <= bin_cap:
+                fetch.append((lab, rlo, rhi, int(row["bin"]), new_rank, bcnt))
+            else:
+                # recurse into the bin: the new range is the bin's actual
+                # value envelope (tighter than the formula's edges and
+                # guaranteed to shrink since bmin < bmax)
+                active[lab] = (bmin, bmax, new_rank)
+        if fetch:
+            specs = [(rlo, rhi, b) for (_, rlo, rhi, b, _, _) in fetch]
+
+            def pick(batch: pd.DataFrame) -> pd.DataFrame:
+                v = pd.to_numeric(batch[value_col], errors="coerce").dropna().to_numpy()
+                frames = []
+                for fid, (rlo, rhi, b) in enumerate(specs):
+                    if rlo == rhi:
+                        inb = v[v == rlo]
+                    else:
+                        inr = v[(v >= rlo) & (v <= rhi)]
+                        inb = inr[_bin_index(inr, rlo, rhi, n_bins) == b]
+                    if len(inb):
+                        frames.append(pd.DataFrame({"fid": np.int64(fid), "v": inb}))
+                if not frames:
+                    return pd.DataFrame(
+                        {"fid": pd.Series(dtype="int64"), "v": pd.Series(dtype="float64")}
+                    )
+                return strip_pd_metadata(pd.concat(frames, ignore_index=True))
+
+            cand = ds.map_batches(pick, batch_format="pandas").to_pandas()
+            for fid, (lab, _, _, _, frank, _) in enumerate(fetch):
+                vals = np.sort(cand.loc[cand["fid"] == fid, "v"].to_numpy())
+                resolved[lab] = float(vals[frank - 1])
+    missing = [lab for lab in labels if lab not in resolved]
+    if missing:
+        raise RuntimeError(
+            f"global_quantiles did not converge in {max_rounds} rounds for {missing}"
+        )
+    out = pd.DataFrame(
+        {
+            "q": pd.Series(labels, dtype=object),
+            "value": pd.Series([resolved[lab] for lab in labels], dtype="float64"),
+            "rank": pd.Series([global_rank[lab] for lab in labels], dtype="int64"),
+            "n": pd.Series([n] * len(labels), dtype="int64"),
+        }
+    )
+    return ray.data.from_pandas(out)

@@ -1,0 +1,76 @@
+"""stages/groupagg.global_quantiles — exact global selection via
+iterative histogram refinement, checked against numpy's serial type-1
+selection (sorted[ceil(q*n)-1])."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from mmgraphrag_ray.stages.groupagg import global_quantiles
+
+QS = [0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+
+
+def _expected(vals: np.ndarray, qs):
+    v = np.sort(vals[~np.isnan(vals)])
+    n = len(v)
+    return [float(v[min(max(math.ceil(q * n), 1), n) - 1]) for q in qs]
+
+
+def _run(df, qs, **kw):
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = global_quantiles(ds, "x", qs, **kw).to_pandas()
+    return out.sort_values("rank")["value"].tolist()
+
+
+def test_global_quantiles_matches_serial_selection():
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([rng.normal(0, 1, 5000), rng.exponential(3, 5000)])
+    df = pd.DataFrame({"x": vals})
+    assert _run(df, QS) == _expected(vals, QS)
+
+
+def test_global_quantiles_forced_recursion_and_nulls():
+    rng = np.random.RandomState(11)
+    vals = rng.uniform(-100, 100, 4000)
+    df = pd.DataFrame({"x": vals})
+    df.loc[::7, "x"] = None  # NULLs are excluded from the selection
+    kept = df["x"].to_numpy(dtype=float)
+    # n_bins=4 + tiny cap forces several refinement rounds
+    got = _run(df, [0.1, 0.5, 0.9], n_bins=4, bin_cap=20)
+    assert got == _expected(kept, [0.1, 0.5, 0.9])
+
+
+def test_global_quantiles_heavy_duplicates_short_circuit():
+    # one value holds 90% of the mass: the containing bin never splits
+    # (min == max short-circuit), the rest resolves by fetch
+    vals = np.concatenate([np.full(9000, 42.0), np.arange(1000, dtype=float)])
+    df = pd.DataFrame({"x": vals})
+    got = _run(df, [0.05, 0.5, 0.95], n_bins=8, bin_cap=100)
+    assert got == _expected(vals, [0.05, 0.5, 0.95])
+
+
+def test_global_quantiles_all_equal_and_empty():
+    df = pd.DataFrame({"x": np.full(100, 3.5)})
+    assert _run(df, [0.5]) == [3.5]
+    empty = pd.DataFrame({"x": pd.Series(dtype="float64")})
+    out = global_quantiles(ray.data.from_pandas(empty), "x", [0.5])
+    assert out.count() == 0
+    # schema survives the empty path (to_pandas of a 0-row dataset drops
+    # columns in this Ray build, so assert on the dataset schema)
+    assert out.schema().names == ["q", "value", "rank", "n"]
+
+
+def test_global_quantiles_round_budget_exhaustion_raises():
+    # n_bins=2 halves the population per round at best; 1000 distinct
+    # values with bin_cap=1 cannot reach a fetchable bin in 2 rounds —
+    # must raise, not silently return a wrong element
+    vals = np.arange(1000, dtype=float)
+    df = pd.DataFrame({"x": vals})
+    with pytest.raises(RuntimeError, match="did not converge"):
+        global_quantiles(
+            ray.data.from_pandas(df), "x", [0.5], n_bins=2, bin_cap=1, max_rounds=2
+        ).to_pandas()
