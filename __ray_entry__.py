@@ -1338,6 +1338,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_stats": relational.user_running_stats,
         "segment_price_quantiles": relational.segment_price_quantiles,
         "price_global_quantiles": relational.price_global_quantiles,
+        "user_event_pivot": relational.user_event_pivot,
+        "orders_rollup": relational.orders_rollup,
+        "doc_weighted_sample": relational.doc_weighted_sample,
+        "documents_checksum": relational.documents_checksum,
     }
 
 
@@ -1928,6 +1932,50 @@ FROM vh GROUP BY 1, 2, 3
               SELECT 'p75', 0.75, quantile_disc(x, 0.75) FROM v
               UNION ALL
               SELECT 'p99', 0.99, quantile_disc(x, 0.99) FROM v) t
+        """,
+        # long->wide pivot: conditional aggregation is the SQL mirror of
+        # the indicator-widening + combiner-sum plan
+        "user_event_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+            FROM events GROUP BY 1
+        """,
+        # ROLLUP with subtotal keys COALESCE'd to 'ALL' (the engine emits
+        # the sentinel directly so both sides hash identically); min/max
+        # price are actual elements -> float-exact
+        "orders_rollup": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   count(*) AS n_orders,
+                   min(o_totalprice) AS min_price,
+                   max(o_totalprice) AS max_price
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        # weighted priority sample: md5_u32(id) // weight, k smallest
+        "doc_weighted_sample": """
+            SELECT doc_id, n_chars,
+                   CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS UBIGINT)
+                        // GREATEST(n_chars, 1) AS BIGINT) AS priority
+            FROM documents
+            ORDER BY priority, doc_id
+            LIMIT 50
+        """,
+        # order-independent content checksum: sum mod 2^61-1 of md5_u32
+        # row hashes over the stringified projection
+        "documents_checksum": """
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CAST(('0x' || substr(md5(
+                         CAST(doc_id AS VARCHAR) || chr(31) || lang || chr(31)
+                         || source || chr(31) || CAST(n_chars AS VARCHAR)
+                       ), 1, 8)) AS UBIGINT))
+                     % 2305843009213693951 AS BIGINT) AS checksum
+            FROM documents
         """,
         "events_sessions": """
             WITH o AS (

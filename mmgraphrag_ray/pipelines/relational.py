@@ -389,3 +389,60 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
         .map_groups(sessionize, batch_format="pandas")
         .repartition(8)
     )
+
+
+def user_event_pivot(sf_dir: str):
+    """Long -> wide crosstab: per-user event-type counts as columns
+    (stages/reshape.pivot_counts — indicator widening + combiner, input
+    rows never shuffle).  Category domain passed explicitly (it is the
+    output schema; discovery via reshape.distinct_values exists for the
+    unknown-domain case)."""
+    from ..stages.reshape import pivot_counts
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return pivot_counts(
+        ev, ["user_id"], "event_type",
+        categories=["click", "error", "purchase", "signup", "view"],
+    )
+
+
+def orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(status, priority): order counts + exact min/max
+    price at every prefix level, subtotal keys carried as 'ALL'
+    (stages/reshape.rollup_agg — one input pass, coarser levels
+    re-aggregate the materialized group-sized table)."""
+    from ..stages.reshape import rollup_agg
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    return rollup_agg(
+        orders,
+        keys=["o_orderstatus", "o_orderpriority"],
+        aggs={
+            "n_orders": (None, "count"),
+            "min_price": ("o_totalprice", "min"),
+            "max_price": ("o_totalprice", "max"),
+        },
+    )
+
+
+def doc_weighted_sample(sf_dir: str, k: int = 50):
+    """Deterministic weighted priority sample of documents, weight =
+    n_chars (longer docs proportionally likelier) —
+    stages/sample.weighted_topk_sample: per-batch local top-k combiner +
+    one tiny reduce, integer-exact across engines."""
+    from ..stages.sample import weighted_topk_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_topk_sample(docs, "doc_id", "n_chars", k=k)
+
+
+def documents_checksum(sf_dir: str):
+    """Order-independent content checksum over the documents metadata
+    projection — stages/sketch.table_checksum (sum-mod-prime of md5 row
+    hashes; constant state, no shuffle — the anti-entropy/migration-audit
+    primitive)."""
+    from ..stages.sketch import table_checksum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    return table_checksum(docs, ["doc_id", "lang", "source", "n_chars"])

@@ -1,0 +1,124 @@
+"""Reshaping aggregates: long->wide pivot and multi-level rollup.
+
+Both are thin compositions over :func:`groupagg.bucketed_groupby_agg` so
+they inherit its scale shape — per-batch vectorized combiners, a shuffle
+that moves only partial rows (distinct keys per batch, not input rows),
+and crc32-bucketed vectorized finals.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from .groupagg import bucketed_groupby_agg
+
+_COLSAFE = re.compile(r"[^0-9a-zA-Z]+")
+
+
+def _colname(prefix: str, cat: str) -> str:
+    return f"{prefix}{_COLSAFE.sub('_', str(cat)).strip('_').lower()}"
+
+
+def distinct_values(ds, col: str) -> list:
+    """Sorted distinct values of a (low-cardinality) column — one combiner
+    pass; the shuffle moves one row per distinct value per batch."""
+    out = bucketed_groupby_agg(
+        ds.map_batches(lambda b: b[[col]], batch_format="pandas"),
+        keys=[col],
+        aggs={"c": (None, "count")},
+    ).to_pandas()
+    return sorted(out[col].tolist())
+
+
+def pivot_counts(
+    ds,
+    key_cols: list[str],
+    cat_col: str,
+    categories: list | None = None,
+    prefix: str = "n_",
+):
+    """Long -> wide: one row per key, one ``<prefix><category>`` count
+    column per category (the classic crosstab / one-hot aggregate).
+
+    The category domain must be small (it becomes the schema); pass it
+    explicitly or it is discovered with one cheap distinct pass.  Rows are
+    widened to integer indicator columns per batch, then the standard
+    combiner + bucketed-sum reduces them — input rows never shuffle.
+    """
+    cats = categories if categories is not None else distinct_values(ds, cat_col)
+    out_cols = {c: _colname(prefix, c) for c in cats}
+    if len(set(out_cols.values())) != len(cats):
+        raise ValueError(f"pivot categories collide after sanitizing: {cats}")
+
+    def widen(batch: pd.DataFrame) -> pd.DataFrame:
+        cols = {k: batch[k] for k in key_cols}
+        for c, name in out_cols.items():
+            cols[name] = (batch[cat_col] == c).astype("int64")
+        return pd.DataFrame(cols)
+
+    return bucketed_groupby_agg(
+        ds.map_batches(widen, batch_format="pandas"),
+        keys=key_cols,
+        aggs={name: (name, "sum") for name in out_cols.values()},
+    )
+
+
+# rollup re-aggregation: how a level-N aggregate column combines into the
+# coarser level — count partials re-combine by SUM, everything else by its
+# own op (sum/min/max are idempotent-associative over partials)
+_REAGG = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+
+def rollup_agg(
+    ds,
+    keys: list[str],
+    aggs: dict[str, tuple[str | None, str]],
+    all_token: str = "ALL",
+):
+    """SQL ``GROUP BY ROLLUP(keys...)``: aggregates at every key prefix —
+    (k1..kn), (k1..kn-1), ..., ().  Rolled-away key columns carry
+    ``all_token`` (the COALESCE'd form of SQL's NULL subtotal markers, so
+    the output hashes identically across engines).
+
+    Only the FINEST level scans the input; each coarser level re-aggregates
+    the previous (already tiny) level's output — n levels cost one full
+    pass + n-1 passes over group-count-sized tables.
+    """
+    import ray.data
+
+    reaggs = {out: (out, _REAGG[op]) for out, (_, op) in aggs.items()}
+
+    def stamp(batch: pd.DataFrame, kept: tuple) -> pd.DataFrame:
+        out = batch.copy()
+        for k in keys:
+            if k not in kept:
+                out[k] = all_token
+            else:
+                out[k] = out[k].astype(str)
+        return out[keys + list(aggs)]
+
+    levels = []
+    # finest level: the ONE pass over the input.  Materialized because every
+    # coarser level re-reads it — its size is the group count, not the input.
+    cur = bucketed_groupby_agg(ds, keys=keys, aggs=aggs).materialize()
+    levels.append(
+        cur.map_batches(lambda b, _k=tuple(keys): stamp(b, _k), batch_format="pandas")
+    )
+    for depth in range(len(keys) - 1, 0, -1):
+        kept = keys[:depth]
+        cur = bucketed_groupby_agg(cur, keys=kept, aggs=reaggs).materialize()
+        levels.append(
+            cur.map_batches(lambda b, _k=tuple(kept): stamp(b, _k), batch_format="pandas")
+        )
+    # grand total: tiny driver-side reduce over the depth-1 table
+    small = cur.to_pandas()
+    row = {k: pd.Series([all_token], dtype=object) for k in keys}
+    for out in aggs:
+        row[out] = pd.Series([getattr(small[out], _REAGG[aggs[out][1]])()])
+    levels.append(ray.data.from_pandas(pd.DataFrame(row)))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

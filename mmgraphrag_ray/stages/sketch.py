@@ -241,3 +241,51 @@ def hll_estimate(registers: pd.DataFrame, group_col: str) -> pd.DataFrame:
             est = M * np.log(M / zeros)
         rows.append((g, float(est)))
     return pd.DataFrame(rows, columns=[group_col, "approx_distinct"])
+
+
+CHECKSUM_MOD = (1 << 61) - 1  # Mersenne prime: sum mod M is associative,
+# and partial sums of 32-bit row hashes stay far from int64 overflow
+
+
+def table_checksum(ds, cols: list[str]):
+    """Order-independent content checksum of a projection: ``sum mod M`` of
+    ``md5_u32('\\x1f'-joined stringified row)`` — the anti-entropy
+    primitive for verifying two tables are equal (migration, resume,
+    replica audit) WITHOUT any sort or shuffle.
+
+    Commutative+associative, so each batch contributes one partial
+    ``(row_count, checksum)`` row and the driver folds n_batches rows —
+    constant state at any input size.  Integer-exact in SQL
+    (hex-prefix md5 + HUGEINT sum + final modulus).
+
+    Output: one row ``(n_rows, checksum)``.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {"n_rows": pd.Series(dtype="int64"),
+                 "checksum": pd.Series(dtype="int64")}
+            )
+        joined = batch[cols[0]].astype(str)
+        for c in cols[1:]:
+            joined = joined + "\x1f" + batch[c].astype(str)
+        hs = joined.map(
+            lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+        )
+        return pd.DataFrame(
+            {"n_rows": [len(batch)],
+             "checksum": [int(hs.sum()) % CHECKSUM_MOD]}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    import ray.data
+
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {"n_rows": pd.Series([int(parts["n_rows"].sum())], dtype="int64"),
+             "checksum": pd.Series(
+                 [int(parts["checksum"].sum()) % CHECKSUM_MOD], dtype="int64"
+             )}
+        )
+    )
