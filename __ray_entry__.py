@@ -1342,6 +1342,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": relational.orders_rollup,
         "doc_weighted_sample": relational.doc_weighted_sample,
         "documents_checksum": relational.documents_checksum,
+        "customer_order_counts": relational.customer_order_counts,
+        "lineitem_price_decile": relational.lineitem_price_decile,
+        "events_user_retention": relational.events_user_retention,
     }
 
 
@@ -1965,6 +1968,62 @@ FROM vh GROUP BY 1, 2, 3
             FROM documents
             ORDER BY priority, doc_id
             LIMIT 50
+        """,
+        # zero-preserving LEFT join: customers without orders kept
+        "customer_order_counts": """
+            WITH per_cust AS (
+              SELECT o_custkey AS c_custkey, count(*) AS n, max(o_totalprice) AS mp
+              FROM orders GROUP BY 1
+            )
+            SELECT c.c_custkey, c.c_mktsegment,
+                   CAST(COALESCE(p.n, 0) AS BIGINT) AS n_orders,
+                   COALESCE(p.mp, 0.0) AS max_price
+            FROM customer c LEFT JOIN per_cust p USING (c_custkey)
+        """,
+        # global-decile classification from exact type-1 boundaries:
+        # decile = 1 + #boundaries strictly below x
+        "lineitem_price_decile": """
+            WITH b AS (
+              SELECT quantile_disc(l_extendedprice, 0.1) AS b1,
+                     quantile_disc(l_extendedprice, 0.2) AS b2,
+                     quantile_disc(l_extendedprice, 0.3) AS b3,
+                     quantile_disc(l_extendedprice, 0.4) AS b4,
+                     quantile_disc(l_extendedprice, 0.5) AS b5,
+                     quantile_disc(l_extendedprice, 0.6) AS b6,
+                     quantile_disc(l_extendedprice, 0.7) AS b7,
+                     quantile_disc(l_extendedprice, 0.8) AS b8,
+                     quantile_disc(l_extendedprice, 0.9) AS b9
+              FROM lineitem
+            ), d AS (
+              SELECT CAST(1
+                       + (l_extendedprice > b1)::INT + (l_extendedprice > b2)::INT
+                       + (l_extendedprice > b3)::INT + (l_extendedprice > b4)::INT
+                       + (l_extendedprice > b5)::INT + (l_extendedprice > b6)::INT
+                       + (l_extendedprice > b7)::INT + (l_extendedprice > b8)::INT
+                       + (l_extendedprice > b9)::INT AS BIGINT) AS decile,
+                     l_extendedprice AS x
+              FROM lineitem, b
+            )
+            SELECT decile, count(*) AS n_items,
+                   min(x) AS min_price, max(x) AS max_price
+            FROM d GROUP BY 1
+        """,
+        # cohort retention: first-event week x active week, exact distinct
+        # users via the (cohort, week, user) pre-group
+        "events_user_retention": """
+            WITH f AS (
+              SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+              FROM events GROUP BY 1
+            ), a AS (
+              SELECT f.cohort_week, date_trunc('week', e.ts) AS week, e.user_id,
+                     count(*) AS n_events
+              FROM events e JOIN f USING (user_id)
+              GROUP BY 1, 2, 3
+            )
+            SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+                   CAST(week AS TIMESTAMP) AS week,
+                   count(*) AS n_users, CAST(sum(n_events) AS BIGINT) AS n_events
+            FROM a GROUP BY 1, 2
         """,
         # order-independent content checksum: sum mod 2^61-1 of md5_u32
         # row hashes over the stringified projection

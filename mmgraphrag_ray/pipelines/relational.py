@@ -446,3 +446,110 @@ def documents_checksum(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
     return table_checksum(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+def customer_order_counts(sf_dir: str):
+    """Zero-preserving LEFT join: every customer with their order count and
+    max price, customers without orders kept at n_orders=0 — pins the
+    bucketed_join ``how='left'`` path behind a value oracle.  The fact side
+    is pre-aggregated per key (combiner) BEFORE the join, so the shuffle
+    moves one row per customer, not one per order."""
+    from ..stages.join import bucketed_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    per_cust = bucketed_groupby_agg(
+        orders,
+        keys=["o_custkey"],
+        aggs={"n_orders": (None, "count"), "max_price": ("o_totalprice", "max")},
+    ).map_batches(
+        lambda b: b.rename(columns={"o_custkey": "c_custkey"}), batch_format="pandas"
+    )
+    joined = bucketed_join(cust, per_cust, on="c_custkey", how="left")
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
+        out["max_price"] = out["max_price"].fillna(0.0)
+        return out
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
+def lineitem_price_decile(sf_dir: str):
+    """Global-decile classification: label every lineitem with its price
+    decile using the exact global quantile boundaries (composes
+    stages/groupagg.global_quantiles -> broadcast searchsorted classify ->
+    one grouped aggregate).  decile = 1 + #boundaries strictly below x,
+    boundaries at p10..p90."""
+    import numpy as np
+
+    from ..stages.groupagg import global_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    qs = [q / 10 for q in range(1, 10)]
+    bounds = (
+        global_quantiles(li, "l_extendedprice", qs)
+        .to_pandas()
+        .sort_values("rank")["value"]
+        .to_numpy()
+    )
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["l_extendedprice"].to_numpy()
+        return pd.DataFrame(
+            {
+                "decile": (1 + np.searchsorted(bounds, x, side="left")).astype("int64"),
+                "x": x,
+            }
+        )
+
+    return bucketed_groupby_agg(
+        li.map_batches(classify, batch_format="pandas"),
+        keys=["decile"],
+        aggs={
+            "n_items": (None, "count"),
+            "min_price": ("x", "min"),
+            "max_price": ("x", "max"),
+        },
+    )
+
+
+def events_user_retention(sf_dir: str):
+    """Cohort retention: users grouped by first-event week (the cohort),
+    counted in every week they were active — the standard product-analytics
+    rollup.  Exact distinct users via two-level aggregation (group to
+    (cohort, week, user) first, then count rows), first-event lookup joined
+    back with the key-bucketed join."""
+    from ..stages.join import bucketed_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    first = bucketed_groupby_agg(
+        ev, keys=["user_id"], aggs={"first_ts": ("ts", "min")}
+    )
+    joined = bucketed_join(ev, first, on="user_id", small_side="right")
+
+    def weeks(b: pd.DataFrame) -> pd.DataFrame:
+        # Monday-anchored weeks == DuckDB date_trunc('week', ts); start_time
+        # yields ns resolution, cast back to the table's us so the output
+        # schema matches the SQL mirror
+        return pd.DataFrame(
+            {
+                "cohort_week": b["first_ts"].dt.to_period("W-SUN").dt.start_time
+                .astype("datetime64[us]"),
+                "week": b["ts"].dt.to_period("W-SUN").dt.start_time
+                .astype("datetime64[us]"),
+                "user_id": b["user_id"],
+            }
+        )
+
+    per_user = bucketed_groupby_agg(
+        joined.map_batches(weeks, batch_format="pandas"),
+        keys=["cohort_week", "week", "user_id"],
+        aggs={"n_events": (None, "count")},
+    )
+    return bucketed_groupby_agg(
+        per_user,
+        keys=["cohort_week", "week"],
+        aggs={"n_users": (None, "count"), "n_events": ("n_events", "sum")},
+    )
