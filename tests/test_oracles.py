@@ -19,6 +19,10 @@ CASES = [
     "kg_entity_vec_components",
     "events_asof_orders",
     "segment_price_quantiles",
+    "doc_pack_sequences",
+    "price_global_quantiles",
+    "orders_rollup",
+    "events_user_retention",
 ]
 
 
