@@ -1193,6 +1193,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      columns=["doc_id", "text"])
         return pack_sequences(docs, window=512, range_size=100)
 
+    def doc_pack_manifest(sf_dir):
+        # the training-sequence manifest: (seq, doc) intersections with
+        # within-sequence token ranges, flat-mapped from the pack spans
+        from mmgraphrag_ray.stages.pack import pack_manifest, pack_sequences
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return pack_manifest(pack_sequences(docs, window=512, range_size=100),
+                             window=512)
+
     def ann_topk(sf_dir):
         emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
         qdf = emb.filter(expr="vec_id < 8").to_pandas()
@@ -1314,6 +1324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_topk": doc_tfidf_topk_q,
         "doc_repetition": doc_repetition,
         "doc_pack_sequences": doc_pack_sequences,
+        "doc_pack_manifest": doc_pack_manifest,
         "kg_enhanced_nodes": kg_enhanced_nodes,
         "kg_resolve_refs": kg_resolve_refs,
         "code_strip_comments": code_strip_comments,
@@ -1345,6 +1356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": relational.customer_order_counts,
         "lineitem_price_decile": relational.lineitem_price_decile,
         "events_user_retention": relational.events_user_retention,
+        "events_funnel": relational.events_funnel,
     }
 
 
@@ -1521,6 +1533,31 @@ JOIN sagg s ON s.new_name = d.new_name
                    (CASE WHEN n_tokens = 0 THEN start_off
                          ELSE start_off + n_tokens - 1 END) // 512 AS last_seq
             FROM s
+        """,
+        # the (sequence, doc) manifest: generate_series over each doc's
+        # window span, within-sequence token ranges clamped to the window
+        "doc_pack_manifest": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+              FROM documents
+            ), s AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS start_off
+              FROM t
+            ), sp AS (
+              SELECT doc_id, start_off, start_off + n_tokens AS end_off,
+                     start_off // 512 AS first_seq,
+                     (start_off + n_tokens - 1) // 512 AS last_seq
+              FROM s WHERE n_tokens > 0
+            )
+            SELECT CAST(seq AS BIGINT) AS seq_id, doc_id,
+                   GREATEST(start_off, seq * 512) - seq * 512 AS tok_start,
+                   LEAST(end_off, (seq + 1) * 512) - seq * 512 AS tok_end
+            FROM sp, unnest(generate_series(first_seq, last_seq)) u(seq)
         """,
         # stratified consistent sample: per-lang md5 hash-threshold
         # (en downsampled to 10%, tail langs kept at 30%)
@@ -2024,6 +2061,25 @@ FROM vh GROUP BY 1, 2, 3
                    CAST(week AS TIMESTAMP) AS week,
                    count(*) AS n_users, CAST(sum(n_events) AS BIGINT) AS n_events
             FROM a GROUP BY 1, 2
+        """,
+        # ordered funnel on FIRST timestamps per user (min-pivot + stage
+        # predicates; NULL comparisons exclude, matching pandas NaT)
+        "events_funnel": """
+            WITH f AS (
+              SELECT user_id,
+                     min(ts) FILTER (event_type = 'signup') AS t_signup,
+                     min(ts) FILTER (event_type = 'view') AS t_view,
+                     min(ts) FILTER (event_type = 'purchase') AS t_purchase
+              FROM events GROUP BY 1
+            )
+            SELECT CAST(count(*) FILTER (t_signup IS NOT NULL) AS BIGINT)
+                     AS n_signup,
+                   CAST(count(*) FILTER (t_view > t_signup) AS BIGINT)
+                     AS n_view_after,
+                   CAST(count(*) FILTER (t_view > t_signup
+                                         AND t_purchase > t_view) AS BIGINT)
+                     AS n_purchase_after
+            FROM f
         """,
         # order-independent content checksum: sum mod 2^61-1 of md5_u32
         # row hashes over the stringified projection

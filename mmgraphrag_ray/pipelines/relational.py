@@ -553,3 +553,34 @@ def events_user_retention(sf_dir: str):
         keys=["cohort_week", "week"],
         aggs={"n_users": (None, "count"), "n_events": ("n_events", "sum")},
     )
+
+
+def events_funnel(sf_dir: str):
+    """Ordered conversion funnel signup -> view -> purchase on FIRST
+    timestamps per user (stages/reshape.pivot_agg with op=min — the
+    masked-widening pivot), reduced to one row of stage counts via
+    constant-state partial sums."""
+    from ..stages.reshape import pivot_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    firsts = pivot_agg(
+        ev, ["user_id"], "event_type", "ts", op="min",
+        categories=["signup", "view", "purchase"],
+    )
+
+    def stage_counts(b: pd.DataFrame) -> pd.DataFrame:
+        s1 = b["min_signup"].notna()
+        s2 = s1 & (b["min_view"] > b["min_signup"])
+        s3 = s2 & (b["min_purchase"] > b["min_view"])
+        return pd.DataFrame(
+            {"n_signup": [int(s1.sum())], "n_view_after": [int(s2.sum())],
+             "n_purchase_after": [int(s3.sum())]}
+        )
+
+    parts = firsts.map_batches(stage_counts, batch_format="pandas").to_pandas()
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {c: pd.Series([int(parts[c].sum())], dtype="int64")
+             for c in ("n_signup", "n_view_after", "n_purchase_after")}
+        )
+    )

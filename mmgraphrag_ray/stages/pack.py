@@ -127,3 +127,38 @@ def pack_sequences(
         .map_groups(scan_range, batch_format="pandas")
         .repartition(8)
     )
+
+
+def pack_manifest(spans_ds, window: int):
+    """Expand the per-doc spans from :func:`pack_sequences` into the
+    training-sequence manifest: one row per (sequence, doc) intersection
+    with the doc's token range WITHIN that sequence —
+    ``(seq_id, doc_id, tok_start, tok_end)``, ``tok_*`` in [0, window].
+
+    Pure vectorized flat-map (np.repeat + cumcount), no shuffle: a doc
+    spanning s sequences emits s rows.  Zero-token docs occupy no window
+    and are dropped."""
+    import numpy as np
+
+    _EMPTY = ("seq_id", "doc_id", "tok_start", "tok_end")
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n_tokens"] > 0]
+        if not len(b):
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in _EMPTY})
+        reps = (b["last_seq"] - b["first_seq"] + 1).to_numpy()
+        idx = np.repeat(np.arange(len(b)), reps)
+        within = np.arange(len(idx)) - np.repeat(np.cumsum(reps) - reps, reps)
+        seq = b["first_seq"].to_numpy()[idx] + within
+        start_off = b["start_off"].to_numpy()[idx]
+        end_off = b["end_off"].to_numpy()[idx]
+        return pd.DataFrame(
+            {
+                "seq_id": seq.astype("int64"),
+                "doc_id": b["doc_id"].to_numpy()[idx],
+                "tok_start": np.maximum(start_off, seq * window) - seq * window,
+                "tok_end": np.minimum(end_off, (seq + 1) * window) - seq * window,
+            }
+        )
+
+    return spans_ds.map_batches(expand, batch_format="pandas")

@@ -65,6 +65,43 @@ def pivot_counts(
     )
 
 
+def pivot_agg(
+    ds,
+    key_cols: list[str],
+    cat_col: str,
+    value_col: str,
+    op: str = "min",
+    categories: list | None = None,
+    prefix: str | None = None,
+):
+    """Generalized pivot: one ``<prefix><category>`` column per category
+    holding ``op`` (min/max/sum) of ``value_col`` over that category's rows
+    — e.g. first-event timestamp per event type.  Rows outside a category
+    contribute NULL to its column (pandas groupby reductions skip NaN/NaT,
+    so the masked widening composes across batches exactly like the count
+    pivot).  Keys with no rows in a category get NULL there.
+    """
+    if op not in ("min", "max", "sum"):
+        raise ValueError(f"unsupported pivot op {op}")
+    pre = prefix if prefix is not None else f"{op}_"
+    cats = categories if categories is not None else distinct_values(ds, cat_col)
+    out_cols = {c: _colname(pre, c) for c in cats}
+    if len(set(out_cols.values())) != len(cats):
+        raise ValueError(f"pivot categories collide after sanitizing: {cats}")
+
+    def widen(batch: pd.DataFrame) -> pd.DataFrame:
+        cols = {k: batch[k] for k in key_cols}
+        for c, name in out_cols.items():
+            cols[name] = batch[value_col].where(batch[cat_col] == c)
+        return pd.DataFrame(cols)
+
+    return bucketed_groupby_agg(
+        ds.map_batches(widen, batch_format="pandas"),
+        keys=key_cols,
+        aggs={name: (name, op) for name in out_cols.values()},
+    )
+
+
 # rollup re-aggregation: how a level-N aggregate column combines into the
 # coarser level — count partials re-combine by SUM, everything else by its
 # own op (sum/min/max are idempotent-associative over partials)

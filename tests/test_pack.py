@@ -78,3 +78,53 @@ def test_pack_sequences_window_spans():
     empty = got[got["doc_id"] == 1].iloc[0]
     assert empty["start_off"] == empty["end_off"]
     assert empty["first_seq"] == empty["last_seq"]
+
+
+def test_pack_manifest_covers_every_token_exactly_once():
+    from mmgraphrag_ray.stages.pack import pack_manifest
+
+    df = _docs()
+    spans = pack_sequences(
+        ray.data.from_pandas(df).repartition(3), window=64, range_size=2
+    )
+    man = pack_manifest(spans, window=64).to_pandas()
+    # ranges clamp to the window
+    assert (man["tok_start"] >= 0).all() and (man["tok_end"] <= 64).all()
+    assert (man["tok_end"] > man["tok_start"]).all()
+    # per-doc coverage: the union of within-seq ranges has the doc's length
+    per_doc = man.assign(n=man["tok_end"] - man["tok_start"]).groupby("doc_id")["n"].sum()
+    exp = _expected(df, 64).set_index("doc_id")["n_tokens"]
+    for doc, n in exp.items():
+        assert per_doc.get(doc, 0) == n
+    # interior sequences of the 600-token doc are full windows
+    doc2 = man[man["doc_id"] == 2].sort_values("seq_id")
+    interior = doc2.iloc[1:-1]
+    assert ((interior["tok_start"] == 0) & (interior["tok_end"] == 64)).all()
+    # zero-token docs emit nothing
+    assert 1 not in man["doc_id"].values and 4 not in man["doc_id"].values
+
+
+def test_pivot_agg_min_timestamps():
+    from mmgraphrag_ray.stages.reshape import pivot_agg
+
+    df = pd.DataFrame(
+        {
+            "u": pd.Series([1, 1, 1, 2, 2], dtype="int64"),
+            "t": pd.to_datetime(
+                ["2024-01-03", "2024-01-01", "2024-01-02",
+                 "2024-01-05", "2024-01-04"]
+            ).astype("datetime64[us]"),
+            "e": pd.Series(["a", "a", "b", "b", "b"], dtype=object),
+        }
+    )
+    got = (
+        pivot_agg(ray.data.from_pandas(df).repartition(3), ["u"], "e", "t",
+                  op="min", categories=["a", "b"])
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    assert got.loc[0, "min_a"] == pd.Timestamp("2024-01-01")
+    assert got.loc[0, "min_b"] == pd.Timestamp("2024-01-02")
+    assert pd.isna(got.loc[1, "min_a"])  # user 2 has no 'a' events
+    assert got.loc[1, "min_b"] == pd.Timestamp("2024-01-04")
