@@ -1909,7 +1909,9 @@ FROM vh GROUP BY 1, 2, 3
               FROM orders GROUP BY 1, 2
             )
             SELECT e.event_id, e.user_id, e.ts,
-                   od.last_order_date, od.last_order_n, od.last_order_max_price
+                   od.last_order_date,
+                   CAST(COALESCE(od.last_order_n, 0) AS BIGINT) AS last_order_n,
+                   COALESCE(od.last_order_max_price, 0.0) AS last_order_max_price
             FROM events e ASOF LEFT JOIN od
               ON e.user_id = od.od_user AND e.ts >= od.last_order_date
         """,

@@ -152,10 +152,22 @@ def events_asof_orders(sf_dir: str):
         small = False
     # broadcast asof plan under the same cap — identical result, shuffle
     # fallback above it (plan parity pinned in tests/test_window.py)
-    return asof_join(
+    out = asof_join(
         ev, day, on="user_id", left_ts="ts", right_ts="last_order_date",
         small_right=small,
     )
+
+    def denullable(b: pd.DataFrame) -> pd.DataFrame:
+        # left rows with no as-of match: coalesce counts/prices to 0 so the
+        # column dtypes are unconditionally int64/float64 in every batch
+        # (pandas nullable Int64 and DuckDB's NULL->float64 promotion would
+        # otherwise disagree batch-by-batch); last_order_date stays NaT
+        b = b.copy()
+        b["last_order_n"] = b["last_order_n"].fillna(0).astype("int64")
+        b["last_order_max_price"] = b["last_order_max_price"].fillna(0.0)
+        return b
+
+    return out.map_batches(denullable, batch_format="pandas")
 
 
 def lineitem_ship_range_join(sf_dir: str, days: int = 30):
