@@ -116,3 +116,31 @@ def _patch_hash_shuffle_schema_broadcast() -> None:
 
     HashShufflingOperatorBase._do_add_input_inner = patched
     HashShufflingOperatorBase._raykg_schema_patch = True
+
+
+def pin_dataset(ds, name: str):
+    """Pin a multi-consumer intermediate.
+
+    Default: ``ds.materialize()`` — blocks live in the object store (fast,
+    spills under plasma pressure but still owns store quota).  With
+    ``RAYKG_SPILL_DIR`` set, the intermediate is instead checkpointed to
+    partitioned parquet and re-read lazily: the 100-TB path, where pinned
+    full-graph tables must not hold object-store memory across the
+    downstream shuffles.  Atomic (tmp+rename), overwrites any stale
+    checkpoint of the same name; both paths return a Dataset with identical
+    rows (parity pinned in tests/test_merge.py).
+    """
+    root = os.environ.get("RAYKG_SPILL_DIR")
+    if not root:
+        return ds.materialize()
+    import shutil
+
+    import ray.data
+
+    path = os.path.join(root, name)
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp)
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+    return ray.data.read_parquet(path)

@@ -223,19 +223,31 @@ def cluster_entities(nodes_ds, edges_ds, ent_mentions_ds, max_group: int = 64,
     # chaining >2 hash-shuffle operators in ONE streaming DAG deadlocks Ray
     # 2.49's aggregator scheduling (observed), so the small join outputs are
     # pinned between shuffles (the write path checkpoints them to parquet).
-    parts = assign_partitions(ent_mentions_ds, partition_mode, window).materialize()
-    ent = bucketed_join(
-        nodes_ds.select_columns(["entity_name", "description"]), parts, on="entity_name"
-    ).materialize()
+    from ..runtime import pin_dataset
+
+    parts = pin_dataset(
+        assign_partitions(ent_mentions_ds, partition_mode, window), "link_parts"
+    )
+    ent = pin_dataset(
+        bucketed_join(
+            nodes_ds.select_columns(["entity_name", "description"]), parts,
+            on="entity_name",
+        ),
+        "link_ent",
+    )
 
     # edges join the partition of their src endpoint
     edge_side = edges_ds.select_columns(["src_id", "tgt_id", "weight"]).map_batches(
         lambda b: b.rename(columns={"src_id": "entity_name"}),
         batch_format="pandas",
     )
-    rel = bucketed_join(edge_side, parts, on="entity_name").map_batches(
-        lambda b: b.rename(columns={"entity_name": "src_id"}), batch_format="pandas"
-    ).materialize()
+    rel = pin_dataset(
+        bucketed_join(edge_side, parts, on="entity_name").map_batches(
+            lambda b: b.rename(columns={"entity_name": "src_id"}),
+            batch_format="pandas",
+        ),
+        "link_rel",
+    )
 
     from ..arrowutil import df_to_table_aligned
 

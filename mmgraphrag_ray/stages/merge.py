@@ -560,11 +560,13 @@ def merge_graph(entity_mentions_ds=None, rel_mentions_ds=None, cfg=None, mention
         both = entity_mentions_ds.map_batches(_unify_node, batch_format="pandas").union(
             rel_mentions_ds.map_batches(_unify_edge, batch_format="pandas")
         )
-    merged = (
+    from ..runtime import pin_dataset
+
+    merged = pin_dataset(
         both.groupby("bucket")
         .map_groups(fused_final, batch_format="pyarrow")
-        .repartition(N_BUCKETS)
-        .materialize()
+        .repartition(N_BUCKETS),
+        "merged_fused",
     )
 
     # LAZY projections: `merged` is the pinned table; re-deriving either

@@ -222,3 +222,29 @@ def test_fused_merge_unified_mentions_path():
 
     pd.testing.assert_frame_equal(srt(n1), srt(n2))
     pd.testing.assert_frame_equal(srt(e1), srt(e2), check_dtype=False)
+
+
+def test_pin_dataset_spill_path_parity(tmp_path, monkeypatch):
+    """RAYKG_SPILL_DIR routes multi-consumer pins through parquet
+    checkpoints instead of object-store materialize — identical rows."""
+    import ray.data
+
+    from mmgraphrag_ray.stages.merge import finalize_edges, merge_graph
+
+    ent = ray.data.from_pandas(_ent_mentions())
+    rel = ray.data.from_pandas(_rel_mentions())
+    n1, e1 = merge_graph(ent, rel, CFG)
+    n1, e1 = n1.to_pandas(), finalize_edges(e1).to_pandas()
+
+    monkeypatch.setenv("RAYKG_SPILL_DIR", str(tmp_path))
+    n2, e2 = merge_graph(ent, rel, CFG)
+    n2, e2 = n2.to_pandas(), finalize_edges(e2).to_pandas()
+    assert (tmp_path / "merged_fused").is_dir()  # checkpoint actually used
+
+    def srt(df):
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(srt(n1), srt(n2), check_dtype=False)
+    pd.testing.assert_frame_equal(srt(e1), srt(e2), check_dtype=False)
