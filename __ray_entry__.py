@@ -1357,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_decile": relational.lineitem_price_decile,
         "events_user_retention": relational.events_user_retention,
         "events_funnel": relational.events_funnel,
+        "documents_profile": relational.documents_profile,
     }
 
 
@@ -2063,6 +2064,30 @@ FROM vh GROUP BY 1, 2, 3
                    CAST(week AS TIMESTAMP) AS week,
                    count(*) AS n_users, CAST(sum(n_events) AS BIGINT) AS n_events
             FROM a GROUP BY 1, 2
+        """,
+        # column profiler: one UNION ALL branch per profiled column
+        "documents_profile": """
+            SELECT 'doc_id' AS col, count(*) AS n,
+                   count(*) - count(doc_id) AS n_null,
+                   count(DISTINCT doc_id) AS n_distinct,
+                   CAST(min(doc_id) AS VARCHAR) AS min_val,
+                   CAST(max(doc_id) AS VARCHAR) AS max_val
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(*), count(*) - count(lang),
+                   count(DISTINCT lang),
+                   CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*), count(*) - count(source),
+                   count(DISTINCT source),
+                   CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                   count(DISTINCT n_chars),
+                   CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+            FROM documents
         """,
         # ordered funnel on FIRST timestamps per user (min-pivot + stage
         # predicates; NULL comparisons exclude, matching pandas NaT)

@@ -596,3 +596,13 @@ def events_funnel(sf_dir: str):
              for c in ("n_signup", "n_view_after", "n_purchase_after")}
         )
     )
+
+
+def documents_profile(sf_dir: str):
+    """Column profile of the documents metadata projection —
+    stages/profile.profile_table (combiner min/max/null counts + one
+    bucketed shuffle for exact distincts)."""
+    from ..stages.profile import profile_table
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    return profile_table(docs, ["doc_id", "lang", "source", "n_chars"])

@@ -1,0 +1,97 @@
+"""Column profiler — the data-quality summary every ingest pipeline runs
+first: per column row count, null count, EXACT distinct count, min and max.
+
+Scale shape: counts/min/max come from per-batch combiners (constant rows
+per batch); the exact distinct count is the one shuffle — a flat-map to
+``(col, value)`` keys reduced by the standard bucketed groupby, so the
+shuffle moves one row per distinct (col, value) per batch, never payloads.
+At 100 TB swap the exact-distinct leg for the HLL sketch
+(``stages/sketch.hll_registers``) — the rest of the profile is
+shuffle-free either way.  min/max stringify through repr-stable paths
+(ints and ASCII-ish strings), so the profile is value-exact in SQL.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from .groupagg import bucketed_groupby_agg
+
+
+def profile_table(ds, cols: list[str]):
+    """-> Dataset(col, n, n_null, n_distinct, min_val, max_val) — one row
+    per profiled column; min/max as strings (numeric columns compare
+    numerically first, then stringify)."""
+
+    def mm_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            s = batch[c]
+            nn = s.dropna()
+            rows.append(
+                (c, len(s), int(s.isna().sum()),
+                 None if nn.empty else nn.min(),
+                 None if nn.empty else nn.max())
+            )
+        return pd.DataFrame(rows, columns=["col", "n", "n_null", "mn", "mx"])
+
+    parts = ds.map_batches(mm_partial, batch_format="pandas").to_pandas()
+
+    def kv_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = [
+            pd.DataFrame({"col": c, "val": batch[c].dropna().astype(str).unique()})
+            for c in cols
+        ]
+        out = pd.concat(frames, ignore_index=True)
+        if not len(out):
+            return pd.DataFrame({"col": pd.Series(dtype=object),
+                                 "val": pd.Series(dtype=object)})
+        from ..arrowutil import strip_pd_metadata
+
+        return strip_pd_metadata(out)
+
+    per_value = bucketed_groupby_agg(
+        ds.map_batches(kv_rows, batch_format="pandas"),
+        keys=["col", "val"],
+        aggs={"c": (None, "count")},
+    )
+    ndist = bucketed_groupby_agg(
+        per_value.map_batches(lambda b: b[["col"]], batch_format="pandas"),
+        keys=["col"],
+        aggs={"n_distinct": (None, "count")},
+    ).to_pandas().set_index("col")["n_distinct"]
+
+    def col_rows(c: str):
+        sub = parts[parts["col"] == c]
+        mn = sub["mn"].dropna()
+        mx = sub["mx"].dropna()
+        return (
+            int(sub["n"].sum()), int(sub["n_null"].sum()),
+            _s(mn.min()) if len(mn) else None,
+            _s(mx.max()) if len(mx) else None,
+        )
+
+    stats = [col_rows(c) for c in cols]
+    out = pd.DataFrame(
+        {
+            "col": pd.Series(cols, dtype=object),
+            "n": pd.Series([s[0] for s in stats], dtype="int64"),
+            "n_null": pd.Series([s[1] for s in stats], dtype="int64"),
+            "n_distinct": pd.Series(
+                [int(ndist.get(c, 0)) for c in cols], dtype="int64"
+            ),
+            "min_val": pd.Series([s[2] for s in stats], dtype=object),
+            "max_val": pd.Series([s[3] for s in stats], dtype=object),
+        }
+    )
+    import ray.data
+
+    return ray.data.from_pandas(out)
+
+
+def _s(v) -> str | None:
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return None
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)

@@ -155,3 +155,24 @@ def test_table_checksum_order_and_split_invariant():
     df2.loc[0, "v"] = df2.loc[0, "v"] + 1
     c3 = table_checksum(ray.data.from_pandas(df2), ["user", "etype", "v"]).to_pandas()
     assert c3["checksum"].iloc[0] != c1["checksum"].iloc[0]
+
+
+def test_profile_table_nulls_and_distincts():
+    from mmgraphrag_ray.stages.profile import profile_table
+
+    df = pd.DataFrame(
+        {
+            "a": pd.Series([1, 2, 2, None, 4], dtype="float64"),
+            "b": pd.Series(["x", None, "y", "x", "z"], dtype=object),
+        }
+    )
+    out = (
+        profile_table(ray.data.from_pandas(df).repartition(3), ["a", "b"])
+        .to_pandas()
+        .set_index("col")
+    )
+    assert out.loc["a", "n"] == 5 and out.loc["a", "n_null"] == 1
+    assert out.loc["a", "n_distinct"] == 3  # 1, 2, 4 (nulls excluded)
+    assert out.loc["a", "min_val"] == "1" and out.loc["a", "max_val"] == "4"
+    assert out.loc["b", "n_null"] == 1 and out.loc["b", "n_distinct"] == 3
+    assert out.loc["b", "min_val"] == "x" and out.loc["b", "max_val"] == "z"
