@@ -1278,6 +1278,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return files.map_batches(strip, batch_format="pyarrow")
 
+    def code_dedup_lines(sf_dir):
+        # corpus-wide duplicate-line strip (RefinedWeb-style boilerplate
+        # removal) over the source-code corpus
+        from mmgraphrag_ray.stages.dedup import dedup_lines
+
+        files = ray.data.read_parquet(
+            _corpus(sf_dir), columns=["repo", "path", "content"]
+        )
+        return dedup_lines(
+            files, text_col="content", key_cols=("repo", "path"), min_files=4
+        )
+
+    def doc_decontaminate(sf_dir):
+        # benchmark n-gram decontamination: bench set = doc_id % 97 == 0
+        from mmgraphrag_ray.stages.dedup import decontaminate
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return decontaminate(docs, k=4, bench_mod=97)
+
+    def emb_kmeans(sf_dir):
+        # distributed Lloyd over quantized embeddings (SemDeDup front half);
+        # integer-exact so the unrolled SQL mirror matches bit-for-bit
+        from mmgraphrag_ray.stages.cluster import kmeans_assign
+
+        emb = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return kmeans_assign(emb, n_clusters=8, refine_rounds=1)
+
     def doc_sample(sf_dir):
         # deterministic systematic sample (1-in-10 by id) so the DuckDB
         # oracle matches exactly; Ray's random_sample exists for the
@@ -1328,6 +1359,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_enhanced_nodes": kg_enhanced_nodes,
         "kg_resolve_refs": kg_resolve_refs,
         "code_strip_comments": code_strip_comments,
+        "code_dedup_lines": code_dedup_lines,
+        "doc_decontaminate": doc_decontaminate,
+        "emb_kmeans": emb_kmeans,
         "doc_sample": doc_sample,
         "ann_topk": ann_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1758,6 +1792,122 @@ FROM vh GROUP BY 1, 2, 3
         """,
         "doc_sample": """
             SELECT * FROM documents WHERE doc_id % 10 = 0
+        """,
+        # mirror of stages/dedup.py dedup_lines (min_files=4): non-empty
+        # lines in > 4 distinct files are removed from every file
+        "code_dedup_lines": f"""
+            WITH f AS (
+              SELECT repo, path, split(content, chr(10)) AS ls
+              FROM read_parquet('{corpus}/*.parquet')
+            ),
+            l AS (
+              SELECT repo, path, unnest(ls) AS line,
+                     unnest(range(1, len(ls) + 1)) AS i
+              FROM f
+            ),
+            dup AS (
+              SELECT line FROM (
+                SELECT line, count(DISTINCT repo || chr(0) || path) AS nf
+                FROM l WHERE line <> '' GROUP BY line
+              ) WHERE nf > 4
+            ),
+            kept AS (
+              SELECT l.repo, l.path, l.i, l.line
+              FROM l LEFT JOIN dup d ON l.line = d.line
+              WHERE d.line IS NULL
+            ),
+            agg AS (
+              SELECT repo, path, count(*) AS n_kept,
+                     md5(string_agg(line, chr(10) ORDER BY i)) AS clean_md5
+              FROM kept GROUP BY repo, path
+            )
+            SELECT f2.repo, f2.path,
+                   CAST(f2.n_lines AS BIGINT) AS n_lines,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(f2.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+                   coalesce(a.clean_md5, md5('')) AS clean_md5
+            FROM (SELECT repo, path, len(ls) AS n_lines FROM f) f2
+            LEFT JOIN agg a USING (repo, path)
+        """,
+        # mirror of stages/dedup.py decontaminate (k=4, bench_mod=97);
+        # shingles = word 4-grams over [a-z0-9]+ of lower(text), <4 words
+        # collapse to one shingle, 0 words to none (shingle_set semantics)
+        "doc_decontaminate": """
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, ws,
+                     unnest(range(1, greatest(len(ws) - 3, least(len(ws), 1)) + 1)) AS i
+              FROM w
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(ws, i, i + 3), ' ') AS s
+              FROM idx
+            ),
+            bset AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+            hits AS (
+              SELECT sh.doc_id, count(*) AS n_hits
+              FROM sh JOIN bset USING (s) GROUP BY sh.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(CASE WHEN d.doc_id % 97 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                     AS is_benchmark,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(CASE WHEN d.doc_id % 97 <> 0
+                             AND coalesce(h.n_hits, 0) > 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        # mirror of stages/cluster.py kmeans_assign (k=8, 1 refine round,
+        # scale 1e6): quantize -> assign to init centroids (8 smallest ids)
+        # -> integer-mean centroids -> final assignment; all integer math
+        "emb_kmeans": """
+            WITH q AS (
+              SELECT vec_id, list_transform(embedding, x ->
+                     CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+              FROM embeddings
+            ),
+            qe AS (
+              SELECT vec_id, unnest(qv) AS v, unnest(range(1, len(qv) + 1)) AS d
+              FROM q
+            ),
+            c0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
+              FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8)
+            ),
+            ce0 AS (SELECT c0.cid, qe.d, qe.v AS cv FROM c0 JOIN qe USING (vec_id)),
+            d1 AS (
+              SELECT qe.vec_id, ce0.cid,
+                     sum((qe.v - ce0.cv) * (qe.v - ce0.cv)) AS dist
+              FROM qe JOIN ce0 USING (d) GROUP BY qe.vec_id, ce0.cid
+            ),
+            a1 AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d1
+              ) WHERE rn = 1
+            ),
+            ce1 AS (
+              SELECT a1.cid, qe.d,
+                     CAST(floor(CAST(sum(qe.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+              FROM a1 JOIN qe USING (vec_id) GROUP BY a1.cid, qe.d
+            ),
+            d2 AS (
+              SELECT qe.vec_id, ce1.cid,
+                     sum((qe.v - ce1.cv) * (qe.v - ce1.cv)) AS dist
+              FROM qe JOIN ce1 USING (d) GROUP BY qe.vec_id, ce1.cid
+            )
+            SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+                   CAST(dist AS BIGINT) AS dist
+            FROM (
+              SELECT vec_id, cid, dist,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM d2
+            ) WHERE rn = 1
         """,
         "ann_ivf_topk": _ivf_sql(),
         "knn_label": """

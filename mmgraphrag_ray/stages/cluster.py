@@ -1,0 +1,123 @@
+"""Distributed Lloyd k-means over an embedding column — integer-exact.
+
+SemDeDup-style data curation (Abbas et al. 2023, arXiv:2303.09540) starts
+with k-means over document embeddings at corpus scale.  The Ray-native
+shape: centroids live on the driver (k x dim int64 — a few KB), every Lloyd
+round is ONE streaming map_batches pass over the corpus emitting per-cluster
+(sum_vec, n) partials, and the driver reduces k x n_batches partial rows.
+No shuffle at any point; total cost is (rounds + 1) streaming passes, which
+is exactly how a 100 TB run wants it (the corpus never materializes, the
+reduce state is k rows).
+
+Integer-exactness (why quantize): cross-engine float argmin is tie-fragile,
+so vectors are quantized q = floor(x * scale) (int64) and every distance /
+mean is integer math, bit-identical between numpy and the SQL oracle
+(mean = floor(sum / n) via double division, exact below 2^53; distances
+<= dim * (2*scale)^2 stay far inside int64).
+
+No reference counterpart (the reference's only clustering is the spectral
+fusion stage, fusion.py:229-306 — this is a training-data extension; the
+sample-based Lloyd in stages/similarity.py trains the IVF quantizer on a
+FIXED-SIZE sample, whereas this runs true distributed Lloyd over the full
+corpus)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def quantize(arr: np.ndarray, scale: int) -> np.ndarray:
+    """floor(x * scale) in float64 -> int64; identical to DuckDB's
+    CAST(floor(CAST(x AS DOUBLE) * scale) AS BIGINT)."""
+    return np.floor(arr.astype(np.float64) * scale).astype(np.int64)
+
+
+def _batch_matrix(batch: pd.DataFrame, vec_col: str, scale: int) -> np.ndarray:
+    return quantize(np.stack(batch[vec_col].to_numpy()), scale)
+
+
+def kmeans_assign(
+    emb_ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    refine_rounds: int = 1,
+    scale: int = 1_000_000,
+):
+    """Distributed Lloyd over quantized embeddings; returns one row per
+    vector: (id_col, cluster, dist) under the final centroids.
+
+    - init: centroids = quantized vectors of the `n_clusters` smallest ids,
+      fetched via per-batch min-k partials (no sort of the corpus).
+    - each refine round: one streaming pass computing per-cluster
+      (sum_vec, n); new centroid = floor(sum / n) per dim (an empty cluster
+      keeps its previous centroid).
+    - assignment: argmin of integer squared L2; ties break to the smallest
+      cluster id (numpy argmin-first == SQL ORDER BY dist, cid)."""
+    import ray
+
+    def init_candidates(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.nsmallest(n_clusters, id_col) if len(batch) else batch
+        return b[[id_col, vec_col]]
+
+    cand = emb_ds.map_batches(init_candidates, batch_format="pandas").take_all()
+    cand.sort(key=lambda r: r[id_col])
+    if len(cand) < n_clusters:
+        raise ValueError(f"need >= {n_clusters} vectors, got {len(cand)}")
+    cents = np.stack(
+        [quantize(np.asarray(r[vec_col]), scale) for r in cand[:n_clusters]]
+    )
+
+    for _ in range(refine_rounds):
+        ref = ray.put(cents)
+
+        def partials(batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:
+                return pd.DataFrame(columns=["cluster", "n", "sums"])
+            c = ray.get(ref)
+            q = _batch_matrix(batch, vec_col, scale)
+            d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            rows = []
+            for cid in range(n_clusters):
+                m = q[a == cid]
+                if len(m):
+                    rows.append(
+                        {"cluster": cid, "n": len(m),
+                         "sums": m.sum(axis=0).tolist()}
+                    )
+            return pd.DataFrame(rows, columns=["cluster", "n", "sums"])
+
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for r in emb_ds.map_batches(partials, batch_format="pandas").take_all():
+            cid = int(r["cluster"])
+            counts[cid] = counts.get(cid, 0) + int(r["n"])
+            vec = np.asarray(r["sums"], dtype=np.int64)
+            sums[cid] = sums.get(cid, np.zeros_like(vec)) + vec
+        nxt = cents.copy()
+        for cid, n in counts.items():
+            # exact below 2^53: |sum| <= scale * n_members
+            nxt[cid] = np.floor(sums[cid].astype(np.float64) / n).astype(np.int64)
+        cents = nxt
+
+    final_ref = ray.put(cents)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            out = batch[[id_col]].copy()
+            out["cluster"] = pd.Series(dtype="int64")
+            out["dist"] = pd.Series(dtype="int64")
+            return out
+        c = ray.get(final_ref)
+        q = _batch_matrix(batch, vec_col, scale)
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        out = batch[[id_col]].copy()
+        out["cluster"] = a.astype(np.int64)
+        out["dist"] = d[np.arange(len(a)), a].astype(np.int64)
+        return out
+
+    return emb_ds.map_batches(assign, batch_format="pandas")

@@ -731,3 +731,216 @@ def embedding_near_dup(emb_ds, threshold: float = 0.95,
         .map_groups(pairs_in_bucket, batch_format="pyarrow")
         .repartition(8)
     )
+
+
+# ---------------------------------------------------- line-level dedup
+
+def _explode_lines(batch: pd.DataFrame, text_col: str):
+    """Vectorized text -> (file ordinal, line) explosion; returns the
+    exploded frame (columns _fid, line, in original order) and the per-file
+    line counts."""
+    split = batch[text_col].str.split("\n")
+    nl = split.str.len().to_numpy(dtype=np.int64)
+    if len(batch) == 0:
+        return pd.DataFrame({"_fid": np.array([], np.int64),
+                             "line": np.array([], object)}), nl
+    e = pd.DataFrame({
+        "_fid": np.repeat(np.arange(len(batch)), nl),
+        "line": np.concatenate(split.to_numpy()),
+    })
+    return e, nl
+
+
+def line_dup_set(files_ds, text_col: str, min_files: int,
+                 n_buckets: int = N_BUCKETS):
+    """Dataset of every non-empty line present in MORE THAN `min_files`
+    distinct files.  Per-batch combiner: each file is exactly one input row,
+    so batch-local distinct (file, line) pairs sum to exact global
+    distinct-file counts; the shuffle moves one (line, partial) row per
+    distinct line per batch — never file payloads."""
+    from ..arrowutil import df_to_table
+
+    import pyarrow as pa
+
+    def line_partials(batch: pd.DataFrame):
+        e, _ = _explode_lines(batch, text_col)
+        e = e[e["line"] != ""].drop_duplicates()
+        cnt = e.groupby("line", sort=False).size().reset_index(name="nf")
+        if len(cnt) == 0:
+            return pa.table({"line": pa.array([], pa.string()),
+                             "nf": pa.array([], pa.int64()),
+                             "_bucket": pa.array([], pa.int32())})
+        cnt["_bucket"] = cnt["line"].map(
+            lambda s: zlib.crc32(s.encode()) % n_buckets
+        )
+        return df_to_table(cnt, nf=pa.int64(), _bucket=pa.int32())
+
+    def bucket_dups(bucket: pd.DataFrame) -> pd.DataFrame:
+        tot = bucket.groupby("line", sort=False)["nf"].sum()
+        dup = tot[tot > min_files]
+        return pd.DataFrame({"line": dup.index.to_numpy(dtype=object)})
+
+    return (
+        files_ds.map_batches(line_partials, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(bucket_dups, batch_format="pandas")
+    )
+
+
+def dedup_lines(
+    files_ds,
+    text_col: str = "content",
+    key_cols: tuple = ("repo", "path"),
+    min_files: int = 4,
+    n_buckets: int = N_BUCKETS,
+    broadcast_max: int | None = None,
+):
+    """Corpus-wide duplicate-line removal (the RefinedWeb / CCNet
+    boilerplate-strip): every non-empty line appearing in more than
+    `min_files` distinct files is removed from EVERY file.  Empty lines
+    always survive.  Returns one row per input file:
+    (key_cols..., n_lines, n_kept, n_removed, clean_md5) with clean_md5 =
+    md5 of the newline-joined kept lines (removed lines collapse).
+
+    Plans: the dup set is bounded by boilerplate vocabulary, so below
+    RAYKG_LINEDUP_BROADCAST_MAX it is broadcast once (`ray.put`) and applied
+    as a per-batch mask — file payloads never shuffle.  Above the cap the
+    exploded lines anti-join the dup set through `bucketed_join` and files
+    are reassembled per hash bucket (scale fallback; tests pin the two
+    plans produce identical rows).  No reference counterpart (SURVEY §2.8
+    scopes the reference to exact dedup only — training-data extension)."""
+    import os
+
+    key_cols = list(key_cols)
+    if broadcast_max is None:
+        broadcast_max = int(os.environ.get("RAYKG_LINEDUP_BROADCAST_MAX",
+                                           500_000))
+
+    dups = line_dup_set(files_ds, text_col, min_files, n_buckets).materialize()
+
+    if dups.count() <= broadcast_max:
+        dupset = frozenset(r["line"] for r in dups.take_all())
+        ref = ray.put(dupset)
+
+        def clean(batch: pd.DataFrame) -> pd.DataFrame:
+            dset = ray.get(ref)
+            e, nl = _explode_lines(batch, text_col)
+            kept = e[(e["line"] == "") | ~e["line"].isin(dset)]
+            joined = kept.groupby("_fid", sort=True)["line"].agg("\n".join)
+            nk = kept.groupby("_fid", sort=True).size()
+            ridx = pd.RangeIndex(len(batch))
+            out = batch[key_cols].reset_index(drop=True)
+            out["n_lines"] = nl
+            out["n_kept"] = nk.reindex(ridx, fill_value=0).to_numpy(np.int64)
+            out["n_removed"] = out["n_lines"] - out["n_kept"]
+            txts = joined.reindex(ridx, fill_value="")
+            out["clean_md5"] = [
+                hashlib.md5(t.encode()).hexdigest() for t in txts
+            ]
+            return out
+
+        return files_ds.map_batches(clean, batch_format="pandas")
+
+    # scale path: explode -> bucketed left join vs dup lines -> reassemble
+    from .join import bucketed_join
+
+    SEP = "\x00"
+
+    def explode_keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        e, nl = _explode_lines(batch, text_col)
+        keys = batch[key_cols].reset_index(drop=True)
+        fid = e["_fid"].to_numpy()
+        out = keys.iloc[fid].reset_index(drop=True)
+        out["_fkey"] = out[key_cols].agg(SEP.join, axis=1) if len(out) else \
+            pd.Series(dtype=object)
+        out["line"] = e["line"].to_numpy()
+        out["_i"] = e.groupby("_fid").cumcount().to_numpy(np.int64)
+        out["_n_lines"] = nl[fid]
+        return out
+
+    exploded = files_ds.map_batches(explode_keyed, batch_format="pandas")
+    dup_tbl = dups.map_batches(
+        lambda b: b.assign(_dup=np.int64(1)) if len(b)
+        else b.assign(_dup=pd.Series(dtype="int64")),
+        batch_format="pandas",
+    )
+    marked = bucketed_join(exploded, dup_tbl, on="line", how="left",
+                           n_buckets=n_buckets)
+
+    def add_bucket(b: pd.DataFrame):
+        from ..arrowutil import strip_pd_metadata
+
+        out = b.copy()
+        out["_keep"] = (out["line"] == "") | out["_dup"].isna()
+        out["_rbucket"] = out["_fkey"].map(
+            lambda s: zlib.crc32(s.encode()) % n_buckets
+        )
+        return strip_pd_metadata(out) if len(out) else out
+
+    def bucket_reassemble(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["_fkey", "_i"], kind="mergesort")
+        kept = b[b["_keep"]]
+        agg = kept.groupby("_fkey", sort=True)["line"].agg("\n".join)
+        nk = kept.groupby("_fkey", sort=True).size()
+        heads = b.drop_duplicates("_fkey").set_index("_fkey")
+        out = pd.DataFrame(index=heads.index)
+        for c in key_cols:
+            out[c] = heads[c]
+        out["n_lines"] = heads["_n_lines"].astype("int64")
+        out["n_kept"] = nk.reindex(out.index, fill_value=0).astype("int64")
+        out["n_removed"] = out["n_lines"] - out["n_kept"]
+        txts = agg.reindex(out.index, fill_value="")
+        out["clean_md5"] = [hashlib.md5(t.encode()).hexdigest() for t in txts]
+        return out.reset_index(drop=True)
+
+    return (
+        marked.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_rbucket")
+        .map_groups(bucket_reassemble, batch_format="pandas")
+        .repartition(8)
+    )
+
+
+# ---------------------------------------------------- decontamination
+
+def decontaminate(docs_ds, text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 4, bench_mod: int = 97):
+    """Benchmark n-gram decontamination (the GPT-3 appendix-C / PaLM
+    training-data hygiene pass): flag every training document sharing at
+    least one word k-gram shingle with the benchmark set.  The benchmark
+    here is the deterministic slice `id % bench_mod == 0` — the stand-in
+    for the small external eval set a real run would load.
+
+    Scale shape: benchmark shingles are collected once and broadcast
+    (benchmarks are tiny by definition — the probe side streams and nothing
+    shuffles); per-doc hits are DISTINCT shared shingles (set intersection).
+    Returns (id_col, is_benchmark, n_hits, contaminated) for every document
+    so filtering is a trivial downstream mask.  Shingle semantics shared
+    with shingle_set() (word k-grams, lowercased; <k words -> one shingle
+    of all words)."""
+
+    def bench_shingles(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[batch[id_col] % bench_mod == 0]
+        out: set = set()
+        for t in m[text_col]:
+            out |= shingle_set(t, k)
+        return pd.DataFrame({"s": sorted(out)})
+
+    sh = docs_ds.map_batches(bench_shingles, batch_format="pandas")
+    bset = frozenset(r["s"] for r in sh.take_all())
+    ref = ray.put(bset)
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        bs = ray.get(ref)
+        hits = np.fromiter(
+            (len(shingle_set(t, k) & bs) for t in batch[text_col]),
+            dtype=np.int64, count=len(batch),
+        )
+        isb = (batch[id_col] % bench_mod == 0).to_numpy()
+        out = batch[[id_col]].copy()
+        out["is_benchmark"] = isb.astype(np.int64)
+        out["n_hits"] = hits
+        out["contaminated"] = (~isb & (hits > 0)).astype(np.int64)
+        return out
+
+    return docs_ds.map_batches(probe, batch_format="pandas")

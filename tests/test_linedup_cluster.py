@@ -1,0 +1,151 @@
+"""dedup_lines (corpus-wide duplicate-line strip), decontaminate
+(benchmark n-gram hygiene) and kmeans_assign (distributed integer Lloyd)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from mmgraphrag_ray.stages.cluster import kmeans_assign, quantize
+from mmgraphrag_ray.stages.dedup import decontaminate, dedup_lines
+
+
+def _files():
+    # "BOILER" appears in 3 files, "RARE" in 1; empty lines everywhere
+    rows = []
+    for i in range(3):
+        rows.append(
+            {"repo": "r", "path": f"a{i}", "content": f"BOILER\nunique {i}\n\nRARE\n" if i == 0 else f"BOILER\nunique {i}\n"}
+        )
+    rows.append({"repo": "r", "path": "empty", "content": ""})
+    rows.append({"repo": "r", "path": "alldup", "content": "BOILER\nBOILER"})
+    return pd.DataFrame(rows)
+
+
+def test_dedup_lines_strips_common_lines_keeps_empty():
+    out = (
+        dedup_lines(ray.data.from_pandas(_files()), key_cols=("repo", "path"),
+                    min_files=2)
+        .to_pandas().set_index("path").sort_index()
+    )
+    # BOILER is in 4 files (> 2) -> removed everywhere; empties kept
+    a0 = out.loc["a0"]
+    assert a0["n_lines"] == 5 and a0["n_removed"] == 1
+    assert a0["clean_md5"] == hashlib.md5(b"unique 0\n\nRARE\n").hexdigest()
+    # file whose every line is a duplicate -> md5 of empty text, still a row
+    ad = out.loc["alldup"]
+    assert ad["n_kept"] == 0 and ad["clean_md5"] == hashlib.md5(b"").hexdigest()
+    # empty file = one empty line, kept
+    em = out.loc["empty"]
+    assert em["n_lines"] == 1 and em["n_kept"] == 1
+    assert em["clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_dedup_lines_join_plan_matches_broadcast_plan():
+    df = _files()
+    bro = dedup_lines(ray.data.from_pandas(df), min_files=2).to_pandas()
+    join = dedup_lines(
+        ray.data.from_pandas(df), min_files=2, broadcast_max=0
+    ).to_pandas()
+    cols = sorted(bro.columns)
+    assert sorted(join.columns) == cols
+    b = bro[cols].sort_values(cols).reset_index(drop=True)
+    j = join[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, j)
+
+
+def test_dedup_lines_threshold_is_strictly_greater():
+    df = _files()
+    # BOILER in 4 files: min_files=4 keeps it (nf > 4 required)
+    out = dedup_lines(ray.data.from_pandas(df), min_files=4).to_pandas()
+    assert out["n_removed"].sum() == 0
+
+
+def test_decontaminate_flags_shared_shingles():
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 97],
+            "text": [
+                "alpha beta gamma delta epsilon",     # benchmark (0 % 97)
+                "zzz alpha beta gamma delta yyy",     # shares a 4-gram
+                "totally different words here now",   # clean
+                "alpha beta gamma delta",             # benchmark (97 % 97)
+            ],
+        }
+    )
+    out = (
+        decontaminate(ray.data.from_pandas(docs), k=4, bench_mod=97)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[0, "is_benchmark"] == 1 and out.loc[0, "contaminated"] == 0
+    assert out.loc[1, "contaminated"] == 1 and out.loc[1, "n_hits"] >= 1
+    assert out.loc[2, "contaminated"] == 0 and out.loc[2, "n_hits"] == 0
+    # benchmark docs are never flagged contaminated, even when they overlap
+    assert out.loc[97, "is_benchmark"] == 1 and out.loc[97, "contaminated"] == 0
+
+
+def test_decontaminate_short_doc_single_shingle():
+    docs = pd.DataFrame(
+        {"doc_id": [0, 5], "text": ["tiny doc", "also tiny doc stuff longer"]}
+    )
+    out = (
+        decontaminate(ray.data.from_pandas(docs), k=4, bench_mod=97)
+        .to_pandas().set_index("doc_id")
+    )
+    # doc 0 (<4 words) collapses to the single shingle "tiny doc", which is
+    # not a 4-gram of doc 5 -> no hit
+    assert out.loc[5, "n_hits"] == 0
+
+
+def test_kmeans_assign_separated_clusters_and_determinism():
+    rng = np.random.default_rng(3)
+    a = rng.normal(0.0, 0.01, (20, 4)) + np.array([1, 0, 0, 0])
+    b = rng.normal(0.0, 0.01, (20, 4)) + np.array([-1, 0, 0, 0])
+    vecs = np.vstack([a, b]).astype(np.float32)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(40), "embedding": [v for v in vecs]}
+    )
+    out = (
+        kmeans_assign(ray.data.from_pandas(df), n_clusters=2, refine_rounds=1)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    # ids 0..19 (cluster around +1) all together, 20..39 all together
+    first, second = out["cluster"][:20], out["cluster"][20:]
+    assert first.nunique() == 1 and second.nunique() == 1
+    assert first.iloc[0] != second.iloc[0]
+    # deterministic across runs
+    out2 = (
+        kmeans_assign(ray.data.from_pandas(df), n_clusters=2, refine_rounds=1)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_kmeans_matches_serial_lloyd():
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(0, 0.3, (30, 5)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(30), "embedding": [v for v in vecs]})
+    out = (
+        kmeans_assign(ray.data.from_pandas(df), n_clusters=3, refine_rounds=2)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    # serial reference: same quantization, same update rule
+    q = quantize(vecs.astype(np.float64), 1_000_000)
+    c = q[:3].copy()
+    for _ in range(2):
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        nxt = c.copy()
+        for cid in range(3):
+            m = q[assign == cid]
+            if len(m):
+                nxt[cid] = np.floor(
+                    m.sum(axis=0).astype(np.float64) / len(m)
+                ).astype(np.int64)
+        c = nxt
+    d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    expect_assign = d.argmin(axis=1)
+    expect_dist = d[np.arange(30), expect_assign]
+    assert (out["cluster"].to_numpy() == expect_assign).all()
+    assert (out["dist"].to_numpy() == expect_dist).all()

@@ -23,6 +23,9 @@ CASES = [
     "price_global_quantiles",
     "orders_rollup",
     "events_user_retention",
+    "code_dedup_lines",
+    "doc_decontaminate",
+    "emb_kmeans",
 ]
 
 
