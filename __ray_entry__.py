@@ -1309,6 +1309,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return kmeans_assign(emb, n_clusters=8, refine_rounds=1)
 
+    def emb_semdedup(sf_dir):
+        # SemDeDup back half: within-cluster semantic near-dup flags,
+        # integer-exact cosine >= 2/5 test (HUGEINT mirror in SQL)
+        from mmgraphrag_ray.stages.cluster import semdedup
+
+        emb = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return semdedup(emb, n_clusters=8, refine_rounds=1, tau=(2, 5))
+
     def doc_sample(sf_dir):
         # deterministic systematic sample (1-in-10 by id) so the DuckDB
         # oracle matches exactly; Ray's random_sample exists for the
@@ -1362,6 +1372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_dedup_lines": code_dedup_lines,
         "doc_decontaminate": doc_decontaminate,
         "emb_kmeans": emb_kmeans,
+        "emb_semdedup": emb_semdedup,
         "doc_sample": doc_sample,
         "ann_topk": ann_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1393,6 +1404,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": relational.events_funnel,
         "documents_profile": relational.documents_profile,
     }
+
+
+# shared CTE chain for the integer Lloyd oracles (emb_kmeans /
+# emb_semdedup): quantize -> init centroids = 8 smallest vec_ids ->
+# assign -> integer-mean centroids -> final assignment a2(vec_id, cid, dist)
+_KMEANS_CTE = """
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x ->
+         CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+qe AS (
+  SELECT vec_id, unnest(qv) AS v, unnest(range(1, len(qv) + 1)) AS d
+  FROM q
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
+  FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8)
+),
+ce0 AS (SELECT c0.cid, qe.d, qe.v AS cv FROM c0 JOIN qe USING (vec_id)),
+d1 AS (
+  SELECT qe.vec_id, ce0.cid,
+         sum((qe.v - ce0.cv) * (qe.v - ce0.cv)) AS dist
+  FROM qe JOIN ce0 USING (d) GROUP BY qe.vec_id, ce0.cid
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+ce1 AS (
+  SELECT a1.cid, qe.d,
+         CAST(floor(CAST(sum(qe.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+  FROM a1 JOIN qe USING (vec_id) GROUP BY a1.cid, qe.d
+),
+d2 AS (
+  SELECT qe.vec_id, ce1.cid,
+         sum((qe.v - ce1.cv) * (qe.v - ce1.cv)) AS dist
+  FROM qe JOIN ce1 USING (d) GROUP BY qe.vec_id, ce1.cid
+),
+a2 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2
+  ) WHERE rn = 1
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1864,50 +1924,44 @@ FROM vh GROUP BY 1, 2, 3
         # mirror of stages/cluster.py kmeans_assign (k=8, 1 refine round,
         # scale 1e6): quantize -> assign to init centroids (8 smallest ids)
         # -> integer-mean centroids -> final assignment; all integer math
-        "emb_kmeans": """
-            WITH q AS (
-              SELECT vec_id, list_transform(embedding, x ->
-                     CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-              FROM embeddings
-            ),
-            qe AS (
-              SELECT vec_id, unnest(qv) AS v, unnest(range(1, len(qv) + 1)) AS d
-              FROM q
-            ),
-            c0 AS (
-              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
-              FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8)
-            ),
-            ce0 AS (SELECT c0.cid, qe.d, qe.v AS cv FROM c0 JOIN qe USING (vec_id)),
-            d1 AS (
-              SELECT qe.vec_id, ce0.cid,
-                     sum((qe.v - ce0.cv) * (qe.v - ce0.cv)) AS dist
-              FROM qe JOIN ce0 USING (d) GROUP BY qe.vec_id, ce0.cid
-            ),
-            a1 AS (
-              SELECT vec_id, cid FROM (
-                SELECT vec_id, cid,
-                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-                FROM d1
-              ) WHERE rn = 1
-            ),
-            ce1 AS (
-              SELECT a1.cid, qe.d,
-                     CAST(floor(CAST(sum(qe.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
-              FROM a1 JOIN qe USING (vec_id) GROUP BY a1.cid, qe.d
-            ),
-            d2 AS (
-              SELECT qe.vec_id, ce1.cid,
-                     sum((qe.v - ce1.cv) * (qe.v - ce1.cv)) AS dist
-              FROM qe JOIN ce1 USING (d) GROUP BY qe.vec_id, ce1.cid
-            )
+        "emb_kmeans": _KMEANS_CTE + """
             SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
                    CAST(dist AS BIGINT) AS dist
-            FROM (
-              SELECT vec_id, cid, dist,
-                     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-              FROM d2
-            ) WHERE rn = 1
+            FROM a2
+        """,
+        # mirror of stages/cluster.py semdedup (tau = 2/5): within-cluster
+        # pairwise integer cosine test in HUGEINT — cos >= 2/5 iff dot >= 0
+        # AND 25*dot^2 >= 4*|u|^2*|v|^2; partner must have a smaller id
+        "emb_semdedup": _KMEANS_CTE + """,
+            pairs AS (
+              SELECT a.vec_id AS vb, b.vec_id AS va
+              FROM a2 a JOIN a2 b ON a.cid = b.cid AND b.vec_id < a.vec_id
+            ),
+            dots AS (
+              SELECT p.vb, p.va, sum(CAST(qa.v AS HUGEINT) * qb.v) AS dot
+              FROM pairs p
+              JOIN qe qa ON qa.vec_id = p.va
+              JOIN qe qb ON qb.vec_id = p.vb AND qb.d = qa.d
+              GROUP BY p.vb, p.va
+            ),
+            norms AS (
+              SELECT vec_id, sum(CAST(v AS HUGEINT) * v) AS nn
+              FROM qe GROUP BY vec_id
+            ),
+            flags AS (
+              SELECT d.vb AS vec_id, count(*) AS n_dup
+              FROM dots d
+              JOIN norms na ON na.vec_id = d.va
+              JOIN norms nb ON nb.vec_id = d.vb
+              WHERE d.dot >= 0
+                AND 25 * d.dot * d.dot >= 4 * na.nn * nb.nn
+              GROUP BY d.vb
+            )
+            SELECT a2.vec_id, CAST(a2.cid AS BIGINT) AS cluster,
+                   CAST(coalesce(f.n_dup, 0) AS BIGINT) AS n_dup_partners,
+                   CAST(CASE WHEN coalesce(f.n_dup, 0) > 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_dup
+            FROM a2 LEFT JOIN flags f ON f.vec_id = a2.vec_id
         """,
         "ann_ivf_topk": _ivf_sql(),
         "knn_label": """

@@ -38,16 +38,16 @@ def _batch_matrix(batch: pd.DataFrame, vec_col: str, scale: int) -> np.ndarray:
     return quantize(np.stack(batch[vec_col].to_numpy()), scale)
 
 
-def kmeans_assign(
+def kmeans_centroids(
     emb_ds,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_clusters: int = 8,
     refine_rounds: int = 1,
     scale: int = 1_000_000,
-):
-    """Distributed Lloyd over quantized embeddings; returns one row per
-    vector: (id_col, cluster, dist) under the final centroids.
+) -> np.ndarray:
+    """Final centroids of distributed Lloyd over quantized embeddings
+    (k x dim int64 on the driver).
 
     - init: centroids = quantized vectors of the `n_clusters` smallest ids,
       fetched via per-batch min-k partials (no sort of the corpus).
@@ -103,6 +103,25 @@ def kmeans_assign(
             nxt[cid] = np.floor(sums[cid].astype(np.float64) / n).astype(np.int64)
         cents = nxt
 
+    return cents
+
+
+def kmeans_assign(
+    emb_ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    refine_rounds: int = 1,
+    scale: int = 1_000_000,
+):
+    """Distributed Lloyd over quantized embeddings; returns one row per
+    vector: (id_col, cluster, dist) under the final centroids (see
+    kmeans_centroids for the update rule)."""
+    import ray
+
+    cents = kmeans_centroids(
+        emb_ds, id_col, vec_col, n_clusters, refine_rounds, scale
+    )
     final_ref = ray.put(cents)
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
@@ -121,3 +140,97 @@ def kmeans_assign(
         return out
 
     return emb_ds.map_batches(assign, batch_format="pandas")
+
+
+def semdedup(
+    emb_ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    refine_rounds: int = 1,
+    scale: int = 1_000_000,
+    tau: tuple = (2, 5),
+):
+    """SemDeDup back half (Abbas et al. 2023): within each k-means cluster,
+    flag every vector whose cosine to an EARLIER (smaller-id) member of the
+    same cluster reaches tau = tau[0]/tau[1].  Returns one row per vector:
+    (id_col, cluster, n_dup_partners, is_dup).
+
+    Integer-exact cosine test (no float ties): with quantized vectors,
+    cos(u, v) >= num/den  <=>  dot >= 0 AND den^2*dot^2 >= num^2*|u|^2*|v|^2
+    — evaluated in arbitrary-precision ints here and HUGEINT in the SQL
+    oracle.  Pairwise work happens only INSIDE a cluster (one shuffle on the
+    cluster id); at corpus scale SemDeDup keeps clusters small by growing k
+    with n (k ~ n / target_cluster_size), which is the documented
+    partitioning assumption of this stage."""
+    import ray
+
+    num2 = tau[0] * tau[0]
+    den2 = tau[1] * tau[1]
+    cents = kmeans_centroids(
+        emb_ds, id_col, vec_col, n_clusters, refine_rounds, scale
+    )
+    ref = ray.put(cents)
+
+    import pyarrow as pa
+
+    dim = cents.shape[1]
+
+    def assign_with_vec(batch: pa.Table) -> pa.Table:
+        # quantized vectors ride the cluster shuffle as Arrow
+        # fixed_size_list<int64> (columnar), never Python objects
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "qv": pa.array([], pa.list_(pa.int64())),
+            })
+        c = ray.get(ref)
+        q = quantize(
+            np.array(batch.column(vec_col).to_pylist(), dtype=np.float64),
+            scale,
+        )
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        qv = pa.FixedSizeListArray.from_arrays(
+            pa.array(q.ravel(), pa.int64()), dim
+        )
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cluster": pa.array(d.argmin(axis=1).astype(np.int64)),
+            "qv": qv,
+        })
+
+    def per_cluster(group: pa.Table) -> pd.DataFrame:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        clusters = group.column("cluster").to_numpy(zero_copy_only=False)
+        qv = group.column("qv")
+        if isinstance(qv, pa.ChunkedArray):
+            qv = qv.combine_chunks()
+        q_all = np.asarray(qv.flatten()).reshape(-1, dim).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        g = pd.DataFrame({id_col: ids[order], "cluster": clusters[order]})
+        q = q_all[order]
+        dot = q @ q.T
+        nn = np.einsum("ij,ij->i", q, q)
+        # exact bigint comparison; object dtype keeps numpy vectorization
+        lhs = dot.astype(object) ** 2 * den2
+        rhs = nn.astype(object)[:, None] * nn.astype(object)[None, :] * num2
+        cond = (dot >= 0) & (lhs >= rhs)
+        np.fill_diagonal(cond, False)
+        n_dup = np.tril(cond, -1).sum(axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "cluster": g["cluster"].to_numpy(),
+                "n_dup_partners": n_dup,
+                "is_dup": (n_dup > 0).astype(np.int64),
+            }
+        )
+
+    return (
+        emb_ds.map_batches(assign_with_vec, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(per_cluster, batch_format="pyarrow")
+        .repartition(8)
+    )

@@ -149,3 +149,26 @@ def test_kmeans_matches_serial_lloyd():
     expect_dist = d[np.arange(30), expect_assign]
     assert (out["cluster"].to_numpy() == expect_assign).all()
     assert (out["dist"].to_numpy() == expect_dist).all()
+
+
+def test_semdedup_flags_near_identical_later_ids():
+    from mmgraphrag_ray.stages.cluster import semdedup
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(0, 0.3, (20, 6)).astype(np.float32)
+    # vec 20 is a near-copy of vec 3; vec 21 is its own thing
+    near = base[3] * 1.0001 + 1e-6
+    far = rng.normal(0, 0.3, 6)
+    vecs = np.vstack([base, near, far]).astype(np.float32)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(22), "embedding": [v for v in vecs]}
+    )
+    out = (
+        semdedup(ray.data.from_pandas(df), n_clusters=2, refine_rounds=1,
+                 tau=(9, 10))
+        .to_pandas().set_index("vec_id").sort_index()
+    )
+    assert out.loc[20, "is_dup"] == 1 and out.loc[20, "n_dup_partners"] >= 1
+    # the EARLIER twin is not flagged (only later ids defer to earlier ones)
+    assert out.loc[3, "is_dup"] == 0
+    assert len(out) == 22 and set(out["is_dup"].unique()) <= {0, 1}

@@ -26,6 +26,7 @@ CASES = [
     "code_dedup_lines",
     "doc_decontaminate",
     "emb_kmeans",
+    "emb_semdedup",
 ]
 
 
