@@ -1403,6 +1403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_retention": relational.events_user_retention,
         "events_funnel": relational.events_funnel,
         "documents_profile": relational.documents_profile,
+        "doc_curation": relational.doc_curation,
     }
 
 
@@ -1920,6 +1921,59 @@ FROM vh GROUP BY 1, 2, 3
                              AND coalesce(h.n_hits, 0) > 0
                         THEN 1 ELSE 0 END AS BIGINT) AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        # mirror of pipelines/relational.py doc_curation: exact-dup
+        # survivorship + lang allowlist + integer quality gates + the
+        # doc_decontaminate chain, one keep flag per dimension
+        "doc_curation": """
+            WITH base AS (
+              SELECT doc_id, lang, md5(text) AS h,
+                     len(regexp_extract_all(text, '[A-Za-z]+')) AS nw,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]')) AS na,
+                     length(text) AS nc
+              FROM documents
+            ),
+            surv AS (SELECT h, min(doc_id) AS keep_id FROM base GROUP BY h),
+            w AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, ws,
+                     unnest(range(1, greatest(len(ws) - 3, least(len(ws), 1)) + 1)) AS i
+              FROM w
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(ws, i, i + 3), ' ') AS s
+              FROM idx
+            ),
+            bset AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+            hits AS (
+              SELECT sh.doc_id, count(*) AS n_hits
+              FROM sh JOIN bset USING (s) GROUP BY sh.doc_id
+            ),
+            flags AS (
+              SELECT b.doc_id,
+                     CASE WHEN b.doc_id = s.keep_id THEN 1 ELSE 0 END AS keep_exact,
+                     CASE WHEN b.lang IN ('en', 'es', 'de') THEN 1 ELSE 0 END AS keep_lang,
+                     CASE WHEN b.nw >= 20 AND 100 * b.na >= 82 * b.nc
+                          THEN 1 ELSE 0 END AS keep_quality,
+                     CASE WHEN b.doc_id % 97 <> 0
+                               AND coalesce(h.n_hits, 0) = 0
+                          THEN 1 ELSE 0 END AS keep_decon
+              FROM base b
+              JOIN surv s ON s.h = b.h
+              LEFT JOIN hits h ON h.doc_id = b.doc_id
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(keep_exact AS BIGINT) AS keep_exact,
+                   CAST(keep_lang AS BIGINT) AS keep_lang,
+                   CAST(keep_quality AS BIGINT) AS keep_quality,
+                   CAST(keep_decon AS BIGINT) AS keep_decon,
+                   CAST(keep_exact * keep_lang * keep_quality * keep_decon
+                        AS BIGINT) AS keep
+            FROM flags
         """,
         # mirror of stages/cluster.py kmeans_assign (k=8, 1 refine round,
         # scale 1e6): quantize -> assign to init centroids (8 smallest ids)

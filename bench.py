@@ -107,6 +107,8 @@ def _bench_main() -> None:
             "q1_pricing",
             "events_window",
             "events_asof_orders",
+            "code_dedup_lines",
+            "emb_kmeans",
         ]:
             t0 = time.time()
             res = qs[name](sf_dir)

@@ -606,3 +606,75 @@ def documents_profile(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
     return profile_table(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+def doc_curation(sf_dir: str):
+    """Corpus-curation composition — the full training-data hygiene verdict
+    per document in one pipeline: exact-dup survivorship (min doc_id per
+    content md5), language allowlist, integer quality gates (word count +
+    cross-multiplied alnum ratio, no float thresholds), and benchmark
+    decontamination.  Emits one row per document with a keep flag per
+    dimension plus the final verdict, so the curated corpus is a trivial
+    ``keep == 1`` mask and every drop is attributable.
+
+    Shuffle budget: one bucketed min-groupby on the content hash + one
+    bucketed join back (payload = ids and flags, never text), one bucketed
+    join against the decontamination flags; the decon benchmark set is a
+    broadcast.  (The synthetic documents table has no exact duplicates, so
+    keep_exact is constant here — the exact-dedup path is positively
+    exercised by kg_files over the code corpus, which does contain dups.)"""
+    import hashlib
+
+    import numpy as np
+
+    from ..stages.dedup import decontaminate
+    from ..stages.join import bucketed_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def featurize(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["doc_id"]].copy()
+        out["text_md5"] = [
+            hashlib.md5(t.encode()).hexdigest() for t in b["text"]
+        ]
+        nw = b["text"].str.count(r"[A-Za-z]+").to_numpy(np.int64)
+        na = b["text"].str.count(r"[A-Za-z0-9]").to_numpy(np.int64)
+        nc = b["text"].str.len().to_numpy(np.int64)
+        out["keep_lang"] = b["lang"].isin(["en", "es", "de"]).to_numpy(
+            np.int64
+        )
+        out["keep_quality"] = ((nw >= 20) & (100 * na >= 82 * nc)).astype(
+            np.int64
+        )
+        return out
+
+    feats = docs.map_batches(featurize, batch_format="pandas").materialize()
+    surv = bucketed_groupby_agg(
+        feats, ["text_md5"], {"keep_id": ("doc_id", "min")}
+    )
+    flagged = bucketed_join(feats, surv, on="text_md5")
+    decon = decontaminate(docs, k=4, bench_mod=97)
+    joined = bucketed_join(
+        flagged.map_batches(
+            lambda b: b.drop(columns=["text_md5"]), batch_format="pandas"
+        ),
+        decon,
+        on="doc_id",
+    )
+
+    def verdict(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["doc_id", "keep_lang", "keep_quality"]].copy()
+        out["keep_exact"] = (b["doc_id"] == b["keep_id"]).astype("int64")
+        out["keep_decon"] = (
+            (b["is_benchmark"] == 0) & (b["contaminated"] == 0)
+        ).astype("int64")
+        out["keep"] = (
+            out["keep_exact"] * out["keep_lang"]
+            * out["keep_quality"] * out["keep_decon"]
+        ).astype("int64")
+        return out[
+            ["doc_id", "keep_exact", "keep_lang", "keep_quality",
+             "keep_decon", "keep"]
+        ]
+
+    return joined.map_batches(verdict, batch_format="pandas")

@@ -27,6 +27,7 @@ CASES = [
     "doc_decontaminate",
     "emb_kmeans",
     "emb_semdedup",
+    "doc_curation",
 ]
 
 
