@@ -31,6 +31,12 @@ def main(argv=None):
     p_query.add_argument("--out", required=True)
     p_query.add_argument("text")
 
+    p_cur = sub.add_parser(
+        "curate", help="training-data hygiene pass over the documents table"
+    )
+    p_cur.add_argument("--sf-dir", required=True)
+    p_cur.add_argument("--out", required=True)
+
     p_corp = sub.add_parser("bench-corpus", help="generate a deterministic corpus")
     p_corp.add_argument("--n", type=int, required=True)
     p_corp.add_argument("--tag", default="cli")
@@ -54,6 +60,17 @@ def main(argv=None):
             from mmgraphrag_ray.corpus import ensure_corpus_n
 
             print(ensure_corpus_n(args.n, args.tag))
+        elif args.cmd == "curate":
+            from mmgraphrag_ray.pipelines.curate import run_curation
+
+            t0 = time.time()
+            stats = run_curation(args.sf_dir, args.out)
+            print(
+                json.dumps(
+                    {**stats, "wall_sec": round(time.time() - t0, 2)},
+                    indent=2,
+                )
+            )
         elif args.cmd == "index":
             from mmgraphrag_ray.pipelines.kg import run_kg
 

@@ -172,3 +172,28 @@ def test_semdedup_flags_near_identical_later_ids():
     # the EARLIER twin is not flagged (only later ids defer to earlier ones)
     assert out.loc[3, "is_dup"] == 0
     assert len(out) == 22 and set(out["is_dup"].unique()) <= {0, 1}
+
+
+def test_run_curation_writes_stages_and_resumes(tmp_path):
+    from mmgraphrag_ray.pipelines.curate import run_curation
+    from mmgraphrag_ray.state import lineage
+
+    out = str(tmp_path / "cur")
+    stats = run_curation("/root/testdata/sf0.001", out)
+    assert stats["flags_rows"] > 0
+    assert 0 < stats["curated_rows"] < stats["flags_rows"]
+    # curated rows = flags with keep == 1
+    flags = lineage.read_stage(out, "curation_flags").to_pandas()
+    assert stats["curated_rows"] == int((flags["keep"] == 1).sum())
+    # second invocation resumes from manifests (no rewrite): same counts,
+    # manifest mtimes untouched
+    import os
+
+    m1 = os.path.getmtime(
+        os.path.join(out, "curated_docs", "_MANIFEST.json")
+    )
+    stats2 = run_curation("/root/testdata/sf0.001", out)
+    m2 = os.path.getmtime(
+        os.path.join(out, "curated_docs", "_MANIFEST.json")
+    )
+    assert stats2 == stats and m1 == m2
