@@ -1404,6 +1404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": relational.events_funnel,
         "documents_profile": relational.documents_profile,
         "doc_curation": relational.doc_curation,
+        "user_customer_outer": relational.user_customer_outer,
     }
 
 
@@ -1921,6 +1922,23 @@ FROM vh GROUP BY 1, 2, 3
                              AND coalesce(h.n_hits, 0) > 0
                         THEN 1 ELSE 0 END AS BIGINT) AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        # mirror of pipelines/relational.py user_customer_outer: FULL OUTER
+        # join of two pre-aggregated sides on derived keys (USING coalesces
+        # the key; unmatched counts coalesce to 0)
+        "user_customer_outer": """
+            WITH e AS (
+              SELECT user_id * 2 AS k, count(*) AS n_events
+              FROM events GROUP BY 1
+            ),
+            c AS (
+              SELECT c_custkey % 250 AS k, count(*) AS n_customers
+              FROM customer GROUP BY 1
+            )
+            SELECT CAST(k AS BIGINT) AS k,
+                   CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+                   CAST(coalesce(n_customers, 0) AS BIGINT) AS n_customers
+            FROM e FULL OUTER JOIN c USING (k)
         """,
         # mirror of pipelines/relational.py doc_curation: exact-dup
         # survivorship + lang allowlist + integer quality gates + the

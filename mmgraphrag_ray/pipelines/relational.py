@@ -678,3 +678,34 @@ def doc_curation(sf_dir: str):
         ]
 
     return joined.map_batches(verdict, batch_format="pandas")
+
+
+def user_customer_outer(sf_dir: str):
+    """FULL OUTER join behind a value oracle: per-key event counts vs
+    per-key customer counts over derived keys chosen so all three outer
+    cases fire (left-only, both, right-only).  Both sides pre-aggregate to
+    one row per key (combiner) before the join — the shuffle moves counts,
+    never fact rows; unmatched keys surface with the other side's count
+    coalesced to zero."""
+    from ..stages.join import bucketed_join
+
+    ev = _read(sf_dir, "events", ["user_id"]).map_batches(
+        lambda b: pd.DataFrame({"k": (b["user_id"] * 2).astype("int64")}),
+        batch_format="pandas",
+    )
+    ev_agg = bucketed_groupby_agg(ev, ["k"], {"n_events": (None, "count")})
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: pd.DataFrame({"k": (b["c_custkey"] % 250).astype("int64")}),
+        batch_format="pandas",
+    )
+    cu_agg = bucketed_groupby_agg(cust, ["k"], {"n_customers": (None, "count")})
+    joined = bucketed_join(ev_agg, cu_agg, on="k", how="outer")
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["n_events"] = out["n_events"].fillna(0).astype("int64")
+        out["n_customers"] = out["n_customers"].fillna(0).astype("int64")
+        out["k"] = out["k"].astype("int64")
+        return out
+
+    return joined.map_batches(fill, batch_format="pandas")

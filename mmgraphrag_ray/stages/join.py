@@ -41,7 +41,8 @@ def bucketed_join(
     portable large-large join: both sides get bucket = crc32(key) % B, the
     union is grouped by bucket, and matching buckets merge pairwise inside
     map_groups (ray_guide pattern). Columns other than `on` must be disjoint.
-    `how` supports inner/left (left = preserve left rows).
+    `how` supports inner/left/outer (left = preserve left rows; outer =
+    full outer, key column coalesced across sides).
 
     `small_side` ('left'/'right') is the caller's claim that one side is a
     dimension table: if its row count is within `RAYKG_JOIN_BROADCAST_MAX`,
@@ -65,8 +66,14 @@ def bucketed_join(
     if overlap:
         raise ValueError(f"bucketed_join column overlap: {overlap}")
 
+    _ARROW_HOW = {"inner": "inner", "left": "left outer", "outer": "full outer"}
+    if how not in _ARROW_HOW:
+        raise ValueError(f"unsupported how={how!r}")
     out_cols_b = left_cols + [c for c in right_cols if c != on]
     if small_side == "left" and how != "inner":
+        small_side = None
+    if how == "outer":
+        # a broadcast side cannot contribute its unmatched rows exactly once
         small_side = None
     if small_side is not None:
         cap = int(os.environ.get("RAYKG_JOIN_BROADCAST_MAX", "500000"))
@@ -102,9 +109,7 @@ def bucketed_join(
                     )
                 else:
                     joined = batch.select(left_cols).join(
-                        s.select(right_cols),
-                        keys=on,
-                        join_type="inner" if how == "inner" else "left outer",
+                        s.select(right_cols), keys=on, join_type=_ARROW_HOW[how]
                     )
                 return joined.select(out_cols_b)
 
@@ -147,9 +152,7 @@ def bucketed_join(
         side = bucket.column("_side")
         l = bucket.filter(pc.equal(side, "l")).select(left_cols)
         r = bucket.filter(pc.equal(side, "r")).select(right_cols)
-        joined = l.join(
-            r, keys=on, join_type="inner" if how == "inner" else "left outer"
-        )
+        joined = l.join(r, keys=on, join_type=_ARROW_HOW[how])
         return joined.select(out_cols)
 
     return (

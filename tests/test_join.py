@@ -80,3 +80,27 @@ def test_broadcast_empty_small_side(sides):
     ).materialize()
     out = bucketed_join(left, empty, on="k", small_side="right").to_pandas()
     assert len(out) == 0
+
+
+def test_bucketed_join_full_outer_matches_pandas():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.join import bucketed_join
+
+    l = pd.DataFrame({"k": [1, 2, 2, 5], "a": [10, 20, 21, 50]})
+    r = pd.DataFrame({"k": [2, 3], "b": [200, 300]})
+    got = (
+        bucketed_join(ray.data.from_pandas(l), ray.data.from_pandas(r),
+                      on="k", how="outer")
+        .to_pandas().sort_values(["k", "a"]).reset_index(drop=True)
+    )
+    exp = (
+        l.merge(r, on="k", how="outer")
+        .sort_values(["k", "a"]).reset_index(drop=True)
+    )
+    assert len(got) == len(exp) == 5
+    assert got["k"].tolist() == exp["k"].tolist()
+    # unmatched sides surface as nulls on the other side's columns
+    assert got.loc[got["k"] == 5, "b"].isna().all()
+    assert got.loc[got["k"] == 3, "a"].isna().all()

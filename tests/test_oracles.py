@@ -28,6 +28,7 @@ CASES = [
     "emb_kmeans",
     "emb_semdedup",
     "doc_curation",
+    "user_customer_outer",
 ]
 
 
