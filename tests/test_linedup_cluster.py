@@ -197,3 +197,20 @@ def test_run_curation_writes_stages_and_resumes(tmp_path):
         os.path.join(out, "curated_docs", "_MANIFEST.json")
     )
     assert stats2 == stats and m1 == m2
+
+
+def test_kmeans_requires_enough_vectors():
+    import pytest
+
+    df = pd.DataFrame(
+        {"vec_id": [0, 1], "embedding": [np.zeros(4, np.float32)] * 2}
+    )
+    with pytest.raises(ValueError, match="need >= 8"):
+        kmeans_assign(ray.data.from_pandas(df), n_clusters=8)
+
+
+def test_decontaminate_empty_benchmark_set():
+    # no doc_id % 97 == 0 rows -> empty benchmark -> nothing contaminated
+    docs = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b c d e"] * 3})
+    out = decontaminate(ray.data.from_pandas(docs), k=4).to_pandas()
+    assert out["contaminated"].sum() == 0 and out["n_hits"].sum() == 0

@@ -68,3 +68,17 @@ def test_query_matches_oracle(contract, name):
     pd.testing.assert_frame_equal(
         _normalize(ours), _normalize(theirs), check_dtype=False
     )
+
+
+def test_contract_shape(contract):
+    """Driver-contract invariants: every oracle key has a query, every
+    query is callable, and the documented rows-only set is exactly the
+    queries without oracles."""
+    qs, oracles, _ = contract
+    assert set(oracles) <= set(qs)
+    assert all(callable(f) for f in qs.values())
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {
+        "kg_canonical_nodes", "kg_alias_table",
+        "kg_entity_vecs", "media_feature_vecs",
+    }
