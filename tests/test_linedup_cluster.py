@@ -214,3 +214,50 @@ def test_decontaminate_empty_benchmark_set():
     docs = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b c d e"] * 3})
     out = decontaminate(ray.data.from_pandas(docs), k=4).to_pandas()
     assert out["contaminated"].sum() == 0 and out["n_hits"].sum() == 0
+
+
+def test_dedup_lines_randomized_serial_parity():
+    # 60 files over a tiny line vocabulary so cross-file duplicates are
+    # plentiful; expected result computed serially with the same rule
+    rng = np.random.default_rng(17)
+    vocab = [f"line {i}" for i in range(12)] + [""]
+    rows = []
+    for f in range(60):
+        n = rng.integers(1, 9)
+        rows.append({
+            "repo": f"r{f % 3}", "path": f"p{f}",
+            "content": "\n".join(rng.choice(vocab, n)),
+        })
+    df = pd.DataFrame(rows)
+    min_files = 5
+
+    # serial reference
+    from collections import defaultdict
+    seen = defaultdict(set)
+    for _, r in df.iterrows():
+        for line in r["content"].split("\n"):
+            if line != "":
+                seen[line].add((r["repo"], r["path"]))
+    dup = {l for l, fs in seen.items() if len(fs) > min_files}
+    exp = []
+    for _, r in df.iterrows():
+        lines = r["content"].split("\n")
+        kept = [l for l in lines if l == "" or l not in dup]
+        exp.append({
+            "repo": r["repo"], "path": r["path"],
+            "n_lines": len(lines), "n_kept": len(kept),
+            "n_removed": len(lines) - len(kept),
+            "clean_md5": hashlib.md5("\n".join(kept).encode()).hexdigest(),
+        })
+    exp_df = pd.DataFrame(exp).sort_values(["repo", "path"]).reset_index(drop=True)
+
+    got = (
+        dedup_lines(ray.data.from_pandas(df), min_files=min_files)
+        .to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[exp_df.columns].astype({"n_lines": "int64", "n_kept": "int64",
+                                    "n_removed": "int64"}),
+        exp_df.astype({"n_lines": "int64", "n_kept": "int64",
+                       "n_removed": "int64"}),
+    )
