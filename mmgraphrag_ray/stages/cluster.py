@@ -90,9 +90,31 @@ def kmeans_centroids(
                     )
             return pd.DataFrame(rows, columns=["cluster", "n", "sums"])
 
+        def combine_partials(batch: pd.DataFrame) -> pd.DataFrame:
+            # tree-reduce level: collapse up to 4096 partial rows to <= k,
+            # so the driver collects O(n_blocks/4096 * k) rows, not one row
+            # per (input block, cluster) — the 100-TB driver-state guard
+            if len(batch) == 0:
+                return batch
+            rows = []
+            for cid, g in batch.groupby("cluster", sort=False):
+                rows.append({
+                    "cluster": int(cid),
+                    "n": int(g["n"].sum()),
+                    "sums": np.sum(
+                        np.stack(g["sums"].map(np.asarray).to_numpy()), axis=0
+                    ).astype(np.int64).tolist(),
+                })
+            return pd.DataFrame(rows, columns=["cluster", "n", "sums"])
+
+        reduced = (
+            emb_ds.map_batches(partials, batch_format="pandas")
+            .map_batches(combine_partials, batch_format="pandas",
+                         batch_size=4096)
+        )
         sums: dict[int, np.ndarray] = {}
         counts: dict[int, int] = {}
-        for r in emb_ds.map_batches(partials, batch_format="pandas").take_all():
+        for r in reduced.take_all():
             cid = int(r["cluster"])
             counts[cid] = counts.get(cid, 0) + int(r["n"])
             vec = np.asarray(r["sums"], dtype=np.int64)
