@@ -904,20 +904,29 @@ def dedup_lines(
 # ---------------------------------------------------- decontamination
 
 def decontaminate(docs_ds, text_col: str = "text", id_col: str = "doc_id",
-                  k: int = 4, bench_mod: int = 97):
+                  k: int = 4, bench_mod: int = 97,
+                  broadcast_max: int | None = None):
     """Benchmark n-gram decontamination (the GPT-3 appendix-C / PaLM
     training-data hygiene pass): flag every training document sharing at
     least one word k-gram shingle with the benchmark set.  The benchmark
     here is the deterministic slice `id % bench_mod == 0` — the stand-in
     for the small external eval set a real run would load.
 
-    Scale shape: benchmark shingles are collected once and broadcast
-    (benchmarks are tiny by definition — the probe side streams and nothing
-    shuffles); per-doc hits are DISTINCT shared shingles (set intersection).
-    Returns (id_col, is_benchmark, n_hits, contaminated) for every document
-    so filtering is a trivial downstream mask.  Shingle semantics shared
-    with shingle_set() (word k-grams, lowercased; <k words -> one shingle
-    of all words)."""
+    Scale shape: benchmark shingles are collected once and broadcast when
+    the distinct set fits RAYKG_DECON_BROADCAST_MAX (benchmarks are tiny by
+    definition — the probe side streams and nothing shuffles); above the
+    cap, probe docs explode to distinct (id, shingle-md5) rows and hit the
+    benchmark shingles through one `bucketed_join` (tests pin plan parity).
+    Per-doc hits are DISTINCT shared shingles.  Returns
+    (id_col, is_benchmark, n_hits, contaminated) for every document so
+    filtering is a trivial downstream mask.  Shingle semantics shared with
+    shingle_set() (word k-grams, lowercased; <k words -> one shingle of
+    all words)."""
+    import os
+
+    if broadcast_max is None:
+        broadcast_max = int(os.environ.get("RAYKG_DECON_BROADCAST_MAX",
+                                           2_000_000))
 
     def bench_shingles(batch: pd.DataFrame) -> pd.DataFrame:
         m = batch[batch[id_col] % bench_mod == 0]
@@ -927,20 +936,74 @@ def decontaminate(docs_ds, text_col: str = "text", id_col: str = "doc_id",
         return pd.DataFrame({"s": sorted(out)})
 
     sh = docs_ds.map_batches(bench_shingles, batch_format="pandas")
-    bset = frozenset(r["s"] for r in sh.take_all())
-    ref = ray.put(bset)
+    sh = sh.materialize()
 
-    def probe(batch: pd.DataFrame) -> pd.DataFrame:
-        bs = ray.get(ref)
-        hits = np.fromiter(
-            (len(shingle_set(t, k) & bs) for t in batch[text_col]),
-            dtype=np.int64, count=len(batch),
-        )
-        isb = (batch[id_col] % bench_mod == 0).to_numpy()
-        out = batch[[id_col]].copy()
-        out["is_benchmark"] = isb.astype(np.int64)
-        out["n_hits"] = hits
-        out["contaminated"] = (~isb & (hits > 0)).astype(np.int64)
+    if sh.count() <= broadcast_max:
+        bset = frozenset(r["s"] for r in sh.take_all())
+        ref = ray.put(bset)
+
+        def probe(batch: pd.DataFrame) -> pd.DataFrame:
+            bs = ray.get(ref)
+            hits = np.fromiter(
+                (len(shingle_set(t, k) & bs) for t in batch[text_col]),
+                dtype=np.int64, count=len(batch),
+            )
+            isb = (batch[id_col] % bench_mod == 0).to_numpy()
+            out = batch[[id_col]].copy()
+            out["is_benchmark"] = isb.astype(np.int64)
+            out["n_hits"] = hits
+            out["contaminated"] = (~isb & (hits > 0)).astype(np.int64)
+            return out
+
+        return docs_ds.map_batches(probe, batch_format="pandas")
+
+    # scale path: distinct (id, shingle) rows join the distinct benchmark
+    # shingle set; zeros restored by joining counts back onto the id table
+    from .join import bucketed_join
+
+    def bench_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.drop_duplicates("s")
+        out = out.rename(columns={"s": "shingle"})
+        out["_bm"] = np.int64(1)
         return out
 
-    return docs_ds.map_batches(probe, batch_format="pandas")
+    bench_tbl = dedup_exact(
+        sh.map_batches(bench_distinct, batch_format="pandas"),
+        key="shingle", order_by=["shingle"],
+    )
+
+    def probe_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, shs = [], []
+        for i, t in zip(batch[id_col], batch[text_col]):
+            for s in shingle_set(t, k):
+                ids.append(i)
+                shs.append(s)
+        return pd.DataFrame({id_col: np.asarray(ids, dtype=np.int64),
+                             "shingle": np.asarray(shs, dtype=object)})
+
+    probe_ds = docs_ds.map_batches(probe_rows, batch_format="pandas")
+    hits = (
+        bucketed_join(probe_ds, bench_tbl, on="shingle")
+        .groupby(id_col)
+        .count()
+    )  # -> (id_col, count())
+    hits = hits.map_batches(
+        lambda b: b.rename(columns={"count()": "n_hits"}),
+        batch_format="pandas",
+    )
+
+    ids = docs_ds.map_batches(
+        lambda b: b[[id_col]], batch_format="pandas"
+    )
+    joined = bucketed_join(ids, hits, on=id_col, how="left")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[id_col]].copy()
+        isb = (b[id_col] % bench_mod == 0).to_numpy()
+        n = b["n_hits"].fillna(0).to_numpy(np.int64)
+        out["is_benchmark"] = isb.astype(np.int64)
+        out["n_hits"] = n
+        out["contaminated"] = (~isb & (n > 0)).astype(np.int64)
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")

@@ -261,3 +261,22 @@ def test_dedup_lines_randomized_serial_parity():
         exp_df.astype({"n_lines": "int64", "n_kept": "int64",
                        "n_removed": "int64"}),
     )
+
+
+def test_decontaminate_join_plan_matches_broadcast_plan():
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(9)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(120),
+        "text": [" ".join(rng.choice(vocab, rng.integers(2, 12)))
+                 for _ in range(120)],
+    })
+    a = decontaminate(ray.data.from_pandas(docs), k=3, bench_mod=20).to_pandas()
+    b = decontaminate(ray.data.from_pandas(docs), k=3, bench_mod=20,
+                      broadcast_max=0).to_pandas()
+    cols = sorted(a.columns)
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values("doc_id").reset_index(drop=True),
+        b[cols].sort_values("doc_id").reset_index(drop=True),
+    )
+    assert a["contaminated"].sum() > 0  # positively exercised
