@@ -1009,6 +1009,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sample_frames(ray.data.from_arrow(synth_media_table(MEDIA_N)))
 
+    def media_resize(sf_dir):
+        # actor-pool resize seam: halved dims + checksum of the 2x-strided
+        # body (hex-md5 so the DuckDB mirror hashes the same string)
+        from mmgraphrag_ray.stages.multimodal import resize_media, synth_media_table
+
+        return resize_media(ray.data.from_arrow(synth_media_table(MEDIA_N)))
+
     def media_feature_vecs(sf_dir):
         from mmgraphrag_ray.stages.multimodal import media_features, synth_media_table
 
@@ -1352,6 +1359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_lang_id": doc_lang_id_q,
         "media_decode": media_decode,
+        "media_resize": media_resize,
         "media_frame_sample": media_frame_sample,
         "media_feature_vecs": media_feature_vecs,
         "media_feature_components": media_feature_components,
@@ -1689,6 +1697,31 @@ JOIN sagg s ON s.new_name = d.new_name
                    CAST(CASE WHEN i % 3 = 0 THEN 1
                              ELSE 8 + i % 24 END AS INT) AS n_frames
             FROM range(300) t(i)
+        """,
+        # resize_media mirror: dims from the generator formula; resized body
+        # = every 2nd byte of the 16-block md5 chain, hashed as lowercase hex
+        "media_resize": """
+            WITH m AS (
+              SELECT i AS media_id,
+                     CAST(64 + (i * 7) % 512 AS INT) AS w,
+                     CAST(64 + (i * 13) % 512 AS INT) AS h
+              FROM range(300) t(i)
+            ),
+            body AS (
+              SELECT media_id,
+                     string_agg(md5(media_id || '-' || j), '' ORDER BY j) AS hx
+              FROM m, range(16) t2(j) GROUP BY media_id
+            ),
+            stride AS (
+              SELECT media_id,
+                     string_agg(substr(hx, 4 * i + 1, 2), '' ORDER BY i) AS rhx
+              FROM body, range(128) r(i) GROUP BY media_id
+            )
+            SELECT m.media_id,
+                   CAST(m.w // 2 AS INT) AS r_width,
+                   CAST(m.h // 2 AS INT) AS r_height,
+                   md5(s.rhx) AS r_md5
+            FROM m JOIN stride s USING (media_id)
         """,
         # sample_frames mirror: every-4th frame for videos, frame 0 for
         # image/audio — n_frames from the generator formula

@@ -228,3 +228,47 @@ def media_feature_components(media_ds, concurrency=(1, 4), batch_size: int = 32)
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class MediaResizer:
+    """Actor-pool resize stage: payload -> halved spatial dims + a checksum
+    of the downsampled body (deterministic fake: keep every 2nd body byte;
+    a real deployment swaps in PIL/ffmpeg scaling at this seam).  The
+    checksum is md5 over the LOWERCASE HEX of the resized body (DuckDB's
+    md5 is VARCHAR-only, so the oracle hashes the same hex string)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "media_id": pa.array([], pa.int64()),
+                    "r_width": pa.array([], pa.int32()),
+                    "r_height": pa.array([], pa.int32()),
+                    "r_md5": pa.array([], pa.string()),
+                }
+            )
+        widths, heights, md5s = [], [], []
+        for p in batch.column("payload").to_pylist():
+            meta = decode_payload(p)
+            body = p[11:]
+            resized = body[::2]
+            widths.append(meta["width"] // 2)
+            heights.append(meta["height"] // 2)
+            md5s.append(hashlib.md5(resized.hex().encode()).hexdigest())
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "r_width": pa.array(widths, pa.int32()),
+                "r_height": pa.array(heights, pa.int32()),
+                "r_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+
+def resize_media(media_ds, concurrency=(1, 4), batch_size: int = 32):
+    """Resize as an actor-pool stage — small batches are load-bearing for
+    real payloads (batch x concurrency must fit the worker heap)."""
+    return media_ds.map_batches(
+        MediaResizer, concurrency=concurrency, batch_size=batch_size,
+        batch_format="pyarrow",
+    )

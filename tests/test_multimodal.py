@@ -91,3 +91,27 @@ def test_lang_id():
     )
     out = doc_lang_id(ray.data.from_pandas(docs)).to_pandas().sort_values("doc_id")
     assert list(out["lang_pred"]) == ["en", "es"]
+
+
+def test_resize_media_halves_dims_and_strides_body():
+    import hashlib
+
+    import ray.data
+
+    from mmgraphrag_ray.stages.multimodal import (
+        make_payload, resize_media, synth_media_table,
+    )
+
+    out = (
+        resize_media(ray.data.from_arrow(synth_media_table(12)))
+        .to_pandas().set_index("media_id").sort_index()
+    )
+    assert len(out) == 12
+    # hand-check media 5: generator dims, strided-body hex md5
+    p = make_payload(5, "video", 64 + 35 % 512, 64 + 65 % 512, 8 + 5 % 24)
+    body = p[11:]
+    assert out.loc[5, "r_md5"] == hashlib.md5(
+        body[::2].hex().encode()
+    ).hexdigest()
+    assert out.loc[5, "r_width"] == (64 + 35) // 2
+    assert out.loc[5, "r_height"] == (64 + 65) // 2
