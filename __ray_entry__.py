@@ -1200,6 +1200,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      columns=["doc_id", "text"])
         return pack_sequences(docs, window=512, range_size=100)
 
+    def curated_pack_sequences(sf_dir):
+        # composition: the curation verdict gates which docs enter the
+        # packed token stream (curate -> semi-join -> distributed prefix sum)
+        from mmgraphrag_ray.stages.join import bucketed_join
+        from mmgraphrag_ray.stages.pack import pack_sequences
+
+        flags = relational.doc_curation(sf_dir)
+        kept = flags.map_batches(
+            lambda b: b[b["keep"] == 1][["doc_id"]], batch_format="pandas"
+        )
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        curated = bucketed_join(docs, kept, on="doc_id")
+        return pack_sequences(curated, window=512, range_size=100)
+
     def doc_pack_manifest(sf_dir):
         # the training-sequence manifest: (seq, doc) intersections with
         # within-sequence token ranges, flat-mapped from the pack spans
@@ -1373,6 +1389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_topk": doc_tfidf_topk_q,
         "doc_repetition": doc_repetition,
         "doc_pack_sequences": doc_pack_sequences,
+        "curated_pack_sequences": curated_pack_sequences,
         "doc_pack_manifest": doc_pack_manifest,
         "kg_enhanced_nodes": kg_enhanced_nodes,
         "kg_resolve_refs": kg_resolve_refs,
@@ -1463,6 +1480,61 @@ a2 AS (
     FROM d2
   ) WHERE rn = 1
 )"""
+
+
+
+
+# shared curation-flags SQL (doc_curation and compositions over it)
+_CURATION_SQL = """
+            WITH base AS (
+              SELECT doc_id, lang, md5(text) AS h,
+                     len(regexp_extract_all(text, '[A-Za-z]+')) AS nw,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]')) AS na,
+                     length(text) AS nc
+              FROM documents
+            ),
+            surv AS (SELECT h, min(doc_id) AS keep_id FROM base GROUP BY h),
+            w AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, ws,
+                     unnest(range(1, greatest(len(ws) - 3, least(len(ws), 1)) + 1)) AS i
+              FROM w
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(ws, i, i + 3), ' ') AS s
+              FROM idx
+            ),
+            bset AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+            hits AS (
+              SELECT sh.doc_id, count(*) AS n_hits
+              FROM sh JOIN bset USING (s) GROUP BY sh.doc_id
+            ),
+            flags AS (
+              SELECT b.doc_id,
+                     CASE WHEN b.doc_id = s.keep_id THEN 1 ELSE 0 END AS keep_exact,
+                     CASE WHEN b.lang IN ('en', 'es', 'de') THEN 1 ELSE 0 END AS keep_lang,
+                     CASE WHEN b.nw >= 20 AND 100 * b.na >= 82 * b.nc
+                          THEN 1 ELSE 0 END AS keep_quality,
+                     CASE WHEN b.doc_id % 97 <> 0
+                               AND coalesce(h.n_hits, 0) = 0
+                          THEN 1 ELSE 0 END AS keep_decon
+              FROM base b
+              JOIN surv s ON s.h = b.h
+              LEFT JOIN hits h ON h.doc_id = b.doc_id
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(keep_exact AS BIGINT) AS keep_exact,
+                   CAST(keep_lang AS BIGINT) AS keep_lang,
+                   CAST(keep_quality AS BIGINT) AS keep_quality,
+                   CAST(keep_decon AS BIGINT) AS keep_decon,
+                   CAST(keep_exact * keep_lang * keep_quality * keep_decon
+                        AS BIGINT) AS keep
+            FROM flags
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1976,55 +2048,30 @@ FROM vh GROUP BY 1, 2, 3
         # mirror of pipelines/relational.py doc_curation: exact-dup
         # survivorship + lang allowlist + integer quality gates + the
         # doc_decontaminate chain, one keep flag per dimension
-        "doc_curation": """
-            WITH base AS (
-              SELECT doc_id, lang, md5(text) AS h,
-                     len(regexp_extract_all(text, '[A-Za-z]+')) AS nw,
-                     len(regexp_extract_all(text, '[A-Za-z0-9]')) AS na,
-                     length(text) AS nc
-              FROM documents
-            ),
-            surv AS (SELECT h, min(doc_id) AS keep_id FROM base GROUP BY h),
-            w AS (
-              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
-              FROM documents
-            ),
-            idx AS (
-              SELECT doc_id, ws,
-                     unnest(range(1, greatest(len(ws) - 3, least(len(ws), 1)) + 1)) AS i
-              FROM w
-            ),
-            sh AS (
-              SELECT DISTINCT doc_id,
-                     array_to_string(list_slice(ws, i, i + 3), ' ') AS s
-              FROM idx
-            ),
-            bset AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
-            hits AS (
-              SELECT sh.doc_id, count(*) AS n_hits
-              FROM sh JOIN bset USING (s) GROUP BY sh.doc_id
-            ),
-            flags AS (
-              SELECT b.doc_id,
-                     CASE WHEN b.doc_id = s.keep_id THEN 1 ELSE 0 END AS keep_exact,
-                     CASE WHEN b.lang IN ('en', 'es', 'de') THEN 1 ELSE 0 END AS keep_lang,
-                     CASE WHEN b.nw >= 20 AND 100 * b.na >= 82 * b.nc
-                          THEN 1 ELSE 0 END AS keep_quality,
-                     CASE WHEN b.doc_id % 97 <> 0
-                               AND coalesce(h.n_hits, 0) = 0
-                          THEN 1 ELSE 0 END AS keep_decon
-              FROM base b
-              JOIN surv s ON s.h = b.h
-              LEFT JOIN hits h ON h.doc_id = b.doc_id
+        "doc_curation": _CURATION_SQL,
+        # composition: sequence-packing over ONLY the curated documents —
+        # the curation verdict gates which docs enter the token stream
+        "curated_pack_sequences": f"""
+            WITH cur AS ({_CURATION_SQL}),
+            t AS (
+              SELECT d.doc_id,
+                     len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS n_tokens
+              FROM documents d JOIN cur ON cur.doc_id = d.doc_id
+              WHERE cur.keep = 1
+            ), s AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS start_off
+              FROM t
             )
-            SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                   CAST(keep_exact AS BIGINT) AS keep_exact,
-                   CAST(keep_lang AS BIGINT) AS keep_lang,
-                   CAST(keep_quality AS BIGINT) AS keep_quality,
-                   CAST(keep_decon AS BIGINT) AS keep_decon,
-                   CAST(keep_exact * keep_lang * keep_quality * keep_decon
-                        AS BIGINT) AS keep
-            FROM flags
+            SELECT doc_id, n_tokens, start_off,
+                   start_off + n_tokens AS end_off,
+                   start_off // 512 AS first_seq,
+                   (CASE WHEN n_tokens = 0 THEN start_off
+                         ELSE start_off + n_tokens - 1 END) // 512 AS last_seq
+            FROM s
         """,
         # mirror of stages/cluster.py kmeans_assign (k=8, 1 refine round,
         # scale 1e6): quantize -> assign to init centroids (8 smallest ids)
