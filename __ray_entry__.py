@@ -1342,6 +1342,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return semdedup(emb, n_clusters=8, refine_rounds=1, tau=(2, 5))
 
+    def kg_two_hop(sf_dir):
+        # 2-hop BFS neighborhood from the CLASS nodes over the constructed
+        # KG — the query-side k-hop subgraph primitive (min hop per node)
+        from mmgraphrag_ray.stages.graphalgo import k_hop_distances
+
+        nodes, edges = _build_graph_cached(sf_dir)
+        seeds = nodes.map_batches(
+            lambda b: b[b["entity_type"] == '"CLASS"'][["entity_name"]],
+            batch_format="pandas",
+        )
+        return k_hop_distances(seeds, edges, k=2)
+
     def doc_sample(sf_dir):
         # deterministic systematic sample (1-in-10 by id) so the DuckDB
         # oracle matches exactly; Ray's random_sample exists for the
@@ -1385,6 +1397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": kg_pagerank,
         "kg_label_prop": kg_label_prop,
         "kg_triangles": kg_triangles,
+        "kg_two_hop": kg_two_hop,
         "token_postings": token_postings_q,
         "doc_tfidf_topk": doc_tfidf_topk_q,
         "doc_repetition": doc_repetition,
@@ -1604,6 +1617,23 @@ JOIN sagg s ON s.new_name = d.new_name
         # degree-ordered triangle counting: orientation keys kill hub
         # explosion; each triangle counted once from its min-key corner
         "kg_triangles": kg + merge + _triangles_sql(),
+        # k_hop_distances mirror (k=2, seeds = CLASS nodes): two unrolled
+        # frontier joins over the bidirected edges, min hop per node
+        "kg_two_hop": kg + merge + """,
+seeds AS (SELECT entity_name AS u FROM nodes WHERE entity_type = '"CLASS"'),
+eb AS (
+  SELECT src_id AS u, tgt_id AS v FROM edges
+  UNION SELECT tgt_id, src_id FROM edges
+),
+h1 AS (SELECT DISTINCT eb.v AS u FROM seeds JOIN eb USING (u)),
+h2 AS (SELECT DISTINCT eb.v AS u FROM h1 JOIN eb ON eb.u = h1.u),
+lab AS (
+  SELECT u, 0 AS hop FROM seeds
+  UNION ALL SELECT u, 1 FROM h1
+  UNION ALL SELECT u, 2 FROM h2
+)
+SELECT u AS entity_name, CAST(min(hop) AS BIGINT) AS hop FROM lab GROUP BY u
+        """,
         # inverted index: distinct (token, doc) pairs -> df + the first 16
         # doc ids ascending (capped partials compose exactly, index.py)
         "token_postings": """

@@ -16,6 +16,7 @@ iteration (bounded state: one int64 per node).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -319,3 +320,69 @@ def pagerank_int(nodes_ds, edges_ds, iterations: int = 3,
         ranks = joined.map_batches(add_teleport, batch_format="pandas").materialize()
 
     return ranks
+
+
+def k_hop_distances(seeds_ds, edges_ds, k: int = 2,
+                    node_col: str = "entity_name",
+                    src: str = "src_id", tgt: str = "tgt_id"):
+    """BFS hop distances from a seed set over the undirected edge table:
+    Dataset(node_col, hop) with hop = min distance <= k (unreached nodes are
+    absent).  Each round is ONE bucketed frontier⋈edges join + ONE bucketed
+    distinct, so the per-round cost is |frontier-adjacent edges|, never the
+    whole graph; the frontier is deduplicated between rounds (BFS level
+    sets), which bounds revisits on hub-heavy graphs like this KG's
+    log_event component.  The k-hop subgraph fetch is the query-side
+    neighborhood primitive (reference query.py builds 1-hop context;
+    this generalizes it)."""
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    def bidir(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "u": pd.concat([b[src], b[tgt]], ignore_index=True),
+                "v": pd.concat([b[tgt], b[src]], ignore_index=True),
+            }
+        )
+        return out.drop_duplicates()
+
+    edges_bi = edges_ds.map_batches(bidir, batch_format="pandas").materialize()
+
+    def as_frontier(hop):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            out = b[[node_col]].rename(columns={node_col: "u"})
+            out["hop"] = np.int64(hop)
+            return out.drop_duplicates()
+
+        return fn
+
+    frontier = seeds_ds.map_batches(
+        as_frontier(0), batch_format="pandas"
+    ).materialize()
+    labels = [frontier]
+    for hop in range(1, k + 1):
+        nbrs = bucketed_join(
+            frontier.map_batches(
+                lambda b: b[["u"]].drop_duplicates(), batch_format="pandas"
+            ),
+            edges_bi,
+            on="u",
+        ).map_batches(
+            lambda b, h=hop: pd.DataFrame(
+                {"u": b["v"].drop_duplicates(), "hop": np.int64(h)}
+            ),
+            batch_format="pandas",
+        )
+        # distinct level set: one bucketed reduce, frontier stays a set
+        frontier = bucketed_groupby_agg(
+            nbrs, ["u"], {"hop": ("hop", "min")}
+        ).materialize()
+        labels.append(frontier)
+
+    import functools
+
+    all_labels = functools.reduce(lambda a, b: a.union(b), labels)
+    out = bucketed_groupby_agg(all_labels, ["u"], {"hop": ("hop", "min")})
+    return out.map_batches(
+        lambda b: b.rename(columns={"u": node_col}), batch_format="pandas"
+    )

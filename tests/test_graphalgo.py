@@ -84,3 +84,43 @@ def test_pagerank_block_split_invariant_and_mass_bounded():
     if isolated:
         v = next(iter(isolated))
         assert int(a.set_index("node").loc[v, "r"]) == ((SCALE * 15) // 100) // len(names)
+
+
+def test_k_hop_distances_path_graph():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.graphalgo import k_hop_distances
+
+    # path a-b-c-d-e, seed {a}: hops 0,1,2; d,e unreached at k=2
+    edges = pd.DataFrame(
+        {"src_id": ["a", "b", "c", "d"], "tgt_id": ["b", "c", "d", "e"]}
+    )
+    seeds = pd.DataFrame({"entity_name": ["a"]})
+    out = (
+        k_hop_distances(
+            ray.data.from_pandas(seeds), ray.data.from_pandas(edges), k=2
+        )
+        .to_pandas().set_index("entity_name")["hop"].to_dict()
+    )
+    assert out == {"a": 0, "b": 1, "c": 2}
+
+
+def test_k_hop_distances_min_hop_wins_on_cycle():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.graphalgo import k_hop_distances
+
+    # triangle a-b, b-c, c-a with seed a: b and c both hop 1 (not 2)
+    edges = pd.DataFrame(
+        {"src_id": ["a", "b", "c"], "tgt_id": ["b", "c", "a"]}
+    )
+    seeds = pd.DataFrame({"entity_name": ["a"]})
+    out = (
+        k_hop_distances(
+            ray.data.from_pandas(seeds), ray.data.from_pandas(edges), k=2
+        )
+        .to_pandas().set_index("entity_name")["hop"].to_dict()
+    )
+    assert out == {"a": 0, "b": 1, "c": 1}
