@@ -1476,10 +1476,17 @@ a1 AS (
     FROM d1
   ) WHERE rn = 1
 ),
+-- an EMPTY cluster keeps its round-0 centroid (mirrors cluster.py:
+-- "an empty cluster keeps its previous centroid"); without the LEFT JOIN
+-- + COALESCE an empty cid would vanish from the argmin candidate set here
+-- while the Ray side still considers it
 ce1 AS (
-  SELECT a1.cid, qe.d,
-         CAST(floor(CAST(sum(qe.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
-  FROM a1 JOIN qe USING (vec_id) GROUP BY a1.cid, qe.d
+  SELECT ce0.cid, ce0.d, COALESCE(m.cv, ce0.cv) AS cv
+  FROM ce0 LEFT JOIN (
+    SELECT a1.cid, qe.d,
+           CAST(floor(CAST(sum(qe.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+    FROM a1 JOIN qe USING (vec_id) GROUP BY a1.cid, qe.d
+  ) m ON m.cid = ce0.cid AND m.d = ce0.d
 ),
 d2 AS (
   SELECT qe.vec_id, ce1.cid,

@@ -38,9 +38,11 @@ def run_curation(sf_dir: str, out_dir: str) -> dict:
     sig_docs = lineage.stage_signature("curated_docs", 1, DEFAULT_CONFIG, fps)
     if not lineage.is_complete(out_dir, "curated_docs", sig_docs):
         flags = lineage.read_stage(out_dir, "curation_flags")
+        # pin: bucketed_join's broadcast path calls count() then
+        # to_arrow_refs(), which re-executes a LAZY plan twice
         kept_ids = flags.map_batches(
             lambda b: b[b["keep"] == 1][["doc_id"]], batch_format="pandas"
-        )
+        ).materialize()
         docs = ray.data.read_parquet(docs_path)
         kept = bucketed_join(docs, kept_ids, on="doc_id", small_side="right")
         lineage.write_stage(kept, out_dir, "curated_docs", sig_docs)

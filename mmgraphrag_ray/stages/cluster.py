@@ -34,8 +34,24 @@ def quantize(arr: np.ndarray, scale: int) -> np.ndarray:
     return np.floor(arr.astype(np.float64) * scale).astype(np.int64)
 
 
+def _check_range(q: np.ndarray) -> np.ndarray:
+    """Enforce the integer-math precondition: squared L2 over `dim` dims of
+    values bounded by `lim` must stay inside int64 (dim * (2*lim)^2 <= 2^62).
+    numpy would WRAP silently on overflow where DuckDB raises — this guard
+    makes both engines fail loudly instead of diverging."""
+    dim = q.shape[-1] if q.ndim > 1 else len(q)
+    lim = int(np.sqrt(2.0**62 / max(dim, 1)) / 2)
+    amax = int(np.abs(q).max()) if q.size else 0
+    if amax > lim:
+        raise ValueError(
+            f"quantized magnitude {amax} exceeds the int64-safe bound {lim} "
+            f"for dim={dim}; lower `scale` or normalize the embeddings"
+        )
+    return q
+
+
 def _batch_matrix(batch: pd.DataFrame, vec_col: str, scale: int) -> np.ndarray:
-    return quantize(np.stack(batch[vec_col].to_numpy()), scale)
+    return _check_range(quantize(np.stack(batch[vec_col].to_numpy()), scale))
 
 
 def kmeans_centroids(
@@ -66,9 +82,9 @@ def kmeans_centroids(
     cand.sort(key=lambda r: r[id_col])
     if len(cand) < n_clusters:
         raise ValueError(f"need >= {n_clusters} vectors, got {len(cand)}")
-    cents = np.stack(
+    cents = _check_range(np.stack(
         [quantize(np.asarray(r[vec_col]), scale) for r in cand[:n_clusters]]
-    )
+    ))
 
     for _ in range(refine_rounds):
         ref = ray.put(cents)

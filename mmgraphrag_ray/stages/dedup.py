@@ -798,7 +798,12 @@ def dedup_lines(
     """Corpus-wide duplicate-line removal (the RefinedWeb / CCNet
     boilerplate-strip): every non-empty line appearing in more than
     `min_files` distinct files is removed from EVERY file.  Empty lines
-    always survive.  Returns one row per input file:
+    always survive.  PRECONDITION: `key_cols` uniquely identify input rows
+    (they are the files table's primary key, e.g. (repo, path)) — with
+    duplicate keys the broadcast plan emits one row per input row while the
+    scale plan merges rows per key, and the distinct-file counts diverge
+    from the SQL oracle's count(DISTINCT key).  Returns one row per input
+    file:
     (key_cols..., n_lines, n_kept, n_removed, clean_md5) with clean_md5 =
     md5 of the newline-joined kept lines (removed lines collapse).
 
@@ -915,8 +920,9 @@ def decontaminate(docs_ds, text_col: str = "text", id_col: str = "doc_id",
     Scale shape: benchmark shingles are collected once and broadcast when
     the distinct set fits RAYKG_DECON_BROADCAST_MAX (benchmarks are tiny by
     definition — the probe side streams and nothing shuffles); above the
-    cap, probe docs explode to distinct (id, shingle-md5) rows and hit the
-    benchmark shingles through one `bucketed_join` (tests pin plan parity).
+    cap, probe docs explode to (id, 16-hex shingle-md5) rows — fixed-width
+    keys, never shingle text — and hit the benchmark shingle hashes through
+    one `bucketed_join` (tests pin plan parity).
     Per-doc hits are DISTINCT shared shingles.  Returns
     (id_col, is_benchmark, n_hits, contaminated) for every document so
     filtering is a trivial downstream mask.  Shingle semantics shared with
@@ -961,9 +967,17 @@ def decontaminate(docs_ds, text_col: str = "text", id_col: str = "doc_id",
     # shingle set; zeros restored by joining counts back onto the id table
     from .join import bucketed_join
 
+    # join on the 16-hex md5 of the shingle, not its text — shuffle rows
+    # stay fixed-width (16 bytes/key) like every other near-dup family
+    # here; distinct-hash counts equal distinct-shingle counts (md5
+    # collisions aside), so hit counts match the broadcast plan
     def bench_distinct(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.drop_duplicates("s")
-        out = out.rename(columns={"s": "shingle"})
+        out = pd.DataFrame({
+            "shingle": [
+                hashlib.md5(s.encode()).hexdigest()[:16] for s in out["s"]
+            ]
+        })
         out["_bm"] = np.int64(1)
         return out
 
@@ -977,7 +991,7 @@ def decontaminate(docs_ds, text_col: str = "text", id_col: str = "doc_id",
         for i, t in zip(batch[id_col], batch[text_col]):
             for s in shingle_set(t, k):
                 ids.append(i)
-                shs.append(s)
+                shs.append(hashlib.md5(s.encode()).hexdigest()[:16])
         return pd.DataFrame({id_col: np.asarray(ids, dtype=np.int64),
                              "shingle": np.asarray(shs, dtype=object)})
 

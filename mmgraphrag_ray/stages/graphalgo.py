@@ -328,12 +328,16 @@ def k_hop_distances(seeds_ds, edges_ds, k: int = 2,
     """BFS hop distances from a seed set over the undirected edge table:
     Dataset(node_col, hop) with hop = min distance <= k (unreached nodes are
     absent).  Each round is ONE bucketed frontier⋈edges join + ONE bucketed
-    distinct, so the per-round cost is |frontier-adjacent edges|, never the
-    whole graph; the frontier is deduplicated between rounds (BFS level
-    sets), which bounds revisits on hub-heavy graphs like this KG's
-    log_event component.  The k-hop subgraph fetch is the query-side
-    neighborhood primitive (reference query.py builds 1-hop context;
-    this generalizes it)."""
+    distinct + ONE anti-join against the visited set, so the frontier is a
+    true BFS LEVEL SET (nodes first discovered this round) and per-round
+    cost is |frontier-adjacent edges| — without the anti-join every round
+    would re-expand the whole h-hop ball (each seed is a neighbor of its
+    own neighbors on an undirected graph), approaching |E| redundant rows
+    per round on hub-heavy graphs like this KG's log_event component.
+    BFS guarantees first discovery == min distance, so the accumulated
+    visited set IS the answer (no final re-min).  The k-hop subgraph fetch
+    is the query-side neighborhood primitive (reference query.py builds
+    1-hop context; this generalizes it)."""
     from .groupagg import bucketed_groupby_agg
     from .join import bucketed_join
 
@@ -359,7 +363,7 @@ def k_hop_distances(seeds_ds, edges_ds, k: int = 2,
     frontier = seeds_ds.map_batches(
         as_frontier(0), batch_format="pandas"
     ).materialize()
-    labels = [frontier]
+    visited = frontier
     for hop in range(1, k + 1):
         nbrs = bucketed_join(
             frontier.map_batches(
@@ -373,16 +377,21 @@ def k_hop_distances(seeds_ds, edges_ds, k: int = 2,
             ),
             batch_format="pandas",
         )
-        # distinct level set: one bucketed reduce, frontier stays a set
-        frontier = bucketed_groupby_agg(
-            nbrs, ["u"], {"hop": ("hop", "min")}
+        # distinct candidate set: one bucketed reduce
+        cand = bucketed_groupby_agg(nbrs, ["u"], {"hop": ("hop", "min")})
+        # anti-join visited: only first-time discoveries stay in the frontier
+        seen = visited.map_batches(
+            lambda b: pd.DataFrame({"u": b["u"], "_seen": np.int64(1)}),
+            batch_format="pandas",
+        )
+        frontier = bucketed_join(cand, seen, on="u", how="left").map_batches(
+            lambda b: b[b["_seen"].isna()][["u", "hop"]],
+            batch_format="pandas",
         ).materialize()
-        labels.append(frontier)
+        if frontier.count() == 0:
+            break
+        visited = visited.union(frontier).materialize()
 
-    import functools
-
-    all_labels = functools.reduce(lambda a, b: a.union(b), labels)
-    out = bucketed_groupby_agg(all_labels, ["u"], {"hop": ("hop", "min")})
-    return out.map_batches(
+    return visited.map_batches(
         lambda b: b.rename(columns={"u": node_col}), batch_format="pandas"
     )
