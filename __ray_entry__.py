@@ -1184,6 +1184,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      columns=["doc_id", "text"])
         return doc_tfidf_topk(docs, k=3)
 
+    # shared by doc_bm25_topk / doc_rrf_fusion and their SQL oracles
+    BM25_QUERIES = {
+        "q_hash": "hash join batch",
+        "q_stream": "window stream spark",
+        "q_vec": "vector filter",
+    }
+
+    def doc_bm25_topk_q(sf_dir):
+        # Okapi BM25 (k1=6/5, b=3/4 as rationals) integer surrogate,
+        # top-10 docs per query — see stages/retrieval.py docstring
+        from mmgraphrag_ray.stages.retrieval import bm25_topk
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return bm25_topk(docs, BM25_QUERIES, k=10)
+
+    def doc_rrf_fusion_q(sf_dir):
+        # reciprocal-rank fusion (1/(60+r) scaled integer) of the BM25
+        # ranking with the plain tf-sum ranking, top-10 per query
+        from mmgraphrag_ray.stages.retrieval import bm25_topk, rrf_fuse, tf_topk
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        a = bm25_topk(docs, BM25_QUERIES, k=10)
+        b = tf_topk(docs, BM25_QUERIES, k=10)
+        return rrf_fuse(
+            [a.select_columns(["qid", "doc_id", "rank"]),
+             b.select_columns(["qid", "doc_id", "rank"])],
+            k=10,
+        )
+
     def doc_repetition(sf_dir):
         from mmgraphrag_ray.stages.textstats import doc_repetition_stats
 
@@ -1400,6 +1431,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop": kg_two_hop,
         "token_postings": token_postings_q,
         "doc_tfidf_topk": doc_tfidf_topk_q,
+        "doc_bm25_topk": doc_bm25_topk_q,
+        "doc_rrf_fusion": doc_rrf_fusion_q,
         "doc_repetition": doc_repetition,
         "doc_pack_sequences": doc_pack_sequences,
         "curated_pack_sequences": curated_pack_sequences,
@@ -1679,6 +1712,111 @@ SELECT u AS entity_name, CAST(min(hop) AS BIGINT) AS hop FROM lab GROUP BY u
                 PARTITION BY doc_id ORDER BY score DESC, token
               ) AS rank FROM sc
             ) WHERE rank <= 3
+        """,
+        # integer BM25 surrogate (stages/retrieval.py): k1=6/5 b=3/4 as
+        # rationals, idf_s = N*1e5 // df, one floor per term score; HUGEINT
+        # for the idf*num product (exceeds int64), BIGINT back out
+        "doc_bm25_topk": """
+            WITH q(qid, term) AS (VALUES
+              ('q_hash','hash'), ('q_hash','join'), ('q_hash','batch'),
+              ('q_stream','window'), ('q_stream','stream'), ('q_stream','spark'),
+              ('q_vec','vector'), ('q_vec','filter')),
+            toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) AS l),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            sc AS (
+              SELECT q.qid, tf.doc_id,
+                     ((CAST(st.n AS HUGEINT) * 100000 // df.df)
+                      * (44 * CAST(tf.tf AS HUGEINT) * st.l))
+                     // (20 * CAST(st.l AS HUGEINT) * tf.tf
+                         + 6 * CAST(st.l AS HUGEINT)
+                         + 18 * CAST(dl.dl AS HUGEINT) * st.n) AS ts
+              FROM q JOIN tf USING (term) JOIN df USING (term)
+                   JOIN dl ON dl.doc_id = tf.doc_id, st
+            ),
+            agg AS (
+              SELECT qid, doc_id, CAST(sum(ts) AS BIGINT) AS score
+              FROM sc GROUP BY 1, 2
+            )
+            SELECT qid, doc_id, score, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY score DESC, doc_id
+              ) AS rank FROM agg
+            ) WHERE rank <= 10
+        """,
+        # RRF fusion of the BM25 ranking with the plain tf-sum ranking:
+        # contribution = 1e6 // (60 + rank), integer sum, top-10
+        "doc_rrf_fusion": """
+            WITH q(qid, term) AS (VALUES
+              ('q_hash','hash'), ('q_hash','join'), ('q_hash','batch'),
+              ('q_stream','window'), ('q_stream','stream'), ('q_stream','spark'),
+              ('q_vec','vector'), ('q_vec','filter')),
+            toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) AS l),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            sc AS (
+              SELECT q.qid, tf.doc_id,
+                     ((CAST(st.n AS HUGEINT) * 100000 // df.df)
+                      * (44 * CAST(tf.tf AS HUGEINT) * st.l))
+                     // (20 * CAST(st.l AS HUGEINT) * tf.tf
+                         + 6 * CAST(st.l AS HUGEINT)
+                         + 18 * CAST(dl.dl AS HUGEINT) * st.n) AS ts,
+                     tf.tf
+              FROM q JOIN tf USING (term) JOIN df USING (term)
+                   JOIN dl ON dl.doc_id = tf.doc_id, st
+            ),
+            bm AS (
+              SELECT qid, doc_id, rank FROM (
+                SELECT qid, doc_id, row_number() OVER (
+                  PARTITION BY qid
+                  ORDER BY CAST(sum(ts) AS BIGINT) DESC, doc_id
+                ) AS rank
+                FROM sc GROUP BY qid, doc_id
+              ) WHERE rank <= 10
+            ),
+            tfr AS (
+              SELECT qid, doc_id, rank FROM (
+                SELECT qid, doc_id, row_number() OVER (
+                  PARTITION BY qid
+                  ORDER BY CAST(sum(tf) AS BIGINT) DESC, doc_id
+                ) AS rank
+                FROM sc GROUP BY qid, doc_id
+              ) WHERE rank <= 10
+            ),
+            contrib AS (
+              SELECT qid, doc_id, 1000000 // (60 + rank) AS c FROM bm
+              UNION ALL
+              SELECT qid, doc_id, 1000000 // (60 + rank) AS c FROM tfr
+            ),
+            agg AS (
+              SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS rrf
+              FROM contrib GROUP BY 1, 2
+            )
+            SELECT qid, doc_id, rrf, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY rrf DESC, doc_id
+              ) AS rank FROM agg
+            ) WHERE rank <= 10
         """,
         # Gopher-style repetition signals: duplicate non-empty lines + the
         # most frequent word bigram (tie -> lexicographic min); all-integer

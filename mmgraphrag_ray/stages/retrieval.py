@@ -1,0 +1,290 @@
+"""Lexical retrieval: BM25 top-k and reciprocal-rank fusion.
+
+The reference's retrieval is vector-only (NanoVectorDB cosine top-k,
+storage.py:236-290 / query.py:63-76); these are the lexical complements a
+training-data pipeline runs next to it (mining eval sets, hard-negative
+selection, corpus search).  Built the same Ray-Data-first way as
+stages/index.py and with the same ALL-INTEGER scoring discipline so every
+ranking is bit-deterministic under any shuffle order and exactly
+SQL-mirrorable:
+
+- ``bm25_topk``: Okapi BM25 with k1 = 6/5 and b = 3/4 kept as RATIONALS.
+  The per-term score is one integer expression (S = ``IDF_SCALE``)::
+
+      idf_s      = (N * S) // df                      # rarity surrogate
+      num        = 44 * tf * L                        # = 20L * tf*(k1+1)
+      den        = 20*L*tf + 6*L + 18*dl*N            # = 20L * (tf + k1*(1-b) + k1*b*dl/avgdl)
+      term_score = (idf_s * num) // den
+
+  i.e. the standard tf-saturation/length-normalization shape with avgdl =
+  L/N cleared of all division except the final floor (float BM25 — ln idf,
+  float avgdl — would hash-diverge across engines; this surrogate is
+  monotone in the same variables).  The intermediate product exceeds int64
+  at corpus scale, so the scoring kernel runs on Python ints (object
+  dtype) over the CANDIDATE rows only — candidates are docs containing a
+  query term, never the corpus — and the SQL mirror casts through HUGEINT.
+
+- ``rrf_fuse``: reciprocal-rank fusion of any rank tables,
+  ``contribution = RRF_SCALE // (rrf_k + rank)`` (integer floor; Cormack &
+  Clarke's 1/(60+r) scaled exact), summed per (query, doc).
+
+Scale shape: the query vocabulary is tiny by definition and rides in the
+task closure; corpus stats (N, L) and per-term df are O(#batches) /
+O(#terms) combiner partials reduced on the driver (bounded state); the
+only shuffles are a bucketed sum over candidate (qid, doc) pairs and the
+combiner-based grouped top-k.  The full corpus is scanned exactly twice
+(stats pass + candidate pass), both streaming.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+TOKEN_RE = r"[a-z]+"
+IDF_SCALE = 100_000
+RRF_SCALE = 1_000_000
+RRF_K = 60
+
+
+def _normalize_queries(queries: dict[str, str | list[str]]) -> dict[str, list[str]]:
+    """Query text -> sorted distinct lowercase [a-z]+ terms."""
+    word = re.compile(TOKEN_RE)
+    out = {}
+    for qid, q in queries.items():
+        toks = q if isinstance(q, list) else word.findall(q.lower())
+        out[qid] = sorted({t.lower() for t in toks})
+    return out
+
+
+class _CandidateStage:
+    """Per-batch: (doc_id, term, tf, dl) rows for query-vocab terms only,
+    where dl = the doc's TOTAL token count (all terms, not just matches)."""
+
+    def __init__(self, vocab: frozenset[str], id_col: str, text_col: str):
+        self.word = re.compile(TOKEN_RE)
+        self.vocab = vocab
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids_out, terms, tfs, dls = [], [], [], []
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        for doc_id, text in zip(ids, texts):
+            toks = self.word.findall(text.lower())
+            counts = Counter(toks)
+            dl = len(toks)
+            for term in self.vocab:
+                tf = counts.get(term, 0)
+                if tf:
+                    ids_out.append(doc_id)
+                    terms.append(term)
+                    tfs.append(tf)
+                    dls.append(dl)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "dl": pa.array(dls, pa.int64()),
+            }
+        )
+
+
+def _corpus_stats(documents_ds, text_col: str) -> tuple[int, int]:
+    """(N docs, L total tokens) via per-batch combiner partials — one tiny
+    row per input batch crosses to the driver, never document rows."""
+    word_pat = TOKEN_RE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        word = re.compile(word_pat)
+        texts = batch.column(text_col).to_pylist()
+        total = sum(len(word.findall(t.lower())) for t in texts)
+        return pa.table(
+            {"n": pa.array([len(texts)], pa.int64()),
+             "toks": pa.array([total], pa.int64())}
+        )
+
+    parts = documents_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return int(parts["n"].sum()), int(parts["toks"].sum())
+
+
+def bm25_topk(
+    documents_ds,
+    queries: dict[str, str | list[str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """-> Dataset(qid, doc_id, score, rank): top-k documents per query by
+    the integer BM25 surrogate (module docstring), rank 1..k ordered by
+    (score desc, doc_id asc).  Multi-term scores are integer sums, so the
+    result is shuffle-order-independent."""
+    from .groupagg import bucketed_groupby_agg
+    from .window import grouped_topk
+
+    qterms = _normalize_queries(queries)
+    vocab = frozenset(t for ts in qterms.values() for t in ts)
+    if not vocab:
+        raise ValueError("queries contain no [a-z]+ terms")
+
+    documents_ds = documents_ds.materialize()
+    n_docs, total_len = _corpus_stats(documents_ds, text_col)
+
+    cands = documents_ds.map_batches(
+        _CandidateStage(vocab, id_col, text_col), batch_format="pyarrow"
+    ).materialize()
+
+    # df per term: combiner partial counts -> O(#terms) rows on the driver
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"term": pd.Series(dtype="string"),
+                 "c": pd.Series(dtype="int64")}
+            )
+        out = b.groupby("term", sort=False).size().rename("c").reset_index()
+        out["term"] = out["term"].astype("string")
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    df_parts = cands.map_batches(df_partial, batch_format="pandas").to_pandas()
+    df_by_term = (
+        df_parts.groupby("term")["c"].sum().astype(int).to_dict()
+        if len(df_parts)
+        else {}
+    )
+    idf_by_term = {
+        t: (n_docs * IDF_SCALE) // df for t, df in df_by_term.items()
+    }
+
+    N, L = n_docs, total_len
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        out_qid, out_doc, out_sc = [], [], []
+        terms = batch["term"].to_numpy()
+        docs = batch["doc_id"].to_numpy()
+        tfs = batch["tf"].to_numpy()
+        dls = batch["dl"].to_numpy()
+        for term, doc, tf, dl in zip(terms, docs, tfs, dls):
+            idf = idf_by_term.get(term)
+            if idf is None:
+                continue
+            # Python ints: the product idf*num exceeds int64 at scale
+            tf_i, dl_i = int(tf), int(dl)
+            num = 44 * tf_i * L
+            den = 20 * L * tf_i + 6 * L + 18 * dl_i * N
+            s = (idf * num) // den
+            for qid, ts in qterms.items():
+                if term in ts:
+                    out_qid.append(qid)
+                    out_doc.append(int(doc))
+                    out_sc.append(s)
+        return pd.DataFrame(
+            {
+                "qid": pd.array(out_qid, dtype="string"),
+                "doc_id": np.asarray(out_doc, dtype=np.int64),
+                "score": np.asarray(out_sc, dtype=np.int64),
+            }
+        )
+
+    scored = cands.map_batches(score, batch_format="pandas")
+    sums = bucketed_groupby_agg(
+        scored, keys=["qid", "doc_id"], aggs={"score": ("score", "sum")}
+    )
+    return grouped_topk(
+        sums, keys=["qid"], order_col="score", k=k, tie_cols=["doc_id"]
+    )
+
+
+def tf_topk(
+    documents_ds,
+    queries: dict[str, str | list[str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Plain term-frequency ranking (sum of query-term tf per doc), the
+    classic weak baseline BM25 improves on — here mainly the second system
+    for ``rrf_fuse``.  -> Dataset(qid, doc_id, score, rank), score = total
+    tf, rank by (score desc, doc_id asc)."""
+    from .groupagg import bucketed_groupby_agg
+    from .window import grouped_topk
+
+    qterms = _normalize_queries(queries)
+    vocab = frozenset(t for ts in qterms.values() for t in ts)
+    if not vocab:
+        raise ValueError("queries contain no [a-z]+ terms")
+
+    cands = documents_ds.map_batches(
+        _CandidateStage(vocab, id_col, text_col), batch_format="pyarrow"
+    )
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        out_qid, out_doc, out_tf = [], [], []
+        for term, doc, tf in zip(batch["term"], batch["doc_id"], batch["tf"]):
+            for qid, ts in qterms.items():
+                if term in ts:
+                    out_qid.append(qid)
+                    out_doc.append(int(doc))
+                    out_tf.append(int(tf))
+        return pd.DataFrame(
+            {
+                "qid": pd.array(out_qid, dtype="string"),
+                "doc_id": np.asarray(out_doc, dtype=np.int64),
+                "score": np.asarray(out_tf, dtype=np.int64),
+            }
+        )
+
+    sums = bucketed_groupby_agg(
+        cands.map_batches(expand, batch_format="pandas"),
+        keys=["qid", "doc_id"],
+        aggs={"score": ("score", "sum")},
+    )
+    return grouped_topk(
+        sums, keys=["qid"], order_col="score", k=k, tie_cols=["doc_id"]
+    )
+
+
+def rrf_fuse(rank_tables, k: int = 10, rrf_k: int = RRF_K):
+    """Reciprocal-rank fusion of rank tables (qid, doc_id, rank, ...):
+    rrf = sum over systems of RRF_SCALE // (rrf_k + rank) — all-integer,
+    so fused ties and ordering are engine-exact.  A doc absent from a
+    system's list contributes 0 from it (standard RRF over top-k lists).
+    -> Dataset(qid, doc_id, rrf, rank), rank by (rrf desc, doc_id asc)."""
+    from .groupagg import bucketed_groupby_agg
+    from .window import grouped_topk
+
+    def contrib(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    "qid": pd.Series(dtype="string"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "rrf": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "qid": batch["qid"].astype("string"),
+                "doc_id": batch["doc_id"].astype("int64"),
+                "rrf": (RRF_SCALE // (rrf_k + batch["rank"])).astype("int64"),
+            }
+        )
+
+    import functools
+
+    parts = [
+        t.map_batches(contrib, batch_format="pandas") for t in rank_tables
+    ]
+    unioned = functools.reduce(lambda a, b: a.union(b), parts)
+    sums = bucketed_groupby_agg(
+        unioned, keys=["qid", "doc_id"], aggs={"rrf": ("rrf", "sum")}
+    )
+    return grouped_topk(
+        sums, keys=["qid"], order_col="rrf", k=k, tie_cols=["doc_id"]
+    )

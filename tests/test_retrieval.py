@@ -1,0 +1,115 @@
+"""stages/retrieval.py — BM25 integer surrogate, tf ranking, RRF fusion.
+
+Serial-parity strategy: a pure-Python BM25 with the identical integer
+formula over the same docs must match the distributed result exactly,
+including under block splits (shuffle-order independence of integer sums).
+"""
+
+import re
+from collections import Counter
+
+import pandas as pd
+import ray.data
+
+from mmgraphrag_ray.stages.retrieval import (
+    IDF_SCALE,
+    RRF_SCALE,
+    bm25_topk,
+    rrf_fuse,
+    tf_topk,
+)
+
+DOCS = [
+    "hash join hash join batch merge",
+    "window stream window spark spark spark",
+    "vector filter scan scan",
+    "hash batch batch batch window",
+    "the quick brown fox",  # no query terms
+    "join join join join join join join join",
+    "",  # empty doc
+    "spark",
+]
+QUERIES = {"qa": "hash join batch", "qb": "window stream spark"}
+
+
+def _serial_bm25(docs, queries, k):
+    word = re.compile(r"[a-z]+")
+    toks = [word.findall(t.lower()) for t in docs]
+    n, l_tot = len(docs), sum(len(t) for t in toks)
+    qterms = {q: sorted(set(word.findall(s.lower()))) for q, s in queries.items()}
+    vocab = {t for ts in qterms.values() for t in ts}
+    tf = [{t: c for t, c in Counter(ts).items() if t in vocab} for ts in toks]
+    df = Counter(t for d in tf for t in d)
+    rows = []
+    for qid, ts in qterms.items():
+        scores = {}
+        for doc_id, d in enumerate(tf):
+            s = 0
+            for t in ts:
+                if t not in d:
+                    continue
+                idf = (n * IDF_SCALE) // df[t]
+                num = 44 * d[t] * l_tot
+                den = 20 * l_tot * d[t] + 6 * l_tot + 18 * len(toks[doc_id]) * n
+                s += (idf * num) // den
+            if s:
+                scores[doc_id] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for r, (doc_id, s) in enumerate(ranked, 1):
+            rows.append((qid, doc_id, s, r))
+    return pd.DataFrame(rows, columns=["qid", "doc_id", "score", "rank"])
+
+
+def _docs_ds(n_blocks=3):
+    df = pd.DataFrame({"doc_id": range(len(DOCS)), "text": DOCS})
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return ray.data.from_pandas(df).repartition(n_blocks)
+
+
+def _norm(df):
+    df = df[["qid", "doc_id"] + [c for c in ("score", "rrf") if c in df]
+            + ["rank"]].copy()
+    for c in df.columns:
+        if c != "qid":
+            df[c] = df[c].astype("int64")
+    df["qid"] = df["qid"].astype(str)
+    return df.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
+def test_bm25_matches_serial_reference():
+    got = _norm(bm25_topk(_docs_ds(), QUERIES, k=5).to_pandas())
+    want = _norm(_serial_bm25(DOCS, QUERIES, 5))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_bm25_block_split_invariance():
+    one = _norm(bm25_topk(_docs_ds(1), QUERIES, k=5).to_pandas())
+    many = _norm(bm25_topk(_docs_ds(5), QUERIES, k=5).to_pandas())
+    pd.testing.assert_frame_equal(one, many)
+
+
+def test_bm25_length_normalization_prefers_short_doc():
+    # doc 0 (6 tokens, tf=2 'join') vs doc 5 (8 tokens, tf=8 'join'):
+    # saturation + length norm keep doc 5 ahead but bounded; both rank
+    got = bm25_topk(_docs_ds(), {"q": "join"}, k=3).to_pandas()
+    assert list(got.sort_values("rank")["doc_id"]) == [5, 0, 1][: len(got)]
+
+
+def test_tf_topk_is_plain_tf_sum():
+    got = _norm(tf_topk(_docs_ds(), {"qa": "hash join batch"}, k=3).to_pandas())
+    # doc 5: 8 joins; doc 0: 2+2+1 = 5; doc 3: 1+3 = 4
+    assert list(got["doc_id"]) == [5, 0, 3]
+    assert list(got["score"]) == [8, 5, 4]
+
+
+def test_rrf_fuse_integer_contributions():
+    a = ray.data.from_pandas(pd.DataFrame(
+        {"qid": ["q", "q"], "doc_id": [1, 2], "rank": [1, 2]}))
+    b = ray.data.from_pandas(pd.DataFrame(
+        {"qid": ["q", "q"], "doc_id": [2, 3], "rank": [1, 2]}))
+    got = _norm(rrf_fuse([a, b], k=10).to_pandas())
+    c1, c2 = RRF_SCALE // 61, RRF_SCALE // 62
+    want = pd.DataFrame(
+        {"qid": ["q", "q", "q"], "doc_id": [2, 1, 3],
+         "rrf": [c1 + c2, c1, c2], "rank": [1, 2, 3]})
+    pd.testing.assert_frame_equal(got, _norm(want))
