@@ -1168,6 +1168,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nodes, edges = _build_graph_cached(sf_dir)
         return triangle_counts(nodes, edges)
 
+    def kg_entity_pmi(sf_dir):
+        # top-20 co-occurring entity pairs by the integer PMI surrogate
+        # (log-free p(x,y)/(p(x)p(y)) over mention chunks; graphalgo.py)
+        from mmgraphrag_ray.stages.graphalgo import entity_cooccurrence_pmi
+
+        ent, _ = split_mentions(_mentions_cached(sf_dir))
+        return entity_cooccurrence_pmi(ent, k=20, min_pairs=2)
+
     def token_postings_q(sf_dir):
         # inverted-index build: token -> df + capped sorted posting list
         from mmgraphrag_ray.stages.index import token_postings
@@ -1428,6 +1436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": kg_pagerank,
         "kg_label_prop": kg_label_prop,
         "kg_triangles": kg_triangles,
+        "kg_entity_pmi": kg_entity_pmi,
         "kg_two_hop": kg_two_hop,
         "token_postings": token_postings_q,
         "doc_tfidf_topk": doc_tfidf_topk_q,
@@ -1657,6 +1666,27 @@ JOIN sagg s ON s.new_name = d.new_name
         # degree-ordered triangle counting: orientation keys kill hub
         # explosion; each triangle counted once from its min-key corner
         "kg_triangles": kg + merge + _triangles_sql(),
+        # integer PMI surrogate over chunk co-occurrence: one floor, HUGEINT
+        # product (graphalgo.entity_cooccurrence_pmi)
+        "kg_entity_pmi": kg + """,
+em AS (SELECT DISTINCT entity_name AS e, source_id AS c FROM ent_mentions),
+nx AS (SELECT e, count(*) AS nx FROM em GROUP BY 1),
+nc AS (SELECT count(DISTINCT c) AS n_chunks FROM em),
+pr AS (
+  SELECT a.e AS ea, b.e AS eb, count(*) AS n_xy
+  FROM em a JOIN em b ON a.c = b.c AND a.e < b.e
+  GROUP BY 1, 2
+),
+sc AS (
+  SELECT ea, eb, n_xy, xa.nx AS n_x, xb.nx AS n_y,
+         CAST((CAST(pr.n_xy AS HUGEINT) * nc.n_chunks * 1000000)
+              // (CAST(xa.nx AS HUGEINT) * xb.nx) AS BIGINT) AS pmi
+  FROM pr JOIN nx xa ON xa.e = pr.ea JOIN nx xb ON xb.e = pr.eb, nc
+  WHERE pr.n_xy >= 2
+)
+SELECT ea, eb, n_xy, n_x, n_y, pmi, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, ea, eb) AS rank FROM sc
+) WHERE rank <= 20""",
         # k_hop_distances mirror (k=2, seeds = CLASS nodes): two unrolled
         # frontier joins over the bidirected edges, min hop per node
         "kg_two_hop": kg + merge + """,

@@ -395,3 +395,141 @@ def k_hop_distances(seeds_ds, edges_ds, k: int = 2,
     return visited.map_batches(
         lambda b: b.rename(columns={"u": node_col}), batch_format="pandas"
     )
+
+
+PMI_SCALE = 10**6
+
+
+def entity_cooccurrence_pmi(ent_mentions_ds, k: int = 20, min_pairs: int = 2,
+                            entity_col: str = "entity_name",
+                            chunk_col: str = "source_id"):
+    """Top-k entity pairs by a pointwise-mutual-information surrogate over
+    chunk co-occurrence — the standard first-order signal for relation
+    discovery / alias candidates the reference's LLM alignment judge
+    implicitly exploits (fusion.py prompts carry co-mentioned entities;
+    here the statistic itself is a first-class operator).
+
+    pmi_s = (n_xy * n_chunks * PMI_SCALE) // (n_x * n_y)   [all integers]
+
+    i.e. p(x,y)/(p(x)p(y)) over the universe of chunks with >= 1 entity
+    mention, scaled and floored once — log-free so the ranking is
+    bit-deterministic and exactly SQL-mirrorable (float log PMI would
+    hash-diverge).  Monotone in true PMI for fixed n_chunks.
+
+    -> Dataset(ea, eb, n_xy, n_x, n_y, pmi, rank), ea < eb, n_xy >=
+    min_pairs, rank 1..k by (pmi desc, ea, eb).
+
+    Scale shape: distinct (entity, chunk) via one bucketed reduce; pair
+    enumeration inside a chunk-bucketed groupby — per-chunk entity counts
+    are bounded by the chunk token budget (1200 tokens), so unlike an LSH
+    bucket this quadratic is inherently capped; n_x stamped onto pairs by
+    two bucketed joins (entity tables can be vocabulary-sized — never
+    broadcast); one final combiner top-k.  Driver state: the n_chunks
+    scalar."""
+    import zlib
+
+    from ..arrowutil import strip_pd_metadata
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+    from .window import grouped_topk
+
+    # distinct (entity, chunk)
+    em = bucketed_groupby_agg(
+        ent_mentions_ds.map_batches(
+            lambda b: b[[entity_col, chunk_col]].rename(
+                columns={entity_col: "e", chunk_col: "c"}
+            ),
+            batch_format="pandas",
+        ),
+        keys=["e", "c"],
+        aggs={"_n": (None, "count")},
+    ).map_batches(lambda b: b[["e", "c"]], batch_format="pandas").materialize()
+
+    n_x = bucketed_groupby_agg(em, keys=["e"], aggs={"nx": (None, "count")})
+    n_chunks = bucketed_groupby_agg(
+        em.map_batches(lambda b: b[["c"]], batch_format="pandas"),
+        keys=["c"], aggs={"_n": (None, "count")},
+    ).count()
+
+    def add_chunk_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.assign(
+            _bucket=b["c"].map(
+                lambda s: zlib.crc32(str(s).encode()) % 64
+            ).astype("int32")
+        )
+        return strip_pd_metadata(out) if len(out) else out
+
+    def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, g in bucket.groupby("c", sort=False):
+            ents = sorted(set(g["e"]))
+            for i in range(len(ents)):
+                for j in range(i + 1, len(ents)):
+                    rows.append((ents[i], ents[j]))
+        if not rows:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="string") for c in ("ea", "eb")}
+            )
+        return pd.DataFrame(rows, columns=["ea", "eb"])
+
+    pair_counts = bucketed_groupby_agg(
+        em.map_batches(add_chunk_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .repartition(8),
+        keys=["ea", "eb"],
+        aggs={"n_xy": (None, "count")},
+    ).map_batches(
+        lambda b: b[b["n_xy"] >= min_pairs], batch_format="pandas"
+    )
+
+    witha = bucketed_join(
+        pair_counts,
+        n_x.map_batches(
+            lambda b: b.rename(columns={"e": "ea", "nx": "n_x"}),
+            batch_format="pandas",
+        ),
+        on="ea",
+    )
+    withb = bucketed_join(
+        witha,
+        n_x.map_batches(
+            lambda b: b.rename(columns={"e": "eb", "nx": "n_y"}),
+            batch_format="pandas",
+        ),
+        on="eb",
+    )
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        cols = ["ea", "eb", "n_xy", "n_x", "n_y"]
+        if len(b) == 0:
+            out = pd.DataFrame(
+                {"ea": pd.Series(dtype="string"),
+                 "eb": pd.Series(dtype="string"),
+                 "n_xy": pd.Series(dtype="int64"),
+                 "n_x": pd.Series(dtype="int64"),
+                 "n_y": pd.Series(dtype="int64"),
+                 "pmi": pd.Series(dtype="int64")}
+            )
+            return out
+        out = b[cols].copy()
+        # Python ints: n_xy * n_chunks * SCALE exceeds int64 at corpus scale
+        out["pmi"] = [
+            (int(nxy) * n_chunks * PMI_SCALE) // (int(nx) * int(ny))
+            for nxy, nx, ny in zip(out["n_xy"], out["n_x"], out["n_y"])
+        ]
+        out["pmi"] = out["pmi"].astype("int64")
+        for c in ("n_xy", "n_x", "n_y"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    scored = withb.map_batches(score, batch_format="pandas").map_batches(
+        lambda b: b.assign(_g=np.int64(0)), batch_format="pandas"
+    )
+    top = grouped_topk(
+        scored, keys=["_g"], order_col="pmi", k=k, tie_cols=["ea", "eb"]
+    )
+    return top.map_batches(
+        lambda b: b[["ea", "eb", "n_xy", "n_x", "n_y", "pmi", "rank"]],
+        batch_format="pandas",
+    )

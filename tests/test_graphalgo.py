@@ -124,3 +124,23 @@ def test_k_hop_distances_min_hop_wins_on_cycle():
         .to_pandas().set_index("entity_name")["hop"].to_dict()
     )
     assert out == {"a": 0, "b": 1, "c": 1}
+
+
+def test_entity_pmi_hand_case_and_split_invariance():
+    from mmgraphrag_ray.stages.graphalgo import PMI_SCALE, entity_cooccurrence_pmi
+
+    # chunks: c1={A,B}, c2={A,B}, c3={A,C}, c4={B}, c5={C} -> n_chunks=5
+    # n_A=3 n_B=3 n_C=2; pairs: (A,B) n_xy=2, (A,C) n_xy=1 (below min)
+    rows = [("A", "c1"), ("B", "c1"), ("A", "c2"), ("B", "c2"),
+            ("A", "c3"), ("C", "c3"), ("B", "c4"), ("C", "c5"),
+            ("A", "c1")]  # duplicate mention must not inflate n_xy
+    df = pd.DataFrame(rows, columns=["entity_name", "source_id"])
+    for blocks in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        got = entity_cooccurrence_pmi(ds, k=5, min_pairs=2).to_pandas()
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert (r["ea"], r["eb"], r["n_xy"], r["n_x"], r["n_y"]) == \
+            ("A", "B", 2, 3, 3)
+        assert r["pmi"] == (2 * 5 * PMI_SCALE) // (3 * 3)
+        assert r["rank"] == 1
