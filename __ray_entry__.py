@@ -1168,6 +1168,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nodes, edges = _build_graph_cached(sf_dir)
         return triangle_counts(nodes, edges)
 
+    def kg_kcore(sf_dir):
+        # 3-round k=2 core peel over the KG (fixed rounds -> SQL-unrollable)
+        from mmgraphrag_ray.stages.graphalgo import k_core_peel
+
+        _, edges = _build_graph_cached(sf_dir)
+        return k_core_peel(edges, k=2, rounds=3)
+
     def kg_entity_pmi(sf_dir):
         # top-20 co-occurring entity pairs by the integer PMI surrogate
         # (log-free p(x,y)/(p(x)p(y)) over mention chunks; graphalgo.py)
@@ -1437,6 +1444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_label_prop": kg_label_prop,
         "kg_triangles": kg_triangles,
         "kg_entity_pmi": kg_entity_pmi,
+        "kg_kcore": kg_kcore,
         "kg_two_hop": kg_two_hop,
         "token_postings": token_postings_q,
         "doc_tfidf_topk": doc_tfidf_topk_q,
@@ -1666,6 +1674,25 @@ JOIN sagg s ON s.new_name = d.new_name
         # degree-ordered triangle counting: orientation keys kill hub
         # explosion; each triangle counted once from its min-key corner
         "kg_triangles": kg + merge + _triangles_sql(),
+        # fixed-round k-core peel (k=2, 3 rounds), unrolled; UNION ALL
+        # bidirection mirrors graphalgo.k_core_peel exactly
+        "kg_kcore": kg + merge + """,
+eb0 AS (SELECT src_id AS u, tgt_id AS v FROM edges
+        UNION ALL SELECT tgt_id, src_id FROM edges),
+d1 AS (SELECT u, count(*) AS deg FROM eb0 GROUP BY 1),
+kp1 AS (SELECT u FROM d1 WHERE deg >= 2),
+e1 AS (SELECT e.u, e.v FROM eb0 e
+         JOIN kp1 a ON a.u = e.u JOIN kp1 b ON b.u = e.v),
+d2 AS (SELECT u, count(*) AS deg FROM e1 GROUP BY 1),
+kp2 AS (SELECT u FROM d2 WHERE deg >= 2),
+e2 AS (SELECT e.u, e.v FROM e1 e
+         JOIN kp2 a ON a.u = e.u JOIN kp2 b ON b.u = e.v),
+d3 AS (SELECT u, count(*) AS deg FROM e2 GROUP BY 1),
+kp3 AS (SELECT u FROM d3 WHERE deg >= 2),
+e3 AS (SELECT e.u, e.v FROM e2 e
+         JOIN kp3 a ON a.u = e.u JOIN kp3 b ON b.u = e.v),
+fin AS (SELECT u AS node, count(*) AS deg FROM e3 GROUP BY 1)
+SELECT node, deg FROM fin""",
         # integer PMI surrogate over chunk co-occurrence: one floor, HUGEINT
         # product (graphalgo.entity_cooccurrence_pmi)
         "kg_entity_pmi": kg + """,

@@ -533,3 +533,67 @@ def entity_cooccurrence_pmi(ent_mentions_ds, k: int = 20, min_pairs: int = 2,
         lambda b: b[["ea", "eb", "n_xy", "n_x", "n_y", "pmi", "rank"]],
         batch_format="pandas",
     )
+
+
+def k_core_peel(edges_ds, k: int = 2, rounds: int = 3,
+                src_col: str = "src_id", tgt_col: str = "tgt_id"):
+    """Fixed-round k-core peeling over the undirected KG: each round drops
+    every node with current degree < k and all its incident edges; after
+    ``rounds`` rounds the surviving nodes with their residual degrees are
+    the (approximate-from-above) k-core — exact when the peel has converged,
+    which a fixed round count makes SQL-mirrorable as unrolled CTEs (true
+    convergence looping would need recursion the value oracle can't pin
+    deterministically).  The dense-core extraction is the standard
+    graph-curation primitive (hub/boilerplate detection over the KG; the
+    reference has no graph analytics beyond degree — query.py:84 — so this
+    is extension surface, same family as pagerank_int/triangle_counts).
+
+    -> Dataset(node, deg): nodes still standing after ``rounds`` peels,
+    with their degree in the surviving subgraph.
+
+    Scale shape: per round ONE bucketed grouped count (degrees, combiner)
+    + TWO bucketed semi-joins (edges x kept-on-u, edges x kept-on-v) — the
+    keep set is node-sized so it is never broadcast; state between rounds
+    is the current edge Dataset, re-materialized once per round."""
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    def bidir(b: pd.DataFrame) -> pd.DataFrame:
+        fwd = b[[src_col, tgt_col]].rename(columns={src_col: "u", tgt_col: "v"})
+        rev = b[[tgt_col, src_col]].rename(columns={tgt_col: "u", src_col: "v"})
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    cur = edges_ds.map_batches(bidir, batch_format="pandas").materialize()
+
+    for _ in range(rounds):
+        deg = bucketed_groupby_agg(cur, keys=["u"], aggs={"deg": (None, "count")})
+        keep = deg.map_batches(
+            lambda b: b[b["deg"] >= k][["u"]], batch_format="pandas"
+        ).materialize()
+        half = bucketed_join(cur, keep, on="u")
+        cur = bucketed_join(
+            half.map_batches(
+                lambda b: b.rename(columns={"u": "_w", "v": "u"}),
+                batch_format="pandas",
+            ),
+            keep,
+            on="u",
+        ).map_batches(
+            lambda b: b.rename(columns={"u": "v", "_w": "u"})[["u", "v"]],
+            batch_format="pandas",
+        ).materialize()
+        if cur.count() == 0:
+            # typed empty out: an empty edge Dataset has no schema to
+            # carry through the grouped count's hash shuffle
+            import pyarrow as pa
+
+            return ray.data.from_arrow(
+                pa.table({"node": pa.array([], pa.string()),
+                          "deg": pa.array([], pa.int64())})
+            )
+
+    return bucketed_groupby_agg(
+        cur, keys=["u"], aggs={"deg": (None, "count")}
+    ).map_batches(
+        lambda b: b.rename(columns={"u": "node"}), batch_format="pandas"
+    )

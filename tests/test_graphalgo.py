@@ -144,3 +144,28 @@ def test_entity_pmi_hand_case_and_split_invariance():
             ("A", "B", 2, 3, 3)
         assert r["pmi"] == (2 * 5 * PMI_SCALE) // (3 * 3)
         assert r["rank"] == 1
+
+
+def test_k_core_peel_drops_pendants_keeps_triangle():
+    from mmgraphrag_ray.stages.graphalgo import k_core_peel
+
+    # triangle A-B-C, pendant chain D-A, E-D: peel k=2 removes E then D
+    edges = pd.DataFrame(
+        {"src_id": ["A", "B", "C", "D", "E"],
+         "tgt_id": ["B", "C", "A", "A", "D"]}
+    )
+    for blocks in (1, 3):
+        ds = ray.data.from_pandas(edges).repartition(blocks)
+        got = (k_core_peel(ds, k=2, rounds=3).to_pandas()
+               .sort_values("node").reset_index(drop=True))
+        assert list(got["node"]) == ["A", "B", "C"]
+        assert list(got["deg"]) == [2, 2, 2]
+
+
+def test_k_core_peel_empty_core():
+    from mmgraphrag_ray.stages.graphalgo import k_core_peel
+
+    # pure path graph has no 2-core
+    edges = pd.DataFrame({"src_id": ["A", "B"], "tgt_id": ["B", "C"]})
+    got = k_core_peel(ray.data.from_pandas(edges), k=2, rounds=3).to_pandas()
+    assert len(got) == 0
