@@ -1168,6 +1168,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nodes, edges = _build_graph_cached(sf_dir)
         return triangle_counts(nodes, edges)
 
+    def doc_mixture_q(sf_dir):
+        # largest-remainder mixture: 100 rows across sources weighted
+        # (suffix % 5) + 1, each source's quota = its smallest doc_ids
+        import re as _re
+
+        from mmgraphrag_ray.stages.sample import mixture_allocate
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "source"])
+        srcs = sorted({
+            r["source"]
+            for r in docs.map_batches(
+                lambda b: b[["source"]].drop_duplicates(),
+                batch_format="pandas",
+            ).take_all()
+        })
+        weights = {
+            s: (int(_re.search(r"[0-9]+", s).group()) % 5) + 1 for s in srcs
+        }
+        return mixture_allocate(docs, weights, total=100)
+
     def kg_kcore(sf_dir):
         # 3-round k=2 core peel over the KG (fixed rounds -> SQL-unrollable)
         from mmgraphrag_ray.stages.graphalgo import k_core_peel
@@ -1445,6 +1466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": kg_triangles,
         "kg_entity_pmi": kg_entity_pmi,
         "kg_kcore": kg_kcore,
+        "doc_mixture": doc_mixture_q,
         "kg_two_hop": kg_two_hop,
         "token_postings": token_postings_q,
         "doc_tfidf_topk": doc_tfidf_topk_q,
@@ -2588,6 +2610,29 @@ FROM vh GROUP BY 1, 2, 3
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         """,
         # weighted priority sample: md5_u32(id) // weight, k smallest
+        # Hamilton/largest-remainder apportionment of 100 rows across
+        # sources (weight = suffix%5+1), quota rows = smallest doc_ids
+        "doc_mixture": """
+            WITH src AS (SELECT DISTINCT source FROM documents),
+            w AS (SELECT source,
+                         (CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 5) + 1 AS wt
+                  FROM src),
+            tw AS (SELECT sum(wt) AS W FROM w),
+            q0 AS (SELECT source, wt, 100 * wt // W AS base,
+                          (100 * wt) % W AS frac FROM w, tw),
+            r AS (SELECT 100 - sum(base) AS rem FROM q0),
+            qa AS (SELECT source,
+                          base + CASE WHEN row_number() OVER (
+                            ORDER BY frac DESC, source
+                          ) <= rem THEN 1 ELSE 0 END AS quota
+                   FROM q0, r),
+            rk AS (SELECT doc_id, source, row_number() OVER (
+                     PARTITION BY source ORDER BY doc_id
+                   ) AS rank FROM documents)
+            SELECT rk.doc_id, rk.source, rk.rank,
+                   CAST(qa.quota AS BIGINT) AS quota
+            FROM rk JOIN qa USING (source) WHERE rk.rank <= qa.quota
+        """,
         "doc_weighted_sample": """
             SELECT doc_id, n_chars,
                    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))

@@ -52,3 +52,69 @@ def weighted_topk_sample(ds, id_col: str, weight_col: str, k: int):
     import ray.data
 
     return ray.data.from_pandas(top.reset_index(drop=True))
+
+
+def mixture_allocate(ds, weights: dict[str, int], total: int,
+                     id_col: str = "doc_id", src_col: str = "source"):
+    """Deterministic training-data mixture builder: allocate ``total``
+    output rows across sources by integer weights using the LARGEST-
+    REMAINDER method (Hamilton apportionment), then take each source's
+    quota as its smallest ``id_col`` rows — the whole chain is integer /
+    order-deterministic, so the mix is reproducible across runs and
+    engines (the float-proportions + RNG mixing loaders use cannot be
+    value-checked).
+
+    quota_i = floor(total * w_i / W) + 1 for the sources with the largest
+    remainders (total * w_i mod W, ties by source name asc) until quotas
+    sum to ``total``; a source with fewer rows than its quota yields what
+    it has (NO redistribution — the shortfall is visible in the output
+    size, by design).
+
+    -> Dataset(id_col, src_col, rank, quota): selected rows with their
+    within-source rank (1-based by id asc) and the source's quota.
+
+    Scale shape: quotas are O(#sources) driver arithmetic; selection is
+    the grouped-top-k combiner (per-batch top-quota per source, one
+    bucketed reduce) — output-sized state only, no full shuffle."""
+    from .window import grouped_topk
+
+    W = sum(weights.values())
+    if W <= 0 or total < 0:
+        raise ValueError("need positive total weight and non-negative total")
+    base = {s: total * w // W for s, w in weights.items()}
+    rem = total - sum(base.values())
+    order = sorted(weights, key=lambda s: (-(total * weights[s] % W), s))
+    quota = {s: base[s] + (1 if i < rem else 0) for i, s in enumerate(order)}
+    kmax = max(quota.values(), default=0)
+    if kmax == 0:
+        import pyarrow as pa
+        import ray.data
+
+        return ray.data.from_arrow(pa.table(
+            {id_col: pa.array([], pa.int64()),
+             src_col: pa.array([], pa.string()),
+             "rank": pa.array([], pa.int64()),
+             "quota": pa.array([], pa.int64())}))
+
+    known = ds.map_batches(
+        lambda b: b[b[src_col].isin(list(quota))][[id_col, src_col]],
+        batch_format="pandas",
+    )
+    top = grouped_topk(
+        known, keys=[src_col], order_col=id_col, k=kmax,
+        descending=False,
+    )
+
+    def cut(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"),
+                 src_col: pd.Series(dtype="string"),
+                 "rank": pd.Series(dtype="int64"),
+                 "quota": pd.Series(dtype="int64")})
+        out = b.copy()
+        out["quota"] = out[src_col].map(quota).astype("int64")
+        out = out[out["rank"] <= out["quota"]]
+        return out[[id_col, src_col, "rank", "quota"]]
+
+    return top.map_batches(cut, batch_format="pandas")

@@ -53,3 +53,43 @@ def test_exact_distinct_two_level_agg():
         .sort_values("g")
     )
     assert lvl2["n_users"].tolist() == [3, 1]
+
+
+def test_mixture_allocate_largest_remainder_and_caps():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.sample import mixture_allocate
+
+    # sources a(w=3,n=5), b(w=1,n=5), c(w=1,n=1): total=7, W=5
+    # base: a=4 b=1 c=1, rem = 7-6 = 1 -> fracs: a: 21%5=1, b: 7%5=2, c: 2
+    # order by (frac desc, name): b, c, a -> b gets +1 -> quotas a4 b2 c1... 
+    # c has only 1 row anyway; shortfall would show if quota exceeded n.
+    rows = ([("a", i) for i in range(5)] + [("b", 10 + i) for i in range(5)]
+            + [("c", 99)])
+    df = pd.DataFrame(rows, columns=["source", "doc_id"])
+    df["doc_id"] = df["doc_id"].astype("int64")
+    for blocks in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        got = (mixture_allocate(ds, {"a": 3, "b": 1, "c": 1}, total=7)
+               .to_pandas().sort_values(["source", "rank"])
+               .reset_index(drop=True))
+        assert list(got["source"]) == ["a"] * 4 + ["b"] * 2 + ["c"]
+        assert list(got["doc_id"]) == [0, 1, 2, 3, 10, 11, 99]
+        assert got[got["source"] == "b"]["quota"].iloc[0] == 2
+
+
+def test_mixture_allocate_quota_exceeds_available():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.sample import mixture_allocate
+
+    df = pd.DataFrame({"source": ["a", "a", "b"], "doc_id": [1, 2, 3]})
+    df["doc_id"] = df["doc_id"].astype("int64")
+    got = mixture_allocate(
+        ray.data.from_pandas(df), {"a": 1, "b": 9}, total=10
+    ).to_pandas()
+    # b's quota is 9 but only 1 row exists: shortfall, no redistribution
+    assert len(got[got["source"] == "b"]) == 1
+    assert len(got[got["source"] == "a"]) == 1
