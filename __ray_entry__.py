@@ -1196,6 +1196,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _, edges = _build_graph_cached(sf_dir)
         return k_core_peel(edges, k=2, rounds=3)
 
+    def kg_sorted_neighborhood(sf_dir):
+        # ER blocking: candidate entity pairs within 3 positions of the
+        # global entity_name order (stages/blocking.py)
+        from mmgraphrag_ray.stages.blocking import sorted_neighborhood_pairs
+
+        nodes, _ = _build_graph_cached(sf_dir)
+        return sorted_neighborhood_pairs(
+            nodes, key_col="entity_name", id_col="entity_name", window=3
+        )
+
     def kg_entity_pmi(sf_dir):
         # top-20 co-occurring entity pairs by the integer PMI surrogate
         # (log-free p(x,y)/(p(x)p(y)) over mention chunks; graphalgo.py)
@@ -1465,6 +1475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_label_prop": kg_label_prop,
         "kg_triangles": kg_triangles,
         "kg_entity_pmi": kg_entity_pmi,
+        "kg_sorted_neighborhood": kg_sorted_neighborhood,
         "kg_kcore": kg_kcore,
         "doc_mixture": doc_mixture_q,
         "kg_two_hop": kg_two_hop,
@@ -1715,6 +1726,17 @@ e3 AS (SELECT e.u, e.v FROM e2 e
          JOIN kp3 a ON a.u = e.u JOIN kp3 b ON b.u = e.v),
 fin AS (SELECT u AS node, count(*) AS deg FROM e3 GROUP BY 1)
 SELECT node, deg FROM fin""",
+        # sorted-neighborhood blocking: rank by entity_name, pairs with
+        # rank distance 1..3 (blocking.sorted_neighborhood_pairs)
+        "kg_sorted_neighborhood": kg + merge + """,
+rk AS (
+  SELECT entity_name, row_number() OVER (ORDER BY entity_name) - 1 AS rank
+  FROM nodes
+)
+SELECT a.entity_name AS ka, a.entity_name AS ida,
+       b.entity_name AS kb, b.entity_name AS idb,
+       b.rank - a.rank AS dist
+FROM rk a JOIN rk b ON b.rank > a.rank AND b.rank <= a.rank + 3""",
         # integer PMI surrogate over chunk co-occurrence: one floor, HUGEINT
         # product (graphalgo.entity_cooccurrence_pmi)
         "kg_entity_pmi": kg + """,
