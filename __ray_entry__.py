@@ -1168,6 +1168,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nodes, edges = _build_graph_cached(sf_dir)
         return triangle_counts(nodes, edges)
 
+    def doc_skipgrams_q(sf_dir):
+        # word2vec/GloVe co-occurrence build: top-30 ordered token pairs
+        # at position distance 1..3 (stages/index.py skipgram_topk)
+        from mmgraphrag_ray.stages.index import skipgram_topk
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return skipgram_topk(docs, window=3, k=30, min_count=2)
+
     def doc_mixture_q(sf_dir):
         # largest-remainder mixture: 100 rows across sources weighted
         # (suffix % 5) + 1, each source's quota = its smallest doc_ids
@@ -1478,6 +1487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sorted_neighborhood": kg_sorted_neighborhood,
         "kg_kcore": kg_kcore,
         "doc_mixture": doc_mixture_q,
+        "doc_skipgrams": doc_skipgrams_q,
         "kg_two_hop": kg_two_hop,
         "token_postings": token_postings_q,
         "doc_tfidf_topk": doc_tfidf_topk_q,
@@ -2632,6 +2642,29 @@ FROM vh GROUP BY 1, 2, 3
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         """,
         # weighted priority sample: md5_u32(id) // weight, k smallest
+        # windowed ordered skip-gram pair counts (distances 1..3), corpus
+        # top-30 — mirrors index.skipgram_topk
+        "doc_skipgrams": """
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+              FROM documents
+            ),
+            p AS (
+              SELECT ws[CAST(i AS INT)] AS l, ws[CAST(i + d AS INT)] AS r
+              FROM w,
+                   unnest(generate_series(1, len(ws) - 1)) t(i),
+                   (VALUES (1), (2), (3)) dd(d)
+              WHERE i + d <= len(ws)
+            ),
+            c AS (
+              SELECT l, r, count(*) AS n FROM p GROUP BY 1, 2
+              HAVING count(*) >= 2
+            )
+            SELECT l, r, n, rank FROM (
+              SELECT *, row_number() OVER (ORDER BY n DESC, l, r) AS rank
+              FROM c
+            ) WHERE rank <= 30
+        """,
         # Hamilton/largest-remainder apportionment of 100 rows across
         # sources (weight = suffix%5+1), quota rows = smallest doc_ids
         "doc_mixture": """

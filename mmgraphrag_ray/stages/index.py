@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -189,4 +190,75 @@ def doc_tfidf_topk(
     scored = joined.map_batches(score, batch_format="pandas")
     return grouped_topk(
         scored, keys=["doc_id"], order_col="score", k=k, tie_cols=["token"]
+    )
+
+
+class _SkipgramStage:
+    """Per-batch combiner: windowed ORDERED token-pair counts — one row per
+    distinct (left, right) pair per batch (vocabulary²-bounded, never
+    per-occurrence), the word2vec/GloVe co-occurrence map side."""
+
+    def __init__(self, text_col: str, window: int):
+        self.word = re.compile(TOKEN_RE)
+        self.text_col, self.window = text_col, window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for text in batch.column(self.text_col).to_pylist():
+            toks = self.word.findall(text.lower())
+            for d in range(1, self.window + 1):
+                counts.update(zip(toks[:-d] if d else toks, toks[d:]))
+        ls, rs, ns = [], [], []
+        for (l, r), n in counts.items():
+            ls.append(l)
+            rs.append(r)
+            ns.append(n)
+        return pa.table(
+            {
+                "l": pa.array(ls, pa.string()),
+                "r": pa.array(rs, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+
+def skipgram_topk(
+    documents_ds,
+    window: int = 3,
+    k: int = 30,
+    min_count: int = 2,
+    text_col: str = "text",
+):
+    """Corpus-wide skip-gram co-occurrence: ORDERED pairs (left, right) of
+    tokens at position distance 1..window within a document, counted over
+    the whole corpus — the co-occurrence-matrix construction step of
+    word2vec/GloVe-style embedding training, here as a streaming Ray Data
+    operator (the reference has no lexical statistics at all; same
+    extension family as token_postings/tf-idf above).
+
+    -> Dataset(l, r, n, rank): top-k pairs with n >= min_count, rank by
+    (n desc, l, r).
+
+    Scale shape: per-batch Counter combiner bounds shuffle rows by
+    distinct-pairs-per-batch (vocab-bounded), one bucketed grouped sum,
+    then the combiner top-k — identical discipline to token_postings."""
+    from .groupagg import bucketed_groupby_agg
+    from .window import grouped_topk
+
+    parts = documents_ds.map_batches(
+        _SkipgramStage(text_col, window), batch_format="pyarrow"
+    )
+    sums = bucketed_groupby_agg(
+        parts, keys=["l", "r"], aggs={"n": ("n", "sum")}
+    ).map_batches(
+        lambda b: b[b["n"] >= min_count], batch_format="pandas"
+    ).map_batches(
+        lambda b: b.assign(_g=np.int64(0)), batch_format="pandas"
+    )
+    top = grouped_topk(sums, keys=["_g"], order_col="n", k=k,
+                       tie_cols=["l", "r"])
+    return top.map_batches(
+        lambda b: b[["l", "r", "n", "rank"]], batch_format="pandas"
     )

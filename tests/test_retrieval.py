@@ -113,3 +113,25 @@ def test_rrf_fuse_integer_contributions():
         {"qid": ["q", "q", "q"], "doc_id": [2, 1, 3],
          "rrf": [c1 + c2, c1, c2], "rank": [1, 2, 3]})
     pd.testing.assert_frame_equal(got, _norm(want))
+
+
+def test_skipgram_topk_hand_counts_and_split_invariance():
+    from mmgraphrag_ray.stages.index import skipgram_topk
+
+    docs = pd.DataFrame({
+        "doc_id": pd.array([0, 1], dtype="int64"),
+        "text": ["a b a b", "a b c"],
+    })
+    # window=2 ordered pairs: doc0: d1 (a,b)(b,a)(a,b); d2 (a,a)(b,b)
+    #                         doc1: d1 (a,b)(b,c); d2 (a,c)
+    # totals: (a,b)=3 (b,a)=1 (a,a)=1 (b,b)=1 (b,c)=1 (a,c)=1
+    for blocks in (1, 3):
+        ds = ray.data.from_pandas(docs).repartition(blocks)
+        got = skipgram_topk(ds, window=2, k=10, min_count=1).to_pandas()
+        got = got.sort_values("rank").reset_index(drop=True)
+        assert (got.iloc[0]["l"], got.iloc[0]["r"], got.iloc[0]["n"]) == \
+            ("a", "b", 3)
+        assert len(got) == 6
+        # min_count filter drops the singletons
+        got2 = skipgram_topk(ds, window=2, k=10, min_count=2).to_pandas()
+        assert len(got2) == 1
