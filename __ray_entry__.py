@@ -511,6 +511,69 @@ SELECT id, min(r) AS label FROM reach GROUP BY id
 """
 
 
+def _minhash_cross_sql(threshold: float = 0.8) -> str:
+    """Exact SQL mirror of stages/dedup.py minhash_cross_pairs with the
+    query's side split (new = doc_id % 5 == 0): same md5 shingle hashes /
+    permutation literals / banding as _minhash_cc_sql, candidates
+    restricted to new x old, integer shared/total shingle counts out."""
+    from mmgraphrag_ray.stages.dedup import _MERSENNE, _PERM_A, _PERM_B
+
+    perm_rows = ",\n    ".join(
+        f"({i}, {int(a)}::UBIGINT, {int(b)}::UBIGINT)"
+        for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    )
+    return f"""
+WITH perms(pidx, a, b) AS (VALUES
+    {perm_rows}
+),
+words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+),
+shing AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(list_slice(ws, s, s + 2), ' ') AS shingle
+    FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(s)
+    WHERE len(ws) >= 3
+    UNION ALL
+    SELECT doc_id, array_to_string(ws, ' ') FROM words WHERE len(ws) BETWEEN 1 AND 2
+  )
+),
+hashes AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT) AS h FROM shing
+),
+mh AS (
+  SELECT doc_id, pidx, min((a * h + b) % {_MERSENNE}) AS v
+  FROM hashes CROSS JOIN perms GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, pidx // 8 AS band_id,
+         substr(md5(string_agg(CAST(v AS VARCHAR), '-' ORDER BY pidx)), 1, 16) AS band_hash
+  FROM mh GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
+),
+counts AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
+inter AS (
+  SELECT c.new_id, c.old_id, count(*) AS i
+  FROM cand c
+  JOIN shing sa ON sa.doc_id = c.new_id
+  JOIN shing sb ON sb.doc_id = c.old_id AND sa.shingle = sb.shingle
+  GROUP BY 1, 2
+)
+SELECT c.new_id, c.old_id,
+       COALESCE(i.i, 0) AS n_shared, ca.n AS n_new, cb.n AS n_old
+FROM cand c
+JOIN counts ca ON ca.doc_id = c.new_id
+JOIN counts cb ON cb.doc_id = c.old_id
+LEFT JOIN inter i ON i.new_id = c.new_id AND i.old_id = c.old_id
+WHERE CAST(COALESCE(i.i, 0) AS DOUBLE) / (ca.n + cb.n - COALESCE(i.i, 0)) >= {threshold}
+"""
+
+
 def _jaccard_cc_sql(threshold: float = 0.8, max_df: int = 64) -> str:
     """Exact SQL mirror of stages/dedup.py dedup_jaccard over `documents`:
     shared-shingle blocking (16-hex md5 of the shingle, document-frequency
@@ -1168,6 +1231,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nodes, edges = _build_graph_cached(sf_dir)
         return triangle_counts(nodes, edges)
 
+    def dedup_incremental_minhash_q(sf_dir):
+        # ingest gate: new shard (doc_id %% 5 == 0) vs indexed corpus —
+        # verified cross-side MinHash pairs with integer shingle counts
+        from mmgraphrag_ray.stages.dedup import minhash_cross_pairs
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        new = docs.map_batches(lambda b: b[b["doc_id"] % 5 == 0],
+                               batch_format="pandas")
+        old = docs.map_batches(lambda b: b[b["doc_id"] % 5 != 0],
+                               batch_format="pandas")
+        return minhash_cross_pairs(new, old, threshold=0.8)
+
     def doc_skipgrams_q(sf_dir):
         # word2vec/GloVe co-occurrence build: top-30 ordered token pairs
         # at position distance 1..3 (stages/index.py skipgram_topk)
@@ -1488,6 +1564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": kg_kcore,
         "doc_mixture": doc_mixture_q,
         "doc_skipgrams": doc_skipgrams_q,
+        "dedup_incremental_minhash": dedup_incremental_minhash_q,
         "kg_two_hop": kg_two_hop,
         "token_postings": token_postings_q,
         "doc_tfidf_topk": doc_tfidf_topk_q,
@@ -2171,6 +2248,8 @@ FROM vh GROUP BY 1, 2, 3
             ) WHERE rn = 1
         """,
         "dedup_minhash_documents": _minhash_cc_sql(threshold=0.8),
+        # cross-side (new-vs-indexed) verified pairs, integer counts out
+        "dedup_incremental_minhash": _minhash_cross_sql(threshold=0.8),
         "dedup_jaccard_documents": _jaccard_cc_sql(threshold=0.8),
         # LSH recall vs this all-pairs oracle is exact HERE because the only
         # >=0.95 pairs are the planted scaled copies (same LSH bucket by

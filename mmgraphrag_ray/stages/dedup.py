@@ -1021,3 +1021,130 @@ def decontaminate(docs_ds, text_col: str = "text", id_col: str = "doc_id",
         return out
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+# ------------------------------------------------- incremental (cross-side)
+
+def minhash_cross_pairs(
+    new_ds, old_ds, threshold: float = 0.8,
+    id_col: str = "doc_id", text_col: str = "text", k: int = 3,
+    max_bucket: int = MAX_BUCKET_ALL_PAIRS,
+):
+    """Incremental near-dedup: verified MinHash-LSH pairs BETWEEN a new
+    shard and an already-indexed corpus — the "is this crawl batch already
+    in the training set" gate a continuously-updated pipeline runs on every
+    ingest (same banding/verify math as dedup_minhash; only the pair
+    topology differs: new x old only, never within a side, so candidate
+    volume scales with the NEW shard's dup density, not the corpus's).
+
+    -> Dataset(new_id, old_id, n_shared, n_new, n_old): verified pairs
+    with exact shared/total shingle counts (all-integer output; the
+    threshold compare i/(n_new+n_old-i) >= threshold is the same IEEE
+    double op in both engines).  Downstream drop-list = distinct new_id.
+
+    Scale shape: identical to minhash_candidate_pairs (band rows shuffle,
+    per-bucket enumeration with the hot-bucket star cap — star = every new
+    doc paired with the min old id) plus verify_jaccard's two bucketed
+    text joins; the old corpus streams, it is never broadcast."""
+    from .join import bucketed_join
+
+    def tag(side: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            out = b[[id_col, text_col]].copy()
+            out["_side"] = np.int64(side)
+            return out
+        return fn
+
+    both = new_ds.map_batches(tag(1), batch_format="pandas").union(
+        old_ds.map_batches(tag(0), batch_format="pandas")
+    ).materialize()
+
+    def to_bands(batch: pd.DataFrame):
+        rows = []
+        for doc_id, text, side in zip(batch[id_col], batch[text_col],
+                                      batch["_side"]):
+            for r in _band_rows(doc_id, minhash_signature(text, k)):
+                rows.append((*r, int(side)))
+        out = pd.DataFrame(
+            rows, columns=["doc_id", "band_id", "band_hash", "side"]
+        )
+        if len(out):
+            out["bucket"] = out["band_hash"].map(
+                lambda s: zlib.crc32(s.encode()) % N_BUCKETS
+            ).astype("int32")
+        else:
+            out["bucket"] = pd.Series(dtype="int32")
+        return _pairs_arrow(out)
+
+    def cross_pairs_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        import logging
+
+        rows = []
+        for (_b, _h), g in bucket.groupby(["band_id", "band_hash"],
+                                          sort=False):
+            news = sorted(g.loc[g["side"] == 1, "doc_id"].unique())
+            olds = sorted(g.loc[g["side"] == 0, "doc_id"].unique())
+            if not news or not olds:
+                continue
+            if len(news) * len(olds) > max_bucket * max_bucket:
+                logging.getLogger(__name__).warning(
+                    "cross LSH bucket %dx%d: star pairs to min old id",
+                    len(news), len(olds),
+                )
+                rows.extend((nw, olds[0]) for nw in news)
+                continue
+            rows.extend((nw, od) for nw in news for od in olds)
+        return pd.DataFrame(
+            rows, columns=["new_id", "old_id"]
+        ).drop_duplicates()
+
+    bands = both.map_batches(to_bands, batch_format="pandas")
+    pairs = (
+        bands.groupby("bucket")
+        .map_groups(cross_pairs_in_bucket, batch_format="pandas")
+        .repartition(8)
+    )
+    pairs = dedup_exact(pairs.map_batches(
+        lambda b: b.assign(
+            pair=b["new_id"].astype(str) + "|" + b["old_id"].astype(str)
+        ) if len(b) else b.assign(pair=pd.Series(dtype="object")),
+        batch_format="pandas",
+    ), key="pair", order_by=["new_id", "old_id"]).drop_columns(["pair"])
+
+    texts = both.map_batches(
+        lambda b: b[[id_col, text_col]], batch_format="pandas"
+    )
+    ta = texts.map_batches(
+        lambda b: b.rename(columns={id_col: "new_id", text_col: "text_a"}),
+        batch_format="pandas",
+    )
+    tb = texts.map_batches(
+        lambda b: b.rename(columns={id_col: "old_id", text_col: "text_b"}),
+        batch_format="pandas",
+    )
+    j1 = bucketed_join(pairs, ta, on="new_id", small_side="left").materialize()
+    j2 = bucketed_join(j1, tb, on="old_id", small_side="left").materialize()
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {"new_id": pd.Series(dtype="int64"),
+                 "old_id": pd.Series(dtype="int64"),
+                 "n_shared": pd.Series(dtype="int64"),
+                 "n_new": pd.Series(dtype="int64"),
+                 "n_old": pd.Series(dtype="int64")}
+            )
+        rows = []
+        for nw, od, ta_, tb_ in zip(batch["new_id"], batch["old_id"],
+                                    batch["text_a"], batch["text_b"]):
+            sa, sb = shingle_set(ta_, k), shingle_set(tb_, k)
+            i = len(sa & sb)
+            denom = len(sa) + len(sb) - i
+            if denom and i / denom >= threshold:
+                rows.append((int(nw), int(od), i, len(sa), len(sb)))
+        out = pd.DataFrame(
+            rows, columns=["new_id", "old_id", "n_shared", "n_new", "n_old"]
+        )
+        return out.astype({c: "int64" for c in out.columns})
+
+    return j2.map_batches(score, batch_format="pandas")

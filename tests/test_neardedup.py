@@ -147,3 +147,29 @@ def test_jaccard_hot_shingle_skipped():
         ray.data.from_pandas(docs), max_df=5
     ).to_pandas()
     assert set(zip(pairs.id_a, pairs.id_b)) == {(8, 9)}
+
+
+def test_minhash_cross_pairs_only_cross_side():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.dedup import minhash_cross_pairs
+
+    base_a = ("the quick brown fox jumps over the lazy dog and then "
+              "runs far away into the deep dark woods tonight")
+    base_b = ("streaming shuffles move blocks between workers while the "
+              "object store spills cold data onto local disk quietly")
+    # (0,1) near-dup across sides; (2,4) near-dup WITHIN the new side so
+    # it must not pair; 3 is an unrelated old singleton
+    docs = pd.DataFrame({
+        "doc_id": pd.array([0, 1, 2, 3, 4], dtype="int64"),
+        "text": [base_a, base_a + " extra", base_b,
+                 "completely other unrelated content here", base_b + " extra"],
+    })
+    new = ray.data.from_pandas(docs[docs.doc_id % 2 == 0])
+    old = ray.data.from_pandas(docs[docs.doc_id % 2 == 1])
+    got = minhash_cross_pairs(new, old, threshold=0.85).to_pandas()
+    got = got.sort_values(["new_id", "old_id"]).reset_index(drop=True)
+    # cross pairs only: (0,1); (2,4) is same-side and must be absent
+    assert list(zip(got["new_id"], got["old_id"])) == [(0, 1)]
+    assert (got["n_shared"] > 0).all()
