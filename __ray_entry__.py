@@ -1291,6 +1291,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             nodes, key_col="entity_name", id_col="entity_name", window=3
         )
 
+    def kg_fuzzy_name_pairs(sf_dir):
+        # merge/purge: sorted-neighborhood candidates verified by exact
+        # edit distance <= 2 (stages/blocking.py fuzzy_key_pairs)
+        from mmgraphrag_ray.stages.blocking import fuzzy_key_pairs
+
+        nodes, _ = _build_graph_cached(sf_dir)
+        return fuzzy_key_pairs(
+            nodes, key_col="entity_name", id_col="entity_name",
+            window=3, max_edit=2,
+        )
+
     def kg_entity_pmi(sf_dir):
         # top-20 co-occurring entity pairs by the integer PMI surrogate
         # (log-free p(x,y)/(p(x)p(y)) over mention chunks; graphalgo.py)
@@ -1561,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": kg_triangles,
         "kg_entity_pmi": kg_entity_pmi,
         "kg_sorted_neighborhood": kg_sorted_neighborhood,
+        "kg_fuzzy_name_pairs": kg_fuzzy_name_pairs,
         "kg_kcore": kg_kcore,
         "doc_mixture": doc_mixture_q,
         "doc_skipgrams": doc_skipgrams_q,
@@ -1824,6 +1836,19 @@ SELECT a.entity_name AS ka, a.entity_name AS ida,
        b.entity_name AS kb, b.entity_name AS idb,
        b.rank - a.rank AS dist
 FROM rk a JOIN rk b ON b.rank > a.rank AND b.rank <= a.rank + 3""",
+        # sorted-neighborhood candidates verified by levenshtein <= 2
+        "kg_fuzzy_name_pairs": kg + merge + """,
+rk AS (
+  SELECT entity_name, row_number() OVER (ORDER BY entity_name) - 1 AS rank
+  FROM nodes
+)
+SELECT ka, ida, kb, idb, dist, edit FROM (
+  SELECT a.entity_name AS ka, a.entity_name AS ida,
+         b.entity_name AS kb, b.entity_name AS idb,
+         b.rank - a.rank AS dist,
+         CAST(levenshtein(a.entity_name, b.entity_name) AS BIGINT) AS edit
+  FROM rk a JOIN rk b ON b.rank > a.rank AND b.rank <= a.rank + 3
+) WHERE edit <= 2""",
         # integer PMI surrogate over chunk co-occurrence: one floor, HUGEINT
         # product (graphalgo.entity_cooccurrence_pmi)
         "kg_entity_pmi": kg + """,

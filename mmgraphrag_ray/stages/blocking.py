@@ -163,3 +163,62 @@ def sorted_neighborhood_pairs(
         .map_groups(pairs, batch_format="pandas")
         .repartition(8)
     )
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Classic DP edit distance (insert/delete/substitute, unit costs) —
+    matches DuckDB's levenshtein() exactly, so fuzzy-pair outputs
+    value-compare across engines."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def fuzzy_key_pairs(
+    ds,
+    key_col: str,
+    id_col: str,
+    window: int = 3,
+    max_edit: int = 2,
+    prefix_len: int = 2,
+    block: int | None = None,
+):
+    """Fuzzy-duplicate key pairs: sorted-neighborhood candidates verified
+    by exact edit distance <= ``max_edit`` — the classic merge/purge
+    pipeline (block in key order, verify with an exact metric), the ER
+    step that catches typo'd / renamed entities hash blocking can't.
+
+    -> Dataset(ka, ida, kb, idb, dist, edit): surviving pairs with their
+    rank distance and edit distance (all-integer output).
+
+    Scale shape: inherits sorted_neighborhood_pairs' plan; the verify is
+    a pure per-batch map over candidate rows (O(window * n) candidates,
+    each a short-string DP)."""
+
+    cands = sorted_neighborhood_pairs(
+        ds, key_col, id_col, window=window,
+        prefix_len=prefix_len, block=block,
+    )
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            out = b.copy()
+            out["edit"] = pd.Series(dtype="int64")
+            return out
+        ed = [levenshtein(x, y) for x, y in zip(b["ka"], b["kb"])]
+        out = b.copy()
+        out["edit"] = pd.array(ed, dtype="int64")
+        return out[out["edit"] <= max_edit]
+
+    return cands.map_batches(verify, batch_format="pandas")

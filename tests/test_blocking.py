@@ -47,3 +47,31 @@ def test_sorted_neighborhood_duplicate_keys_tiebreak_on_id():
     ).to_pandas()
     want = _serial([("x", "3"), ("x", "1"), ("x", "2"), ("y", "0")], 1)
     pd.testing.assert_frame_equal(_norm(got), _norm(want))
+
+
+def test_levenshtein_matches_duckdb():
+    import duckdb
+
+    from mmgraphrag_ray.stages.blocking import levenshtein
+
+    cases = [("abc", "abd"), ("", "xyz"), ("kitten", "sitting"),
+             ("FN_19_20", "FN_19_2"), ("same", "same"), ("ab", "ba")]
+    con = duckdb.connect()
+    for a, b in cases:
+        want = con.sql(f"select levenshtein('{a}', '{b}')").fetchone()[0]
+        assert levenshtein(a, b) == want, (a, b)
+
+
+def test_fuzzy_key_pairs_filters_by_edit():
+    from mmgraphrag_ray.stages.blocking import fuzzy_key_pairs
+
+    df = pd.DataFrame({
+        "name": ["alpha", "alphb", "beta", "gamma_long_name"],
+        "rid": ["1", "2", "3", "4"],
+    })
+    got = fuzzy_key_pairs(
+        ray.data.from_pandas(df), "name", "rid", window=3, max_edit=1,
+        prefix_len=1,
+    ).to_pandas()
+    assert list(zip(got["ka"], got["kb"])) == [("alpha", "alphb")]
+    assert list(got["edit"]) == [1]
