@@ -1515,6 +1515,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return semdedup(emb, n_clusters=8, refine_rounds=1, tau=(2, 5))
 
+    def emb_negatives_q(sf_dir):
+        # contrastive hard-negative mining off the Lloyd assignment:
+        # k=2 negatives per anchor from other clusters, md5-keyed rank
+        from mmgraphrag_ray.stages.cluster import negative_samples
+
+        emb = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return negative_samples(emb, n_clusters=8, refine_rounds=1,
+                                per_cluster=4, k=2)
+
     def kg_two_hop(sf_dir):
         # 2-hop BFS neighborhood from the CLASS nodes over the constructed
         # KG — the query-side k-hop subgraph primitive (min hop per node)
@@ -1593,6 +1604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": doc_decontaminate,
         "emb_kmeans": emb_kmeans,
         "emb_semdedup": emb_semdedup,
+        "emb_negatives": emb_negatives_q,
         "doc_sample": doc_sample,
         "ann_topk": ann_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -2470,6 +2482,28 @@ FROM vh GROUP BY 1, 2, 3
             SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
                    CAST(dist AS BIGINT) AS dist
             FROM a2
+        """,
+        # negative_samples mirror: per-cluster 4 smallest ids as the pool,
+        # md5(anchor || '|' || cand) rank, top-2 per anchor
+        "emb_negatives": _KMEANS_CTE + """,
+            samp AS (
+              SELECT cid, vec_id FROM (
+                SELECT cid, vec_id, row_number() OVER (
+                  PARTITION BY cid ORDER BY vec_id
+                ) AS rn FROM a2
+              ) WHERE rn <= 4
+            ),
+            cand AS (
+              SELECT a.vec_id, s.vec_id AS neg_id,
+                     md5(CAST(a.vec_id AS VARCHAR) || '|'
+                         || CAST(s.vec_id AS VARCHAR)) AS h
+              FROM a2 a JOIN samp s ON s.cid <> a.cid
+            )
+            SELECT vec_id, neg_id, rank FROM (
+              SELECT vec_id, neg_id, row_number() OVER (
+                PARTITION BY vec_id ORDER BY h, neg_id
+              ) AS rank FROM cand
+            ) WHERE rank <= 2
         """,
         # mirror of stages/cluster.py semdedup (tau = 2/5): within-cluster
         # pairwise integer cosine test in HUGEINT — cos >= 2/5 iff dot >= 0

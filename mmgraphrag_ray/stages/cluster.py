@@ -272,3 +272,67 @@ def semdedup(
         .map_groups(per_cluster, batch_format="pyarrow")
         .repartition(8)
     )
+
+
+def negative_samples(
+    emb_ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    refine_rounds: int = 1,
+    per_cluster: int = 4,
+    k: int = 2,
+    scale: int = 1_000_000,
+):
+    """Deterministic hard-negative mining for contrastive training: for
+    every anchor vector, ``k`` negatives drawn from OTHER k-means clusters
+    — the cluster-based negative-sampling recipe (same family as SemDeDup's
+    use of the Lloyd assignment, but for pair construction instead of
+    pruning).  RNG-free so the pair table is value-checkable: the candidate
+    pool is each cluster's ``per_cluster`` smallest ids, and an anchor
+    ranks its pool by ``md5(anchor_id || '|' || cand_id)`` — a keyed hash
+    shuffle both engines compute identically.
+
+    -> Dataset(vec_id, neg_id, rank), rank 1..k by (md5 asc, neg_id asc).
+
+    Scale shape: the pool is n_clusters x per_cluster rows (grouped-top-k
+    combiner -> driver broadcast, constant size); anchors stream once with
+    a bounded per-row candidate loop; no shuffle beyond the assignment's."""
+    from .window import grouped_topk
+
+    assign = kmeans_assign(
+        emb_ds, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters,
+        refine_rounds=refine_rounds, scale=scale,
+    ).materialize()
+
+    pool_rows = grouped_topk(
+        assign.map_batches(
+            lambda b: b[["cluster", id_col]], batch_format="pandas"
+        ),
+        keys=["cluster"], order_col=id_col, k=per_cluster, descending=False,
+    ).to_pandas()
+    pool = {
+        int(c): sorted(int(v) for v in g[id_col])
+        for c, g in pool_rows.groupby("cluster")
+    }
+
+    def mine(b: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        rows = []
+        for vid, cid in zip(b[id_col], b["cluster"]):
+            cands = []
+            for c, ids in pool.items():
+                if c == int(cid):
+                    continue
+                for nid in ids:
+                    h = hashlib.md5(f"{int(vid)}|{nid}".encode()).hexdigest()
+                    cands.append((h, nid))
+            cands.sort()
+            for r, (_h, nid) in enumerate(cands[:k], 1):
+                rows.append((int(vid), nid, r))
+        out = pd.DataFrame(rows, columns=[id_col, "neg_id", "rank"])
+        return out.astype({id_col: "int64", "neg_id": "int64",
+                           "rank": "int64"})
+
+    return assign.map_batches(mine, batch_format="pandas")

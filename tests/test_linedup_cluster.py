@@ -280,3 +280,32 @@ def test_decontaminate_join_plan_matches_broadcast_plan():
         b[cols].sort_values("doc_id").reset_index(drop=True),
     )
     assert a["contaminated"].sum() > 0  # positively exercised
+
+
+def test_negative_samples_cross_cluster_only_and_deterministic():
+    import hashlib
+
+    from mmgraphrag_ray.stages.cluster import kmeans_assign, negative_samples
+
+    rng = np.random.RandomState(3)
+    # two tight blobs -> 2 clusters
+    vecs = np.vstack([rng.rand(10, 4) * 0.01,
+                      rng.rand(10, 4) * 0.01 + 5.0])
+    df = pd.DataFrame({
+        "vec_id": pd.array(range(20), dtype="int64"),
+        "embedding": list(vecs),
+    })
+    ds = ray.data.from_pandas(df)
+    got = negative_samples(ds, n_clusters=2, refine_rounds=1,
+                           per_cluster=3, k=2).to_pandas()
+    assign = kmeans_assign(ds, n_clusters=2, refine_rounds=1).to_pandas()
+    cl = dict(zip(assign["vec_id"], assign["cluster"]))
+    assert len(got) == 40  # 2 per anchor
+    for vid, nid in zip(got["vec_id"], got["neg_id"]):
+        assert cl[vid] != cl[nid]  # negatives always cross-cluster
+    # rank-1 negative reproduces the md5 order by hand for one anchor
+    one = got[got["vec_id"] == 0].sort_values("rank")
+    pool = sorted(assign[assign["cluster"] != cl[0]]["vec_id"])[:3]
+    want = sorted((hashlib.md5(f"0|{n}".encode()).hexdigest(), n)
+                  for n in pool)[:2]
+    assert list(one["neg_id"]) == [n for _h, n in want]
