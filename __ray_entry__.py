@@ -1244,6 +1244,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                batch_format="pandas")
         return minhash_cross_pairs(new, old, threshold=0.8)
 
+    def doc_dup_passages_q(sf_dir):
+        # token-window exact substring dedup signal (Lee et al.): per-doc
+        # duplicated 8-token-window counts (stages/dedup.py dup_passages)
+        from mmgraphrag_ray.stages.dedup import dup_passages
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return dup_passages(docs, win=8)
+
     def doc_skipgrams_q(sf_dir):
         # word2vec/GloVe co-occurrence build: top-30 ordered token pairs
         # at position distance 1..3 (stages/index.py skipgram_topk)
@@ -1587,6 +1596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": kg_kcore,
         "doc_mixture": doc_mixture_q,
         "doc_skipgrams": doc_skipgrams_q,
+        "doc_dup_passages": doc_dup_passages_q,
         "dedup_incremental_minhash": dedup_incremental_minhash_q,
         "kg_two_hop": kg_two_hop,
         "token_postings": token_postings_q,
@@ -2780,6 +2790,43 @@ FROM vh GROUP BY 1, 2, 3
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         """,
         # weighted priority sample: md5_u32(id) // weight, k smallest
+        # per-doc duplicated 8-token-window counts; a window is dup when
+        # its text occurs in >= 2 distinct docs (dedup.dup_passages)
+        "doc_dup_passages": """
+            WITH words AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM documents
+            ),
+            winp AS (
+              SELECT doc_id,
+                     substr(md5(array_to_string(
+                       list_slice(ws, CAST(i AS INT), CAST(i + 7 AS INT)), ' '
+                     )), 1, 16) AS wh
+              FROM words, unnest(generate_series(1, len(ws) - 7)) t(i)
+              WHERE len(ws) >= 8
+            ),
+            perdoc AS (
+              SELECT doc_id, wh, count(*) AS npos FROM winp GROUP BY 1, 2
+            ),
+            dfx AS (SELECT wh, count(*) AS df FROM perdoc GROUP BY 1),
+            sums AS (
+              SELECT p.doc_id,
+                     sum(p.npos) AS n_windows,
+                     sum(CASE WHEN dfx.df >= 2 THEN p.npos ELSE 0 END)
+                       AS n_dup_positions,
+                     sum(CASE WHEN dfx.df >= 2 THEN 1 ELSE 0 END)
+                       AS n_dup_distinct
+              FROM perdoc p JOIN dfx USING (wh) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n_windows, 0) AS BIGINT) AS n_windows,
+                   CAST(COALESCE(s.n_dup_positions, 0) AS BIGINT)
+                     AS n_dup_positions,
+                   CAST(COALESCE(s.n_dup_distinct, 0) AS BIGINT)
+                     AS n_dup_distinct
+            FROM documents d LEFT JOIN sums s USING (doc_id)
+        """,
         # windowed ordered skip-gram pair counts (distances 1..3), corpus
         # top-30 — mirrors index.skipgram_topk
         "doc_skipgrams": """

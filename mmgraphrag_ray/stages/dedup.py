@@ -1148,3 +1148,105 @@ def minhash_cross_pairs(
         return out.astype({c: "int64" for c in out.columns})
 
     return j2.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------- duplicated passages
+
+def dup_passages(docs_ds, win: int = 8,
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """Exact duplicated-passage detection at token-window granularity (the
+    Lee et al. "Deduplicating Training Data" substring-dedup signal,
+    window-hash approximation of the suffix-array pass): a WINDOW is
+    ``win`` consecutive ``[a-z0-9]+`` tokens; a window is DUPLICATED when
+    its text occurs in >= 2 distinct documents.  Per-doc counts let the
+    curation layer threshold on passage-level contamination where line
+    dedup (dedup_lines) misses reflowed text.
+
+    -> Dataset(doc_id, n_windows, n_dup_positions, n_dup_distinct):
+    total window positions, positions whose window is corpus-duplicated,
+    and distinct duplicated window hashes in the doc.  Docs shorter than
+    ``win`` tokens have zero windows (all counts 0).
+
+    Scale shape: one flat map to fixed-width (doc, window-md5) rows with a
+    per-batch position-count combiner, ONE bucketed df count over distinct
+    (doc, hash), a bucketed join back, per-doc grouped sums — the same
+    discipline as dedup_lines; shuffle rows ride as 16-hex hashes."""
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    word = re.compile(r"[a-z0-9]+")
+
+    def to_windows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, hs, cnt = [], [], []
+        for doc_id, text in zip(batch[id_col], batch[text_col]):
+            toks = word.findall(str(text).lower())
+            seen: dict[str, int] = {}
+            for i in range(len(toks) - win + 1):
+                h = hashlib.md5(
+                    " ".join(toks[i : i + win]).encode()
+                ).hexdigest()[:16]
+                seen[h] = seen.get(h, 0) + 1
+            for h, n in seen.items():
+                ids.append(int(doc_id))
+                hs.append(h)
+                cnt.append(n)
+        return pd.DataFrame({
+            id_col: pd.array(ids, dtype="int64"),
+            "wh": pd.array(hs, dtype="string"),
+            "npos": pd.array(cnt, dtype="int64"),
+        })
+
+    wrows = docs_ds.map_batches(to_windows, batch_format="pandas").materialize()
+
+    # distinct-doc frequency per window hash (each (doc, hash) appears once
+    # per doc because to_windows pre-aggregates within the doc)
+    df_tbl = bucketed_groupby_agg(
+        wrows.map_batches(lambda b: b[["wh"]], batch_format="pandas"),
+        keys=["wh"], aggs={"df": (None, "count")},
+    )
+    joined = bucketed_join(wrows, df_tbl, on="wh", small_side="right")
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"),
+                 "n_windows": pd.Series(dtype="int64"),
+                 "n_dup_positions": pd.Series(dtype="int64"),
+                 "n_dup_distinct": pd.Series(dtype="int64")})
+        dup = (b["df"] >= 2).astype("int64")
+        return pd.DataFrame({
+            id_col: b[id_col].astype("int64"),
+            "n_windows": b["npos"].astype("int64"),
+            "n_dup_positions": (b["npos"] * dup).astype("int64"),
+            "n_dup_distinct": dup,
+        })
+
+    sums = bucketed_groupby_agg(
+        joined.map_batches(flag, batch_format="pandas"),
+        keys=[id_col],
+        aggs={"n_windows": ("n_windows", "sum"),
+              "n_dup_positions": ("n_dup_positions", "sum"),
+              "n_dup_distinct": ("n_dup_distinct", "sum")},
+    )
+
+    # restore zero rows for docs with < win tokens via anti-join-free
+    # left join from the id table
+    ids = docs_ds.map_batches(
+        lambda b: b[[id_col]], batch_format="pandas"
+    )
+    out = bucketed_join(ids, sums, on=id_col, how="left")
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"),
+                 "n_windows": pd.Series(dtype="int64"),
+                 "n_dup_positions": pd.Series(dtype="int64"),
+                 "n_dup_distinct": pd.Series(dtype="int64")})
+        o = b.copy()
+        for c in ("n_windows", "n_dup_positions", "n_dup_distinct"):
+            o[c] = o[c].fillna(0).astype("int64")
+        o[id_col] = o[id_col].astype("int64")
+        return o[[id_col, "n_windows", "n_dup_positions", "n_dup_distinct"]]
+
+    return out.map_batches(fill, batch_format="pandas")

@@ -173,3 +173,25 @@ def test_minhash_cross_pairs_only_cross_side():
     # cross pairs only: (0,1); (2,4) is same-side and must be absent
     assert list(zip(got["new_id"], got["old_id"])) == [(0, 1)]
     assert (got["n_shared"] > 0).all()
+
+
+def test_dup_passages_counts_and_zero_short_docs():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.dedup import dup_passages
+
+    shared = "one two three four"  # 4 tokens
+    docs = pd.DataFrame({
+        "doc_id": pd.array([0, 1, 2, 3], dtype="int64"),
+        "text": [shared + " alpha beta", shared + " gamma delta",
+                 "totally different words here now", "tiny"],
+    })
+    for blocks in (1, 3):
+        ds = ray.data.from_pandas(docs).repartition(blocks)
+        got = (dup_passages(ds, win=4).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        # docs 0,1: 3 windows each (6 tokens, win 4); window[0] is shared
+        assert list(got["n_windows"]) == [3, 3, 2, 0]
+        assert list(got["n_dup_positions"]) == [1, 1, 0, 0]
+        assert list(got["n_dup_distinct"]) == [1, 1, 0, 0]
