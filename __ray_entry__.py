@@ -1504,6 +1504,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return decontaminate(docs, k=4, bench_mod=97)
 
+    def doc_dsir_weights_q(sf_dir):
+        # DSIR importance weights (hashed-unigram variant): integer
+        # likelihood-ratio surrogate vs the doc_id%97==0 target slice
+        from mmgraphrag_ray.stages.select import dsir_weights
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return dsir_weights(docs)
+
+    def doc_dsir_topk_q(sf_dir):
+        # DSIR selection step (deterministic no-noise limit): top-50
+        # non-target docs by importance weight
+        from mmgraphrag_ray.stages.select import dsir_topk
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return dsir_topk(docs, k=50)
+
     def emb_kmeans(sf_dir):
         # distributed Lloyd over quantized embeddings (SemDeDup front half);
         # integer-exact so the unrolled SQL mirror matches bit-for-bit
@@ -1612,6 +1632,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_strip_comments": code_strip_comments,
         "code_dedup_lines": code_dedup_lines,
         "doc_decontaminate": doc_decontaminate,
+        "doc_dsir_weights": doc_dsir_weights_q,
+        "doc_dsir_topk": doc_dsir_topk_q,
         "emb_kmeans": emb_kmeans,
         "emb_semdedup": emb_semdedup,
         "emb_negatives": emb_negatives_q,
@@ -2407,6 +2429,91 @@ FROM vh GROUP BY 1, 2, 3
                    coalesce(a.clean_md5, md5('')) AS clean_md5
             FROM (SELECT repo, path, len(ls) AS n_lines FROM f) f2
             LEFT JOIN agg a USING (repo, path)
+        """,
+        # mirror of stages/select.py dsir_weights (hashed-unigram DSIR):
+        # feature bucket = md5-derived hash % 256, per-bucket scaled
+        # likelihood ratio lr = ((ct+1)*1e6*(R+256)) // ((cr+1)*(T+256))
+        # with add-one smoothing; doc weight = sum(c_doc(b) * lr(b));
+        # target slice = doc_id % 97 == 0; token-less docs weigh 0
+        "doc_dsir_weights": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+              FROM documents
+            ),
+            feats AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) % 256 AS b,
+                     count(*) AS c
+              FROM toks GROUP BY 1, 2
+            ),
+            tot AS (
+              SELECT COALESCE(sum(c) FILTER (doc_id % 97 = 0), 0) AS t_tot,
+                     sum(c) AS r_tot
+              FROM feats
+            ),
+            rct AS (
+              SELECT b, sum(c) AS cr,
+                     COALESCE(sum(c) FILTER (doc_id % 97 = 0), 0) AS ct
+              FROM feats GROUP BY 1
+            ),
+            lr AS (
+              SELECT rct.b,
+                     (CAST(ct + 1 AS HUGEINT) * 1000000 * (tot.r_tot + 256))
+                     // (CAST(cr + 1 AS HUGEINT) * (tot.t_tot + 256)) AS lr
+              FROM rct, tot
+            ),
+            agg AS (
+              SELECT f.doc_id, CAST(sum(f.c) AS BIGINT) AS n_tokens,
+                     CAST(sum(f.c * lr.lr) AS BIGINT) AS weight
+              FROM feats f JOIN lr USING (b) GROUP BY 1
+            )
+            SELECT d.doc_id, CAST(d.doc_id % 97 = 0 AS BIGINT) AS is_target,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   COALESCE(a.weight, 0) AS weight
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # the DSIR selection step: top-50 NON-target docs by weight
+        # (weight desc, doc_id asc)
+        "doc_dsir_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+              FROM documents
+            ),
+            feats AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) % 256 AS b,
+                     count(*) AS c
+              FROM toks GROUP BY 1, 2
+            ),
+            tot AS (
+              SELECT COALESCE(sum(c) FILTER (doc_id % 97 = 0), 0) AS t_tot,
+                     sum(c) AS r_tot
+              FROM feats
+            ),
+            rct AS (
+              SELECT b, sum(c) AS cr,
+                     COALESCE(sum(c) FILTER (doc_id % 97 = 0), 0) AS ct
+              FROM feats GROUP BY 1
+            ),
+            lr AS (
+              SELECT rct.b,
+                     (CAST(ct + 1 AS HUGEINT) * 1000000 * (tot.r_tot + 256))
+                     // (CAST(cr + 1 AS HUGEINT) * (tot.t_tot + 256)) AS lr
+              FROM rct, tot
+            ),
+            agg AS (
+              SELECT f.doc_id, CAST(sum(f.c) AS BIGINT) AS n_tokens,
+                     CAST(sum(f.c * lr.lr) AS BIGINT) AS weight
+              FROM feats f JOIN lr USING (b) GROUP BY 1
+            )
+            SELECT doc_id, n_tokens, weight, rank FROM (
+              SELECT doc_id, n_tokens, weight, row_number() OVER (
+                ORDER BY weight DESC, doc_id
+              ) AS rank
+              FROM agg WHERE doc_id % 97 <> 0
+            ) WHERE rank <= 50
         """,
         # mirror of stages/dedup.py decontaminate (k=4, bench_mod=97);
         # shingles = word 4-grams over [a-z0-9]+ of lower(text), <4 words

@@ -1,0 +1,192 @@
+"""Data selection via importance resampling (DSIR) over `documents`.
+
+The published DSIR recipe (Xie et al. 2023, "Data Selection for Language
+Models via Importance Resampling") scores every raw document by the
+log-likelihood ratio of a hashed n-gram bag-of-features model fit on a
+small TARGET corpus vs one fit on the RAW corpus, then resamples by the
+weights.  It is the canonical "pick the 5% of 100 TB that looks like the
+eval domain" curation pass — squarely in this repo's training-data-ops
+family next to decontamination (`stages/dedup.decontaminate`) and quality
+gates (`pipelines/relational.doc_curation`).  The reference engine has no
+data-selection stage at all (SURVEY §2.8's extension surface).
+
+This implementation is the hashed-UNIGRAM variant with two documented,
+deterministic surrogates so the whole chain is integer-exact and hence
+SQL-mirrorable (same discipline as tf-idf's ``tf*1e6//df``):
+
+- the per-bucket score is the SCALED LIKELIHOOD RATIO
+  ``lr(b) = ((ct_t(b)+1) * SCALE * (R+B)) // ((ct_r(b)+1) * (T+B))``
+  (add-one smoothing; T/R = total target/raw token counts, B = n_buckets)
+  and a document's weight is the count-weighted SUM of ratios
+  ``w(d) = sum_b c_d(b) * lr(b)`` — a monotone surrogate of the paper's
+  sum of log ratios (log would be float and hash-diverge across engines);
+- selection is deterministic top-k by weight (the paper adds Gumbel noise
+  for sampling-without-replacement; the no-noise limit is rank-by-weight).
+
+Scale shape: pass 1 is a per-batch combiner emitting at most ``n_buckets``
+partial rows per batch (feature space is CONSTANT-size by construction —
+that is the point of hashed features), reduced with one tiny bucketed
+groupby; the lr table (n_buckets ints) is broadcast once via ``ray.put``;
+pass 2 is a stateless map over the docs.  Nothing shuffles per-token rows
+and driver state is O(n_buckets), independent of corpus size.
+
+Target-corpus convention shared with ``decontaminate``: the deterministic
+slice ``doc_id % target_mod == 0`` stands in for the small external eval
+set a real run would load.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+TOKEN_RE = r"[a-z]+"
+SCALE = 1_000_000
+N_FEATURE_BUCKETS = 256
+
+
+def _tok_bucket(tok: str, n_buckets: int) -> int:
+    """md5-derived feature hash — SQL mirror:
+    ('0x' || substr(md5(tok),1,8))::UBIGINT % n_buckets."""
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+class _FeatureCountStage:
+    """Per-batch combiner: hashed-unigram bucket counts for the raw corpus
+    and the target slice — at most n_buckets rows out per batch."""
+
+    def __init__(self, id_col, text_col, n_buckets, target_mod):
+        self.word = re.compile(TOKEN_RE)
+        self.id_col, self.text_col = id_col, text_col
+        self.n_buckets, self.target_mod = n_buckets, target_mod
+        self._bcache: dict[str, int] = {}
+
+    def _bucket(self, tok: str) -> int:
+        b = self._bcache.get(tok)
+        if b is None:
+            b = self._bcache[tok] = _tok_bucket(tok, self.n_buckets)
+        return b
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raw = np.zeros(self.n_buckets, dtype=np.int64)
+        tgt = np.zeros(self.n_buckets, dtype=np.int64)
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        for doc_id, text in zip(ids, texts):
+            is_t = doc_id % self.target_mod == 0
+            for tok in self.word.findall(text.lower()):
+                b = self._bucket(tok)
+                raw[b] += 1
+                if is_t:
+                    tgt[b] += 1
+        nz = np.flatnonzero(raw)
+        return pa.table(
+            {
+                "b": pa.array(nz, pa.int64()),
+                "t_c": pa.array(tgt[nz], pa.int64()),
+                "r_c": pa.array(raw[nz], pa.int64()),
+            }
+        )
+
+
+class _WeightStage:
+    """Pass 2: per-doc hashed counts x the broadcast lr table."""
+
+    def __init__(self, id_col, text_col, n_buckets, target_mod, lr_ref):
+        self.word = re.compile(TOKEN_RE)
+        self.id_col, self.text_col = id_col, text_col
+        self.n_buckets, self.target_mod = n_buckets, target_mod
+        self.lr = np.asarray(ray.get(lr_ref), dtype=np.int64)
+        self._bcache: dict[str, int] = {}
+
+    def _bucket(self, tok: str) -> int:
+        b = self._bcache.get(tok)
+        if b is None:
+            b = self._bcache[tok] = _tok_bucket(tok, self.n_buckets)
+        return b
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        n_toks, weights, is_tgt = [], [], []
+        counts = np.zeros(self.n_buckets, dtype=np.int64)
+        for doc_id, text in zip(ids, texts):
+            counts[:] = 0
+            n = 0
+            for tok in self.word.findall(text.lower()):
+                counts[self._bucket(tok)] += 1
+                n += 1
+            n_toks.append(n)
+            weights.append(int(counts @ self.lr))
+            is_tgt.append(int(doc_id % self.target_mod == 0))
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, pa.int64()),
+                "is_target": pa.array(is_tgt, pa.int64()),
+                "n_tokens": pa.array(n_toks, pa.int64()),
+                "weight": pa.array(weights, pa.int64()),
+            }
+        )
+
+
+def dsir_weights(
+    docs_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_FEATURE_BUCKETS,
+    target_mod: int = 97,
+    scale: int = SCALE,
+):
+    """-> Dataset(id_col, is_target, n_tokens, weight) for EVERY document
+    (token-less docs get weight 0), weight = the integer DSIR importance
+    surrogate described in the module docstring."""
+    from .groupagg import bucketed_groupby_agg
+
+    parts = docs_ds.map_batches(
+        _FeatureCountStage(id_col, text_col, n_buckets, target_mod),
+        batch_format="pyarrow",
+    )
+    counts = bucketed_groupby_agg(
+        parts, keys=["b"], aggs={"ct": ("t_c", "sum"), "cr": ("r_c", "sum")}
+    )
+    rows = counts.take_all()  # <= n_buckets rows by construction
+    t_tot = sum(r["ct"] for r in rows)
+    r_tot = sum(r["cr"] for r in rows)
+    lr = np.zeros(n_buckets, dtype=np.int64)
+    for r in rows:
+        # exact Python-int arithmetic; result bounded by scale * (R+B)/(T+B)
+        lr[r["b"]] = ((r["ct"] + 1) * scale * (r_tot + n_buckets)) // (
+            (r["cr"] + 1) * (t_tot + n_buckets)
+        )
+    lr_ref = ray.put(lr)
+    return docs_ds.map_batches(
+        _WeightStage(id_col, text_col, n_buckets, target_mod, lr_ref),
+        batch_format="pyarrow",
+    )
+
+
+def dsir_topk(docs_ds, k: int = 50, **kw):
+    """The resampling step in its deterministic no-noise limit: the k
+    NON-TARGET documents with the highest importance weight (rank by
+    weight desc, doc_id asc).  -> Dataset(doc_id, n_tokens, weight, rank)."""
+    from .window import grouped_topk
+
+    id_col = kw.get("id_col", "doc_id")
+    w = dsir_weights(docs_ds, **kw)
+    cand = w.map_batches(
+        lambda b: b[b["is_target"] == 0].assign(_g=np.int64(0))[
+            ["_g", id_col, "n_tokens", "weight"]
+        ],
+        batch_format="pandas",
+    )
+    top = grouped_topk(cand, keys=["_g"], order_col="weight", k=k,
+                       tie_cols=[id_col])
+    return top.map_batches(
+        lambda b: b[[id_col, "n_tokens", "weight", "rank"]],
+        batch_format="pandas",
+    )

@@ -25,6 +25,7 @@ CASES = [
     "events_user_retention",
     "code_dedup_lines",
     "doc_decontaminate",
+    "doc_dsir_weights",
     "emb_kmeans",
     "emb_semdedup",
     "doc_curation",

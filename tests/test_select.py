@@ -1,0 +1,106 @@
+"""stages/select.py — DSIR importance weights + deterministic top-k."""
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from mmgraphrag_ray.stages.select import dsir_topk, dsir_weights
+
+
+def _docs():
+    # target docs (id % 7 == 0 here) are ml-flavored; raw corpus is mixed;
+    # one token-less doc and one empty doc exercise the weight-0 path
+    rows = []
+    for i in range(40):
+        if i % 7 == 0:
+            rows.append((i, f"gradient descent trains the model epoch {i}"))
+        elif i % 3 == 0:
+            rows.append((i, f"gradient update improves the model loss {i}"))
+        else:
+            rows.append((i, f"invoice shipping order warehouse pallet {i}"))
+    rows.append((100, "12345 67890"))  # no [a-z]+ tokens
+    rows.append((101, ""))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def _serial_weights(df, n_buckets=256, target_mod=7, scale=1_000_000):
+    word = re.compile(r"[a-z]+")
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets
+
+    raw = np.zeros(n_buckets, dtype=object)
+    tgt = np.zeros(n_buckets, dtype=object)
+    for _, r in df.iterrows():
+        for tok in word.findall(r.text.lower()):
+            raw[bucket(tok)] += 1
+            if r.doc_id % target_mod == 0:
+                tgt[bucket(tok)] += 1
+    t_tot, r_tot = int(tgt.sum()), int(raw.sum())
+    lr = [
+        ((int(tgt[b]) + 1) * scale * (r_tot + n_buckets))
+        // ((int(raw[b]) + 1) * (t_tot + n_buckets))
+        for b in range(n_buckets)
+    ]
+    out = []
+    for _, r in df.iterrows():
+        toks = word.findall(r.text.lower())
+        w = sum(lr[bucket(t)] for t in toks)
+        out.append((r.doc_id, int(r.doc_id % target_mod == 0), len(toks), w))
+    return pd.DataFrame(out, columns=["doc_id", "is_target", "n_tokens", "weight"])
+
+
+def _run(df, nblocks, target_mod=7):
+    return (
+        dsir_weights(ray.data.from_pandas(df).repartition(nblocks),
+                     target_mod=target_mod)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+def test_dsir_weights_serial_parity_and_split_invariance():
+    df = _docs()
+    expected = _serial_weights(df).astype("int64")
+    a = _run(df, 1)
+    b = _run(df, 7)
+    pd.testing.assert_frame_equal(a, expected)
+    pd.testing.assert_frame_equal(a, b)
+    # token-less docs weigh zero and are non-target
+    z = a[a.doc_id >= 100]
+    assert (z.weight == 0).all() and (z.n_tokens == 0).all()
+
+
+def test_dsir_ranks_target_like_docs_higher():
+    df = _docs()
+    w = _run(df, 3)
+    nt = w[w.is_target == 0]
+    ml = nt[nt.doc_id % 3 == 0]["weight"]  # ml-flavored non-target docs
+    other = nt[nt.doc_id % 3 != 0]
+    other = other[other.n_tokens > 0]["weight"]
+    assert ml.min() > other.max()
+
+
+def test_dsir_topk_excludes_targets_and_ranks_by_weight():
+    df = _docs()
+    top = (
+        dsir_topk(ray.data.from_pandas(df).repartition(4), k=5, target_mod=7)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert len(top) == 5
+    assert (top.doc_id % 7 != 0).all()
+    assert list(top["rank"]) == [1, 2, 3, 4, 5]
+    assert (top.weight.diff().dropna() <= 0).all()
+    # the selected set is exactly the 5 heaviest non-targets
+    w = _run(df, 1)
+    nt = w[w.is_target == 0].sort_values(
+        ["weight", "doc_id"], ascending=[False, True]
+    )
+    assert list(top.doc_id) == list(nt.doc_id.head(5))
