@@ -1524,6 +1524,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dsir_topk(docs, k=50)
 
+    def bpe_pair_counts_q(sf_dir):
+        # BPE tokenizer training round 1: top-30 adjacent char pairs
+        # weighted by word frequency (vocabulary-bounded work)
+        from mmgraphrag_ray.stages.bpe import bpe_pair_counts
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["text"])
+        return bpe_pair_counts(docs, k=30)
+
+    def bpe_merges_q(sf_dir):
+        # the BPE training loop: 5 merge rounds, each ONE vocab-bounded
+        # combiner + bucketed sum + 1-row argmax; corpus touched once
+        import pandas as pd
+
+        from mmgraphrag_ray.stages.bpe import bpe_learn
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["text"])
+        merges, _vocab = bpe_learn(docs, n_merges=5)
+        return pd.DataFrame(
+            {
+                "step": pd.Series(range(1, len(merges) + 1), dtype="int64"),
+                "pair": [l + " " + r for l, r, _ in merges],
+                "c": pd.Series([n for _, _, n in merges], dtype="int64"),
+            }
+        )
+
     def emb_kmeans(sf_dir):
         # distributed Lloyd over quantized embeddings (SemDeDup front half);
         # integer-exact so the unrolled SQL mirror matches bit-for-bit
@@ -1634,6 +1661,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": doc_decontaminate,
         "doc_dsir_weights": doc_dsir_weights_q,
         "doc_dsir_topk": doc_dsir_topk_q,
+        "bpe_pair_counts": bpe_pair_counts_q,
+        "bpe_merges": bpe_merges_q,
         "emb_kmeans": emb_kmeans,
         "emb_semdedup": emb_semdedup,
         "emb_negatives": emb_negatives_q,
@@ -2430,6 +2459,74 @@ FROM vh GROUP BY 1, 2, 3
             FROM (SELECT repo, path, len(ls) AS n_lines FROM f) f2
             LEFT JOIN agg a USING (repo, path)
         """,
+        # mirror of stages/bpe.py bpe_pair_counts: adjacent char pairs of
+        # every distinct word (overlapping positions), weighted by word
+        # frequency; top-30 by (count desc, pair asc)
+        "bpe_pair_counts": """
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM documents
+            ),
+            wc AS (SELECT w, count(*) AS n FROM toks GROUP BY 1),
+            pairs AS (
+              SELECT substr(w, CAST(i AS INT), 2) AS pair, n
+              FROM wc, unnest(range(1, length(w))) AS t(i)
+              WHERE length(w) >= 2
+            ),
+            agg AS (SELECT pair, CAST(sum(n) AS BIGINT) AS n
+                    FROM pairs GROUP BY 1)
+            SELECT pair, n, rank FROM (
+              SELECT *, row_number() OVER (ORDER BY n DESC, pair) AS rank
+              FROM agg
+            ) WHERE rank <= 30
+        """,
+        # mirror of stages/bpe.py bpe_learn (5 unrolled merge rounds):
+        # count space-joined adjacent symbol pairs (overlapping), argmax
+        # by (count desc, pair asc), apply with the double-space replace
+        # trick (boundary spaces are never shared, so runs of identical
+        # symbols merge greedily left-to-right like the regex apply)
+        "bpe_merges": """
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM documents
+            ),
+            wc AS (SELECT w, count(*) AS n FROM toks GROUP BY 1),
+            v0 AS (
+              SELECT w, n,
+                     array_to_string(regexp_extract_all(w, '.'), ' ') AS s
+              FROM wc
+            )
+            __ROUNDS__
+            SELECT * FROM (
+              SELECT 1 AS step, pair, c FROM b0 UNION ALL
+              SELECT 2, pair, c FROM b1 UNION ALL
+              SELECT 3, pair, c FROM b2 UNION ALL
+              SELECT 4, pair, c FROM b3 UNION ALL
+              SELECT 5, pair, c FROM b4
+            ) ORDER BY step
+        """.replace(
+            "__ROUNDS__",
+            "".join(
+                """
+            , p{k} AS (
+              SELECT string_split(s, ' ') AS l, n FROM v{k}
+            ), pr{k} AS (
+              SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1] AS pair, n
+              FROM p{k}, unnest(range(1, len(l))) AS t(i)
+            ), b{k} AS (
+              SELECT pair, CAST(sum(n) AS BIGINT) AS c FROM pr{k} GROUP BY 1
+              ORDER BY c DESC, pair LIMIT 1
+            ), v{k1} AS (
+              SELECT w, n, trim(regexp_replace(
+                replace(replace(' ' || s || ' ', ' ', '  '),
+                        ' ' || replace((SELECT pair FROM b{k}), ' ', '  ') || ' ',
+                        ' ' || replace((SELECT pair FROM b{k}), ' ', '') || ' '),
+                ' +', ' ', 'g')) AS s
+              FROM v{k}
+            )""".format(k=k, k1=k + 1)
+                for k in range(5)
+            ),
+        ),
         # mirror of stages/select.py dsir_weights (hashed-unigram DSIR):
         # feature bucket = md5-derived hash % 256, per-bucket scaled
         # likelihood ratio lr = ((ct+1)*1e6*(R+256)) // ((cr+1)*(T+256))

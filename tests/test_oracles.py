@@ -26,6 +26,7 @@ CASES = [
     "code_dedup_lines",
     "doc_decontaminate",
     "doc_dsir_weights",
+    "bpe_merges",
     "emb_kmeans",
     "emb_semdedup",
     "doc_curation",
