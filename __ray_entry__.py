@@ -1524,6 +1524,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dsir_topk(docs, k=50)
 
+    def lineitem_corr_components_q(sf_dir):
+        # per-returnflag Pearson sufficient statistics in one streaming
+        # pass (n, Σx, Σy, Σx², Σy², Σxy), integer-quantized for
+        # cross-engine exactness: x=quantity, y=trunc(extendedprice)
+        from mmgraphrag_ray.stages.groupagg import grouped_corr_components
+
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        )
+        return grouped_corr_components(
+            li, keys=["l_returnflag"], x_col="l_quantity",
+            y_col="l_extendedprice",
+        )
+
     def bpe_pair_counts_q(sf_dir):
         # BPE tokenizer training round 1: top-30 adjacent char pairs
         # weighted by word frequency (vocabulary-bounded work)
@@ -1663,6 +1678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_topk": doc_dsir_topk_q,
         "bpe_pair_counts": bpe_pair_counts_q,
         "bpe_merges": bpe_merges_q,
+        "lineitem_corr_components": lineitem_corr_components_q,
         "emb_kmeans": emb_kmeans,
         "emb_semdedup": emb_semdedup,
         "emb_negatives": emb_negatives_q,
@@ -2458,6 +2474,23 @@ FROM vh GROUP BY 1, 2, 3
                    coalesce(a.clean_md5, md5('')) AS clean_md5
             FROM (SELECT repo, path, len(ls) AS n_lines FROM f) f2
             LEFT JOIN agg a USING (repo, path)
+        """,
+        # mirror of stages/groupagg.py grouped_corr_components:
+        # integer-quantized Pearson sufficient statistics per returnflag
+        "lineitem_corr_components": """
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM (
+              SELECT l_returnflag,
+                     CAST(trunc(l_quantity) AS BIGINT) AS x,
+                     CAST(trunc(l_extendedprice) AS BIGINT) AS y
+              FROM lineitem
+            ) GROUP BY 1
         """,
         # mirror of stages/bpe.py bpe_pair_counts: adjacent char pairs of
         # every distinct word (overlapping positions), weighted by word

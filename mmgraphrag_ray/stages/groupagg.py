@@ -254,3 +254,60 @@ def global_quantiles(
         }
     )
     return ray.data.from_pandas(out)
+
+
+def grouped_corr_components(
+    ds,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    x_quant=None,
+    y_quant=None,
+    n_buckets: int = N_BUCKETS,
+):
+    """Per-group Pearson-correlation SUFFICIENT STATISTICS in ONE streaming
+    pass: n, Σx, Σy, Σx², Σy², Σxy — the distributed-analytics workhorse
+    behind corr/covar/linear-fit/feature-stats jobs (a 100-TB scan reduces
+    to one tiny row per group; partials are associative so the combiner +
+    bucketed-sum discipline of bucketed_groupby_agg applies unchanged).
+
+    ``x_quant`` / ``y_quant`` map the raw columns to int64 so every sum is
+    EXACT and hence cross-engine hashable (float Σx² would accumulate in
+    whatever order the shuffle delivers and never match SQL bit-for-bit).
+    Defaults truncate toward zero (``astype(int64)`` — the SQL mirror is
+    CAST(trunc(col) AS BIGINT)).  Callers own overflow headroom: with
+    |y| <= 2^21 (~2e6) the Σy² partials stay safe past 2^63 only beyond
+    ~4e5 billion rows per group.
+
+    -> Dataset(keys..., n, sx, sy, sxx, syy, sxy), all int64.
+    """
+    def q(col, fn):
+        if fn is not None:
+            return fn(col)
+        return col.astype("int64")
+
+    def widen(batch: pd.DataFrame) -> pd.DataFrame:
+        x = q(batch[x_col], x_quant)
+        y = q(batch[y_col], y_quant)
+        out = batch[keys].copy()
+        out["n"] = np.int64(1)
+        out["sx"] = x
+        out["sy"] = y
+        out["sxx"] = x * x
+        out["syy"] = y * y
+        out["sxy"] = x * y
+        return out
+
+    return bucketed_groupby_agg(
+        ds.map_batches(widen, batch_format="pandas"),
+        keys=keys,
+        aggs={
+            "n": ("n", "sum"),
+            "sx": ("sx", "sum"),
+            "sy": ("sy", "sum"),
+            "sxx": ("sxx", "sum"),
+            "syy": ("syy", "sum"),
+            "sxy": ("sxy", "sum"),
+        },
+        n_buckets=n_buckets,
+    )

@@ -93,3 +93,48 @@ def test_mixture_allocate_quota_exceeds_available():
     # b's quota is 9 but only 1 row exists: shortfall, no redistribution
     assert len(got[got["source"] == "b"]) == 1
     assert len(got[got["source"] == "a"]) == 1
+
+
+def test_grouped_corr_components_exact_and_split_invariant():
+    from mmgraphrag_ray.stages.groupagg import grouped_corr_components
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "g": pd.Series(rng.choice(["a", "b"], 500), dtype=object),
+            "x": pd.Series(rng.randint(1, 50, 500).astype(float)),
+            # fractional y exercises the trunc-toward-zero quantization
+            "y": pd.Series(rng.uniform(10, 99999, 500).round(2)),
+        }
+    )
+
+    def run(nblocks):
+        return (
+            grouped_corr_components(
+                ray.data.from_pandas(df).repartition(nblocks),
+                keys=["g"], x_col="x", y_col="y",
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+
+    a, b = run(1), run(9)
+    pd.testing.assert_frame_equal(a, b)
+    xi = df.x.astype("int64")
+    yi = df.y.astype("int64")  # trunc toward zero, matches the stage
+    for _, row in a.iterrows():
+        m = df.g == row.g
+        assert row.n == int(m.sum())
+        assert row.sx == int(xi[m].sum()) and row.sy == int(yi[m].sum())
+        assert row.sxx == int((xi[m] ** 2).sum())
+        assert row.syy == int((yi[m] ** 2).sum())
+        assert row.sxy == int((xi[m] * yi[m]).sum())
+    # the components reconstruct pandas corr on the quantized columns
+    for g in ["a", "b"]:
+        r = a[a.g == g].iloc[0]
+        num = r.n * r.sxy - r.sx * r.sy
+        den = np.sqrt(float(r.n * r.sxx - r.sx**2) * float(r.n * r.syy - r.sy**2))
+        m = df.g == g
+        expected = np.corrcoef(xi[m], yi[m])[0, 1]
+        assert abs(num / den - expected) < 1e-9
