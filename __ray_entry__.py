@@ -1524,6 +1524,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dsir_topk(docs, k=50)
 
+    def code_secret_scan_q(sf_dir):
+        # secret/PII scan + redaction over the code corpus (emails, long
+        # hex tokens, long numeric literals -> typed placeholders)
+        from mmgraphrag_ray.stages.textstats import secret_scan
+
+        files = ray.data.read_parquet(
+            _corpus(sf_dir), columns=["repo", "path", "content"]
+        )
+        return secret_scan(files)
+
     def lineitem_corr_components_q(sf_dir):
         # per-returnflag Pearson sufficient statistics in one streaming
         # pass (n, Σx, Σy, Σx², Σy², Σxy), integer-quantized for
@@ -1679,6 +1689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": bpe_pair_counts_q,
         "bpe_merges": bpe_merges_q,
         "lineitem_corr_components": lineitem_corr_components_q,
+        "code_secret_scan": code_secret_scan_q,
         "emb_kmeans": emb_kmeans,
         "emb_semdedup": emb_semdedup,
         "emb_negatives": emb_negatives_q,
@@ -2428,6 +2439,38 @@ FROM vh GROUP BY 1, 2, 3
         "doc_fingerprint": """
             SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        # mirror of stages/textstats.py secret_scan: patterns applied in
+        # SECRET_PATTERNS order, each counting on the previously-redacted
+        # text; clean_md5 pins the exact final redaction
+        "code_secret_scan": f"""
+            WITH s0 AS (
+              SELECT repo, path, content AS t
+              FROM read_parquet('{corpus}/*.parquet')
+            ),
+            s1 AS (
+              SELECT repo, path,
+                     len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                       '<EMAIL>', 'g') AS t
+              FROM s0
+            ),
+            s2 AS (
+              SELECT repo, path, n_email,
+                     len(regexp_extract_all(t, '\\b[a-fA-F0-9]{{16,}}\\b')) AS n_hex,
+                     regexp_replace(t, '\\b[a-fA-F0-9]{{16,}}\\b', '<HEX>', 'g') AS t
+              FROM s1
+            ),
+            s3 AS (
+              SELECT repo, path, n_email, n_hex,
+                     len(regexp_extract_all(t, '\\b[0-9]{{4,}}\\b')) AS n_num,
+                     regexp_replace(t, '\\b[0-9]{{4,}}\\b', '<NUM>', 'g') AS t
+              FROM s2
+            )
+            SELECT repo, path, n_email, n_hex, n_num, md5(t) AS clean_md5
+            FROM s3
         """,
         "code_strip_comments": f"""
             SELECT repo, path,

@@ -319,3 +319,49 @@ def doc_topk_ngrams(documents_ds, n: int = 2, k: int = 20):
 
     cand = counts.map_batches(block_topk, batch_format="pandas")
     return cand.sort(["cnt", "ngram"], descending=[True, False]).limit(k)
+
+
+# --------------------------------------------------- secret scanning
+
+# applied IN ORDER — later patterns scan the already-redacted text, so
+# overlap is resolved identically on both engines (RE2 and Python re
+# agree on all three: no backrefs, no lookarounds)
+SECRET_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("hex", r"\b[a-fA-F0-9]{16,}\b", "<HEX>"),
+    ("num", r"\b[0-9]{4,}\b", "<NUM>"),
+)
+
+
+# compiled once per worker process at import — a stateless TASK pool
+# scales with the cluster (no actor-pool concurrency cap; cf. the round-1
+# (1,4) starvation finding)
+_SECRET_COMPILED = [(n, re.compile(p), r) for n, p, r in SECRET_PATTERNS]
+
+
+def secret_scan(files_ds, key_cols=("repo", "path"), text_col="content"):
+    """Credential/PII scan + redaction over a code corpus — the hygiene
+    pass training pipelines run before using crawled source code (the
+    BigCode/The Stack preprocessing family): emails, long hex tokens
+    (api-key/shasum shaped), and long numeric literals are counted and
+    replaced with typed placeholders, in SECRET_PATTERNS order so overlap
+    resolves identically on both engines.
+
+    -> Dataset(key_cols..., n_email, n_hex, n_num, clean_md5): per-file
+    match counts per pattern family plus the md5 of the fully redacted
+    text (the md5 pins the exact redaction output in the SQL oracle
+    without shipping the cleaned bytes through the compare)."""
+    key_cols = list(key_cols)
+
+    def scan(batch):
+        out = batch[key_cols].copy()
+        s = batch[text_col].astype(str)
+        for name, pat, repl in _SECRET_COMPILED:
+            out[f"n_{name}"] = s.str.count(pat).astype("int64")
+            s = s.str.replace(pat, repl, regex=True)
+        out["clean_md5"] = s.map(
+            lambda t: hashlib.md5(t.encode()).hexdigest()
+        )
+        return out
+
+    return files_ds.map_batches(scan, batch_format="pandas")

@@ -27,6 +27,7 @@ CASES = [
     "doc_decontaminate",
     "doc_dsir_weights",
     "bpe_merges",
+    "code_secret_scan",
     "emb_kmeans",
     "emb_semdedup",
     "doc_curation",
