@@ -1524,6 +1524,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dsir_topk(docs, k=50)
 
+    def lineitem_price_histogram_q(sf_dir):
+        # equi-width histogram (24 bins over [0, 120000)): one streaming
+        # combiner pass, n_bins rows of driver-visible state
+        from mmgraphrag_ray.stages.profile import column_histogram
+
+        li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                   columns=["l_extendedprice"])
+        return column_histogram(li, "l_extendedprice", 0.0, 120000.0, 24)
+
+    def events_window_dedup_q(sf_dir):
+        # streaming-hygiene windowed dedup: first event per (user, type,
+        # 1h tumbling window); argmin rides the shuffle as one string
+        from mmgraphrag_ray.stages.window import window_dedup
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "ts", "event_id"],
+        )
+        return window_dedup(
+            ev, keys=["user_id", "event_type"], ts_col="ts",
+            id_col="event_id", window_us=3_600_000_000,
+        )
+
+    def orders_cdc_diff_q(sf_dir):
+        # CDC diff of two table versions by primary key: right version =
+        # orders with %13 keys removed, %7 prices bumped, %11 keys
+        # re-added under new ids — classify added/removed/changed/same
+        from mmgraphrag_ray.stages.join import table_diff
+
+        cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+        left = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+
+        def make_right(b):
+            keep = b[b["o_orderkey"] % 13 != 0].copy()
+            bump = keep["o_orderkey"] % 7 == 0
+            keep.loc[bump, "o_totalprice"] = keep.loc[bump, "o_totalprice"] + 1.0
+            added = b[b["o_orderkey"] % 11 == 0].copy()
+            added["o_orderkey"] = added["o_orderkey"] + 10_000_000
+            import pandas as pd
+
+            return pd.concat([keep, added], ignore_index=True)
+
+        right = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=cols
+        ).map_batches(make_right, batch_format="pandas")
+        return table_diff(
+            left, right, key_col="o_orderkey",
+            compare_cols=["o_totalprice", "o_orderstatus"],
+        )
+
     def code_secret_scan_q(sf_dir):
         # secret/PII scan + redaction over the code corpus (emails, long
         # hex tokens, long numeric literals -> typed placeholders)
@@ -1690,6 +1740,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": bpe_merges_q,
         "lineitem_corr_components": lineitem_corr_components_q,
         "code_secret_scan": code_secret_scan_q,
+        "lineitem_price_histogram": lineitem_price_histogram_q,
+        "events_window_dedup": events_window_dedup_q,
+        "orders_cdc_diff": orders_cdc_diff_q,
         "emb_kmeans": emb_kmeans,
         "emb_semdedup": emb_semdedup,
         "emb_negatives": emb_negatives_q,
@@ -2517,6 +2570,67 @@ FROM vh GROUP BY 1, 2, 3
                    coalesce(a.clean_md5, md5('')) AS clean_md5
             FROM (SELECT repo, path, len(ls) AS n_lines FROM f) f2
             LEFT JOIN agg a USING (repo, path)
+        """,
+        # mirror of stages/profile.py column_histogram (lo=0, hi=120000,
+        # 24 bins, w=5000): clamp into [0, 23]; every bin present
+        "lineitem_price_histogram": """
+            WITH c AS (
+              SELECT least(greatest(CAST(floor((l_extendedprice - 0.0)
+                       / 5000.0) AS BIGINT), 0), 23) AS bin,
+                     count(*) AS n
+              FROM lineitem GROUP BY 1
+            )
+            SELECT g.bin, 0.0 + g.bin * 5000.0 AS lo_edge,
+                   0.0 + (g.bin + 1) * 5000.0 AS hi_edge,
+                   COALESCE(c.n, 0) AS n
+            FROM (SELECT unnest(range(0, 24)) AS bin) g
+            LEFT JOIN c USING (bin)
+        """,
+        # mirror of stages/window.py window_dedup (1 h tumbling windows):
+        # first event per (user, type, window) by (ts, event_id)
+        "events_window_dedup": """
+            WITH e AS (
+              SELECT user_id, event_type,
+                     epoch_us(ts) // 3600000000 AS w,
+                     epoch_us(ts) AS tu, event_id
+              FROM events
+            ),
+            r AS (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY user_id, event_type, w
+                       ORDER BY tu, event_id) AS rn,
+                     count(*) OVER (
+                       PARTITION BY user_id, event_type, w) AS n
+              FROM e
+            )
+            SELECT user_id, event_type, w, n, event_id AS first_id
+            FROM r WHERE rn = 1
+        """,
+        # mirror of stages/join.py table_diff over the synthesized second
+        # orders version (%13 removed, %7 bumped, %11 re-added): status by
+        # direct value compare (md5-of-payload equality == value equality)
+        "orders_cdc_diff": """
+            WITH l AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+            ),
+            r AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                          ELSE o_totalprice END AS o_totalprice,
+                     o_orderstatus
+              FROM orders WHERE o_orderkey % 13 <> 0
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+              FROM orders WHERE o_orderkey % 11 = 0
+            )
+            SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+                   CASE WHEN l.o_orderkey IS NULL THEN 'added'
+                        WHEN r.o_orderkey IS NULL THEN 'removed'
+                        WHEN l.o_totalprice = r.o_totalprice
+                             AND l.o_orderstatus = r.o_orderstatus
+                        THEN 'same' ELSE 'changed' END AS status
+            FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
         """,
         # mirror of stages/groupagg.py grouped_corr_components:
         # integer-quantized Pearson sufficient statistics per returnflag

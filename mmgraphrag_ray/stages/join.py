@@ -170,3 +170,59 @@ def broadcast_semi_join(ds, keys, col: str, anti: bool = False):
         return batch[~mask] if anti else batch[mask]
 
     return ds.map_batches(filter_batch, batch_format="pandas")
+
+
+def table_diff(
+    left,
+    right,
+    key_col: str,
+    compare_cols: list[str],
+    n_buckets: int = 64,
+):
+    """CDC / anti-entropy diff of two table versions by primary key — the
+    migration-audit primitive next to sketch.table_checksum (checksum says
+    WHETHER tables diverged; this says WHERE): classify every key as
+    'added' (right only), 'removed' (left only), 'changed' (both sides,
+    different compare_cols payload) or 'same'.
+
+    -> Dataset(key_col, status).  Payload never shuffles: each side
+    reduces to (key, md5(payload)) rows first, so the diff moves two
+    fixed-width rows per key no matter how wide the tables are; then one
+    bucketed FULL OUTER join + a vectorized status classify."""
+    import hashlib
+
+    def hash_side(tag: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[[key_col]].copy()
+            payload = batch[compare_cols[0]].astype(str)
+            for c in compare_cols[1:]:
+                payload = payload + "\x1f" + batch[c].astype(str)
+            out["h_" + tag] = payload.map(
+                lambda s: hashlib.md5(s.encode()).hexdigest()
+            )
+            return out
+
+        return fn
+
+    lh = left.map_batches(hash_side("l"), batch_format="pandas")
+    rh = right.map_batches(hash_side("r"), batch_format="pandas")
+    joined = bucketed_join(lh, rh, on=key_col, how="outer",
+                           n_buckets=n_buckets)
+
+    def classify(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        out = batch[[key_col]].copy()
+        l_null = batch["h_l"].isna()
+        r_null = batch["h_r"].isna()
+        status = np.where(
+            l_null, "added",
+            np.where(
+                r_null, "removed",
+                np.where(batch["h_l"] == batch["h_r"], "same", "changed"),
+            ),
+        )
+        out["status"] = pd.Series(status, index=batch.index, dtype=object)
+        return out
+
+    return joined.map_batches(classify, batch_format="pandas")

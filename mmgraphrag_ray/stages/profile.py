@@ -95,3 +95,48 @@ def _s(v) -> str | None:
     if isinstance(v, float) and v.is_integer():
         return str(int(v))
     return str(v)
+
+
+def column_histogram(ds, col: str, lo: float, hi: float, n_bins: int = 20):
+    """Equi-width histogram over a numeric column — the profiling
+    counterpart of global_quantiles (there: exact order statistics; here:
+    the distribution shape scan query optimizers and drift monitors run).
+
+    Bin i covers [lo + i*w, lo + (i+1)*w) with w = (hi-lo)/n_bins; values
+    below lo clamp into bin 0, values >= hi into bin n_bins-1 (so the
+    histogram is total).  NULLs are dropped and reported via
+    profile_table.  -> Dataset(bin, lo_edge, hi_edge, n), n_bins rows,
+    EVERY bin present (zero-count bins included) so downstream plotting /
+    drift-compare never special-cases gaps.
+
+    Scale shape: one streaming pass; the per-batch combiner emits at most
+    n_bins rows, the final reduce is one tiny bucketed sum — same
+    discipline as grouped_corr_components."""
+    import numpy as np
+    import ray.data
+
+    w = (hi - lo) / n_bins
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].dropna().to_numpy(dtype="float64")
+        idx = np.clip(((v - lo) / w).astype("int64"), 0, n_bins - 1)
+        counts = np.bincount(idx, minlength=n_bins).astype("int64")
+        return pd.DataFrame(
+            {"bin": np.arange(n_bins, dtype="int64"), "n": counts}
+        )
+
+    sums = bucketed_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["bin"],
+        aggs={"n": ("n", "sum")},
+    )
+
+    def edges(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["lo_edge"] = lo + out["bin"] * w
+        out["hi_edge"] = lo + (out["bin"] + 1) * w
+        return out[["bin", "lo_edge", "hi_edge", "n"]]
+
+    # bins absent from every batch (all-zero) still appear because the
+    # partial emits ALL n_bins rows per batch
+    return sums.map_batches(edges, batch_format="pandas")

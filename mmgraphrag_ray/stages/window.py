@@ -405,3 +405,54 @@ def group_quantiles(
         .map_groups(per_bucket, batch_format="pandas")
         .repartition(8)
     )
+
+
+def window_dedup(
+    ds,
+    keys: list[str],
+    ts_col: str,
+    id_col: str,
+    window_us: int,
+    n_buckets: int = N_BUCKETS,
+):
+    """Windowed event deduplication — the streaming-hygiene pass that
+    collapses at-least-once duplicate deliveries: within each
+    (keys, tumbling window of ``window_us`` microseconds) group only the
+    FIRST event survives (earliest ts, id asc tie-break).
+
+    -> Dataset(keys..., w, n, first_id): one row per occupied window with
+    the survivor id and the group size (n-1 = dropped duplicates).
+
+    Scale shape: the argmin rides the standard combiner/bucketed-sum
+    shuffle as a zero-padded sortable '(ts|id)' string (bytewise min ==
+    (ts, id) lexicographic min, composing across batches), so per-window
+    state is one string + one count regardless of duplicate volume."""
+    from .groupagg import bucketed_groupby_agg
+
+    def widen(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[keys].copy()
+        ts = batch[ts_col].astype("int64")
+        out["w"] = ts // window_us
+        out["_first"] = (
+            ts.map("{:020d}".format)
+            + "|"
+            + batch[id_col].astype("int64").map("{:020d}".format)
+        )
+        out["n"] = np.int64(1)
+        return out
+
+    agg = bucketed_groupby_agg(
+        ds.map_batches(widen, batch_format="pandas"),
+        keys=keys + ["w"],
+        aggs={"n": ("n", "sum"), "_first": ("_first", "min")},
+        n_buckets=n_buckets,
+    )
+
+    def decode(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[keys + ["w", "n"]].copy()
+        out["first_id"] = (
+            batch["_first"].str.split("|").str[1].astype("int64")
+        )
+        return out
+
+    return agg.map_batches(decode, batch_format="pandas")

@@ -74,3 +74,30 @@ def test_global_quantiles_round_budget_exhaustion_raises():
         global_quantiles(
             ray.data.from_pandas(df), "x", [0.5], n_bins=2, bin_cap=1, max_rounds=2
         ).to_pandas()
+
+
+def test_column_histogram_total_and_clamped():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.profile import column_histogram
+
+    v = np.concatenate([np.linspace(-5, 25, 100), [None]])
+    df = pd.DataFrame({"x": pd.Series(v, dtype="float64")})
+    out = (
+        column_histogram(ray.data.from_pandas(df).repartition(4),
+                         "x", 0.0, 20.0, 4)
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    assert list(out.bin) == [0, 1, 2, 3]
+    assert out.n.sum() == 100  # nulls dropped, out-of-range clamped
+    # serial expectation
+    vv = pd.Series(v).dropna().to_numpy()
+    idx = np.clip(((vv - 0.0) / 5.0).astype("int64"), 0, 3)
+    exp = np.bincount(idx, minlength=4)
+    assert list(out.n) == list(exp)
+    assert list(out.lo_edge) == [0.0, 5.0, 10.0, 15.0]
+    assert list(out.hi_edge) == [5.0, 10.0, 15.0, 20.0]

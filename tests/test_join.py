@@ -104,3 +104,37 @@ def test_bucketed_join_full_outer_matches_pandas():
     # unmatched sides surface as nulls on the other side's columns
     assert got.loc[got["k"] == 5, "b"].isna().all()
     assert got.loc[got["k"] == 3, "a"].isna().all()
+
+
+def test_table_diff_all_four_statuses():
+    import pandas as pd
+
+    from mmgraphrag_ray.stages.join import table_diff
+
+    left = pd.DataFrame(
+        {
+            "k": pd.Series([1, 2, 3, 4], dtype="int64"),
+            "v": pd.Series([10.0, 20.0, 30.0, 40.0]),
+            "s": pd.Series(list("abcd"), dtype=object),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": pd.Series([1, 2, 3, 5], dtype="int64"),
+            "v": pd.Series([10.0, 21.0, 30.0, 50.0]),
+            "s": pd.Series(["a", "b", "X", "e"], dtype=object),
+        }
+    )
+    out = (
+        table_diff(
+            ray.data.from_pandas(left).repartition(2),
+            ray.data.from_pandas(right).repartition(3),
+            key_col="k", compare_cols=["v", "s"],
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert dict(zip(out.k.astype(int), out.status)) == {
+        1: "same", 2: "changed", 3: "changed", 4: "removed", 5: "added"
+    }

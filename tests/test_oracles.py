@@ -28,6 +28,8 @@ CASES = [
     "doc_dsir_weights",
     "bpe_merges",
     "code_secret_scan",
+    "orders_cdc_diff",
+    "events_window_dedup",
     "emb_kmeans",
     "emb_semdedup",
     "doc_curation",

@@ -349,3 +349,62 @@ def test_range_join_hot_key_completes_and_is_exact():
     # intervals i=0..29 lie under the 0..2999 point range: 30 x 50 matches
     assert len(got) == len(want) == 30 * 50 + 1
     assert sorted(zip(got["lid"], got["rid"])) == sorted(zip(want["lid"], want["rid"]))
+
+
+def test_window_dedup_first_event_and_counts():
+    import pandas as pd
+
+    from mmgraphrag_ray.stages.window import window_dedup
+
+    ts = pd.to_datetime(
+        [
+            "2026-01-01 00:10:00", "2026-01-01 00:50:00",  # same 1h window
+            "2026-01-01 01:10:00",                          # next window
+            "2026-01-01 00:20:00",                          # other user
+        ]
+    ).astype("datetime64[us]")
+    df = pd.DataFrame(
+        {
+            "user_id": pd.Series([1, 1, 1, 2], dtype="int64"),
+            "event_type": pd.Series(["c", "c", "c", "c"], dtype=object),
+            "ts": ts,
+            "event_id": pd.Series([42, 7, 9, 5], dtype="int64"),
+        }
+    )
+    out = (
+        window_dedup(
+            ray.data.from_pandas(df).repartition(3),
+            keys=["user_id", "event_type"], ts_col="ts",
+            id_col="event_id", window_us=3_600_000_000,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "w"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    u1 = out[out.user_id == 1].reset_index(drop=True)
+    # earliest ts wins even though its event_id (42) is larger
+    assert u1.loc[0, "first_id"] == 42 and u1.loc[0, "n"] == 2
+    assert u1.loc[1, "first_id"] == 9 and u1.loc[1, "n"] == 1
+    assert out[out.user_id == 2].iloc[0]["first_id"] == 5
+
+
+def test_window_dedup_ts_tie_breaks_on_id():
+    import pandas as pd
+
+    from mmgraphrag_ray.stages.window import window_dedup
+
+    t = pd.to_datetime(["2026-01-01 00:10:00"] * 2).astype("datetime64[us]")
+    df = pd.DataFrame(
+        {
+            "user_id": pd.Series([1, 1], dtype="int64"),
+            "event_type": pd.Series(["c", "c"], dtype=object),
+            "ts": t,
+            "event_id": pd.Series([9, 3], dtype="int64"),
+        }
+    )
+    out = window_dedup(
+        ray.data.from_pandas(df), keys=["user_id", "event_type"],
+        ts_col="ts", id_col="event_id", window_us=3_600_000_000,
+    ).to_pandas()
+    assert out.iloc[0]["first_id"] == 3 and out.iloc[0]["n"] == 2
