@@ -1524,6 +1524,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dsir_topk(docs, k=50)
 
+    def events_path_trigrams_q(sf_dir):
+        # clickstream path mining: global top-20 per-user event-type
+        # trigrams in (ts, event_id) order — one hash shuffle on user,
+        # vectorized shift-and-mask n-gram build, combiner counts
+        from mmgraphrag_ray.stages.window import grouped_sequence_ngrams
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "ts", "event_id"],
+        )
+        return grouped_sequence_ngrams(
+            ev, keys=["user_id"], order_cols=["ts", "event_id"],
+            val_col="event_type", n=3, k=20,
+        )
+
+    def doc_sample_per_lang_q(sf_dir):
+        # deterministic k-per-group inspection sample: 3 docs per lang by
+        # md5(doc_id) order (stable across runs/engines/corpus growth)
+        from mmgraphrag_ray.stages.sample import grouped_hash_sample
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["lang", "doc_id"])
+        return grouped_hash_sample(docs, keys=["lang"], id_col="doc_id", k=3)
+
     def lineitem_price_histogram_q(sf_dir):
         # equi-width histogram (24 bins over [0, 120000)): one streaming
         # combiner pass, n_bins rows of driver-visible state
@@ -1741,6 +1765,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_components": lineitem_corr_components_q,
         "code_secret_scan": code_secret_scan_q,
         "lineitem_price_histogram": lineitem_price_histogram_q,
+        "events_path_trigrams": events_path_trigrams_q,
+        "doc_sample_per_lang": doc_sample_per_lang_q,
         "events_window_dedup": events_window_dedup_q,
         "orders_cdc_diff": orders_cdc_diff_q,
         "emb_kmeans": emb_kmeans,
@@ -2570,6 +2596,38 @@ FROM vh GROUP BY 1, 2, 3
                    coalesce(a.clean_md5, md5('')) AS clean_md5
             FROM (SELECT repo, path, len(ls) AS n_lines FROM f) f2
             LEFT JOIN agg a USING (repo, path)
+        """,
+        # mirror of stages/window.py grouped_sequence_ngrams: per-user
+        # event-type trigrams in (ts, event_id) order, global top-20
+        "events_path_trigrams": """
+            WITH e AS (
+              SELECT user_id, event_type,
+                     lead(event_type, 1) OVER w AS e1,
+                     lead(event_type, 2) OVER w AS e2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id)
+            ),
+            tri AS (
+              SELECT event_type || '>' || e1 || '>' || e2 AS ngram
+              FROM e WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+            ),
+            agg AS (SELECT ngram, count(*) AS n FROM tri GROUP BY 1)
+            SELECT ngram, n, rank FROM (
+              SELECT *, row_number() OVER (ORDER BY n DESC, ngram) AS rank
+              FROM agg
+            ) WHERE rank <= 20
+        """,
+        # mirror of stages/sample.py grouped_hash_sample: 3 docs per lang
+        # by (md5(doc_id), doc_id) order
+        "doc_sample_per_lang": """
+            SELECT lang, doc_id, rank FROM (
+              SELECT lang, doc_id, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ) AS rank
+              FROM documents
+            ) WHERE rank <= 3
         """,
         # mirror of stages/profile.py column_histogram (lo=0, hi=120000,
         # 24 bins, w=5000): clamp into [0, 23]; every bin present

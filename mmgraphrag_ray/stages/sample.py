@@ -118,3 +118,33 @@ def mixture_allocate(ds, weights: dict[str, int], total: int,
         return out[[id_col, src_col, "rank", "quota"]]
 
     return top.map_batches(cut, batch_format="pandas")
+
+
+def grouped_hash_sample(ds, keys: list[str], id_col: str, k: int = 3):
+    """Deterministic k-per-group sample — the "show me 3 examples per
+    language" debugging/inspection op: rank group members by md5(id) and
+    keep the k smallest, so membership is a pure function of the id
+    (stable across runs, engines and corpus growth — same property as
+    consistent_sample, here per group).
+
+    -> Dataset(keys..., id_col, rank).  Rides window.grouped_topk, so each
+    batch contributes at most k rows per group to the shuffle."""
+    import pandas as pd
+
+    from .window import grouped_topk
+
+    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[keys + [id_col]].copy()
+        out["_h"] = out[id_col].map(
+            lambda v: hashlib.md5(str(v).encode()).hexdigest()
+        )
+        return out
+
+    top = grouped_topk(
+        ds.map_batches(add_key, batch_format="pandas"),
+        keys=keys, order_col="_h", k=k, tie_cols=[id_col],
+        descending=False,
+    )
+    return top.map_batches(
+        lambda b: b[keys + [id_col, "rank"]], batch_format="pandas"
+    )

@@ -456,3 +456,77 @@ def window_dedup(
         return out
 
     return agg.map_batches(decode, batch_format="pandas")
+
+
+def grouped_sequence_ngrams(
+    ds,
+    keys: list[str],
+    order_cols: list[str],
+    val_col: str,
+    n: int = 3,
+    k: int = 20,
+    sep: str = ">",
+    n_buckets: int = N_BUCKETS,
+):
+    """Per-key ordered sequence n-grams, counted corpus-wide — clickstream
+    path mining ("which signup>view>purchase chains dominate"): within
+    each key group (a user), order rows by ``order_cols`` and emit every
+    run of ``n`` consecutive ``val_col`` values as one joined n-gram.
+
+    -> Dataset(ngram, n, rank): global top-k by (count desc, ngram asc).
+
+    Scale shape: ONE hash shuffle on the key (all of a user's rows land in
+    one bucket — per-task memory is bounded by the largest single key's
+    history, the same contract as running_agg); inside the bucket the
+    n-gram build is a vectorized shift-and-mask, and what leaves the
+    bucket is a combiner count table (distinct n-grams, not occurrences),
+    reduced by the standard bucketed sum + combiner top-k."""
+    from .groupagg import bucketed_groupby_agg
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..arrowutil import strip_pd_metadata
+
+        key = batch[keys[0]].astype(str)
+        for c in keys[1:]:
+            key = key + "\x1f" + batch[c].astype(str)
+        out = batch.assign(_sbucket=_bucket_of(key, n_buckets))
+        return strip_pd_metadata(out) if len(out) else out
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(keys + order_cols, kind="mergesort")
+        vals = b[val_col].astype(str).to_numpy()
+        key = b[keys[0]].astype(str)
+        for c in keys[1:]:
+            key = key + "\x1f" + b[c].astype(str)
+        karr = key.to_numpy()
+        if len(b) < n:
+            return pd.DataFrame({"ngram": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        grams = vals[: len(vals) - n + 1].copy()
+        ok = np.ones(len(grams), dtype=bool)
+        for j in range(1, n):
+            grams = np.char.add(
+                np.char.add(grams.astype(str), sep),
+                vals[j : len(vals) - n + 1 + j].astype(str),
+            )
+            ok &= karr[: len(karr) - n + 1] == karr[j : len(karr) - n + 1 + j]
+        g = pd.Series(grams[ok])
+        counts = g.value_counts()
+        return pd.DataFrame(
+            {"ngram": counts.index.to_numpy(dtype=object),
+             "n": counts.to_numpy(dtype="int64")}
+        )
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_sbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    sums = bucketed_groupby_agg(
+        parts, keys=["ngram"], aggs={"n": ("n", "sum")}
+    ).map_batches(lambda b: b.assign(_g=np.int64(0)), batch_format="pandas")
+    top = grouped_topk(sums, keys=["_g"], order_col="n", k=k,
+                       tie_cols=["ngram"])
+    return top.map_batches(
+        lambda b: b[["ngram", "n", "rank"]], batch_format="pandas"
+    )

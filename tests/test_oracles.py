@@ -30,6 +30,7 @@ CASES = [
     "code_secret_scan",
     "orders_cdc_diff",
     "events_window_dedup",
+    "events_path_trigrams",
     "emb_kmeans",
     "emb_semdedup",
     "doc_curation",

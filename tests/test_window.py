@@ -408,3 +408,38 @@ def test_window_dedup_ts_tie_breaks_on_id():
         ts_col="ts", id_col="event_id", window_us=3_600_000_000,
     ).to_pandas()
     assert out.iloc[0]["first_id"] == 3 and out.iloc[0]["n"] == 2
+
+
+def test_grouped_sequence_ngrams_respects_key_boundaries():
+    import pandas as pd
+
+    from mmgraphrag_ray.stages.window import grouped_sequence_ngrams
+
+    # user 1: a,b,c,b,c -> trigrams a>b>c, b>c>b, c>b>c
+    # user 2: c,a,b     -> c>a>b (no cross-user a>b>c despite adjacency)
+    ts = pd.to_datetime(
+        ["2026-01-01 00:%02d:00" % m for m in range(5)]
+        + ["2026-01-01 01:%02d:00" % m for m in range(3)]
+    ).astype("datetime64[us]")
+    df = pd.DataFrame(
+        {
+            "user_id": pd.Series([1] * 5 + [2] * 3, dtype="int64"),
+            "event_type": pd.Series(list("abcbc") + list("cab"), dtype=object),
+            "ts": ts,
+            "event_id": pd.Series(range(8), dtype="int64"),
+        }
+    )
+    out = (
+        grouped_sequence_ngrams(
+            ray.data.from_pandas(df).repartition(3),
+            keys=["user_id"], order_cols=["ts", "event_id"],
+            val_col="event_type", n=3, k=10,
+        )
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out.ngram, out.n))
+    assert got == {"a>b>c": 1, "b>c>b": 1, "c>b>c": 1, "c>a>b": 1}
+    # rank ties break on ngram asc
+    assert list(out.ngram) == sorted(got)
