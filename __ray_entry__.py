@@ -289,10 +289,12 @@ pr_r{i} AS (
     return "".join(parts)
 
 
-def _label_prop_sql(rounds: int = 4) -> str:
+def _label_prop_sql(rounds: int = 4, final: bool = True) -> str:
     """Unrolled min-label propagation over the merge CTE's nodes/edges —
     the exact mirror of stages/graphalgo.min_label_rounds (labels are node
-    names; min is binary-collation string min on both engines)."""
+    names; min is binary-collation string min on both engines).  With
+    ``final=False`` the chain stays open as CTEs (lp_r{rounds} is the
+    label table) for composition (kg_community_stats)."""
     parts = [
         """,
 lp_bid AS (
@@ -315,7 +317,8 @@ lp_r{i} AS (
   FROM lp_r{i - 1} r LEFT JOIN lp_n{i} n ON n.node = r.node
 )"""
         )
-    parts.append(f"\nSELECT node, label FROM lp_r{rounds}")
+    if final:
+        parts.append(f"\nSELECT node, label FROM lp_r{rounds}")
     return "".join(parts)
 
 
@@ -1223,6 +1226,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nodes, edges = _build_graph_cached(sf_dir)
         return min_label_rounds(nodes, edges, rounds=4)
 
+    def kg_community_stats(sf_dir):
+        # per-community size / internal edges / degree sum over the
+        # 4-round label-prop partition (all-integer modularity inputs)
+        from mmgraphrag_ray.stages.graphalgo import community_stats
+
+        nodes, edges = _build_graph_cached(sf_dir)
+        return community_stats(nodes, edges, rounds=4)
+
     def kg_triangles(sf_dir):
         # per-node triangle participation via degree-ordered orientation
         # (hub-safe wedge enumeration; stages/graphalgo.py)
@@ -1735,6 +1746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_degrees": kg_node_degrees,
         "kg_pagerank": kg_pagerank,
         "kg_label_prop": kg_label_prop,
+        "kg_community_stats": kg_community_stats,
         "kg_triangles": kg_triangles,
         "kg_entity_pmi": kg_entity_pmi,
         "kg_sorted_neighborhood": kg_sorted_neighborhood,
@@ -1982,6 +1994,31 @@ JOIN sagg s ON s.new_name = d.new_name
         # fixed-round min-label propagation (distributed-CC building block):
         # 4 unrolled join+grouped-min iterations
         "kg_label_prop": kg + merge + _label_prop_sql(rounds=4),
+        # mirror of stages/graphalgo.community_stats: per-label community
+        # size, internal edge count and summed member degree over the
+        # 4-round label-prop partition
+        "kg_community_stats": kg + merge
+        + _label_prop_sql(rounds=4, final=False)
+        + """,
+            lab AS MATERIALIZED (SELECT node, label FROM lp_r4),
+            nn AS (SELECT label, count(*) AS n_nodes FROM lab GROUP BY 1),
+            te AS MATERIALIZED (
+              SELECT a.label AS lu, b.label AS lv
+              FROM edges e
+              JOIN lab a ON a.node = e.src_id
+              JOIN lab b ON b.node = e.tgt_id
+            ),
+            ie AS (SELECT lu AS label, count(*) AS internal_edges
+                   FROM te WHERE lu = lv GROUP BY 1),
+            dg AS (SELECT label, count(*) AS degree_sum FROM (
+                     SELECT lu AS label FROM te
+                     UNION ALL SELECT lv AS label FROM te
+                   ) GROUP BY 1)
+            SELECT nn.label, nn.n_nodes,
+                   COALESCE(ie.internal_edges, 0) AS internal_edges,
+                   COALESCE(dg.degree_sum, 0) AS degree_sum
+            FROM nn LEFT JOIN ie USING (label) LEFT JOIN dg USING (label)
+        """,
         # degree-ordered triangle counting: orientation keys kill hub
         # explosion; each triangle counted once from its min-key corner
         "kg_triangles": kg + merge + _triangles_sql(),

@@ -597,3 +597,86 @@ def k_core_peel(edges_ds, k: int = 2, rounds: int = 3,
     ).map_batches(
         lambda b: b.rename(columns={"u": "node"}), batch_format="pandas"
     )
+
+
+def community_stats(nodes_ds, edges_ds, rounds: int = 4,
+                    node_col: str = "entity_name",
+                    src_col: str = "src_id", tgt_col: str = "tgt_id"):
+    """Per-community sufficient statistics over the min_label_rounds
+    partition — what a modularity/quality report needs, kept ALL-INTEGER
+    so the whole chain stays value-comparable in SQL (float modularity
+    Q = Σ(e_c/m - (d_c/2m)²) is one driver-side division away from these):
+
+    -> Dataset(label, n_nodes, internal_edges, degree_sum): community
+    size, edges with BOTH endpoints inside, and the summed degree of the
+    community's members.
+
+    Shape: the label table (one short row per node) joins the edge list
+    twice — src side then tgt side — via the broadcast-or-bucketed plan,
+    then three combiner groupbys; edge payloads never move."""
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    labels = min_label_rounds(
+        nodes_ds, edges_ds, rounds=rounds,
+        node_col=node_col, src_col=src_col, tgt_col=tgt_col,
+    ).materialize()
+
+    n_nodes = bucketed_groupby_agg(
+        labels, keys=["label"], aggs={"n_nodes": (None, "count")}
+    )
+
+    e = edges_ds.map_batches(
+        lambda b: b[[src_col, tgt_col]].rename(
+            columns={src_col: "u", tgt_col: "v"}
+        ),
+        batch_format="pandas",
+    )
+    lu = labels.map_batches(
+        lambda b: b.rename(columns={"node": "u", "label": "lu"}),
+        batch_format="pandas",
+    )
+    lv = labels.map_batches(
+        lambda b: b.rename(columns={"node": "v", "label": "lv"}),
+        batch_format="pandas",
+    )
+    tagged = bucketed_join(
+        bucketed_join(e, lu, on="u", small_side="right"),
+        lv, on="v", small_side="right",
+    )
+    internal = bucketed_groupby_agg(
+        tagged.map_batches(
+            lambda b: b[b["lu"] == b["lv"]][["lu"]].rename(
+                columns={"lu": "label"}
+            ),
+            batch_format="pandas",
+        ),
+        keys=["label"],
+        aggs={"internal_edges": (None, "count")},
+    )
+    # degree_sum: every edge endpoint contributes 1 to its node's label
+    deg = bucketed_groupby_agg(
+        tagged.map_batches(
+            lambda b: pd.DataFrame(
+                {"label": pd.concat([b["lu"], b["lv"]], ignore_index=True)}
+            ),
+            batch_format="pandas",
+        ),
+        keys=["label"],
+        aggs={"degree_sum": (None, "count")},
+    )
+
+    out = bucketed_join(
+        bucketed_join(n_nodes, internal, on="label", how="left",
+                      small_side="right"),
+        deg, on="label", how="left", small_side="right",
+    )
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        for c in ("internal_edges", "degree_sum"):
+            out[c] = out[c].fillna(0).astype("int64")
+        out["n_nodes"] = out["n_nodes"].astype("int64")
+        return out[["label", "n_nodes", "internal_edges", "degree_sum"]]
+
+    return out.map_batches(fill, batch_format="pandas")

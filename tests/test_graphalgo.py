@@ -169,3 +169,28 @@ def test_k_core_peel_empty_core():
     edges = pd.DataFrame({"src_id": ["A", "B"], "tgt_id": ["B", "C"]})
     got = k_core_peel(ray.data.from_pandas(edges), k=2, rounds=3).to_pandas()
     assert len(got) == 0
+
+
+def test_community_stats_two_components():
+    from mmgraphrag_ray.stages.graphalgo import community_stats
+
+    # component 1: triangle A-B-C (+1 chord-free), component 2: path X-Y
+    nodes = pd.DataFrame({"entity_name": ["A", "B", "C", "X", "Y"]})
+    edges = pd.DataFrame(
+        {"src_id": ["A", "B", "C", "X"], "tgt_id": ["B", "C", "A", "Y"]}
+    )
+    for blocks in (1, 3):
+        got = (
+            community_stats(
+                ray.data.from_pandas(nodes).repartition(blocks),
+                ray.data.from_pandas(edges).repartition(blocks),
+                rounds=4,
+            )
+            .to_pandas()
+            .sort_values("label")
+            .reset_index(drop=True)
+        )
+        assert list(got.label) == ["A", "X"]
+        assert list(got.n_nodes) == [3, 2]
+        assert list(got.internal_edges) == [3, 1]
+        assert list(got.degree_sum) == [6, 2]
