@@ -1550,6 +1550,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             val_col="event_type", n=3, k=20,
         )
 
+    def events_gap_stats_q(sf_dir):
+        # per-user inter-event cadence profile: consecutive-gap
+        # min/max/sum/count in integer microseconds
+        from mmgraphrag_ray.stages.window import grouped_gap_stats
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id"],
+        )
+        return grouped_gap_stats(ev, keys=["user_id"], ts_col="ts",
+                                 id_col="event_id")
+
     def doc_sample_per_lang_q(sf_dir):
         # deterministic k-per-group inspection sample: 3 docs per lang by
         # md5(doc_id) order (stable across runs/engines/corpus growth)
@@ -1778,6 +1790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_secret_scan": code_secret_scan_q,
         "lineitem_price_histogram": lineitem_price_histogram_q,
         "events_path_trigrams": events_path_trigrams_q,
+        "events_gap_stats": events_gap_stats_q,
         "doc_sample_per_lang": doc_sample_per_lang_q,
         "events_window_dedup": events_window_dedup_q,
         "orders_cdc_diff": orders_cdc_diff_q,
@@ -2654,6 +2667,23 @@ FROM vh GROUP BY 1, 2, 3
               SELECT *, row_number() OVER (ORDER BY n DESC, ngram) AS rank
               FROM agg
             ) WHERE rank <= 20
+        """,
+        # mirror of stages/window.py grouped_gap_stats: consecutive
+        # timestamp deltas per user in (ts, event_id) order
+        "events_gap_stats": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS tu, event_id FROM events
+            ),
+            g AS (
+              SELECT user_id, tu - lag(tu) OVER (
+                PARTITION BY user_id ORDER BY tu, event_id) AS gap
+              FROM e
+            )
+            SELECT user_id, count(*) AS n_events,
+                   count(gap) AS n_gaps,
+                   min(gap) AS min_gap_us, max(gap) AS max_gap_us,
+                   sum(gap) AS sum_gap_us
+            FROM g GROUP BY 1
         """,
         # mirror of stages/sample.py grouped_hash_sample: 3 docs per lang
         # by (md5(doc_id), doc_id) order

@@ -61,6 +61,12 @@ def _bench_main() -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # keep the bench tail to the JSON line: worker-side log streaming
+        # otherwise spams Ray's cosmetic "Failed to hash the schemas"
+        # warning (triggered by the pandas metadata in the driver-written
+        # testdata parquet — not fixable repo-side); full worker logs stay
+        # in /tmp/ray/<session>/logs for debugging
+        log_to_driver=False,
     )
     from mmgraphrag_ray.runtime import configure
 

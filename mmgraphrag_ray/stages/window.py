@@ -530,3 +530,77 @@ def grouped_sequence_ngrams(
     return top.map_batches(
         lambda b: b[["ngram", "n", "rank"]], batch_format="pandas"
     )
+
+
+def grouped_gap_stats(
+    ds,
+    keys: list[str],
+    ts_col: str,
+    id_col: str,
+    n_buckets: int = N_BUCKETS,
+):
+    """Per-key inter-event gap statistics — the cadence/anomaly profile
+    behind bot detection and session tuning: order each key's events by
+    (ts, id), take consecutive timestamp deltas, reduce to
+    (n_events, n_gaps, min_gap_us, max_gap_us, sum_gap_us) per key.
+    Integer microseconds end to end, so the SQL mirror (lag window) is
+    value-exact; mean gap = one float division away downstream.
+
+    Keys with a single event emit n_gaps=0 and NULL gap stats.
+
+    Shape: same ONE-shuffle contract as grouped_sequence_ngrams — a key's
+    rows land in one bucket, deltas are a vectorized diff over the sorted
+    bucket, and one row per key leaves it."""
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..arrowutil import strip_pd_metadata
+
+        key = batch[keys[0]].astype(str)
+        for c in keys[1:]:
+            key = key + "\x1f" + batch[c].astype(str)
+        out = batch.assign(_gbucket=_bucket_of(key, n_buckets))
+        return strip_pd_metadata(out) if len(out) else out
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame(
+                {**{k: pd.Series(dtype=object) for k in keys},
+                 "n_events": pd.Series(dtype="int64"),
+                 "n_gaps": pd.Series(dtype="int64"),
+                 "min_gap_us": pd.Series(dtype="Int64"),
+                 "max_gap_us": pd.Series(dtype="Int64"),
+                 "sum_gap_us": pd.Series(dtype="Int64")}
+            )
+        b = bucket.sort_values(keys + [ts_col, id_col], kind="mergesort")
+        ts = b[ts_col].astype("int64").to_numpy()
+        key = b[keys[0]].astype(str)
+        for c in keys[1:]:
+            key = key + "\x1f" + b[c].astype(str)
+        karr = key.to_numpy()
+        same = np.concatenate([[False], karr[1:] == karr[:-1]])
+        gap = np.diff(ts, prepend=ts[:1])  # gap[i] = ts[i] - ts[i-1]
+        gaps = pd.DataFrame(
+            {"_k": karr[same], "gap": gap[same].astype("int64")}
+        )
+        per_key = b.groupby(keys, sort=False).size().rename("n_events")
+        g = gaps.groupby("_k")["gap"]
+        stats = pd.DataFrame(
+            {"n_gaps": g.size(), "min_gap_us": g.min(),
+             "max_gap_us": g.max(), "sum_gap_us": g.sum()}
+        )
+        out = per_key.reset_index()
+        kser = out[keys[0]].astype(str)
+        for c in keys[1:]:
+            kser = kser + "\x1f" + out[c].astype(str)
+        out = out.join(stats.reindex(kser.to_numpy()).reset_index(drop=True))
+        out["n_gaps"] = out["n_gaps"].fillna(0).astype("int64")
+        for c in ("min_gap_us", "max_gap_us", "sum_gap_us"):
+            out[c] = out[c].astype("Int64")
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_gbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(8)
+    )

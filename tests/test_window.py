@@ -443,3 +443,36 @@ def test_grouped_sequence_ngrams_respects_key_boundaries():
     assert got == {"a>b>c": 1, "b>c>b": 1, "c>b>c": 1, "c>a>b": 1}
     # rank ties break on ngram asc
     assert list(out.ngram) == sorted(got)
+
+
+def test_grouped_gap_stats_singletons_and_ties():
+    import pandas as pd
+
+    from mmgraphrag_ray.stages.window import grouped_gap_stats
+
+    ts = pd.to_datetime(
+        ["2026-01-01 00:00:00", "2026-01-01 00:00:10", "2026-01-01 00:00:10",
+         "2026-01-01 00:05:00"]
+    ).astype("datetime64[us]")
+    df = pd.DataFrame(
+        {
+            "user_id": pd.Series([1, 1, 1, 2], dtype="int64"),
+            "ts": ts,
+            "event_id": pd.Series([5, 6, 7, 8], dtype="int64"),
+        }
+    )
+    out = (
+        grouped_gap_stats(
+            ray.data.from_pandas(df).repartition(3),
+            keys=["user_id"], ts_col="ts", id_col="event_id",
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    u1 = out.iloc[0]
+    assert (u1.n_events, u1.n_gaps) == (3, 2)
+    assert (u1.min_gap_us, u1.max_gap_us, u1.sum_gap_us) == (0, 10_000_000, 10_000_000)
+    u2 = out.iloc[1]  # singleton: no gaps, null stats
+    assert (u2.n_events, u2.n_gaps) == (1, 0)
+    assert pd.isna(u2.min_gap_us) and pd.isna(u2.sum_gap_us)
