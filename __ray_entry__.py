@@ -1550,6 +1550,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             val_col="event_type", n=3, k=20,
         )
 
+    def lineitem_salted_part_join_q(sf_dir):
+        # skew-mitigating salted fact⋈dim join (salt=8): hot part keys
+        # spread over 8 reduce buckets; grouped to brand totals
+        from mmgraphrag_ray.stages.groupagg import bucketed_groupby_agg
+        from mmgraphrag_ray.stages.join import salted_join
+
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        )
+        part = ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+        ).map_batches(
+            lambda b: b.rename(columns={"p_partkey": "l_partkey"}),
+            batch_format="pandas",
+        )
+        joined = salted_join(li, part, on="l_partkey", salt=8)
+
+        def widen(b):
+            out = b[["p_brand"]].copy()
+            out["n"] = 1
+            out["sum_qty"] = b["l_quantity"].astype("int64")
+            out["sum_price_floor"] = b["l_extendedprice"].astype("int64")
+            return out
+
+        return bucketed_groupby_agg(
+            joined.map_batches(widen, batch_format="pandas"),
+            keys=["p_brand"],
+            aggs={"n": ("n", "sum"), "sum_qty": ("sum_qty", "sum"),
+                  "sum_price_floor": ("sum_price_floor", "sum")},
+        )
+
     def events_gap_stats_q(sf_dir):
         # per-user inter-event cadence profile: consecutive-gap
         # min/max/sum/count in integer microseconds
@@ -1791,6 +1823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_histogram": lineitem_price_histogram_q,
         "events_path_trigrams": events_path_trigrams_q,
         "events_gap_stats": events_gap_stats_q,
+        "lineitem_salted_part_join": lineitem_salted_part_join_q,
         "doc_sample_per_lang": doc_sample_per_lang_q,
         "events_window_dedup": events_window_dedup_q,
         "orders_cdc_diff": orders_cdc_diff_q,
@@ -2667,6 +2700,18 @@ FROM vh GROUP BY 1, 2, 3
               SELECT *, row_number() OVER (ORDER BY n DESC, ngram) AS rank
               FROM agg
             ) WHERE rank <= 20
+        """,
+        # mirror of stages/join.py salted_join composed with brand
+        # totals — salting never changes join output, so the oracle is
+        # the plain join (quantity/price floor-quantized to BIGINT)
+        "lineitem_salted_part_join": """
+            SELECT p.p_brand, count(*) AS n,
+                   CAST(sum(CAST(trunc(l.l_quantity) AS BIGINT)) AS BIGINT)
+                     AS sum_qty,
+                   CAST(sum(CAST(trunc(l.l_extendedprice) AS BIGINT))
+                     AS BIGINT) AS sum_price_floor
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1
         """,
         # mirror of stages/window.py grouped_gap_stats: consecutive
         # timestamp deltas per user in (ts, event_id) order

@@ -226,3 +226,55 @@ def table_diff(
         return out
 
     return joined.map_batches(classify, batch_format="pandas")
+
+
+def salted_join(
+    left,
+    right,
+    on: str,
+    salt: int = 8,
+    n_buckets: int = 64,
+):
+    """Skew-mitigating INNER join — the classic hot-key fix at shuffle
+    scale: a key with millions of left rows would land every row in ONE
+    reduce bucket of `bucketed_join`; here the small/dimension RIGHT side
+    is replicated `salt` times and each left row picks one replica, so a
+    hot key's rows spread over `salt` buckets and per-task memory is
+    bounded by (largest key / salt).  Output rows are identical to the
+    unsalted join for ANY salt assignment (each left row still meets
+    every right match exactly once), pinned by tests.
+
+    Cost model: right side ships `salt` copies — use for (big skewed) ⋈
+    (small dimension); for small right sides under the broadcast cap
+    prefer `bucketed_join(small_side='right')`, which shuffles nothing.
+    """
+    import numpy as np
+
+    sep = "\x1f"
+
+    def salt_left(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["_sk"] = (
+            batch[on].astype(str)
+            + sep
+            + pd.Series(np.arange(len(batch)) % salt, index=batch.index).astype(str)
+        )
+        return out
+
+    def replicate_right(batch: pd.DataFrame) -> pd.DataFrame:
+        reps = []
+        for s in range(salt):
+            r = batch.drop(columns=[on]).copy()
+            r["_sk"] = batch[on].astype(str) + sep + str(s)
+            reps.append(r)
+        return pd.concat(reps, ignore_index=True)
+
+    joined = bucketed_join(
+        left.map_batches(salt_left, batch_format="pandas"),
+        right.map_batches(replicate_right, batch_format="pandas"),
+        on="_sk",
+        n_buckets=n_buckets,
+    )
+    return joined.map_batches(
+        lambda b: b.drop(columns=["_sk"]), batch_format="pandas"
+    )

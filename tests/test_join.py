@@ -138,3 +138,46 @@ def test_table_diff_all_four_statuses():
     assert dict(zip(out.k.astype(int), out.status)) == {
         1: "same", 2: "changed", 3: "changed", 4: "removed", 5: "added"
     }
+
+
+def test_salted_join_equals_plain_join_under_hot_key():
+    import numpy as np
+    import pandas as pd
+
+    from mmgraphrag_ray.stages.join import bucketed_join, salted_join
+
+    rng = np.random.RandomState(3)
+    # 90% of left rows share ONE hot key
+    keys = np.where(rng.rand(2000) < 0.9, 7, rng.randint(0, 20, 2000))
+    left = pd.DataFrame(
+        {"k": pd.Series(keys, dtype="int64"),
+         "v": pd.Series(np.arange(2000), dtype="int64")}
+    )
+    right = pd.DataFrame(
+        {"k": pd.Series(range(20), dtype="int64"),
+         "dim": pd.Series([f"d{i}" for i in range(20)], dtype=object)}
+    )
+
+    def norm(ds):
+        return (
+            ds.to_pandas()[["k", "v", "dim"]]
+            .sort_values(["k", "v"]).reset_index(drop=True)
+            .astype({"k": "int64", "v": "int64"})
+        )
+
+    salted = norm(
+        salted_join(
+            ray.data.from_pandas(left).repartition(5),
+            ray.data.from_pandas(right).repartition(2),
+            on="k", salt=4,
+        )
+    )
+    plain = norm(
+        bucketed_join(
+            ray.data.from_pandas(left).repartition(5),
+            ray.data.from_pandas(right).repartition(2),
+            on="k",
+        )
+    )
+    pd.testing.assert_frame_equal(salted, plain)
+    assert len(salted) == 2000  # every left row matched exactly once
