@@ -1550,6 +1550,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             val_col="event_type", n=3, k=20,
         )
 
+    def lineitem_price_mad_q(sf_dir):
+        # robust dispersion: exact global median + median absolute
+        # deviation via two histogram-refinement selection passes
+        from mmgraphrag_ray.stages.groupagg import global_mad
+
+        li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                   columns=["l_extendedprice"])
+        return global_mad(li, "l_extendedprice")
+
     def lineitem_salted_part_join_q(sf_dir):
         # skew-mitigating salted fact⋈dim join (salt=8): hot part keys
         # spread over 8 reduce buckets; grouped to brand totals
@@ -1824,6 +1833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_path_trigrams": events_path_trigrams_q,
         "events_gap_stats": events_gap_stats_q,
         "lineitem_salted_part_join": lineitem_salted_part_join_q,
+        "lineitem_price_mad": lineitem_price_mad_q,
         "doc_sample_per_lang": doc_sample_per_lang_q,
         "events_window_dedup": events_window_dedup_q,
         "orders_cdc_diff": orders_cdc_diff_q,
@@ -2700,6 +2710,18 @@ FROM vh GROUP BY 1, 2, 3
               SELECT *, row_number() OVER (ORDER BY n DESC, ngram) AS rank
               FROM agg
             ) WHERE rank <= 20
+        """,
+        # mirror of stages/groupagg.py global_mad: type-1 median, then
+        # type-1 median of |x - median| (both actual elements)
+        "lineitem_price_mad": """
+            WITH v AS (SELECT l_extendedprice AS x FROM lineitem
+                       WHERE l_extendedprice IS NOT NULL),
+            m AS (SELECT quantile_disc(x, 0.5) AS med FROM v)
+            SELECT m.med AS median,
+                   (SELECT quantile_disc(abs(v.x - m.med), 0.5)
+                    FROM v) AS mad,
+                   (SELECT count(*) FROM v) AS n
+            FROM m
         """,
         # mirror of stages/join.py salted_join composed with brand
         # totals — salting never changes join output, so the oracle is

@@ -311,3 +311,37 @@ def grouped_corr_components(
         },
         n_buckets=n_buckets,
     )
+
+
+def global_mad(ds, value_col: str, **quantile_kw):
+    """Global MEDIAN ABSOLUTE DEVIATION — the robust dispersion measure
+    outlier detectors use where stddev is poisoned by the outliers
+    themselves.  Two exact selection passes, no global sort:
+
+    1. median = global_quantiles(col, [0.5])  (type-1, an actual element);
+    2. mad    = global_quantiles(|x - median|, [0.5]).
+
+    The deviation is a single IEEE subtract+abs of identical operands on
+    both engines, so the result is bit-exact vs SQL's
+    quantile_disc(abs(x - quantile_disc(x, .5)), .5).
+
+    -> 1-row Dataset(median, mad, n)."""
+    import ray.data
+
+    med_rows = global_quantiles(ds, value_col, [0.5], **quantile_kw).take_all()
+    med = float(med_rows[0]["value"])
+    n = int(med_rows[0]["n"])
+
+    def dev(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch[value_col].dropna()
+        return pd.DataFrame({"_dev": (x - med).abs()})
+
+    devs = ds.map_batches(dev, batch_format="pandas")
+    mad_rows = global_quantiles(devs, "_dev", [0.5], **quantile_kw).take_all()
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {"median": pd.Series([med], dtype="float64"),
+             "mad": pd.Series([float(mad_rows[0]["value"])], dtype="float64"),
+             "n": pd.Series([n], dtype="int64")}
+        )
+    )

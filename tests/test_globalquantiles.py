@@ -101,3 +101,27 @@ def test_column_histogram_total_and_clamped():
     assert list(out.n) == list(exp)
     assert list(out.lo_edge) == [0.0, 5.0, 10.0, 15.0]
     assert list(out.hi_edge) == [5.0, 10.0, 15.0, 20.0]
+
+
+def test_global_mad_matches_serial():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.groupagg import global_mad
+
+    rng = np.random.RandomState(11)
+    v = np.concatenate([rng.uniform(0, 100, 501), [1e9]])  # one outlier
+    df = pd.DataFrame({"x": pd.Series(v, dtype="float64")})
+    out = global_mad(
+        ray.data.from_pandas(df).repartition(5), "x", bin_cap=64
+    ).to_pandas()
+    s = np.sort(v)
+    med = s[int(np.ceil(0.5 * len(s))) - 1]  # type-1
+    d = np.sort(np.abs(v - med))
+    mad = d[int(np.ceil(0.5 * len(d))) - 1]
+    assert out.loc[0, "median"] == med
+    assert out.loc[0, "mad"] == mad
+    assert out.loc[0, "n"] == len(v)
+    # robustness: the outlier barely moves MAD (unlike stddev)
+    assert out.loc[0, "mad"] < 60
