@@ -1494,6 +1494,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return files.map_batches(strip, batch_format="pyarrow")
 
+    def code_import_indegree_q(sf_dir):
+        # module dependency graph: top-20 most-imported modules
+        # (distinct importing modules) from the corpus import lines
+        from mmgraphrag_ray.stages.codegraph import import_indegree_topk
+
+        files = ray.data.read_parquet(_corpus(sf_dir), columns=["content"])
+        return import_indegree_topk(files, k=20)
+
     def code_dedup_lines(sf_dir):
         # corpus-wide duplicate-line strip (RefinedWeb-style boilerplate
         # removal) over the source-code corpus
@@ -1821,6 +1829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_enhanced_nodes": kg_enhanced_nodes,
         "kg_resolve_refs": kg_resolve_refs,
         "code_strip_comments": code_strip_comments,
+        "code_import_indegree": code_import_indegree_q,
         "code_dedup_lines": code_dedup_lines,
         "doc_decontaminate": doc_decontaminate,
         "doc_dsir_weights": doc_dsir_weights_q,
@@ -2650,6 +2659,22 @@ FROM vh GROUP BY 1, 2, 3
                      regexp_replace(content, '(?m)^[ \\t]*#[^\\n]*\\n?', '', 'g'),
                      '(?s)\"\"\".*?\"\"\"', '', 'g') AS stripped
             FROM read_parquet('{corpus}/*.parquet')
+        """,
+        # mirror of stages/codegraph.py import_indegree_topk: distinct
+        # (src, dst) import edges -> count distinct importers per module
+        "code_import_indegree": f"""
+            WITH f AS (
+              SELECT regexp_extract(content, '(?m)^# module: ([\\w.]+)', 1) AS src,
+                     regexp_extract_all(content, '(?m)^import ([\\w.]+)', 1) AS dsts
+              FROM read_parquet('{corpus}/*.parquet')
+            ),
+            e AS (
+              SELECT DISTINCT src, unnest(dsts) AS dst
+              FROM f WHERE src IS NOT NULL AND src <> ''
+            )
+            SELECT dst AS module, count(DISTINCT src) AS in_degree
+            FROM e GROUP BY 1
+            ORDER BY in_degree DESC, module LIMIT 20
         """,
         "doc_sample": """
             SELECT * FROM documents WHERE doc_id % 10 = 0

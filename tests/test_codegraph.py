@@ -1,0 +1,45 @@
+import pandas as pd
+import ray.data
+
+from mmgraphrag_ray.stages.codegraph import import_edges, import_indegree_topk
+
+
+def _files():
+    # a imports b twice (dedup), b imports c, c imports b+a, one file
+    # without a module header (dropped), a second file of module a
+    # re-importing b (still one distinct edge)
+    rows = [
+        "# module: a\nimport b\nimport b\nimport c\n",
+        "# module: b\nimport c\n",
+        "# module: c\nimport b\nimport a\n",
+        "no header here\nimport b\n",
+        "# module: a\nimport b\n",
+    ]
+    return ray.data.from_pandas(
+        pd.DataFrame({"content": rows})
+    ).repartition(3)
+
+
+def test_import_edges_distinct():
+    out = (
+        import_edges(_files(), n_buckets=4)
+        .to_pandas()
+        .sort_values(["src_module", "dst_module"])
+        .reset_index(drop=True)
+    )
+    exp = pd.DataFrame(
+        {
+            "src_module": ["a", "a", "b", "c", "c"],
+            "dst_module": ["b", "c", "c", "a", "b"],
+        }
+    )
+    pd.testing.assert_frame_equal(out, exp)
+
+
+def test_import_indegree_topk_order_and_ties():
+    out = import_indegree_topk(_files(), k=10, n_buckets=4).to_pandas()
+    # b imported by {a, c} -> 2; a by {c} -> 1; c by {a, b} -> 2
+    exp = pd.DataFrame(
+        {"module": ["b", "c", "a"], "in_degree": [2, 2, 1]}
+    ).astype({"in_degree": "int64"})
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
