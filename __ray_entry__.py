@@ -1854,6 +1854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf_topk,
         "knn_label": knn_label,
         "q1_pricing": relational.q1_pricing,
+        "q3_shipping": relational.q3_shipping,
         "segment_order_stats": relational.segment_order_stats,
         "topk_orders": relational.topk_orders,
         "events_window": relational.events_window,
@@ -3197,6 +3198,24 @@ FROM vh GROUP BY 1, 2, 3
                    count(*) AS count_order,
                    max(l_quantity) AS max_qty
             FROM lineitem GROUP BY 1, 2
+        """,
+        # mirror of pipelines/relational.py q3_shipping: 3-table star
+        # join, exact int64-cents revenue (identical per-row IEEE floor)
+        "q3_shipping": """
+            SELECT l.l_orderkey,
+                   CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                       * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   o.o_orderdate, o.o_orderpriority
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY 1, 3, 4
+            ORDER BY revenue_cents DESC, o.o_orderdate, l.l_orderkey
+            LIMIT 10
         """,
         "segment_order_stats": """
             SELECT c_mktsegment,

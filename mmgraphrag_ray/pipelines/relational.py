@@ -61,6 +61,70 @@ def segment_order_stats(sf_dir: str):
     )
 
 
+def q3_shipping(sf_dir: str, k: int = 10, cut: str = "1998-06-01"):
+    """TPC-H Q3 shape — the canonical 3-table star join:
+    customer(filtered segment) ⋈ orders(date filter) ⋈ lineitem(date
+    filter), revenue per order, global top-k.
+
+    Scale plan: the customer side reduces to a key SET before touching
+    the fact tables (broadcast semi-join — no shuffle); lineitem revenue
+    is pre-aggregated to one row per order (combiner + one bucketed
+    shuffle) BEFORE the orders join, so the fact⋈fact join moves one
+    row per qualifying order on each side; the final ranking is a
+    sort+limit over per-order aggregates only.  Revenue is exact:
+    per-row floor(price·(1−discount)·100) in int64 cents — identical
+    IEEE double ops on both engines, then an order-insensitive sum."""
+    import numpy as np
+
+    cut_ts = pd.Timestamp(cut)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = cust.map_batches(
+        lambda b: b[b["c_mktsegment"] == "BUILDING"][["c_custkey"]],
+        batch_format="pandas",
+    ).to_pandas()["c_custkey"]
+
+    from ..stages.join import broadcast_semi_join, bucketed_join
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    )
+    orders = broadcast_semi_join(orders, set(keys.tolist()), "o_custkey")
+    orders = orders.map_batches(
+        lambda b: b[b["o_orderdate"] < cut_ts][
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ].rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def rev(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["l_shipdate"] > cut_ts]
+        cents = np.floor(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy())
+            * 100.0
+        ).astype("int64")
+        return pd.DataFrame(
+            {"l_orderkey": b["l_orderkey"].to_numpy(), "revenue_cents": cents}
+        )
+
+    per_order = bucketed_groupby_agg(
+        li.map_batches(rev, batch_format="pandas"),
+        keys=["l_orderkey"],
+        aggs={"revenue_cents": ("revenue_cents", "sum")},
+    )
+    joined = bucketed_join(per_order, orders, on="l_orderkey")
+    return joined.sort(
+        ["revenue_cents", "o_orderdate", "l_orderkey"],
+        descending=[True, False, False],
+    ).limit(k)
+
+
 def topk_orders(sf_dir: str, k: int = 10):
     """Global top-k by sort+limit (reference O2-O4 top-k family)."""
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])

@@ -35,6 +35,9 @@ CASES = [
     "emb_semdedup",
     "doc_curation",
     "user_customer_outer",
+    "q3_shipping",
+    "code_import_indegree",
+    "lineitem_price_mad",
 ]
 
 
