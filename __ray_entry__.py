@@ -1558,6 +1558,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             val_col="event_type", n=3, k=20,
         )
 
+    def doc_robust_outliers_q(sf_dir):
+        # per-language robust length filter: |len - median| > 3*MAD,
+        # all-integer so the flag is bit-exact vs SQL
+        from mmgraphrag_ray.stages.groupagg import grouped_robust_outliers
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        )
+        return grouped_robust_outliers(docs, ["lang"], "n_chars", z=3)
+
     def lineitem_price_mad_q(sf_dir):
         # robust dispersion: exact global median + median absolute
         # deviation via two histogram-refinement selection passes
@@ -1843,6 +1853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_stats": events_gap_stats_q,
         "lineitem_salted_part_join": lineitem_salted_part_join_q,
         "lineitem_price_mad": lineitem_price_mad_q,
+        "doc_robust_outliers": doc_robust_outliers_q,
         "doc_sample_per_lang": doc_sample_per_lang_q,
         "events_window_dedup": events_window_dedup_q,
         "orders_cdc_diff": orders_cdc_diff_q,
@@ -2748,6 +2759,23 @@ FROM vh GROUP BY 1, 2, 3
                     FROM v) AS mad,
                    (SELECT count(*) FROM v) AS n
             FROM m
+        """,
+        # mirror of stages/groupagg.py grouped_robust_outliers: per-lang
+        # type-1 median + MAD over the integer length — integer-exact
+        "doc_robust_outliers": """
+            WITH m AS (
+              SELECT lang, quantile_disc(n_chars, 0.5) AS med
+              FROM documents GROUP BY 1
+            ),
+            d AS (
+              SELECT doc.doc_id, doc.lang, doc.n_chars, m.med,
+                     abs(doc.n_chars - m.med) AS dev
+              FROM documents doc JOIN m USING (lang)
+            ),
+            md AS (SELECT lang, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY 1)
+            SELECT d.doc_id, d.lang, d.n_chars, d.med, md.mad,
+                   (abs(d.n_chars - d.med) > 3 * md.mad) AS is_outlier
+            FROM d JOIN md USING (lang)
         """,
         # mirror of stages/join.py salted_join composed with brand
         # totals — salting never changes join output, so the oracle is

@@ -313,6 +313,65 @@ def grouped_corr_components(
     )
 
 
+def grouped_robust_outliers(
+    ds,
+    keys: list[str],
+    value_col: str,
+    z: int = 3,
+    n_buckets: int = N_BUCKETS,
+):
+    """Per-group robust outlier flags: |x − group_median| > z · group_MAD.
+
+    The per-language length filter every corpus-quality pipeline runs —
+    stddev-based z-scores are poisoned by the very outliers they hunt,
+    median/MAD is not.  With an integer value column every quantity here
+    (median, deviation, MAD, the comparison) is integer-exact, so the
+    SQL mirror matches bit-for-bit.
+
+    Two grouped exact-quantile passes (window.group_quantiles: one hash
+    shuffle each) whose outputs are ONE ROW PER GROUP — broadcast back
+    into the stream via ray.put, never a fact-side shuffle.  Assumes
+    bounded group cardinality (languages, sources); for unbounded keys
+    route the med/mad tables through bucketed_join instead.
+
+    -> Dataset(input columns..., med, mad, is_outlier)."""
+    from .join import broadcast_join
+    from .window import group_quantiles
+
+    med = (
+        group_quantiles(ds, keys, value_col, [0.5], n_buckets=n_buckets)
+        .to_pandas()[keys + ["p50"]]
+        .rename(columns={"p50": "med"})
+    )
+    with_med = broadcast_join(ds, med, on=keys)
+
+    def dev(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[keys].copy()
+        out["_dev"] = (batch[value_col] - batch["med"]).abs()
+        return out
+
+    mad = (
+        group_quantiles(
+            with_med.map_batches(dev, batch_format="pandas"),
+            keys,
+            "_dev",
+            [0.5],
+            n_buckets=n_buckets,
+        )
+        .to_pandas()[keys + ["p50"]]
+        .rename(columns={"p50": "mad"})
+    )
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["is_outlier"] = (batch[value_col] - batch["med"]).abs() > z * batch["mad"]
+        return out
+
+    return broadcast_join(with_med, mad, on=keys).map_batches(
+        flag, batch_format="pandas"
+    )
+
+
 def global_mad(ds, value_col: str, **quantile_kw):
     """Global MEDIAN ABSOLUTE DEVIATION — the robust dispersion measure
     outlier detectors use where stddev is poisoned by the outliers

@@ -125,3 +125,34 @@ def test_global_mad_matches_serial():
     assert out.loc[0, "n"] == len(v)
     # robustness: the outlier barely moves MAD (unlike stddev)
     assert out.loc[0, "mad"] < 60
+
+
+def test_grouped_robust_outliers_flags():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.groupagg import grouped_robust_outliers
+
+    # group a: tight cluster at 100 +/- 2 with one wild point;
+    # group b: all identical (mad=0 -> any deviation flags)
+    df = pd.DataFrame(
+        {
+            "id": range(8),
+            "g": ["a"] * 5 + ["b"] * 3,
+            "v": [98, 99, 100, 102, 1000, 7, 7, 9],
+        }
+    ).astype({"v": "int64"})
+    out = (
+        grouped_robust_outliers(
+            ray.data.from_pandas(df).repartition(3), ["g"], "v", z=3, n_buckets=4
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # a: med=100 (type-1 over [98,99,100,102,1000]), devs [2,1,0,2,900],
+    # mad=2 -> only 1000 flagged; b: med=7, mad=0 -> 9 flagged
+    assert out["med"].tolist() == [100] * 5 + [7] * 3
+    assert out["mad"].tolist() == [2] * 5 + [0] * 3
+    assert out["is_outlier"].tolist() == [False] * 4 + [True, False, False, True]

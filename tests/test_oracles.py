@@ -38,6 +38,7 @@ CASES = [
     "q3_shipping",
     "code_import_indegree",
     "lineitem_price_mad",
+    "doc_robust_outliers",
 ]
 
 
