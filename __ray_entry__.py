@@ -1558,6 +1558,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             val_col="event_type", n=3, k=20,
         )
 
+    def doc_token_budget_q(sf_dir):
+        # training-mixture quota fill: per source, keep the longest docs
+        # (n_chars desc, doc_id tie-break) until 800 tokens are spent
+        import pyarrow as pa
+
+        from mmgraphrag_ray.stages.sample import token_budget_select
+        from mmgraphrag_ray.tokenizer import encode
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "text", "n_chars"],
+        )
+
+        def toks(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "source": batch.column("source"),
+                    "n_chars": batch.column("n_chars"),
+                    "n_tokens": pa.array(
+                        [len(encode(t)) for t in batch.column("text").to_pylist()],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        return token_budget_select(
+            docs.map_batches(toks, batch_format="pyarrow"),
+            group_col="source",
+            weight_col="n_tokens",
+            budget=800,
+            order_cols=["n_chars", "doc_id"],
+            descending=[True, False],
+        )
+
     def doc_robust_outliers_q(sf_dir):
         # per-language robust length filter: |len - median| > 3*MAD,
         # all-integer so the flag is bit-exact vs SQL
@@ -1854,6 +1889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_salted_part_join": lineitem_salted_part_join_q,
         "lineitem_price_mad": lineitem_price_mad_q,
         "doc_robust_outliers": doc_robust_outliers_q,
+        "doc_token_budget": doc_token_budget_q,
         "doc_sample_per_lang": doc_sample_per_lang_q,
         "events_window_dedup": events_window_dedup_q,
         "orders_cdc_diff": orders_cdc_diff_q,
@@ -2759,6 +2795,27 @@ FROM vh GROUP BY 1, 2, 3
                     FROM v) AS mad,
                    (SELECT count(*) FROM v) AS n
             FROM m
+        """,
+        # mirror of stages/sample.py token_budget_select: per-source
+        # greedy quota fill in (n_chars desc, doc_id) order, integer
+        # running token sum, keep while cum <= 800
+        "doc_token_budget": f"""
+            WITH t AS (
+              SELECT doc_id, source, n_chars,
+                     CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)
+                       AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT *,
+                     CAST(sum(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight
+              FROM t
+            )
+            SELECT doc_id, source, n_chars, n_tokens, cum_weight
+            FROM c WHERE cum_weight <= 800
         """,
         # mirror of stages/groupagg.py grouped_robust_outliers: per-lang
         # type-1 median + MAD over the integer length — integer-exact

@@ -148,3 +148,61 @@ def grouped_hash_sample(ds, keys: list[str], id_col: str, k: int = 3):
     return top.map_batches(
         lambda b: b[keys + [id_col, "rank"]], batch_format="pandas"
     )
+
+
+def token_budget_select(
+    ds,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+    order_cols: list[str],
+    descending: list[bool],
+    n_buckets: int = 32,
+):
+    """Greedy per-group token-budget selection: rank each group's rows by
+    ``order_cols`` (the curation order — quality, length, ...), take rows
+    while the running ``weight_col`` total stays within ``budget``.  The
+    per-source token-cap step of a training-mixture build (keep the best
+    docs of every source until its token quota is filled).
+
+    Exact and engine-portable when the weight is integral (the running
+    sum is an int cumsum — no float association).  One hash shuffle on
+    the group; ``order_cols`` must be made total with a unique id.
+    Assumes one group's rows fit a reduce task (same contract as
+    window.group_quantiles; for a monster group pre-filter or bucket by
+    rank range first).
+
+    -> Dataset(input columns..., cum_weight) — selected rows only.
+    """
+    import zlib
+
+    from ..arrowutil import strip_pd_metadata
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["_bucket"] = (
+            out[group_col]
+            .astype(str)
+            .map(lambda s: zlib.crc32(s.encode()) % n_buckets)
+            .astype("int32")
+        )
+        return strip_pd_metadata(out) if len(out) else out
+
+    ascending = [not d for d in descending]
+
+    def select(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.drop(columns=["_bucket"]).sort_values(
+            [group_col] + order_cols,
+            ascending=[True] + ascending,
+            kind="mergesort",
+        )
+        cum = b.groupby(group_col, sort=False)[weight_col].cumsum()
+        b = b.assign(cum_weight=cum.astype("int64"))
+        return b[b["cum_weight"] <= budget]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(select, batch_format="pandas")
+        .repartition(8)
+    )

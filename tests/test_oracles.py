@@ -39,6 +39,7 @@ CASES = [
     "code_import_indegree",
     "lineitem_price_mad",
     "doc_robust_outliers",
+    "doc_token_budget",
 ]
 
 

@@ -476,3 +476,37 @@ def test_grouped_gap_stats_singletons_and_ties():
     u2 = out.iloc[1]  # singleton: no gaps, null stats
     assert (u2.n_events, u2.n_gaps) == (1, 0)
     assert pd.isna(u2.min_gap_us) and pd.isna(u2.sum_gap_us)
+
+
+def test_token_budget_select_greedy_per_group():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.sample import token_budget_select
+
+    # group x: weights in pick order 5,4,3 -> cum 5,9,12; budget 10 keeps 2
+    # group y: single row over budget -> kept? cum=11 > 10 -> dropped
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "g": ["x", "x", "x", "y"],
+            "score": [30, 20, 10, 50],
+            "w": [5, 4, 3, 11],
+        }
+    ).astype({"w": "int64"})
+    out = (
+        token_budget_select(
+            ray.data.from_pandas(df).repartition(2),
+            group_col="g",
+            weight_col="w",
+            budget=10,
+            order_cols=["score", "id"],
+            descending=[True, False],
+            n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out["id"].tolist() == [1, 2]
+    assert out["cum_weight"].tolist() == [5, 9]
