@@ -1502,6 +1502,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         files = ray.data.read_parquet(_corpus(sf_dir), columns=["content"])
         return import_indegree_topk(files, k=20)
 
+    def code_repo_pack_q(sf_dir):
+        # StarCoder-style repo-level context assembly: path-ordered
+        # concat per repo, verified by md5 of the packed blob
+        from mmgraphrag_ray.stages.pack import repo_context_pack
+
+        files = ray.data.read_parquet(
+            _corpus(sf_dir), columns=["repo", "path", "content"]
+        )
+        return repo_context_pack(files)
+
     def code_dedup_lines(sf_dir):
         # corpus-wide duplicate-line strip (RefinedWeb-style boilerplate
         # removal) over the source-code corpus
@@ -1875,6 +1885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_resolve_refs": kg_resolve_refs,
         "code_strip_comments": code_strip_comments,
         "code_import_indegree": code_import_indegree_q,
+        "code_repo_pack": code_repo_pack_q,
         "code_dedup_lines": code_dedup_lines,
         "doc_decontaminate": doc_decontaminate,
         "doc_dsir_weights": doc_dsir_weights_q,
@@ -2707,6 +2718,17 @@ FROM vh GROUP BY 1, 2, 3
                      regexp_replace(content, '(?m)^[ \\t]*#[^\\n]*\\n?', '', 'g'),
                      '(?s)\"\"\".*?\"\"\"', '', 'g') AS stripped
             FROM read_parquet('{corpus}/*.parquet')
+        """,
+        # mirror of stages/pack.py repo_context_pack: path-ordered
+        # '<<<path>>>\n' headers joined by newline, md5 of the blob
+        "code_repo_pack": f"""
+            SELECT repo,
+                   count(*) AS n_files,
+                   CAST(sum(len(content)) AS BIGINT) AS total_chars,
+                   md5(string_agg('<<<' || path || '>>>' || chr(10) || content,
+                                  chr(10) ORDER BY path)) AS packed_md5
+            FROM read_parquet('{corpus}/*.parquet')
+            GROUP BY repo
         """,
         # mirror of stages/codegraph.py import_indegree_topk: distinct
         # (src, dst) import edges -> count distinct importers per module

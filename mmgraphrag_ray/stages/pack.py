@@ -162,3 +162,58 @@ def pack_manifest(spans_ds, window: int):
         )
 
     return spans_ds.map_batches(expand, batch_format="pandas")
+
+
+def repo_context_pack(files_ds, n_buckets: int = 32):
+    """Repo-level context assembly (StarCoder-style repo packing): every
+    repo's files concatenated in path order behind '<<<path>>>' headers,
+    reduced to (repo, n_files, total_chars, packed_md5) — the md5 stands
+    in for shipping the packed blob through the driver, so the oracle
+    value-checks the exact concatenation without moving it.
+
+    One hash shuffle on repo; a repo's files meet in one reduce task
+    (repos are human-sized — the packing unit is bounded by construction;
+    monster repos would be split by path prefix upstream).  The packed
+    payload itself would be written straight to parquet from the reduce
+    task at scale, never collected.
+    """
+    import hashlib
+    import zlib
+
+    from ..arrowutil import strip_pd_metadata
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["repo", "path", "content"]].copy()
+        out["_bucket"] = (
+            out["repo"]
+            .map(lambda s: zlib.crc32(s.encode()) % n_buckets)
+            .astype("int32")
+        )
+        return strip_pd_metadata(out) if len(out) else out
+
+    def pack(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for repo, g in bucket.groupby("repo", sort=False):
+            g = g.sort_values("path", kind="mergesort")
+            blob = "\n".join(
+                "<<<" + p + ">>>\n" + c
+                for p, c in zip(g["path"], g["content"])
+            )
+            rows.append(
+                (
+                    repo,
+                    len(g),
+                    int(g["content"].str.len().sum()),
+                    hashlib.md5(blob.encode()).hexdigest(),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["repo", "n_files", "total_chars", "packed_md5"]
+        ).astype({"n_files": "int64", "total_chars": "int64"})
+
+    return (
+        files_ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(pack, batch_format="pandas")
+        .repartition(8)
+    )

@@ -40,6 +40,7 @@ CASES = [
     "lineitem_price_mad",
     "doc_robust_outliers",
     "doc_token_budget",
+    "code_repo_pack",
 ]
 
 

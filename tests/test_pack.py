@@ -128,3 +128,30 @@ def test_pivot_agg_min_timestamps():
     assert got.loc[0, "min_b"] == pd.Timestamp("2024-01-02")
     assert pd.isna(got.loc[1, "min_a"])  # user 2 has no 'a' events
     assert got.loc[1, "min_b"] == pd.Timestamp("2024-01-04")
+
+
+def test_repo_context_pack_order_and_md5():
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.pack import repo_context_pack
+
+    df = pd.DataFrame(
+        {
+            "repo": ["r1", "r1", "r2"],
+            "path": ["b.py", "a.py", "x.py"],
+            "content": ["B", "A", "X"],
+        }
+    )
+    out = (
+        repo_context_pack(ray.data.from_pandas(df).repartition(3), n_buckets=4)
+        .to_pandas()
+        .sort_values("repo")
+        .reset_index(drop=True)
+    )
+    blob_r1 = "<<<a.py>>>\nA\n<<<b.py>>>\nB"  # path order, not input order
+    assert out.loc[0, "packed_md5"] == hashlib.md5(blob_r1.encode()).hexdigest()
+    assert out.loc[0, "n_files"] == 2 and out.loc[0, "total_chars"] == 2
+    assert out.loc[1, "n_files"] == 1
