@@ -1568,6 +1568,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             val_col="event_type", n=3, k=20,
         )
 
+    def doc_length_pct_rank_q(sf_dir):
+        # per-language exact length percentile (FineWeb-style "drop the
+        # bottom X% per lang" gate) — distributed rank, no global sort
+        from mmgraphrag_ray.stages.groupagg import grouped_exact_rank
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        )
+        return grouped_exact_rank(docs, "lang", "n_chars", "doc_id", step=64)
+
     def doc_token_budget_q(sf_dir):
         # training-mixture quota fill: per source, keep the longest docs
         # (n_chars desc, doc_id tie-break) until 800 tokens are spent
@@ -1901,6 +1911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_mad": lineitem_price_mad_q,
         "doc_robust_outliers": doc_robust_outliers_q,
         "doc_token_budget": doc_token_budget_q,
+        "doc_length_pct_rank": doc_length_pct_rank_q,
         "doc_sample_per_lang": doc_sample_per_lang_q,
         "events_window_dedup": events_window_dedup_q,
         "orders_cdc_diff": orders_cdc_diff_q,
@@ -2817,6 +2828,23 @@ FROM vh GROUP BY 1, 2, 3
                     FROM v) AS mad,
                    (SELECT count(*) FROM v) AS n
             FROM m
+        """,
+        # mirror of stages/groupagg.py grouped_exact_rank: row_number
+        # over the total (n_chars, doc_id) order per lang; pct is one
+        # int subtract + one double divide (bit-exact both engines)
+        "doc_length_pct_rank": """
+            WITH r AS (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars, doc_id) AS rnk,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents
+            )
+            SELECT doc_id, lang, n_chars, CAST(rnk AS BIGINT) AS rnk,
+                   CASE WHEN n > 1
+                        THEN (rnk - 1) / CAST(n - 1 AS DOUBLE)
+                        ELSE 0.0 END AS pct
+            FROM r
         """,
         # mirror of stages/sample.py token_budget_select: per-source
         # greedy quota fill in (n_chars desc, doc_id) order, integer

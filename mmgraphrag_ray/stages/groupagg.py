@@ -404,3 +404,115 @@ def global_mad(ds, value_col: str, **quantile_kw):
              "n": pd.Series([n], dtype="int64")}
         )
     )
+
+
+def grouped_exact_rank(
+    ds,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    step: int = 64,
+    n_buckets: int = N_BUCKETS,
+):
+    """EXACT per-group rank + percent-rank of an integer value column —
+    the per-language quality-percentile gate (FineWeb-style "drop the
+    bottom X% per language") computed WITHOUT a global sort.
+
+    Distributed rank by range prefix sums (same scheme as
+    blocking.sorted_neighborhood_pairs, lifted to grouped form):
+
+    1. stamp every row's range cell (group, value // step);
+    2. one tiny grouped count per cell — the only driver-held state is
+       one int per cell (#groups x #value-ranges, NOT #rows);
+    3. driver: within-group cumsum over value-ordered cells -> each
+       cell's global rank offset, broadcast via ray.put;
+    4. one hash shuffle on the cell: local (value, id) sort + offset =
+       the exact global row_number within the group.
+
+    pct = (rank-1)/(n-1) (row_number semantics over the total
+    (value, id) order — ties are broken, so the result is deterministic
+    and bit-exact vs the SQL mirror: one integer subtract + one double
+    divide on both engines).
+
+    -> Dataset(id_col, group_col, value_col, rnk, pct)."""
+    import ray as _ray
+
+    from ..arrowutil import strip_pd_metadata
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[id_col, group_col, value_col]].copy()
+        out["_rng"] = (out[value_col] // step).astype("int64")
+        return strip_pd_metadata(out) if len(out) else out
+
+    rows = ds.map_batches(stamp, batch_format="pandas").materialize()
+
+    counts = bucketed_groupby_agg(
+        rows.map_batches(
+            lambda b: b[[group_col, "_rng"]], batch_format="pandas"
+        ),
+        keys=[group_col, "_rng"],
+        aggs={"n": (None, "count")},
+        n_buckets=n_buckets,
+    ).to_pandas()
+    counts = counts.sort_values([group_col, "_rng"]).reset_index(drop=True)
+    g = counts.groupby(group_col, sort=False)["n"]
+    counts["_off"] = g.cumsum() - counts["n"]
+    offsets = {
+        (grp, rng): int(off)
+        for grp, rng, off in zip(
+            counts[group_col], counts["_rng"], counts["_off"]
+        )
+    }
+    group_n = counts.groupby(group_col, sort=False)["n"].sum().to_dict()
+    ref = _ray.put((offsets, group_n))
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["_bucket"] = key_bucket(out, [group_col, "_rng"], n_buckets)
+        return strip_pd_metadata(out) if len(out) else out
+
+    def rank_cell(bucket: pd.DataFrame) -> pd.DataFrame:
+        offs, ns = _ray.get(ref)
+        outs = []
+        for (grp, rng), cell in bucket.groupby(
+            [group_col, "_rng"], sort=False
+        ):
+            c = cell.sort_values([value_col, id_col], kind="mergesort")
+            rnk = (
+                np.arange(len(c), dtype=np.int64) + offs[(grp, rng)] + 1
+            )
+            n = int(ns[grp])
+            pct = (
+                (rnk - 1).astype("float64") / float(n - 1)
+                if n > 1
+                else np.zeros(len(c), dtype="float64")
+            )
+            outs.append(
+                pd.DataFrame(
+                    {
+                        id_col: c[id_col].to_numpy(),
+                        group_col: c[group_col].to_numpy(),
+                        value_col: c[value_col].to_numpy(),
+                        "rnk": rnk,
+                        "pct": pct,
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    group_col: pd.Series(dtype="string"),
+                    value_col: pd.Series(dtype="int64"),
+                    "rnk": pd.Series(dtype="int64"),
+                    "pct": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        rows.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(rank_cell, batch_format="pandas")
+        .repartition(8)
+    )

@@ -156,3 +156,48 @@ def test_grouped_robust_outliers_flags():
     assert out["med"].tolist() == [100] * 5 + [7] * 3
     assert out["mad"].tolist() == [2] * 5 + [0] * 3
     assert out["is_outlier"].tolist() == [False] * 4 + [True, False, False, True]
+
+
+def test_grouped_exact_rank_matches_serial():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.groupagg import grouped_exact_rank
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(400, dtype="int64"),
+            "g": rng.choice(["a", "b", "c"], 400),
+            "v": rng.randint(0, 300, 400).astype("int64"),  # heavy ties
+        }
+    )
+    out = (
+        grouped_exact_rank(
+            ray.data.from_pandas(df).repartition(7), "g", "v", "id", step=16
+        )
+        .to_pandas()
+        .sort_values(["g", "rnk"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["g", "v", "id"]).reset_index(drop=True)
+    exp["rnk"] = exp.groupby("g").cumcount() + 1
+    n = df.groupby("g")["id"].count()
+    exp["pct"] = (exp["rnk"] - 1).astype("float64") / (
+        exp["g"].map(n) - 1
+    ).astype("float64")
+    pd.testing.assert_frame_equal(
+        out[["id", "g", "v", "rnk", "pct"]],
+        exp[["id", "g", "v", "rnk", "pct"]].reset_index(drop=True),
+    )
+    # singleton group -> pct 0
+    one = grouped_exact_rank(
+        ray.data.from_pandas(
+            pd.DataFrame({"id": [1], "g": ["z"], "v": [9]}).astype(
+                {"id": "int64", "v": "int64"}
+            )
+        ),
+        "g", "v", "id",
+    ).to_pandas()
+    assert one["rnk"].tolist() == [1] and one["pct"].tolist() == [0.0]

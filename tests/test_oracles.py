@@ -41,6 +41,7 @@ CASES = [
     "doc_robust_outliers",
     "doc_token_budget",
     "code_repo_pack",
+    "doc_length_pct_rank",
 ]
 
 
