@@ -1568,6 +1568,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             val_col="event_type", n=3, k=20,
         )
 
+    def doc_shuffle_order_q(sf_dir):
+        # reproducible pre-training corpus permutation: md5 shuffle key
+        # + exact global rank, no global sort
+        from mmgraphrag_ray.stages.sample import global_shuffle_order
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+        return global_shuffle_order(docs, "doc_id", seed=7)
+
     def doc_length_pct_rank_q(sf_dir):
         # per-language exact length percentile (FineWeb-style "drop the
         # bottom X% per lang" gate) — distributed rank, no global sort
@@ -1912,6 +1922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_robust_outliers": doc_robust_outliers_q,
         "doc_token_budget": doc_token_budget_q,
         "doc_length_pct_rank": doc_length_pct_rank_q,
+        "doc_shuffle_order": doc_shuffle_order_q,
         "doc_sample_per_lang": doc_sample_per_lang_q,
         "events_window_dedup": events_window_dedup_q,
         "orders_cdc_diff": orders_cdc_diff_q,
@@ -2828,6 +2839,16 @@ FROM vh GROUP BY 1, 2, 3
                     FROM v) AS mad,
                    (SELECT count(*) FROM v) AS n
             FROM m
+        """,
+        # mirror of stages/sample.py global_shuffle_order (seed=7):
+        # md5 permutation key, exact global row_number
+        "doc_shuffle_order": """
+            SELECT doc_id,
+                   md5('7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+                   row_number() OVER (
+                     ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS ord
+            FROM documents
         """,
         # mirror of stages/groupagg.py grouped_exact_rank: row_number
         # over the total (n_chars, doc_id) order per lang; pct is one

@@ -206,3 +206,92 @@ def token_budget_select(
         .map_groups(select, batch_format="pandas")
         .repartition(8)
     )
+
+
+def global_shuffle_order(ds, id_col: str, seed: int = 7, n_buckets: int = 64):
+    """Deterministic global training-shuffle order: every row gets
+    ``shuffle_key = md5(seed:id)`` and ``ord`` = its exact 1-based global
+    rank in (shuffle_key, id) order — the reproducible corpus permutation
+    a training run reads before sequence packing, computed WITHOUT a
+    global sort.
+
+    Distributed rank by prefix ranges (the groupagg.grouped_exact_rank
+    scheme over hex keys): md5 keys are uniform, so the 256 two-hex-char
+    prefixes are balanced ranges; one tiny count per range -> driver
+    cumsum (256 ints) -> per-range local sort + offset.
+
+    -> Dataset(id_col, shuffle_key, ord)."""
+    import zlib
+
+    import ray as _ray
+
+    from ..arrowutil import strip_pd_metadata
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col]
+        keys = ids.astype(str).map(
+            lambda s: hashlib.md5(f"{seed}:{s}".encode()).hexdigest()
+        )
+        out = pd.DataFrame({id_col: ids, "shuffle_key": keys})
+        out["_rng"] = keys.str[:2]
+        return strip_pd_metadata(out)
+
+    rows = ds.map_batches(stamp, batch_format="pandas").materialize()
+
+    from .groupagg import bucketed_groupby_agg
+
+    counts = (
+        bucketed_groupby_agg(
+            rows.map_batches(lambda b: b[["_rng"]], batch_format="pandas"),
+            keys=["_rng"],
+            aggs={"n": (None, "count")},
+        )
+        .to_pandas()
+        .sort_values("_rng")
+        .reset_index(drop=True)
+    )
+    offsets = dict(
+        zip(counts["_rng"], (counts["n"].cumsum() - counts["n"]).astype(int))
+    )
+    ref = _ray.put(offsets)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.assign(
+            _bucket=b["_rng"]
+            .map(lambda s: zlib.crc32(s.encode()) % n_buckets)
+            .astype("int32")
+        )
+        return strip_pd_metadata(out) if len(out) else out
+
+    def rank_range(bucket: pd.DataFrame) -> pd.DataFrame:
+        offs = _ray.get(ref)
+        outs = []
+        for rng, g in bucket.groupby("_rng", sort=False):
+            g = g.sort_values(["shuffle_key", id_col], kind="mergesort")
+            outs.append(
+                pd.DataFrame(
+                    {
+                        id_col: g[id_col].to_numpy(),
+                        "shuffle_key": g["shuffle_key"].to_numpy(),
+                        "ord": np.arange(len(g), dtype="int64")
+                        + int(offs[rng])
+                        + 1,
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "shuffle_key": pd.Series(dtype="string"),
+                    "ord": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        rows.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(rank_range, batch_format="pandas")
+        .repartition(8)
+    )

@@ -42,6 +42,7 @@ CASES = [
     "doc_token_budget",
     "code_repo_pack",
     "doc_length_pct_rank",
+    "doc_shuffle_order",
 ]
 
 

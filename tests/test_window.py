@@ -510,3 +510,28 @@ def test_token_budget_select_greedy_per_group():
     )
     assert out["id"].tolist() == [1, 2]
     assert out["cum_weight"].tolist() == [5, 9]
+
+
+def test_global_shuffle_order_permutation():
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.sample import global_shuffle_order
+
+    ids = pd.DataFrame({"doc_id": pd.Series(range(200), dtype="int64")})
+    out = (
+        global_shuffle_order(ray.data.from_pandas(ids).repartition(5), "doc_id", seed=3)
+        .to_pandas()
+        .sort_values("ord")
+        .reset_index(drop=True)
+    )
+    assert sorted(out["ord"]) == list(range(1, 201))  # a true permutation
+    exp = sorted(range(200), key=lambda i: (hashlib.md5(f"3:{i}".encode()).hexdigest(), i))
+    assert out["doc_id"].tolist() == exp
+    # different seed -> different order (overwhelmingly)
+    out2 = global_shuffle_order(
+        ray.data.from_pandas(ids), "doc_id", seed=4
+    ).to_pandas().sort_values("ord")
+    assert out2["doc_id"].tolist() != exp
