@@ -1568,6 +1568,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             val_col="event_type", n=3, k=20,
         )
 
+    def doc_weighted_median_len_q(sf_dir):
+        # token-weighted median length: the length half the corpus's
+        # TOKENS sit below (budget planning), integer-exact threshold
+        import pyarrow as pa
+
+        from mmgraphrag_ray.stages.groupagg import weighted_global_quantile
+        from mmgraphrag_ray.tokenizer import encode
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["n_chars", "text"]
+        )
+
+        def toks(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "n_chars": batch.column("n_chars"),
+                    "w": pa.array(
+                        [len(encode(t)) for t in batch.column("text").to_pylist()],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        return weighted_global_quantile(
+            docs.map_batches(toks, batch_format="pyarrow"), "n_chars", "w", p=50
+        )
+
     def doc_shuffle_order_q(sf_dir):
         # reproducible pre-training corpus permutation: md5 shuffle key
         # + exact global rank, no global sort
@@ -1923,6 +1950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_budget": doc_token_budget_q,
         "doc_length_pct_rank": doc_length_pct_rank_q,
         "doc_shuffle_order": doc_shuffle_order_q,
+        "doc_weighted_median_len": doc_weighted_median_len_q,
         "doc_sample_per_lang": doc_sample_per_lang_q,
         "events_window_dedup": events_window_dedup_q,
         "orders_cdc_diff": orders_cdc_diff_q,
@@ -2839,6 +2867,32 @@ FROM vh GROUP BY 1, 2, 3
                     FROM v) AS mad,
                    (SELECT count(*) FROM v) AS n
             FROM m
+        """,
+        # mirror of stages/groupagg.py weighted_global_quantile (p=50):
+        # smallest length whose cumulative token weight clears the
+        # integer threshold ceil(W/2) = (W*50 + 99) // 100
+        "doc_weighted_median_len": f"""
+            WITH t AS (
+              SELECT n_chars,
+                     CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS w
+              FROM documents
+            ),
+            thr AS (
+              SELECT CAST(sum(w) AS BIGINT) AS total_weight,
+                     CAST((CAST(sum(w) AS BIGINT) * 50 + 99) // 100
+                          AS BIGINT) AS threshold,
+                     count(*) AS n
+              FROM t
+            ),
+            c AS (
+              SELECT n_chars,
+                     CAST(sum(w) OVER (ORDER BY n_chars) AS BIGINT) AS cw
+              FROM t
+            )
+            SELECT CAST((SELECT min(n_chars) FROM c, thr
+                         WHERE c.cw >= thr.threshold) AS DOUBLE) AS value,
+                   threshold, total_weight, n
+            FROM thr
         """,
         # mirror of stages/sample.py global_shuffle_order (seed=7):
         # md5 permutation key, exact global row_number

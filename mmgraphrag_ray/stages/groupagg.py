@@ -516,3 +516,134 @@ def grouped_exact_rank(
         .map_groups(rank_cell, batch_format="pandas")
         .repartition(8)
     )
+
+
+def weighted_global_quantile(
+    ds,
+    value_col: str,
+    weight_col: str,
+    p: int = 50,
+    n_bins: int = 1024,
+    bin_cap: int = 100_000,
+    max_rounds: int = 8,
+):
+    """Exact WEIGHTED global quantile of an integral-weighted column —
+    e.g. the token-weighted median document length (the length half the
+    corpus's TOKENS sit below, not half its docs).
+
+    Weighted type-1 selection: the smallest value x with
+    cumweight(values <= x) >= T where T = ceil(p% of total weight),
+    computed as the INTEGER ``(W*p + 99) // 100`` — no float thresholds,
+    so the SQL mirror (windowed cumulative weight) matches exactly.
+
+    Same histogram-refinement scheme as :func:`global_quantiles`, with
+    per-bin (row count, weight sum) partials: the driver only ever sees
+    n_bins (cnt, wsum) pairs per round; a range resolves when its row
+    count fits ``bin_cap`` (fetch, sort, integer cumsum, select).
+
+    -> 1-row Dataset(value, threshold, total_weight, n)."""
+    from ..arrowutil import strip_pd_metadata
+
+    def mmw(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[[value_col, weight_col]].dropna()
+        if not len(b):
+            return pd.DataFrame(
+                {"mn": pd.Series(dtype="float64"),
+                 "mx": pd.Series(dtype="float64"),
+                 "w": pd.Series(dtype="int64"),
+                 "cnt": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"mn": [float(b[value_col].min())],
+             "mx": [float(b[value_col].max())],
+             "w": [int(b[weight_col].sum())],
+             "cnt": [int(len(b))]}
+        )
+
+    stats = ds.map_batches(mmw, batch_format="pandas").to_pandas()
+    n = int(stats["cnt"].sum()) if len(stats) else 0
+    if n == 0:
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.table({"value": pa.array([], pa.float64()),
+                      "threshold": pa.array([], pa.int64()),
+                      "total_weight": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+        )
+    total_w = int(stats["w"].sum())
+    thresh = (total_w * p + 99) // 100
+    lo, hi = float(stats["mn"].min()), float(stats["mx"].max())
+    t_local = thresh  # weight rank remaining within [lo, hi]
+
+    for _ in range(max_rounds):
+        if lo == hi:
+            break
+
+        def hist(batch: pd.DataFrame, lo=lo, hi=hi) -> pd.DataFrame:
+            b = batch[[value_col, weight_col]].dropna()
+            v = b[value_col].to_numpy(dtype="float64")
+            m = (v >= lo) & (v <= hi)
+            if not m.any():
+                return pd.DataFrame(
+                    {"bin": pd.Series(dtype="int64"),
+                     "cnt": pd.Series(dtype="int64"),
+                     "wsum": pd.Series(dtype="int64"),
+                     "vmin": pd.Series(dtype="float64"),
+                     "vmax": pd.Series(dtype="float64")}
+                )
+            g = pd.DataFrame(
+                {"bin": _bin_index(v[m], lo, hi, n_bins),
+                 "v": v[m],
+                 "w": b[weight_col].to_numpy()[m]}
+            ).groupby("bin", sort=False)
+            out = pd.DataFrame(
+                {"cnt": g.size(), "wsum": g["w"].sum().astype("int64"),
+                 "vmin": g["v"].min(), "vmax": g["v"].max()}
+            ).reset_index()
+            return strip_pd_metadata(out)
+
+        bins = (
+            bucketed_groupby_agg(
+                ds.map_batches(hist, batch_format="pandas"),
+                keys=["bin"],
+                aggs={"cnt": ("cnt", "sum"), "wsum": ("wsum", "sum"),
+                      "vmin": ("vmin", "min"), "vmax": ("vmax", "max")},
+            )
+            .to_pandas()
+            .sort_values("bin")
+            .reset_index(drop=True)
+        )
+        cum = bins["wsum"].cumsum()
+        hit = int((cum >= t_local).idxmax())
+        t_local -= int(cum.iloc[hit - 1]) if hit > 0 else 0
+        cnt_in = int(bins.loc[hit, "cnt"])
+        # next range = the hit bin's ACTUAL element bounds (no derived
+        # float boundary arithmetic — bins partition the value order, so
+        # [vmin, vmax] inclusive is exactly the bin's population)
+        lo, hi = float(bins.loc[hit, "vmin"]), float(bins.loc[hit, "vmax"])
+        if cnt_in <= bin_cap:
+            break
+
+    def fetch(batch: pd.DataFrame, lo=lo, hi=hi) -> pd.DataFrame:
+        b = batch[[value_col, weight_col]].dropna()
+        v = b[value_col].to_numpy(dtype="float64")
+        # same membership rule as the histogram: bin index within [lo, hi]
+        m = (v >= lo) & (v <= hi)
+        out = pd.DataFrame(
+            {"v": v[m], "w": b[weight_col].to_numpy()[m]}
+        )
+        return strip_pd_metadata(out)
+
+    cand = ds.map_batches(fetch, batch_format="pandas").to_pandas()
+    cand = cand.groupby("v", sort=True)["w"].sum().reset_index()
+    cw = cand["w"].cumsum()
+    pick = float(cand.loc[int((cw >= t_local).idxmax()), "v"])
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {"value": pd.Series([pick], dtype="float64"),
+             "threshold": pd.Series([thresh], dtype="int64"),
+             "total_weight": pd.Series([total_w], dtype="int64"),
+             "n": pd.Series([n], dtype="int64")}
+        )
+    )

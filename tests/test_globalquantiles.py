@@ -201,3 +201,35 @@ def test_grouped_exact_rank_matches_serial():
         "g", "v", "id",
     ).to_pandas()
     assert one["rnk"].tolist() == [1] and one["pct"].tolist() == [0.0]
+
+
+def test_weighted_global_quantile_matches_serial():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.groupagg import weighted_global_quantile
+
+    rng = np.random.RandomState(3)
+    v = rng.randint(0, 5000, 2000).astype("float64")
+    w = rng.randint(1, 50, 2000).astype("int64")
+    df = pd.DataFrame({"x": v, "w": w})
+    out = weighted_global_quantile(
+        ray.data.from_pandas(df).repartition(6), "x", "w", p=50,
+        n_bins=16, bin_cap=64,  # force several refinement rounds
+    ).to_pandas()
+    W = int(w.sum())
+    T = (W * 50 + 99) // 100
+    order = np.argsort(v, kind="mergesort")
+    cw = np.cumsum(w[order])
+    exp = v[order][int(np.argmax(cw >= T))]
+    assert out.loc[0, "value"] == exp
+    assert out.loc[0, "threshold"] == T
+    assert out.loc[0, "total_weight"] == W
+    assert out.loc[0, "n"] == 2000
+    # degenerate: single distinct value
+    one = weighted_global_quantile(
+        ray.data.from_pandas(pd.DataFrame({"x": [7.0] * 10, "w": [3] * 10})),
+        "x", "w", p=50,
+    ).to_pandas()
+    assert one.loc[0, "value"] == 7.0 and one.loc[0, "total_weight"] == 30

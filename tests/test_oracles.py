@@ -43,6 +43,7 @@ CASES = [
     "code_repo_pack",
     "doc_length_pct_rank",
     "doc_shuffle_order",
+    "doc_weighted_median_len",
 ]
 
 
