@@ -1568,6 +1568,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             val_col="event_type", n=3, k=20,
         )
 
+    def doc_split_assign_q(sf_dir):
+        # deterministic 90/5/5 train/val/test assignment: a pure
+        # function of doc_id (stable under corpus growth/reorder —
+        # the property a training split must have), stratified
+        # implicitly by the uniform md5 hash
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+        )
+
+        def assign(batch: pd.DataFrame) -> pd.DataFrame:
+            import hashlib
+
+            h = batch["doc_id"].astype(str).map(
+                lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 100
+            )
+            out = batch[["doc_id", "lang"]].copy()
+            out["split"] = np.where(
+                h < 90, "train", np.where(h < 95, "val", "test")
+            )
+            return out
+
+        return docs.map_batches(assign, batch_format="pandas")
+
     def doc_weighted_median_len_q(sf_dir):
         # token-weighted median length: the length half the corpus's
         # TOKENS sit below (budget planning), integer-exact threshold
@@ -1951,6 +1974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_pct_rank": doc_length_pct_rank_q,
         "doc_shuffle_order": doc_shuffle_order_q,
         "doc_weighted_median_len": doc_weighted_median_len_q,
+        "doc_split_assign": doc_split_assign_q,
         "doc_sample_per_lang": doc_sample_per_lang_q,
         "events_window_dedup": events_window_dedup_q,
         "orders_cdc_diff": orders_cdc_diff_q,
@@ -2867,6 +2891,19 @@ FROM vh GROUP BY 1, 2, 3
                     FROM v) AS mad,
                    (SELECT count(*) FROM v) AS n
             FROM m
+        """,
+        # deterministic hash split, same md5-prefix idiom as
+        # doc_consistent_sample
+        "doc_split_assign": """
+            SELECT doc_id, lang,
+                   CASE
+                     WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                               AS UBIGINT) % 100 < 90 THEN 'train'
+                     WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                               AS UBIGINT) % 100 < 95 THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents
         """,
         # mirror of stages/groupagg.py weighted_global_quantile (p=50):
         # smallest length whose cumulative token weight clears the

@@ -44,6 +44,7 @@ CASES = [
     "doc_length_pct_rank",
     "doc_shuffle_order",
     "doc_weighted_median_len",
+    "doc_split_assign",
 ]
 
 
