@@ -1568,6 +1568,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             val_col="event_type", n=3, k=20,
         )
 
+    def join_size_events_customer_q(sf_dir):
+        # exact join-cardinality planning pass: output rows + hottest
+        # key product WITHOUT running the join
+        from mmgraphrag_ray.stages.join import join_size_estimate
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id"]
+        )
+        cust = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+        )
+        # events->customer is the skewed pair in this corpus
+        return join_size_estimate(ev, cust, "user_id", "c_custkey")
+
     def doc_split_assign_q(sf_dir):
         # deterministic 90/5/5 train/val/test assignment: a pure
         # function of doc_id (stable under corpus growth/reorder —
@@ -1975,6 +1989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle_order": doc_shuffle_order_q,
         "doc_weighted_median_len": doc_weighted_median_len_q,
         "doc_split_assign": doc_split_assign_q,
+        "join_size_events_customer": join_size_events_customer_q,
         "doc_sample_per_lang": doc_sample_per_lang_q,
         "events_window_dedup": events_window_dedup_q,
         "orders_cdc_diff": orders_cdc_diff_q,
@@ -2891,6 +2906,19 @@ FROM vh GROUP BY 1, 2, 3
                     FROM v) AS mad,
                    (SELECT count(*) FROM v) AS n
             FROM m
+        """,
+        # mirror of stages/join.py join_size_estimate: per-key count
+        # product sum = exact inner-join cardinality
+        "join_size_events_customer": """
+            WITH lc AS (SELECT user_id AS key, count(*) AS nl
+                        FROM events GROUP BY 1),
+            rc AS (SELECT c_custkey AS key, count(*) AS nr
+                   FROM customer GROUP BY 1),
+            p AS (SELECT nl * nr AS prod FROM lc JOIN rc USING (key))
+            SELECT CAST(sum(prod) AS BIGINT) AS join_rows,
+                   count(*) AS n_keys_common,
+                   CAST(max(prod) AS BIGINT) AS max_key_rows
+            FROM p
         """,
         # deterministic hash split, same md5-prefix idiom as
         # doc_consistent_sample

@@ -115,6 +115,8 @@ def _bench_main() -> None:
             "events_asof_orders",
             "code_dedup_lines",
             "emb_kmeans",
+            "q3_shipping",
+            "doc_shuffle_order",
         ]:
             t0 = time.time()
             res = qs[name](sf_dir)

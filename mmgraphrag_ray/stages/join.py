@@ -278,3 +278,62 @@ def salted_join(
     return joined.map_batches(
         lambda b: b.drop(columns=["_sk"]), batch_format="pandas"
     )
+
+
+def join_size_estimate(left, right, left_key: str, right_key: str,
+                       n_buckets: int = 64):
+    """EXACT inner-join cardinality WITHOUT executing the join — the
+    planning pass a 100-TB engine runs before committing to a shuffle
+    strategy (pick broadcast vs bucketed vs salted by the real output
+    size and the hottest key's contribution).
+
+    Both sides reduce to (key, count) via the combiner groupby — the only
+    thing shuffled is one row per distinct key per side; the estimate is
+    sum(count_l * count_r) over matching keys plus the max single-key
+    product (the skew indicator salting decisions read).
+
+    -> 1-row Dataset(join_rows, n_keys_common, max_key_rows)."""
+    import pandas as pd
+
+    from .groupagg import bucketed_groupby_agg
+
+    lc = bucketed_groupby_agg(
+        left.map_batches(
+            lambda b, k=left_key: b[[k]].rename(columns={k: "key"}),
+            batch_format="pandas",
+        ),
+        keys=["key"],
+        aggs={"nl": (None, "count")},
+        n_buckets=n_buckets,
+    )
+    rc = bucketed_groupby_agg(
+        right.map_batches(
+            lambda b, k=right_key: b[[k]].rename(columns={k: "key"}),
+            batch_format="pandas",
+        ),
+        keys=["key"],
+        aggs={"nr": (None, "count")},
+        n_buckets=n_buckets,
+    )
+    pairs = bucketed_join(lc, rc, on="key", n_buckets=n_buckets)
+
+    def reduce_batch(b: pd.DataFrame) -> pd.DataFrame:
+        prod = (b["nl"] * b["nr"]).astype("int64")
+        return pd.DataFrame(
+            {
+                "join_rows": [int(prod.sum())],
+                "n_keys_common": [len(b)],
+                "max_key_rows": [int(prod.max()) if len(b) else 0],
+            }
+        )
+
+    partial = pairs.map_batches(reduce_batch, batch_format="pandas").to_pandas()
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "join_rows": pd.Series([int(partial["join_rows"].sum())], dtype="int64"),
+                "n_keys_common": pd.Series([int(partial["n_keys_common"].sum())], dtype="int64"),
+                "max_key_rows": pd.Series([int(partial["max_key_rows"].max()) if len(partial) else 0], dtype="int64"),
+            }
+        )
+    )

@@ -181,3 +181,25 @@ def test_salted_join_equals_plain_join_under_hot_key():
     )
     pd.testing.assert_frame_equal(salted, plain)
     assert len(salted) == 2000  # every left row matched exactly once
+
+
+def test_join_size_estimate_exact():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.join import join_size_estimate
+
+    l = pd.DataFrame({"k": [1, 1, 1, 2, 3]})
+    r = pd.DataFrame({"j": [1, 1, 2, 4]})
+    out = join_size_estimate(
+        ray.data.from_pandas(l).repartition(2),
+        ray.data.from_pandas(r).repartition(2),
+        "k", "j",
+    ).to_pandas()
+    # key 1: 3*2=6; key 2: 1*1=1; keys 3,4 unmatched
+    assert out.loc[0, "join_rows"] == 7
+    assert out.loc[0, "n_keys_common"] == 2
+    assert out.loc[0, "max_key_rows"] == 6
+    # cross-check against the actual join
+    real = l.merge(r, left_on="k", right_on="j")
+    assert len(real) == 7

@@ -45,6 +45,7 @@ CASES = [
     "doc_shuffle_order",
     "doc_weighted_median_len",
     "doc_split_assign",
+    "join_size_events_customer",
 ]
 
 
