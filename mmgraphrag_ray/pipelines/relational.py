@@ -118,11 +118,26 @@ def q3_shipping(sf_dir: str, k: int = 10, cut: str = "1998-06-01"):
         keys=["l_orderkey"],
         aggs={"revenue_cents": ("revenue_cents", "sum")},
     )
-    joined = bucketed_join(per_order, orders, on="l_orderkey")
-    return joined.sort(
-        ["revenue_cents", "o_orderdate", "l_orderkey"],
-        descending=[True, False, False],
-    ).limit(k)
+    # the filtered orders side is dimension-sized (segment x date cuts):
+    # pin it once, let bucketed_join take its broadcast path — the
+    # fact-side shuffle in per_order stays the only all-to-all
+    joined = bucketed_join(
+        per_order, orders.materialize(), on="l_orderkey", small_side="right"
+    )
+
+    # global top-k as partial/final (no full sort): each batch keeps k,
+    # one tiny final reduce
+    sort_cols = ["revenue_cents", "o_orderdate", "l_orderkey"]
+    asc = [False, True, True]
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(sort_cols, ascending=asc, kind="mergesort").head(k)
+
+    return (
+        joined.map_batches(local_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(local_topk, batch_format="pandas")
+    )
 
 
 def topk_orders(sf_dir: str, k: int = 10):

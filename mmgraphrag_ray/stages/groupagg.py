@@ -446,14 +446,20 @@ def grouped_exact_rank(
 
     rows = ds.map_batches(stamp, batch_format="pandas").materialize()
 
-    counts = bucketed_groupby_agg(
-        rows.map_batches(
-            lambda b: b[[group_col, "_rng"]], batch_format="pandas"
-        ),
-        keys=[group_col, "_rng"],
-        aggs={"n": (None, "count")},
-        n_buckets=n_buckets,
-    ).to_pandas()
+    # cell counts: per-batch combiner (<= #cells rows each), summed on the
+    # driver — the driver state is one int per (group, range) cell, and no
+    # shuffle is spent on the count pass
+    def cell_counts(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby([group_col, "_rng"], sort=False).size()
+        return g.rename("n").reset_index()
+
+    counts = (
+        rows.map_batches(cell_counts, batch_format="pandas")
+        .to_pandas()
+        .groupby([group_col, "_rng"], sort=False)["n"]
+        .sum()
+        .reset_index()
+    )
     counts = counts.sort_values([group_col, "_rng"]).reset_index(drop=True)
     g = counts.groupby(group_col, sort=False)["n"]
     counts["_off"] = g.cumsum() - counts["n"]

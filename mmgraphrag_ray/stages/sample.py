@@ -238,17 +238,20 @@ def global_shuffle_order(ds, id_col: str, seed: int = 7, n_buckets: int = 64):
 
     rows = ds.map_batches(stamp, batch_format="pandas").materialize()
 
-    from .groupagg import bucketed_groupby_agg
+    # range counts: per-batch combiner emits <= 256 rows, the driver sums
+    # (256 ints total) — no shuffle spent on the count pass
+    def rng_counts(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["_rng"].value_counts()
+        return pd.DataFrame(
+            {"_rng": vc.index.astype(str), "n": vc.to_numpy().astype("int64")}
+        )
 
     counts = (
-        bucketed_groupby_agg(
-            rows.map_batches(lambda b: b[["_rng"]], batch_format="pandas"),
-            keys=["_rng"],
-            aggs={"n": (None, "count")},
-        )
+        rows.map_batches(rng_counts, batch_format="pandas")
         .to_pandas()
-        .sort_values("_rng")
-        .reset_index(drop=True)
+        .groupby("_rng", sort=True)["n"]
+        .sum()
+        .reset_index()
     )
     offsets = dict(
         zip(counts["_rng"], (counts["n"].cumsum() - counts["n"]).astype(int))
