@@ -1892,6 +1892,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return negative_samples(emb, n_clusters=8, refine_rounds=1,
                                 per_cluster=4, k=2)
 
+    def emb_covariance_q(sf_dir):
+        # PCA/whitening front half: exact quantized covariance sufficient
+        # statistics (d, e, n, s_d, s_e, s_de) — one streaming pass, the
+        # corpus reduces to dim*(dim+1)/2 integer rows
+        from mmgraphrag_ray.stages.vecstats import embedding_covariance_components
+
+        emb = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+        )
+        return embedding_covariance_components(emb)
+
     def kg_two_hop(sf_dir):
         # 2-hop BFS neighborhood from the CLASS nodes over the constructed
         # KG — the query-side k-hop subgraph primitive (min hop per node)
@@ -1994,6 +2005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_dedup": events_window_dedup_q,
         "orders_cdc_diff": orders_cdc_diff_q,
         "emb_kmeans": emb_kmeans,
+        "emb_covariance": emb_covariance_q,
         "emb_semdedup": emb_semdedup,
         "emb_negatives": emb_negatives_q,
         "doc_sample": doc_sample,
@@ -3371,6 +3383,32 @@ FROM vh GROUP BY 1, 2, 3
                    (CASE WHEN n_tokens = 0 THEN start_off
                          ELSE start_off + n_tokens - 1 END) // 512 AS last_seq
             FROM s
+        """,
+        # mirror of stages/vecstats.py embedding_covariance_components:
+        # quantize (floor * 1e6), per-dim linear sums + upper-triangle
+        # pairwise product sums, n replicated per pair; 1-based dims
+        "emb_covariance": """
+            WITH q AS (
+              SELECT vec_id, list_transform(embedding, x ->
+                     CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+              FROM embeddings
+            ),
+            qe AS (
+              SELECT vec_id, unnest(qv) AS v, unnest(range(1, len(qv) + 1)) AS d
+              FROM q
+            ),
+            lin AS (SELECT d, CAST(sum(v) AS BIGINT) AS s FROM qe GROUP BY d),
+            cr AS (
+              SELECT a.d AS d, b.d AS e, CAST(sum(a.v * b.v) AS BIGINT) AS s_de
+              FROM qe a JOIN qe b ON a.vec_id = b.vec_id AND a.d <= b.d
+              GROUP BY 1, 2
+            ),
+            nn AS (SELECT count(*) AS n FROM q)
+            SELECT cr.d, cr.e, nn.n, la.s AS s_d, lb.s AS s_e, cr.s_de
+            FROM cr
+            CROSS JOIN nn
+            JOIN lin la ON la.d = cr.d
+            JOIN lin lb ON lb.d = cr.e
         """,
         # mirror of stages/cluster.py kmeans_assign (k=8, 1 refine round,
         # scale 1e6): quantize -> assign to init centroids (8 smallest ids)

@@ -46,6 +46,7 @@ CASES = [
     "doc_weighted_median_len",
     "doc_split_assign",
     "join_size_events_customer",
+    "emb_covariance",
 ]
 
 
