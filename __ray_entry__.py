@@ -1892,6 +1892,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return negative_samples(emb, n_clusters=8, refine_rounds=1,
                                 per_cluster=4, k=2)
 
+    def documents_jsonl_roundtrip_q(sf_dir):
+        # interchange fidelity: parquet -> partitioned JSONL sink -> JSONL
+        # source -> order-independent checksum; the oracle computes the
+        # same checksum on the ORIGINAL table, so any escaping/coercion/
+        # row-loss bug in the JSON path breaks the value match
+        import hashlib
+
+        from mmgraphrag_ray.sources.jsonl import read_jsonl, write_jsonl
+        from mmgraphrag_ray.stages.sketch import table_checksum
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out = write_jsonl(docs, f"/tmp/raykg_jsonl/{tag}")
+        cols = ["doc_id", "lang", "source", "n_chars", "text"]
+        return table_checksum(read_jsonl(out), cols)
+
     def emb_covariance_q(sf_dir):
         # PCA/whitening front half: exact quantized covariance sufficient
         # statistics (d, e, n, s_d, s_e, s_de) — one streaming pass, the
@@ -2006,6 +2022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cdc_diff": orders_cdc_diff_q,
         "emb_kmeans": emb_kmeans,
         "emb_covariance": emb_covariance_q,
+        "documents_jsonl_roundtrip": documents_jsonl_roundtrip_q,
         "emb_semdedup": emb_semdedup,
         "emb_negatives": emb_negatives_q,
         "doc_sample": doc_sample,
@@ -3926,6 +3943,19 @@ FROM vh GROUP BY 1, 2, 3
         """,
         # order-independent content checksum: sum mod 2^61-1 of md5_u32
         # row hashes over the stringified projection
+        # computed on the ORIGINAL documents table: equality proves the
+        # JSONL sink+source round trip is lossless (cols joined with
+        # chr(31) in the same order as the Ray-side table_checksum)
+        "documents_jsonl_roundtrip": """
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CAST(('0x' || substr(md5(
+                         CAST(doc_id AS VARCHAR) || chr(31) || lang || chr(31)
+                         || source || chr(31) || CAST(n_chars AS VARCHAR)
+                         || chr(31) || text
+                       ), 1, 8)) AS UBIGINT))
+                     % 2305843009213693951 AS BIGINT) AS checksum
+            FROM documents
+        """,
         "documents_checksum": """
             SELECT count(*) AS n_rows,
                    CAST(sum(CAST(('0x' || substr(md5(

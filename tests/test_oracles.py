@@ -47,6 +47,7 @@ CASES = [
     "doc_split_assign",
     "join_size_events_customer",
     "emb_covariance",
+    "documents_jsonl_roundtrip",
 ]
 
 
