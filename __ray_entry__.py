@@ -1892,6 +1892,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return negative_samples(emb, n_clusters=8, refine_rounds=1,
                                 per_cluster=4, k=2)
 
+    def events_heavy_hitters_q(sf_dir):
+        # exact top-10 users by event count via the Misra-Gries sketch +
+        # verify path (full-key shuffle avoided; certified-exact bound,
+        # exact-groupby fallback when the bound can't certify)
+        from mmgraphrag_ray.stages.sketch import heavy_hitters
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id"]
+        )
+        return heavy_hitters(ev, "user_id", k=10, capacity=256)
+
     def documents_jsonl_roundtrip_q(sf_dir):
         # interchange fidelity: parquet -> partitioned JSONL sink -> JSONL
         # source -> order-independent checksum; the oracle computes the
@@ -2023,6 +2034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans": emb_kmeans,
         "emb_covariance": emb_covariance_q,
         "documents_jsonl_roundtrip": documents_jsonl_roundtrip_q,
+        "events_heavy_hitters": events_heavy_hitters_q,
         "emb_semdedup": emb_semdedup,
         "emb_negatives": emb_negatives_q,
         "doc_sample": doc_sample,
@@ -3943,6 +3955,16 @@ FROM vh GROUP BY 1, 2, 3
         """,
         # order-independent content checksum: sum mod 2^61-1 of md5_u32
         # row hashes over the stringified projection
+        # mirror of stages/sketch.py heavy_hitters (k=10): exact counts,
+        # rank (cnt desc, user_id asc) — the sketch+verify path must land
+        # on exactly this
+        "events_heavy_hitters": """
+            SELECT user_id, cnt, rank FROM (
+              SELECT user_id, count(*) AS cnt,
+                     row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rank
+              FROM events GROUP BY user_id
+            ) WHERE rank <= 10
+        """,
         # computed on the ORIGINAL documents table: equality proves the
         # JSONL sink+source round trip is lossless (cols joined with
         # chr(31) in the same order as the Ray-side table_checksum)

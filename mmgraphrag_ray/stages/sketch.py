@@ -289,3 +289,153 @@ def table_checksum(ds, cols: list[str]):
              )}
         )
     )
+
+
+# --------------------------------------------------- heavy hitters (MG)
+
+def _mg_partial(batch: pd.DataFrame, key_col: str, capacity: int) -> pd.DataFrame:
+    """Misra-Gries summary of ONE batch: exact batch counts, compressed to
+    the top-`capacity` keys by subtracting the (capacity+1)-th largest
+    count.  Undercounts each surviving key by at most N_batch/(capacity+1)
+    (there are capacity+1 counts >= the decrement).  `nb`/`dmax` carry the
+    batch size and the decrement on the FIRST row only, so downstream
+    sum(nb) = N and max(dmax) = 0 iff no batch ever evicted."""
+    if not len(batch):
+        return pd.DataFrame(
+            {key_col: pd.Series(dtype=batch[key_col].dtype if key_col in batch else "object"),
+             "est": pd.Series(dtype="int64"),
+             "nb": pd.Series(dtype="int64"),
+             "dmax": pd.Series(dtype="int64")}
+        )
+    counts = batch[key_col].value_counts()  # sorted desc
+    dec = int(counts.iloc[capacity]) if len(counts) > capacity else 0
+    kept = (counts - dec).iloc[:capacity]
+    kept = kept[kept > 0]
+    out = pd.DataFrame(
+        {key_col: kept.index.to_numpy(),
+         "est": kept.to_numpy().astype(np.int64),
+         "nb": np.int64(0),
+         "dmax": np.int64(0)}
+    )
+    out.iloc[0, out.columns.get_loc("nb")] = np.int64(len(batch))
+    out.iloc[0, out.columns.get_loc("dmax")] = np.int64(dec)
+    return out
+
+
+def heavy_hitters_frame(ds, key_col: str, k: int, capacity: int = 256):
+    """Exact global top-k frequent keys WITHOUT a full-key shuffle when the
+    distribution allows it — (frame, certified, fallback_used).
+
+    Pass 1 (sketch): per-batch Misra-Gries partials (<= capacity rows per
+    batch ever leave a worker), bucketed sum per key, top-`capacity`
+    candidates by estimated count.  MG merge bound: for every key,
+    f - N/(capacity+1) <= est(f) <= f.
+
+    Pass 2 (verify): exact counts of the candidate keys only (broadcast
+    key set, combiner sum).  The result is CERTIFIED exact when either
+    (a) no batch ever evicted (dmax == 0: est is already exact for every
+    key, pass 2 is skipped), or (b) the k-th exact count strictly exceeds
+    cand_min_est + N/(capacity+1) — any non-candidate key's true count is
+    bounded by that sum, so the true top-k all made the candidate list.
+
+    When certification fails (near-uniform data), falls back to the exact
+    bucketed groupby + per-block top-k path — always correct, just pays
+    the full-key shuffle the sketch exists to avoid.  At 100 TB the sketch
+    path moves <= batches x capacity tiny rows instead of one row per
+    distinct key."""
+    from .groupagg import bucketed_groupby_agg
+
+    partials = ds.map_batches(
+        lambda b: _mg_partial(b, key_col, capacity), batch_format="pandas"
+    ).materialize()
+    n_total = int(partials.sum("nb") or 0)
+    dmax = int(partials.max("dmax") or 0)
+    est_tbl = bucketed_groupby_agg(
+        partials.drop_columns(["nb", "dmax"]),
+        keys=[key_col],
+        aggs={"est": ("est", "sum")},
+    )
+
+    def block_top(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        return b.sort_values(["est", key_col], ascending=[False, True],
+                             kind="mergesort").head(capacity)
+
+    cand = (
+        est_tbl.map_batches(block_top, batch_format="pandas")
+        .sort(["est", key_col], descending=[True, False])
+        .limit(capacity)
+        .to_pandas()
+    )
+
+    if dmax == 0:
+        # no eviction anywhere -> est IS the exact count for every key
+        top = cand.rename(columns={"est": "cnt"}).head(k)
+        top = top.sort_values(["cnt", key_col], ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+        top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+        return top[[key_col, "cnt", "rank"]], True, False
+
+    import ray as _ray
+
+    keys_ref = _ray.put(frozenset(cand[key_col].tolist()))
+
+    def exact_partial(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[b[key_col].isin(_ray.get(keys_ref))]
+        if not len(keep):
+            return pd.DataFrame({key_col: pd.Series(dtype=b[key_col].dtype),
+                                 "cnt": pd.Series(dtype="int64")})
+        c = keep[key_col].value_counts()
+        return pd.DataFrame({key_col: c.index.to_numpy(),
+                             "cnt": c.to_numpy().astype(np.int64)})
+
+    exact = bucketed_groupby_agg(
+        ds.map_batches(exact_partial, batch_format="pandas"),
+        keys=[key_col],
+        aggs={"cnt": ("cnt", "sum")},
+    ).to_pandas()
+    exact = exact.sort_values(["cnt", key_col], ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+    top = exact.head(k).copy()
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    cand_min_est = int(cand["est"].min()) if len(cand) == capacity else 0
+    kth = int(top["cnt"].iloc[-1]) if len(top) else 0
+    certified = len(top) == k and kth > cand_min_est + n_total // (capacity + 1)
+    if certified:
+        return top[[key_col, "cnt", "rank"]], True, False
+
+    # fallback: exact full groupby count + top-k (always correct)
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b[key_col].value_counts()
+        return pd.DataFrame({key_col: c.index.to_numpy(),
+                             "cnt": c.to_numpy().astype(np.int64)})
+
+    full = bucketed_groupby_agg(
+        ds.map_batches(count_partial, batch_format="pandas"),
+        keys=[key_col],
+        aggs={"cnt": ("cnt", "sum")},
+    )
+
+    def block_top2(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        return b.sort_values(["cnt", key_col], ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    out = (
+        full.map_batches(block_top2, batch_format="pandas")
+        .sort(["cnt", key_col], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[[key_col, "cnt", "rank"]], False, True
+
+
+def heavy_hitters(ds, key_col: str, k: int, capacity: int = 256):
+    """Dataset wrapper over heavy_hitters_frame (the queries() surface)."""
+    import ray.data
+
+    frame, _, _ = heavy_hitters_frame(ds, key_col, k, capacity)
+    return ray.data.from_pandas(frame)

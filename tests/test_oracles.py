@@ -48,6 +48,7 @@ CASES = [
     "join_size_events_customer",
     "emb_covariance",
     "documents_jsonl_roundtrip",
+    "events_heavy_hitters",
 ]
 
 
