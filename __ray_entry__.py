@@ -1892,6 +1892,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return negative_samples(emb, n_clusters=8, refine_rounds=1,
                                 per_cluster=4, k=2)
 
+    def lineitem_expectations_q(sf_dir):
+        # declarative data-quality gate: 5 rules evaluated in ONE
+        # streaming pass, rules x batches partial rows folded on the
+        # driver (constant state, no shuffle)
+        from mmgraphrag_ray.stages.profile import expect, run_expectations
+
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_quantity", "l_discount", "l_returnflag",
+                     "l_linestatus", "l_shipdate"],
+        )
+        return run_expectations(li, [
+            expect("qty_range", "l_quantity", "between", lo=1, hi=50),
+            expect("discount_range", "l_discount", "between", lo=0.0, hi=0.1),
+            expect("returnflag_set", "l_returnflag", "in_set",
+                   values=("A", "N", "R")),
+            expect("linestatus_regex", "l_linestatus", "regex_match",
+                   pattern="[OF]"),
+            expect("shipdate_not_null", "l_shipdate", "not_null"),
+        ])
+
     def events_heavy_hitters_q(sf_dir):
         # exact top-10 users by event count via the Misra-Gries sketch +
         # verify path (full-key shuffle avoided; certified-exact bound,
@@ -2035,6 +2056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_covariance": emb_covariance_q,
         "documents_jsonl_roundtrip": documents_jsonl_roundtrip_q,
         "events_heavy_hitters": events_heavy_hitters_q,
+        "lineitem_expectations": lineitem_expectations_q,
         "emb_semdedup": emb_semdedup,
         "emb_negatives": emb_negatives_q,
         "doc_sample": doc_sample,
@@ -3955,6 +3977,39 @@ FROM vh GROUP BY 1, 2, 3
         """,
         # order-independent content checksum: sum mod 2^61-1 of md5_u32
         # row hashes over the stringified projection
+        # mirror of stages/profile.py run_expectations: per-rule checked/
+        # violation counts; nulls violate every rule kind except their own
+        "lineitem_expectations": """
+            SELECT 'discount_range' AS rule, count(*) AS n_checked,
+                   count(*) - CAST(sum(CASE WHEN l_discount IS NOT NULL
+                     AND l_discount >= CAST(0.0 AS DOUBLE)
+                     AND l_discount <= CAST(0.1 AS DOUBLE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+            FROM lineitem
+            UNION ALL
+            SELECT 'linestatus_regex', count(*),
+                   count(*) - CAST(sum(CASE WHEN l_linestatus IS NOT NULL
+                     AND regexp_full_match(l_linestatus, '[OF]')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'qty_range', count(*),
+                   count(*) - CAST(sum(CASE WHEN l_quantity IS NOT NULL
+                     AND l_quantity >= 1 AND l_quantity <= 50
+                     THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'returnflag_set', count(*),
+                   count(*) - CAST(sum(CASE WHEN l_returnflag IN ('A','N','R')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'shipdate_not_null', count(*),
+                   CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM lineitem
+            ORDER BY rule
+        """,
         # mirror of stages/sketch.py heavy_hitters (k=10): exact counts,
         # rank (cnt desc, user_id asc) — the sketch+verify path must land
         # on exactly this

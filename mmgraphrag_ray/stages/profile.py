@@ -13,6 +13,7 @@ shuffle-free either way.  min/max stringify through repr-stable paths
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from .groupagg import bucketed_groupby_agg
@@ -140,3 +141,82 @@ def column_histogram(ds, col: str, lo: float, hi: float, n_bins: int = 20):
     # bins absent from every batch (all-zero) still appear because the
     # partial emits ALL n_bins rows per batch
     return sums.map_batches(edges, batch_format="pandas")
+
+
+# --------------------------------------------------- expectations
+
+def expect(name: str, col: str, kind: str, **params) -> dict:
+    """One declarative data-quality rule; see `run_expectations`."""
+    return {"name": name, "col": col, "kind": kind, "params": params}
+
+
+def run_expectations(ds, rules: list[dict]):
+    """Great-Expectations-style validation gate in ONE streaming pass:
+    every rule is evaluated vectorized on every batch, each batch emits
+    one (rule, n_checked, n_violations) partial row per rule, and the
+    driver folds rules x n_batches tiny rows — constant state at any
+    input size, no shuffle.  The 100-TB ingest contract check: a corrupt
+    shard shows up as a violation count, not a crashed pipeline.
+
+    Rule kinds (all integer-exact, SQL-mirrorable):
+      not_null                 — value is null
+      between(lo, hi)          — value outside [lo, hi] (nulls violate)
+      in_set(values)           — value not in the allowed set (nulls violate)
+      regex_match(pattern)     — full-match failure on str(value) (nulls violate)
+
+    Output: Dataset(rule, n_checked, n_violations) — one row per rule.
+
+    No reference counterpart (the reference validates records only inside
+    the extraction parser, text2graph.py:34-71); this is an engine-level
+    extension.
+    """
+    import re
+
+    compiled = {
+        r["name"]: re.compile(r["params"]["pattern"])
+        for r in rules
+        if r["kind"] == "regex_match"
+    }
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        names, checked, viol = [], [], []
+        for r in rules:
+            s = batch[r["col"]]
+            null = s.isna()
+            if r["kind"] == "not_null":
+                bad = int(null.sum())
+            elif r["kind"] == "between":
+                lo, hi = r["params"]["lo"], r["params"]["hi"]
+                ok = (~null) & (s >= lo) & (s <= hi)
+                bad = int(len(s) - ok.sum())
+            elif r["kind"] == "in_set":
+                ok = (~null) & s.isin(list(r["params"]["values"]))
+                bad = int(len(s) - ok.sum())
+            elif r["kind"] == "regex_match":
+                pat = compiled[r["name"]]
+                ok = (~null) & s.astype(str).map(
+                    lambda x: pat.fullmatch(x) is not None
+                )
+                bad = int(len(s) - ok.sum())
+            else:
+                raise ValueError(f"unknown expectation kind {r['kind']!r}")
+            names.append(r["name"])
+            checked.append(len(s))
+            viol.append(bad)
+        return pd.DataFrame(
+            {"rule": pd.array(names, dtype="string"),
+             "n_checked": np.asarray(checked, dtype=np.int64),
+             "n_violations": np.asarray(viol, dtype=np.int64)}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (
+        parts.groupby("rule", as_index=False)[["n_checked", "n_violations"]]
+        .sum()
+        .astype({"n_checked": "int64", "n_violations": "int64"})
+        .sort_values("rule")
+        .reset_index(drop=True)
+    )
+    import ray.data
+
+    return ray.data.from_pandas(out)

@@ -49,6 +49,7 @@ CASES = [
     "emb_covariance",
     "documents_jsonl_roundtrip",
     "events_heavy_hitters",
+    "lineitem_expectations",
 ]
 
 
