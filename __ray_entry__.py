@@ -1892,6 +1892,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return negative_samples(emb, n_clusters=8, refine_rounds=1,
                                 per_cluster=4, k=2)
 
+    def doc_commonness_q(sf_dir):
+        # per-doc boilerplate signal: count + summed global df of the
+        # doc's distinct tokens (integer pair; consumer divides)
+        from mmgraphrag_ray.stages.index import doc_commonness
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return doc_commonness(docs)
+
     def lineitem_expectations_q(sf_dir):
         # declarative data-quality gate: 5 rules evaluated in ONE
         # streaming pass, rules x batches partial rows folded on the
@@ -2057,6 +2067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_jsonl_roundtrip": documents_jsonl_roundtrip_q,
         "events_heavy_hitters": events_heavy_hitters_q,
         "lineitem_expectations": lineitem_expectations_q,
+        "doc_commonness": doc_commonness_q,
         "emb_semdedup": emb_semdedup,
         "emb_negatives": emb_negatives_q,
         "doc_sample": doc_sample,
@@ -3977,6 +3988,21 @@ FROM vh GROUP BY 1, 2, 3
         """,
         # order-independent content checksum: sum mod 2^61-1 of md5_u32
         # row hashes over the stringified projection
+        # mirror of stages/index.py doc_commonness: distinct lowercase
+        # [a-z]+ tokens per doc, global df, per-doc (count, sum df)
+        "doc_commonness": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+              FROM documents
+            ),
+            dft AS (SELECT token, count(*) AS df FROM toks GROUP BY token)
+            SELECT t.doc_id,
+                   count(*) AS n_distinct_tokens,
+                   CAST(sum(dft.df) AS BIGINT) AS sum_df
+            FROM toks t JOIN dft USING (token)
+            GROUP BY t.doc_id
+        """,
         # mirror of stages/profile.py run_expectations: per-rule checked/
         # violation counts; nulls violate every rule kind except their own
         "lineitem_expectations": """

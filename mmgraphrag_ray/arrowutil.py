@@ -40,21 +40,26 @@ def strip_pd_metadata(df: pd.DataFrame) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
+def _series_to_array(s: pd.Series, t: pa.DataType) -> pa.Array:
+    if s.dtype == object or str(s.dtype) in ("string", "str"):
+        # C-level conversion; NaN/None in object columns become nulls
+        return pa.Array.from_pandas(s, type=t)
+    return pa.array(s.to_numpy(), type=t)
+
+
 def df_to_table(df: pd.DataFrame, **type_overrides: pa.DataType) -> pa.Table:
     """DataFrame -> metadata-free pa.Table with deterministic column types.
 
     Keyword overrides pin a column to a specific Arrow type (e.g.
     ``description=pa.large_string()``).  Object columns (including empty and
-    all-None ones) become ``string`` so block schemas never disagree."""
+    all-None ones) become ``string`` so block schemas never disagree.
+    NOTE: a column literally named ``df`` can't be overridden through
+    kwargs (it collides with the positional parameter) — such callers use
+    ``_series_to_array`` directly, as ``df_to_table_aligned`` does."""
     arrays, fields = [], []
     for c in df.columns:
         t = _arrow_type_for(df[c], type_overrides.get(c))
-        s = df[c]
-        if s.dtype == object or str(s.dtype) in ("string", "str"):
-            # C-level conversion; NaN/None in object columns become nulls
-            arrays.append(pa.Array.from_pandas(s, type=t))
-        else:
-            arrays.append(pa.array(s.to_numpy(), type=t))
+        arrays.append(_series_to_array(df[c], t))
         fields.append(pa.field(c, t))
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
 
@@ -88,7 +93,7 @@ def df_to_table_aligned(
     for c in columns:
         t = types[c]
         if c in df.columns:
-            arrays.append(df_to_table(df[[c]], **{c: t}).column(0))
+            arrays.append(_series_to_array(df[c], t))
         else:
             arrays.append(pa.nulls(n, type=t))
         fields.append(pa.field(c, t))

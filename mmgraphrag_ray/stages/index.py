@@ -262,3 +262,61 @@ def skipgram_topk(
     return top.map_batches(
         lambda b: b[["l", "r", "n", "rank"]], batch_format="pandas"
     )
+
+
+def doc_commonness(documents_ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document token-commonness score: over each doc's DISTINCT
+    lowercase ``[a-z]+`` tokens, the count and the sum of global document
+    frequencies — sum_df/n is the "how boilerplate is this doc" quality
+    signal (high mean df = made of ubiquitous tokens; low = rare/technical
+    vocabulary).  Kept as the integer pair (n_distinct_tokens, sum_df) so
+    the result is bit-exact vs SQL; the consumer divides.
+
+    Scale shape: pass A builds the df table with the same per-batch
+    combiner discipline as token_postings (one row per distinct token per
+    batch); pass B re-emits distinct (doc, token) pairs, joins df on the
+    token-bucketed `bucketed_join`, and folds per doc — two bounded
+    shuffles, no driver state, no per-occurrence rows.
+
+    -> Dataset(doc_id, n_distinct_tokens, sum_df).
+    """
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    word = re.compile(TOKEN_RE)
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        per_tok: dict[str, int] = {}
+        for text in batch[text_col]:
+            for tok in set(word.findall(text.lower())):
+                per_tok[tok] = per_tok.get(tok, 0) + 1
+        return pd.DataFrame(
+            {"token": pd.array(list(per_tok.keys()), dtype="string"),
+             "df": np.fromiter(per_tok.values(), dtype=np.int64,
+                               count=len(per_tok))}
+        )
+
+    df_tbl = bucketed_groupby_agg(
+        documents_ds.map_batches(df_partial, batch_format="pandas"),
+        keys=["token"],
+        aggs={"df": ("df", "sum")},
+    )
+
+    def pair_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, toks = [], []
+        for doc_id, text in zip(batch[id_col], batch[text_col]):
+            for tok in set(word.findall(text.lower())):
+                ids.append(doc_id)
+                toks.append(tok)
+        return pd.DataFrame(
+            {id_col: np.asarray(ids, dtype=np.int64),
+             "token": pd.array(toks, dtype="string")}
+        )
+
+    pairs = documents_ds.map_batches(pair_rows, batch_format="pandas")
+    joined = bucketed_join(pairs, df_tbl, on="token", how="inner")
+    return bucketed_groupby_agg(
+        joined,
+        keys=[id_col],
+        aggs={"n_distinct_tokens": (None, "count"), "sum_df": ("df", "sum")},
+    )

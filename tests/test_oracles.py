@@ -50,6 +50,7 @@ CASES = [
     "documents_jsonl_roundtrip",
     "events_heavy_hitters",
     "lineitem_expectations",
+    "doc_commonness",
 ]
 
 

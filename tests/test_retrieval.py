@@ -135,3 +135,28 @@ def test_skipgram_topk_hand_counts_and_split_invariance():
         # min_count filter drops the singletons
         got2 = skipgram_topk(ds, window=2, k=10, min_count=2).to_pandas()
         assert len(got2) == 1
+
+
+def test_doc_commonness_integer_pairs():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.index import doc_commonness
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["the cat sat", "the dog", "THE the zebra!"],
+        }
+    )
+    out = (
+        doc_commonness(ray.data.from_pandas(docs).repartition(3))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # df: the=3, cat=1, sat=1, dog=1, zebra=1
+    assert out.loc[1, "n_distinct_tokens"] == 3 and out.loc[1, "sum_df"] == 5
+    assert out.loc[2, "n_distinct_tokens"] == 2 and out.loc[2, "sum_df"] == 4
+    # doc 3: tokens {the, zebra} (case-folded, distinct)
+    assert out.loc[3, "n_distinct_tokens"] == 2 and out.loc[3, "sum_df"] == 4
