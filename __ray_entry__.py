@@ -1892,6 +1892,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return negative_samples(emb, n_clusters=8, refine_rounds=1,
                                 per_cluster=4, k=2)
 
+    def orders_zorder_q(sf_dir):
+        # Morton-curve clustered layout key over (custkey, totalprice):
+        # one aggregate pass for bounds + one vectorized key pass; the
+        # zbucket is the data-skipping output partition
+        from mmgraphrag_ray.stages.layout import zorder_keys
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+        return zorder_keys(
+            orders, "o_custkey", "o_totalprice", id_cols=["o_orderkey"],
+            bits=16, n_buckets=64,
+        )
+
     def doc_commonness_q(sf_dir):
         # per-doc boilerplate signal: count + summed global df of the
         # doc's distinct tokens (integer pair; consumer divides)
@@ -2068,6 +2083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heavy_hitters": events_heavy_hitters_q,
         "lineitem_expectations": lineitem_expectations_q,
         "doc_commonness": doc_commonness_q,
+        "orders_zorder": orders_zorder_q,
         "emb_semdedup": emb_semdedup,
         "emb_negatives": emb_negatives_q,
         "doc_sample": doc_sample,
@@ -2225,6 +2241,10 @@ def oracle_sql() -> dict[str, str]:
     kg = _kg_cte(corpus)
     merge = _kg_merge_cte()
     pat = TOKEN_PATTERN
+
+    from mmgraphrag_ray.stages.layout import zorder_sql_expr
+
+    _zexpr = zorder_sql_expr("o_custkey", "o_totalprice", bits=16)
 
     return {
         "kg_files": kg + "\nSELECT * FROM files",
@@ -3988,6 +4008,19 @@ FROM vh GROUP BY 1, 2, 3
         """,
         # order-independent content checksum: sum mod 2^61-1 of md5_u32
         # row hashes over the stringified projection
+        # mirror of stages/layout.py zorder_keys (bits=16, 64 buckets):
+        # bounds CTE + the shared unrolled interleave expression
+        "orders_zorder": f"""
+            WITH st AS (
+              SELECT CAST(floor(min(o_custkey)) AS BIGINT) AS lox,
+                     CAST(floor(max(o_custkey)) AS BIGINT) AS hix,
+                     CAST(floor(min(o_totalprice)) AS BIGINT) AS loy,
+                     CAST(floor(max(o_totalprice)) AS BIGINT) AS hiy
+              FROM orders
+            )
+            SELECT o_orderkey, {_zexpr} AS zkey, ({_zexpr} >> 26) AS zbucket
+            FROM orders, st
+        """,
         # mirror of stages/index.py doc_commonness: distinct lowercase
         # [a-z]+ tokens per doc, global df, per-doc (count, sum df)
         "doc_commonness": """

@@ -51,6 +51,7 @@ CASES = [
     "events_heavy_hitters",
     "lineitem_expectations",
     "doc_commonness",
+    "orders_zorder",
 ]
 
 
