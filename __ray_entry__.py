@@ -1892,6 +1892,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return negative_samples(emb, n_clusters=8, refine_rounds=1,
                                 per_cluster=4, k=2)
 
+    def emb_pca_component_q(sf_dir):
+        # leading principal component: 2 integer power-iteration rounds
+        # over the covariance sufficient stats (corpus -> O(dim^2) table;
+        # the 64x64 fold runs on the driver where it belongs)
+        from mmgraphrag_ray.stages.vecstats import pca_power_component
+
+        emb = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+        )
+        return pca_power_component(emb, scale=100)
+
     def orders_zorder_q(sf_dir):
         # Morton-curve clustered layout key over (custkey, totalprice):
         # one aggregate pass for bounds + one vectorized key pass; the
@@ -2084,6 +2095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_expectations": lineitem_expectations_q,
         "doc_commonness": doc_commonness_q,
         "orders_zorder": orders_zorder_q,
+        "emb_pca_component": emb_pca_component_q,
         "emb_semdedup": emb_semdedup,
         "emb_negatives": emb_negatives_q,
         "doc_sample": doc_sample,
@@ -3465,6 +3477,49 @@ FROM vh GROUP BY 1, 2, 3
                    (CASE WHEN n_tokens = 0 THEN start_off
                          ELSE start_off + n_tokens - 1 END) // 512 AS last_seq
             FROM s
+        """,
+        # mirror of stages/vecstats.py pca_power_component (scale=100,
+        # 2 rounds): scatter M = n*s_de - s_d*s_e, v0 = ones, sign-split
+        # truncating renormalization each round (the one integer-division
+        # semantics both engines share)
+        "emb_pca_component": """
+            WITH q AS (
+              SELECT vec_id, list_transform(embedding, x ->
+                     CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
+              FROM embeddings
+            ),
+            qe AS (
+              SELECT vec_id, unnest(qv) AS v, unnest(range(1, len(qv) + 1)) AS d
+              FROM q
+            ),
+            lin AS (SELECT d, CAST(sum(v) AS BIGINT) AS s FROM qe GROUP BY d),
+            cr AS (
+              SELECT a.d AS d, b.d AS e, CAST(sum(a.v * b.v) AS BIGINT) AS s_de
+              FROM qe a JOIN qe b ON a.vec_id = b.vec_id
+              GROUP BY 1, 2
+            ),
+            nn AS (SELECT count(*) AS n FROM q),
+            m AS (
+              SELECT cr.d, cr.e, nn.n * cr.s_de - la.s * lb.s AS m
+              FROM cr CROSS JOIN nn
+              JOIN lin la ON la.d = cr.d
+              JOIN lin lb ON lb.d = cr.e
+            ),
+            w1 AS (SELECT d, CAST(sum(m) AS BIGINT) AS w FROM m GROUP BY d),
+            mx1 AS (SELECT greatest(1, max(abs(w))) AS mx FROM w1),
+            v1 AS (
+              SELECT d, CASE WHEN w < 0 THEN -((-w) * 1000000 // mx)
+                             ELSE (w * 1000000) // mx END AS v
+              FROM w1 CROSS JOIN mx1
+            ),
+            w2 AS (
+              SELECT m.d, CAST(sum(m.m * v1.v) AS BIGINT) AS w
+              FROM m JOIN v1 ON v1.d = m.e GROUP BY m.d
+            ),
+            mx2 AS (SELECT greatest(1, max(abs(w)) // 1000000) AS mx FROM w2)
+            SELECT d, CASE WHEN w < 0 THEN -((-w) // mx)
+                           ELSE w // mx END AS component
+            FROM w2 CROSS JOIN mx2
         """,
         # mirror of stages/vecstats.py embedding_covariance_components:
         # quantize (floor * 1e6), per-dim linear sums + upper-triangle

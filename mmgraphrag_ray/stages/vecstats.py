@@ -79,3 +79,71 @@ def embedding_covariance_components(
         },
         n_buckets=n_buckets,
     )
+
+
+def _trunc_div_norm(w: list[int], target: int) -> list[int]:
+    """Sign-split truncating normalization: v = sign(w) * (|w| * target //
+    max|w|).  Truncating (not flooring) division on non-negative operands
+    is the ONE integer-division semantics numpy/Python and DuckDB BIGINT
+    agree on, so the mirror is exact."""
+    mx = max((abs(x) for x in w), default=0) or 1
+    return [(abs(x) * target // mx) * (1 if x >= 0 else -1) for x in w]
+
+
+def pca_power_component(
+    emb_ds,
+    vec_col: str = "embedding",
+    scale: int = 100,
+):
+    """Leading principal component direction via TWO integer power-iteration
+    rounds over the covariance sufficient statistics — the PCA/whitening
+    follow-up to `embedding_covariance_components`.
+
+    Scale shape: the corpus reduces to the O(dim^2) integer component table
+    (one streaming pass); the power iteration itself is driver-side exact
+    big-int math over a dim x dim matrix — O(dim^2) work INDEPENDENT of
+    corpus size, which is the correct place for it (shipping a 64x64 fold
+    to the cluster would be pure overhead).
+
+    Integer-exactness: the centered scatter matrix M = n*s_de - s_d*s_e is
+    integer; each round renormalizes with sign-split TRUNCATING division
+    (see `_trunc_div_norm`) so every intermediate matches the SQL mirror
+    bit-for-bit.  scale=100 keeps every intermediate inside int64 for
+    |x| <= ~4, dim 64, n <= ~2e5 (the guard below fails loudly first).
+    Sign is pinned by starting from the all-ones vector — both engines run
+    the identical deterministic sequence.
+
+    -> Dataset(d, component): d 1-based, component on a ~1e6 integer scale.
+    """
+    import ray.data
+
+    comp = embedding_covariance_components(
+        emb_ds, vec_col=vec_col, scale=scale
+    ).to_pandas()
+    dim = int(comp["e"].max())
+    n = int(comp["n"].iloc[0]) if len(comp) else 0
+    m = [[0] * dim for _ in range(dim)]  # Python ints: exact at any size
+    for row in comp.itertuples(index=False):
+        d, e = int(row.d) - 1, int(row.e) - 1
+        val = int(row.n) * int(row.s_de) - int(row.s_d) * int(row.s_e)
+        m[d][e] = val
+        m[e][d] = val
+    mmax = max((abs(v) for r in m for v in r), default=0)
+    if mmax * 1_000_000 * dim >= 2**63:
+        raise ValueError(
+            f"scatter magnitude {mmax} too large for the int64-safe mirror "
+            f"(dim={dim}, n={n}); lower `scale`"
+        )
+    v = [1] * dim
+    w = [sum(m[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+    v = _trunc_div_norm(w, 1_000_000)
+    w = [sum(m[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+    mx = max((abs(x) for x in w), default=0)
+    denom = max(1, mx // 1_000_000)
+    v = [(abs(x) // denom) * (1 if x >= 0 else -1) for x in w]
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {"d": np.arange(1, dim + 1, dtype=np.int64),
+             "component": np.asarray(v, dtype=np.int64)}
+        )
+    )

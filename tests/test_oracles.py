@@ -52,6 +52,7 @@ CASES = [
     "lineitem_expectations",
     "doc_commonness",
     "orders_zorder",
+    "emb_pca_component",
 ]
 
 

@@ -67,3 +67,39 @@ def test_covariance_cell_recovers_float_covariance():
         cov = (r["s_de"] - r["s_d"] * r["s_e"] / r["n"]) / r["n"] / 1_000_000**2
         expect = np.cov(q[:, d], q[:, e], bias=True)[0, 1] / 1_000_000**2
         assert abs(cov - expect) < 1e-9
+
+
+def test_pca_power_component_tracks_numpy_eigvector():
+    # the integer 2-round power iteration must point (up to sign and
+    # truncation noise) along the true leading eigenvector
+    from mmgraphrag_ray.stages.vecstats import pca_power_component
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(300, 6)
+    base[:, 2] *= 8.0  # dominant variance direction = dim 2
+    out = (
+        pca_power_component(_ds(list(base.astype(np.float32))), scale=100)
+        .to_pandas().sort_values("d").reset_index(drop=True)
+    )
+    assert len(out) == 6
+    comp = out["component"].to_numpy().astype(np.float64)
+    comp = comp / np.linalg.norm(comp)
+    q = np.floor(base * 100).astype(np.int64).astype(np.float64)
+    cov = np.cov(q.T, bias=True)
+    eigval, eigvec = np.linalg.eigh(cov)
+    lead = eigvec[:, -1]
+    assert abs(abs(comp @ lead) - 1.0) < 0.05
+    assert np.argmax(np.abs(comp)) == 2
+
+
+def test_pca_power_component_deterministic():
+    from mmgraphrag_ray.stages.vecstats import pca_power_component
+
+    rng = np.random.RandomState(9)
+    vecs = list(rng.randn(80, 4).astype(np.float32))
+    a = pca_power_component(_ds(vecs), scale=100).to_pandas()
+    b = pca_power_component(_ds(vecs).repartition(7), scale=100).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("d").reset_index(drop=True),
+        b.sort_values("d").reset_index(drop=True),
+    )
