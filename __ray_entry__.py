@@ -1928,6 +1928,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return doc_commonness(docs)
 
+    def doc_bigram_lm_q(sf_dir):
+        # CCNet/KenLM perplexity-filter analog, integer-exact: corpus
+        # bigram LM (two grouped count reduces), per-doc fixed-point
+        # conditional-probability sum via two token-bucketed joins
+        from mmgraphrag_ray.stages.index import bigram_lm_scores
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return bigram_lm_scores(docs)
+
+    def kg_link_predict_q(sf_dir):
+        # KG-completion primitive: propose missing edges by the integer
+        # resource-allocation index over common neighbors (deg <= 64 by
+        # definition; existing-edge anti-join rides the same reduce)
+        from mmgraphrag_ray.stages.graphalgo import link_prediction_scores
+
+        _, edges = _build_graph_cached(sf_dir)
+        return link_prediction_scores(edges, k=20, deg_cap=64)
+
     def lineitem_expectations_q(sf_dir):
         # declarative data-quality gate: 5 rules evaluated in ONE
         # streaming pass, rules x batches partial rows folded on the
@@ -2094,6 +2114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heavy_hitters": events_heavy_hitters_q,
         "lineitem_expectations": lineitem_expectations_q,
         "doc_commonness": doc_commonness_q,
+        "doc_bigram_lm": doc_bigram_lm_q,
+        "kg_link_predict": kg_link_predict_q,
         "orders_zorder": orders_zorder_q,
         "emb_pca_component": emb_pca_component_q,
         "emb_semdedup": emb_semdedup,
@@ -2404,6 +2426,34 @@ sc AS (
 )
 SELECT ea, eb, n_xy, n_x, n_y, pmi, rank FROM (
   SELECT *, row_number() OVER (ORDER BY pmi DESC, ea, eb) AS rank FROM sc
+) WHERE rank <= 20""",
+        # link_prediction_scores mirror: resource-allocation index over
+        # common neighbors with deg(z) in [2, 64] (part of the statistic's
+        # definition, same filter both engines), existing edges excluded
+        "kg_link_predict": kg + merge + """,
+adjlp AS (
+  SELECT src_id AS z, tgt_id AS x FROM edges
+  UNION ALL SELECT tgt_id, src_id FROM edges
+),
+deglp AS (SELECT z, count(*) AS d FROM adjlp GROUP BY z),
+candlp AS (
+  SELECT a.x AS ea, b.x AS eb, CAST(1000000 AS BIGINT) // d.d AS ra1
+  FROM adjlp a
+  JOIN adjlp b ON a.z = b.z AND a.x < b.x
+  JOIN deglp d ON d.z = a.z
+  WHERE d.d <= 64
+),
+agglp AS (
+  SELECT ea, eb, count(*) AS cn, CAST(sum(ra1) AS BIGINT) AS ra
+  FROM candlp GROUP BY ea, eb
+),
+newlp AS (
+  SELECT g.* FROM agglp g
+  LEFT JOIN edges e ON e.src_id = g.ea AND e.tgt_id = g.eb
+  WHERE e.src_id IS NULL
+)
+SELECT ea, eb, cn, ra, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY ra DESC, ea, eb) AS rank FROM newlp
 ) WHERE rank <= 20""",
         # k_hop_distances mirror (k=2, seeds = CLASS nodes): two unrolled
         # frontier joins over the bidirected edges, min hop per node
@@ -4090,6 +4140,42 @@ FROM vh GROUP BY 1, 2, 3
                    CAST(sum(dft.df) AS BIGINT) AS sum_df
             FROM toks t JOIN dft USING (token)
             GROUP BY t.doc_id
+        """,
+        # mirror of stages/index.py bigram_lm_scores: corpus bigram counts
+        # c2, left-context counts c1, per-doc sum of k * floor(1e6*c2/c1)
+        # (product in HUGEINT; the int64 bound is the Ray-side contract)
+        "doc_bigram_lm": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z]+') AS toks
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, bg[1] || ' ' || bg[2] AS bigram, bg[1] AS lft
+              FROM (
+                SELECT doc_id, unnest(list_zip(toks[1:-2], toks[2:])) AS bg
+                FROM t WHERE len(toks) >= 2
+              )
+            ),
+            c2 AS (
+              SELECT bigram, any_value(lft) AS lft, count(*) AS n2
+              FROM b GROUP BY bigram
+            ),
+            c1 AS (
+              SELECT lft, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY lft
+            ),
+            dk AS (
+              SELECT doc_id, bigram, count(*) AS k
+              FROM b GROUP BY doc_id, bigram
+            )
+            SELECT dk.doc_id,
+                   CAST(sum(dk.k) AS BIGINT) AS n_bigrams,
+                   CAST(sum(dk.k * ((1000000 * CAST(c2.n2 AS HUGEINT))
+                                    // c1.n1)) AS BIGINT) AS lm_score
+            FROM dk
+            JOIN c2 USING (bigram)
+            JOIN c1 ON c1.lft = c2.lft
+            GROUP BY dk.doc_id
         """,
         # mirror of stages/profile.py run_expectations: per-rule checked/
         # violation counts; nulls violate every rule kind except their own

@@ -59,6 +59,86 @@ def configure(num_cpus: int | None = None, force: bool = False) -> None:
         int(agg_env) if agg_env else max(1, n // 2)
     )
     _patch_hash_shuffle_schema_broadcast()
+    _patch_aggregator_sort_tolerance()
+
+
+class _SortTolerantAggFactory:
+    """Wraps the hash-shuffle aggregation factory so ``Concat.finalize``
+    tolerates partitions that never received a schema-carrying shard.
+
+    Why this can happen (Ray 2.49): map operators SKIP the user fn on
+    0-row blocks, and ``_shuffle_block`` early-returns on 0-row blocks
+    BEFORE the ``send_empty_blocks`` schema fan-out.  So when a grouped
+    shuffle's ENTIRE input is empty (a legitimate state: e.g. a candidate
+    generator that found nothing feeding a grouped reduce), no aggregator
+    ever sees a schema, ``finalize`` builds a zero-column table, and
+    ``sort_by('<bucket>')`` dies with ArrowInvalid.  The tolerant finalize
+    skips the sort when the sort keys are absent — only possible for
+    all-empty partitions, where sorting is a no-op anyway.
+
+    This class lives at module level in an importable package so
+    cloudpickle ships it by reference and the aggregator ACTOR (which
+    never runs ``configure()``) resolves it at unpickle time."""
+
+    def __init__(self, orig):
+        self._orig = orig
+
+    def __call__(self, aggregator_id, target_partition_ids):
+        agg = self._orig(aggregator_id, target_partition_ids)
+        _make_sort_tolerant(agg)
+        return agg
+
+
+def _make_sort_tolerant(agg) -> None:
+    """Instance-level finalize override for Concat aggregations (runs on
+    the aggregator actor; see _SortTolerantAggFactory)."""
+    try:
+        from ray.data._internal.execution.operators.hash_shuffle import Concat
+    except Exception:  # noqa: BLE001
+        return
+    if not isinstance(agg, Concat) or not getattr(agg, "_should_sort", False):
+        return
+
+    def finalize(partition_id):
+        block = agg._partition_block_builders[partition_id].build()
+        keys = tuple(agg._key_columns or ())
+        if keys and all(k in block.schema.names for k in keys):
+            block = block.sort_by([(k, "ascending") for k in keys])
+        return block
+
+    agg.finalize = finalize
+
+
+def _patch_aggregator_sort_tolerance() -> None:
+    """Driver-side hook: AggregatorPool.__init__ wraps the aggregation
+    factory in _SortTolerantAggFactory before it is ray.put for the
+    aggregator actors."""
+    import inspect
+
+    try:
+        from ray.data._internal.execution.operators.hash_shuffle import (
+            AggregatorPool,
+        )
+    except Exception:  # noqa: BLE001 — future Ray versions: patch not needed
+        return
+    if getattr(AggregatorPool, "_raykg_sort_tolerant", False):
+        return
+
+    orig_init = AggregatorPool.__init__
+
+    def patched(self, *args, **kwargs):
+        try:
+            bound = inspect.signature(orig_init).bind(self, *args, **kwargs)
+            if "aggregation_factory" in bound.arguments:
+                bound.arguments["aggregation_factory"] = _SortTolerantAggFactory(
+                    bound.arguments["aggregation_factory"]
+                )
+            return orig_init(*bound.args, **bound.kwargs)
+        except TypeError:
+            return orig_init(self, *args, **kwargs)
+
+    AggregatorPool.__init__ = patched
+    AggregatorPool._raykg_sort_tolerant = True
 
 
 def _patch_hash_shuffle_schema_broadcast() -> None:

@@ -680,3 +680,122 @@ def community_stats(nodes_ds, edges_ds, rounds: int = 4,
         return out[["label", "n_nodes", "internal_edges", "degree_sum"]]
 
     return out.map_batches(fill, batch_format="pandas")
+
+
+LP_SCALE = 10**6
+
+
+def link_prediction_scores(edges_ds, k: int = 20, deg_cap: int = 64,
+                           scale: int = LP_SCALE,
+                           src_col: str = "src_id", tgt_col: str = "tgt_id"):
+    """Common-neighbor link prediction over the constructed KG — the
+    standard KG-completion primitive (propose missing edges): for every
+    non-adjacent node pair (a, b) sharing >= 1 neighbor, score by the
+    resource-allocation index  ra = sum_z floor(scale / deg(z))  over
+    common neighbors z (Zhou/Lu/Zhang 2009), integer-floored once per z so
+    the ranking is bit-deterministic and exactly SQL-mirrorable; ``cn``
+    (common-neighbor count) rides along.  Mirrors the alias-candidate role
+    the reference's fusion prompts play (entities that share many low-degree
+    neighbors are merge/relate candidates) as a first-class graph operator.
+
+    -> Dataset(ea, eb, cn, ra, rank), ea < eb, pair not an existing edge,
+    rank 1..k by (ra desc, ea, eb).
+
+    Scale shape: ONE z-bucketed shuffle enumerates neighbor pairs with the
+    per-hub quadratic bounded by ``deg_cap`` (hubs above the cap are
+    excluded from the statistic by definition — same filter in the SQL
+    mirror, so it is semantics, not truncation); the existing-edge
+    anti-join rides the SAME (ea, eb) grouped reduce as the score fold
+    (edge rows carry ex=1, candidate rows ex=0 — no second shuffle, no
+    driver key set); one combiner top-k out.  Driver state: none.
+    """
+    import zlib
+
+    from ..arrowutil import strip_pd_metadata
+    from .groupagg import bucketed_groupby_agg
+    from .window import grouped_topk
+
+    def bidir(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"z": pd.concat([b[src_col], b[tgt_col]], ignore_index=True),
+             "x": pd.concat([b[tgt_col], b[src_col]], ignore_index=True)}
+        )
+        out["z"] = out["z"].astype("string")
+        out["x"] = out["x"].astype("string")
+        return strip_pd_metadata(out) if len(out) else out
+
+    def add_z_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.assign(
+            _bucket=b["z"].map(
+                lambda s: zlib.crc32(str(s).encode()) % 64
+            ).astype("int32")
+        )
+        return strip_pd_metadata(out) if len(out) else out
+
+    def _empty_cand() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"ea": pd.Series(dtype="string"),
+             "eb": pd.Series(dtype="string"),
+             "cn": pd.Series(dtype="int64"),
+             "ra": pd.Series(dtype="int64"),
+             "ex": pd.Series(dtype="int64")}
+        )
+
+    def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        ea, eb, ra = [], [], []
+        for _, g in bucket.groupby("z", sort=False):
+            nbrs = sorted(set(g["x"]))
+            d = len(nbrs)
+            if d < 2 or d > deg_cap:
+                continue
+            contrib = scale // d
+            for i in range(d):
+                for j in range(i + 1, d):
+                    ea.append(nbrs[i])
+                    eb.append(nbrs[j])
+                    ra.append(contrib)
+        if not ea:
+            return _empty_cand()
+        return pd.DataFrame(
+            {"ea": pd.array(ea, dtype="string"),
+             "eb": pd.array(eb, dtype="string"),
+             "cn": np.ones(len(ea), dtype=np.int64),
+             "ra": np.asarray(ra, dtype=np.int64),
+             "ex": np.zeros(len(ea), dtype=np.int64)}
+        )
+
+    def edge_flags(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"ea": b[src_col].astype("string"),
+             "eb": b[tgt_col].astype("string"),
+             "cn": np.zeros(len(b), dtype=np.int64),
+             "ra": np.zeros(len(b), dtype=np.int64),
+             "ex": np.ones(len(b), dtype=np.int64)}
+        )
+        return strip_pd_metadata(out) if len(out) else _empty_cand()
+
+    cand = (
+        edges_ds.map_batches(bidir, batch_format="pandas")
+        .map_batches(add_z_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .repartition(8)
+    )
+    tagged = cand.union(edges_ds.map_batches(edge_flags, batch_format="pandas"))
+    agg = bucketed_groupby_agg(
+        tagged,
+        keys=["ea", "eb"],
+        aggs={"cn": ("cn", "sum"), "ra": ("ra", "sum"), "ex": ("ex", "sum")},
+    ).map_batches(
+        lambda b: b[(b["ex"] == 0) & (b["cn"] > 0)][["ea", "eb", "cn", "ra"]],
+        batch_format="pandas",
+    )
+    scored = agg.map_batches(
+        lambda b: b.assign(_g=np.int64(0)), batch_format="pandas"
+    )
+    top = grouped_topk(
+        scored, keys=["_g"], order_col="ra", k=k, tie_cols=["ea", "eb"]
+    )
+    return top.map_batches(
+        lambda b: b[["ea", "eb", "cn", "ra", "rank"]], batch_format="pandas"
+    )

@@ -320,3 +320,112 @@ def doc_commonness(documents_ds, id_col: str = "doc_id", text_col: str = "text")
         keys=[id_col],
         aggs={"n_distinct_tokens": (None, "count"), "sum_df": ("df", "sum")},
     )
+
+
+def bigram_lm_scores(documents_ds, id_col: str = "doc_id",
+                     text_col: str = "text", scale: int = 1_000_000):
+    """Per-document bigram-LM fluency score — the CCNet/KenLM
+    perplexity-filter analog re-expressed integer-exact: train a bigram
+    model ON THE CORPUS ITSELF (count tables, no smoothing needed because
+    every scored bigram was observed), then score each doc by the sum over
+    its bigram positions of  p = floor(scale * c2(a,b) / c1(a))  — the
+    fixed-point conditional probability of each next token.  High mean
+    p (= lm_score / n_bigrams, consumer divides) = predictable/fluent
+    text; low = rare constructions or noise.  Log-free so the score is
+    bit-deterministic and exactly SQL-mirrorable (float log-perplexity
+    would hash-diverge).
+
+    -> Dataset(doc_id, n_bigrams, lm_score); docs with < 2 tokens have no
+    bigram positions and are absent (same in the SQL mirror).
+
+    Scale shape: pass A folds per-batch bigram-count partials through one
+    bucketed reduce (rows bounded by distinct bigrams per batch, not
+    positions); the context table c1 derives from c2 by a second grouped
+    sum over the COUNT table, never the corpus.  Pass B re-emits per-doc
+    distinct-bigram rows with multiplicity k (positions with equal bigrams
+    collapse: k * p), joins c2 then c1 via token-bucketed `bucketed_join`
+    (vocabulary-sized tables — never broadcast), folds per doc.  Driver
+    state: none.  Integer bound: scale * max-bigram-count must fit int64 —
+    with scale=1e6, valid to ~9e12 total corpus bigram occurrences; drop
+    scale at larger corpora (the SQL mirror computes the product in
+    HUGEINT so the CONTRACT, not the mirror, is the bound).
+    """
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    word = re.compile(TOKEN_RE)
+
+    def bigram_count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        per_bg: dict[str, int] = {}
+        for text in batch[text_col]:
+            toks = word.findall(text.lower())
+            for a, b in zip(toks, toks[1:]):
+                key = a + " " + b
+                per_bg[key] = per_bg.get(key, 0) + 1
+        bgs = list(per_bg.keys())
+        return pd.DataFrame(
+            {"bigram": pd.array(bgs, dtype="string"),
+             "lft": pd.array([s.split(" ", 1)[0] for s in bgs],
+                             dtype="string"),
+             "n2": np.fromiter(per_bg.values(), dtype=np.int64,
+                               count=len(per_bg))}
+        )
+
+    c2 = bucketed_groupby_agg(
+        documents_ds.map_batches(bigram_count_partial, batch_format="pandas"),
+        keys=["bigram"],
+        aggs={"lft": ("lft", "min"), "n2": ("n2", "sum")},
+    )
+    c1 = bucketed_groupby_agg(
+        c2.map_batches(lambda b: b[["lft", "n2"]], batch_format="pandas"),
+        keys=["lft"],
+        aggs={"n1": ("n2", "sum")},
+    )
+
+    def doc_bigram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, bgs, ks = [], [], []
+        for doc_id, text in zip(batch[id_col], batch[text_col]):
+            toks = word.findall(text.lower())
+            per_bg: dict[str, int] = {}
+            for a, b in zip(toks, toks[1:]):
+                key = a + " " + b
+                per_bg[key] = per_bg.get(key, 0) + 1
+            for key, k in per_bg.items():
+                ids.append(doc_id)
+                bgs.append(key)
+                ks.append(k)
+        return pd.DataFrame(
+            {id_col: np.asarray(ids, dtype=np.int64),
+             "bigram": pd.array(bgs, dtype="string"),
+             "k": np.asarray(ks, dtype=np.int64)}
+        )
+
+    rows = documents_ds.map_batches(doc_bigram_rows, batch_format="pandas")
+    j2 = bucketed_join(rows, c2, on="bigram", how="inner")
+    j1 = bucketed_join(
+        j2.map_batches(lambda b: b[[id_col, "lft", "k", "n2"]],
+                       batch_format="pandas"),
+        c1, on="lft", how="inner",
+    )
+
+    def contrib(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"),
+                 "k": pd.Series(dtype="int64"),
+                 "c": pd.Series(dtype="int64")}
+            )
+        n2 = b["n2"].to_numpy(dtype=np.int64)
+        n1 = b["n1"].to_numpy(dtype=np.int64)
+        k = b["k"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {id_col: b[id_col].to_numpy(dtype=np.int64),
+             "k": k,
+             "c": k * ((scale * n2) // n1)}
+        )
+
+    return bucketed_groupby_agg(
+        j1.map_batches(contrib, batch_format="pandas"),
+        keys=[id_col],
+        aggs={"n_bigrams": ("k", "sum"), "lm_score": ("c", "sum")},
+    )

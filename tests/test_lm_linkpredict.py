@@ -1,0 +1,79 @@
+"""bigram-LM fluency scores + common-neighbor link prediction."""
+
+import sys
+
+import pandas as pd
+import ray.data
+
+sys.path.insert(0, "/root/repo")
+
+from mmgraphrag_ray.stages.graphalgo import link_prediction_scores
+from mmgraphrag_ray.stages.index import bigram_lm_scores
+
+
+def test_bigram_lm_hand_computed():
+    # corpus bigrams: 'a b'x3 (docs 1,1,2), 'b a'x1, 'b c'x1
+    # c1: a=3 (left contexts), b=2 -> p(a b)=1e6, p(b a)=p(b c)=500000
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3],
+             "text": ["a b a b c", "a b", "x"]}
+        )
+    ).repartition(2)
+    out = (
+        bigram_lm_scores(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 3 has one token -> no bigram positions -> absent
+    assert list(out["doc_id"]) == [1, 2]
+    d1 = out[out["doc_id"] == 1].iloc[0]
+    assert d1["n_bigrams"] == 4
+    assert d1["lm_score"] == 2 * 1_000_000 + 500_000 + 500_000
+    d2 = out[out["doc_id"] == 2].iloc[0]
+    assert d2["n_bigrams"] == 1 and d2["lm_score"] == 1_000_000
+
+
+def test_bigram_lm_split_invariant():
+    texts = ["the cat sat on the mat", "the cat ran", "a cat sat",
+             "on the mat the cat sat", "zz yy zz"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    one = (
+        bigram_lm_scores(ray.data.from_pandas(df))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    many = (
+        bigram_lm_scores(ray.data.from_pandas(df).repartition(5))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, many)
+
+
+def _edges(pairs):
+    return ray.data.from_pandas(
+        pd.DataFrame(pairs, columns=["src_id", "tgt_id"])
+    ).repartition(2)
+
+
+def test_link_prediction_hand_computed():
+    # a-b a-c b-c a-d: open pairs are (b,d) and (c,d), both via z=a (deg 3)
+    edges = _edges([("a", "b"), ("a", "c"), ("b", "c"), ("a", "d")])
+    out = (
+        link_prediction_scores(edges, k=10, deg_cap=64)
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    )
+    assert len(out) == 2
+    assert list(out["ea"]) == ["b", "c"]            # ra tie -> ea asc
+    assert list(out["eb"]) == ["d", "d"]
+    assert list(out["cn"]) == [1, 1]
+    assert list(out["ra"]) == [1_000_000 // 3] * 2  # scale // deg(a)
+    assert list(out["rank"]) == [1, 2]
+
+
+def test_link_prediction_deg_cap_excludes_hub():
+    # with deg_cap=2 the hub a (deg 3) contributes nothing; remaining
+    # wedges only re-propose existing edges -> empty proposal set
+    edges = _edges([("a", "b"), ("a", "c"), ("b", "c"), ("a", "d")])
+    out = link_prediction_scores(edges, k=10, deg_cap=2).to_pandas()
+    assert len(out) == 0
