@@ -1948,6 +1948,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _, edges = _build_graph_cached(sf_dir)
         return link_prediction_scores(edges, k=20, deg_cap=64)
 
+    def kg_random_walks_q(sf_dir):
+        # DeepWalk corpus generation: one deterministic md5-indexed walk
+        # per node, 3 steps; each step = two bucketed joins (degree ->
+        # exact 'u#rank' key), never a fan-out join on the node alone
+        from mmgraphrag_ray.stages.graphalgo import random_walks
+
+        _, edges = _build_graph_cached(sf_dir)
+        return random_walks(edges, length=3)
+
     def lineitem_expectations_q(sf_dir):
         # declarative data-quality gate: 5 rules evaluated in ONE
         # streaming pass, rules x batches partial rows folded on the
@@ -2116,6 +2125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_commonness": doc_commonness_q,
         "doc_bigram_lm": doc_bigram_lm_q,
         "kg_link_predict": kg_link_predict_q,
+        "kg_random_walks": kg_random_walks_q,
         "orders_zorder": orders_zorder_q,
         "emb_pca_component": emb_pca_component_q,
         "emb_semdedup": emb_semdedup,
@@ -2455,6 +2465,42 @@ newlp AS (
 SELECT ea, eb, cn, ra, rank FROM (
   SELECT *, row_number() OVER (ORDER BY ra DESC, ea, eb) AS rank FROM newlp
 ) WHERE rank <= 20""",
+        # random_walks mirror (length=3): ranked adjacency via row_number,
+        # three unrolled steps picking neighbor 1 + md5int(walk'#'t) % deg
+        "kg_random_walks": kg + merge + """,
+adjw AS (
+  SELECT src_id AS u, tgt_id AS v FROM edges
+  UNION ALL SELECT tgt_id, src_id FROM edges
+),
+adjr AS (
+  SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) AS rnk
+  FROM adjw
+),
+degw AS (SELECT u, count(*) AS deg FROM adjw GROUP BY u),
+w0 AS (SELECT u AS walk_id, u AS node FROM degw),
+w1 AS (
+  SELECT w0.walk_id, a.v AS node
+  FROM w0 JOIN degw d ON d.u = w0.node
+  JOIN adjr a ON a.u = w0.node AND a.rnk = 1 +
+    CAST(('0x' || substr(md5(w0.walk_id || '#1'), 1, 8)) AS UBIGINT) % d.deg
+),
+w2 AS (
+  SELECT w1.walk_id, a.v AS node
+  FROM w1 JOIN degw d ON d.u = w1.node
+  JOIN adjr a ON a.u = w1.node AND a.rnk = 1 +
+    CAST(('0x' || substr(md5(w1.walk_id || '#2'), 1, 8)) AS UBIGINT) % d.deg
+),
+w3 AS (
+  SELECT w2.walk_id, a.v AS node
+  FROM w2 JOIN degw d ON d.u = w2.node
+  JOIN adjr a ON a.u = w2.node AND a.rnk = 1 +
+    CAST(('0x' || substr(md5(w2.walk_id || '#3'), 1, 8)) AS UBIGINT) % d.deg
+)
+SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0
+UNION ALL SELECT walk_id, 1, node FROM w1
+UNION ALL SELECT walk_id, 2, node FROM w2
+UNION ALL SELECT walk_id, 3, node FROM w3
+        """,
         # k_hop_distances mirror (k=2, seeds = CLASS nodes): two unrolled
         # frontier joins over the bidirected edges, min hop per node
         "kg_two_hop": kg + merge + """,

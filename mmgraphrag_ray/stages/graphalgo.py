@@ -799,3 +799,140 @@ def link_prediction_scores(edges_ds, k: int = 20, deg_cap: int = 64,
     return top.map_batches(
         lambda b: b[["ea", "eb", "cn", "ra", "rank"]], batch_format="pandas"
     )
+
+
+def random_walks(edges_ds, length: int = 3,
+                 src_col: str = "src_id", tgt_col: str = "tgt_id"):
+    """Deterministic 'random' walks over the KG — the DeepWalk/node2vec
+    corpus-generation step (walk sequences feed skip-gram embedding
+    training; see skipgram_topk for the downstream counts).  One walk
+    starts at EVERY node; at step t the walk at ``walk_id`` standing on
+    node u moves to u's neighbor with 1-based rank
+    ``1 + md5int(walk_id '#' t) % deg(u)`` among neighbors sorted
+    ascending — a pure function of (walk_id, t, adjacency), so the walks
+    are bit-identical across runs/engines/partitionings and exactly
+    SQL-mirrorable (row_number + the shared md5-prefix hash), unlike
+    PRNG-seeded walks.
+
+    -> Dataset(walk_id, step, node), step 0..length; every node of the
+    edge set emits exactly one row per step (undirected graph: no dead
+    ends — every endpoint has >= 1 neighbor).
+
+    Scale shape: the ranked adjacency is ONE u-bucketed shuffle
+    (vectorized in-bucket sort + cumcount); each step is two bucketed
+    joins moving only (walk_id, node)-width rows — frontier->degree to
+    compute the neighbor index, then an EXACT-key join on 'u#rank'
+    (never a join on u alone, which would fan out deg(u) rows per walk
+    at every hub).  Walk state never touches the driver."""
+    import hashlib
+    import zlib
+
+    from ..arrowutil import strip_pd_metadata
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    def bidir(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"u": pd.concat([b[src_col], b[tgt_col]], ignore_index=True),
+             "v": pd.concat([b[tgt_col], b[src_col]], ignore_index=True)}
+        )
+        out["u"] = out["u"].astype("string")
+        out["v"] = out["v"].astype("string")
+        return strip_pd_metadata(out) if len(out) else out
+
+    def add_u_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.assign(
+            _bucket=b["u"].map(
+                lambda s: zlib.crc32(str(s).encode()) % 64
+            ).astype("int32")
+        )
+        return strip_pd_metadata(out) if len(out) else out
+
+    def ranked(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame(
+                {"jkey": pd.Series(dtype="string"),
+                 "v": pd.Series(dtype="string")}
+            )
+        f = bucket[["u", "v"]].sort_values(["u", "v"], kind="mergesort")
+        rnk = f.groupby("u", sort=False).cumcount() + 1
+        return pd.DataFrame(
+            {"jkey": (f["u"] + "#" + rnk.astype(str)).astype("string"),
+             "v": f["v"].astype("string")}
+        )
+
+    adj = edges_ds.map_batches(bidir, batch_format="pandas")
+    adj_ranked = (
+        adj.map_batches(add_u_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(ranked, batch_format="pandas")
+        .repartition(8)
+    )
+    deg = bucketed_groupby_agg(adj, keys=["u"], aggs={"deg": (None, "count")})
+
+    def md5_idx(walk_ids: pd.Series, step: int, degs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [1 + int(hashlib.md5(f"{w}#{step}".encode()).hexdigest()[:8], 16)
+             % int(d)
+             for w, d in zip(walk_ids, degs)],
+            index=walk_ids.index,
+        )
+
+    # step 0: one walk per node
+    frontier = deg.map_batches(
+        lambda b: pd.DataFrame(
+            {"walk_id": b["u"].astype("string"),
+             "node": b["u"].astype("string")}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    outs = [frontier.map_batches(
+        lambda b: b.assign(step=np.int64(0)), batch_format="pandas"
+    )]
+
+    for t in range(1, length + 1):
+        with_deg = bucketed_join(
+            frontier,
+            deg.map_batches(lambda b: b.rename(columns={"u": "node"}),
+                            batch_format="pandas"),
+            on="node",
+        )
+
+        def to_jkey(b: pd.DataFrame, _t: int = t) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame(
+                    {"walk_id": pd.Series(dtype="string"),
+                     "jkey": pd.Series(dtype="string")}
+                )
+            idx = md5_idx(b["walk_id"], _t, b["deg"])
+            return pd.DataFrame(
+                {"walk_id": b["walk_id"].astype("string"),
+                 "jkey": (b["node"].astype(str) + "#"
+                          + idx.astype(str)).astype("string")}
+            )
+
+        stepped = bucketed_join(
+            with_deg.map_batches(to_jkey, batch_format="pandas"),
+            adj_ranked, on="jkey",
+        )
+        frontier = stepped.map_batches(
+            lambda b: pd.DataFrame(
+                {"walk_id": b["walk_id"].astype("string"),
+                 "node": b["v"].astype("string")}
+            ),
+            batch_format="pandas",
+        ).materialize()
+        outs.append(frontier.map_batches(
+            lambda b, _t=t: b.assign(step=np.int64(_t)),
+            batch_format="pandas",
+        ))
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out.map_batches(
+        lambda b: b[["walk_id", "step", "node"]].astype(
+            {"walk_id": object, "node": object}
+        ),
+        batch_format="pandas",
+    )

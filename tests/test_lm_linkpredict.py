@@ -77,3 +77,49 @@ def test_link_prediction_deg_cap_excludes_hub():
     edges = _edges([("a", "b"), ("a", "c"), ("b", "c"), ("a", "d")])
     out = link_prediction_scores(edges, k=10, deg_cap=2).to_pandas()
     assert len(out) == 0
+
+
+from mmgraphrag_ray.stages.graphalgo import random_walks
+
+
+def test_random_walks_deg1_exact():
+    # single edge a-b: both endpoints have deg 1, so walks oscillate
+    edges = _edges([("a", "b")])
+    out = (
+        random_walks(edges, length=3)
+        .to_pandas().sort_values(["walk_id", "step"]).reset_index(drop=True)
+    )
+    assert list(out[out["walk_id"] == "a"]["node"]) == ["a", "b", "a", "b"]
+    assert list(out[out["walk_id"] == "b"]["node"]) == ["b", "a", "b", "a"]
+
+
+def test_random_walks_moves_along_edges():
+    edges = _edges([("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")])
+    out = random_walks(edges, length=3).to_pandas()
+    # one row per (node, step)
+    assert len(out) == 4 * 4
+    edge_set = {("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")}
+    edge_set |= {(b, a) for a, b in edge_set}
+    w = out.sort_values(["walk_id", "step"])
+    for _, g in w.groupby("walk_id"):
+        nodes = list(g["node"])
+        for prev, nxt in zip(nodes, nodes[1:]):
+            assert (prev, nxt) in edge_set
+
+
+def test_random_walks_partition_invariant():
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"), ("b", "d")]
+    one = (
+        random_walks(_edges(pairs), length=2)
+        .to_pandas().sort_values(["walk_id", "step"]).reset_index(drop=True)
+    )
+    many = (
+        random_walks(
+            ray.data.from_pandas(
+                pd.DataFrame(pairs, columns=["src_id", "tgt_id"])
+            ).repartition(5),
+            length=2,
+        )
+        .to_pandas().sort_values(["walk_id", "step"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, many)
