@@ -577,11 +577,13 @@ WHERE CAST(COALESCE(i.i, 0) AS DOUBLE) / (ca.n + cb.n - COALESCE(i.i, 0)) >= {th
 """
 
 
-def _jaccard_cc_sql(threshold: float = 0.8, max_df: int = 64) -> str:
+def _jaccard_cc_sql(threshold: float = 0.8, max_df: int = 64,
+                    final: bool = True) -> str:
     """Exact SQL mirror of stages/dedup.py dedup_jaccard over `documents`:
     shared-shingle blocking (16-hex md5 of the shingle, document-frequency
     cap mirrored from JACCARD_MAX_DF), exact Jaccard verify, recursive-CTE
-    connected components."""
+    connected components.  final=False ends with a ``labels`` CTE instead
+    of the final SELECT so downstream mirrors (dedup_keep_best) compose."""
     return f"""
 WITH RECURSIVE words AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
@@ -628,8 +630,11 @@ reach(id, r) AS (
   UNION
   SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
 )
-SELECT id, min(r) AS label FROM reach GROUP BY id
-"""
+""" + (
+        "SELECT id, min(r) AS label FROM reach GROUP BY id\n"
+        if final
+        else ",\nlabels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)\n"
+    )
 
 
 def _simhash_pairs_sql(max_hamming: int = 3) -> str:
@@ -1957,6 +1962,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _, edges = _build_graph_cached(sf_dir)
         return random_walks(edges, length=3)
 
+    def dedup_keep_best_q(sf_dir):
+        # quality-aware near-dup collapse: jaccard components -> keep the
+        # longest member per component (ties -> smallest doc_id)
+        from mmgraphrag_ray.stages.dedup import (
+            dedup_jaccard,
+            keep_best_representative,
+        )
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        import pandas as pd
+
+        labels = dedup_jaccard(docs, threshold=0.8)
+        scores = docs.map_batches(
+            lambda b: pd.DataFrame(
+                {"id": b["doc_id"].astype("int64"),
+                 "score": b["text"].str.len().astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+        return keep_best_representative(labels, scores)
+
     def lineitem_expectations_q(sf_dir):
         # declarative data-quality gate: 5 rules evaluated in ONE
         # streaming pass, rules x batches partial rows folded on the
@@ -2051,6 +2079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_jaccard_documents": dedup_jaccard_documents,
+        "dedup_keep_best": dedup_keep_best_q,
         "dedup_simhash_documents": dedup_simhash_documents,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "distinct_lang_source": distinct_lang_source,
@@ -2907,6 +2936,24 @@ FROM vh GROUP BY 1, 2, 3
         # cross-side (new-vs-indexed) verified pairs, integer counts out
         "dedup_incremental_minhash": _minhash_cross_sql(threshold=0.8),
         "dedup_jaccard_documents": _jaccard_cc_sql(threshold=0.8),
+        # keep_best_representative over the jaccard components: per label
+        # keep (max length(text), tie min doc_id) + member count
+        "dedup_keep_best": _jaccard_cc_sql(threshold=0.8, final=False) + """,
+scores AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS score FROM documents
+),
+rankedkb AS (
+  SELECT l.label, l.id, s.score,
+         row_number() OVER (
+           PARTITION BY l.label ORDER BY s.score DESC, l.id
+         ) AS rn,
+         count(*) OVER (PARTITION BY l.label) AS n_members
+  FROM labels l JOIN scores s ON s.doc_id = l.id
+)
+SELECT label, id AS keep_id, score,
+       CAST(n_members AS BIGINT) AS n_members
+FROM rankedkb WHERE rn = 1
+""",
         # LSH recall vs this all-pairs oracle is exact HERE because the only
         # >=0.95 pairs are the planted scaled copies (same LSH bucket by
         # construction: positive scaling preserves hyperplane signs); the

@@ -1250,3 +1250,43 @@ def dup_passages(docs_ds, win: int = 8,
         return o[[id_col, "n_windows", "n_dup_positions", "n_dup_distinct"]]
 
     return out.map_batches(fill, batch_format="pandas")
+
+
+def keep_best_representative(labels_ds, scores_ds,
+                             id_col: str = "id", score_col: str = "score"):
+    """Quality-aware near-dup collapse — the Dolma/FineWeb pattern: after
+    near-dedup labels each doc with its component, keep the BEST member of
+    every component (max ``score_col``, ties -> smallest id) instead of an
+    arbitrary first.  Composes with any labeler (dedup_jaccard /
+    dedup_minhash / dedup_simhash components) and any integer quality
+    signal (doc length, doc_quality_scores, bigram-LM fluency).
+
+    -> Dataset(label, keep_id, score, n_members), one row per component
+    (singletons included: every doc is its own component).
+
+    Scale shape: one id-bucketed join stamps scores onto labels; the
+    argmax is grouped_topk's combiner (per-batch k=1 partials, shuffle
+    carries one row per label per batch); member counts ride the same
+    label-bucketed reduce family; final label-bucketed join.  Driver
+    state: none."""
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+    from .window import grouped_topk
+
+    joined = bucketed_join(labels_ds, scores_ds, on=id_col)
+    members = bucketed_groupby_agg(
+        joined, keys=["label"], aggs={"n_members": (None, "count")}
+    )
+    best = grouped_topk(
+        joined, keys=["label"], order_col=score_col, k=1, tie_cols=[id_col]
+    ).map_batches(
+        lambda b: b.rename(columns={id_col: "keep_id"})[
+            ["label", "keep_id", score_col]
+        ],
+        batch_format="pandas",
+    )
+    out = bucketed_join(best, members, on="label")
+    return out.map_batches(
+        lambda b: b[["label", "keep_id", score_col, "n_members"]],
+        batch_format="pandas",
+    )

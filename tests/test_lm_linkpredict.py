@@ -123,3 +123,24 @@ def test_random_walks_partition_invariant():
         .to_pandas().sort_values(["walk_id", "step"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(one, many)
+
+
+from mmgraphrag_ray.stages.dedup import keep_best_representative
+
+
+def test_keep_best_representative_argmax_and_ties():
+    labels = ray.data.from_pandas(pd.DataFrame(
+        {"id": [1, 2, 3, 4, 5], "label": [1, 1, 1, 4, 4]}
+    )).repartition(2)
+    # component 1: max score 9 held by ids 2 and 3 -> tie keeps id 2
+    scores = ray.data.from_pandas(pd.DataFrame(
+        {"id": [1, 2, 3, 4, 5], "score": [7, 9, 9, 3, 1]}
+    )).repartition(3)
+    out = (
+        keep_best_representative(labels, scores)
+        .to_pandas().sort_values("label").reset_index(drop=True)
+    )
+    assert list(out["label"]) == [1, 4]
+    assert list(out["keep_id"]) == [2, 4]
+    assert list(out["score"]) == [9, 3]
+    assert list(out["n_members"]) == [3, 2]
