@@ -1985,6 +1985,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return keep_best_representative(labels, scores)
 
+    def kg_modularity_q(sf_dir):
+        # partition-quality scalar for the 4-round label-prop communities:
+        # rational Newman modularity q_num / (4 m^2) kept integer
+        from mmgraphrag_ray.stages.graphalgo import modularity_int
+
+        nodes, edges = _build_graph_cached(sf_dir)
+        return modularity_int(nodes, edges, rounds=4)
+
+    def fk_orphan_audit_q(sf_dir):
+        # cross-table referential-integrity gate: fact side reduces to
+        # (fk, count) combiner partials, one bucketed left join per
+        # relation marks dangling keys
+        from mmgraphrag_ray.stages.profile import fk_orphan_audit
+
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+        )
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        cust = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+        )
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id"]
+        )
+        return fk_orphan_audit([
+            ("lineitem.l_orderkey->orders.o_orderkey",
+             li, "l_orderkey", orders, "o_orderkey"),
+            ("orders.o_custkey->customer.c_custkey",
+             orders, "o_custkey", cust, "c_custkey"),
+            ("events.user_id->customer.c_custkey",
+             ev, "user_id", cust, "c_custkey"),
+        ])
+
     def lineitem_expectations_q(sf_dir):
         # declarative data-quality gate: 5 rules evaluated in ONE
         # streaming pass, rules x batches partial rows folded on the
@@ -2155,6 +2190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_lm": doc_bigram_lm_q,
         "kg_link_predict": kg_link_predict_q,
         "kg_random_walks": kg_random_walks_q,
+        "fk_orphan_audit": fk_orphan_audit_q,
+        "kg_modularity": kg_modularity_q,
         "orders_zorder": orders_zorder_q,
         "emb_pca_component": emb_pca_component_q,
         "emb_semdedup": emb_semdedup,
@@ -2398,6 +2435,39 @@ JOIN sagg s ON s.new_name = d.new_name
                    COALESCE(ie.internal_edges, 0) AS internal_edges,
                    COALESCE(dg.degree_sum, 0) AS degree_sum
             FROM nn LEFT JOIN ie USING (label) LEFT JOIN dg USING (label)
+        """,
+        # rational Newman modularity of the same 4-round partition:
+        # q_num = sum_c (4 m e_c - d_c^2), Q = q_num / (4 m^2); products
+        # in HUGEINT mirror the Python-int products on the Ray side
+        "kg_modularity": kg + merge
+        + _label_prop_sql(rounds=4, final=False)
+        + """,
+            lab AS MATERIALIZED (SELECT node, label FROM lp_r4),
+            nn AS (SELECT label, count(*) AS n_nodes FROM lab GROUP BY 1),
+            te AS MATERIALIZED (
+              SELECT a.label AS lu, b.label AS lv
+              FROM edges e
+              JOIN lab a ON a.node = e.src_id
+              JOIN lab b ON b.node = e.tgt_id
+            ),
+            ie AS (SELECT lu AS label, count(*) AS internal_edges
+                   FROM te WHERE lu = lv GROUP BY 1),
+            dg AS (SELECT label, count(*) AS degree_sum FROM (
+                     SELECT lu AS label FROM te
+                     UNION ALL SELECT lv AS label FROM te
+                   ) GROUP BY 1),
+            mm AS (SELECT count(*) AS m FROM edges),
+            cs AS (
+              SELECT nn.label,
+                     COALESCE(ie.internal_edges, 0) AS e_c,
+                     COALESCE(dg.degree_sum, 0) AS d_c
+              FROM nn LEFT JOIN ie USING (label) LEFT JOIN dg USING (label)
+            )
+            SELECT CAST(sum(4 * CAST(mm.m AS HUGEINT) * cs.e_c
+                            - CAST(cs.d_c AS HUGEINT) * cs.d_c) AS BIGINT)
+                     AS q_num,
+                   CAST(mm.m AS BIGINT) AS m_edges
+            FROM cs, mm GROUP BY mm.m
         """,
         # degree-ordered triangle counting: orientation keys kill hub
         # explosion; each triangle counted once from its min-key corner
@@ -4233,6 +4303,41 @@ FROM rankedkb WHERE rn = 1
                    CAST(sum(dft.df) AS BIGINT) AS sum_df
             FROM toks t JOIN dft USING (token)
             GROUP BY t.doc_id
+        """,
+        # mirror of stages/profile.py fk_orphan_audit: per relation, fact
+        # rows / distinct FKs / dangling keys+rows via LEFT JOIN
+        "fk_orphan_audit": """
+            SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS relation,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_distinct_fk,
+                   CAST(count(DISTINCT CASE WHEN o.o_orderkey IS NULL
+                                            THEN l.l_orderkey END) AS BIGINT)
+                     AS n_orphan_keys,
+                   CAST(COALESCE(sum(CASE WHEN o.o_orderkey IS NULL
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                     AS n_orphan_rows
+            FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_orderkey IS NOT NULL
+            UNION ALL
+            SELECT 'orders.o_custkey->customer.c_custkey',
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(DISTINCT f.o_custkey) AS BIGINT),
+                   CAST(count(DISTINCT CASE WHEN c.c_custkey IS NULL
+                                            THEN f.o_custkey END) AS BIGINT),
+                   CAST(COALESCE(sum(CASE WHEN c.c_custkey IS NULL
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+            FROM orders f LEFT JOIN customer c ON c.c_custkey = f.o_custkey
+            WHERE f.o_custkey IS NOT NULL
+            UNION ALL
+            SELECT 'events.user_id->customer.c_custkey',
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(DISTINCT e.user_id) AS BIGINT),
+                   CAST(count(DISTINCT CASE WHEN c.c_custkey IS NULL
+                                            THEN e.user_id END) AS BIGINT),
+                   CAST(COALESCE(sum(CASE WHEN c.c_custkey IS NULL
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+            FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+            WHERE e.user_id IS NOT NULL
         """,
         # mirror of stages/index.py bigram_lm_scores: corpus bigram counts
         # c2, left-context counts c1, per-doc sum of k * floor(1e6*c2/c1)

@@ -936,3 +936,55 @@ def random_walks(edges_ds, length: int = 3,
         ),
         batch_format="pandas",
     )
+
+
+def modularity_int(nodes_ds, edges_ds, rounds: int = 4,
+                   node_col: str = "entity_name",
+                   src_col: str = "src_id", tgt_col: str = "tgt_id"):
+    """Newman modularity of the min-label partition, kept RATIONAL so the
+    value is bit-deterministic and SQL-mirrorable: with m = |edges| and
+    per-community internal edges e_c / degree sum d_c,
+
+        Q = q_num / (4 m^2),   q_num = sum_c (4 m e_c - d_c^2)
+
+    -> Dataset(q_num, m_edges): ONE row; the consumer divides.  The
+    community table (one row per community) is the only thing reduced
+    after community_stats; per-row products use Python ints (4 m e_c
+    exceeds int64 when m e_c > 2^61 — at that scale lower the partition
+    rounds' granularity or shift to per-community output), mirroring the
+    HUGEINT product in SQL."""
+    from .groupagg import bucketed_groupby_agg
+
+    stats = community_stats(
+        nodes_ds, edges_ds, rounds=rounds,
+        node_col=node_col, src_col=src_col, tgt_col=tgt_col,
+    )
+    m = edges_ds.count()
+
+    def q_part(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"_g": pd.Series(dtype="int64"),
+                 "q_part": pd.Series(dtype="int64")}
+            )
+        parts = [
+            4 * m * int(e) - int(d) * int(d)
+            for e, d in zip(b["internal_edges"], b["degree_sum"])
+        ]
+        return pd.DataFrame(
+            {"_g": np.zeros(len(b), dtype=np.int64),
+             "q_part": np.asarray(parts, dtype=np.int64)}
+        )
+
+    folded = bucketed_groupby_agg(
+        stats.map_batches(q_part, batch_format="pandas"),
+        keys=["_g"],
+        aggs={"q_num": ("q_part", "sum")},
+    )
+    return folded.map_batches(
+        lambda b: pd.DataFrame(
+            {"q_num": b["q_num"].astype("int64"),
+             "m_edges": np.full(len(b), m, dtype=np.int64)}
+        ),
+        batch_format="pandas",
+    )

@@ -220,3 +220,89 @@ def run_expectations(ds, rules: list[dict]):
     import ray.data
 
     return ray.data.from_pandas(out)
+
+
+def fk_orphan_audit(relations):
+    """Referential-integrity audit — the cross-table data-quality gate a
+    warehouse runs before training-data joins: for each (name, fact_ds,
+    fk_col, dim_ds, pk_col) relation, count fact rows / distinct FK values
+    and how many of each dangle (no matching dimension key).  NULL-FK rows
+    are excluded here (the not_null rule of run_expectations owns those).
+
+    -> Dataset(relation, n_rows, n_distinct_fk, n_orphan_keys,
+    n_orphan_rows), one row per relation.
+
+    Scale shape: the fact side reduces to per-batch (fk, count) partials
+    before any shuffle (combiner discipline — per-occurrence rows never
+    move); dimension keys reduce the same way; ONE key-bucketed left join
+    per relation marks orphans; the relation row folds via a constant-key
+    combiner reduce.  Driver state: none."""
+    import ray.data
+
+    from .join import bucketed_join
+
+    outs = []
+    for name, fact_ds, fk_col, dim_ds, pk_col in relations:
+
+        def fk_partial(b: pd.DataFrame, _c: str = fk_col) -> pd.DataFrame:
+            s = b[_c].dropna()
+            vc = s.value_counts()
+            return pd.DataFrame(
+                {"k": vc.index.to_numpy(dtype=np.int64),
+                 "n": vc.to_numpy(dtype=np.int64)}
+            )
+
+        fk_counts = bucketed_groupby_agg(
+            fact_ds.map_batches(fk_partial, batch_format="pandas"),
+            keys=["k"],
+            aggs={"n": ("n", "sum")},
+        )
+
+        def pk_partial(b: pd.DataFrame, _c: str = pk_col) -> pd.DataFrame:
+            u = b[_c].dropna().unique()
+            return pd.DataFrame(
+                {"k": np.asarray(u, dtype=np.int64),
+                 "one": np.ones(len(u), dtype=np.int64)}
+            )
+
+        dim_keys = bucketed_groupby_agg(
+            dim_ds.map_batches(pk_partial, batch_format="pandas"),
+            keys=["k"],
+            aggs={"one": ("one", "min")},
+        )
+
+        marked = bucketed_join(fk_counts, dim_keys, on="k", how="left")
+
+        def fold_partial(b: pd.DataFrame, _name: str = name) -> pd.DataFrame:
+            orphan = b["one"].isna()
+            return pd.DataFrame(
+                {"relation": pd.array([_name], dtype="string"),
+                 "n_rows": [int(b["n"].sum())],
+                 "n_distinct_fk": [len(b)],
+                 "n_orphan_keys": [int(orphan.sum())],
+                 "n_orphan_rows": [int(b.loc[orphan, "n"].sum())]}
+            )
+
+        folded = bucketed_groupby_agg(
+            marked.map_batches(fold_partial, batch_format="pandas"),
+            keys=["relation"],
+            aggs={"n_rows": ("n_rows", "sum"),
+                  "n_distinct_fk": ("n_distinct_fk", "sum"),
+                  "n_orphan_keys": ("n_orphan_keys", "sum"),
+                  "n_orphan_rows": ("n_orphan_rows", "sum")},
+        )
+        # one row per relation: pin it so the union of R relations doesn't
+        # stack R x 4 hash-shuffle operators into ONE plan (the >2-shuffle
+        # aggregator-pool deadlock this Ray build hits; see merge_graph)
+        outs.append(folded.materialize())
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out.map_batches(
+        lambda b: b[["relation", "n_rows", "n_distinct_fk",
+                     "n_orphan_keys", "n_orphan_rows"]].astype(
+            {"relation": object}
+        ),
+        batch_format="pandas",
+    )

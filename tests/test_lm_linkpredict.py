@@ -144,3 +144,54 @@ def test_keep_best_representative_argmax_and_ties():
     assert list(out["keep_id"]) == [2, 4]
     assert list(out["score"]) == [9, 3]
     assert list(out["n_members"]) == [3, 2]
+
+
+from mmgraphrag_ray.stages.profile import fk_orphan_audit
+
+
+def test_fk_orphan_audit_counts_orphans():
+    fact = ray.data.from_pandas(pd.DataFrame(
+        {"fk": [1, 1, 2, 3, 3, 3, None]}
+    )).repartition(2)
+    dim = ray.data.from_pandas(pd.DataFrame({"pk": [1, 2, 9]})).repartition(2)
+    out = fk_orphan_audit([("f->d", fact, "fk", dim, "pk")]).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    # null fk excluded; key 3 dangles with 3 rows
+    assert r["relation"] == "f->d"
+    assert r["n_rows"] == 6
+    assert r["n_distinct_fk"] == 3
+    assert r["n_orphan_keys"] == 1
+    assert r["n_orphan_rows"] == 3
+
+
+from mmgraphrag_ray.stages.graphalgo import modularity_int
+
+
+def test_modularity_two_cliques():
+    # two triangles joined by one bridge: m = 7
+    # label prop (4 rounds) labels everything min node 'a' -> ONE community
+    # e_c = 7, d_c = 14 -> q_num = 4*7*7 - 196 = 0 (trivial partition Q=0
+    # ... minus nothing: sum = 196 - 196 = 0)
+    edges = _edges([("a", "b"), ("a", "c"), ("b", "c"),
+                    ("d", "e"), ("d", "f"), ("e", "f"), ("c", "d")])
+    nodes = ray.data.from_pandas(pd.DataFrame(
+        {"entity_name": list("abcdef")}
+    ))
+    out = modularity_int(nodes, edges, rounds=4).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["m_edges"] == 7
+    assert out.iloc[0]["q_num"] == 4 * 7 * 7 - 14 * 14  # = 0
+
+
+def test_modularity_disconnected_cliques():
+    # two disjoint triangles: labels 'a' and 'd', each e_c=3, d_c=6
+    # q_num = 2 * (4*6*3 - 36) = 2 * 36 = 72; Q = 72/(4*36) = 0.5
+    edges = _edges([("a", "b"), ("a", "c"), ("b", "c"),
+                    ("d", "e"), ("d", "f"), ("e", "f")])
+    nodes = ray.data.from_pandas(pd.DataFrame(
+        {"entity_name": list("abcdef")}
+    ))
+    out = modularity_int(nodes, edges, rounds=4).to_pandas()
+    assert out.iloc[0]["m_edges"] == 6
+    assert out.iloc[0]["q_num"] == 72
