@@ -2201,6 +2201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf_topk,
         "knn_label": knn_label,
         "q1_pricing": relational.q1_pricing,
+        "basket_part_pairs": relational.basket_part_pairs,
         "q3_shipping": relational.q3_shipping,
         "segment_order_stats": relational.segment_order_stats,
         "topk_orders": relational.topk_orders,
@@ -3854,6 +3855,30 @@ FROM rankedkb WHERE rn = 1
               FROM pairs
             )
             SELECT query_vec_id, CAST(rank AS BIGINT) AS rank, vec_id FROM ranked WHERE rank <= 5
+        """,
+        # mirror of relational.basket_part_pairs: per-order distinct-part
+        # pairs (baskets over 64 parts excluded by definition), support
+        # counts, top-20 by (support desc, pa, pb)
+        "basket_part_pairs": """
+            WITH items AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ),
+            sized AS (
+              SELECT o FROM items GROUP BY o
+              HAVING count(*) BETWEEN 2 AND 64
+            ),
+            pr AS (
+              SELECT a.p AS pa, b.p AS pb, count(*) AS support
+              FROM items a
+              JOIN sized s ON s.o = a.o
+              JOIN items b ON b.o = a.o AND a.p < b.p
+              GROUP BY 1, 2
+            )
+            SELECT pa, pb, support, rank FROM (
+              SELECT *, row_number() OVER
+                (ORDER BY support DESC, pa, pb) AS rank
+              FROM pr
+            ) WHERE rank <= 20
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

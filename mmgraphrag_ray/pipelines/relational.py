@@ -788,3 +788,69 @@ def user_customer_outer(sf_dir: str):
         return out
 
     return joined.map_batches(fill, batch_format="pandas")
+
+
+def basket_part_pairs(sf_dir: str, k: int = 20, max_basket: int = 64):
+    """Market-basket pair mining over lineitem — the frequent-itemset
+    primitive (recommendation / co-purchase features): top-k part pairs
+    by the number of orders containing BOTH, ranked (support desc,
+    pa, pb).  -> Dataset(pa, pb, support, rank).
+
+    Scale shape: per-order pair enumeration inside an order-bucketed
+    groupby — TPC-H baskets hold <= 7 items so the in-group quadratic is
+    inherently tiny; ``max_basket`` guards degenerate data (an over-cap
+    basket is excluded from the statistic BY DEFINITION, mirrored in
+    SQL).  Pair supports fold through the combiner reduce; one combiner
+    top-k out.  Driver state: none."""
+    import zlib
+
+    import numpy as np
+
+    from mmgraphrag_ray.arrowutil import strip_pd_metadata
+    from mmgraphrag_ray.stages.groupagg import bucketed_groupby_agg
+    from mmgraphrag_ray.stages.window import grouped_topk
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"o": b["l_orderkey"].astype("int64"),
+             "p": b["l_partkey"].astype("int64")}
+        )
+        out["_bucket"] = out["o"].map(
+            lambda v: zlib.crc32(str(int(v)).encode()) % 64
+        ).astype("int32")
+        return strip_pd_metadata(out) if len(out) else out
+
+    def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        pa_, pb_ = [], []
+        for _, g in bucket.groupby("o", sort=False):
+            parts = sorted(set(int(x) for x in g["p"]))
+            if len(parts) < 2 or len(parts) > max_basket:
+                continue
+            for i in range(len(parts)):
+                for j in range(i + 1, len(parts)):
+                    pa_.append(parts[i])
+                    pb_.append(parts[j])
+        return pd.DataFrame(
+            {"pa": np.asarray(pa_, dtype=np.int64),
+             "pb": np.asarray(pb_, dtype=np.int64)}
+        )
+
+    support = bucketed_groupby_agg(
+        li.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .repartition(8),
+        keys=["pa", "pb"],
+        aggs={"support": (None, "count")},
+    )
+    scored = support.map_batches(
+        lambda b: b.assign(_g=np.int64(0)), batch_format="pandas"
+    )
+    top = grouped_topk(
+        scored, keys=["_g"], order_col="support", k=k, tie_cols=["pa", "pb"]
+    )
+    return top.map_batches(
+        lambda b: b[["pa", "pb", "support", "rank"]], batch_format="pandas"
+    )

@@ -195,3 +195,26 @@ def test_modularity_disconnected_cliques():
     out = modularity_int(nodes, edges, rounds=4).to_pandas()
     assert out.iloc[0]["m_edges"] == 6
     assert out.iloc[0]["q_num"] == 72
+
+
+def test_basket_part_pairs_support_and_cap(tmp_path):
+    import pyarrow.parquet as pq
+    import pyarrow as pa_
+
+    # orders: 1 {10,20,30}; 2 {10,20}; 3 {10,20} dup rows; 4 singleton
+    li = pd.DataFrame(
+        {"l_orderkey": [1, 1, 1, 2, 2, 3, 3, 3, 4],
+         "l_partkey": [10, 20, 30, 10, 20, 10, 20, 20, 99]}
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa_.Table.from_pandas(li), str(sf / "lineitem.parquet"))
+    from mmgraphrag_ray.pipelines.relational import basket_part_pairs
+
+    out = (
+        basket_part_pairs(str(sf), k=10)
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    )
+    assert list(out.itertuples(index=False, name=None)) == [
+        (10, 20, 3, 1), (10, 30, 1, 2), (20, 30, 1, 3),
+    ]
