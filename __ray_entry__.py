@@ -1367,6 +1367,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      columns=["doc_id", "text"])
         return bm25_topk(docs, BM25_QUERIES, k=10)
 
+    def doc_prf_terms_q(sf_dir):
+        # RM3-style pseudo-relevance feedback, expansion half: top-5
+        # expansion terms per query by summed tf over the BM25 top-5
+        # feedback docs, query's own terms excluded
+        from mmgraphrag_ray.stages.retrieval import prf_expansion_terms
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return prf_expansion_terms(docs, BM25_QUERIES, k_fb=5, m_terms=5)
+
+    def doc_prf_topk_q(sf_dir):
+        # PRF rerank half: BM25 re-run with the expanded term sets
+        from mmgraphrag_ray.stages.retrieval import prf_topk
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return prf_topk(docs, BM25_QUERIES, k=10, k_fb=5, m_terms=5)
+
     def doc_rrf_fusion_q(sf_dir):
         # reciprocal-rank fusion (1/(60+r) scaled integer) of the BM25
         # ranking with the plain tf-sum ranking, top-10 per query
@@ -2148,6 +2166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_postings": token_postings_q,
         "doc_tfidf_topk": doc_tfidf_topk_q,
         "doc_bm25_topk": doc_bm25_topk_q,
+        "doc_prf_terms": doc_prf_terms_q,
+        "doc_prf_topk": doc_prf_topk_q,
         "doc_rrf_fusion": doc_rrf_fusion_q,
         "doc_repetition": doc_repetition,
         "doc_pack_sequences": doc_pack_sequences,
@@ -2342,6 +2362,58 @@ _CURATION_SQL = """
                         AS BIGINT) AS keep
             FROM flags
         """
+
+
+# Shared CTE prefix for the PRF mirrors: the full BM25 pass (identical to
+# the doc_bm25_topk mirror), top-5 feedback docs per query, and the
+# non-query-term tf sums over them
+_PRF_PREFIX = """
+            WITH q(qid, term) AS (VALUES
+              ('q_hash','hash'), ('q_hash','join'), ('q_hash','batch'),
+              ('q_stream','window'), ('q_stream','stream'), ('q_stream','spark'),
+              ('q_vec','vector'), ('q_vec','filter')),
+            toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) AS l),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            sc AS (
+              SELECT q.qid, tf.doc_id,
+                     ((CAST(st.n AS HUGEINT) * 100000 // df.df)
+                      * (44 * CAST(tf.tf AS HUGEINT) * st.l))
+                     // (20 * CAST(st.l AS HUGEINT) * tf.tf
+                         + 6 * CAST(st.l AS HUGEINT)
+                         + 18 * CAST(dl.dl AS HUGEINT) * st.n) AS ts
+              FROM q JOIN tf USING (term) JOIN df USING (term)
+                   JOIN dl ON dl.doc_id = tf.doc_id, st
+            ),
+            agg AS (
+              SELECT qid, doc_id, CAST(sum(ts) AS BIGINT) AS score
+              FROM sc GROUP BY 1, 2
+            ),
+            fb AS (
+              SELECT qid, doc_id FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY qid ORDER BY score DESC, doc_id
+                ) AS rank FROM agg
+              ) WHERE rank <= 5
+            ),
+            exw AS (
+              SELECT f.qid, t.term, count(*) AS w
+              FROM fb f JOIN toks t USING (doc_id)
+              LEFT JOIN q qo ON qo.qid = f.qid AND qo.term = t.term
+              WHERE qo.term IS NULL
+              GROUP BY 1, 2
+            )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2696,6 +2768,51 @@ SELECT u AS entity_name, CAST(min(hop) AS BIGINT) AS hop FROM lab GROUP BY u
               SELECT *, row_number() OVER (
                 PARTITION BY qid ORDER BY score DESC, doc_id
               ) AS rank FROM agg
+            ) WHERE rank <= 10
+        """,
+        # PRF expansion terms: BM25 top-5 feedback docs per query, top-5
+        # non-query terms by summed tf across them
+        "doc_prf_terms": _PRF_PREFIX + """
+            SELECT qid, term, w, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY w DESC, term
+              ) AS rank FROM exw
+            ) WHERE rank <= 5
+        """,
+        # PRF rerank: BM25 re-run with q UNION the top-5 expansion terms
+        "doc_prf_topk": _PRF_PREFIX + """,
+            exp_top AS (
+              SELECT qid, term FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY qid ORDER BY w DESC, term
+                ) AS rank FROM exw
+              ) WHERE rank <= 5
+            ),
+            q2 AS (SELECT qid, term FROM q
+                   UNION SELECT qid, term FROM exp_top),
+            tf2 AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN (SELECT term FROM q2) GROUP BY 1, 2
+            ),
+            df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+            sc2 AS (
+              SELECT q2.qid, tf2.doc_id,
+                     ((CAST(st.n AS HUGEINT) * 100000 // df2.df)
+                      * (44 * CAST(tf2.tf AS HUGEINT) * st.l))
+                     // (20 * CAST(st.l AS HUGEINT) * tf2.tf
+                         + 6 * CAST(st.l AS HUGEINT)
+                         + 18 * CAST(dl.dl AS HUGEINT) * st.n) AS ts
+              FROM q2 JOIN tf2 USING (term) JOIN df2 USING (term)
+                   JOIN dl ON dl.doc_id = tf2.doc_id, st
+            ),
+            agg2 AS (
+              SELECT qid, doc_id, CAST(sum(ts) AS BIGINT) AS score
+              FROM sc2 GROUP BY 1, 2
+            )
+            SELECT qid, doc_id, score, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY score DESC, doc_id
+              ) AS rank FROM agg2
             ) WHERE rank <= 10
         """,
         # RRF fusion of the BM25 ranking with the plain tf-sum ranking:

@@ -288,3 +288,108 @@ def rrf_fuse(rank_tables, k: int = 10, rrf_k: int = RRF_K):
     return grouped_topk(
         sums, keys=["qid"], order_col="rrf", k=k, tie_cols=["doc_id"]
     )
+
+
+def prf_expansion_terms(
+    documents_ds,
+    queries: dict[str, str | list[str]],
+    k_fb: int = 5,
+    m_terms: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """RM3-style pseudo-relevance feedback, expansion half: run BM25,
+    take each query's top ``k_fb`` documents as (pseudo-)relevant, and
+    pick the ``m_terms`` terms with the highest summed term frequency
+    across the feedback docs, excluding the query's own terms — the
+    classic unsupervised query-expansion signal (Lavrenko/Croft relevance
+    models; weights kept as raw integer tf sums rather than the smoothed
+    float RM3 mixture so the table is bit-exact in SQL).
+
+    -> Dataset(qid, term, w, rank), rank 1..m by (w desc, term asc).
+
+    Scale shape: feedback sets are k_fb rows per query — broadcast-joined
+    against the corpus (map-side filter; the corpus text never shuffles),
+    per-batch tf partials fold through the bucketed reduce, one combiner
+    top-m out."""
+    import ray
+
+    from .groupagg import bucketed_groupby_agg
+    from .window import grouped_topk
+
+    qterms = _normalize_queries(queries)
+    documents_ds = documents_ds.materialize()
+    fb = bm25_topk(documents_ds, queries, k=k_fb,
+                   id_col=id_col, text_col=text_col)
+    fb_df = fb.to_pandas()  # k_fb x #queries rows — driver-sized by contract
+    fb_map: dict[int, list[str]] = {}
+    for doc, qid in zip(fb_df["doc_id"], fb_df["qid"]):
+        fb_map.setdefault(int(doc), []).append(str(qid))
+    fb_ref = ray.put(fb_map)
+    word = re.compile(TOKEN_RE)
+
+    def tf_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        fbm = ray.get(fb_ref)
+        out_qid, out_term, out_w = [], [], []
+        for doc, text in zip(batch[id_col], batch[text_col]):
+            qids = fbm.get(int(doc))
+            if not qids:
+                continue
+            tf: dict[str, int] = {}
+            for t in word.findall(str(text).lower()):
+                tf[t] = tf.get(t, 0) + 1
+            for qid in qids:
+                own = set(qterms[qid])
+                for t, n in tf.items():
+                    if t not in own:
+                        out_qid.append(qid)
+                        out_term.append(t)
+                        out_w.append(n)
+        return pd.DataFrame(
+            {"qid": pd.array(out_qid, dtype="string"),
+             "term": pd.array(out_term, dtype="string"),
+             "w": np.asarray(out_w, dtype=np.int64)}
+        )
+
+    sums = bucketed_groupby_agg(
+        documents_ds.map_batches(tf_partial, batch_format="pandas"),
+        keys=["qid", "term"],
+        aggs={"w": ("w", "sum")},
+    )
+    top = grouped_topk(
+        sums, keys=["qid"], order_col="w", k=m_terms, tie_cols=["term"]
+    )
+    return top.map_batches(
+        lambda b: b[["qid", "term", "w", "rank"]], batch_format="pandas"
+    )
+
+
+def prf_topk(
+    documents_ds,
+    queries: dict[str, str | list[str]],
+    k: int = 10,
+    k_fb: int = 5,
+    m_terms: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """RM3-style PRF, rerank half: expand each query with its
+    ``prf_expansion_terms`` (unweighted union — the integer-exact
+    simplification of the RM3 mixture) and re-run BM25 with the expanded
+    term sets.  -> Dataset(qid, doc_id, score, rank) like bm25_topk.
+
+    The expansion table is m_terms x #queries rows — a driver-sized
+    round-trip by contract (queries themselves are driver inputs), same
+    family as bm25_topk's per-term idf fold."""
+    documents_ds = documents_ds.materialize()
+    qterms = _normalize_queries(queries)
+    terms = prf_expansion_terms(
+        documents_ds, queries, k_fb=k_fb, m_terms=m_terms,
+        id_col=id_col, text_col=text_col,
+    ).to_pandas()
+    expanded = {qid: sorted(ts) for qid, ts in qterms.items()}
+    for qid, term in zip(terms["qid"], terms["term"]):
+        if term not in expanded[str(qid)]:
+            expanded[str(qid)].append(str(term))
+    return bm25_topk(documents_ds, expanded, k=k,
+                     id_col=id_col, text_col=text_col)

@@ -160,3 +160,30 @@ def test_doc_commonness_integer_pairs():
     assert out.loc[2, "n_distinct_tokens"] == 2 and out.loc[2, "sum_df"] == 4
     # doc 3: tokens {the, zebra} (case-folded, distinct)
     assert out.loc[3, "n_distinct_tokens"] == 2 and out.loc[3, "sum_df"] == 4
+
+
+def test_prf_expansion_excludes_query_terms_and_ranks_by_tf():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.retrieval import prf_expansion_terms, prf_topk
+
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha beta beta gamma",      # fb for 'alpha'
+                 "alpha delta",                 # fb for 'alpha'
+                 "zebra zebra zebra"],          # irrelevant
+    })).repartition(2)
+    out = (
+        prf_expansion_terms(docs, {"qa": "alpha"}, k_fb=2, m_terms=3)
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    )
+    # query term 'alpha' excluded; beta tf=2 > gamma=delta=1 (tie: term asc)
+    assert list(out["term"]) == ["beta", "delta", "gamma"]
+    assert list(out["w"]) == [2, 1, 1]
+    assert list(out["rank"]) == [1, 2, 3]
+
+    # the rerank must now also retrieve doc 3 if zebra enters... it can't
+    # (zebra not in fb docs); doc 2 ranks via delta+alpha
+    top = prf_topk(docs, {"qa": "alpha"}, k=3, k_fb=2, m_terms=3).to_pandas()
+    assert set(top["doc_id"]) == {1, 2}
