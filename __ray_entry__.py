@@ -2118,6 +2118,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b[b["doc_id"] % 10 == 0], batch_format="pandas"
         )
 
+    def doc_boolean_and_q(sf_dir):
+        # conjunctive boolean retrieval (posting intersection via counting):
+        # docs containing ALL terms of each query
+        from mmgraphrag_ray.stages.retrieval import boolean_and_retrieval
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return boolean_and_retrieval(docs, BM25_QUERIES)
+
+    def repo_lang_profile_q(sf_dir):
+        # per-repo language composition: file count, distinct langs,
+        # dominant lang (ties -> lexicographic min) and its ppm share
+        from mmgraphrag_ray.stages.profile import grouped_dominance
+
+        files = ray.data.read_parquet(_corpus(sf_dir),
+                                      columns=["repo", "lang"])
+        return grouped_dominance(files, keys=["repo"], cat_col="lang")
+
+    def kg_wl_hashes_q(sf_dir):
+        # 1-round Weisfeiler-Lehman refinement: md5 of own type + sorted
+        # multiset of neighbor types per node (graph-feature primitive)
+        from mmgraphrag_ray.stages.graphalgo import wl_neighborhood_hashes
+
+        nodes, edges = _build_graph_cached(sf_dir)
+        return wl_neighborhood_hashes(nodes, edges)
+
+    def emb_quantize_error_q(sf_dir):
+        # int8-style global scalar quantization acceptance report: exact
+        # per-vector reconstruction error on the 1e-6 grid
+        from mmgraphrag_ray.stages.vecstats import scalar_quantize_error
+
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                    columns=["vec_id", "embedding"])
+        return scalar_quantize_error(emb)
+
     return {
         "kg_files": kg_files,
         "kg_chunks": kg_chunks,
@@ -2226,6 +2261,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_order_stats": relational.segment_order_stats,
         "topk_orders": relational.topk_orders,
         "events_window": relational.events_window,
+        "events_window_users": relational.events_window_users,
+        "events_scd2": relational.events_scd2,
+        "orders_monthly_share": relational.orders_monthly_share,
+        "doc_boolean_and": doc_boolean_and_q,
+        "repo_lang_profile": repo_lang_profile_q,
+        "kg_wl_hashes": kg_wl_hashes_q,
+        "emb_quantize_error": emb_quantize_error_q,
         "events_sessions": relational.events_sessions,
         "events_sliding_window": relational.events_sliding_window,
         "events_hll_registers": relational.events_hll_registers,
@@ -2689,6 +2731,26 @@ lab AS (
   UNION ALL SELECT u, 2 FROM h2
 )
 SELECT u AS entity_name, CAST(min(hop) AS BIGINT) AS hop FROM lab GROUP BY u
+        """,
+        # 1-round Weisfeiler-Lehman refinement: md5(own type || '|' ||
+        # sorted comma-joined neighbor types); isolated nodes hash an
+        # empty environment (graphalgo.wl_neighborhood_hashes)
+        "kg_wl_hashes": kg + merge + """,
+bid AS (
+  SELECT src_id AS u, tgt_id AS v FROM edges
+  UNION ALL SELECT tgt_id, src_id FROM edges
+),
+nb AS (
+  SELECT b.u,
+         string_agg(t.entity_type, ',' ORDER BY t.entity_type) AS sig,
+         count(*) AS n_nb
+  FROM bid b JOIN nodes t ON t.entity_name = b.v
+  GROUP BY b.u
+)
+SELECT n.entity_name, n.entity_type,
+       CAST(coalesce(nb.n_nb, 0) AS BIGINT) AS n_neighbors,
+       substr(md5(n.entity_type || '|' || coalesce(nb.sig, '')), 1, 16) AS wl1
+FROM nodes n LEFT JOIN nb ON nb.u = n.entity_name
         """,
         # inverted index: distinct (token, doc) pairs -> df + the first 16
         # doc ids ascending (capped partials compose exactly, index.py)
@@ -3271,6 +3333,137 @@ FROM rankedkb WHERE rn = 1
             SELECT dst AS module, count(DISTINCT src) AS in_degree
             FROM e GROUP BY 1
             ORDER BY in_degree DESC, module LIMIT 20
+        """,
+        # SCD2 history from the events changelog: lag() drops no-op
+        # updates, lead()/row_number() over the change rows build the
+        # version intervals — mirrors stages/window.scd2_intervals
+        "events_scd2": """
+            WITH ordered AS (
+              SELECT user_id, event_type, ts, event_id,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev
+              FROM events
+            ),
+            changes AS (
+              SELECT user_id, event_type, ts, event_id FROM ordered
+              WHERE prev IS NULL OR event_type <> prev
+            )
+            SELECT user_id, event_type, valid_from, valid_to,
+                   CAST(version AS BIGINT) AS version,
+                   CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_current
+            FROM (
+              SELECT user_id, event_type, ts AS valid_from,
+                     lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS valid_to,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS version
+              FROM changes
+            )
+        """,
+        # exact distinct users per (tumbling hour, event_type) — mirrors
+        # the two-phase exact distinct of groupagg.bucketed_count_distinct
+        "events_window_users": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        # share-of-total: per (month, priority) exact revenue cents and
+        # integer ppm share of the month total
+        "orders_monthly_share": """
+            WITH fine AS (
+              SELECT date_trunc('month', o_orderdate) AS month,
+                     o_orderpriority,
+                     CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS revenue_cents,
+                     CAST(count(*) AS BIGINT) AS n_orders
+              FROM orders GROUP BY 1, 2
+            ),
+            tot AS (
+              SELECT month, CAST(sum(revenue_cents) AS BIGINT) AS month_cents
+              FROM fine GROUP BY 1
+            )
+            SELECT f.month, f.o_orderpriority, f.revenue_cents, f.n_orders,
+                   CAST(f.revenue_cents * 1000000 // t.month_cents
+                        AS BIGINT) AS share_ppm
+            FROM fine f JOIN tot t USING (month)
+        """,
+        # conjunctive boolean retrieval: docs containing ALL query terms
+        # (intersection via matched-distinct-term counting)
+        "doc_boolean_and": """
+            WITH q(qid, term) AS (VALUES
+              ('q_hash','hash'), ('q_hash','join'), ('q_hash','batch'),
+              ('q_stream','window'), ('q_stream','stream'), ('q_stream','spark'),
+              ('q_vec','vector'), ('q_vec','filter')),
+            toks AS (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                FROM documents)
+            ),
+            m AS (
+              SELECT q.qid, t.doc_id, count(*) AS nm
+              FROM q JOIN toks t USING (term) GROUP BY 1, 2
+            ),
+            need AS (SELECT qid, count(*) AS req FROM q GROUP BY 1)
+            SELECT m.qid, m.doc_id, CAST(need.req AS BIGINT) AS n_terms
+            FROM m JOIN need USING (qid) WHERE m.nm = need.req
+        """,
+        # per-repo language composition + dominant language (ties ->
+        # lexicographic min) with integer ppm dominance
+        "repo_lang_profile": f"""
+            WITH c AS (
+              SELECT repo, lang, count(*) AS n
+              FROM read_parquet('{corpus}/*.parquet') GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT repo, CAST(sum(n) AS BIGINT) AS n_rows,
+                     CAST(count(*) AS BIGINT) AS n_cats
+              FROM c GROUP BY 1
+            ),
+            top AS (
+              SELECT repo, lang AS top_cat, n FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY repo ORDER BY n DESC, lang
+                ) AS rk FROM c
+              ) WHERE rk = 1
+            )
+            SELECT r.repo, r.n_rows, r.n_cats, top.top_cat,
+                   CAST(top.n * 1000000 // r.n_rows AS BIGINT) AS top_ppm
+            FROM r JOIN top USING (repo)
+        """,
+        # global int8-style scalar quantization error per vector, all on
+        # the floor(x*1e6) integer grid (vecstats.scalar_quantize_error)
+        "emb_quantize_error": """
+            WITH q AS (
+              SELECT vec_id, list_transform(embedding, x ->
+                     CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+              FROM embeddings
+            ),
+            qe AS (
+              SELECT vec_id, unnest(qv) AS v,
+                     unnest(range(1, len(qv) + 1)) AS d
+              FROM q
+            ),
+            mm AS (SELECT d, min(v) AS mn, max(v) AS mx FROM qe GROUP BY d),
+            err AS (
+              SELECT vec_id,
+                     abs(v - (mn + code * (mx - mn) // 255)) AS e
+              FROM (
+                SELECT qe.vec_id, qe.v, mm.mn, mm.mx,
+                       CASE WHEN mm.mx > mm.mn
+                            THEN (qe.v - mm.mn) * 255 // (mm.mx - mm.mn)
+                            ELSE 0 END AS code
+                FROM qe JOIN mm USING (d)
+              )
+            )
+            SELECT vec_id, CAST(sum(e) AS BIGINT) AS err_sum,
+                   CAST(max(e) AS BIGINT) AS err_max,
+                   CAST(count(*) AS BIGINT) AS n_dims
+            FROM err GROUP BY vec_id
         """,
         "doc_sample": """
             SELECT * FROM documents WHERE doc_id % 10 = 0

@@ -854,3 +854,89 @@ def basket_part_pairs(sf_dir: str, k: int = 20, max_basket: int = 64):
     return top.map_batches(
         lambda b: b[["pa", "pb", "support", "rank"]], batch_format="pandas"
     )
+
+
+def events_scd2(sf_dir: str):
+    """SCD2 dimension-history build from the events changelog: per user,
+    consecutive same-``event_type`` rows collapse and each change opens a
+    [valid_from, valid_to) version interval (stages/window.scd2_intervals).
+    SQL mirror: lag() change flags -> lead()/row_number() over changes."""
+    from ..stages.window import scd2_intervals
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return scd2_intervals(ev, key="user_id", ts_col="ts", id_col="event_id",
+                          value_col="event_type")
+
+
+def events_window_users(sf_dir: str):
+    """EXACT distinct-user counts per (tumbling 1-hour window, event_type)
+    — the DAU/window-cardinality aggregate, via the two-phase exact
+    distinct of stages/groupagg.bucketed_count_distinct (a hot window's
+    user set never sits in one task)."""
+    from ..stages.groupagg import bucketed_count_distinct
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["hour"] = out["ts"].dt.floor("h")
+        return out[["hour", "event_type", "user_id"]]
+
+    return bucketed_count_distinct(
+        ev.map_batches(bucket, batch_format="pandas"),
+        keys=["hour", "event_type"],
+        distinct_col="user_id",
+        out_col="n_users",
+    )
+
+
+def orders_monthly_share(sf_dir: str):
+    """Share-of-total window aggregate: per (order month, orderpriority),
+    exact revenue cents and its parts-per-million share of the month's
+    total — the market-share / mixture-monitoring reduce.  Two grouped
+    sums (fine keys, then month totals: a few dozen rows) and one
+    broadcast join of the totals back onto the fine rows; integer floor
+    division makes the share cross-engine exact."""
+    import numpy as np
+
+    from ..stages.groupagg import bucketed_groupby_agg
+    from ..stages.join import broadcast_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def widen(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "month": batch["o_orderdate"].dt.to_period("M").dt.to_timestamp(),
+            "o_orderpriority": batch["o_orderpriority"],
+            "cents": np.floor(
+                batch["o_totalprice"].to_numpy() * 100.0
+            ).astype("int64"),
+        })
+        return out
+
+    fine = bucketed_groupby_agg(
+        orders.map_batches(widen, batch_format="pandas"),
+        keys=["month", "o_orderpriority"],
+        aggs={"revenue_cents": ("cents", "sum"),
+              "n_orders": (None, "count")},
+    ).materialize()
+    # month totals: the fine table is dimension-sized by construction
+    # (months x priorities), so the total roll-up is a driver-side fold of
+    # already-reduced rows — not a second shuffle over the fact table
+    totals = (
+        fine.to_pandas()
+        .groupby("month", as_index=False)["revenue_cents"]
+        .sum()
+        .rename(columns={"revenue_cents": "month_cents"})
+    )
+
+    joined = broadcast_join(fine, totals, on="month")
+    return joined.map_batches(
+        lambda b: b.assign(
+            share_ppm=(b["revenue_cents"] * 1_000_000 // b["month_cents"])
+            .astype("int64")
+        )[["month", "o_orderpriority", "revenue_cents", "n_orders",
+           "share_ppm"]],
+        batch_format="pandas",
+    )

@@ -22,6 +22,7 @@ import ray.data
 
 SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100
+N_BUCKETS = 64
 
 
 def min_label_rounds(nodes_ds, edges_ds, rounds: int = 4,
@@ -988,3 +989,99 @@ def modularity_int(nodes_ds, edges_ds, rounds: int = 4,
         ),
         batch_format="pandas",
     )
+
+
+def wl_neighborhood_hashes(nodes_ds, edges_ds,
+                           node_col: str = "entity_name",
+                           type_col: str = "entity_type",
+                           src_col: str = "src_id", tgt_col: str = "tgt_id",
+                           n_buckets: int = N_BUCKETS):
+    """ONE round of Weisfeiler-Lehman label refinement over the undirected
+    KG — the canonical graph-feature/graph-isomorphism primitive (WL graph
+    kernels, GNN expressivity tests): each node's refined label is the md5
+    of its own type plus the SORTED MULTISET of its neighbors' types.
+    Nodes whose 1-hop type environment differs get different hashes; two
+    graphs' WL histograms diverge iff 1-WL can tell them apart.
+
+    -> Dataset(entity_name, entity_type, n_neighbors, wl1) with wl1 =
+    md5(own_type || '|' || ','.join(sorted neighbor types))[:16]
+    (isolated nodes hash their own type over an empty environment).
+
+    Shape: ONE bucketed join stamps neighbor types onto the bidirected
+    edge list (label table is node-sized -> broadcast plan under the join
+    cap), one key-bucketed grouped reduce builds each node's sorted
+    signature (a node's environment lands in one task; degree-bounded),
+    one left join restores isolated nodes.  Signature strings are
+    vocabulary-bounded (entity types), so reduce rows stay short."""
+    import hashlib
+
+    from .join import bucketed_join
+
+    types = nodes_ds.map_batches(
+        lambda b: b[[node_col, type_col]].rename(
+            columns={node_col: "v", type_col: "nbr_type"}),
+        batch_format="pandas",
+    )
+
+    def bidir(b: pd.DataFrame) -> pd.DataFrame:
+        fwd = b[[src_col, tgt_col]].rename(columns={src_col: "u", tgt_col: "v"})
+        rev = b[[tgt_col, src_col]].rename(columns={tgt_col: "u", src_col: "v"})
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    bid = edges_ds.map_batches(bidir, batch_format="pandas")
+    stamped = bucketed_join(bid, types, on="v", small_side="right",
+                            n_buckets=n_buckets)
+
+    def add_ubucket(b: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        from ..arrowutil import strip_pd_metadata
+
+        out = b.assign(_ubucket=b["u"].map(
+            lambda s: zlib.crc32(str(s).encode()) % n_buckets
+        ).astype("int32"))
+        return strip_pd_metadata(out) if len(out) else out
+
+    def signatures(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame({"u": pd.Series(dtype=object),
+                                 "sig": pd.Series(dtype=object),
+                                 "n_neighbors": pd.Series(dtype="int64")})
+        b = bucket.sort_values(["u", "nbr_type"], kind="mergesort")
+        g = b.groupby("u", sort=False)["nbr_type"]
+        agg = g.agg(",".join).rename("sig").reset_index()
+        agg["n_neighbors"] = g.size().to_numpy()
+        return agg
+
+    sigs = (
+        stamped.map_batches(add_ubucket, batch_format="pandas")
+        .groupby("_ubucket")
+        .map_groups(signatures, batch_format="pandas")
+        .repartition(8)
+    )
+    sigs = sigs.map_batches(
+        lambda b: b.rename(columns={"u": node_col}), batch_format="pandas"
+    )
+
+    base = nodes_ds.map_batches(
+        lambda b: b[[node_col, type_col]], batch_format="pandas"
+    )
+    joined = bucketed_join(base, sigs, on=node_col, how="left",
+                           small_side="right", n_buckets=n_buckets)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({node_col: pd.Series(dtype=object),
+                                 type_col: pd.Series(dtype=object),
+                                 "n_neighbors": pd.Series(dtype="int64"),
+                                 "wl1": pd.Series(dtype=object)})
+        sig = b["sig"].fillna("")
+        out = b[[node_col, type_col]].copy()
+        out["n_neighbors"] = b["n_neighbors"].fillna(0).astype("int64")
+        out["wl1"] = [
+            hashlib.md5(f"{t}|{s}".encode()).hexdigest()[:16]
+            for t, s in zip(b[type_col], sig)
+        ]
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")

@@ -653,3 +653,56 @@ def weighted_global_quantile(
              "n": pd.Series([n], dtype="int64")}
         )
     )
+
+
+def bucketed_count_distinct(
+    ds,
+    keys: list[str],
+    distinct_col: str,
+    out_col: str = "n_distinct",
+    n_buckets: int = N_BUCKETS,
+):
+    """EXACT ``count(DISTINCT distinct_col)`` per key group — the aggregate
+    Ray Data has no native operator for and the one every "daily active
+    users per window" job needs.  Two-phase exact distinct:
+
+    1. per-batch drop_duplicates over (keys, distinct_col) — the combiner;
+       what shuffles is one row per distinct (key, value) PER BATCH, never
+       raw events;
+    2. shuffle on crc32(keys + value): every occurrence of the same
+       (key, value) lands in ONE bucket, so an in-bucket drop_duplicates is
+       globally exact and per-key partial counts from different buckets
+       are disjoint;
+    3. a second (tiny: <= n_buckets rows per key) bucketed sum of the
+       partials per key.
+
+    Distinct values of one key spread across MANY buckets, so a hot key's
+    distinct set never has to fit one task — the skew story plain
+    "groupby(key) then nunique" lacks.
+
+    -> Dataset(keys..., out_col), out_col int64."""
+
+    cols = keys + [distinct_col]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..arrowutil import strip_pd_metadata
+
+        out = batch[cols].drop_duplicates()
+        out = out.assign(_dbucket=key_bucket(out, cols, n_buckets))
+        return strip_pd_metadata(out) if len(out) else out
+
+    def bucket_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket[cols].drop_duplicates()
+        out = d.groupby(keys, sort=False).size().reset_index(name=out_col)
+        out[out_col] = out[out_col].astype("int64")
+        return out
+
+    partial_counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_dbucket")
+        .map_groups(bucket_counts, batch_format="pandas")
+    )
+    return bucketed_groupby_agg(
+        partial_counts, keys=keys, aggs={out_col: (out_col, "sum")},
+        n_buckets=n_buckets,
+    )

@@ -306,3 +306,69 @@ def fk_orphan_audit(relations):
         ),
         batch_format="pandas",
     )
+
+
+def grouped_dominance(
+    ds,
+    keys: list[str],
+    cat_col: str,
+    n_buckets: int = 64,
+):
+    """Per-group categorical composition profile: total rows, distinct
+    categories, the DOMINANT category (max count, ties -> lexicographic
+    min) and its parts-per-million share — the "is this repo really
+    Python" / "is this source really English" monitor a corpus-mixture
+    dashboard runs per partition.
+
+    -> Dataset(keys..., n_rows, n_cats, top_cat, top_ppm), integers exact.
+
+    Shape: ONE combiner-backed grouped count over (keys, cat) — per-batch
+    partial counts shuffle, never rows — then the per-key argmax/rollup is
+    a vectorized pass inside the SAME key-bucketed reduce (the (keys, cat)
+    bucket is keyed on `keys` alone, so a key's whole composition lands in
+    one task; categories-per-key is vocabulary-bounded)."""
+    from .groupagg import bucketed_groupby_agg, key_bucket
+
+    counts = bucketed_groupby_agg(
+        ds, keys=keys + [cat_col], aggs={"n": (None, "count")},
+        n_buckets=n_buckets,
+    )
+
+    def add_kbucket(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..arrowutil import strip_pd_metadata
+
+        out = batch.assign(_kbucket=key_bucket(batch, keys, n_buckets))
+        return strip_pd_metadata(out) if len(out) else out
+
+    def finish(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame(
+                {**{k: pd.Series(dtype=object) for k in keys},
+                 "n_rows": pd.Series(dtype="int64"),
+                 "n_cats": pd.Series(dtype="int64"),
+                 "top_cat": pd.Series(dtype=object),
+                 "top_ppm": pd.Series(dtype="int64")}
+            )
+        b = bucket.sort_values(keys + ["n", cat_col], kind="mergesort",
+                               ascending=[True] * len(keys) + [False, True])
+        g = b.groupby(keys, sort=False)
+        # g.head(1) after the (n desc, cat asc) sort IS the dominance row
+        head = g.head(1)
+        agg = g.agg(n_rows=("n", "sum"), n_cats=("n", "size")).reset_index()
+        out = agg.merge(
+            head[keys + [cat_col, "n"]].rename(
+                columns={cat_col: "top_cat", "n": "_topn"}),
+            on=keys,
+        )
+        out["top_ppm"] = (out["_topn"] * 1_000_000 // out["n_rows"]).astype(
+            "int64")
+        out["n_rows"] = out["n_rows"].astype("int64")
+        out["n_cats"] = out["n_cats"].astype("int64")
+        return out.drop(columns=["_topn"])
+
+    return (
+        counts.map_batches(add_kbucket, batch_format="pandas")
+        .groupby("_kbucket")
+        .map_groups(finish, batch_format="pandas")
+        .repartition(8)
+    )

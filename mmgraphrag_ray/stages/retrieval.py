@@ -393,3 +393,70 @@ def prf_topk(
             expanded[str(qid)].append(str(term))
     return bm25_topk(documents_ds, expanded, k=k,
                      id_col=id_col, text_col=text_col)
+
+
+def boolean_and_retrieval(
+    documents_ds,
+    queries: dict[str, str | list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Conjunctive boolean retrieval (posting-list intersection): for each
+    query, every document containing ALL of the query's distinct terms —
+    the set-semantics complement of the ranked ``bm25_topk`` (filter-first
+    retrieval, eval-set mining, "docs mentioning X AND Y" audits).
+
+    -> Dataset(qid, doc_id, n_terms): one row per (query, matching doc),
+    with the query's term count along for downstream confidence cuts.
+
+    Scale shape: the query vocabulary rides in the task closure (tiny by
+    definition); the corpus streams ONCE through the shared
+    ``_CandidateStage`` (rows emitted only for docs containing >= 1 query
+    term); matched-distinct-term counting is one bucketed grouped count
+    over candidate (qid, doc) pairs — intersection via counting, no
+    per-posting-list state anywhere."""
+    from .groupagg import bucketed_groupby_agg
+
+    qterms = _normalize_queries(queries)
+    vocab = frozenset(t for ts in qterms.values() for t in ts)
+    # (qid, term) pairs + required term count per qid, in the closure
+    need = {qid: len(ts) for qid, ts in qterms.items()}
+    term_to_qids: dict[str, list[str]] = {}
+    for qid, ts in qterms.items():
+        for t in ts:
+            term_to_qids.setdefault(t, []).append(qid)
+
+    cand = documents_ds.map_batches(
+        _CandidateStage(vocab, id_col, text_col), batch_format="pyarrow"
+    )
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"qid": pd.Series(dtype=object),
+                                 "doc_id": pd.Series(dtype="int64")})
+        qids, dids = [], []
+        for doc_id, term in zip(batch["doc_id"], batch["term"]):
+            for qid in term_to_qids[term]:
+                qids.append(qid)
+                dids.append(doc_id)
+        return pd.DataFrame({"qid": qids,
+                             "doc_id": np.asarray(dids, dtype=np.int64)})
+
+    matched = bucketed_groupby_agg(
+        cand.map_batches(expand, batch_format="pandas"),
+        keys=["qid", "doc_id"],
+        aggs={"n_matched": (None, "count")},
+    )
+
+    def keep_full(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"qid": pd.Series(dtype=object),
+                                 "doc_id": pd.Series(dtype="int64"),
+                                 "n_terms": pd.Series(dtype="int64")})
+        req = batch["qid"].map(need).astype("int64")
+        out = batch[batch["n_matched"] == req]
+        return pd.DataFrame({"qid": out["qid"].to_numpy(),
+                             "doc_id": out["doc_id"].astype("int64").to_numpy(),
+                             "n_terms": req[batch["n_matched"] == req].to_numpy()})
+
+    return matched.map_batches(keep_full, batch_format="pandas")

@@ -147,3 +147,77 @@ def pca_power_component(
              "component": np.asarray(v, dtype=np.int64)}
         )
     )
+
+
+def scalar_quantize_error(
+    emb_ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    levels: int = 256,
+):
+    """Per-vector reconstruction error of GLOBAL per-dimension scalar
+    quantization (the int8 embedding-compression every vector store offers
+    — faiss SQ8, pgvector halfvec-style): each dimension maps to
+    ``levels`` uniform codes between its corpus-wide min and max, and the
+    report is the exact per-vector quantization error — the acceptance
+    gate before swapping an ANN index to compressed storage.
+
+    ALL-INTEGER discipline (module contract): x -> q = floor(x*scale)
+    int64 first, then code = (q - mn) * (levels-1) // (mx - mn) and
+    recon = mn + code * (mx - mn) // (levels-1) — every division has
+    non-negative operands, where truncation == floor in numpy, Python
+    and DuckDB alike.
+
+    -> Dataset(vec_id, err_sum, err_max, n_dims): summed and max absolute
+    per-dim error on the `scale` grid, all int64.
+
+    Scale shape: pass 1 reduces the corpus to per-dim (min, max) partials
+    (one row per dim per batch -> tiny bucketed reduce -> driver-side
+    dim-sized table broadcast in the task closure); pass 2 streams the
+    corpus once more, vectorized numpy per batch, emitting one row per
+    vector.  No shuffle ever carries a vector."""
+    import ray
+
+    def mm_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in ("d", "mn", "mx")})
+        q = _batch_matrix(batch, vec_col, scale)
+        return pd.DataFrame({
+            "d": np.arange(1, q.shape[1] + 1, dtype=np.int64),
+            "mn": q.min(axis=0),
+            "mx": q.max(axis=0),
+        })
+
+    bounds = bucketed_groupby_agg(
+        emb_ds.map_batches(mm_partial, batch_format="pandas"),
+        keys=["d"],
+        aggs={"mn": ("mn", "min"), "mx": ("mx", "max")},
+    ).to_pandas().sort_values("d")
+    mn = bounds["mn"].to_numpy(np.int64)
+    mx = bounds["mx"].to_numpy(np.int64)
+    span = mx - mn
+    safe_span = np.where(span > 0, span, 1)
+    ref = ray.put((mn, span, safe_span))
+
+    def err(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "err_sum": pd.Series(dtype="int64"),
+                                 "err_max": pd.Series(dtype="int64"),
+                                 "n_dims": pd.Series(dtype="int64")})
+        mn_, span_, safe_ = ray.get(ref)
+        q = _batch_matrix(batch, vec_col, scale)
+        code = (q - mn_) * (levels - 1) // safe_
+        code = np.where(span_ > 0, code, 0)
+        recon = mn_ + code * span_ // (levels - 1)
+        e = np.abs(q - recon)
+        return pd.DataFrame({
+            id_col: batch[id_col].astype("int64").to_numpy(),
+            "err_sum": e.sum(axis=1).astype("int64"),
+            "err_max": e.max(axis=1).astype("int64"),
+            "n_dims": np.full(len(batch), q.shape[1], dtype=np.int64),
+        })
+
+    return emb_ds.map_batches(err, batch_format="pandas")

@@ -604,3 +604,71 @@ def grouped_gap_stats(
         .map_groups(per_bucket, batch_format="pandas")
         .repartition(8)
     )
+
+
+def scd2_intervals(
+    ds,
+    key: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    n_buckets: int = N_BUCKETS,
+):
+    """Slowly-changing-dimension TYPE-2 history build from a changelog —
+    the warehouse-side operator every CDC ingest needs: per key ordered by
+    (ts, id), rows whose ``value_col`` equals the previous row's value are
+    no-op updates and are dropped; each surviving change opens a version
+    interval ``[valid_from, valid_to)`` with ``valid_to`` = the next
+    change's timestamp (NULL = the currently-open version) and a 1-based
+    ``version`` counter.  SQL mirror: lag() to flag changes, lead() +
+    row_number() over the change rows.
+
+    -> Dataset(key, value_col, valid_from, valid_to, version, is_current);
+    ``valid_to`` is nullable, all other columns non-null.
+
+    Shape: the module's ONE-shuffle grouped-window contract — a key's rows
+    land in one crc32 bucket, change detection and interval stitching are
+    vectorized shifts over the sorted bucket, and only change rows (a
+    fraction bounded by the key's true update rate, not its event rate)
+    survive to the output."""
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..arrowutil import strip_pd_metadata
+
+        out = batch[[key, ts_col, id_col, value_col]].copy()
+        out["_sbucket"] = _bucket_of(out[key], n_buckets)
+        return strip_pd_metadata(out) if len(out) else out
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame(
+                {key: pd.Series(dtype="int64"),
+                 value_col: pd.Series(dtype=object),
+                 "valid_from": pd.Series(dtype="datetime64[us]"),
+                 "valid_to": pd.Series(dtype="datetime64[us]"),
+                 "version": pd.Series(dtype="int64"),
+                 "is_current": pd.Series(dtype="int64")}
+            )
+        b = bucket.sort_values([key, ts_col, id_col], kind="mergesort")
+        karr = b[key].to_numpy()
+        same_key = np.concatenate([[False], karr[1:] == karr[:-1]])
+        varr = b[value_col].to_numpy()
+        same_val = np.concatenate([[False], varr[1:] == varr[:-1]])
+        ch = b[~(same_key & same_val)]  # key's first row, or value changed
+        g = ch.groupby(key, sort=False)
+        out = pd.DataFrame({
+            key: ch[key].to_numpy(),
+            value_col: ch[value_col].to_numpy(),
+            "valid_from": ch[ts_col].to_numpy(),
+            "valid_to": g[ts_col].shift(-1).to_numpy(),
+            "version": (g.cumcount() + 1).astype("int64").to_numpy(),
+        })
+        out["is_current"] = out["valid_to"].isna().astype("int64")
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_sbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(8)
+    )

@@ -181,3 +181,30 @@ def test_grouped_hash_sample_deterministic_and_stable_under_growth():
         key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
     )[:3]
     assert sorted(out2[out2.lang == "en"].doc_id) == sorted(exp2)
+
+
+def test_bucketed_count_distinct_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.groupagg import bucketed_count_distinct
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "g": rng.randint(0, 7, 500).astype("int64"),
+        "h": rng.choice(["x", "y"], 500),
+        "u": rng.randint(0, 40, 500).astype("int64"),
+    })
+    got = (
+        bucketed_count_distinct(
+            ray.data.from_pandas(df).repartition(8),
+            keys=["g", "h"], distinct_col="u", out_col="n_users",
+        )
+        .to_pandas().sort_values(["g", "h"]).reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["g", "h"])["u"].nunique().reset_index(name="n_users")
+        .sort_values(["g", "h"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -194,3 +194,29 @@ def test_community_stats_two_components():
         assert list(got.n_nodes) == [3, 2]
         assert list(got.internal_edges) == [3, 1]
         assert list(got.degree_sum) == [6, 2]
+
+
+def test_wl_hashes_distinguish_environments():
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.graphalgo import wl_neighborhood_hashes
+
+    nodes = pd.DataFrame({
+        "entity_name": ["a", "b", "c", "iso"],
+        "entity_type": ["T1", "T2", "T1", "T1"],
+    })
+    edges = pd.DataFrame({"src_id": ["a", "b"], "tgt_id": ["b", "c"]})
+    out = (
+        wl_neighborhood_hashes(ray.data.from_pandas(nodes),
+                               ray.data.from_pandas(edges))
+        .to_pandas().set_index("entity_name")
+    )
+    # a (T1 with one T2 neighbor) vs c (same environment) -> equal hashes
+    assert out.loc["a", "wl1"] == out.loc["c", "wl1"]
+    # iso: same own type, empty environment -> different hash
+    assert out.loc["iso", "wl1"] != out.loc["a", "wl1"]
+    assert out.loc["iso", "wl1"] == hashlib.md5(b"T1|").hexdigest()[:16]
+    assert out.loc["b", "n_neighbors"] == 2

@@ -53,6 +53,11 @@ CASES = [
     "doc_commonness",
     "orders_zorder",
     "emb_pca_component",
+    "events_scd2",
+    "events_window_users",
+    "doc_boolean_and",
+    "repo_lang_profile",
+    "emb_quantize_error",
 ]
 
 

@@ -187,3 +187,23 @@ def test_prf_expansion_excludes_query_terms_and_ranks_by_tf():
     # (zebra not in fb docs); doc 2 ranks via delta+alpha
     top = prf_topk(docs, {"qa": "alpha"}, k=3, k_fb=2, m_terms=3).to_pandas()
     assert set(top["doc_id"]) == {1, 2}
+
+
+def test_boolean_and_requires_all_terms():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.retrieval import boolean_and_retrieval
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["alpha beta gamma", "alpha beta", "beta gamma",
+                 "alpha beta gamma delta"],
+    })
+    out = (
+        boolean_and_retrieval(ray.data.from_pandas(docs),
+                              {"q": "alpha gamma"})
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [1, 4]
+    assert set(out["n_terms"]) == {2}

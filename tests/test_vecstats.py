@@ -103,3 +103,25 @@ def test_pca_power_component_deterministic():
         a.sort_values("d").reset_index(drop=True),
         b.sort_values("d").reset_index(drop=True),
     )
+
+
+def test_scalar_quantize_error_bounded_and_exact_on_constants():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.vecstats import scalar_quantize_error
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(60, 8).astype(np.float32)
+    vecs[:, 0] = 0.5  # constant dim -> zero error by the span-0 guard
+    df = pd.DataFrame({"vec_id": np.arange(60, dtype="int64"),
+                       "embedding": list(vecs)})
+    out = scalar_quantize_error(ray.data.from_pandas(df)).to_pandas()
+    assert len(out) == 60 and (out["n_dims"] == 8).all()
+    # per-dim error is bounded by the quantization step ceil(span/255)
+    q = np.floor(vecs.astype(np.float64) * 1_000_000).astype(np.int64)
+    step = int(np.ceil((q.max(axis=0) - q.min(axis=0)).max() / 255))
+    assert (out["err_max"] <= step).all()
+    const_only = np.abs(q[:, 0] - q[:, 0])  # constant dim contributes 0
+    assert (out["err_sum"] >= 0).all() and const_only.sum() == 0

@@ -535,3 +535,49 @@ def test_global_shuffle_order_permutation():
         ray.data.from_pandas(ids), "doc_id", seed=4
     ).to_pandas().sort_values("ord")
     assert out2["doc_id"].tolist() != exp
+
+
+def test_scd2_intervals_changelog_semantics():
+    from mmgraphrag_ray.stages.window import scd2_intervals
+
+    # user 1: a->a->b->b->a (3 versions); user 2: single event (1 current)
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 1, 2],
+        "ts": pd.to_datetime([
+            "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+            "2024-01-05", "2024-01-03",
+        ]),
+        "event_id": [10, 11, 12, 13, 14, 20],
+        "val": ["a", "a", "b", "b", "a", "x"],
+    })
+    out = (
+        scd2_intervals(ray.data.from_pandas(df), key="user_id", ts_col="ts",
+                       id_col="event_id", value_col="val")
+        .to_pandas()
+        .sort_values(["user_id", "version"])
+        .reset_index(drop=True)
+    )
+    u1 = out[out["user_id"] == 1]
+    assert list(u1["val"]) == ["a", "b", "a"]
+    assert list(u1["version"]) == [1, 2, 3]
+    # interval stitching: each valid_to = next change's valid_from
+    assert list(u1["valid_to"].iloc[:2]) == list(u1["valid_from"].iloc[1:])
+    assert list(u1["is_current"]) == [0, 0, 1]
+    u2 = out[out["user_id"] == 2]
+    assert len(u2) == 1 and u2["is_current"].iloc[0] == 1
+    assert pd.isna(u2["valid_to"].iloc[0])
+
+
+def test_scd2_same_ts_ties_break_by_id():
+    from mmgraphrag_ray.stages.window import scd2_intervals
+
+    ts = pd.to_datetime(["2024-01-01"] * 3)
+    df = pd.DataFrame({"user_id": [5, 5, 5], "ts": ts,
+                       "event_id": [3, 1, 2], "val": ["c", "a", "b"]})
+    out = (
+        scd2_intervals(ray.data.from_pandas(df), key="user_id", ts_col="ts",
+                       id_col="event_id", value_col="val")
+        .to_pandas().sort_values("version").reset_index(drop=True)
+    )
+    # id order 1,2,3 -> values a,b,c all distinct -> 3 versions
+    assert list(out["val"]) == ["a", "b", "c"]
