@@ -2144,6 +2144,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nodes, edges = _build_graph_cached(sf_dir)
         return wl_neighborhood_hashes(nodes, edges)
 
+    def parts_skyline_q(sf_dir):
+        # 2-D Pareto frontier over part (maximize size and price-cents):
+        # per-batch local-frontier combiner, tiny final sweep
+        from mmgraphrag_ray.stages.select import pareto_skyline
+
+        part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                     columns=["p_partkey", "p_size",
+                                              "p_retailprice"])
+
+        def widen(b):
+            out = b[["p_partkey"]].copy()
+            out["p_size"] = b["p_size"].astype("int64")
+            out["cents"] = np.floor(
+                b["p_retailprice"].to_numpy() * 100.0
+            ).astype("int64")
+            return out
+
+        pts = part.map_batches(widen, batch_format="pandas")
+        return pareto_skyline(pts, x_col="p_size", y_col="cents",
+                              keep_cols=["p_partkey"])
+
+    def code_complexity_q(sf_dir):
+        # cyclomatic proxy per source file: branch keywords + function
+        # count (shared regexes with the RE2 mirror)
+        from mmgraphrag_ray.stages.codegraph import complexity_scores
+
+        files = ray.data.read_parquet(_corpus(sf_dir),
+                                      columns=["repo", "path", "content"])
+        return complexity_scores(files)
+
+    def emb_pq_error_q(sf_dir):
+        # product quantization: per-subspace integer Lloyd codebooks +
+        # exact per-(vector, subspace) squared reconstruction error
+        from mmgraphrag_ray.stages.cluster import pq_assign_error
+
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                    columns=["vec_id", "embedding"])
+        return pq_assign_error(emb, n_subspaces=2, n_clusters=8,
+                               refine_rounds=1)
+
     def emb_quantize_error_q(sf_dir):
         # int8-style global scalar quantization acceptance report: exact
         # per-vector reconstruction error on the 1e-6 grid
@@ -2268,6 +2308,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_lang_profile": repo_lang_profile_q,
         "kg_wl_hashes": kg_wl_hashes_q,
         "emb_quantize_error": emb_quantize_error_q,
+        "parts_skyline": parts_skyline_q,
+        "code_complexity": code_complexity_q,
+        "emb_pq_error": emb_pq_error_q,
         "events_sessions": relational.events_sessions,
         "events_sliding_window": relational.events_sliding_window,
         "events_hll_registers": relational.events_hll_registers,
@@ -3434,6 +3477,101 @@ FROM rankedkb WHERE rn = 1
             SELECT r.repo, r.n_rows, r.n_cats, top.top_cat,
                    CAST(top.n * 1000000 // r.n_rows AS BIGINT) AS top_ppm
             FROM r JOIN top USING (repo)
+        """,
+        # 2-D Pareto skyline (maximize size, price-cents): NOT EXISTS a
+        # dominating row (>= both, > at least one)
+        "parts_skyline": """
+            WITH pts AS (
+              SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+                     CAST(floor(p_retailprice * 100) AS BIGINT) AS cents
+              FROM part
+            )
+            SELECT b.p_partkey, b.p_size, b.cents FROM pts b
+            WHERE NOT EXISTS (
+              SELECT 1 FROM pts a
+              WHERE a.p_size >= b.p_size AND a.cents >= b.cents
+                AND (a.p_size > b.p_size OR a.cents > b.cents)
+            )
+        """,
+        # cyclomatic proxy: branch-keyword + top-level-def counts (regexes
+        # shared verbatim with stages/codegraph.py — RE2/`re` agree here)
+        "code_complexity": f"""
+            SELECT repo, path,
+                   CAST(len(regexp_extract_all(content, '(?m)^def '))
+                        AS BIGINT) AS n_funcs,
+                   CAST(len(regexp_extract_all(content,
+                        '\\b(?:if|elif|else|for|while|and|or|except)\\b'))
+                        AS BIGINT) AS n_branches,
+                   CAST(len(regexp_extract_all(content, '(?m)^def ')) +
+                        len(regexp_extract_all(content,
+                        '\\b(?:if|elif|else|for|while|and|or|except)\\b'))
+                        AS BIGINT) AS complexity
+            FROM read_parquet('{corpus}/*.parquet')
+        """,
+        # product quantization: the emb_kmeans unroll generalized with a
+        # subspace grouping column (dims 1-32 -> sub 0, 33-64 -> sub 1);
+        # seeds, floor-mean update, argmin-first ties all identical to
+        # cluster.pq_assign_error
+        "emb_pq_error": """
+            WITH q AS (
+              SELECT vec_id, list_transform(embedding, x ->
+                     CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+              FROM embeddings
+            ),
+            qe AS (
+              SELECT vec_id, unnest(qv) AS v,
+                     unnest(range(1, len(qv) + 1)) AS d
+              FROM q
+            ),
+            qs AS (
+              SELECT vec_id, CAST((d - 1) // 32 AS BIGINT) AS sub, d, v
+              FROM qe
+            ),
+            c0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
+              FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8)
+            ),
+            ce0 AS (
+              SELECT c0.cid, qs.sub, qs.d, qs.v AS cv
+              FROM c0 JOIN qs USING (vec_id)
+            ),
+            d1 AS (
+              SELECT qs.vec_id, qs.sub, ce0.cid,
+                     sum((qs.v - ce0.cv) * (qs.v - ce0.cv)) AS dist
+              FROM qs JOIN ce0 ON ce0.d = qs.d AND ce0.sub = qs.sub
+              GROUP BY 1, 2, 3
+            ),
+            a1 AS (
+              SELECT vec_id, sub, cid FROM (
+                SELECT vec_id, sub, cid, row_number() OVER (
+                  PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+                FROM d1
+              ) WHERE rn = 1
+            ),
+            ce1 AS (
+              SELECT ce0.cid, ce0.sub, ce0.d, COALESCE(m.cv, ce0.cv) AS cv
+              FROM ce0 LEFT JOIN (
+                SELECT a1.cid, qs2.sub, qs2.d,
+                       CAST(floor(CAST(sum(qs2.v) AS DOUBLE) / count(*))
+                            AS BIGINT) AS cv
+                FROM a1 JOIN qs qs2
+                  ON qs2.vec_id = a1.vec_id AND qs2.sub = a1.sub
+                GROUP BY 1, 2, 3
+              ) m ON m.cid = ce0.cid AND m.sub = ce0.sub AND m.d = ce0.d
+            ),
+            d2 AS (
+              SELECT qs.vec_id, qs.sub, ce1.cid,
+                     sum((qs.v - ce1.cv) * (qs.v - ce1.cv)) AS dist
+              FROM qs JOIN ce1 ON ce1.d = qs.d AND ce1.sub = qs.sub
+              GROUP BY 1, 2, 3
+            )
+            SELECT vec_id, sub, CAST(cid AS BIGINT) AS cluster,
+                   CAST(dist AS BIGINT) AS err
+            FROM (
+              SELECT vec_id, sub, cid, dist, row_number() OVER (
+                PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+              FROM d2
+            ) WHERE rn = 1
         """,
         # global int8-style scalar quantization error per vector, all on
         # the floor(x*1e6) integer grid (vecstats.scalar_quantize_error)

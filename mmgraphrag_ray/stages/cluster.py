@@ -336,3 +336,82 @@ def negative_samples(
                            "rank": "int64"})
 
     return assign.map_batches(mine, batch_format="pandas")
+
+
+def pq_assign_error(
+    emb_ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 2,
+    n_clusters: int = 8,
+    refine_rounds: int = 1,
+    scale: int = 1_000_000,
+):
+    """Product quantization (PQ, Jegou et al. 2011) codes + reconstruction
+    error: split each vector into ``n_subspaces`` contiguous dim blocks,
+    run the SAME distributed integer Lloyd as ``kmeans_centroids`` per
+    subspace, and emit each vector's per-subspace code and exact integer
+    squared reconstruction error — the memory-vs-recall acceptance report
+    for a PQ-compressed ANN index (the vector-store sibling of
+    ``vecstats.scalar_quantize_error``).
+
+    -> Dataset(vec_id, sub, cluster, err): one row per (vector, subspace);
+    err = integer squared L2 to the assigned sub-centroid on the quantized
+    grid.  Deterministic end to end (kmeans_centroids' id-seeded init,
+    floor-mean updates, argmin-first ties), so the SQL mirror — one
+    kmeans unroll with a subspace grouping column — is value-exact.
+
+    Scale shape: per subspace, centroid training = kmeans_centroids'
+    streaming combiner passes (driver state k x dim/S ints); the final
+    pass streams the corpus once, assigning all subspaces per batch.
+    Slicing happens inside map_batches (quantize-then-slice ==
+    slice-then-quantize: the quantizer is elementwise)."""
+    import ray
+
+    dim_probe = emb_ds.take(1)[0][vec_col]
+    dim = len(dim_probe)
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces}")
+    w = dim // n_subspaces
+
+    def slicer(lo: int, hi: int):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[[id_col]].copy()
+            out[vec_col] = [np.asarray(v)[lo:hi] for v in batch[vec_col]]
+            return out
+        return fn
+
+    cents = []  # per subspace: (k, w) int64
+    for s in range(n_subspaces):
+        sub_ds = emb_ds.map_batches(slicer(s * w, (s + 1) * w),
+                                    batch_format="pandas")
+        cents.append(kmeans_centroids(
+            sub_ds, id_col, vec_col, n_clusters, refine_rounds, scale
+        ))
+    ref = ray.put(np.stack(cents))  # (S, k, w)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "sub": pd.Series(dtype="int64"),
+                                 "cluster": pd.Series(dtype="int64"),
+                                 "err": pd.Series(dtype="int64")})
+        c = ray.get(ref)
+        q = _batch_matrix(batch, vec_col, scale)
+        ids, subs, cids, errs = [], [], [], []
+        for s in range(n_subspaces):
+            qs = q[:, s * w:(s + 1) * w]
+            d = ((qs[:, None, :] - c[s][None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            ids.append(batch[id_col].astype("int64").to_numpy())
+            subs.append(np.full(len(qs), s, dtype=np.int64))
+            cids.append(a.astype(np.int64))
+            errs.append(d[np.arange(len(a)), a].astype(np.int64))
+        return pd.DataFrame({
+            id_col: np.concatenate(ids),
+            "sub": np.concatenate(subs),
+            "cluster": np.concatenate(cids),
+            "err": np.concatenate(errs),
+        })
+
+    return emb_ds.map_batches(assign, batch_format="pandas")

@@ -108,3 +108,37 @@ def import_indegree_topk(files_ds, k: int = 20, n_buckets: int = 32):
     return deg.sort(
         ["in_degree", "module"], descending=[True, False]
     ).limit(k)
+
+
+# shared with the SQL mirror verbatim — RE2 and Python `re` agree on \b
+# word boundaries and non-overlapping scans for these disjoint keywords
+BRANCH_RE = r"\b(?:if|elif|else|for|while|and|or|except)\b"
+DEF_RE = r"(?m)^def "
+
+
+def complexity_scores(files_ds, key_cols: tuple = ("repo", "path"),
+                      text_col: str = "content"):
+    """Cyclomatic-complexity PROXY per source file — the static-analysis
+    screen a code-corpus curation pass runs next to secret scanning and
+    import-graph extraction: branch-keyword occurrences plus top-level
+    function count (each function body is +1 decision path).
+
+    -> Dataset(key_cols..., n_funcs, n_branches, complexity) with
+    complexity = n_funcs + n_branches (int64).
+
+    Shape: stateless vectorized map (pandas str.count with compiled
+    regexes — one pass per batch, no shuffle at all); the output is one
+    short row per file."""
+    branch = re.compile(BRANCH_RE)
+    defs = re.compile(DEF_RE)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[list(key_cols)].copy()
+        nb = batch[text_col].str.count(branch).astype("int64")
+        nf = batch[text_col].str.count(defs).astype("int64")
+        out["n_funcs"] = nf
+        out["n_branches"] = nb
+        out["complexity"] = (nf + nb).astype("int64")
+        return out
+
+    return files_ds.map_batches(score, batch_format="pandas")

@@ -190,3 +190,48 @@ def dsir_topk(docs_ds, k: int = 50, **kw):
         lambda b: b[[id_col, "n_tokens", "weight", "rank"]],
         batch_format="pandas",
     )
+
+
+def pareto_skyline(ds, x_col: str, y_col: str, keep_cols: list[str]):
+    """2-D Pareto skyline (maximize both axes): every row NOT dominated by
+    another row — dominated means the other is >= on both axes and > on at
+    least one (duplicate points survive together).  The multi-objective
+    "best quality at every cost level" selection query.
+
+    Scale shape: the skyline operator is a PERFECT combiner — any point
+    dominated within one batch is dominated globally, so skyline(S) is a
+    subset of the union of per-batch skylines.  Each batch reduces to its
+    local frontier (vectorized sort + prefix-max sweep), the survivors
+    (output-sized, not input-sized) gather on one partition, and the same
+    sweep runs once more.  No shuffle ever carries a dominated row.
+
+    -> Dataset(keep_cols..., x_col, y_col)."""
+    cols = list(dict.fromkeys(keep_cols + [x_col, y_col]))
+
+    def local_skyline(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return batch[cols] if set(cols) <= set(batch.columns) else \
+                pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+        b = batch[cols].sort_values([x_col, y_col], ascending=False,
+                                    kind="mergesort").reset_index(drop=True)
+        x = b[x_col].to_numpy()
+        y = b[y_col].to_numpy()
+        # prefix max of y over STRICTLY-greater x (group boundaries), and
+        # the max y within each equal-x group
+        new_x = np.concatenate([[True], x[1:] != x[:-1]])
+        gid = np.cumsum(new_x) - 1
+        # max y per x-group = first y in the group (sorted y desc in group)
+        grp_max = y[new_x][gid]
+        # prev_max[i] = max grp_max over groups strictly before gid[i]
+        grp_heads = grp_max[new_x]  # one per group, in x-desc order
+        prev = np.concatenate([[np.iinfo(np.int64).min],
+                               np.maximum.accumulate(grp_heads)[:-1]])
+        prev_max = prev[gid]
+        keep = (y > prev_max) & (y == grp_max)
+        return b[keep]
+
+    pruned = ds.map_batches(local_skyline, batch_format="pandas")
+    return (
+        pruned.repartition(1)
+        .map_batches(local_skyline, batch_format="pandas")
+    )

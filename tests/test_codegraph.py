@@ -43,3 +43,19 @@ def test_import_indegree_topk_order_and_ties():
         {"module": ["b", "c", "a"], "in_degree": [2, 2, 1]}
     ).astype({"in_degree": "int64"})
     pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+
+
+def test_complexity_scores_counts_branches_and_defs():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.codegraph import complexity_scores
+
+    src = "def f(a):\n    if a and a > 1:\n        return a\n    " \
+          "for i in range(3):\n        pass\n\ndef g():\n    return 0\n"
+    # notify: 'if', 'and', 'for' = 3 branches; 2 defs
+    df = pd.DataFrame({"repo": ["r"], "path": ["p.py"], "content": [src]})
+    out = complexity_scores(ray.data.from_pandas(df)).to_pandas()
+    assert out.loc[0, "n_funcs"] == 2
+    assert out.loc[0, "n_branches"] == 3
+    assert out.loc[0, "complexity"] == 5

@@ -309,3 +309,39 @@ def test_negative_samples_cross_cluster_only_and_deterministic():
     want = sorted((hashlib.md5(f"0|{n}".encode()).hexdigest(), n)
                   for n in pool)[:2]
     assert list(one["neg_id"]) == [n for _h, n in want]
+
+
+def test_pq_assign_error_duplicates_hit_zero_error():
+    from mmgraphrag_ray.stages.cluster import pq_assign_error
+
+    rng = np.random.RandomState(9)
+    patterns = rng.randn(8, 16)
+    # 8 seed patterns (ids 0-7) + an exact copy of each (ids 8-15):
+    # seeds ARE the patterns, means stay the patterns, copies land at 0
+    vecs = np.concatenate([patterns, patterns]).astype(np.float64)
+    df = pd.DataFrame({"vec_id": np.arange(16, dtype="int64"),
+                       "embedding": list(vecs)})
+    out = (
+        pq_assign_error(ray.data.from_pandas(df), n_subspaces=2,
+                        n_clusters=8, refine_rounds=1)
+        .to_pandas().sort_values(["vec_id", "sub"]).reset_index(drop=True)
+    )
+    assert len(out) == 32
+    assert set(out["sub"]) == {0, 1}
+    assert (out["err"] == 0).all()
+    # copy i+8 shares its pattern's code in every subspace
+    for s in (0, 1):
+        a = out[(out["sub"] == s)].set_index("vec_id")["cluster"]
+        for i in range(8):
+            assert a[i] == a[i + 8]
+
+
+def test_pq_rejects_indivisible_dim():
+    from mmgraphrag_ray.stages.cluster import pq_assign_error
+
+    df = pd.DataFrame({"vec_id": [0], "embedding": [np.zeros(5)]})
+    try:
+        pq_assign_error(ray.data.from_pandas(df), n_subspaces=2)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass

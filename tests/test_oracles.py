@@ -58,6 +58,9 @@ CASES = [
     "doc_boolean_and",
     "repo_lang_profile",
     "emb_quantize_error",
+    "parts_skyline",
+    "code_complexity",
+    "emb_pq_error",
 ]
 
 

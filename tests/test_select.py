@@ -104,3 +104,36 @@ def test_dsir_topk_excludes_targets_and_ranks_by_weight():
         ["weight", "doc_id"], ascending=[False, True]
     )
     assert list(top.doc_id) == list(nt.doc_id.head(5))
+
+
+def test_pareto_skyline_matches_brute_force():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.select import pareto_skyline
+
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame({"id": np.arange(300, dtype="int64"),
+                       "x": rng.randint(0, 15, 300).astype("int64"),
+                       "y": rng.randint(0, 15, 300).astype("int64")})
+    got = (
+        pareto_skyline(ray.data.from_pandas(df).repartition(6),
+                       x_col="x", y_col="y", keep_cols=["id"])
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    keep = []
+    for _, r in df.iterrows():
+        dom = ((df.x >= r.x) & (df.y >= r.y) &
+               ((df.x > r.x) | (df.y > r.y))).any()
+        if not dom:
+            keep.append(int(r.id))
+    assert sorted(got["id"].tolist()) == sorted(keep)
+    # duplicates of a frontier point all survive
+    dup = pd.concat([df, df[df.id.isin(keep)].assign(id=lambda d: d.id + 1000)])
+    got2 = (
+        pareto_skyline(ray.data.from_pandas(dup.reset_index(drop=True)),
+                       x_col="x", y_col="y", keep_cols=["id"])
+        .to_pandas()
+    )
+    assert len(got2) == 2 * len(keep)
