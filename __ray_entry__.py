@@ -2144,6 +2144,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nodes, edges = _build_graph_cached(sf_dir)
         return wl_neighborhood_hashes(nodes, edges)
 
+    PHRASES = {
+        "p_hash_join": ("hash", "join"),
+        "p_table_scan": ("table", "scan"),
+        "p_key_order": ("key", "order"),
+    }
+
+    def doc_phrase_match_q(sf_dir):
+        # positional phrase retrieval: adjacent-token phrase occurrences
+        # (the positional-index primitive bag-of-words retrieval lacks)
+        from mmgraphrag_ray.stages.retrieval import phrase_match
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return phrase_match(docs, PHRASES)
+
+    def events_rfm_q(sf_dir):
+        # RFM segmentation: per-user recency/frequency/monetary + exact
+        # rank-quintile scores ((rnk-1)*5//n + 1) without a global sort
+        return relational.events_rfm(sf_dir)
+
     def parts_skyline_q(sf_dir):
         # 2-D Pareto frontier over part (maximize size and price-cents):
         # per-batch local-frontier combiner, tiny final sweep
@@ -2311,6 +2331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_skyline": parts_skyline_q,
         "code_complexity": code_complexity_q,
         "emb_pq_error": emb_pq_error_q,
+        "doc_phrase_match": doc_phrase_match_q,
+        "events_rfm": events_rfm_q,
         "events_sessions": relational.events_sessions,
         "events_sliding_window": relational.events_sliding_window,
         "events_hll_registers": relational.events_hll_registers,
@@ -3477,6 +3499,58 @@ FROM rankedkb WHERE rn = 1
             SELECT r.repo, r.n_rows, r.n_cats, top.top_cat,
                    CAST(top.n * 1000000 // r.n_rows AS BIGINT) AS top_ppm
             FROM r JOIN top USING (repo)
+        """,
+        # positional phrase retrieval: exact adjacent-token counts via a
+        # token/position self-join (same token model as phrase_match; a
+        # boundary-regex count would miss overlapping occurrences)
+        "doc_phrase_match": """
+            WITH p(qid, w1, w2) AS (VALUES
+              ('p_hash_join', 'hash', 'join'),
+              ('p_table_scan', 'table', 'scan'),
+              ('p_key_order', 'key', 'order')),
+            tk AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok,
+                     unnest(range(1, len(regexp_extract_all(lower(text),
+                                                            '[a-z]+')) + 1)) AS i
+              FROM documents
+            )
+            SELECT p.qid, a.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM p
+            JOIN tk a ON a.tok = p.w1
+            JOIN tk b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                     AND b.tok = p.w2
+            GROUP BY 1, 2
+        """,
+        # RFM scoring: per-user recency(µs)/frequency/monetary(cents) +
+        # exact rank quintiles (row_number over (metric, user_id), score =
+        # (rnk-1)*5//n + 1) — mirrors relational.events_rfm
+        "events_rfm": """
+            WITH pu AS (
+              SELECT user_id,
+                     CAST(max(epoch_us(ts)) AS BIGINT) AS recency_us,
+                     CAST(count(*) AS BIGINT) AS frequency,
+                     CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                          AS BIGINT) AS monetary_cents
+              FROM events GROUP BY 1
+            ),
+            nn AS (SELECT count(*) AS n FROM pu),
+            rk AS (
+              SELECT user_id,
+                     row_number() OVER (ORDER BY recency_us, user_id) AS rr,
+                     row_number() OVER (ORDER BY frequency, user_id) AS fr,
+                     row_number() OVER (ORDER BY monetary_cents, user_id) AS mr
+              FROM pu
+            )
+            SELECT pu.user_id, pu.recency_us, pu.frequency,
+                   pu.monetary_cents,
+                   CAST((rk.rr - 1) * 5 // nn.n + 1 AS BIGINT) AS r_score,
+                   CAST((rk.fr - 1) * 5 // nn.n + 1 AS BIGINT) AS f_score,
+                   CAST((rk.mr - 1) * 5 // nn.n + 1 AS BIGINT) AS m_score,
+                   CAST(((rk.rr - 1) * 5 // nn.n + 1) * 100 +
+                        ((rk.fr - 1) * 5 // nn.n + 1) * 10 +
+                        ((rk.mr - 1) * 5 // nn.n + 1) AS BIGINT) AS rfm
+            FROM pu JOIN rk USING (user_id) CROSS JOIN nn
         """,
         # 2-D Pareto skyline (maximize size, price-cents): NOT EXISTS a
         # dominating row (>= both, > at least one)

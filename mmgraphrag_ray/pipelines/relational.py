@@ -940,3 +940,73 @@ def orders_monthly_share(sf_dir: str):
            "share_ppm"]],
         batch_format="pandas",
     )
+
+
+def events_rfm(sf_dir: str):
+    """RFM (recency / frequency / monetary) customer scoring — the
+    segmentation reduce behind retention dashboards: per user, last-event
+    time (int µs), event count, exact summed value cents; each metric is
+    then ranked EXACTLY across all users (groupagg.grouped_exact_rank —
+    range-prefix-sum rank, no global sort) and mapped to a 1-5 quintile
+    score by integer rank arithmetic ((rnk-1)*5//n + 1, higher = better).
+
+    -> Dataset(user_id, recency_us, frequency, monetary_cents, r_score,
+    f_score, m_score, rfm) with rfm = 100r + 10f + m, all int64.
+
+    Shape: one grouped combiner reduce to the per-user table, then three
+    rank passes whose driver state is one int per value-range cell, then
+    two user-bucketed joins to assemble the score vector."""
+    import numpy as np
+
+    from ..stages.groupagg import bucketed_groupby_agg, grouped_exact_rank
+    from ..stages.join import bucketed_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def widen(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].astype("int64"),
+            "ts_us": b["ts"].astype("int64"),
+            "cents": np.floor(b["value"].to_numpy() * 100.0).astype("int64"),
+        })
+
+    pu = bucketed_groupby_agg(
+        ev.map_batches(widen, batch_format="pandas"),
+        keys=["user_id"],
+        aggs={
+            "recency_us": ("ts_us", "max"),
+            "frequency": (None, "count"),
+            "monetary_cents": ("cents", "sum"),
+        },
+    ).map_batches(
+        lambda b: b.assign(_all=np.int64(0)), batch_format="pandas"
+    ).materialize()
+    n = pu.count()
+
+    def rank_of(metric: str, out: str):
+        r = grouped_exact_rank(pu, "_all", metric, "user_id", step=1 << 32)
+        return r.map_batches(
+            lambda b, out=out: pd.DataFrame({
+                "user_id": b["user_id"].astype("int64"),
+                out: ((b["rnk"] - 1) * 5 // n + 1).astype("int64"),
+            }),
+            batch_format="pandas",
+        )
+
+    scores = bucketed_join(
+        bucketed_join(rank_of("recency_us", "r_score"),
+                      rank_of("frequency", "f_score"),
+                      on="user_id").materialize(),
+        rank_of("monetary_cents", "m_score"),
+        on="user_id",
+    )
+    out = bucketed_join(
+        pu.drop_columns(["_all"]), scores.materialize(), on="user_id"
+    )
+    return out.map_batches(
+        lambda b: b.assign(
+            rfm=(b["r_score"] * 100 + b["f_score"] * 10 + b["m_score"])
+            .astype("int64")
+        ),
+        batch_format="pandas",
+    )

@@ -460,3 +460,50 @@ def boolean_and_retrieval(
                              "n_terms": req[batch["n_matched"] == req].to_numpy()})
 
     return matched.map_batches(keep_full, batch_format="pandas")
+
+
+def phrase_match(
+    documents_ds,
+    phrases: dict[str, tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Positional phrase retrieval: docs where the two words of a phrase
+    query occur as ADJACENT tokens — the positional-index primitive plain
+    bag-of-words retrieval (bm25_topk / boolean_and_retrieval) cannot
+    express.  Token model is the module's `[a-z]+` runs; adjacency means
+    no other token between the two (equivalently: w1 as a full token,
+    one non-letter gap, w2 as a full token — the SQL mirror's boundary
+    regex, exactly this predicate because tokens are maximal [a-z]+ runs).
+
+    -> Dataset(qid, doc_id, n_hits): one row per (phrase, matching doc)
+    with the exact adjacent-occurrence count.
+
+    Shape: stateless single scan, one tokenizer pass per doc shared by
+    all phrases (the phrase table rides the closure); output is
+    match-sized.  No shuffle."""
+    word = re.compile(TOKEN_RE)
+    plist = sorted(phrases.items())
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        qids, dids, hits = [], [], []
+        for doc_id, text in zip(batch[id_col], batch[text_col]):
+            toks = word.findall(str(text).lower())
+            if len(toks) < 2:
+                continue
+            for qid, (w1, w2) in plist:
+                n = sum(
+                    1 for i in range(len(toks) - 1)
+                    if toks[i] == w1 and toks[i + 1] == w2
+                )
+                if n:
+                    qids.append(qid)
+                    dids.append(doc_id)
+                    hits.append(n)
+        return pd.DataFrame({
+            "qid": pd.Series(qids, dtype=object),
+            "doc_id": pd.Series(dids, dtype="int64"),
+            "n_hits": pd.Series(hits, dtype="int64"),
+        })
+
+    return documents_ds.map_batches(scan, batch_format="pandas")

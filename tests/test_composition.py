@@ -208,3 +208,21 @@ def test_bucketed_count_distinct_matches_pandas():
         .sort_values(["g", "h"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_events_rfm_scores_quintiles():
+    import pandas as pd
+
+    from mmgraphrag_ray.pipelines.relational import events_rfm
+
+    out = events_rfm("/root/testdata/sf0.001").to_pandas()
+    assert set(out.columns) == {"user_id", "recency_us", "frequency",
+                                "monetary_cents", "r_score", "f_score",
+                                "m_score", "rfm"}
+    for c in ("r_score", "f_score", "m_score"):
+        assert out[c].between(1, 5).all()
+    # the highest-frequency user gets f_score 5, the lowest gets 1
+    assert out.loc[out["frequency"].idxmax(), "f_score"] == 5
+    assert out.loc[out["frequency"].idxmin(), "f_score"] == 1
+    assert (out["rfm"] ==
+            out["r_score"] * 100 + out["f_score"] * 10 + out["m_score"]).all()

@@ -61,6 +61,8 @@ CASES = [
     "parts_skyline",
     "code_complexity",
     "emb_pq_error",
+    "doc_phrase_match",
+    "events_rfm",
 ]
 
 

@@ -207,3 +207,27 @@ def test_boolean_and_requires_all_terms():
     )
     assert list(out["doc_id"]) == [1, 4]
     assert set(out["n_terms"]) == {2}
+
+
+def test_phrase_match_positional_semantics():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.retrieval import phrase_match
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "hash join now",             # 1 hit
+            "hash x join",               # broken by a token between
+            "hash join, hash-join!",     # 2 hits (punct gaps still adjacent)
+            "smash join",                # 'smash' is not the token 'hash'
+        ],
+    })
+    out = (
+        phrase_match(ray.data.from_pandas(docs),
+                     {"p": ("hash", "join")})
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [1, 3]
+    assert list(out["n_hits"]) == [1, 2]
