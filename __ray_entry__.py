@@ -2144,6 +2144,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nodes, edges = _build_graph_cached(sf_dir)
         return wl_neighborhood_hashes(nodes, edges)
 
+    def doc_scan_prune_q(sf_dir):
+        # metadata-only scan planning over a range-clustered partitioned
+        # copy of documents: one footer open per file, no data pages read
+        import glob as _glob
+
+        from mmgraphrag_ray.stages.layout import (
+            ensure_partitioned_docs, parquet_prune_plan,
+        )
+
+        d = ensure_partitioned_docs(sf_dir, n_parts=8)
+        paths = _glob.glob(f"{d}/part-*.parquet")
+        return parquet_prune_plan(paths, col="doc_id", lo=2000, hi=2999)
+
+    def q6_revenue_q(sf_dir):
+        # TPC-H Q6 shape: reader-level predicate pushdown + vectorized
+        # residual filter + combiner global sum (exact cents)
+        return relational.q6_revenue(sf_dir)
+
     PHRASES = {
         "p_hash_join": ("hash", "join"),
         "p_table_scan": ("table", "scan"),
@@ -2333,6 +2351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pq_error": emb_pq_error_q,
         "doc_phrase_match": doc_phrase_match_q,
         "events_rfm": events_rfm_q,
+        "doc_scan_prune": doc_scan_prune_q,
+        "q6_revenue": q6_revenue_q,
         "events_sessions": relational.events_sessions,
         "events_sliding_window": relational.events_sliding_window,
         "events_hll_registers": relational.events_hll_registers,
@@ -2528,6 +2548,15 @@ def oracle_sql() -> dict[str, str]:
     from mmgraphrag_ray.tokenizer import TOKEN_PATTERN
 
     corpus = _corpus(SF001)  # idempotent generation so DuckDB can read it
+    # prune fixture follows the target sf (same env contract as the IVF
+    # centroid literals) so the mirror reads the footers the planner reads
+    import os as _os
+
+    from mmgraphrag_ray.stages.layout import ensure_partitioned_docs
+
+    _prune_dir = ensure_partitioned_docs(
+        _os.environ.get("RAYKG_ORACLE_SF", SF001), n_parts=8
+    )
     kg = _kg_cte(corpus)
     merge = _kg_merge_cte()
     pat = TOKEN_PATTERN
@@ -3499,6 +3528,32 @@ FROM rankedkb WHERE rn = 1
             SELECT r.repo, r.n_rows, r.n_cats, top.top_cat,
                    CAST(top.n * 1000000 // r.n_rows AS BIGINT) AS top_ppm
             FROM r JOIN top USING (repo)
+        """,
+        # metadata-only scan plan: DuckDB's parquet_metadata() reads the
+        # same footers the Ray planner opens — no data pages on either side
+        "doc_scan_prune": f"""
+            SELECT regexp_extract(file_name, 'part-[0-9]+\\.parquet')
+                     AS file,
+                   CAST(row_group_id AS BIGINT) AS row_group,
+                   CAST(row_group_num_rows AS BIGINT) AS n_rows,
+                   CAST(stats_min_value AS BIGINT) AS min_val,
+                   CAST(stats_max_value AS BIGINT) AS max_val,
+                   CAST(CASE WHEN CAST(stats_max_value AS BIGINT) < 2000
+                             OR CAST(stats_min_value AS BIGINT) > 2999
+                        THEN 1 ELSE 0 END AS BIGINT) AS skipped
+            FROM parquet_metadata('{_prune_dir}/part-*.parquet')
+            WHERE path_in_schema = 'doc_id'
+        """,
+        # TPC-H Q6 shape: scan-filter-aggregate, exact integer cents
+        "q6_revenue": """
+            SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
         """,
         # positional phrase retrieval: exact adjacent-token counts via a
         # token/position self-join (same token model as phrase_match; a

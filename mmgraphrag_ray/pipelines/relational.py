@@ -1010,3 +1010,54 @@ def events_rfm(sf_dir: str):
         ),
         batch_format="pandas",
     )
+
+
+def q6_revenue(sf_dir: str, d1: str = "1997-01-01", d2: str = "1998-01-01",
+               qty_cut: int = 24):
+    """TPC-H Q6 shape — the pure scan-filter-aggregate benchmark and the
+    canonical predicate-pushdown demo: the date filter is handed to the
+    PARQUET READER as a pyarrow dataset expression, so at 100 TB whole
+    row groups outside the ship-date range never leave storage; the
+    residual filters and the exact cents revenue run vectorized per
+    batch; the global reduce is a per-batch combiner + one tiny fold.
+
+    -> Dataset with ONE row (revenue_cents, n_rows), both int64."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    d1_ts, d2_ts = pd.Timestamp(d1), pd.Timestamp(d2)
+    from ..runtime import configure
+
+    configure()
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= d1_ts.to_pydatetime())
+        & (pads.field("l_shipdate") < d2_ts.to_pydatetime()),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            (b["l_shipdate"] >= d1_ts) & (b["l_shipdate"] < d2_ts)
+            & (b["l_discount"] >= 0.05) & (b["l_discount"] <= 0.07)
+            & (b["l_quantity"] < qty_cut)
+        )
+        s = b[m]
+        cents = np.floor(
+            s["l_extendedprice"].to_numpy() * s["l_discount"].to_numpy()
+            * 100.0
+        ).astype("int64")
+        return pd.DataFrame({"revenue_cents": [int(cents.sum())],
+                             "n_rows": [int(m.sum())]})
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "revenue_cents": [int(b["revenue_cents"].sum())],
+            "n_rows": [int(b["n_rows"].sum())],
+        })
+
+    return (
+        li.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas")
+    )

@@ -104,3 +104,91 @@ def zorder_sql_expr(x_expr: str, y_expr: str, bits: int = 16) -> str:
         terms.append(f"((({qx} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({qy} >> {i}) & 1) << {2 * i + 1})")
     return "(" + " | ".join(terms) + ")"
+
+
+PRUNE_ROOT = "/tmp/raykg_prune"
+PRUNE_VERSION = 1
+
+
+def ensure_partitioned_docs(sf_dir: str, n_parts: int = 8) -> str:
+    """Deterministic range-partitioned copy of the documents table:
+    part-<b>.parquet holds doc_id bucket b = doc_id * n_parts // (max+1),
+    rows sorted by doc_id — the clustered layout (the 1-D cousin of the
+    z-order keys above) that makes min/max footer stats selective.
+    Idempotent (done marker); shared by the Ray planner AND the DuckDB
+    mirror so both read identical footers."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(PRUNE_ROOT, f"{base}_p{n_parts}_v{PRUNE_VERSION}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "lang", "n_chars"])
+    ids = t.column("doc_id").to_numpy()
+    top = int(ids.max()) + 1
+    bucket = ids * n_parts // top
+    order = np.lexsort((ids, bucket))
+    t = t.take(pa.array(order))
+    bucket = bucket[order]
+    for b in range(n_parts):
+        part = t.filter(pa.array(bucket == b))
+        pq.write_table(part, os.path.join(out, f"part-{b:02d}.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def parquet_prune_plan(paths: list[str], col: str, lo: int, hi: int):
+    """Metadata-only scan planning — the manifest/footer pass every lake
+    engine runs before touching data: for each (file, row group), read the
+    parquet FOOTER's min/max stats for ``col`` and decide whether the
+    predicate ``lo <= col <= hi`` can skip it.  No data pages are read
+    anywhere; at 100 TB this pass touches kilobytes per file and is the
+    difference between scanning a corpus and scanning a manifest.
+
+    -> Dataset(file, row_group, n_rows, min_val, max_val, skipped):
+    one row per row group; skipped = 1 iff max < lo or min > hi.
+
+    Shape: the path list fans out as a Dataset (one footer open per task
+    row — planning itself is distributed and scales with file count, the
+    way a real manifest scan must)."""
+    import os
+
+    import ray.data
+
+    def plan(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        files, rgs, nrows, mns, mxs, skips = [], [], [], [], [], []
+        for p in batch["path"]:
+            md = pq.ParquetFile(p).metadata
+            ci = {md.schema.column(i).name: i
+                  for i in range(md.num_columns)}[col]
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                st = g.column(ci).statistics
+                mn, mx = int(st.min), int(st.max)
+                files.append(os.path.basename(p))
+                rgs.append(rg)
+                nrows.append(g.num_rows)
+                mns.append(mn)
+                mxs.append(mx)
+                skips.append(1 if (mx < lo or mn > hi) else 0)
+        return pd.DataFrame({
+            "file": pd.Series(files, dtype=object),
+            "row_group": pd.Series(rgs, dtype="int64"),
+            "n_rows": pd.Series(nrows, dtype="int64"),
+            "min_val": pd.Series(mns, dtype="int64"),
+            "max_val": pd.Series(mxs, dtype="int64"),
+            "skipped": pd.Series(skips, dtype="int64"),
+        })
+
+    return ray.data.from_items(
+        [{"path": p} for p in sorted(paths)]
+    ).map_batches(plan, batch_format="pandas")

@@ -226,3 +226,23 @@ def test_events_rfm_scores_quintiles():
     assert out.loc[out["frequency"].idxmin(), "f_score"] == 1
     assert (out["rfm"] ==
             out["r_score"] * 100 + out["f_score"] * 10 + out["m_score"]).all()
+
+
+def test_q6_pushdown_matches_unfiltered_compute():
+    import duckdb
+
+    from mmgraphrag_ray.pipelines.relational import q6_revenue
+
+    out = q6_revenue("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    want = con.sql("""
+        SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """).df()
+    assert int(out["revenue_cents"].iloc[0]) == int(want["revenue_cents"].iloc[0])
+    assert int(out["n_rows"].iloc[0]) == int(want["n_rows"].iloc[0])

@@ -67,3 +67,25 @@ def test_zorder_locality_beats_single_column_for_y_predicates():
     merged = df.merge(out, on="id")
     narrow = merged[merged["y"] < (1 << 12) // 8]  # bottom 12.5% of y
     assert narrow["zbucket"].nunique() < 64
+
+
+def test_parquet_prune_plan_skips_out_of_range_files():
+    import glob
+
+    from mmgraphrag_ray.stages.layout import (
+        ensure_partitioned_docs, parquet_prune_plan,
+    )
+
+    d = ensure_partitioned_docs("/root/testdata/sf0.001", n_parts=8)
+    paths = glob.glob(f"{d}/part-*.parquet")
+    assert len(paths) == 8
+    plan = parquet_prune_plan(paths, col="doc_id", lo=0, hi=50).to_pandas()
+    assert len(plan) >= 8
+    # range clustering makes the predicate selective: at most one part
+    # can contain [0, 50], the rest are skipped on footer stats alone
+    assert plan["skipped"].sum() >= len(plan) - 1
+    kept = plan[plan["skipped"] == 0]
+    assert ((kept["min_val"] <= 50) & (kept["max_val"] >= 0)).all()
+    # stats are consistent: min <= max, n_rows positive
+    assert (plan["min_val"] <= plan["max_val"]).all()
+    assert (plan["n_rows"] > 0).all()

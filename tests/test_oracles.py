@@ -63,6 +63,7 @@ CASES = [
     "emb_pq_error",
     "doc_phrase_match",
     "events_rfm",
+    "q6_revenue",
 ]
 
 
