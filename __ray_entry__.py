@@ -2144,6 +2144,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nodes, edges = _build_graph_cached(sf_dir)
         return wl_neighborhood_hashes(nodes, edges)
 
+    def kg_type_pairs_q(sf_dir):
+        # KG ontology profile: edge count + integer weight sum per
+        # unordered entity-type pair
+        from mmgraphrag_ray.stages.graphalgo import type_pair_edge_stats
+
+        nodes, edges = _build_graph_cached(sf_dir)
+        return type_pair_edge_stats(nodes, edges)
+
     def doc_scan_prune_q(sf_dir):
         # metadata-only scan planning over a range-clustered partitioned
         # copy of documents: one footer open per file, no data pages read
@@ -2353,6 +2361,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rfm": events_rfm_q,
         "doc_scan_prune": doc_scan_prune_q,
         "q6_revenue": q6_revenue_q,
+        "doc_curation_funnel": relational.curation_funnel,
+        "region_segment_stats": relational.region_segment_stats,
+        "kg_type_pairs": kg_type_pairs_q,
         "events_sessions": relational.events_sessions,
         "events_sliding_window": relational.events_sliding_window,
         "events_hll_registers": relational.events_hll_registers,
@@ -2845,6 +2856,21 @@ SELECT n.entity_name, n.entity_type,
        CAST(coalesce(nb.n_nb, 0) AS BIGINT) AS n_neighbors,
        substr(md5(n.entity_type || '|' || coalesce(nb.sig, '')), 1, 16) AS wl1
 FROM nodes n LEFT JOIN nb ON nb.u = n.entity_name
+        """,
+        # KG ontology profile: unordered type-pair edge counts + integer
+        # weight sums (graphalgo.type_pair_edge_stats)
+        "kg_type_pairs": kg + merge + """,
+te AS (
+  SELECT least(ts.entity_type, tt.entity_type) AS type_a,
+         greatest(ts.entity_type, tt.entity_type) AS type_b,
+         CAST(e.weight AS BIGINT) AS w
+  FROM edges e
+  JOIN nodes ts ON ts.entity_name = e.src_id
+  JOIN nodes tt ON tt.entity_name = e.tgt_id
+)
+SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(w) AS BIGINT) AS weight_sum
+FROM te GROUP BY 1, 2
         """,
         # inverted index: distinct (token, doc) pairs -> df + the first 16
         # doc ids ascending (capped partials compose exactly, index.py)
@@ -3528,6 +3554,40 @@ FROM rankedkb WHERE rn = 1
             SELECT r.repo, r.n_rows, r.n_cats, top.top_cat,
                    CAST(top.n * 1000000 // r.n_rows AS BIGINT) AS top_ppm
             FROM r JOIN top USING (repo)
+        """,
+        # curation funnel: one scan of the composed curation CTE, then a
+        # constant unpivot of the 8 counters (gate order exact->lang->
+        # quality->decon)
+        "doc_curation_funnel": f"""
+            WITH agg AS (
+              SELECT CAST(sum(keep_exact) AS BIGINT) AS p1,
+                     CAST(sum(keep_lang) AS BIGINT) AS p2,
+                     CAST(sum(keep_quality) AS BIGINT) AS p3,
+                     CAST(sum(keep_decon) AS BIGINT) AS p4,
+                     CAST(sum(keep_exact) AS BIGINT) AS c1,
+                     CAST(sum(keep_exact * keep_lang) AS BIGINT) AS c2,
+                     CAST(sum(keep_exact * keep_lang * keep_quality)
+                          AS BIGINT) AS c3,
+                     CAST(sum(keep) AS BIGINT) AS c4
+              FROM ({_CURATION_SQL})
+            )
+            SELECT CAST(1 AS BIGINT) AS rule_idx, 'keep_exact' AS rule,
+                   p1 AS n_pass, c1 AS n_cum FROM agg
+            UNION ALL SELECT 2, 'keep_lang', p2, c2 FROM agg
+            UNION ALL SELECT 3, 'keep_quality', p3, c3 FROM agg
+            UNION ALL SELECT 4, 'keep_decon', p4, c4 FROM agg
+        """,
+        # snowflake dimension chain: customer -> nation -> region flatten,
+        # exact per-(region, segment) aggregates
+        "region_segment_stats": """
+            SELECT r.r_name, c.c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(CAST(floor(c.c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS acctbal_cents
+            FROM customer c
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY 1, 2
         """,
         # metadata-only scan plan: DuckDB's parquet_metadata() reads the
         # same footers the Ray planner opens — no data pages on either side

@@ -1061,3 +1061,82 @@ def q6_revenue(sf_dir: str, d1: str = "1997-01-01", d2: str = "1998-01-01",
         .repartition(1)
         .map_batches(fold, batch_format="pandas")
     )
+
+
+def curation_funnel(sf_dir: str):
+    """Curation-funnel diagnostics over doc_curation's per-doc verdicts —
+    the drop-attribution report a corpus team reads before shipping a
+    filter change: for each rule IN GATE ORDER (exact-dup, language,
+    quality, decontamination), how many docs pass it alone and how many
+    survive the funnel up to and including it.
+
+    -> Dataset(rule_idx, rule, n_pass, n_cum), 4 rows.
+
+    Shape: doc_curation's own shuffle budget, then a per-batch 8-counter
+    combiner + one single-row fold — the funnel itself adds no shuffle."""
+    import numpy as np
+
+    RULES = ["keep_exact", "keep_lang", "keep_quality", "keep_decon"]
+    flags = doc_curation(sf_dir)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cum = np.ones(len(b), dtype=np.int64)
+        alone, cums = [], []
+        for r in RULES:
+            v = b[r].to_numpy(np.int64)
+            alone.append(int(v.sum()))
+            cum = cum * v
+            cums.append(int(cum.sum()))
+        return pd.DataFrame({
+            "rule_idx": np.arange(1, len(RULES) + 1, dtype=np.int64),
+            "rule": pd.Series(RULES, dtype=object),
+            "n_pass": pd.Series(alone, dtype="int64"),
+            "n_cum": pd.Series(cums, dtype="int64"),
+        })
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["rule_idx", "rule"], sort=True)[["n_pass", "n_cum"]]
+        return g.sum().reset_index()
+
+    return (
+        flags.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas")
+    )
+
+
+def region_segment_stats(sf_dir: str):
+    """Snowflake-dimension denormalization — the 3-level dimension chain
+    (customer -> nation -> region) flattened with two BROADCAST joins
+    (each dimension is ray.put once; no shuffle touches the chain), then
+    exact per-(region, segment) aggregates.  The multi-hop sibling of
+    segment_order_stats' single-hop star join.
+
+    -> Dataset(r_name, c_mktsegment, n_customers, acctbal_cents)."""
+    import numpy as np
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey")[["n_nationkey", "r_name"]]
+    dim = dim.rename(columns={"n_nationkey": "c_nationkey"})
+    # pandas int32 keys from parquet: align dtype with the fact side
+    dim["c_nationkey"] = dim["c_nationkey"].astype("int32")
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"])
+    joined = broadcast_join(cust, dim, on="c_nationkey")
+
+    def widen(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["r_name", "c_mktsegment"]].copy()
+        out["cents"] = np.floor(
+            b["c_acctbal"].to_numpy() * 100.0
+        ).astype("int64")
+        return out
+
+    return bucketed_groupby_agg(
+        joined.map_batches(widen, batch_format="pandas"),
+        keys=["r_name", "c_mktsegment"],
+        aggs={"n_customers": (None, "count"),
+              "acctbal_cents": ("cents", "sum")},
+    )

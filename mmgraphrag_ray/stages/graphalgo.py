@@ -1085,3 +1085,62 @@ def wl_neighborhood_hashes(nodes_ds, edges_ds,
         return out
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def type_pair_edge_stats(nodes_ds, edges_ds,
+                         node_col: str = "entity_name",
+                         type_col: str = "entity_type",
+                         src_col: str = "src_id", tgt_col: str = "tgt_id",
+                         weight_col: str = "weight",
+                         n_buckets: int = N_BUCKETS):
+    """Ontology profile of the KG: edge counts and total weight per
+    UNORDERED entity-type pair — the schema-level summary ("how do
+    FUNCTIONs relate to CLASSes") a KG owner reads before writing
+    traversal queries or fixing the extraction prompt.
+
+    -> Dataset(type_a, type_b, n_edges, weight_sum) with
+    type_a <= type_b (bytewise) and integer weight sums.
+
+    Shape: two bucketed joins stamp endpoint types onto the edge list
+    (node-type table is node-sized -> broadcast plan under the join cap),
+    then one combiner-backed grouped reduce over the vocabulary-bounded
+    type-pair key space."""
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    types_src = nodes_ds.map_batches(
+        lambda b: b[[node_col, type_col]].rename(
+            columns={node_col: src_col, type_col: "type_src"}),
+        batch_format="pandas",
+    )
+    types_tgt = nodes_ds.map_batches(
+        lambda b: b[[node_col, type_col]].rename(
+            columns={node_col: tgt_col, type_col: "type_tgt"}),
+        batch_format="pandas",
+    )
+    e = edges_ds.map_batches(
+        lambda b: b[[src_col, tgt_col, weight_col]], batch_format="pandas"
+    )
+    j1 = bucketed_join(e, types_src, on=src_col, small_side="right",
+                       n_buckets=n_buckets).materialize()
+    j2 = bucketed_join(j1, types_tgt, on=tgt_col, small_side="right",
+                       n_buckets=n_buckets)
+
+    def widen(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"type_a": pd.Series(dtype=object),
+                                 "type_b": pd.Series(dtype=object),
+                                 "w": pd.Series(dtype="int64")})
+        lo = np.minimum(b["type_src"], b["type_tgt"])
+        hi = np.maximum(b["type_src"], b["type_tgt"])
+        return pd.DataFrame({
+            "type_a": lo, "type_b": hi,
+            "w": b[weight_col].to_numpy().astype("int64"),
+        })
+
+    return bucketed_groupby_agg(
+        j2.map_batches(widen, batch_format="pandas"),
+        keys=["type_a", "type_b"],
+        aggs={"n_edges": (None, "count"), "weight_sum": ("w", "sum")},
+        n_buckets=n_buckets,
+    )

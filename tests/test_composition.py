@@ -246,3 +246,18 @@ def test_q6_pushdown_matches_unfiltered_compute():
     """).df()
     assert int(out["revenue_cents"].iloc[0]) == int(want["revenue_cents"].iloc[0])
     assert int(out["n_rows"].iloc[0]) == int(want["n_rows"].iloc[0])
+
+
+def test_curation_funnel_is_monotone_and_consistent():
+    from mmgraphrag_ray.pipelines.relational import curation_funnel, doc_curation
+
+    fun = curation_funnel("/root/testdata/sf0.001").to_pandas() \
+        .sort_values("rule_idx").reset_index(drop=True)
+    assert list(fun["rule"]) == ["keep_exact", "keep_lang",
+                                 "keep_quality", "keep_decon"]
+    # the cumulative column never increases down the funnel
+    assert (fun["n_cum"].diff().dropna() <= 0).all()
+    # last cumulative == total keeps from the per-doc verdicts
+    flags = doc_curation("/root/testdata/sf0.001").to_pandas()
+    assert fun["n_cum"].iloc[-1] == flags["keep"].sum()
+    assert fun["n_pass"].iloc[1] == flags["keep_lang"].sum()

@@ -220,3 +220,28 @@ def test_wl_hashes_distinguish_environments():
     assert out.loc["iso", "wl1"] != out.loc["a", "wl1"]
     assert out.loc["iso", "wl1"] == hashlib.md5(b"T1|").hexdigest()[:16]
     assert out.loc["b", "n_neighbors"] == 2
+
+
+def test_type_pair_edge_stats_unordered_pairs():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.graphalgo import type_pair_edge_stats
+
+    nodes = pd.DataFrame({
+        "entity_name": ["a", "b", "c"],
+        "entity_type": ["T2", "T1", "T1"],
+    })
+    # a-b (T2,T1) and b-a-direction pair c-a (T1,T2): same unordered key
+    edges = pd.DataFrame({"src_id": ["a", "c", "b"],
+                          "tgt_id": ["b", "a", "c"],
+                          "weight": [2.0, 3.0, 5.0]})
+    out = (
+        type_pair_edge_stats(ray.data.from_pandas(nodes),
+                             ray.data.from_pandas(edges))
+        .to_pandas().sort_values(["type_a", "type_b"]).reset_index(drop=True)
+    )
+    t12 = out[(out["type_a"] == "T1") & (out["type_b"] == "T2")]
+    assert t12["n_edges"].iloc[0] == 2 and t12["weight_sum"].iloc[0] == 5
+    t11 = out[(out["type_a"] == "T1") & (out["type_b"] == "T1")]
+    assert t11["n_edges"].iloc[0] == 1 and t11["weight_sum"].iloc[0] == 5

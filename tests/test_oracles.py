@@ -64,6 +64,8 @@ CASES = [
     "doc_phrase_match",
     "events_rfm",
     "q6_revenue",
+    "region_segment_stats",
+    "kg_type_pairs",
 ]
 
 
