@@ -2144,6 +2144,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nodes, edges = _build_graph_cached(sf_dir)
         return wl_neighborhood_hashes(nodes, edges)
 
+    def code_clones_q(sf_dir):
+        # type-2 (parameterized) code-clone groups: digit-abstracted
+        # function bodies occurring in >= 2 distinct files
+        from mmgraphrag_ray.stages.codegraph import function_clones
+
+        files = ray.data.read_parquet(_corpus(sf_dir),
+                                      columns=["repo", "path", "content"])
+        return function_clones(files, min_files=2)
+
+    def doc_winnow_q(sf_dir):
+        # MOSS winnowing fingerprints: rightmost-min-per-window k-gram
+        # hash selection, per-doc signature digest
+        from mmgraphrag_ray.stages.textstats import winnow_fingerprints
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return winnow_fingerprints(docs, k=4, w=4)
+
     def kg_type_pairs_q(sf_dir):
         # KG ontology profile: edge count + integer weight sum per
         # unordered entity-type pair
@@ -2364,6 +2382,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_curation_funnel": relational.curation_funnel,
         "region_segment_stats": relational.region_segment_stats,
         "kg_type_pairs": kg_type_pairs_q,
+        "code_clones": code_clones_q,
+        "doc_winnow": doc_winnow_q,
         "events_sessions": relational.events_sessions,
         "events_sliding_window": relational.events_sliding_window,
         "events_hll_registers": relational.events_hll_registers,
@@ -3554,6 +3574,76 @@ FROM rankedkb WHERE rn = 1
             SELECT r.repo, r.n_rows, r.n_cats, top.top_cat,
                    CAST(top.n * 1000000 // r.n_rows AS BIGINT) AS top_ppm
             FROM r JOIN top USING (repo)
+        """,
+        # type-2 clone groups: '\ndef '-split segments (shared verbatim
+        # with function_clones — RE2 has no lookahead for block regexes),
+        # digit-abstracted, md5'd, grouped with a distinct-file gate
+        "code_clones": f"""
+            WITH parts AS (
+              SELECT repo, path,
+                     unnest(str_split(content, chr(10) || 'def ')) AS seg,
+                     unnest(range(1, len(str_split(content,
+                                    chr(10) || 'def ')) + 1)) AS i
+              FROM read_parquet('{corpus}/*.parquet')
+            ),
+            fn AS (
+              SELECT repo, path,
+                     substr(md5(regexp_replace(seg, '[0-9]+', '#', 'g')),
+                            1, 16) AS ch
+              FROM parts WHERE i > 1
+            )
+            SELECT ch AS clone_hash,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT repo || '/' || path) AS BIGINT)
+                     AS n_files
+            FROM fn GROUP BY 1
+            HAVING count(DISTINCT repo || '/' || path) >= 2
+        """,
+        # MOSS winnowing: k=4-gram md5 hashes, w=4 windows, rightmost-min
+        # selection (ORDER BY h, pos DESC), per-doc ordered signature md5
+        "doc_winnow": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, greatest(len(ws) - 3, 0) AS n,
+                     unnest(range(1, greatest(len(ws) - 3, 0) + 1)) AS i, ws
+              FROM w
+            ),
+            gh AS (
+              SELECT doc_id, n, i - 1 AS pos,
+                     CAST(('0x' || substr(md5(array_to_string(
+                       list_slice(ws, i, i + 3), ' ')), 1, 8)) AS BIGINT) AS h
+              FROM g
+            ),
+            starts AS (
+              SELECT doc_id, unnest(range(0, greatest(n - 4, 0) + 1)) AS s
+              FROM (SELECT DISTINCT doc_id, n FROM gh)
+            ),
+            sel AS (
+              SELECT DISTINCT doc_id, pos, h FROM (
+                SELECT st.doc_id, st.s, b.pos, b.h,
+                       row_number() OVER (PARTITION BY st.doc_id, st.s
+                                          ORDER BY b.h, b.pos DESC) AS rn
+                FROM starts st JOIN gh b ON b.doc_id = st.doc_id
+                     AND b.pos BETWEEN st.s AND st.s + 3
+              ) WHERE rn = 1
+            ),
+            fp AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_selected,
+                     substr(md5(string_agg(
+                       CAST(pos AS VARCHAR) || ':' || CAST(h AS VARCHAR),
+                       ' ' ORDER BY pos)), 1, 16) AS fp16
+              FROM sel GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   CAST(greatest(len(w.ws) - 3, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(fp.n_selected, 0) AS BIGINT) AS n_selected,
+                   coalesce(fp.fp16, substr(md5(''), 1, 16)) AS fp16
+            FROM w LEFT JOIN fp ON fp.doc_id = w.doc_id
         """,
         # curation funnel: one scan of the composed curation CTE, then a
         # constant unpivot of the 8 counters (gate order exact->lang->

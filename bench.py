@@ -117,6 +117,8 @@ def _bench_main() -> None:
             "emb_kmeans",
             "q3_shipping",
             "doc_shuffle_order",
+            "q6_revenue",
+            "events_window_users",
         ]:
             t0 = time.time()
             res = qs[name](sf_dir)

@@ -142,3 +142,61 @@ def complexity_scores(files_ds, key_cols: tuple = ("repo", "path"),
         return out
 
     return files_ds.map_batches(score, batch_format="pandas")
+
+
+def function_clones(files_ds, key_cols: tuple = ("repo", "path"),
+                    text_col: str = "content", min_files: int = 2,
+                    n_buckets: int = 32):
+    """Type-2 code-clone detection (parameterized clones): split each file
+    into function segments on '\\ndef ', abstract away numeric literals
+    ([0-9]+ -> '#'), md5 the normalized body, and report every normalized
+    body occurring in >= ``min_files`` distinct files — the clone-group
+    report a code-corpus dedup pass runs where LINE-level dedup
+    (dedup_lines) misses renamed-constant copies.  The '\\ndef ' split is
+    shared verbatim with the SQL mirror (RE2 has no lookahead, so a
+    function-block REGEX could not be mirrored; a plain split can).
+
+    -> Dataset(clone_hash, n_occurrences, n_files), n_files >= min_files.
+
+    Shape: one stateless pass emits (hash16, filekey) rows — never bodies;
+    one hash-bucketed grouped reduce computes total + distinct-file counts
+    per clone hash (a boilerplate clone group concentrates in one bucket;
+    its reduce state is the group's (hash, filekey) distinct rows, bounded
+    by corpus file count, not occurrences)."""
+    import hashlib
+
+    digits = re.compile(r"[0-9]+")
+
+    def to_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        hs, fks = [], []
+        for idx in range(len(batch)):
+            fkey = "/".join(str(batch[c].iloc[idx]) for c in key_cols)
+            segs = str(batch[text_col].iloc[idx]).split("\ndef ")
+            for seg in segs[1:]:
+                norm = digits.sub("#", seg)
+                hs.append(hashlib.md5(norm.encode()).hexdigest()[:16])
+                fks.append(fkey)
+        out = pd.DataFrame({"ch": pd.Series(hs, dtype=object),
+                            "fkey": pd.Series(fks, dtype=object)})
+        if len(out):
+            out["_bucket"] = out["ch"].map(
+                lambda s: zlib.crc32(s.encode()) % n_buckets
+            ).astype("int32")
+        else:
+            out["_bucket"] = pd.Series(dtype="int32")
+        return strip_pd_metadata(out) if len(out) else out
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("ch", sort=False)
+        out = pd.DataFrame({
+            "n_occurrences": g.size().astype("int64"),
+            "n_files": g["fkey"].nunique().astype("int64"),
+        }).reset_index(names="clone_hash")
+        return out[out["n_files"] >= min_files]
+
+    return (
+        files_ds.map_batches(to_rows, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(8)
+    )

@@ -59,3 +59,21 @@ def test_complexity_scores_counts_branches_and_defs():
     assert out.loc[0, "n_funcs"] == 2
     assert out.loc[0, "n_branches"] == 3
     assert out.loc[0, "complexity"] == 5
+
+
+def test_function_clones_abstracts_numeric_literals():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.codegraph import function_clones
+
+    fa = "# head\ndef f(a):\n    v = 111 * 2\n    return v\n"
+    fb = "# head\ndef f(a):\n    v = 999 * 7\n    return v\n"
+    fc = "# head\ndef g(a, b):\n    return a - b\n"
+    df = pd.DataFrame({"repo": ["r1", "r2", "r3"],
+                       "path": ["a.py", "b.py", "c.py"],
+                       "content": [fa, fb, fc]})
+    out = function_clones(ray.data.from_pandas(df), min_files=2).to_pandas()
+    # fa and fb differ only in numbers -> one clone group across 2 files
+    assert len(out) == 1
+    assert out["n_files"].iloc[0] == 2 and out["n_occurrences"].iloc[0] == 2

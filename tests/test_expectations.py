@@ -56,3 +56,24 @@ def test_unknown_kind_raises():
     df = pd.DataFrame({"x": [1]})
     with pytest.raises(Exception):
         _run(df, [expect("bad", "x", "no_such_kind")])
+
+
+def test_winnow_fingerprints_guarantee_and_density():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.textstats import winnow_fingerprints
+
+    # identical docs share the fingerprint digest; a short doc gets the
+    # empty digest; selection is sparse (<= n_grams)
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": [t, t, "one two"]})
+    out = (
+        winnow_fingerprints(ray.data.from_pandas(df), k=4, w=4)
+        .to_pandas().set_index("doc_id")
+    )
+    assert out.loc[1, "fp16"] == out.loc[2, "fp16"]
+    assert out.loc[1, "n_grams"] == 7
+    assert 1 <= out.loc[1, "n_selected"] <= 7
+    assert out.loc[3, "n_grams"] == 0 and out.loc[3, "n_selected"] == 0

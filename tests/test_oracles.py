@@ -66,6 +66,8 @@ CASES = [
     "q6_revenue",
     "region_segment_stats",
     "kg_type_pairs",
+    "code_clones",
+    "doc_winnow",
 ]
 
 
