@@ -2144,6 +2144,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nodes, edges = _build_graph_cached(sf_dir)
         return wl_neighborhood_hashes(nodes, edges)
 
+    def events_lateness_q(sf_dir):
+        # streaming out-of-orderness diagnostic: per-user watermark
+        # lateness in arrival (event_id) order, exact integer µs
+        from mmgraphrag_ray.stages.window import lateness_profile
+
+        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["user_id", "ts", "event_id"])
+        return lateness_profile(ev, key="user_id", ts_col="ts",
+                                arrival_col="event_id")
+
     def code_clones_q(sf_dir):
         # type-2 (parameterized) code-clone groups: digit-abstracted
         # function bodies occurring in >= 2 distinct files
@@ -2384,6 +2394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_type_pairs": kg_type_pairs_q,
         "code_clones": code_clones_q,
         "doc_winnow": doc_winnow_q,
+        "events_lateness": events_lateness_q,
         "events_sessions": relational.events_sessions,
         "events_sliding_window": relational.events_sliding_window,
         "events_hll_registers": relational.events_hll_registers,
@@ -3574,6 +3585,29 @@ FROM rankedkb WHERE rn = 1
             SELECT r.repo, r.n_rows, r.n_cats, top.top_cat,
                    CAST(top.n * 1000000 // r.n_rows AS BIGINT) AS top_ppm
             FROM r JOIN top USING (repo)
+        """,
+        # watermark-lateness profile: exclusive running max of event time
+        # in arrival (event_id) order, exact µs lateness per user
+        "events_lateness": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     max(ts) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS wm
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN wm > ts THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_late,
+                   CAST(coalesce(max(CASE WHEN wm > ts
+                          THEN epoch_us(wm) - epoch_us(ts) ELSE 0 END), 0)
+                        AS BIGINT) AS max_lateness_us,
+                   CAST(coalesce(sum(CASE WHEN wm > ts
+                          THEN epoch_us(wm) - epoch_us(ts) ELSE 0 END), 0)
+                        AS BIGINT) AS sum_lateness_us
+            FROM o GROUP BY 1
         """,
         # type-2 clone groups: '\ndef '-split segments (shared verbatim
         # with function_clones — RE2 has no lookahead for block regexes),

@@ -672,3 +672,69 @@ def scd2_intervals(
         .map_groups(per_bucket, batch_format="pandas")
         .repartition(8)
     )
+
+
+def lateness_profile(
+    ds,
+    key: str,
+    ts_col: str,
+    arrival_col: str,
+    n_buckets: int = N_BUCKETS,
+):
+    """Out-of-orderness / watermark-lateness profile — the diagnostic a
+    streaming pipeline runs before choosing watermark delay and window
+    allowed-lateness: process events in ARRIVAL order (``arrival_col``),
+    track the running event-time high watermark per key, and measure how
+    far behind it each event's timestamp arrives.
+
+    -> Dataset(key, n_events, n_late, max_lateness_us, sum_lateness_us):
+    late = event-time strictly below the watermark at arrival; lateness
+    in exact integer microseconds (0s when a key has no late events).
+
+    Shape: the module's ONE-shuffle grouped-window contract — per-key
+    cummax over the arrival-sorted bucket, vectorized; one row per key
+    leaves the reduce."""
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..arrowutil import strip_pd_metadata
+
+        out = batch[[key, ts_col, arrival_col]].copy()
+        out["_lbucket"] = _bucket_of(out[key], n_buckets)
+        return strip_pd_metadata(out) if len(out) else out
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame(
+                {key: pd.Series(dtype="int64"),
+                 "n_events": pd.Series(dtype="int64"),
+                 "n_late": pd.Series(dtype="int64"),
+                 "max_lateness_us": pd.Series(dtype="int64"),
+                 "sum_lateness_us": pd.Series(dtype="int64")}
+            )
+        b = bucket.sort_values([key, arrival_col], kind="mergesort")
+        # normalize to µs regardless of the input's datetime resolution
+        b = b.assign(_ts_us=b[ts_col].astype("datetime64[us]").astype("int64"))
+        ts = b["_ts_us"].to_numpy()
+        g = b.groupby(key, sort=False)
+        # watermark BEFORE each event: per-key exclusive running max
+        wm = g["_ts_us"].transform(
+            lambda s: s.cummax().shift(1)
+        ).to_numpy()
+        late = np.nan_to_num(wm - ts, nan=0.0)
+        late = np.where(late > 0, late, 0).astype("int64")
+        out = pd.DataFrame({key: b[key].to_numpy(), "late": late})
+        gg = out.groupby(key, sort=False)["late"]
+        res = pd.DataFrame({
+            "n_events": gg.size().astype("int64"),
+            "n_late": gg.apply(lambda s: int((s > 0).sum())).astype("int64"),
+            "max_lateness_us": gg.max().astype("int64"),
+            "sum_lateness_us": gg.sum().astype("int64"),
+        }).reset_index()
+        return res
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_lbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(8)
+    )

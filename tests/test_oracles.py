@@ -68,6 +68,7 @@ CASES = [
     "kg_type_pairs",
     "code_clones",
     "doc_winnow",
+    "events_lateness",
 ]
 
 

@@ -581,3 +581,20 @@ def test_scd2_same_ts_ties_break_by_id():
     )
     # id order 1,2,3 -> values a,b,c all distinct -> 3 versions
     assert list(out["val"]) == ["a", "b", "c"]
+
+
+def test_lateness_profile_counts_watermark_violations():
+    from mmgraphrag_ray.stages.window import lateness_profile
+
+    # arrival order 1..4; event times: 10, 30, 20 (late by 10), 40
+    df = pd.DataFrame({
+        "user_id": [7, 7, 7, 7],
+        "event_id": [1, 2, 3, 4],
+        "ts": pd.to_datetime([10, 30, 20, 40], unit="s"),
+    })
+    out = lateness_profile(ray.data.from_pandas(df), key="user_id",
+                           ts_col="ts", arrival_col="event_id").to_pandas()
+    assert out["n_events"].iloc[0] == 4
+    assert out["n_late"].iloc[0] == 1
+    assert out["max_lateness_us"].iloc[0] == 10_000_000
+    assert out["sum_lateness_us"].iloc[0] == 10_000_000
