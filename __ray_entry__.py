@@ -2144,6 +2144,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nodes, edges = _build_graph_cached(sf_dir)
         return wl_neighborhood_hashes(nodes, edges)
 
+    def emb_ann_recall_q(sf_dir):
+        # ANN acceptance: per-query overlap of IVF top-5 vs exact top-5
+        from mmgraphrag_ray.stages.similarity import ann_recall, ivf_topk
+
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").materialize()
+        qdf = emb.filter(expr="vec_id < 8").to_pandas()
+        qids = qdf["vec_id"].to_numpy()
+        qvecs = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+        brute = brute_topk(emb, qids, qvecs, k=5).map_batches(
+            lambda b: b[["query_vec_id", "vec_id"]], batch_format="pandas"
+        )
+        ivf = ivf_topk(emb, qids, qvecs, k=5, n_centroids=16, nprobe=4
+                       ).map_batches(
+            lambda b: b[["query_vec_id", "vec_id"]], batch_format="pandas"
+        )
+        return ann_recall(brute.materialize(), ivf.materialize())
+
     def events_lateness_q(sf_dir):
         # streaming out-of-orderness diagnostic: per-user watermark
         # lateness in arrival (event_id) order, exact integer µs
@@ -2395,6 +2412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_clones": code_clones_q,
         "doc_winnow": doc_winnow_q,
         "events_lateness": events_lateness_q,
+        "emb_ann_recall": emb_ann_recall_q,
         "events_sessions": relational.events_sessions,
         "events_sliding_window": relational.events_sliding_window,
         "events_hll_registers": relational.events_hll_registers,
@@ -2607,7 +2625,7 @@ def oracle_sql() -> dict[str, str]:
 
     _zexpr = zorder_sql_expr("o_custkey", "o_totalprice", bits=16)
 
-    return {
+    out = {
         "kg_files": kg + "\nSELECT * FROM files",
         "kg_chunks": kg + "\nSELECT * FROM chunks",
         "kg_mentions": kg + "\nSELECT * FROM ent_mentions",
@@ -5244,3 +5262,24 @@ FROM rankedkb WHERE rn = 1
             FROM s GROUP BY 1, 2
         """,
     }
+
+    # composed mirrors (built from the base mirrors above, so the two
+    # definitions can never drift): ANN recall = IVF top-k vs brute top-k
+    out["emb_ann_recall"] = f"""
+        WITH brute AS ({out['ann_topk']}),
+        ivf AS ({out['ann_ivf_topk']}),
+        common AS (
+          SELECT b.query_vec_id, count(*) AS n_common
+          FROM brute b JOIN ivf i
+            ON i.query_vec_id = b.query_vec_id AND i.vec_id = b.vec_id
+          GROUP BY 1
+        ),
+        nb AS (SELECT query_vec_id, count(*) AS n_brute FROM brute GROUP BY 1),
+        ni AS (SELECT query_vec_id, count(*) AS n_ivf FROM ivf GROUP BY 1)
+        SELECT nb.query_vec_id, CAST(nb.n_brute AS BIGINT) AS n_brute,
+               CAST(ni.n_ivf AS BIGINT) AS n_ivf,
+               CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common
+        FROM nb JOIN ni USING (query_vec_id)
+        LEFT JOIN common c USING (query_vec_id)
+    """
+    return out

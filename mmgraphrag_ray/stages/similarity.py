@@ -253,3 +253,48 @@ def ivf_topk(
 
     partials = corpus_ds.map_batches(partial_topk, batch_format="pyarrow")
     return partials.groupby("query_vec_id").map_groups(final_topk, batch_format="pandas")
+
+
+def ann_recall(brute_ds, ivf_ds, qid_col: str = "query_vec_id",
+               id_col: str = "vec_id"):
+    """ANN index acceptance report: per query, how much of the EXACT
+    (brute-force) top-k the approximate (IVF) index recovered — the
+    recall@k eval every vector-store rollout gates on.
+
+    -> Dataset(query_vec_id, n_brute, n_ivf, n_common); recall@k =
+    n_common / n_brute downstream.
+
+    Shape: two grouped combiner reduces over (query, id) membership flags
+    — result sizes are (queries x k), never corpus-sized."""
+    from .groupagg import bucketed_groupby_agg
+
+    def tag(b_col: str, i_col: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            out = b[[qid_col, id_col]].copy()
+            out["b"] = np.int64(1 if b_col == "b" else 0)
+            out["i"] = np.int64(1 if b_col == "i" else 0)
+            return out
+        return fn
+
+    both = brute_ds.map_batches(tag("b", ""), batch_format="pandas").union(
+        ivf_ds.map_batches(tag("i", ""), batch_format="pandas")
+    )
+    flags = bucketed_groupby_agg(
+        both, keys=[qid_col, id_col],
+        aggs={"b": ("b", "max"), "i": ("i", "max")},
+    )
+
+    def widen(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[qid_col]].copy()
+        out["n_brute"] = b["b"].astype("int64")
+        out["n_ivf"] = b["i"].astype("int64")
+        out["n_common"] = (b["b"] * b["i"]).astype("int64")
+        return out
+
+    return bucketed_groupby_agg(
+        flags.map_batches(widen, batch_format="pandas"),
+        keys=[qid_col],
+        aggs={"n_brute": ("n_brute", "sum"),
+              "n_ivf": ("n_ivf", "sum"),
+              "n_common": ("n_common", "sum")},
+    )

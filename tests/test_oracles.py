@@ -69,6 +69,7 @@ CASES = [
     "code_clones",
     "doc_winnow",
     "events_lateness",
+    "emb_ann_recall",
 ]
 
 

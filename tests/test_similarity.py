@@ -93,3 +93,21 @@ def test_ivf_recall_vs_brute(ray_session):
         for q in exact_sets.index
     ]
     assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_ann_recall_counts_overlap():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.similarity import ann_recall
+
+    brute = pd.DataFrame({"query_vec_id": [1, 1, 1, 2, 2],
+                          "vec_id": [10, 11, 12, 20, 21]})
+    ivf = pd.DataFrame({"query_vec_id": [1, 1, 1, 2, 2],
+                        "vec_id": [10, 12, 99, 77, 78]})
+    out = (
+        ann_recall(ray.data.from_pandas(brute), ray.data.from_pandas(ivf))
+        .to_pandas().set_index("query_vec_id").sort_index()
+    )
+    assert out.loc[1, "n_common"] == 2 and out.loc[1, "n_brute"] == 3
+    assert out.loc[2, "n_common"] == 0 and out.loc[2, "n_ivf"] == 2
