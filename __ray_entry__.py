@@ -2144,6 +2144,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nodes, edges = _build_graph_cached(sf_dir)
         return wl_neighborhood_hashes(nodes, edges)
 
+    def kg_assortativity_q(sf_dir):
+        # graph-level health metric: degree-assortativity Pearson
+        # sufficient stats over bidirected edge endpoint degrees
+        from mmgraphrag_ray.stages.graphalgo import (
+            degree_assortativity_components,
+        )
+
+        _, edges = _build_graph_cached(sf_dir)
+        return degree_assortativity_components(edges)
+
     def emb_ann_recall_q(sf_dir):
         # ANN acceptance: per-query overlap of IVF top-5 vs exact top-5
         from mmgraphrag_ray.stages.similarity import ann_recall, ivf_topk
@@ -2413,6 +2423,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow": doc_winnow_q,
         "events_lateness": events_lateness_q,
         "emb_ann_recall": emb_ann_recall_q,
+        "events_dwell": relational.events_dwell,
+        "kg_assortativity": kg_assortativity_q,
         "events_sessions": relational.events_sessions,
         "events_sliding_window": relational.events_sliding_window,
         "events_hll_registers": relational.events_hll_registers,
@@ -2905,6 +2917,23 @@ SELECT n.entity_name, n.entity_type,
        CAST(coalesce(nb.n_nb, 0) AS BIGINT) AS n_neighbors,
        substr(md5(n.entity_type || '|' || coalesce(nb.sig, '')), 1, 16) AS wl1
 FROM nodes n LEFT JOIN nb ON nb.u = n.entity_name
+        """,
+        # degree assortativity: Pearson sufficient stats of endpoint
+        # degrees over every directed edge instance — ONE exact row
+        "kg_assortativity": kg + merge + """,
+bid AS (
+  SELECT src_id AS u, tgt_id AS v FROM edges
+  UNION ALL SELECT tgt_id, src_id FROM edges
+),
+dg AS (SELECT u, count(*) AS deg FROM bid GROUP BY 1),
+st AS (
+  SELECT a.deg AS x, b.deg AS y
+  FROM bid JOIN dg a ON a.u = bid.u JOIN dg b ON b.u = bid.v
+)
+SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+       CAST(sum(y * y) AS BIGINT) AS syy, CAST(sum(x * y) AS BIGINT) AS sxy
+FROM st
         """,
         # KG ontology profile: unordered type-pair edge counts + integer
         # weight sums (graphalgo.type_pair_edge_stats)
@@ -3603,6 +3632,24 @@ FROM rankedkb WHERE rn = 1
             SELECT r.repo, r.n_rows, r.n_cats, top.top_cat,
                    CAST(top.n * 1000000 // r.n_rows AS BIGINT) AS top_ppm
             FROM r JOIN top USING (repo)
+        """,
+        # state dwell time: gap to the next event attributed to the
+        # current event_type, exact integer µs (lead window mirror)
+        "events_dwell": """
+            WITH o AS (
+              SELECT user_id, event_type, ts,
+                     lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS nxt
+              FROM events
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_intervals,
+                   CAST(sum(epoch_us(nxt) - epoch_us(ts))
+                        AS BIGINT) AS total_dwell_us,
+                   CAST(max(epoch_us(nxt) - epoch_us(ts))
+                        AS BIGINT) AS max_dwell_us
+            FROM o WHERE nxt IS NOT NULL GROUP BY 1
         """,
         # watermark-lateness profile: exclusive running max of event time
         # in arrival (event_id) order, exact µs lateness per user

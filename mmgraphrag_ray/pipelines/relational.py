@@ -1140,3 +1140,63 @@ def region_segment_stats(sf_dir: str):
         aggs={"n_customers": (None, "count"),
               "acctbal_cents": ("cents", "sum")},
     )
+
+
+def events_dwell(sf_dir: str):
+    """State dwell-time analysis — "how long do users stay in each state":
+    order each user's events by (ts, event_id); the gap to the NEXT event
+    is dwell time attributed to the CURRENT event_type (the last state has
+    no successor and contributes no dwell).  Exact integer microseconds.
+
+    -> Dataset(event_type, n_intervals, total_dwell_us, max_dwell_us).
+
+    Shape: one user-bucketed grouped-window pass (vectorized shift over
+    the sorted bucket) emitting per-batch per-type partials; one tiny
+    grouped sum over the vocabulary-bounded type key."""
+    import numpy as np
+
+    from ..stages.window import _bucket_of
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        from ..arrowutil import strip_pd_metadata
+
+        out = b.copy()
+        out["_dbucket"] = _bucket_of(out["user_id"], 64)
+        return strip_pd_metadata(out) if len(out) else out
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame(
+                {"event_type": pd.Series(dtype=object),
+                 "n_intervals": pd.Series(dtype="int64"),
+                 "total_dwell_us": pd.Series(dtype="int64"),
+                 "max_dwell_us": pd.Series(dtype="int64")}
+            )
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        ts = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = b["user_id"].to_numpy()
+        nxt_same = np.concatenate([uid[:-1] == uid[1:], [False]])
+        dwell = np.concatenate([ts[1:] - ts[:-1], [0]])
+        d = pd.DataFrame({"event_type": b["event_type"].to_numpy()[nxt_same],
+                          "dw": dwell[nxt_same].astype("int64")})
+        g = d.groupby("event_type", sort=False)["dw"]
+        return pd.DataFrame({
+            "n_intervals": g.size().astype("int64"),
+            "total_dwell_us": g.sum().astype("int64"),
+            "max_dwell_us": g.max().astype("int64"),
+        }).reset_index()
+
+    partials = (
+        ev.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_dbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return bucketed_groupby_agg(
+        partials, keys=["event_type"],
+        aggs={"n_intervals": ("n_intervals", "sum"),
+              "total_dwell_us": ("total_dwell_us", "sum"),
+              "max_dwell_us": ("max_dwell_us", "max")},
+    )

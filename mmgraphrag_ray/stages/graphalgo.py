@@ -1144,3 +1144,64 @@ def type_pair_edge_stats(nodes_ds, edges_ds,
         aggs={"n_edges": (None, "count"), "weight_sum": ("w", "sum")},
         n_buckets=n_buckets,
     )
+
+
+def degree_assortativity_components(edges_ds,
+                                    src_col: str = "src_id",
+                                    tgt_col: str = "tgt_id",
+                                    n_buckets: int = N_BUCKETS):
+    """Degree-assortativity SUFFICIENT STATISTICS of the undirected KG —
+    the one-row graph-level health metric ("do hubs link to hubs?")
+    behind Newman's assortativity coefficient: over every directed edge
+    instance (both orientations), the Pearson components of (deg(u),
+    deg(v)): n, Σx, Σy, Σx², Σy², Σxy, all exact int64.  r = (nΣxy −
+    ΣxΣy) / sqrt((nΣx² − Σx²)(nΣy² − Σy²)) downstream — float only at
+    the last step, outside the engine-comparable surface.
+
+    Shape: ONE grouped degree count, two bucketed joins stamping endpoint
+    degrees onto the bidirected edge list, then the module's standard
+    combiner sum — a graph-sized input reduces to ONE row."""
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    def bidir(b: pd.DataFrame) -> pd.DataFrame:
+        fwd = b[[src_col, tgt_col]].rename(columns={src_col: "u", tgt_col: "v"})
+        rev = b[[tgt_col, src_col]].rename(columns={tgt_col: "u", src_col: "v"})
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    bid = edges_ds.map_batches(bidir, batch_format="pandas").materialize()
+    deg = bucketed_groupby_agg(
+        bid.map_batches(lambda b: b[["u"]], batch_format="pandas"),
+        keys=["u"], aggs={"deg": (None, "count")}, n_buckets=n_buckets,
+    )
+    du = deg.map_batches(
+        lambda b: b.rename(columns={"deg": "du"}), batch_format="pandas"
+    )
+    dv = deg.map_batches(
+        lambda b: b.rename(columns={"u": "v", "deg": "dv"}),
+        batch_format="pandas",
+    )
+    j1 = bucketed_join(bid, du, on="u", small_side="right",
+                       n_buckets=n_buckets).materialize()
+    j2 = bucketed_join(j1, dv, on="v", small_side="right",
+                       n_buckets=n_buckets)
+
+    def widen(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["du"].astype("int64")
+        y = b["dv"].astype("int64")
+        return pd.DataFrame({
+            "_one": np.int64(0),
+            "n": np.int64(1),
+            "sx": x, "sy": y,
+            "sxx": x * x, "syy": y * y, "sxy": x * y,
+        })
+
+    out = bucketed_groupby_agg(
+        j2.map_batches(widen, batch_format="pandas"),
+        keys=["_one"],
+        aggs={c: (c, "sum") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")},
+        n_buckets=n_buckets,
+    )
+    return out.map_batches(
+        lambda b: b.drop(columns=["_one"]), batch_format="pandas"
+    )

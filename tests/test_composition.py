@@ -261,3 +261,23 @@ def test_curation_funnel_is_monotone_and_consistent():
     flags = doc_curation("/root/testdata/sf0.001").to_pandas()
     assert fun["n_cum"].iloc[-1] == flags["keep"].sum()
     assert fun["n_pass"].iloc[1] == flags["keep_lang"].sum()
+
+
+def test_events_dwell_attributes_gaps_to_current_state():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.pipelines.relational import events_dwell
+
+    out = events_dwell("/root/testdata/sf0.001").to_pandas()
+    # every dwell interval is non-negative and the interval count equals
+    # total events minus one per user (each user's last event has no gap)
+    import duckdb
+    con = duckdb.connect()
+    n_ev, n_users = con.sql(
+        "SELECT count(*), count(DISTINCT user_id) FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchone()
+    assert out["n_intervals"].sum() == n_ev - n_users
+    assert (out["total_dwell_us"] >= 0).all()
+    assert (out["max_dwell_us"] <= out["total_dwell_us"]).all()

@@ -245,3 +245,23 @@ def test_type_pair_edge_stats_unordered_pairs():
     assert t12["n_edges"].iloc[0] == 2 and t12["weight_sum"].iloc[0] == 5
     t11 = out[(out["type_a"] == "T1") & (out["type_b"] == "T1")]
     assert t11["n_edges"].iloc[0] == 1 and t11["weight_sum"].iloc[0] == 5
+
+
+def test_degree_assortativity_components_tiny_graph():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.graphalgo import (
+        degree_assortativity_components,
+    )
+
+    # path a-b-c: degrees a=1, b=2, c=1; directed instances:
+    # (1,2),(2,1),(2,1),(1,2) -> n=4, sx=sy=6, sxx=syy=10, sxy=8
+    edges = pd.DataFrame({"src_id": ["a", "b"], "tgt_id": ["b", "c"]})
+    out = degree_assortativity_components(
+        ray.data.from_pandas(edges)
+    ).to_pandas()
+    assert out["n"].iloc[0] == 4
+    assert out["sx"].iloc[0] == 6 and out["sy"].iloc[0] == 6
+    assert out["sxx"].iloc[0] == 10 and out["syy"].iloc[0] == 10
+    assert out["sxy"].iloc[0] == 8

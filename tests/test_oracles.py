@@ -70,6 +70,8 @@ CASES = [
     "doc_winnow",
     "events_lateness",
     "emb_ann_recall",
+    "events_dwell",
+    "kg_assortativity",
 ]
 
 
