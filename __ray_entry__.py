@@ -2144,6 +2144,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nodes, edges = _build_graph_cached(sf_dir)
         return wl_neighborhood_hashes(nodes, edges)
 
+    def code_import_hits_q(sf_dir):
+        # integer HITS over the directed import graph: 2 rounds of
+        # auth<-hub / hub<-auth sums with max-renormalization
+        from mmgraphrag_ray.stages.codegraph import hits_scores
+
+        files = ray.data.read_parquet(_corpus(sf_dir), columns=["content"])
+        return hits_scores(files, rounds=2)
+
     def kg_assortativity_q(sf_dir):
         # graph-level health metric: degree-assortativity Pearson
         # sufficient stats over bidirected edge endpoint degrees
@@ -2425,6 +2433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ann_recall": emb_ann_recall_q,
         "events_dwell": relational.events_dwell,
         "kg_assortativity": kg_assortativity_q,
+        "code_import_hits": code_import_hits_q,
         "events_sessions": relational.events_sessions,
         "events_sliding_window": relational.events_sliding_window,
         "events_hll_registers": relational.events_hll_registers,
@@ -3632,6 +3641,49 @@ FROM rankedkb WHERE rn = 1
             SELECT r.repo, r.n_rows, r.n_cats, top.top_cat,
                    CAST(top.n * 1000000 // r.n_rows AS BIGINT) AS top_ppm
             FROM r JOIN top USING (repo)
+        """,
+        # integer HITS, 2 unrolled rounds: auth = in-sum of hub, hub =
+        # out-sum of auth, each max-renormalized to 1e6 by floor division
+        # (max is order-insensitive -> bit-deterministic like pagerank)
+        "code_import_hits": f"""
+            WITH f AS (
+              SELECT regexp_extract(content, '(?m)^# module: ([\\w.]+)', 1) AS src,
+                     regexp_extract_all(content, '(?m)^import ([\\w.]+)', 1) AS dsts
+              FROM read_parquet('{corpus}/*.parquet')
+            ),
+            e AS (
+              SELECT DISTINCT src, unnest(dsts) AS dst
+              FROM f WHERE src IS NOT NULL AND src <> ''
+            ),
+            nodes AS (SELECT src AS module FROM e UNION SELECT dst FROM e),
+            h0 AS (SELECT module, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+            a1r AS (SELECT e.dst AS module, sum(h0.hub) AS a
+                    FROM e JOIN h0 ON h0.module = e.src GROUP BY 1),
+            a1f AS (SELECT n.module, coalesce(a1r.a, 0) AS a
+                    FROM nodes n LEFT JOIN a1r USING (module)),
+            a1m AS (SELECT greatest(max(a), 1) AS mx FROM a1f),
+            a1 AS (SELECT module, a * 1000000 // mx AS auth FROM a1f, a1m),
+            h1r AS (SELECT e.src AS module, sum(a1.auth) AS h
+                    FROM e JOIN a1 ON a1.module = e.dst GROUP BY 1),
+            h1f AS (SELECT n.module, coalesce(h1r.h, 0) AS h
+                    FROM nodes n LEFT JOIN h1r USING (module)),
+            h1m AS (SELECT greatest(max(h), 1) AS mx FROM h1f),
+            h1 AS (SELECT module, h * 1000000 // mx AS hub FROM h1f, h1m),
+            a2r AS (SELECT e.dst AS module, sum(h1.hub) AS a
+                    FROM e JOIN h1 ON h1.module = e.src GROUP BY 1),
+            a2f AS (SELECT n.module, coalesce(a2r.a, 0) AS a
+                    FROM nodes n LEFT JOIN a2r USING (module)),
+            a2m AS (SELECT greatest(max(a), 1) AS mx FROM a2f),
+            a2 AS (SELECT module, a * 1000000 // mx AS auth FROM a2f, a2m),
+            h2r AS (SELECT e.src AS module, sum(a2.auth) AS h
+                    FROM e JOIN a2 ON a2.module = e.dst GROUP BY 1),
+            h2f AS (SELECT n.module, coalesce(h2r.h, 0) AS h
+                    FROM nodes n LEFT JOIN h2r USING (module)),
+            h2m AS (SELECT greatest(max(h), 1) AS mx FROM h2f),
+            h2 AS (SELECT module, h * 1000000 // mx AS hub FROM h2f, h2m)
+            SELECT h2.module, CAST(h2.hub AS BIGINT) AS hub,
+                   CAST(a2.auth AS BIGINT) AS auth
+            FROM h2 JOIN a2 USING (module)
         """,
         # state dwell time: gap to the next event attributed to the
         # current event_type, exact integer µs (lead window mirror)

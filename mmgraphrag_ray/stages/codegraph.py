@@ -200,3 +200,107 @@ def function_clones(files_ds, key_cols: tuple = ("repo", "path"),
         .map_groups(per_bucket, batch_format="pandas")
         .repartition(8)
     )
+
+
+HITS_SCALE = 1_000_000
+
+
+def hits_scores(files_ds, rounds: int = 2, n_buckets: int = 32):
+    """Integer HITS (Kleinberg hubs & authorities) over the DIRECTED
+    module-import graph — "which modules aggregate the ecosystem (hubs)
+    and which are the load-bearing dependencies (authorities)": per round,
+    auth(v) = Σ hub(u) over importers u->v, then hub(u) = Σ auth(v) over
+    its imports, each renormalized to max = HITS_SCALE by integer floor
+    division (max is order-insensitive, so — like pagerank_int — the whole
+    iteration is bit-deterministic under any shuffle order and exactly
+    SQL-mirrorable; float HITS with an L2 norm would not be).
+
+    -> Dataset(module, hub, auth): every node appearing as src or dst;
+    scores on the HITS_SCALE grid after ``rounds`` full rounds.
+
+    Shape: per round ONE join + grouped sum per direction (score tables
+    are node-sized -> broadcast plan under the join cap); the global max
+    for renormalization is a driver scalar."""
+    import numpy as np
+
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    edges = import_edges(files_ds, n_buckets).materialize()
+    nodes = bucketed_groupby_agg(
+        edges.map_batches(
+            lambda b: pd.DataFrame({"module": pd.concat(
+                [b["src_module"], b["dst_module"]], ignore_index=True)}),
+            batch_format="pandas",
+        ),
+        keys=["module"], aggs={"_n": (None, "count")},
+    ).drop_columns(["_n"]).materialize()
+
+    def renorm(ds, col):
+        mx = ds.max(col)
+        mx = int(mx) if mx else 1
+
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            out = b.copy()
+            out[col] = (out[col] * HITS_SCALE // mx).astype("int64")
+            return out
+
+        return ds.map_batches(fn, batch_format="pandas").materialize()
+
+    hub = nodes.map_batches(
+        lambda b: b.assign(hub=np.int64(HITS_SCALE)), batch_format="pandas"
+    ).materialize()
+
+    auth = None
+    for _ in range(rounds):
+        # auth(v) = sum of hub over in-edges; nodes with no importers -> 0
+        contrib = bucketed_join(
+            edges.map_batches(
+                lambda b: b.rename(columns={"src_module": "module"}),
+                batch_format="pandas",
+            ),
+            hub, on="module", small_side="right", n_buckets=n_buckets,
+        ).map_batches(
+            lambda b: pd.DataFrame({"module": b["dst_module"],
+                                    "auth": b["hub"].astype("int64")}),
+            batch_format="pandas",
+        )
+        sums = bucketed_groupby_agg(
+            contrib, keys=["module"], aggs={"auth": ("auth", "sum")},
+            n_buckets=n_buckets,
+        )
+        auth = bucketed_join(nodes, sums, on="module", how="left",
+                             n_buckets=n_buckets).map_batches(
+            lambda b: b.assign(
+                auth=b["auth"].fillna(0).astype("int64")),
+            batch_format="pandas",
+        ).materialize()
+        auth = renorm(auth, "auth")
+
+        # hub(u) = sum of auth over out-edges
+        contrib = bucketed_join(
+            edges.map_batches(
+                lambda b: b.rename(columns={"dst_module": "module"}),
+                batch_format="pandas",
+            ),
+            auth, on="module", small_side="right", n_buckets=n_buckets,
+        ).map_batches(
+            lambda b: pd.DataFrame({"module": b["src_module"],
+                                    "hub": b["auth"].astype("int64")}),
+            batch_format="pandas",
+        )
+        sums = bucketed_groupby_agg(
+            contrib, keys=["module"], aggs={"hub": ("hub", "sum")},
+            n_buckets=n_buckets,
+        )
+        hub = bucketed_join(nodes, sums, on="module", how="left",
+                            n_buckets=n_buckets).map_batches(
+            lambda b: b.assign(hub=b["hub"].fillna(0).astype("int64")),
+            batch_format="pandas",
+        ).materialize()
+        hub = renorm(hub, "hub")
+
+    out = bucketed_join(hub, auth, on="module", n_buckets=n_buckets)
+    return out.map_batches(
+        lambda b: b[["module", "hub", "auth"]], batch_format="pandas"
+    )

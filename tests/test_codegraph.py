@@ -77,3 +77,27 @@ def test_function_clones_abstracts_numeric_literals():
     # fa and fb differ only in numbers -> one clone group across 2 files
     assert len(out) == 1
     assert out["n_files"].iloc[0] == 2 and out["n_occurrences"].iloc[0] == 2
+
+
+def test_hits_scores_rank_hub_vs_authority():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.codegraph import hits_scores
+
+    # star: m_hub imports a, b, c (hub); a, b, c import nothing; d imports a
+    def mod(name, imports):
+        return f"# module: {name}\n" + "".join(f"import {i}\n" for i in imports)
+
+    files = pd.DataFrame({"content": [
+        mod("hub", ["a", "b", "c"]),
+        mod("d", ["a"]),
+        mod("a", []), mod("b", []), mod("c", []),
+    ]})
+    out = hits_scores(ray.data.from_pandas(files), rounds=2).to_pandas() \
+        .set_index("module")
+    # 'hub' is the max hub; 'a' (imported by 2) is the max authority
+    assert out["hub"].idxmax() == "hub" and out.loc["hub", "hub"] == 1_000_000
+    assert out["auth"].idxmax() == "a" and out.loc["a", "auth"] == 1_000_000
+    assert out.loc["a", "hub"] == 0  # imports nothing
+    assert out.loc["hub", "auth"] == 0  # imported by nobody

@@ -72,6 +72,7 @@ CASES = [
     "emb_ann_recall",
     "events_dwell",
     "kg_assortativity",
+    "code_import_hits",
 ]
 
 
