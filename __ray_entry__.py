@@ -2434,6 +2434,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dwell": relational.events_dwell,
         "kg_assortativity": kg_assortativity_q,
         "code_import_hits": code_import_hits_q,
+        "q4_late_orders": relational.q4_late_orders,
+        "q5_nation_volume": relational.q5_nation_volume,
+        "q13_order_distribution": relational.q13_order_distribution,
+        "q14_promo_share": relational.q14_promo_share,
+        "q18_big_orders": relational.q18_big_orders,
         "events_sessions": relational.events_sessions,
         "events_sliding_window": relational.events_sliding_window,
         "events_hll_registers": relational.events_hll_registers,
@@ -3855,6 +3860,84 @@ FROM rankedkb WHERE rn = 1
               AND l_shipdate < TIMESTAMP '1998-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        # TPC-H Q4 shape: distributed EXISTS (late-shipment semi-join);
+        # exists(l_shipdate > o_orderdate) == max(l_shipdate) > o_orderdate
+        "q4_late_orders": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_late_orders
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        # TPC-H Q5 shape: local-supplier volume (customer nation ==
+        # supplier nation), exact integer cents revenue per nation
+        "q5_nation_volume": """
+            SELECT n_name,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY n_name
+        """,
+        # TPC-H Q13 shape: per-customer order-count distribution including
+        # zero-order customers (left outer join, count non-null)
+        "q13_order_distribution": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (
+              SELECT c_custkey,
+                     CAST(count(o_custkey) AS BIGINT) AS c_count
+              FROM customer
+              LEFT JOIN (SELECT o_custkey FROM orders
+                         WHERE o_orderpriority <> '1-URGENT') o
+                ON c_custkey = o_custkey
+              GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        # TPC-H Q14 shape: promo revenue share as integer ppm (HUGEINT
+        # product before the floor-division, no float ratio)
+        "q14_promo_share": """
+            WITH f AS (
+              SELECT CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT) AS cents,
+                     (p_type = 'PROMO') AS is_promo
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+                AND l_shipdate < TIMESTAMP '1997-09-01')
+            SELECT CAST(coalesce(sum(cents) FILTER (is_promo), 0) AS BIGINT)
+                       AS promo_cents,
+                   CAST(coalesce(sum(cents), 0) AS BIGINT) AS total_cents,
+                   CAST(CASE WHEN coalesce(sum(cents), 0) = 0 THEN 0
+                        ELSE coalesce(sum(cents) FILTER (is_promo), 0)
+                             * 1000000 // sum(cents) END AS BIGINT)
+                       AS promo_ppm
+            FROM f
+        """,
+        # TPC-H Q18 shape: large-volume orders (HAVING over the fact
+        # groupby, join back to the header, deterministic top-k)
+        "q18_big_orders": """
+            SELECT o_orderkey, o_custkey, o_orderdate, total_qty
+            FROM (
+              SELECT l_orderkey AS o_orderkey,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                         AS total_qty
+              FROM lineitem GROUP BY 1
+            ) q
+            JOIN orders USING (o_orderkey)
+            WHERE total_qty > 300
+            ORDER BY total_qty DESC, o_orderkey
+            LIMIT 20
         """,
         # positional phrase retrieval: exact adjacent-token counts via a
         # token/position self-join (same token model as phrase_match; a

@@ -1200,3 +1200,260 @@ def events_dwell(sf_dir: str):
               "total_dwell_us": ("total_dwell_us", "sum"),
               "max_dwell_us": ("max_dwell_us", "max")},
     )
+
+
+def q4_late_orders(sf_dir: str, d1: str = "1997-01-01", d2: str = "1998-01-01"):
+    """TPC-H Q4 shape — the distributed EXISTS: count orders per priority
+    that have at least one lineitem shipped AFTER the order date (the
+    late-shipment proxy; this corpus has no commit/receipt dates).
+
+    Scale plan: lineitem reduces to ONE row per order (max shipdate) via
+    a per-batch combiner + one bucketed shuffle BEFORE it meets orders —
+    the correlated-EXISTS test `any(l_shipdate > o_orderdate)` is exactly
+    `max(l_shipdate) > o_orderdate`, so the semi-join payload is one
+    fixed-width row per order.  Orders are date-pruned at the parquet
+    reader.  The join is the portable bucketed hash join; the final
+    reduce is a 5-row priority count."""
+    import pyarrow.dataset as pads
+
+    d1_ts, d2_ts = pd.Timestamp(d1), pd.Timestamp(d2)
+    from ..runtime import configure
+
+    configure()
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") >= d1_ts.to_pydatetime())
+        & (pads.field("o_orderdate") < d2_ts.to_pydatetime()),
+    ).map_batches(
+        lambda b: b[(b["o_orderdate"] >= d1_ts) & (b["o_orderdate"] < d2_ts)],
+        batch_format="pandas",
+    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    last_ship = bucketed_groupby_agg(
+        li.map_batches(
+            lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}),
+            batch_format="pandas",
+        ),
+        keys=["o_orderkey"],
+        aggs={"max_shipdate": ("l_shipdate", "max")},
+    )
+    from ..stages.join import bucketed_join
+
+    joined = bucketed_join(orders, last_ship, on="o_orderkey", how="inner")
+    late = joined.map_batches(
+        lambda b: b[b["max_shipdate"] > b["o_orderdate"]][["o_orderpriority"]],
+        batch_format="pandas",
+    )
+    return bucketed_groupby_agg(
+        late, keys=["o_orderpriority"], aggs={"n_late_orders": (None, "count")}
+    )
+
+
+def q5_nation_volume(sf_dir: str):
+    """TPC-H Q5 shape — revenue per nation where the CUSTOMER and the
+    SUPPLIER sit in the same nation (the local-supplier-volume join).
+
+    Scale plan: customer and supplier are dimensions — each collapses to
+    a key->nationkey broadcast map applied inside map_batches (no
+    shuffle); lineitem stamps its supplier nation and exact int64 cents
+    revenue per row, orders stamp their customer nation, and the ONLY
+    shuffle is one bucketed orderkey join moving fixed-width rows
+    (orderkey, nation, cents).  The same-nation filter and the final
+    per-nation sum are vectorized; nation names arrive via one last
+    dimension broadcast."""
+    import numpy as np
+
+    from ..stages.join import broadcast_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust_map = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"].astype("int64"))))
+    supp_map = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"].astype("int64"))))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def stamp_cust_nation(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(cust_map)
+        out = pd.DataFrame({
+            "o_orderkey": b["o_orderkey"],
+            "c_nation": b["o_custkey"].map(m).astype("int64"),
+        })
+        from ..arrowutil import strip_pd_metadata
+
+        return strip_pd_metadata(out) if len(out) else out
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def stamp_supp_nation(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(supp_map)
+        cents = np.floor(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy()) * 100.0
+        ).astype("int64")
+        out = pd.DataFrame({
+            "o_orderkey": b["l_orderkey"],
+            "s_nation": b["l_suppkey"].map(m).astype("int64"),
+            "cents": cents,
+        })
+        from ..arrowutil import strip_pd_metadata
+
+        return strip_pd_metadata(out) if len(out) else out
+
+    from ..stages.join import bucketed_join
+
+    joined = bucketed_join(
+        li.map_batches(stamp_supp_nation, batch_format="pandas"),
+        orders.map_batches(stamp_cust_nation, batch_format="pandas"),
+        on="o_orderkey", how="inner",
+    )
+    local = joined.map_batches(
+        lambda b: b[b["s_nation"] == b["c_nation"]][["s_nation", "cents"]]
+        .rename(columns={"s_nation": "n_nationkey"}),
+        batch_format="pandas",
+    )
+    per_nation = bucketed_groupby_agg(
+        local, keys=["n_nationkey"],
+        aggs={"revenue_cents": ("cents", "sum"),
+              "n_items": (None, "count")},
+    )
+    named = broadcast_join(per_nation, nation, on="n_nationkey")
+    return named.map_batches(
+        lambda b: b[["n_name", "revenue_cents", "n_items"]],
+        batch_format="pandas",
+    )
+
+
+def q13_order_distribution(sf_dir: str, excl_priority: str = "1-URGENT"):
+    """TPC-H Q13 shape — the distribution of a distribution: per-customer
+    order counts (orders under a priority filter), INCLUDING the zero
+    customers via a left outer join, then how many customers share each
+    count.
+
+    Scale plan: orders reduce to one (custkey, count) row via combiner +
+    bucketed shuffle; the customer key column left-joins that small
+    profile (bucketed, payload = two int64s per row); missing matches
+    count as 0; the outer groupby is over the tiny count domain."""
+    from ..stages.join import bucketed_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    kept = orders.map_batches(
+        lambda b: b[b["o_orderpriority"] != excl_priority][["o_custkey"]]
+        .rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas",
+    )
+    per_cust = bucketed_groupby_agg(
+        kept, keys=["c_custkey"], aggs={"c_count": (None, "count")}
+    )
+    cust_keys = _read(sf_dir, "customer", ["c_custkey"])
+    joined = bucketed_join(cust_keys, per_cust, on="c_custkey", how="left")
+    counts = joined.map_batches(
+        lambda b: pd.DataFrame(
+            {"c_count": b["c_count"].fillna(0).astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+    return bucketed_groupby_agg(
+        counts, keys=["c_count"], aggs={"custdist": (None, "count")}
+    )
+
+
+def q14_promo_share(sf_dir: str, d1: str = "1997-03-01", d2: str = "1997-09-01"):
+    """TPC-H Q14 shape — promo revenue share: the fraction (integer ppm)
+    of shipped revenue in a date window that comes from parts of type
+    'PROMO'.
+
+    Scale plan: part is a dimension — it collapses to a broadcast
+    partkey->is_promo flag set; lineitem is date-pruned at the reader and
+    folds to TWO int64 counters per batch (promo cents, total cents); the
+    global reduce is a one-row fold.  Share = promo*1_000_000 // total —
+    integer division on both engines, no float ratio."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    d1_ts, d2_ts = pd.Timestamp(d1), pd.Timestamp(d2)
+    from ..runtime import configure
+
+    configure()
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo_keys = ray.put(
+        frozenset(part.loc[part["p_type"] == "PROMO", "p_partkey"].tolist())
+    )
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= d1_ts.to_pydatetime())
+        & (pads.field("l_shipdate") < d2_ts.to_pydatetime()),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["l_shipdate"] >= d1_ts) & (b["l_shipdate"] < d2_ts)
+        s = b[m]
+        cents = np.floor(
+            s["l_extendedprice"].to_numpy()
+            * (1.0 - s["l_discount"].to_numpy()) * 100.0
+        ).astype("int64")
+        promo = s["l_partkey"].isin(ray.get(promo_keys)).to_numpy()
+        return pd.DataFrame({
+            "promo_cents": [int(cents[promo].sum())],
+            "total_cents": [int(cents.sum())],
+        })
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        promo = int(b["promo_cents"].sum())
+        total = int(b["total_cents"].sum())
+        return pd.DataFrame({
+            "promo_cents": [promo],
+            "total_cents": [total],
+            "promo_ppm": [promo * 1_000_000 // total if total else 0],
+        })
+
+    return (
+        li.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas")
+    )
+
+
+def q18_big_orders(sf_dir: str, qty_cut: int = 300, k: int = 20):
+    """TPC-H Q18 shape — large-volume orders: orders whose total lineitem
+    quantity exceeds a threshold, top-k by quantity (HAVING over a fact
+    groupby, then a selective join back to the order header).
+
+    Scale plan: lineitem folds to one (orderkey, sum_qty) row via
+    combiner + bucketed shuffle; the HAVING filter drops all but a
+    handful of rows BEFORE any join, so the orders join back is a
+    broadcast of the tiny survivor set; the top-k is a per-batch partial
+    sort + one global limit with a deterministic orderkey tie-break.
+    Quantities are integral-valued in this corpus, so the sum is an
+    exact int64."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    qty = bucketed_groupby_agg(
+        li.map_batches(
+            lambda b: pd.DataFrame({
+                "o_orderkey": b["l_orderkey"],
+                "qty": b["l_quantity"].astype("int64"),
+            }),
+            batch_format="pandas",
+        ),
+        keys=["o_orderkey"],
+        aggs={"total_qty": ("qty", "sum")},
+    )
+    big = qty.map_batches(
+        lambda b: b[b["total_qty"] > qty_cut], batch_format="pandas"
+    ).materialize()
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    from ..stages.join import bucketed_join
+
+    joined = bucketed_join(orders, big, on="o_orderkey", how="inner",
+                           small_side="right")
+    return (
+        joined.sort(["total_qty", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )

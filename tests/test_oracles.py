@@ -73,6 +73,11 @@ CASES = [
     "events_dwell",
     "kg_assortativity",
     "code_import_hits",
+    "q4_late_orders",
+    "q5_nation_volume",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q18_big_orders",
 ]
 
 
