@@ -1367,6 +1367,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      columns=["doc_id", "text"])
         return bm25_topk(docs, BM25_QUERIES, k=10)
 
+    def doc_mmr_topk_q(sf_dir):
+        # Maximal Marginal Relevance diversified top-5 per query: greedy
+        # argmax(bm25 − 50000·max shared-distinct-terms with selected),
+        # bounded O(q·n²) work over the top-20 BM25 candidate set
+        from mmgraphrag_ray.stages.retrieval import mmr_topk
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return mmr_topk(docs, BM25_QUERIES, k=5, n_candidates=20)
+
+    def doc_entropy_q(sf_dir):
+        # integer token-entropy surrogate H' = S·ilog2(S) − Σ tf·ilog2(tf)
+        from mmgraphrag_ray.stages.textstats import doc_token_entropy
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return doc_token_entropy(docs)
+
     def doc_prf_terms_q(sf_dir):
         # RM3-style pseudo-relevance feedback, expansion half: top-5
         # expansion terms per query by summed tf over the BM25 top-5
@@ -2350,6 +2368,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_postings": token_postings_q,
         "doc_tfidf_topk": doc_tfidf_topk_q,
         "doc_bm25_topk": doc_bm25_topk_q,
+        "doc_mmr_topk": doc_mmr_topk_q,
+        "doc_entropy": doc_entropy_q,
+        "events_decay": relational.events_decay,
+        "events_transitions": relational.events_transitions,
         "doc_prf_terms": doc_prf_terms_q,
         "doc_prf_topk": doc_prf_topk_q,
         "doc_rrf_fusion": doc_rrf_fusion_q,
@@ -3860,6 +3882,58 @@ FROM rankedkb WHERE rn = 1
               AND l_shipdate < TIMESTAMP '1998-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        # integer token-entropy surrogate: exact floored log2 via
+        # length(bin(x))-1 on both engines (bit_length-1 in Python)
+        "doc_entropy": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+              FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+            agg AS (
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(sum(c * (length(bin(c)) - 1)) AS BIGINT) AS s_tf
+              FROM tf GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+                   CAST(CASE WHEN a.n_tokens IS NULL THEN 0
+                        ELSE a.n_tokens * (length(bin(a.n_tokens)) - 1)
+                             - a.s_tf END AS BIGINT) AS entropy_s
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # power-of-two time-decay (half-life = 1 week), exact integer µs
+        "events_decay": """
+            WITH w AS (
+              SELECT user_id,
+                     (CAST(1 AS BIGINT) << CAST(
+                        20 - least(greatest(
+                          epoch_us(TIMESTAMP '1998-01-01') - epoch_us(ts),
+                          0) // 604800000000, 20) AS INTEGER)) AS w
+              FROM events)
+            SELECT user_id, CAST(sum(w) AS BIGINT) AS decay_score,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM w GROUP BY 1
+        """,
+        # first-order Markov transitions in (ts, event_id) arrival order,
+        # row-normalized to integer ppm
+        "events_transitions": """
+            WITH o AS (
+              SELECT event_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS next_type
+              FROM events),
+            c AS (SELECT event_type AS prev_type, next_type,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+            t AS (SELECT prev_type, sum(n) AS row_total FROM c GROUP BY 1)
+            SELECT c.prev_type, c.next_type, c.n,
+                   CAST(c.n * 1000000 // t.row_total AS BIGINT) AS ppm
+            FROM c JOIN t USING (prev_type)
         """,
         # TPC-H Q4 shape: distributed EXISTS (late-shipment semi-join);
         # exists(l_shipdate > o_orderdate) == max(l_shipdate) > o_orderdate
@@ -5463,5 +5537,68 @@ FROM rankedkb WHERE rn = 1
                CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common
         FROM nb JOIN ni USING (query_vec_id)
         LEFT JOIN common c USING (query_vec_id)
+    """
+
+    # MMR mirror: candidate CTE derived from the BM25 mirror (k bumped to
+    # 20 textually so the scoring definitions cannot drift), pairwise
+    # shared-distinct-term sims, then the k greedy rounds unrolled.
+    _bm25_20 = out["doc_bm25_topk"].replace("rank <= 10", "rank <= 20")
+    _mmr_rounds = []
+    for i in range(2, 6):
+        p = i - 1
+        _mmr_rounds.append(f"""
+        m{i} AS MATERIALIZED (
+          SELECT c.qid, c.doc_id,
+                 max(c.score) - 50000 * max(coalesce(ss.shared, 0)) AS mmr
+          FROM r{p} c
+          JOIN sel{p} s ON s.qid = c.qid
+          LEFT JOIN simsym ss ON ss.qid = c.qid AND ss.doc_a = c.doc_id
+                             AND ss.doc_b = s.doc_id
+          GROUP BY c.qid, c.doc_id
+        ),
+        s{i} AS MATERIALIZED (
+          SELECT qid, doc_id, CAST(mmr AS BIGINT) AS mmr_score,
+                 CAST({i} AS BIGINT) AS mmr_rank
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY qid ORDER BY mmr DESC, doc_id) rn FROM m{i})
+          WHERE rn = 1
+        ),
+        sel{i} AS MATERIALIZED (SELECT qid, doc_id FROM sel{p}
+                   UNION ALL SELECT qid, doc_id FROM s{i}),
+        r{i} AS MATERIALIZED (SELECT c.* FROM r{p} c WHERE NOT EXISTS (
+                   SELECT 1 FROM s{i} s
+                   WHERE s.qid = c.qid AND s.doc_id = c.doc_id))""")
+    out["doc_mmr_topk"] = f"""
+        WITH cand AS MATERIALIZED (SELECT qid, doc_id, score FROM ({_bm25_20})),
+        ct AS MATERIALIZED (SELECT DISTINCT qid, doc_id, term FROM (
+          SELECT c.qid, c.doc_id,
+                 unnest(regexp_extract_all(lower(d.text), '[a-z]+')) AS term
+          FROM cand c JOIN documents d USING (doc_id))),
+        sim AS MATERIALIZED (
+          SELECT a.qid, a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS shared
+          FROM ct a JOIN ct b ON a.qid = b.qid AND a.term = b.term
+                             AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3),
+        simsym AS MATERIALIZED (SELECT qid, doc_a, doc_b, shared FROM sim
+                   UNION ALL
+                   SELECT qid, doc_b AS doc_a, doc_a AS doc_b, shared
+                   FROM sim),
+        s1 AS MATERIALIZED (
+          SELECT qid, doc_id, CAST(score AS BIGINT) AS mmr_score,
+                 CAST(1 AS BIGINT) AS mmr_rank
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY qid ORDER BY score DESC, doc_id) rn FROM cand)
+          WHERE rn = 1),
+        sel1 AS MATERIALIZED (SELECT qid, doc_id FROM s1),
+        r1 AS MATERIALIZED (SELECT c.* FROM cand c WHERE NOT EXISTS (
+                 SELECT 1 FROM sel1 s
+                 WHERE s.qid = c.qid AND s.doc_id = c.doc_id)),
+        {','.join(_mmr_rounds)}
+        SELECT qid, doc_id, mmr_rank, mmr_score FROM s1
+        UNION ALL SELECT qid, doc_id, mmr_rank, mmr_score FROM s2
+        UNION ALL SELECT qid, doc_id, mmr_rank, mmr_score FROM s3
+        UNION ALL SELECT qid, doc_id, mmr_rank, mmr_score FROM s4
+        UNION ALL SELECT qid, doc_id, mmr_rank, mmr_score FROM s5
     """
     return out

@@ -1457,3 +1457,99 @@ def q18_big_orders(sf_dir: str, qty_cut: int = 300, k: int = 20):
         joined.sort(["total_qty", "o_orderkey"], descending=[True, False])
         .limit(k)
     )
+
+
+def events_decay(sf_dir: str, ref: str = "1998-01-01", k_max: int = 20,
+                 week_us: int = 7 * 24 * 3600 * 1_000_000):
+    """Exponentially time-decayed engagement score per user — the
+    recency-weighted activity signal behind churn/engagement ranking,
+    with the decay kept EXACT: an event aged ``a`` whole weeks at the
+    reference instant contributes ``2^(k_max − min(a, k_max))`` (half-life
+    = one week, power-of-two weights, no float decay).  Bit-deterministic
+    and mirrored by DuckDB's ``<<`` on the same integer ages.
+
+    Scale shape: one streaming pass stamps each event's weight
+    vectorized (integer µs arithmetic + numpy shifts); the per-user fold
+    is the standard combiner + bucketed-sum groupby.  -> Dataset(user_id,
+    decay_score, n_events)."""
+    import numpy as np
+
+    ref_us = int(pd.Timestamp(ref).value // 1000)
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        age = np.maximum(ref_us - ts, 0) // week_us
+        shift = k_max - np.minimum(age, k_max)
+        return pd.DataFrame({
+            "user_id": b["user_id"].astype("int64"),
+            "w": (np.int64(1) << shift.astype("int64")),
+        })
+
+    return bucketed_groupby_agg(
+        ev.map_batches(stamp, batch_format="pandas"),
+        keys=["user_id"],
+        aggs={"decay_score": ("w", "sum"), "n_events": (None, "count")},
+    )
+
+
+def events_transitions(sf_dir: str):
+    """First-order Markov transition profile over per-user event streams:
+    for every ordered (prev_type, next_type) adjacency in (ts, event_id)
+    arrival order, the exact transition count and its row-normalized
+    probability in integer ppm (n·1e6 // total-from-prev) — the
+    session-model / anomaly-baseline input next to events_path_trigrams.
+
+    Scale shape: adjacency extraction is the one user-bucketed window
+    pass this repo's grouped-window contract always uses (sort only
+    inside a user bucket); counts reduce by the tiny type×type vocabulary;
+    the row totals fold over the type vocabulary and broadcast back as a
+    dimension join.  -> Dataset(prev_type, next_type, n, ppm)."""
+    import numpy as np
+
+    from ..stages.join import broadcast_join
+    from ..stages.window import _bucket_of  # shared user-bucket hash
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        from ..arrowutil import strip_pd_metadata
+
+        out = b.copy()
+        out["_tbucket"] = _bucket_of(out["user_id"], 64)
+        return strip_pd_metadata(out) if len(out) else out
+
+    def adjacencies(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame({
+                "prev_type": pd.Series(dtype=object),
+                "next_type": pd.Series(dtype=object),
+            })
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        uid = b["user_id"].to_numpy()
+        same = np.concatenate([uid[:-1] == uid[1:], [False]])
+        et = b["event_type"].to_numpy()
+        nxt = np.concatenate([et[1:], [""]])
+        return pd.DataFrame({"prev_type": et[same], "next_type": nxt[same]})
+
+    adj = (
+        ev.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_tbucket")
+        .map_groups(adjacencies, batch_format="pandas")
+    )
+    counts = bucketed_groupby_agg(
+        adj, keys=["prev_type", "next_type"], aggs={"n": (None, "count")}
+    ).materialize()
+    totals = (
+        counts.to_pandas().groupby("prev_type")["n"].sum().rename("row_total")
+        .reset_index()
+    )  # type-vocabulary-sized (bounded)
+    joined = broadcast_join(counts, totals, on="prev_type")
+    return joined.map_batches(
+        lambda b: b.assign(
+            ppm=(b["n"].astype("int64") * 1_000_000
+                 // b["row_total"].astype("int64"))
+        )[["prev_type", "next_type", "n", "ppm"]],
+        batch_format="pandas",
+    )

@@ -507,3 +507,158 @@ def phrase_match(
         })
 
     return documents_ds.map_batches(scan, batch_format="pandas")
+
+
+MMR_PENALTY = 50_000  # integer λ trade-off: score − PEN·(shared terms)
+
+
+def mmr_topk(
+    documents_ds,
+    queries: dict[str, str | list[str]],
+    k: int = 5,
+    n_candidates: int = 20,
+    penalty: int = MMR_PENALTY,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein
+    1998) — the result-diversification pass a training-data pipeline runs
+    over retrieval output before human review or few-shot selection, so
+    the k picks aren't k near-duplicates.
+
+    All-integer MMR: relevance = the integer BM25 surrogate (bm25_topk);
+    redundancy(a, b) = count of shared DISTINCT [a-z]+ tokens between the
+    two docs; greedy round i picks, per query,
+    ``argmax(score − penalty · max_sim_to_selected)`` with ties broken by
+    doc_id asc (round 1 = plain argmax(score)).  Bit-deterministic under
+    any shuffle order, so the DuckDB mirror unrolls the k greedy rounds.
+
+    Scale shape: candidates are capped at ``n_candidates`` per query by
+    bm25_topk (combiner top-k, no global sort), so the quadratic part —
+    pairwise shared-term counts and the greedy itself — touches only
+    O(q·n²) bounded work: candidate token sets ride ONE broadcast
+    semi-join of the corpus (distinct terms per candidate doc), pair
+    counts group by (qid, term) with ≤ n docs per group, and the greedy
+    runs inside per-qid map_groups.  The corpus is never shuffled.
+
+    -> Dataset(qid, doc_id, mmr_rank, mmr_score)."""
+    import ray
+
+    from .join import broadcast_semi_join
+
+    cands = bm25_topk(
+        documents_ds, queries, k=n_candidates, id_col=id_col,
+        text_col=text_col,
+    ).materialize()
+    cand_df = cands.to_pandas()  # ≤ q·n rows by construction
+    cand_ids = frozenset(int(x) for x in cand_df["doc_id"])
+    qid_by_doc: dict[int, list[str]] = {}
+    for qid, doc in zip(cand_df["qid"], cand_df["doc_id"]):
+        qid_by_doc.setdefault(int(doc), []).append(str(qid))
+    qmap_ref = ray.put(qid_by_doc)
+
+    word = re.compile(TOKEN_RE)
+
+    def cand_terms(batch: pd.DataFrame) -> pd.DataFrame:
+        qmap = ray.get(qmap_ref)
+        qids, docs, terms = [], [], []
+        for doc_id, text in zip(batch[id_col], batch[text_col]):
+            for term in sorted(set(word.findall(text.lower()))):
+                for qid in qmap[int(doc_id)]:
+                    qids.append(qid)
+                    docs.append(int(doc_id))
+                    terms.append(term)
+        return pd.DataFrame({
+            "qid": pd.array(qids, dtype="string"),
+            "doc_id": np.asarray(docs, dtype=np.int64),
+            "term": pd.array(terms, dtype="string"),
+        })
+
+    toks = broadcast_semi_join(
+        documents_ds, cand_ids, col=id_col
+    ).map_batches(cand_terms, batch_format="pandas")
+
+    def pair_counts(group: pd.DataFrame) -> pd.DataFrame:
+        # one group = one (qid, term): ≤ n_candidates docs -> bounded pairs
+        if len(group) < 2:
+            return pd.DataFrame({
+                "qid": pd.Series(dtype="string"),
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "shared": pd.Series(dtype="int64"),
+            })
+        out = []
+        for (qid, _), g in group.groupby(["qid", "term"], sort=False):
+            docs = np.sort(g["doc_id"].to_numpy())
+            ia, ib = np.triu_indices(len(docs), k=1)
+            out.append(pd.DataFrame({
+                "qid": qid, "doc_a": docs[ia], "doc_b": docs[ib],
+                "shared": np.ones(len(ia), dtype=np.int64),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    from .groupagg import bucketed_groupby_agg
+
+    pairs = bucketed_groupby_agg(
+        toks.groupby("term").map_groups(pair_counts, batch_format="pandas"),
+        keys=["qid", "doc_a", "doc_b"],
+        aggs={"shared": ("shared", "sum")},
+    )
+
+    # per-qid greedy: candidates + their pair sims in one group
+    cand_rows = cands.map_batches(
+        lambda b: b[["qid", "doc_id", "score"]].assign(
+            _kind=np.int64(0), doc_a=np.int64(-1), doc_b=np.int64(-1),
+            shared=np.int64(0)),
+        batch_format="pandas",
+    )
+    pair_rows = pairs.map_batches(
+        lambda b: b.assign(_kind=np.int64(1), doc_id=np.int64(-1),
+                           score=np.int64(0))[
+            ["qid", "doc_id", "score", "_kind", "doc_a", "doc_b", "shared"]
+        ],
+        batch_format="pandas",
+    )
+
+    def greedy(group: pd.DataFrame) -> pd.DataFrame:
+        out_qid, out_doc, out_rank, out_score = [], [], [], []
+        for qid, g in group.groupby("qid", sort=False):
+            cand = g[g["_kind"] == 0]
+            rel = dict(zip(cand["doc_id"].astype(int),
+                           cand["score"].astype(int)))
+            sim: dict[tuple[int, int], int] = {}
+            for a, b, s in zip(g.loc[g["_kind"] == 1, "doc_a"].astype(int),
+                               g.loc[g["_kind"] == 1, "doc_b"].astype(int),
+                               g.loc[g["_kind"] == 1, "shared"].astype(int)):
+                sim[(a, b)] = s
+                sim[(b, a)] = s
+            remaining = sorted(rel)  # doc_id asc = tie order
+            selected: list[int] = []
+            for rank in range(1, min(k, len(remaining) + len(selected)) + 1):
+                best_doc, best_score = None, None
+                for d in remaining:
+                    ms = max((sim.get((d, s), 0) for s in selected),
+                             default=0)
+                    mmr = rel[d] - penalty * ms
+                    if best_score is None or mmr > best_score:
+                        best_doc, best_score = d, mmr
+                out_qid.append(qid)
+                out_doc.append(best_doc)
+                out_rank.append(rank)
+                out_score.append(best_score)
+                selected.append(best_doc)
+                remaining.remove(best_doc)
+        return pd.DataFrame({
+            "qid": pd.array(out_qid, dtype="string"),
+            "doc_id": np.asarray(out_doc, dtype=np.int64),
+            "mmr_rank": np.asarray(out_rank, dtype=np.int64),
+            "mmr_score": np.asarray(out_score, dtype=np.int64),
+        })
+
+    out = (
+        cand_rows.union(pair_rows)
+        .groupby("qid")
+        .map_groups(greedy, batch_format="pandas")
+    )
+    # coalesce away schema-less empty blocks from empty hash partitions
+    return out.repartition(4)

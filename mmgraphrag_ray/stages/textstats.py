@@ -427,3 +427,49 @@ def winnow_fingerprints(docs_ds, id_col: str = "doc_id",
         })
 
     return docs_ds.map_batches(fp, batch_format="pandas")
+
+
+def doc_token_entropy(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Integer token-diversity (entropy) surrogate per document — the
+    repetition-vs-diversity quality signal next to doc_repetition: for
+    token multiset {tf_t} with S = Σ tf_t,
+
+        H' = S·ilog2(S) − Σ_t tf_t·ilog2(tf_t),  ilog2(x) = bit_length−1
+
+    i.e. Shannon entropy · S in bits with both logs floored to integers —
+    exact on both engines (DuckDB mirror: length(bin(x)) − 1), zero for a
+    doc that is one token repeated 2^k times, maximal for all-distinct
+    tokens.  -> Dataset(doc_id, n_tokens, n_distinct, entropy_s).
+
+    Shape: stateless per-batch map (one Counter per doc), one short row
+    per doc, no shuffle."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    word = re.compile(r"[a-z]+")
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, n_toks, n_dist, ents = [], [], [], []
+        for doc_id, text in zip(batch[id_col], batch[text_col]):
+            tf = Counter(word.findall(str(text).lower()))
+            s = sum(tf.values())
+            h = (
+                s * (s.bit_length() - 1)
+                - sum(c * (c.bit_length() - 1) for c in tf.values())
+                if s
+                else 0
+            )
+            ids.append(int(doc_id))
+            n_toks.append(s)
+            n_dist.append(len(tf))
+            ents.append(h)
+        return pd.DataFrame({
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "n_tokens": np.asarray(n_toks, dtype=np.int64),
+            "n_distinct": np.asarray(n_dist, dtype=np.int64),
+            "entropy_s": np.asarray(ents, dtype=np.int64),
+        })
+
+    return docs_ds.map_batches(stats, batch_format="pandas")

@@ -78,6 +78,10 @@ CASES = [
     "q13_order_distribution",
     "q14_promo_share",
     "q18_big_orders",
+    "doc_mmr_topk",
+    "doc_entropy",
+    "events_decay",
+    "events_transitions",
 ]
 
 
