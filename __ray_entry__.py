@@ -2127,6 +2127,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return k_hop_distances(seeds, edges, k=2)
 
+    def kg_path_counts_q(sf_dir):
+        # Brandes σ: exact shortest-path counts from the CLASS seed set,
+        # hops <= 2 (betweenness forward half; all-integer BFS sums)
+        from mmgraphrag_ray.stages.graphalgo import k_hop_path_counts
+
+        nodes, edges = _build_graph_cached(sf_dir)
+        seeds = nodes.map_batches(
+            lambda b: b[b["entity_type"] == '"CLASS"'][["entity_name"]],
+            batch_format="pandas",
+        )
+        return k_hop_path_counts(seeds, edges, k=2)
+
     def doc_sample(sf_dir):
         # deterministic systematic sample (1-in-10 by id) so the DuckDB
         # oracle matches exactly; Ray's random_sample exists for the
@@ -2365,6 +2377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_passages": doc_dup_passages_q,
         "dedup_incremental_minhash": dedup_incremental_minhash_q,
         "kg_two_hop": kg_two_hop,
+        "kg_path_counts": kg_path_counts_q,
         "token_postings": token_postings_q,
         "doc_tfidf_topk": doc_tfidf_topk_q,
         "doc_bm25_topk": doc_bm25_topk_q,
@@ -2933,6 +2946,29 @@ lab AS (
   UNION ALL SELECT u, 2 FROM h2
 )
 SELECT u AS entity_name, CAST(min(hop) AS BIGINT) AS hop FROM lab GROUP BY u
+        """,
+        # k_hop_path_counts mirror (Brandes σ, k=2): per level, σ(v) =
+        # Σ σ(hop−1 predecessors), levels exclude already-visited nodes
+        "kg_path_counts": kg + merge + """,
+seeds AS (SELECT DISTINCT entity_name AS u FROM nodes
+          WHERE entity_type = '"CLASS"'),
+eb AS (
+  SELECT src_id AS u, tgt_id AS v FROM edges
+  UNION SELECT tgt_id, src_id FROM edges
+),
+l0 AS (SELECT u, CAST(1 AS BIGINT) AS sigma FROM seeds),
+c1 AS (SELECT eb.v AS u, CAST(sum(l0.sigma) AS BIGINT) AS sigma
+       FROM l0 JOIN eb USING (u) GROUP BY 1),
+l1 AS (SELECT c1.u, c1.sigma FROM c1
+       WHERE c1.u NOT IN (SELECT u FROM l0)),
+c2 AS (SELECT eb.v AS u, CAST(sum(l1.sigma) AS BIGINT) AS sigma
+       FROM l1 JOIN eb ON eb.u = l1.u GROUP BY 1),
+l2 AS (SELECT c2.u, c2.sigma FROM c2
+       WHERE c2.u NOT IN (SELECT u FROM l0)
+         AND c2.u NOT IN (SELECT u FROM l1))
+SELECT u AS entity_name, CAST(0 AS BIGINT) AS hop, sigma FROM l0
+UNION ALL SELECT u, CAST(1 AS BIGINT), sigma FROM l1
+UNION ALL SELECT u, CAST(2 AS BIGINT), sigma FROM l2
         """,
         # 1-round Weisfeiler-Lehman refinement: md5(own type || '|' ||
         # sorted comma-joined neighbor types); isolated nodes hash an

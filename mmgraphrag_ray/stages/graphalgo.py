@@ -1205,3 +1205,75 @@ def degree_assortativity_components(edges_ds,
     return out.map_batches(
         lambda b: b.drop(columns=["_one"]), batch_format="pandas"
     )
+
+
+def k_hop_path_counts(seeds_ds, edges_ds, k: int = 2,
+                      node_col: str = "entity_name",
+                      src: str = "src_id", tgt: str = "tgt_id"):
+    """BFS shortest-path COUNTING from a seed set (Brandes' σ values — the
+    forward half of betweenness centrality): Dataset(node_col, hop, sigma)
+    where hop = min distance <= k and sigma = the exact number of distinct
+    shortest paths from the seed set (σ(v) = Σ σ(u) over hop−1
+    predecessors u; seeds carry σ = 1).  All-integer, so bit-identical
+    under any shuffle order and SQL-mirrorable as k unrolled join+sum
+    rounds.
+
+    Scale shape: identical to k_hop_distances — per round ONE bucketed
+    frontier⋈edges join, ONE bucketed grouped SUM (the σ accumulation),
+    ONE anti-join against the visited set; per-round cost is
+    |frontier-adjacent edges|, never the whole graph.  Parallel edges
+    collapse first (σ is over the simple graph)."""
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    def bidir(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "u": pd.concat([b[src], b[tgt]], ignore_index=True),
+                "v": pd.concat([b[tgt], b[src]], ignore_index=True),
+            }
+        )
+        return out.drop_duplicates()
+
+    edges_bi = edges_ds.map_batches(bidir, batch_format="pandas").materialize()
+
+    frontier = seeds_ds.map_batches(
+        lambda b: pd.DataFrame(
+            {"u": b[node_col].drop_duplicates(),
+             "hop": np.int64(0), "sigma": np.int64(1)}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    visited = frontier
+    for hop in range(1, k + 1):
+        nbrs = bucketed_join(
+            frontier.map_batches(
+                lambda b: b[["u", "sigma"]], batch_format="pandas"
+            ),
+            edges_bi,
+            on="u",
+        ).map_batches(
+            lambda b, h=hop: pd.DataFrame(
+                {"u": b["v"], "hop": np.int64(h), "sigma": b["sigma"]}
+            ),
+            batch_format="pandas",
+        )
+        # σ(v, h) = Σ σ(predecessors at h−1): one bucketed grouped sum
+        cand = bucketed_groupby_agg(
+            nbrs, ["u"], {"hop": ("hop", "min"), "sigma": ("sigma", "sum")}
+        )
+        seen = visited.map_batches(
+            lambda b: pd.DataFrame({"u": b["u"], "_seen": np.int64(1)}),
+            batch_format="pandas",
+        )
+        frontier = bucketed_join(cand, seen, on="u", how="left").map_batches(
+            lambda b: b[b["_seen"].isna()][["u", "hop", "sigma"]],
+            batch_format="pandas",
+        ).materialize()
+        if frontier.count() == 0:
+            break
+        visited = visited.union(frontier).materialize()
+
+    return visited.map_batches(
+        lambda b: b.rename(columns={"u": node_col}), batch_format="pandas"
+    )

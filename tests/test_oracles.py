@@ -82,6 +82,7 @@ CASES = [
     "doc_entropy",
     "events_decay",
     "events_transitions",
+    "kg_path_counts",
 ]
 
 
