@@ -2182,6 +2182,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         files = ray.data.read_parquet(_corpus(sf_dir), columns=["content"])
         return hits_scores(files, rounds=2)
 
+    def code_dep_depth_q(sf_dir):
+        # topological dependency depth (parallel build-order layer) over
+        # the import DAG: 4 relaxation sweeps, exact for chains <= 4
+        from mmgraphrag_ray.stages.codegraph import dependency_depth
+
+        files = ray.data.read_parquet(_corpus(sf_dir), columns=["content"])
+        return dependency_depth(files, rounds=4)
+
+    def code_identifier_vocab_q(sf_dir):
+        # per-repo identifier-subtoken vocabulary: lowercase identifiers
+        # split on '_', combiner-counted, dominant subtoken + ppm share
+        from mmgraphrag_ray.stages.codegraph import identifier_vocab
+
+        files = ray.data.read_parquet(_corpus(sf_dir),
+                                      columns=["repo", "content"])
+        return identifier_vocab(files)
+
     def kg_assortativity_q(sf_dir):
         # graph-level health metric: degree-assortativity Pearson
         # sufficient stats over bidirected edge endpoint degrees
@@ -2469,6 +2486,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dwell": relational.events_dwell,
         "kg_assortativity": kg_assortativity_q,
         "code_import_hits": code_import_hits_q,
+        "code_dep_depth": code_dep_depth_q,
+        "code_identifier_vocab": code_identifier_vocab_q,
         "q4_late_orders": relational.q4_late_orders,
         "q5_nation_volume": relational.q5_nation_volume,
         "q13_order_distribution": relational.q13_order_distribution,
@@ -3747,6 +3766,60 @@ FROM rankedkb WHERE rn = 1
             SELECT h2.module, CAST(h2.hub AS BIGINT) AS hub,
                    CAST(a2.auth AS BIGINT) AS auth
             FROM h2 JOIN a2 USING (module)
+        """,
+        # dependency_depth mirror: 4 unrolled relaxation sweeps,
+        # depth(m) = 1 + max(depth of imports), no-out-edge modules at 0
+        "code_dep_depth": f"""
+            WITH f AS (
+              SELECT regexp_extract(content, '(?m)^# module: ([\\w.]+)', 1) AS src,
+                     regexp_extract_all(content, '(?m)^import ([\\w.]+)', 1) AS dsts
+              FROM read_parquet('{corpus}/*.parquet')
+            ),
+            e AS (
+              SELECT DISTINCT src, unnest(dsts) AS dst
+              FROM f WHERE src IS NOT NULL AND src <> ''
+            ),
+            nodes AS (SELECT src AS module FROM e UNION SELECT dst FROM e),
+            d0 AS (SELECT module, CAST(0 AS BIGINT) AS depth FROM nodes),
+            r1 AS (SELECT e.src AS module, 1 + max(d0.depth) AS d
+                   FROM e JOIN d0 ON d0.module = e.dst GROUP BY 1),
+            d1 AS (SELECT n.module, coalesce(r1.d, 0) AS depth
+                   FROM nodes n LEFT JOIN r1 USING (module)),
+            r2 AS (SELECT e.src AS module, 1 + max(d1.depth) AS d
+                   FROM e JOIN d1 ON d1.module = e.dst GROUP BY 1),
+            d2 AS (SELECT n.module, coalesce(r2.d, 0) AS depth
+                   FROM nodes n LEFT JOIN r2 USING (module)),
+            r3 AS (SELECT e.src AS module, 1 + max(d2.depth) AS d
+                   FROM e JOIN d2 ON d2.module = e.dst GROUP BY 1),
+            d3 AS (SELECT n.module, coalesce(r3.d, 0) AS depth
+                   FROM nodes n LEFT JOIN r3 USING (module)),
+            r4 AS (SELECT e.src AS module, 1 + max(d3.depth) AS d
+                   FROM e JOIN d3 ON d3.module = e.dst GROUP BY 1),
+            d4 AS (SELECT n.module, coalesce(r4.d, 0) AS depth
+                   FROM nodes n LEFT JOIN r4 USING (module))
+            SELECT module, CAST(depth AS BIGINT) AS depth FROM d4
+        """,
+        # identifier_vocab mirror: same lowercase token model + '_' split
+        "code_identifier_vocab": f"""
+            WITH occ AS (
+              SELECT repo,
+                     unnest(regexp_extract_all(content,
+                            '[a-z_][a-z0-9_]*')) AS ident
+              FROM read_parquet('{corpus}/*.parquet')),
+            sub AS (SELECT repo, unnest(string_split(ident, '_')) AS sub
+                    FROM occ),
+            cnt AS (SELECT repo, sub, CAST(count(*) AS BIGINT) AS n
+                    FROM sub WHERE sub <> '' GROUP BY 1, 2),
+            agg AS (SELECT repo, CAST(sum(n) AS BIGINT) AS n_rows,
+                           CAST(count(*) AS BIGINT) AS n_cats
+                    FROM cnt GROUP BY 1),
+            top AS (SELECT repo, sub AS top_cat, n FROM (
+                      SELECT *, row_number() OVER (
+                        PARTITION BY repo ORDER BY n DESC, sub) rn FROM cnt)
+                    WHERE rn = 1)
+            SELECT a.repo, a.n_rows, a.n_cats, t.top_cat,
+                   CAST(t.n * 1000000 // a.n_rows AS BIGINT) AS top_ppm
+            FROM agg a JOIN top t USING (repo)
         """,
         # state dwell time: gap to the next event attributed to the
         # current event_type, exact integer µs (lead window mirror)

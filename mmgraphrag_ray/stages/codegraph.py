@@ -304,3 +304,107 @@ def hits_scores(files_ds, rounds: int = 2, n_buckets: int = 32):
     return out.map_batches(
         lambda b: b[["module", "hub", "auth"]], batch_format="pandas"
     )
+
+
+def dependency_depth(files_ds, rounds: int = 4, n_buckets: int = 32):
+    """Topological dependency depth over the import DAG — the parallel
+    build-order layer number: depth(m) = 0 for modules that import
+    nothing, else 1 + max(depth of its imports).  Modules only ever
+    imported (never defined with out-edges) sit at depth 0.  Computed as
+    ``rounds`` relaxation sweeps — exact once rounds >= the longest
+    import chain (this corpus: 3), and bit-identical on both engines at
+    any fixed round count, so the DuckDB mirror is the same unroll.
+
+    Build scheduling / incremental-rebuild batching runs off exactly
+    this layering (every module in layer d can compile once layers < d
+    are done).
+
+    Scale shape: per round ONE bucketed edges⋈depth join on the imported
+    module + ONE bucketed grouped max per importer + ONE left join back
+    to the module universe (modules without out-edges keep depth 0).
+    Depth state is one int per module; edges move once per round.
+    -> Dataset(module, depth)."""
+    import numpy as np
+
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    edges = import_edges(files_ds, n_buckets=n_buckets).materialize()
+    universe = (
+        edges.map_batches(
+            lambda b: pd.DataFrame({
+                "module": pd.concat([b["src_module"], b["dst_module"]],
+                                     ignore_index=True).drop_duplicates()
+            }),
+            batch_format="pandas",
+        )
+    )
+    universe = bucketed_groupby_agg(
+        universe.map_batches(
+            lambda b: b.assign(_one=np.int64(1)), batch_format="pandas"
+        ),
+        keys=["module"], aggs={"_one": ("_one", "min")},
+    ).map_batches(lambda b: b[["module"]], batch_format="pandas").materialize()
+
+    depth = universe.map_batches(
+        lambda b: b.assign(depth=np.int64(0)), batch_format="pandas"
+    ).materialize()
+    for _ in range(rounds):
+        dep = edges.map_batches(
+            lambda b: b.rename(columns={"dst_module": "module"}),
+            batch_format="pandas",
+        )
+        joined = bucketed_join(dep, depth, on="module",
+                               n_buckets=n_buckets)
+        relaxed = bucketed_groupby_agg(
+            joined.map_batches(
+                lambda b: pd.DataFrame({
+                    "module": b["src_module"],
+                    "d": b["depth"].astype("int64") + 1,
+                }),
+                batch_format="pandas",
+            ),
+            keys=["module"], aggs={"d": ("d", "max")},
+        )
+        depth = bucketed_join(
+            universe, relaxed, on="module", how="left", n_buckets=n_buckets
+        ).map_batches(
+            lambda b: pd.DataFrame({
+                "module": b["module"],
+                "depth": b["d"].fillna(0).astype("int64"),
+            }),
+            batch_format="pandas",
+        ).materialize()
+    return depth
+
+
+IDENT_RE = re.compile(r"[a-z_][a-z0-9_]*")
+
+
+def identifier_vocab(files_ds, n_buckets: int = 64):
+    """Per-repo identifier-subtoken vocabulary profile — the tokenizer-
+    prep / naming-convention signal over a code corpus: lowercase
+    identifiers split on '_' into subtokens, then per repo the total
+    subtoken occurrences, distinct-subtoken vocabulary size, dominant
+    subtoken (ties -> lexicographic min) and its ppm share.
+
+    Shape: one vectorized extraction pass (pandas .str kernels) explodes
+    (repo, subtoken) occurrence rows per batch; everything after is
+    profile.grouped_dominance's combiner-backed shuffle — partial counts
+    move, never occurrence rows.  -> Dataset(repo, n_rows, n_cats,
+    top_cat, top_ppm)."""
+    from .profile import grouped_dominance
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        idents = batch["content"].str.findall(IDENT_RE)
+        df = pd.DataFrame({"repo": batch["repo"], "sub": idents}).explode(
+            "sub"
+        ).dropna()
+        df["sub"] = df["sub"].str.split("_")
+        df = df.explode("sub")
+        df = df[df["sub"] != ""]
+        return df.reset_index(drop=True)
+
+    rows = files_ds.map_batches(explode, batch_format="pandas")
+    return grouped_dominance(rows, keys=["repo"], cat_col="sub",
+                             n_buckets=n_buckets)

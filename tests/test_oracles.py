@@ -83,6 +83,8 @@ CASES = [
     "events_decay",
     "events_transitions",
     "kg_path_counts",
+    "code_dep_depth",
+    "code_identifier_vocab",
 ]
 
 
