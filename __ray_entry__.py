@@ -2190,6 +2190,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         files = ray.data.read_parquet(_corpus(sf_dir), columns=["content"])
         return dependency_depth(files, rounds=4)
 
+    def emb_matryoshka_q(sf_dir):
+        # MRL prefix-truncation report: exact kept/dropped squared norm
+        # and retained-energy ppm per vector at prefix widths 8/16/32
+        from mmgraphrag_ray.stages.vecstats import matryoshka_error
+
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                    columns=["vec_id", "embedding"])
+        return matryoshka_error(emb, prefixes=(8, 16, 32))
+
+    def kg_clustering_q(sf_dir):
+        # local clustering coefficient (integer ppm) for degree>=2 nodes:
+        # 2·tri·1e6 // (d·(d−1)), composed from triangle counts + degrees
+        from mmgraphrag_ray.stages.graphalgo import clustering_coefficients
+
+        nodes, edges = _build_graph_cached(sf_dir)
+        return clustering_coefficients(nodes, edges)
+
     def code_identifier_vocab_q(sf_dir):
         # per-repo identifier-subtoken vocabulary: lowercase identifiers
         # split on '_', combiner-counted, dominant subtoken + ppm share
@@ -2488,6 +2505,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_import_hits": code_import_hits_q,
         "code_dep_depth": code_dep_depth_q,
         "code_identifier_vocab": code_identifier_vocab_q,
+        "kg_clustering_coeff": kg_clustering_q,
+        "emb_matryoshka_error": emb_matryoshka_q,
         "q4_late_orders": relational.q4_late_orders,
         "q5_nation_volume": relational.q5_nation_volume,
         "q13_order_distribution": relational.q13_order_distribution,
@@ -2821,6 +2840,18 @@ JOIN sagg s ON s.new_name = d.new_name
         # degree-ordered triangle counting: orientation keys kill hub
         # explosion; each triangle counted once from its min-key corner
         "kg_triangles": kg + merge + _triangles_sql(),
+        # clustering coefficient composed textually from the triangle
+        # mirror (tr_deg doubles as the degree table)
+        "kg_clustering_coeff": kg + merge + _triangles_sql().replace(
+            """SELECT node, count(*) AS n_triangles FROM tr_corners GROUP BY 1""",
+            """, tri AS (SELECT node, count(*) AS n_triangles
+        FROM tr_corners GROUP BY 1),
+cdeg AS (SELECT u AS node, d AS degree FROM tr_deg WHERE d >= 2)
+SELECT c.node AS entity_name, CAST(c.degree AS BIGINT) AS degree,
+       CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(2 * coalesce(t.n_triangles, 0) * 1000000
+            // (c.degree * (c.degree - 1)) AS BIGINT) AS cc_ppm
+FROM cdeg c LEFT JOIN tri t USING (node)"""),
         # fixed-round k-core peel (k=2, 3 rounds), unrolled; UNION ALL
         # bidirection mirrors graphalgo.k_core_peel exactly
         "kg_kcore": kg + merge + """,
@@ -3798,6 +3829,26 @@ FROM rankedkb WHERE rn = 1
             d4 AS (SELECT n.module, coalesce(r4.d, 0) AS depth
                    FROM nodes n LEFT JOIN r4 USING (module))
             SELECT module, CAST(depth AS BIGINT) AS depth FROM d4
+        """,
+        # Matryoshka prefix-truncation mirror: same floor(x*1e6) grid
+        "emb_matryoshka_error": """
+            WITH qe AS (
+              SELECT vec_id,
+                     unnest(list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+                       AS v,
+                     unnest(range(1, len(embedding) + 1)) AS d
+              FROM embeddings),
+            m(m) AS (VALUES (8), (16), (32))
+            SELECT vec_id, CAST(m.m AS BIGINT) AS m,
+                   CAST(coalesce(sum(v*v) FILTER (d <= m.m), 0) AS BIGINT)
+                       AS kept_sq,
+                   CAST(coalesce(sum(v*v) FILTER (d > m.m), 0) AS BIGINT)
+                       AS dropped_sq,
+                   CAST(coalesce(sum(v*v) FILTER (d <= m.m), 0) * 1000000
+                        // greatest(coalesce(sum(v*v), 0), 1) AS BIGINT)
+                       AS retain_ppm
+            FROM qe, m GROUP BY vec_id, m.m
         """,
         # identifier_vocab mirror: same lowercase token model + '_' split
         "code_identifier_vocab": f"""

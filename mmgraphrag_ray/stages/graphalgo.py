@@ -1277,3 +1277,50 @@ def k_hop_path_counts(seeds_ds, edges_ds, k: int = 2,
     return visited.map_batches(
         lambda b: b.rename(columns={"u": node_col}), batch_format="pandas"
     )
+
+
+def clustering_coefficients(nodes_ds, edges_ds,
+                            node_col: str = "entity_name"):
+    """Local clustering coefficient per node in integer ppm — the
+    community-tightness signal on top of triangle_counts:
+
+        cc_ppm(v) = 2 · triangles(v) · 1e6 // (deg(v) · (deg(v) − 1))
+
+    over all nodes with degree >= 2 (triangles(v) = 0 when v closes no
+    wedge).  Degree counts incident edge rows exactly like
+    query.node_degrees (reference storage.py:451-460), so the three
+    definitions (degree, triangles, cc) stay mutually consistent and the
+    SQL mirror composes textually from the triangle mirror.
+
+    Scale shape: triangle_counts' degree-ordered plan + one grouped
+    degree count + ONE bucketed left join; no new all-to-all beyond what
+    triangle counting already pays.  -> Dataset(entity_name, degree,
+    n_triangles, cc_ppm)."""
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    tri = triangle_counts(nodes_ds, edges_ds, node_col=node_col)
+    deg = bucketed_groupby_agg(
+        edges_ds.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": pd.concat([b["src_id"], b["tgt_id"]],
+                                    ignore_index=True)}
+            ),
+            batch_format="pandas",
+        ),
+        keys=["node"],
+        aggs={"degree": (None, "count")},
+    ).map_batches(lambda b: b[b["degree"] >= 2], batch_format="pandas")
+    joined = bucketed_join(deg, tri, on="node", how="left")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["degree"].astype("int64")
+        t = b["n_triangles"].fillna(0).astype("int64")
+        return pd.DataFrame({
+            node_col: b["node"],
+            "degree": d,
+            "n_triangles": t,
+            "cc_ppm": (2 * t * 1_000_000) // (d * (d - 1)),
+        })
+
+    return joined.map_batches(finish, batch_format="pandas")

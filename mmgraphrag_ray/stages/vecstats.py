@@ -221,3 +221,52 @@ def scalar_quantize_error(
         })
 
     return emb_ds.map_batches(err, batch_format="pandas")
+
+
+def matryoshka_error(
+    emb_ds,
+    prefixes: tuple = (8, 16, 32),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+):
+    """Matryoshka (MRL) prefix-truncation acceptance report: for each
+    prefix length m, the exact squared norm kept by the first m
+    dimensions vs dropped by the rest, plus the retained-energy share in
+    integer ppm — the dimensionality-vs-recall dial behind serving MRL
+    embeddings at reduced width (Kusupati et al. 2022).
+
+    ALL-INTEGER: x -> q = floor(x·scale) int64 first; kept/dropped are
+    exact Σq², retain_ppm = kept·1e6 // (kept+dropped) (0 for the zero
+    vector).  -> Dataset(vec_id, m, kept_sq, dropped_sq, retain_ppm).
+
+    Scale shape: ONE streaming pass, vectorized numpy per batch (prefix
+    cumulative sums), len(prefixes) short rows per vector, no shuffle."""
+    def err(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({
+                id_col: pd.Series(dtype="int64"),
+                "m": pd.Series(dtype="int64"),
+                "kept_sq": pd.Series(dtype="int64"),
+                "dropped_sq": pd.Series(dtype="int64"),
+                "retain_ppm": pd.Series(dtype="int64"),
+            })
+        q = _batch_matrix(batch, vec_col, scale)
+        sq = q * q
+        total = sq.sum(axis=1)
+        ids = batch[id_col].to_numpy(np.int64)
+        frames = []
+        for m in prefixes:
+            kept = sq[:, :m].sum(axis=1)
+            dropped = total - kept
+            safe = np.where(total > 0, total, 1)
+            frames.append(pd.DataFrame({
+                id_col: ids,
+                "m": np.int64(m),
+                "kept_sq": kept,
+                "dropped_sq": dropped,
+                "retain_ppm": kept * 1_000_000 // safe,
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    return emb_ds.map_batches(err, batch_format="pandas")

@@ -85,6 +85,8 @@ CASES = [
     "kg_path_counts",
     "code_dep_depth",
     "code_identifier_vocab",
+    "kg_clustering_coeff",
+    "emb_matryoshka_error",
 ]
 
 
