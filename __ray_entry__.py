@@ -2507,6 +2507,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_identifier_vocab": code_identifier_vocab_q,
         "kg_clustering_coeff": kg_clustering_q,
         "emb_matryoshka_error": emb_matryoshka_q,
+        "events_props_stats": relational.events_props_stats,
+        "events_trending": relational.events_trending,
         "q4_late_orders": relational.q4_late_orders,
         "q5_nation_volume": relational.q5_nation_volume,
         "q13_order_distribution": relational.q13_order_distribution,
@@ -4094,6 +4096,37 @@ FROM rankedkb WHERE rn = 1
             SELECT c.prev_type, c.next_type, c.n,
                    CAST(c.n * 1000000 // t.row_total AS BIGINT) AS ppm
             FROM c JOIN t USING (prev_type)
+        """,
+        # semi-structured: JSON payload extraction + per-type reduce
+        "events_props_stats": """
+            WITH p AS (
+              SELECT event_type,
+                     CASE WHEN json_valid(props)
+                          THEN TRY_CAST(json_extract(props, '$.k')
+                                        AS BIGINT) END AS kx
+              FROM events),
+            f AS (
+              SELECT event_type, coalesce(kx, 0) AS k,
+                     CASE WHEN kx IS NULL THEN 1 ELSE 0 END AS bad
+              FROM p)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(bad) AS BIGINT) AS n_bad,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(min(k) AS BIGINT) AS min_k,
+                   CAST(max(k) AS BIGINT) AS max_k
+            FROM f GROUP BY 1
+        """,
+        # trending types per UTC day: exact counts + per-day top-3
+        "events_trending": """
+            WITH c AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     event_type, CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT day, event_type, n, CAST(rank AS BIGINT) AS rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY day ORDER BY n DESC, event_type) AS rank
+              FROM c
+            ) WHERE rank <= 3
         """,
         # TPC-H Q4 shape: distributed EXISTS (late-shipment semi-join);
         # exists(l_shipdate > o_orderdate) == max(l_shipdate) > o_orderdate

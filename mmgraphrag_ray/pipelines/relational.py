@@ -1553,3 +1553,77 @@ def events_transitions(sf_dir: str):
         )[["prev_type", "next_type", "n", "ppm"]],
         batch_format="pandas",
     )
+
+
+def events_props_stats(sf_dir: str):
+    """Semi-structured ingestion: parse the JSON ``props`` column
+    (``{"k": <int>}`` event payloads) and reduce the extracted field per
+    event type — the schema-on-read pass every event pipeline runs before
+    payload fields become real columns.  Parsing is an honest per-record
+    ``json.loads`` (JSON is inherently per-record work) inside a
+    stateless task-pool map; everything downstream is the combiner
+    groupby.  Malformed payloads count in ``n_bad`` instead of crashing
+    the stage.  -> Dataset(event_type, n, n_bad, sum_k, min_k, max_k)."""
+    import json
+
+    import numpy as np
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def parse(b: pd.DataFrame) -> pd.DataFrame:
+        ks = np.empty(len(b), dtype=np.int64)
+        bad = np.zeros(len(b), dtype=np.int64)
+        for i, p in enumerate(b["props"].to_numpy()):
+            try:
+                ks[i] = int(json.loads(p)["k"])
+            except (ValueError, TypeError, KeyError):
+                ks[i] = 0
+                bad[i] = 1
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "k": ks, "bad": bad,
+        })
+
+    return bucketed_groupby_agg(
+        ev.map_batches(parse, batch_format="pandas"),
+        keys=["event_type"],
+        aggs={
+            "n": (None, "count"),
+            "n_bad": ("bad", "sum"),
+            "sum_k": ("k", "sum"),
+            "min_k": ("k", "min"),
+            "max_k": ("k", "max"),
+        },
+    )
+
+
+def events_trending(sf_dir: str, k: int = 3):
+    """Trending event types per UTC day: exact daily counts, then the
+    top-k types per day (ties -> lexicographic type) — the daily-digest /
+    anomaly-headline query over the event stream.
+
+    Scale shape: day truncation is integer µs arithmetic; counts reduce
+    by the (day × type) vocabulary via the combiner groupby; the per-day
+    top-k is grouped_topk's combiner plan (each batch keeps <= k rows per
+    day before the tiny shuffle).  -> Dataset(day, event_type, n, rank)."""
+    import numpy as np
+
+    from ..stages.window import grouped_topk
+
+    day_us = 24 * 3600 * 1_000_000
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        return pd.DataFrame({
+            "day": pd.to_datetime((ts // day_us) * day_us, unit="us"),
+            "event_type": b["event_type"].to_numpy(),
+        })
+
+    counts = bucketed_groupby_agg(
+        ev.map_batches(stamp, batch_format="pandas"),
+        keys=["day", "event_type"],
+        aggs={"n": (None, "count")},
+    )
+    return grouped_topk(counts, keys=["day"], order_col="n", k=k,
+                        tie_cols=["event_type"])

@@ -87,6 +87,8 @@ CASES = [
     "code_identifier_vocab",
     "kg_clustering_coeff",
     "emb_matryoshka_error",
+    "events_props_stats",
+    "events_trending",
 ]
 
 
