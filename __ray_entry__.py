@@ -2510,6 +2510,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": relational.events_props_stats,
         "events_trending": relational.events_trending,
         "q4_late_orders": relational.q4_late_orders,
+        "q7_nation_flows": relational.q7_nation_flows,
+        "lineitem_winsorized": relational.lineitem_winsorized,
         "q5_nation_volume": relational.q5_nation_volume,
         "q13_order_distribution": relational.q13_order_distribution,
         "q14_promo_share": relational.q14_promo_share,
@@ -4140,6 +4142,47 @@ FROM rankedkb WHERE rn = 1
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_shipdate > o.o_orderdate)
             GROUP BY o_orderpriority
+        """,
+        # winsorized/trimmed robust aggregates at exact p05/p95 bounds
+        # (quantile_disc semantics), clamped on the integer cents grid
+        "lineitem_winsorized": """
+            WITH b AS (
+              SELECT CAST(floor(quantile_disc(l_extendedprice, 0.05) * 100)
+                          AS BIGINT) AS lo,
+                     CAST(floor(quantile_disc(l_extendedprice, 0.95) * 100)
+                          AS BIGINT) AS hi
+              FROM lineitem WHERE l_extendedprice IS NOT NULL),
+            v AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+                  FROM lineitem)
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_below,
+                   CAST(sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_above,
+                   CAST(sum(least(greatest(c, lo), hi)) AS BIGINT)
+                       AS winsorized_sum_cents,
+                   CAST(coalesce(sum(c) FILTER (c >= lo AND c <= hi), 0)
+                        AS BIGINT) AS trimmed_sum_cents,
+                   CAST(coalesce(count(*) FILTER (c >= lo AND c <= hi), 0)
+                        AS BIGINT) AS trimmed_n,
+                   CAST(min(lo) AS BIGINT) AS lo_cents,
+                   CAST(min(hi) AS BIGINT) AS hi_cents
+            FROM v, b
+        """,
+        # TPC-H Q7 shape: full nation-pair trade-flow matrix
+        "q7_nation_flows": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            GROUP BY 1, 2
         """,
         # TPC-H Q5 shape: local-supplier volume (customer nation ==
         # supplier nation), exact integer cents revenue per nation

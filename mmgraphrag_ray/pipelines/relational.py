@@ -1627,3 +1627,136 @@ def events_trending(sf_dir: str, k: int = 3):
     )
     return grouped_topk(counts, keys=["day"], order_col="n", k=k,
                         tie_cols=["event_type"])
+
+
+def q7_nation_flows(sf_dir: str):
+    """TPC-H Q7 shape — shipping volume between nation PAIRS: exact cents
+    revenue per ordered (supplier nation -> customer nation) pair, the
+    full trade-flow matrix rather than Q7's two-nation filter.
+
+    Scale plan: identical to q5_nation_volume's stamped-join plan (the
+    two dimension broadcasts + ONE bucketed orderkey join); only the
+    final reduce differs — grouping by the nation-pair vocabulary
+    instead of filtering to the diagonal.  -> Dataset(supp_nation,
+    cust_nation, revenue_cents, n_items)."""
+    import numpy as np
+
+    from ..stages.join import broadcast_join, bucketed_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    cust_map = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"].astype("int64"))))
+    supp_map = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"].astype("int64"))))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def stamp_cust(b: pd.DataFrame) -> pd.DataFrame:
+        from ..arrowutil import strip_pd_metadata
+
+        m = ray.get(cust_map)
+        out = pd.DataFrame({
+            "o_orderkey": b["o_orderkey"],
+            "c_nation": b["o_custkey"].map(m).astype("int64"),
+        })
+        return strip_pd_metadata(out) if len(out) else out
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def stamp_supp(b: pd.DataFrame) -> pd.DataFrame:
+        from ..arrowutil import strip_pd_metadata
+
+        m = ray.get(supp_map)
+        cents = np.floor(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy()) * 100.0
+        ).astype("int64")
+        out = pd.DataFrame({
+            "o_orderkey": b["l_orderkey"],
+            "s_nation": b["l_suppkey"].map(m).astype("int64"),
+            "cents": cents,
+        })
+        return strip_pd_metadata(out) if len(out) else out
+
+    joined = bucketed_join(
+        li.map_batches(stamp_supp, batch_format="pandas"),
+        orders.map_batches(stamp_cust, batch_format="pandas"),
+        on="o_orderkey", how="inner",
+    )
+    flows = bucketed_groupby_agg(
+        joined.map_batches(
+            lambda b: b[["s_nation", "c_nation", "cents"]],
+            batch_format="pandas",
+        ),
+        keys=["s_nation", "c_nation"],
+        aggs={"revenue_cents": ("cents", "sum"), "n_items": (None, "count")},
+    )
+    names_ref = ray.put(name_of)
+
+    def label(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(names_ref)
+        return pd.DataFrame({
+            "supp_nation": b["s_nation"].map(m),
+            "cust_nation": b["c_nation"].map(m),
+            "revenue_cents": b["revenue_cents"].astype("int64"),
+            "n_items": b["n_items"].astype("int64"),
+        })
+
+    return flows.map_batches(label, batch_format="pandas")
+
+
+def lineitem_winsorized(sf_dir: str, q_lo: float = 0.05, q_hi: float = 0.95):
+    """Robust aggregate suite over the price column — winsorized and
+    trimmed statistics at exact (p05, p95) bounds: the outlier-resistant
+    summary a metrics pipeline publishes next to the raw mean.
+
+    Plan: bounds come from groupagg.global_quantiles (exact selection,
+    driver holds bin counts only); then ONE more streaming pass clips /
+    filters on the integer CENTS grid (both engines compute
+    floor(x·100) identically, and the bounds are corpus elements, so
+    clamping commutes with the grid).  All sums are int64 cents.
+
+    -> ONE row: (n, n_below, n_above, lo_cents, hi_cents,
+    winsorized_sum_cents, trimmed_sum_cents, trimmed_n)."""
+    import numpy as np
+
+    from ..stages.groupagg import global_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    qdf = global_quantiles(li, "l_extendedprice", [q_lo, q_hi]).to_pandas()
+    vals = dict(zip(qdf["q"], qdf["value"]))
+    lo_c = int(np.floor(vals[f"p{int(round(q_lo*100)):02d}"] * 100.0))
+    hi_c = int(np.floor(vals[f"p{int(round(q_hi*100)):02d}"] * 100.0))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(
+            b["l_extendedprice"].to_numpy(dtype="float64") * 100.0
+        ).astype("int64")
+        below = c < lo_c
+        above = c > hi_c
+        mid = ~(below | above)
+        wins = np.clip(c, lo_c, hi_c)
+        return pd.DataFrame({
+            "n": [len(c)],
+            "n_below": [int(below.sum())],
+            "n_above": [int(above.sum())],
+            "winsorized_sum_cents": [int(wins.sum())],
+            "trimmed_sum_cents": [int(c[mid].sum())],
+            "trimmed_n": [int(mid.sum())],
+        })
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({k: [int(b[k].sum())] for k in b.columns})
+        out["lo_cents"] = lo_c
+        out["hi_cents"] = hi_c
+        return out
+
+    return (
+        li.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas")
+    )

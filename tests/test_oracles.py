@@ -89,6 +89,8 @@ CASES = [
     "emb_matryoshka_error",
     "events_props_stats",
     "events_trending",
+    "q7_nation_flows",
+    "lineitem_winsorized",
 ]
 
 
