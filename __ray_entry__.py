@@ -2292,6 +2292,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         paths = _glob.glob(f"{d}/part-*.parquet")
         return parquet_prune_plan(paths, col="doc_id", lo=2000, hi=2999)
 
+    def doc_compaction_plan_q(sf_dir):
+        # small-file compaction planning from parquet footers only:
+        # per-file compressed bytes + cumulative-quota merge bins
+        import glob as _glob
+
+        from mmgraphrag_ray.stages.layout import (
+            compaction_plan, ensure_partitioned_docs,
+        )
+
+        d = ensure_partitioned_docs(sf_dir, n_parts=8)
+        paths = _glob.glob(f"{d}/part-*.parquet")
+        return compaction_plan(paths, target_bytes=2500)
+
     def q6_revenue_q(sf_dir):
         # TPC-H Q6 shape: reader-level predicate pushdown + vectorized
         # residual filter + combiner global sum (exact cents)
@@ -2512,6 +2525,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_late_orders": relational.q4_late_orders,
         "q7_nation_flows": relational.q7_nation_flows,
         "lineitem_winsorized": relational.lineitem_winsorized,
+        "customer_revenue_gini": relational.customer_revenue_gini,
+        "doc_compaction_plan": doc_compaction_plan_q,
         "q5_nation_volume": relational.q5_nation_volume,
         "q13_order_distribution": relational.q13_order_distribution,
         "q14_promo_share": relational.q14_promo_share,
@@ -4036,6 +4051,25 @@ FROM rankedkb WHERE rn = 1
             FROM parquet_metadata('{_prune_dir}/part-*.parquet')
             WHERE path_in_schema = 'doc_id'
         """,
+        # compaction planner mirror: same footers via parquet_metadata,
+        # bytes = all column chunks, rows deduped on one column's rows
+        "doc_compaction_plan": f"""
+            WITH m AS (
+              SELECT regexp_extract(file_name, 'part-[0-9]+\\.parquet')
+                       AS file,
+                     CAST(sum(total_compressed_size) AS BIGINT)
+                       AS total_bytes,
+                     CAST(coalesce(sum(row_group_num_rows)
+                       FILTER (path_in_schema = 'doc_id'), 0) AS BIGINT)
+                       AS n_rows
+              FROM parquet_metadata('{_prune_dir}/part-*.parquet')
+              GROUP BY 1)
+            SELECT file, n_rows, total_bytes,
+                   CAST(coalesce(sum(total_bytes) OVER (
+                          ORDER BY file ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) // 2500 AS BIGINT) AS bin
+            FROM m
+        """,
         # TPC-H Q6 shape: scan-filter-aggregate, exact integer cents
         "q6_revenue": """
             SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100)
@@ -4142,6 +4176,25 @@ FROM rankedkb WHERE rn = 1
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_shipdate > o.o_orderdate)
             GROUP BY o_orderpriority
+        """,
+        # exact Gini over per-customer revenue (row_number rank form)
+        "customer_revenue_gini": """
+            WITH r AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS v
+              FROM orders GROUP BY 1),
+            rk AS (
+              SELECT v, CAST(row_number() OVER (ORDER BY v, o_custkey)
+                             AS HUGEINT) AS rnk,
+                     CAST(count(*) OVER () AS HUGEINT) AS n
+              FROM r)
+            SELECT CAST(max(n) AS BIGINT) AS n,
+                   CAST(sum(v) AS BIGINT) AS total_cents,
+                   CAST(sum((2 * rnk - n - 1) * v) AS BIGINT) AS gini_num,
+                   CAST(sum((2 * rnk - n - 1) * v) * 1000000
+                        // (max(n) * sum(v)) AS BIGINT) AS gini_ppm
+            FROM rk
         """,
         # winsorized/trimmed robust aggregates at exact p05/p95 bounds
         # (quantile_disc semantics), clamped on the integer cents grid

@@ -1760,3 +1760,65 @@ def lineitem_winsorized(sf_dir: str, q_lo: float = 0.05, q_hi: float = 0.95):
         .repartition(1)
         .map_batches(fold, batch_format="pandas")
     )
+
+
+def customer_revenue_gini(sf_dir: str):
+    """Exact Gini concentration of per-customer order revenue — the
+    inequality/concentration metric behind "top 1% of customers drive X%
+    of revenue" dashboards, computed with NO global sort:
+
+        G = Σ (2·r_i − n − 1)·v_i / (n·Σv)   (v asc, r = exact rank)
+
+    Ranks come from groupagg.grouped_exact_rank's range-prefix-sum scheme
+    (driver holds one int per value-range cell, never rows); the Gini
+    fold needs only the associative partials (n, Σv, Σr·v) because
+    Σ(2r−n−1)v = 2Σrv − (n+1)Σv.  Ties contribute identically under any
+    tie order (equal v), so the statistic is deterministic, and the
+    row_number tie-break makes it bit-equal to the SQL mirror.  Products
+    accumulate as Python ints (int64 overflows at ~1e9 rows × large
+    values; the mirror casts through HUGEINT).
+
+    -> ONE row: (n, total_cents, gini_num, gini_ppm)."""
+    import numpy as np
+
+    from ..stages.groupagg import bucketed_groupby_agg, grouped_exact_rank
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    rev = bucketed_groupby_agg(
+        orders.map_batches(
+            lambda b: pd.DataFrame({
+                "o_custkey": b["o_custkey"],
+                "v": np.floor(
+                    b["o_totalprice"].to_numpy() * 100.0).astype("int64"),
+            }),
+            batch_format="pandas",
+        ),
+        keys=["o_custkey"],
+        aggs={"v": ("v", "sum")},
+    ).map_batches(
+        lambda b: b.assign(_g="all"), batch_format="pandas"
+    )
+    ranked = grouped_exact_rank(rev, "_g", "v", "o_custkey", step=1_000_000)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s_v = int(b["v"].astype("int64").sum())
+        s_rv = sum(int(r) * int(v) for r, v in zip(b["rnk"], b["v"]))
+        return pd.DataFrame({"cnt": [len(b)], "s_v": [s_v], "s_rv": [s_rv]})
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        n = int(b["cnt"].sum())
+        s_v = int(b["s_v"].sum())
+        s_rv = int(b["s_rv"].sum())
+        num = 2 * s_rv - (n + 1) * s_v
+        return pd.DataFrame({
+            "n": [n],
+            "total_cents": [s_v],
+            "gini_num": [num],
+            "gini_ppm": [num * 1_000_000 // (n * s_v) if n and s_v else 0],
+        })
+
+    return (
+        ranked.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas")
+    )

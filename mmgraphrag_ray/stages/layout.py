@@ -192,3 +192,56 @@ def parquet_prune_plan(paths: list[str], col: str, lo: int, hi: int):
     return ray.data.from_items(
         [{"path": p} for p in sorted(paths)]
     ).map_batches(plan, batch_format="pandas")
+
+
+def compaction_plan(paths: list[str], target_bytes: int):
+    """Small-file compaction planning — the table-maintenance pass every
+    lake format (Iceberg/Delta/Hudi rewrite_data_files) schedules: from
+    parquet FOOTER metadata only (no data pages), size each file by its
+    total compressed bytes, then assign files in name order to merge
+    bins by cumulative quota: bin(i) = (Σ bytes of earlier files) //
+    target_bytes — the same deterministic prefix-sum keying
+    pack_sequences uses, so the plan is reproducible and SQL-mirrorable
+    as a windowed cumsum over the same footers.
+
+    -> Dataset(file, n_rows, total_bytes, bin): one row per input file.
+
+    Shape: footer stats fan out one file per task row (distributed
+    planning, like parquet_prune_plan); the prefix sum folds over the
+    file-count-sized stats table — bytes of state per FILE, not per row."""
+    import os
+
+    import ray.data
+
+    def stat(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        files, rows, bts = [], [], []
+        for p in batch["path"]:
+            md = pq.ParquetFile(p).metadata
+            b = sum(
+                md.row_group(i).column(j).total_compressed_size
+                for i in range(md.num_row_groups)
+                for j in range(md.num_columns)
+            )
+            files.append(os.path.basename(p))
+            rows.append(md.num_rows)
+            bts.append(b)
+        return pd.DataFrame({
+            "file": pd.Series(files, dtype=object),
+            "n_rows": pd.Series(rows, dtype="int64"),
+            "total_bytes": pd.Series(bts, dtype="int64"),
+        })
+
+    stats = ray.data.from_items(
+        [{"path": p} for p in sorted(paths)]
+    ).map_batches(stat, batch_format="pandas")
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values("file", kind="mergesort").reset_index(drop=True)
+        prev = b["total_bytes"].cumsum().shift(1, fill_value=0)
+        b["bin"] = (prev // target_bytes).astype("int64")
+        return b
+
+    # the stats table is file-count-sized: one fold task assigns bins
+    return stats.repartition(1).map_batches(assign, batch_format="pandas")

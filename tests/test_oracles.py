@@ -91,6 +91,8 @@ CASES = [
     "events_trending",
     "q7_nation_flows",
     "lineitem_winsorized",
+    "customer_revenue_gini",
+    "doc_compaction_plan",
 ]
 
 
@@ -126,6 +128,13 @@ def test_query_matches_oracle(contract, name):
         from mmgraphrag_ray.corpus import ensure_corpus
 
         sql = sql.replace(ensure_corpus("/root/testdata/sf0.01"), ensure_corpus(SF))
+    if "/tmp/raykg_prune/" in sql:
+        from mmgraphrag_ray.stages.layout import ensure_partitioned_docs
+
+        sql = sql.replace(
+            ensure_partitioned_docs("/root/testdata/sf0.01", n_parts=8),
+            ensure_partitioned_docs(SF, n_parts=8),
+        )
     theirs = con.sql(sql).df()
     pd.testing.assert_frame_equal(
         _normalize(ours), _normalize(theirs), check_dtype=False
