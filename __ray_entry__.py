@@ -2526,6 +2526,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_nation_flows": relational.q7_nation_flows,
         "lineitem_winsorized": relational.lineitem_winsorized,
         "customer_revenue_gini": relational.customer_revenue_gini,
+        "events_spike_days": relational.events_spike_days,
+        "lineitem_share_of_order": relational.lineitem_share_of_order,
         "doc_compaction_plan": doc_compaction_plan_q,
         "q5_nation_volume": relational.q5_nation_volume,
         "q13_order_distribution": relational.q13_order_distribution,
@@ -4176,6 +4178,36 @@ FROM rankedkb WHERE rn = 1
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_shipdate > o.o_orderdate)
             GROUP BY o_orderpriority
+        """,
+        # integer spike rule: n_day·n_days > 2·type_total (no float avg)
+        "events_spike_days": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS type_total,
+                         CAST(count(*) AS BIGINT) AS n_days
+                  FROM c GROUP BY 1)
+            SELECT c.event_type, c.day, c.n, t.type_total, t.n_days,
+                   CAST(CASE WHEN c.n * t.n_days > 2 * t.type_total
+                        THEN 1 ELSE 0 END AS BIGINT) AS spike
+            FROM c JOIN t USING (event_type)
+        """,
+        # percent-of-parent at fact scale: line ppm of order revenue
+        "lineitem_share_of_order": """
+            WITH l AS (
+              SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                     CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT) AS cents
+              FROM lineitem),
+            o AS (SELECT l_orderkey, CAST(sum(cents) AS BIGINT)
+                         AS order_cents
+                  FROM l GROUP BY 1)
+            SELECT l.l_orderkey, l.l_linenumber, l.cents, o.order_cents,
+                   CAST(l.cents * 1000000
+                        // greatest(o.order_cents, 1) AS BIGINT) AS share_ppm
+            FROM l JOIN o USING (l_orderkey)
         """,
         # exact Gini over per-customer revenue (row_number rank form)
         "customer_revenue_gini": """

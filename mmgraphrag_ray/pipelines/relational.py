@@ -1822,3 +1822,105 @@ def customer_revenue_gini(sf_dir: str):
         .repartition(1)
         .map_batches(fold, batch_format="pandas")
     )
+
+
+def events_spike_days(sf_dir: str, factor_num: int = 2, factor_den: int = 1):
+    """Traffic-spike detection per event type: flag UTC days whose event
+    count exceeds ``factor`` × the type's average daily count — the
+    integer-exact monitoring rule (n_day · n_days · den > num · total ⇔
+    n_day > factor · avg) with no float average, so both engines agree on
+    every boundary case.
+
+    Scale shape: exact (type × day) counts via the combiner groupby; the
+    per-type totals fold over the tiny type vocabulary and ride back as a
+    broadcast dimension join.  -> Dataset(event_type, day, n, type_total,
+    n_days, spike) for all (type, day) cells."""
+    import numpy as np
+
+    from ..stages.join import broadcast_join
+
+    day_us = 24 * 3600 * 1_000_000
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        return pd.DataFrame({
+            "day": pd.to_datetime((ts // day_us) * day_us, unit="us"),
+            "event_type": b["event_type"].to_numpy(),
+        })
+
+    counts = bucketed_groupby_agg(
+        ev.map_batches(stamp, batch_format="pandas"),
+        keys=["event_type", "day"],
+        aggs={"n": (None, "count")},
+    ).materialize()
+    totals = (
+        counts.to_pandas().groupby("event_type")["n"]
+        .agg(type_total="sum", n_days="size").reset_index()
+    )  # type-vocabulary-sized
+    joined = broadcast_join(counts, totals, on="event_type")
+    return joined.map_batches(
+        lambda b: b.assign(
+            type_total=b["type_total"].astype("int64"),
+            n_days=b["n_days"].astype("int64"),
+            spike=(
+                b["n"].astype("int64") * b["n_days"].astype("int64")
+                * factor_den
+                > factor_num * b["type_total"].astype("int64")
+            ).astype("int64"),
+        )[["event_type", "day", "n", "type_total", "n_days", "spike"]],
+        batch_format="pandas",
+    )
+
+
+def lineitem_share_of_order(sf_dir: str, min_cents: int = 1):
+    """Percent-of-parent at fact scale: each line's share of its order's
+    revenue in integer ppm — the within-group share pattern where BOTH
+    sides are fact-sized (unlike orders_monthly_share's tiny dimension
+    fold).
+
+    Scale plan: per-order revenue folds via combiner + ONE bucketed
+    shuffle; the join back to lines is the bucketed orderkey join moving
+    (orderkey, cents) fixed-width rows; the ppm is vectorized.  ->
+    Dataset(l_orderkey, l_linenumber, cents, order_cents, share_ppm)."""
+    import numpy as np
+
+    from ..stages.join import bucketed_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice",
+                "l_discount"])
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        from ..arrowutil import strip_pd_metadata
+
+        cents = np.floor(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy()) * 100.0
+        ).astype("int64")
+        out = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"],
+            "l_linenumber": b["l_linenumber"].astype("int64"),
+            "cents": cents,
+        })
+        return strip_pd_metadata(out) if len(out) else out
+
+    lines = li.map_batches(stamp, batch_format="pandas").materialize()
+    per_order = bucketed_groupby_agg(
+        lines.map_batches(lambda b: b[["l_orderkey", "cents"]]
+                          .rename(columns={"cents": "order_cents"}),
+                          batch_format="pandas"),
+        keys=["l_orderkey"],
+        aggs={"order_cents": ("order_cents", "sum")},
+    )
+    joined = bucketed_join(lines, per_order, on="l_orderkey")
+    return joined.map_batches(
+        lambda b: b.assign(
+            share_ppm=(
+                b["cents"].astype("int64") * 1_000_000
+                // b["order_cents"].where(b["order_cents"] > 0, 1)
+                .astype("int64")
+            )
+        ),
+        batch_format="pandas",
+    )

@@ -93,6 +93,8 @@ CASES = [
     "lineitem_winsorized",
     "customer_revenue_gini",
     "doc_compaction_plan",
+    "events_spike_days",
+    "lineitem_share_of_order",
 ]
 
 
