@@ -1377,6 +1377,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      columns=["doc_id", "text"])
         return mmr_topk(docs, BM25_QUERIES, k=5, n_candidates=20)
 
+    def doc_vocab_setops_q(sf_dir):
+        # distributed INTERSECT/EXCEPT: token vocabularies of two corpus
+        # slices reduced to membership flags + set-op verdict per token
+        from mmgraphrag_ray.stages.textstats import vocab_setops
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["source", "text"])
+        return vocab_setops(docs, source_a="src6", source_b="src14")
+
     def doc_entropy_q(sf_dir):
         # integer token-entropy surrogate H' = S·ilog2(S) − Σ tf·ilog2(tf)
         from mmgraphrag_ray.stages.textstats import doc_token_entropy
@@ -2430,6 +2439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25_topk": doc_bm25_topk_q,
         "doc_mmr_topk": doc_mmr_topk_q,
         "doc_entropy": doc_entropy_q,
+        "doc_vocab_setops": doc_vocab_setops_q,
         "events_decay": relational.events_decay,
         "events_transitions": relational.events_transitions,
         "doc_prf_terms": doc_prf_terms_q,
@@ -4082,6 +4092,27 @@ FROM rankedkb WHERE rn = 1
               AND l_shipdate < TIMESTAMP '1998-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        # vocabulary set algebra between two corpus slices
+        "doc_vocab_setops": """
+            WITH t AS (
+              SELECT DISTINCT source, token FROM (
+                SELECT source,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                         AS token
+                FROM documents WHERE source IN ('src6', 'src14'))),
+            m AS (
+              SELECT token,
+                     CAST(max(CASE WHEN source = 'src6' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS in_a,
+                     CAST(max(CASE WHEN source = 'src14' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS in_b
+              FROM t GROUP BY 1)
+            SELECT token, in_a, in_b,
+                   CASE WHEN in_a > 0 AND in_b > 0 THEN 'both'
+                        WHEN in_a > 0 THEN 'a_only'
+                        ELSE 'b_only' END AS status
+            FROM m
         """,
         # integer token-entropy surrogate: exact floored log2 via
         # length(bin(x))-1 on both engines (bit_length-1 in Python)

@@ -473,3 +473,60 @@ def doc_token_entropy(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
         })
 
     return docs_ds.map_batches(stats, batch_format="pandas")
+
+
+def vocab_setops(docs_ds, source_a: str, source_b: str,
+                 text_col: str = "text", source_col: str = "source"):
+    """Distributed set algebra over derived sets — the INTERSECT / EXCEPT
+    family the reference lacks entirely (SURVEY §2.8 "No intersect/except
+    operators"): the distinct token vocabularies of two corpus slices,
+    reduced to one row per token with membership flags and the set-op
+    verdict ('both' / 'a_only' / 'b_only').  Vocabulary drift between
+    corpus slices (new jargon, disappearing terms) is the practical use.
+
+    Shape: per-batch distinct (token, side) flag rows (combiner — a
+    token repeated in a batch emits once), then ONE bucketed grouped max
+    per token.  No row ever carries text.  -> Dataset(token, in_a, in_b,
+    status)."""
+    import numpy as np
+    import pandas as pd
+
+    from .groupagg import bucketed_groupby_agg
+
+    word = re.compile(r"[a-z]+")
+
+    def flags(batch: pd.DataFrame) -> pd.DataFrame:
+        toks, in_a, in_b = [], [], []
+        for src, text in zip(batch[source_col], batch[text_col]):
+            a = src == source_a
+            b = src == source_b
+            if not (a or b):
+                continue
+            for t in set(word.findall(str(text).lower())):
+                toks.append(t)
+                in_a.append(1 if a else 0)
+                in_b.append(1 if b else 0)
+        df = pd.DataFrame({
+            "token": pd.array(toks, dtype="string"),
+            "in_a": np.asarray(in_a, dtype=np.int64),
+            "in_b": np.asarray(in_b, dtype=np.int64),
+        })
+        # batch-local combiner: one row per (token) with or-ed flags
+        if len(df):
+            df = df.groupby("token", sort=False, as_index=False).max()
+        return df
+
+    merged = bucketed_groupby_agg(
+        docs_ds.map_batches(flags, batch_format="pandas"),
+        keys=["token"],
+        aggs={"in_a": ("in_a", "max"), "in_b": ("in_b", "max")},
+    )
+
+    def verdict(b: pd.DataFrame) -> pd.DataFrame:
+        status = np.where(
+            (b["in_a"] > 0) & (b["in_b"] > 0), "both",
+            np.where(b["in_a"] > 0, "a_only", "b_only"),
+        )
+        return b.assign(status=status)
+
+    return merged.map_batches(verdict, batch_format="pandas")

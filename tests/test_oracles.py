@@ -95,6 +95,7 @@ CASES = [
     "doc_compaction_plan",
     "events_spike_days",
     "lineitem_share_of_order",
+    "doc_vocab_setops",
 ]
 
 
