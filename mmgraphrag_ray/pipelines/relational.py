@@ -1230,6 +1230,9 @@ def q4_late_orders(sf_dir: str, d1: str = "1997-01-01", d2: str = "1998-01-01"):
         batch_format="pandas",
     )
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    # materialize() pins between the three hash shuffles (agg -> join ->
+    # agg): this Ray build deadlocks when >2 hash-shuffle stages stream
+    # concurrently in one pipeline (same mitigation as stages/merge.py)
     last_ship = bucketed_groupby_agg(
         li.map_batches(
             lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}),
@@ -1237,14 +1240,14 @@ def q4_late_orders(sf_dir: str, d1: str = "1997-01-01", d2: str = "1998-01-01"):
         ),
         keys=["o_orderkey"],
         aggs={"max_shipdate": ("l_shipdate", "max")},
-    )
+    ).materialize()
     from ..stages.join import bucketed_join
 
     joined = bucketed_join(orders, last_ship, on="o_orderkey", how="inner")
     late = joined.map_batches(
         lambda b: b[b["max_shipdate"] > b["o_orderdate"]][["o_orderpriority"]],
         batch_format="pandas",
-    )
+    ).materialize()
     return bucketed_groupby_agg(
         late, keys=["o_orderpriority"], aggs={"n_late_orders": (None, "count")}
     )
@@ -1346,9 +1349,10 @@ def q13_order_distribution(sf_dir: str, excl_priority: str = "1-URGENT"):
         .rename(columns={"o_custkey": "c_custkey"}),
         batch_format="pandas",
     )
+    # pins: 3 hash shuffles in this chain (see q4_late_orders note)
     per_cust = bucketed_groupby_agg(
         kept, keys=["c_custkey"], aggs={"c_count": (None, "count")}
-    )
+    ).materialize()
     cust_keys = _read(sf_dir, "customer", ["c_custkey"])
     joined = bucketed_join(cust_keys, per_cust, on="c_custkey", how="left")
     counts = joined.map_batches(
@@ -1356,7 +1360,7 @@ def q13_order_distribution(sf_dir: str, excl_priority: str = "1-URGENT"):
             {"c_count": b["c_count"].fillna(0).astype("int64")}
         ),
         batch_format="pandas",
-    )
+    ).materialize()
     return bucketed_groupby_agg(
         counts, keys=["c_count"], aggs={"custdist": (None, "count")}
     )

@@ -356,6 +356,8 @@ def dependency_depth(files_ds, rounds: int = 4, n_buckets: int = 32):
         )
         joined = bucketed_join(dep, depth, on="module",
                                n_buckets=n_buckets)
+        # pin: join -> agg -> join is 3 hash shuffles (merge.py deadlock
+        # mitigation for this Ray build)
         relaxed = bucketed_groupby_agg(
             joined.map_batches(
                 lambda b: pd.DataFrame({
@@ -365,7 +367,7 @@ def dependency_depth(files_ds, rounds: int = 4, n_buckets: int = 32):
                 batch_format="pandas",
             ),
             keys=["module"], aggs={"d": ("d", "max")},
-        )
+        ).materialize()
         depth = bucketed_join(
             universe, relaxed, on="module", how="left", n_buckets=n_buckets
         ).map_batches(

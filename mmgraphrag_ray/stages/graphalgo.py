@@ -1259,9 +1259,11 @@ def k_hop_path_counts(seeds_ds, edges_ds, k: int = 2,
             batch_format="pandas",
         )
         # σ(v, h) = Σ σ(predecessors at h−1): one bucketed grouped sum
+        # (pinned: join -> agg -> left join is 3 hash shuffles, merge.py
+        # deadlock mitigation)
         cand = bucketed_groupby_agg(
             nbrs, ["u"], {"hop": ("hop", "min"), "sigma": ("sigma", "sum")}
-        )
+        ).materialize()
         seen = visited.map_batches(
             lambda b: pd.DataFrame({"u": b["u"], "_seen": np.int64(1)}),
             batch_format="pandas",
@@ -1299,7 +1301,7 @@ def clustering_coefficients(nodes_ds, edges_ds,
     from .groupagg import bucketed_groupby_agg
     from .join import bucketed_join
 
-    tri = triangle_counts(nodes_ds, edges_ds, node_col=node_col)
+    tri = triangle_counts(nodes_ds, edges_ds, node_col=node_col).materialize()
     deg = bucketed_groupby_agg(
         edges_ds.map_batches(
             lambda b: pd.DataFrame(
@@ -1310,7 +1312,8 @@ def clustering_coefficients(nodes_ds, edges_ds,
         ),
         keys=["node"],
         aggs={"degree": (None, "count")},
-    ).map_batches(lambda b: b[b["degree"] >= 2], batch_format="pandas")
+    ).map_batches(lambda b: b[b["degree"] >= 2], batch_format="pandas"
+    ).materialize()
     joined = bucketed_join(deg, tri, on="node", how="left")
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:

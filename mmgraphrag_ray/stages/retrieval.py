@@ -599,11 +599,13 @@ def mmr_topk(
 
     from .groupagg import bucketed_groupby_agg
 
+    # pin: groupby(term) -> bucketed agg -> final groupby(qid) is 3 hash
+    # shuffles (merge.py deadlock mitigation for this Ray build)
     pairs = bucketed_groupby_agg(
         toks.groupby("term").map_groups(pair_counts, batch_format="pandas"),
         keys=["qid", "doc_a", "doc_b"],
         aggs={"shared": ("shared", "sum")},
-    )
+    ).materialize()
 
     # per-qid greedy: candidates + their pair sims in one group
     cand_rows = cands.map_batches(

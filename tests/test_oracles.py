@@ -111,8 +111,14 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.fixture(scope="module")
 def contract():
+    import os
+
     import __ray_entry__ as entry
 
+    # scale-portable mirrors (IVF centroid literals, prune-fixture footers)
+    # follow RAYKG_ORACLE_SF — point them at the gate's SF before the
+    # oracle dict is built
+    os.environ["RAYKG_ORACLE_SF"] = SF
     qs, oracles = entry.queries(), entry.oracle_sql()
     con = duckdb.connect()
     for t in ["documents", "embeddings", "events", "lineitem", "orders",
