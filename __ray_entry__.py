@@ -1893,6 +1893,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      columns=["text"])
         return bpe_pair_counts(docs, k=30)
 
+    def doc_bpe_encode_q(sf_dir):
+        # tokenizer application: encode the corpus under the 5 learned
+        # merges; per-doc word + BPE-token counts via one vocab join
+        from mmgraphrag_ray.stages.bpe import bpe_encode_counts
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return bpe_encode_counts(docs, n_merges=5)
+
     def bpe_merges_q(sf_dir):
         # the BPE training loop: 5 merge rounds, each ONE vocab-bounded
         # combiner + bucketed sum + 1-row argmax; corpus touched once
@@ -2460,6 +2469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_topk": doc_dsir_topk_q,
         "bpe_pair_counts": bpe_pair_counts_q,
         "bpe_merges": bpe_merges_q,
+        "doc_bpe_encode": doc_bpe_encode_q,
         "lineitem_corr_components": lineitem_corr_components_q,
         "code_secret_scan": code_secret_scan_q,
         "lineitem_price_histogram": lineitem_price_histogram_q,
@@ -5890,6 +5900,28 @@ FROM rankedkb WHERE rn = 1
         FROM nb JOIN ni USING (query_vec_id)
         LEFT JOIN common c USING (query_vec_id)
     """
+
+    # BPE-encode mirror composed from the bpe_merges mirror's CTE chain
+    # (everything up to its final SELECT, so v5 = the learned vocab): a
+    # word's token count under the final vocab is len(split(s, ' '))
+    _bpe_sql = out["bpe_merges"]
+    _cut = _bpe_sql.index("SELECT * FROM (")
+    out["doc_bpe_encode"] = _bpe_sql[:_cut] + """
+            , dwc AS (
+              SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                FROM documents)
+              GROUP BY 1, 2
+            ),
+            syms AS (
+              SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_syms
+              FROM v5
+            )
+            SELECT dwc.doc_id, CAST(sum(dwc.c) AS BIGINT) AS n_words,
+                   CAST(sum(dwc.c * syms.n_syms) AS BIGINT) AS n_tokens_bpe
+            FROM dwc JOIN syms USING (w) GROUP BY 1
+        """
 
     # MMR mirror: candidate CTE derived from the BM25 mirror (k bumped to
     # 20 textually so the scoring definitions cannot drift), pairwise

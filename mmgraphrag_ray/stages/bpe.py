@@ -181,3 +181,64 @@ def bpe_learn(documents_ds, n_merges: int = 8, text_col: str = "text"):
         ).materialize()
 
     return merges, vocab
+
+
+def bpe_encode_counts(documents_ds, n_merges: int = 5, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Tokenizer APPLICATION — the other half of the BPE story: train
+    ``n_merges`` merges with :func:`bpe_learn`, then encode the corpus
+    under the learned segmentation and report per-document token counts
+    (the compression/token-budget measurement that decides whether a
+    trained tokenizer ships).
+
+    Encoding never re-runs merge logic per document: a word's token count
+    under the final vocab is just ``len(symbols(w))``, so the corpus pass
+    emits per-doc distinct-word counts (combiner) and ONE bucketed join
+    against the vocabulary's symbol-length table prices every word.
+    Documents with no [a-z]+ words are absent (inner-join semantics,
+    shared with the mirror).
+
+    -> Dataset(doc_id, n_words, n_tokens_bpe)."""
+    from collections import Counter
+
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    _, vocab = bpe_learn(documents_ds, n_merges=n_merges, text_col=text_col)
+    nsyms = vocab.map_batches(
+        lambda b: pd.DataFrame({
+            "w": b["w"],
+            "n_syms": b["symbols"].str.split(" ").str.len().astype("int64"),
+        }),
+        batch_format="pandas",
+    ).materialize()
+
+    word = re.compile(TOKEN_RE)
+
+    def doc_word_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, ws, cs = [], [], []
+        for doc_id, text in zip(batch[id_col], batch[text_col]):
+            for w, c in Counter(word.findall(str(text).lower())).items():
+                ids.append(int(doc_id))
+                ws.append(w)
+                cs.append(c)
+        return pd.DataFrame({
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "w": pd.array(ws, dtype="string"),
+            "c": np.asarray(cs, dtype=np.int64),
+        })
+
+    dwc = documents_ds.map_batches(doc_word_counts, batch_format="pandas")
+    joined = bucketed_join(dwc, nsyms, on="w", small_side="right")
+    priced = joined.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "c": b["c"].astype("int64"),
+            "toks": b["c"].astype("int64") * b["n_syms"].astype("int64"),
+        }),
+        batch_format="pandas",
+    )
+    return bucketed_groupby_agg(
+        priced, keys=["doc_id"],
+        aggs={"n_words": ("c", "sum"), "n_tokens_bpe": ("toks", "sum")},
+    )

@@ -96,6 +96,7 @@ CASES = [
     "events_spike_days",
     "lineitem_share_of_order",
     "doc_vocab_setops",
+    "doc_bpe_encode",
 ]
 
 
