@@ -2547,6 +2547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_winsorized": relational.lineitem_winsorized,
         "customer_revenue_gini": relational.customer_revenue_gini,
         "events_spike_days": relational.events_spike_days,
+        "events_type_overlap": relational.events_type_overlap,
         "lineitem_share_of_order": relational.lineitem_share_of_order,
         "doc_compaction_plan": doc_compaction_plan_q,
         "q5_nation_volume": relational.q5_nation_volume,
@@ -4219,6 +4220,22 @@ FROM rankedkb WHERE rn = 1
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_shipdate > o.o_orderdate)
             GROUP BY o_orderpriority
+        """,
+        # audience-overlap Jaccard (integer ppm) between type pairs
+        "events_type_overlap": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                  FROM ut GROUP BY 1),
+            p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                         CAST(count(*) AS BIGINT) AS n_both
+                  FROM ut a JOIN ut b ON a.user_id = b.user_id
+                                     AND a.event_type < b.event_type
+                  GROUP BY 1, 2)
+            SELECT p.type_a, p.type_b, ta.n AS n_a, tb.n AS n_b, p.n_both,
+                   CAST(p.n_both * 1000000
+                        // (ta.n + tb.n - p.n_both) AS BIGINT) AS jaccard_ppm
+            FROM p JOIN t ta ON ta.event_type = p.type_a
+                 JOIN t tb ON tb.event_type = p.type_b
         """,
         # integer spike rule: n_day·n_days > 2·type_total (no float avg)
         "events_spike_days": """

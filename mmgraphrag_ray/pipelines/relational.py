@@ -1928,3 +1928,72 @@ def lineitem_share_of_order(sf_dir: str, min_cents: int = 1):
         ),
         batch_format="pandas",
     )
+
+
+def events_type_overlap(sf_dir: str):
+    """Audience-overlap matrix: exact Jaccard (integer ppm) between the
+    distinct-user sets of every event-type pair — the "do buyers also
+    search" cohort-overlap query, computed without ever holding a user
+    set in one task.
+
+    Scale shape: distinct (user, type) via ONE bucketed reduce; pair
+    enumeration happens per USER inside a user-bucketed pass (a user has
+    at most |type vocabulary| types, so per-user work is bounded); pair
+    counts and per-type totals both reduce over the tiny type domain,
+    totals ride back as a broadcast.  -> Dataset(type_a, type_b, n_a,
+    n_b, n_both, jaccard_ppm) for co-occurring pairs, type_a < type_b."""
+    import numpy as np
+
+    from ..stages.window import _bucket_of
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    ut = bucketed_groupby_agg(
+        ev, keys=["user_id", "event_type"], aggs={"_n": (None, "count")}
+    ).map_batches(
+        lambda b: b[["user_id", "event_type"]], batch_format="pandas"
+    ).materialize()
+
+    totals = (
+        ut.to_pandas().groupby("event_type").size().astype("int64").to_dict()
+    )  # type-vocabulary-sized
+    tot_ref = ray.put(totals)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        from ..arrowutil import strip_pd_metadata
+
+        out = b.assign(_obucket=_bucket_of(b["user_id"], 64))
+        return strip_pd_metadata(out) if len(out) else out
+
+    def user_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        ta, tb = [], []
+        for _, g in bucket.groupby("user_id", sort=False):
+            types = sorted(g["event_type"])
+            for i in range(len(types)):
+                for j in range(i + 1, len(types)):
+                    ta.append(types[i])
+                    tb.append(types[j])
+        return pd.DataFrame({
+            "type_a": pd.array(ta, dtype="string"),
+            "type_b": pd.array(tb, dtype="string"),
+        })
+
+    pairs = bucketed_groupby_agg(
+        ut.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_obucket")
+        .map_groups(user_pairs, batch_format="pandas"),
+        keys=["type_a", "type_b"],
+        aggs={"n_both": (None, "count")},
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(tot_ref)
+        n_a = b["type_a"].map(t).astype("int64")
+        n_b = b["type_b"].map(t).astype("int64")
+        both = b["n_both"].astype("int64")
+        return pd.DataFrame({
+            "type_a": b["type_a"], "type_b": b["type_b"],
+            "n_a": n_a, "n_b": n_b, "n_both": both,
+            "jaccard_ppm": both * 1_000_000 // (n_a + n_b - both),
+        })
+
+    return pairs.map_batches(finish, batch_format="pandas")

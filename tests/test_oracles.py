@@ -97,6 +97,7 @@ CASES = [
     "lineitem_share_of_order",
     "doc_vocab_setops",
     "doc_bpe_encode",
+    "events_type_overlap",
 ]
 
 
