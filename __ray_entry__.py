@@ -2217,6 +2217,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     columns=["vec_id", "embedding"])
         return matryoshka_error(emb, prefixes=(8, 16, 32))
 
+    def kg_degree_dist_q(sf_dir):
+        # log2-bucketed degree distribution (power-law diagnostic)
+        from mmgraphrag_ray.stages.graphalgo import degree_distribution
+
+        _, edges = _build_graph_cached(sf_dir)
+        return degree_distribution(edges)
+
     def kg_clustering_q(sf_dir):
         # local clustering coefficient (integer ppm) for degree>=2 nodes:
         # 2·tri·1e6 // (d·(d−1)), composed from triangle counts + degrees
@@ -2539,6 +2546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_dep_depth": code_dep_depth_q,
         "code_identifier_vocab": code_identifier_vocab_q,
         "kg_clustering_coeff": kg_clustering_q,
+        "kg_degree_dist": kg_degree_dist_q,
         "emb_matryoshka_error": emb_matryoshka_q,
         "events_props_stats": relational.events_props_stats,
         "events_trending": relational.events_trending,
@@ -2548,6 +2556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_revenue_gini": relational.customer_revenue_gini,
         "events_spike_days": relational.events_spike_days,
         "events_type_overlap": relational.events_type_overlap,
+        "orders_weekday_profile": relational.orders_weekday_profile,
         "lineitem_share_of_order": relational.lineitem_share_of_order,
         "doc_compaction_plan": doc_compaction_plan_q,
         "q5_nation_volume": relational.q5_nation_volume,
@@ -2882,6 +2891,20 @@ JOIN sagg s ON s.new_name = d.new_name
         # degree-ordered triangle counting: orientation keys kill hub
         # explosion; each triangle counted once from its min-key corner
         "kg_triangles": kg + merge + _triangles_sql(),
+        # log2-bucketed degree distribution (bucket = length(bin(d)))
+        "kg_degree_dist": kg + merge + """,
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT src_id AS node FROM edges
+    UNION ALL SELECT tgt_id FROM edges
+  ) GROUP BY 1
+)
+SELECT CAST(length(bin(degree)) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(degree) AS BIGINT) AS min_degree,
+       CAST(max(degree) AS BIGINT) AS max_degree
+FROM deg GROUP BY 1
+        """,
         # clustering coefficient composed textually from the triangle
         # mirror (tr_deg doubles as the degree table)
         "kg_clustering_coeff": kg + merge + _triangles_sql().replace(
@@ -4220,6 +4243,14 @@ FROM rankedkb WHERE rn = 1
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_shipdate > o.o_orderdate)
             GROUP BY o_orderpriority
+        """,
+        # ISO-weekday profile (dow 0 = Monday == isodow − 1)
+        "orders_weekday_profile": """
+            SELECT CAST(isodow(o_orderdate) - 1 AS BIGINT) AS dow,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders GROUP BY 1
         """,
         # audience-overlap Jaccard (integer ppm) between type pairs
         "events_type_overlap": """

@@ -1997,3 +1997,26 @@ def events_type_overlap(sf_dir: str):
         })
 
     return pairs.map_batches(finish, batch_format="pandas")
+
+
+def orders_weekday_profile(sf_dir: str):
+    """Calendar-dimension extraction demo: exact order counts and cents
+    revenue per ISO weekday (0 = Monday, matching pandas dt.dayofweek;
+    the mirror uses isodow − 1).  One vectorized stamp + the tiny
+    weekday-domain reduce.  -> Dataset(dow, n_orders, total_cents)."""
+    import numpy as np
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "dow": b["o_orderdate"].dt.dayofweek.astype("int64"),
+            "cents": np.floor(
+                b["o_totalprice"].to_numpy() * 100.0).astype("int64"),
+        })
+
+    return bucketed_groupby_agg(
+        orders.map_batches(stamp, batch_format="pandas"),
+        keys=["dow"],
+        aggs={"n_orders": (None, "count"), "total_cents": ("cents", "sum")},
+    )

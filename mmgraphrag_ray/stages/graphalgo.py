@@ -1327,3 +1327,44 @@ def clustering_coefficients(nodes_ds, edges_ds,
         })
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def degree_distribution(edges_ds):
+    """Log2-bucketed degree distribution of the KG — the first graph
+    diagnostic anyone plots (is this power-law? where do the hubs sit?):
+    per bucket b = bit_length(degree) (i.e. floor(log2)+1), the node
+    count and exact min/max degree — integer-exact on both engines
+    (DuckDB: length(bin(degree))).
+
+    Shape: one grouped degree count + one tiny bucket reduce (<= 64
+    rows).  -> Dataset(bucket, n_nodes, min_degree, max_degree)."""
+    from .groupagg import bucketed_groupby_agg
+
+    deg = bucketed_groupby_agg(
+        edges_ds.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": pd.concat([b["src_id"], b["tgt_id"]],
+                                    ignore_index=True)}
+            ),
+            batch_format="pandas",
+        ),
+        keys=["node"],
+        aggs={"degree": (None, "count")},
+    ).materialize()
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["degree"].astype("int64")
+        return pd.DataFrame({
+            "bucket": d.map(lambda x: int(x).bit_length()).astype("int64"),
+            "degree": d,
+        })
+
+    return bucketed_groupby_agg(
+        deg.map_batches(bucketize, batch_format="pandas"),
+        keys=["bucket"],
+        aggs={
+            "n_nodes": (None, "count"),
+            "min_degree": ("degree", "min"),
+            "max_degree": ("degree", "max"),
+        },
+    )

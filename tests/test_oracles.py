@@ -98,6 +98,8 @@ CASES = [
     "doc_vocab_setops",
     "doc_bpe_encode",
     "events_type_overlap",
+    "kg_degree_dist",
+    "orders_weekday_profile",
 ]
 
 
