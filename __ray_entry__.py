@@ -2554,6 +2554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_nation_flows": relational.q7_nation_flows,
         "lineitem_winsorized": relational.lineitem_winsorized,
         "customer_revenue_gini": relational.customer_revenue_gini,
+        "customer_pareto_80": relational.customer_pareto_80,
         "events_spike_days": relational.events_spike_days,
         "events_type_overlap": relational.events_type_overlap,
         "orders_weekday_profile": relational.orders_weekday_profile,
@@ -4297,6 +4298,30 @@ FROM rankedkb WHERE rn = 1
                    CAST(l.cents * 1000000
                         // greatest(o.order_cents, 1) AS BIGINT) AS share_ppm
             FROM l JOIN o USING (l_orderkey)
+        """,
+        # exact Pareto 80/20: smallest k with den·cum >= num·total
+        "customer_pareto_80": """
+            WITH r AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS v
+              FROM orders GROUP BY 1),
+            t AS (SELECT CAST(sum(v) AS BIGINT) AS total,
+                         CAST(count(*) AS BIGINT) AS n FROM r),
+            c AS (SELECT v,
+                         row_number() OVER (ORDER BY v DESC, o_custkey DESC)
+                           AS k,
+                         sum(v) OVER (ORDER BY v DESC, o_custkey DESC
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM r),
+            sel AS (SELECT c.k, c.cum FROM c, t
+                    WHERE 5 * c.cum >= 4 * t.total
+                    ORDER BY c.k LIMIT 1)
+            SELECT t.n, t.total AS total_cents,
+                   CAST(sel.k AS BIGINT) AS k_top,
+                   CAST(sel.cum AS BIGINT) AS topk_cents,
+                   CAST(sel.k * 1000000 // t.n AS BIGINT) AS k_ppm
+            FROM t, sel
         """,
         # exact Gini over per-customer revenue (row_number rank form)
         "customer_revenue_gini": """

@@ -2020,3 +2020,82 @@ def orders_weekday_profile(sf_dir: str):
         keys=["dow"],
         aggs={"n_orders": (None, "count"), "total_cents": ("cents", "sum")},
     )
+
+
+def customer_pareto_80(sf_dir: str, num: int = 4, den: int = 5,
+                       step: int = 1_000_000, fetch_cap: int = 100_000):
+    """Exact Pareto concentration ("what fraction of customers produce
+    80% of revenue"): the smallest k such that the top-k customers by
+    revenue cover >= num/den of total cents — computed with NO global
+    sort, by the same range-suffix-sum selection global_quantiles uses:
+
+    1. per-customer revenue (combiner + one bucketed shuffle);
+    2. one streaming pass -> per value-range (v // step) count/sum
+       partials — the driver holds two ints per RANGE, never rows;
+    3. walk ranges from the top until the num/den threshold falls inside
+       one boundary range; fetch only that range's rows (<= fetch_cap)
+       and finish the walk exactly (the integer test den·cum >= num·T —
+       no float share).  k is tie-order-independent: equal values
+       contribute equally, so the minimal k is unique.
+
+    -> ONE row: (n, total_cents, k_top, topk_cents, k_ppm)."""
+    import numpy as np
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    rev = bucketed_groupby_agg(
+        orders.map_batches(
+            lambda b: pd.DataFrame({
+                "o_custkey": b["o_custkey"],
+                "v": np.floor(
+                    b["o_totalprice"].to_numpy() * 100.0).astype("int64"),
+            }),
+            batch_format="pandas",
+        ),
+        keys=["o_custkey"],
+        aggs={"v": ("v", "sum")},
+    ).materialize()
+
+    def range_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b["v"].astype("int64") // step)
+        d = pd.DataFrame({"rng": g, "v": b["v"].astype("int64")})
+        out = d.groupby("rng").agg(cnt=("v", "size"), s=("v", "sum"))
+        return out.reset_index().astype("int64")
+
+    ranges = (
+        rev.map_batches(range_partial, batch_format="pandas")
+        .to_pandas().groupby("rng")[["cnt", "s"]].sum()
+        .sort_index(ascending=False)
+    )
+    total = int(ranges["s"].sum())
+    n = int(ranges["cnt"].sum())
+
+    k0, s0, boundary = 0, 0, None
+    for rng, row in ranges.iterrows():
+        if den * (s0 + int(row["s"])) >= num * total:
+            boundary = int(rng)
+            break
+        k0 += int(row["cnt"])
+        s0 += int(row["s"])
+
+    k_top, topk = n, total
+    if boundary is not None:
+        rows = rev.map_batches(
+            lambda b: b[(b["v"].astype("int64") // step) == boundary],
+            batch_format="pandas",
+        ).to_pandas()  # <= fetch_cap rows by construction of `step`
+        if len(rows) > fetch_cap:
+            raise ValueError("boundary range exceeds fetch_cap; raise step")
+        rows = rows.sort_values(["v", "o_custkey"],
+                                ascending=[False, False])
+        cum, k = s0, k0
+        for v in rows["v"].astype("int64"):
+            cum += int(v)
+            k += 1
+            if den * cum >= num * total:
+                k_top, topk = k, cum
+                break
+
+    return ray.data.from_items([{
+        "n": n, "total_cents": total, "k_top": k_top,
+        "topk_cents": topk, "k_ppm": k_top * 1_000_000 // n if n else 0,
+    }])

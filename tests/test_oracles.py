@@ -100,6 +100,7 @@ CASES = [
     "events_type_overlap",
     "kg_degree_dist",
     "orders_weekday_profile",
+    "customer_pareto_80",
 ]
 
 
