@@ -2217,6 +2217,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     columns=["vec_id", "embedding"])
         return matryoshka_error(emb, prefixes=(8, 16, 32))
 
+    def kg_type_degree_q(sf_dir):
+        # node-side ontology profile: per-type node count + degree stats
+        from mmgraphrag_ray.stages.graphalgo import type_degree_profile
+
+        nodes, edges = _build_graph_cached(sf_dir)
+        return type_degree_profile(nodes, edges)
+
     def kg_degree_dist_q(sf_dir):
         # log2-bucketed degree distribution (power-law diagnostic)
         from mmgraphrag_ray.stages.graphalgo import degree_distribution
@@ -2547,6 +2554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_identifier_vocab": code_identifier_vocab_q,
         "kg_clustering_coeff": kg_clustering_q,
         "kg_degree_dist": kg_degree_dist_q,
+        "kg_type_degrees": kg_type_degree_q,
         "emb_matryoshka_error": emb_matryoshka_q,
         "events_props_stats": relational.events_props_stats,
         "events_trending": relational.events_trending,
@@ -2558,6 +2566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_spike_days": relational.events_spike_days,
         "events_type_overlap": relational.events_type_overlap,
         "orders_weekday_profile": relational.orders_weekday_profile,
+        "events_sliding_users": relational.events_sliding_users,
         "lineitem_share_of_order": relational.lineitem_share_of_order,
         "doc_compaction_plan": doc_compaction_plan_q,
         "q5_nation_volume": relational.q5_nation_volume,
@@ -2892,6 +2901,20 @@ JOIN sagg s ON s.new_name = d.new_name
         # degree-ordered triangle counting: orientation keys kill hub
         # explosion; each triangle counted once from its min-key corner
         "kg_triangles": kg + merge + _triangles_sql(),
+        # node-side ontology profile (degree-0 nodes via left join)
+        "kg_type_degrees": kg + merge + """,
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT src_id AS node FROM edges
+    UNION ALL SELECT tgt_id FROM edges
+  ) GROUP BY 1
+)
+SELECT n.entity_type, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(coalesce(d.degree, 0)) AS BIGINT) AS total_degree,
+       CAST(max(coalesce(d.degree, 0)) AS BIGINT) AS max_degree
+FROM nodes n LEFT JOIN deg d ON d.node = n.entity_name
+GROUP BY 1
+        """,
         # log2-bucketed degree distribution (bucket = length(bin(d)))
         "kg_degree_dist": kg + merge + """,
 deg AS (
@@ -4244,6 +4267,18 @@ FROM rankedkb WHERE rn = 1
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_shipdate > o.o_orderdate)
             GROUP BY o_orderpriority
+        """,
+        # sliding-window exact distinct users (1h window, 15m hop)
+        "events_sliding_users": """
+            WITH expanded AS (
+              SELECT user_id,
+                     ts - to_microseconds(epoch_us(ts) % 900000000)
+                        - to_microseconds(k.k * 900000000) AS win_start
+              FROM events CROSS JOIN range(4) k(k)
+            )
+            SELECT win_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM expanded GROUP BY 1
         """,
         # ISO-weekday profile (dow 0 = Monday == isodow − 1)
         "orders_weekday_profile": """

@@ -2099,3 +2099,23 @@ def customer_pareto_80(sf_dir: str, num: int = 4, den: int = 5,
         "n": n, "total_cents": total, "k_top": k_top,
         "topk_cents": topk, "k_ppm": k_top * 1_000_000 // n if n else 0,
     }])
+
+
+def events_sliding_users(sf_dir: str):
+    """Sliding-window distinct users: exact count(DISTINCT user) per
+    hopping 1-hour window with 15-minute hop — the "active users per
+    rolling hour" composition of sliding_window_expand (each event lands
+    in 4 windows, vectorized per batch) with the two-phase exact-distinct
+    aggregate (no window ever holds its user set in one task).
+    -> Dataset(win_start, n_distinct)."""
+    from ..stages.groupagg import bucketed_count_distinct
+    from ..stages.window import sliding_window_expand
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    expanded = sliding_window_expand(
+        ev, ts_col="ts", window=pd.Timedelta(hours=1),
+        hop=pd.Timedelta(minutes=15),
+    )
+    return bucketed_count_distinct(
+        expanded, keys=["win_start"], distinct_col="user_id"
+    )

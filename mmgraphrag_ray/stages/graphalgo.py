@@ -1368,3 +1368,47 @@ def degree_distribution(edges_ds):
             "max_degree": ("degree", "max"),
         },
     )
+
+
+def type_degree_profile(nodes_ds, edges_ds):
+    """Node-side ontology profile: per entity_type, the node count, total
+    degree, and max degree — the companion of type_pair_edge_stats (which
+    profiles the edge side).  ONE bucketed degree reduce + ONE bucketed
+    type-stamp join + a type-vocabulary reduce; nodes with no edges count
+    with degree 0 via a left join.  -> Dataset(entity_type, n_nodes,
+    total_degree, max_degree)."""
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    deg = bucketed_groupby_agg(
+        edges_ds.map_batches(
+            lambda b: pd.DataFrame(
+                {"entity_name": pd.concat([b["src_id"], b["tgt_id"]],
+                                           ignore_index=True)}
+            ),
+            batch_format="pandas",
+        ),
+        keys=["entity_name"],
+        aggs={"degree": (None, "count")},
+    ).materialize()
+    typed = bucketed_join(
+        nodes_ds.map_batches(
+            lambda b: b[["entity_name", "entity_type"]],
+            batch_format="pandas",
+        ),
+        deg, on="entity_name", how="left",
+    ).map_batches(
+        lambda b: pd.DataFrame({
+            "entity_type": b["entity_type"],
+            "degree": b["degree"].fillna(0).astype("int64"),
+        }),
+        batch_format="pandas",
+    ).materialize()
+    return bucketed_groupby_agg(
+        typed, keys=["entity_type"],
+        aggs={
+            "n_nodes": (None, "count"),
+            "total_degree": ("degree", "sum"),
+            "max_degree": ("degree", "max"),
+        },
+    )

@@ -101,6 +101,8 @@ CASES = [
     "kg_degree_dist",
     "orders_weekday_profile",
     "customer_pareto_80",
+    "kg_type_degrees",
+    "events_sliding_users",
 ]
 
 
