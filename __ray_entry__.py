@@ -2217,6 +2217,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     columns=["vec_id", "embedding"])
         return matryoshka_error(emb, prefixes=(8, 16, 32))
 
+    def kg_typed_wedges_q(sf_dir):
+        # typed 2-path census: counted from per-center type tallies,
+        # never enumerated (hub-safe by construction)
+        from mmgraphrag_ray.stages.graphalgo import typed_wedge_census
+
+        nodes, edges = _build_graph_cached(sf_dir)
+        return typed_wedge_census(nodes, edges)
+
     def kg_type_degree_q(sf_dir):
         # node-side ontology profile: per-type node count + degree stats
         from mmgraphrag_ray.stages.graphalgo import type_degree_profile
@@ -2555,6 +2563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_clustering_coeff": kg_clustering_q,
         "kg_degree_dist": kg_degree_dist_q,
         "kg_type_degrees": kg_type_degree_q,
+        "kg_typed_wedges": kg_typed_wedges_q,
         "emb_matryoshka_error": emb_matryoshka_q,
         "events_props_stats": relational.events_props_stats,
         "events_trending": relational.events_trending,
@@ -2901,6 +2910,30 @@ JOIN sagg s ON s.new_name = d.new_name
         # degree-ordered triangle counting: orientation keys kill hub
         # explosion; each triangle counted once from its min-key corner
         "kg_triangles": kg + merge + _triangles_sql(),
+        # typed wedge census: per-center type tallies -> pair products
+        "kg_typed_wedges": kg + merge + """,
+eb AS (
+  SELECT src_id AS center, tgt_id AS nbr FROM edges
+  UNION SELECT tgt_id, src_id FROM edges
+),
+cnt AS (
+  SELECT eb.center, tc.entity_type AS ct, tn.entity_type AS nt,
+         CAST(count(*) AS BIGINT) AS n
+  FROM eb
+  JOIN nodes tc ON tc.entity_name = eb.center
+  JOIN nodes tn ON tn.entity_name = eb.nbr
+  GROUP BY 1, 2, 3
+),
+w AS (
+  SELECT a.ct AS center_type, a.nt AS type_a, b.nt AS type_b,
+         CASE WHEN a.nt = b.nt THEN a.n * (a.n - 1) // 2
+              ELSE a.n * b.n END AS w
+  FROM cnt a JOIN cnt b ON a.center = b.center AND a.ct = b.ct
+                       AND a.nt <= b.nt
+)
+SELECT center_type, type_a, type_b, CAST(sum(w) AS BIGINT) AS n_wedges
+FROM w GROUP BY 1, 2, 3 HAVING sum(w) > 0
+        """,
         # node-side ontology profile (degree-0 nodes via left join)
         "kg_type_degrees": kg + merge + """,
 deg AS (

@@ -1412,3 +1412,103 @@ def type_degree_profile(nodes_ds, edges_ds):
             "max_degree": ("degree", "max"),
         },
     )
+
+
+def typed_wedge_census(nodes_ds, edges_ds,
+                       node_col: str = "entity_name",
+                       type_col: str = "entity_type",
+                       src_col: str = "src_id", tgt_col: str = "tgt_id",
+                       n_buckets: int = N_BUCKETS):
+    """Typed 2-path (wedge) census: for every (center type, endpoint type
+    pair) the exact number of length-2 paths a–z–c with distinct
+    endpoints — the open-motif companion of triangle counting and the
+    input to schema-level path-query planning ("how many
+    FUNCTION–MODULE–FUNCTION hops exist").
+
+    The scale-critical trick: wedges are COUNTED, never enumerated — per
+    center the neighbor-type tally (n_t rows, type-vocabulary-bounded)
+    yields wedges(t1, t2) = n_t1·n_t2 for t1 < t2 and C(n_t, 2) for
+    t1 = t2, so a hub with a million neighbors costs |types| rows
+    instead of 10^12 pairs (same reason the spike/HITS ops stay
+    polynomial).  Parallel edges collapse first (a wedge is over the
+    simple graph).
+
+    Shape: bidirected distinct edges -> two bucketed type-stamp joins ->
+    one grouped (center, center_type, nbr_type) count -> per-center
+    vocabulary-bounded pair products inside a center-bucketed pass ->
+    one tiny (ct, t1, t2) reduce.  -> Dataset(center_type, type_a,
+    type_b, n_wedges), type_a <= type_b."""
+    import zlib
+
+    from ..arrowutil import strip_pd_metadata
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    def bidir(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"center": pd.concat([b[src_col], b[tgt_col]],
+                                  ignore_index=True),
+             "nbr": pd.concat([b[tgt_col], b[src_col]],
+                               ignore_index=True)}
+        )
+        return out.drop_duplicates()
+
+    eb = edges_ds.map_batches(bidir, batch_format="pandas")
+    tc = nodes_ds.map_batches(
+        lambda b: b[[node_col, type_col]].rename(
+            columns={node_col: "center", type_col: "ct"}),
+        batch_format="pandas",
+    )
+    tn = nodes_ds.map_batches(
+        lambda b: b[[node_col, type_col]].rename(
+            columns={node_col: "nbr", type_col: "nt"}),
+        batch_format="pandas",
+    )
+    j1 = bucketed_join(eb, tc, on="center", small_side="right",
+                       n_buckets=n_buckets).materialize()
+    j2 = bucketed_join(j1, tn, on="nbr", small_side="right",
+                       n_buckets=n_buckets).materialize()
+    cnt = bucketed_groupby_agg(
+        j2.map_batches(lambda b: b[["center", "ct", "nt"]],
+                       batch_format="pandas"),
+        keys=["center", "ct", "nt"],
+        aggs={"n": (None, "count")},
+        n_buckets=n_buckets,
+    ).materialize()
+
+    def add_cbucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.assign(_cbucket=b["center"].map(
+            lambda s: zlib.crc32(str(s).encode()) % n_buckets
+        ).astype("int32"))
+        return strip_pd_metadata(out) if len(out) else out
+
+    def per_center(bucket: pd.DataFrame) -> pd.DataFrame:
+        cts, tas, tbs, ws = [], [], [], []
+        for (_, ct), g in bucket.groupby(["center", "ct"], sort=False):
+            rows = sorted(zip(g["nt"], g["n"].astype(int)))
+            for i, (t1, n1) in enumerate(rows):
+                cts.append(ct); tas.append(t1); tbs.append(t1)
+                ws.append(n1 * (n1 - 1) // 2)
+                for t2, n2 in rows[i + 1:]:
+                    cts.append(ct); tas.append(t1); tbs.append(t2)
+                    ws.append(n1 * n2)
+        return pd.DataFrame({
+            "center_type": pd.array(cts, dtype="string"),
+            "type_a": pd.array(tas, dtype="string"),
+            "type_b": pd.array(tbs, dtype="string"),
+            "w": np.asarray(ws, dtype=np.int64),
+        })
+
+    per = (
+        cnt.map_batches(add_cbucket, batch_format="pandas")
+        .groupby("_cbucket")
+        .map_groups(per_center, batch_format="pandas")
+    )
+    out = bucketed_groupby_agg(
+        per, keys=["center_type", "type_a", "type_b"],
+        aggs={"n_wedges": ("w", "sum")},
+        n_buckets=n_buckets,
+    )
+    return out.map_batches(
+        lambda b: b[b["n_wedges"] > 0], batch_format="pandas"
+    )

@@ -103,6 +103,7 @@ CASES = [
     "customer_pareto_80",
     "kg_type_degrees",
     "events_sliding_users",
+    "kg_typed_wedges",
 ]
 
 
