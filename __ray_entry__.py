@@ -2576,6 +2576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_overlap": relational.events_type_overlap,
         "orders_weekday_profile": relational.orders_weekday_profile,
         "events_sliding_users": relational.events_sliding_users,
+        "events_user_span": relational.events_user_span,
         "lineitem_share_of_order": relational.lineitem_share_of_order,
         "doc_compaction_plan": doc_compaction_plan_q,
         "q5_nation_volume": relational.q5_nation_volume,
@@ -4300,6 +4301,23 @@ FROM rankedkb WHERE rn = 1
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_shipdate > o.o_orderdate)
             GROUP BY o_orderpriority
+        """,
+        # first/last-touch attribution per user, exact µs span
+        "events_user_span": """
+            WITH o AS (
+              SELECT user_id, event_type, ts,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n,
+                     min(ts) OVER (PARTITION BY user_id) AS t0,
+                     max(ts) OVER (PARTITION BY user_id) AS t1
+              FROM events)
+            SELECT f.user_id, f.event_type AS first_type,
+                   l.event_type AS last_type,
+                   CAST(f.n AS BIGINT) AS n_events,
+                   CAST(epoch_us(f.t1) - epoch_us(f.t0) AS BIGINT) AS span_us
+            FROM (SELECT * FROM o WHERE rn = 1) f
+            JOIN (SELECT * FROM o WHERE rn = n) l USING (user_id)
         """,
         # sliding-window exact distinct users (1h window, 15m hop)
         "events_sliding_users": """

@@ -2119,3 +2119,56 @@ def events_sliding_users(sf_dir: str):
     return bucketed_count_distinct(
         expanded, keys=["win_start"], distinct_col="user_id"
     )
+
+
+def events_user_span(sf_dir: str):
+    """First/last-touch attribution per user: the first and last event
+    type in (ts, event_id) order plus the activity span in exact µs —
+    the attribution table marketing joins against conversions.
+
+    Shape: the ONE-shuffle grouped-window contract (sort only inside a
+    user bucket), emitting a single fixed-width row per user.
+    -> Dataset(user_id, first_type, last_type, n_events, span_us)."""
+    import numpy as np
+
+    from ..stages.window import _bucket_of
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        from ..arrowutil import strip_pd_metadata
+
+        out = b.assign(_sbucket=_bucket_of(b["user_id"], 64))
+        return strip_pd_metadata(out) if len(out) else out
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "first_type": pd.Series(dtype=object),
+                "last_type": pd.Series(dtype=object),
+                "n_events": pd.Series(dtype="int64"),
+                "span_us": pd.Series(dtype="int64"),
+            })
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        g = b.groupby("user_id", sort=False)
+        ts = b["ts"].astype("datetime64[us]").astype("int64")
+        first = g.head(1).set_index("user_id")["event_type"]
+        last = g.tail(1).set_index("user_id")["event_type"]
+        spans = ts.groupby(b["user_id"], sort=False).agg(["min", "max"])
+        n = g.size()
+        return pd.DataFrame({
+            "user_id": n.index.astype("int64"),
+            "first_type": first.reindex(n.index).to_numpy(),
+            "last_type": last.reindex(n.index).to_numpy(),
+            "n_events": n.to_numpy().astype("int64"),
+            "span_us": (spans["max"] - spans["min"]).reindex(n.index)
+            .to_numpy().astype("int64"),
+        })
+
+    return (
+        ev.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_sbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

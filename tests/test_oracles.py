@@ -104,6 +104,7 @@ CASES = [
     "kg_type_degrees",
     "events_sliding_users",
     "kg_typed_wedges",
+    "events_user_span",
 ]
 
 
