@@ -1377,6 +1377,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      columns=["doc_id", "text"])
         return mmr_topk(docs, BM25_QUERIES, k=5, n_candidates=20)
 
+    def doc_lang_confusion_q(sf_dir):
+        # classifier-eval confusion matrix: labeled vs predicted lang
+        from mmgraphrag_ray.stages.textstats import lang_confusion
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "lang", "text"])
+        return lang_confusion(docs)
+
+    def kg_extraction_coverage_q(sf_dir):
+        # extraction recall audit: per repo, chunks with >= 1 mention
+        from mmgraphrag_ray.pipelines.kg import extraction_coverage
+
+        return extraction_coverage(_corpus(sf_dir))
+
     def doc_vocab_setops_q(sf_dir):
         # distributed INTERSECT/EXCEPT: token vocabularies of two corpus
         # slices reduced to membership flags + set-op verdict per token
@@ -2471,6 +2485,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mmr_topk": doc_mmr_topk_q,
         "doc_entropy": doc_entropy_q,
         "doc_vocab_setops": doc_vocab_setops_q,
+        "doc_lang_confusion": doc_lang_confusion_q,
+        "kg_extraction_coverage": kg_extraction_coverage_q,
         "events_decay": relational.events_decay,
         "events_transitions": relational.events_transitions,
         "doc_prf_terms": doc_prf_terms_q,
@@ -2934,6 +2950,19 @@ w AS (
 )
 SELECT center_type, type_a, type_b, CAST(sum(w) AS BIGINT) AS n_wedges
 FROM w GROUP BY 1, 2, 3 HAVING sum(w) > 0
+        """,
+        # extraction recall audit over the kg chain's chunks/mentions
+        "kg_extraction_coverage": kg + """,
+pc AS (
+  SELECT source_id AS chunk_id, CAST(count(*) AS BIGINT) AS nm
+  FROM ent_mentions GROUP BY 1
+)
+SELECT c.repo, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN pc.nm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered,
+       CAST(sum(coalesce(pc.nm, 0)) AS BIGINT) AS n_mentions
+FROM chunks c LEFT JOIN pc USING (chunk_id)
+GROUP BY 1
         """,
         # node-side ontology profile (degree-0 nodes via left join)
         "kg_type_degrees": kg + merge + """,
@@ -3706,6 +3735,13 @@ FROM rankedkb WHERE rn = 1
             ) WHERE rn <= 20
         """,
         "doc_lang_id": _lang_id_sql(),
+        # confusion matrix composed from the lang-id mirror
+        "doc_lang_confusion": f"""
+            WITH pred AS ({_lang_id_sql()})
+            SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY 1, 2
+        """,
         "kg_resolve_refs": kg + _resolve_refs_sql(),
         "doc_fingerprint": """
             SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint

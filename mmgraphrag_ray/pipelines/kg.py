@@ -233,3 +233,51 @@ def run_kg(
         )
 
     return done
+
+
+def extraction_coverage(files_path: str, cfg: KGConfig = DEFAULT_CONFIG):
+    """Extraction-quality audit: per repo, how many chunks produced at
+    least one entity mention — the recall dashboard a KG owner reads
+    before blaming the merge ("is the extractor silent on whole repos?").
+
+    Plan: chunks (repo, chunk_id) LEFT JOIN per-chunk mention counts
+    (combiner groupby on source_id), then a per-repo reduce — the only
+    all-to-all moves one fixed-width row per chunk.  -> Dataset(repo,
+    n_chunks, n_covered, n_mentions)."""
+    import pandas as pd
+
+    from ..stages.extract import split_mentions
+    from ..stages.groupagg import bucketed_groupby_agg
+    from ..stages.join import bucketed_join
+
+    chunks = build_chunks(files_path, cfg).map_batches(
+        lambda b: b[["chunk_id", "repo"]], batch_format="pandas"
+    ).materialize()
+    ent, _ = split_mentions(extract_mentions(
+        build_chunks(files_path, cfg), cfg))
+    per_chunk = bucketed_groupby_agg(
+        ent.map_batches(
+            lambda b: b[["source_id"]].rename(
+                columns={"source_id": "chunk_id"}),
+            batch_format="pandas",
+        ),
+        keys=["chunk_id"],
+        aggs={"n_mentions": (None, "count")},
+    ).materialize()
+    joined = bucketed_join(chunks, per_chunk, on="chunk_id", how="left")
+    stamped = joined.map_batches(
+        lambda b: pd.DataFrame({
+            "repo": b["repo"],
+            "covered": (b["n_mentions"].notna()).astype("int64"),
+            "n_mentions": b["n_mentions"].fillna(0).astype("int64"),
+        }),
+        batch_format="pandas",
+    )
+    return bucketed_groupby_agg(
+        stamped, keys=["repo"],
+        aggs={
+            "n_chunks": (None, "count"),
+            "n_covered": ("covered", "sum"),
+            "n_mentions": ("n_mentions", "sum"),
+        },
+    )

@@ -530,3 +530,31 @@ def vocab_setops(docs_ds, source_a: str, source_b: str,
         return b.assign(status=status)
 
     return merged.map_batches(verdict, batch_format="pandas")
+
+
+def lang_confusion(documents_ds, label_col: str = "lang"):
+    """Classifier-evaluation confusion matrix for the heuristic language
+    ID: exact (labeled lang, predicted lang) counts over the corpus —
+    the precision/recall input for tuning the stopword inventories.
+
+    Shape: the LangIdStage scan (stateless task pool, patterns compiled
+    per worker) emits (label, prediction) pairs; ONE vocabulary-bounded
+    combiner reduce.  -> Dataset(lang, lang_pred, n)."""
+    import pyarrow as pa
+
+    from .groupagg import bucketed_groupby_agg
+
+    stage = LangIdStage()
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        preds = [stage.predict(t) for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "lang": batch.column(label_col),
+            "lang_pred": pa.array(preds, pa.string()),
+        })
+
+    return bucketed_groupby_agg(
+        documents_ds.map_batches(pairs, batch_format="pyarrow"),
+        keys=["lang", "lang_pred"],
+        aggs={"n": (None, "count")},
+    )

@@ -105,6 +105,8 @@ CASES = [
     "events_sliding_users",
     "kg_typed_wedges",
     "events_user_span",
+    "doc_lang_confusion",
+    "kg_extraction_coverage",
 ]
 
 
