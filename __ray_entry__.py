@@ -2222,6 +2222,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         files = ray.data.read_parquet(_corpus(sf_dir), columns=["content"])
         return dependency_depth(files, rounds=4)
 
+    def emb_label_scatter_q(sf_dir):
+        # class-compactness report: integer within-label scatter numerator
+        from mmgraphrag_ray.stages.vecstats import label_scatter
+
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                    columns=["label", "embedding"])
+        return label_scatter(emb)
+
     def emb_matryoshka_q(sf_dir):
         # MRL prefix-truncation report: exact kept/dropped squared norm
         # and retained-energy ppm per vector at prefix widths 8/16/32
@@ -2581,6 +2589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_type_degrees": kg_type_degree_q,
         "kg_typed_wedges": kg_typed_wedges_q,
         "emb_matryoshka_error": emb_matryoshka_q,
+        "emb_label_scatter": emb_label_scatter_q,
         "events_props_stats": relational.events_props_stats,
         "events_trending": relational.events_trending,
         "q4_late_orders": relational.q4_late_orders,
@@ -3988,6 +3997,22 @@ FROM rankedkb WHERE rn = 1
             d4 AS (SELECT n.module, coalesce(r4.d, 0) AS depth
                    FROM nodes n LEFT JOIN r4 USING (module))
             SELECT module, CAST(depth AS BIGINT) AS depth FROM d4
+        """,
+        # within-label scatter on the floor(x*1e3) grid, HUGEINT sums
+        "emb_label_scatter": """
+            WITH q AS (
+              SELECT label,
+                     unnest(list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS v,
+                     unnest(range(1, len(embedding) + 1)) AS d
+              FROM embeddings),
+            n AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+                  FROM embeddings GROUP BY 1),
+            agg AS (SELECT label, d, sum(v) AS s, sum(v * v) AS ss
+                    FROM q GROUP BY 1, 2)
+            SELECT CAST(a.label AS BIGINT) AS label, n.n,
+                   CAST(sum(n.n * a.ss - a.s * a.s) AS BIGINT) AS scatter_num
+            FROM agg a JOIN n USING (label) GROUP BY 1, 2
         """,
         # Matryoshka prefix-truncation mirror: same floor(x*1e6) grid
         "emb_matryoshka_error": """

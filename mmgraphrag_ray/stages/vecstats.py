@@ -270,3 +270,66 @@ def matryoshka_error(
         return pd.concat(frames, ignore_index=True)
 
     return emb_ds.map_batches(err, batch_format="pandas")
+
+
+def label_scatter(
+    emb_ds,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000,
+):
+    """Within-class scatter per label — the class-compactness half of a
+    Fisher-style separability report over a labeled embedding table
+    (ANN-index sanity / classifier-feasibility check):
+
+        scatter_num(label) = Σ_d ( n·Σv_d² − (Σv_d)² )   (= n²·tr Σ̂)
+
+    computed ALL-INTEGER on the floor(x·scale) grid (scale = 1e3 keeps
+    n·Σq² inside int64 at corpus scale; the SQL mirror runs the same
+    sums through HUGEINT).  -> Dataset(label, n, scatter_num).
+
+    Shape: one streaming pass emits per-(label, dim) sufficient-stat
+    partials (labels × dims rows per batch, vocabulary-bounded); one
+    bucketed reduce; the label-sized finish folds on the driver."""
+    import ray
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({
+                "label": pd.Series(dtype="int64"),
+                "d": pd.Series(dtype="int64"),
+                "s": pd.Series(dtype="int64"),
+                "ss": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+            })
+        q = _batch_matrix(batch, vec_col, scale)
+        labels = batch[label_col].to_numpy(np.int64)
+        frames = []
+        for lab in np.unique(labels):
+            m = q[labels == lab]
+            frames.append(pd.DataFrame({
+                "label": np.int64(lab),
+                "d": np.arange(1, q.shape[1] + 1, dtype=np.int64),
+                "s": m.sum(axis=0),
+                "ss": (m * m).sum(axis=0),
+                "n": np.int64(len(m)),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    from .groupagg import bucketed_groupby_agg
+
+    agg = bucketed_groupby_agg(
+        emb_ds.map_batches(partial, batch_format="pandas"),
+        keys=["label", "d"],
+        aggs={"s": ("s", "sum"), "ss": ("ss", "sum"), "n": ("n", "sum")},
+    ).to_pandas()  # labels × dims rows — vocabulary-bounded
+
+    out = []
+    for lab, g in agg.groupby("label"):
+        n = int(g["n"].iloc[0])  # same count replicated per dim
+        num = sum(n * int(ss) - int(s) * int(s)
+                  for s, ss in zip(g["s"], g["ss"]))
+        out.append({"label": int(lab), "n": n, "scatter_num": num})
+    return ray.data.from_items(
+        sorted(out, key=lambda r: r["label"])
+    )

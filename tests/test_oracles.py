@@ -107,6 +107,7 @@ CASES = [
     "events_user_span",
     "doc_lang_confusion",
     "kg_extraction_coverage",
+    "emb_label_scatter",
 ]
 
 
