@@ -119,6 +119,8 @@ def _bench_main() -> None:
             "doc_shuffle_order",
             "q6_revenue",
             "events_window_users",
+            "q5_nation_volume",
+            "doc_bm25_topk",
         ]:
             t0 = time.time()
             res = qs[name](sf_dir)
