@@ -1367,6 +1367,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      columns=["doc_id", "text"])
         return bm25_topk(docs, BM25_QUERIES, k=10)
 
+    def doc_curated_bm25_q(sf_dir):
+        # search-the-clean-corpus composition: curation verdict gates the
+        # document set, BM25 ranks only survivors (one bucketed semi-join)
+        from mmgraphrag_ray.stages.join import bucketed_join
+        from mmgraphrag_ray.stages.retrieval import bm25_topk
+
+        flags = relational.doc_curation(sf_dir)
+        kept_ids = flags.map_batches(
+            lambda b: b[b["keep"] == 1][["doc_id"]], batch_format="pandas"
+        ).materialize()
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        kept = bucketed_join(docs, kept_ids, on="doc_id",
+                             small_side="right")
+        return bm25_topk(kept, BM25_QUERIES, k=10)
+
     def doc_mmr_topk_q(sf_dir):
         # Maximal Marginal Relevance diversified top-5 per query: greedy
         # argmax(bm25 − 50000·max shared-distinct-terms with selected),
@@ -2491,6 +2507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_topk": doc_tfidf_topk_q,
         "doc_bm25_topk": doc_bm25_topk_q,
         "doc_mmr_topk": doc_mmr_topk_q,
+        "doc_curated_bm25": doc_curated_bm25_q,
         "doc_entropy": doc_entropy_q,
         "doc_vocab_setops": doc_vocab_setops_q,
         "doc_lang_confusion": doc_lang_confusion_q,
@@ -6120,6 +6137,21 @@ FROM rankedkb WHERE rn = 1
         FROM nb JOIN ni USING (query_vec_id)
         LEFT JOIN common c USING (query_vec_id)
     """
+
+    # curated-BM25 mirror: the BM25 mirror textually rebased onto the
+    # curation survivors (corpus stats N/L and df re-derive over the
+    # curated set on both engines, so the scores agree by construction)
+    _cur_bm25 = out["doc_bm25_topk"].replace("FROM documents", "FROM cur")
+    out["doc_curated_bm25"] = _cur_bm25.replace(
+        "WITH q(qid, term) AS",
+        f"""WITH curflags AS ({_CURATION_SQL}),
+            cur AS (
+              SELECT d.doc_id, d.text FROM documents d
+              JOIN curflags f USING (doc_id) WHERE f.keep = 1
+            ),
+            q(qid, term) AS""",
+        1,
+    )
 
     # BPE-encode mirror composed from the bpe_merges mirror's CTE chain
     # (everything up to its final SELECT, so v5 = the learned vocab): a

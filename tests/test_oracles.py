@@ -108,6 +108,7 @@ CASES = [
     "doc_lang_confusion",
     "kg_extraction_coverage",
     "emb_label_scatter",
+    "doc_curated_bm25",
 ]
 
 
