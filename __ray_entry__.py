@@ -1506,6 +1506,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qvecs = np.array(qdf["embedding"].tolist(), dtype=np.float64)
         return brute_topk(emb, qids, qvecs, k=5)
 
+    def ann_filtered_topk(sf_dir):
+        # filtered vector search: query j only ranks corpus rows sharing
+        # its label (the metadata-predicate ANN every vector store ships)
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        qdf = emb.filter(expr="vec_id < 8").to_pandas()
+        return brute_topk(
+            emb,
+            qdf["vec_id"].to_numpy(),
+            np.array(qdf["embedding"].tolist(), dtype=np.float64),
+            k=5,
+            query_labels=qdf["label"].to_numpy(),
+        )
+
+    def code_api_surface_q(sf_dir):
+        # per-(repo, lang) def/class counts + distinct def-name vocabulary
+        from mmgraphrag_ray.stages.codegraph import api_surface
+
+        files = ray.data.read_parquet(
+            _corpus(sf_dir), columns=["repo", "lang", "content"]
+        )
+        return api_surface(files)
+
     def ann_ivf_topk(sf_dir):
         from mmgraphrag_ray.stages.similarity import ivf_topk
 
@@ -2622,6 +2644,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_share_of_order": relational.lineitem_share_of_order,
         "doc_compaction_plan": doc_compaction_plan_q,
         "q5_nation_volume": relational.q5_nation_volume,
+        "q8_market_share": relational.q8_market_share,
+        "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
+        "q10_returned_items": relational.q10_returned_items,
+        "q12_priority_lines": relational.q12_priority_lines,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q17_small_qty_cents": relational.q17_small_qty_cents,
+        "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+        "q21_waiting_supplier": relational.q21_waiting_supplier,
+        "q22_idle_customers": relational.q22_idle_customers,
+        "events_ohlc": relational.events_ohlc,
+        "lineitem_quantile_cont": relational.lineitem_quantile_cont,
+        "ann_filtered_topk": ann_filtered_topk,
+        "code_api_surface": code_api_surface_q,
         "q13_order_distribution": relational.q13_order_distribution,
         "q14_promo_share": relational.q14_promo_share,
         "q18_big_orders": relational.q18_big_orders,
@@ -4562,6 +4597,329 @@ FROM rankedkb WHERE rn = 1
             JOIN nation   ON s_nationkey = n_nationkey
             WHERE c_nationkey = s_nationkey
             GROUP BY n_name
+        """,
+        # TPC-H Q8 shape: in-region revenue share supplied by one nation,
+        # per order year, integer ppm
+        "q8_market_share": """
+            WITH rn AS (
+              SELECT n_nationkey FROM nation
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'),
+            tgt AS (
+              SELECT s_suppkey FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_2'),
+            ord AS (
+              SELECT o_orderkey,
+                     CAST(year(o_orderdate) AS BIGINT) AS o_year
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE c_nationkey IN (SELECT n_nationkey FROM rn)),
+            li AS (
+              SELECT l_orderkey,
+                     CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT) AS cents,
+                     l_suppkey IN (SELECT s_suppkey FROM tgt) AS ist
+              FROM lineitem)
+            SELECT o_year,
+                   CAST(coalesce(sum(cents) FILTER (ist), 0) AS BIGINT)
+                       AS target_cents,
+                   CAST(sum(cents) AS BIGINT) AS total_cents,
+                   CAST(coalesce(sum(cents) FILTER (ist), 0) * 1000000
+                        // sum(cents) AS BIGINT) AS share_ppm
+            FROM li JOIN ord ON l_orderkey = o_orderkey
+            GROUP BY o_year
+        """,
+        # TPC-H Q9 shape: profit per (supplier nation, order year), cost
+        # proxied by retail price x quantity (no partsupp in this corpus)
+        "q9_profit_by_nation_year": """
+            WITH li AS (
+              SELECT l_orderkey, CAST(s_nationkey AS BIGINT) AS n_nationkey,
+                     CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)
+                     - CAST(round(p_retailprice * 100) AS BIGINT)
+                       * CAST(l_quantity AS BIGINT) AS profit_cents
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey),
+            per_ok AS (
+              SELECT l_orderkey, n_nationkey,
+                     CAST(sum(profit_cents) AS BIGINT) AS profit_cents
+              FROM li GROUP BY 1, 2)
+            SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(profit_cents) AS BIGINT) AS profit_cents,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM per_ok
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN nation USING (n_nationkey)
+            GROUP BY 1, 2
+        """,
+        # TPC-H Q10 shape: top-20 customers by returned-item revenue on
+        # orders in a window (deterministic custkey tie-break)
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name, revenue_cents
+            FROM (
+              SELECT o_custkey AS c_custkey,
+                     CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                         * 100) AS BIGINT)) AS BIGINT)
+                         AS revenue_cents
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1997-07-01'
+              GROUP BY 1
+            ) r
+            JOIN customer USING (c_custkey)
+            JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY revenue_cents DESC, c_custkey
+            LIMIT 20
+        """,
+        # TPC-H Q12 shape: high- vs low-priority line counts per
+        # linestatus for lines shipped in a window (no shipmode column)
+        "q12_priority_lines": """
+            SELECT l_linestatus,
+                   CAST(coalesce(sum(CASE WHEN o_orderpriority IN
+                        ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS high_lines,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) - coalesce(sum(CASE WHEN o_orderpriority
+                        IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS low_lines
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_linestatus
+        """,
+        # TPC-H Q15 shape: supplier(s) at the global max window revenue
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey AS s_suppkey,
+                     CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                         * 100) AS BIGINT)) AS BIGINT)
+                         AS total_revenue_cents
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1997-04-01'
+              GROUP BY 1)
+            SELECT s_suppkey, s_name, total_revenue_cents
+            FROM rev JOIN supplier USING (s_suppkey)
+            WHERE total_revenue_cents =
+                  (SELECT max(total_revenue_cents) FROM rev)
+        """,
+        # TPC-H Q17 shape: revenue of below-20%%-of-part-average-quantity
+        # lines for one brand, integer cross-multiplied (5*qty*cnt < sum)
+        "q17_small_qty_cents": """
+            WITH lines AS (
+              SELECT l_partkey AS p_partkey,
+                     CAST(l_quantity AS BIGINT) AS qty,
+                     CAST(floor(l_extendedprice * 100) AS BIGINT)
+                         AS price_cents
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#1'),
+            folds AS (
+              SELECT p_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM lines GROUP BY 1)
+            SELECT CAST(coalesce(sum(price_cents)
+                        FILTER (5 * qty * cnt < sum_qty), 0) AS BIGINT)
+                       AS small_qty_cents,
+                   CAST(count(*) FILTER (5 * qty * cnt < sum_qty)
+                        AS BIGINT) AS n_small_lines
+            FROM lines JOIN folds USING (p_partkey)
+        """,
+        # TPC-H Q19 shape: three disjunctive (brand, size, qty) predicate
+        # arms + the OR-total, one scan, exact cents
+        "q19_disjunctive_revenue": """
+            WITH f AS (
+              SELECT p_brand, CAST(p_size AS BIGINT) AS s,
+                     CAST(l_quantity AS BIGINT) AS q,
+                     CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT) AS cents
+              FROM lineitem JOIN part ON l_partkey = p_partkey),
+            m AS (
+              SELECT cents,
+                (p_brand = 'Brand#1' AND s BETWEEN 1 AND 15
+                 AND q BETWEEN 1 AND 20) AS a1,
+                (p_brand = 'Brand#2' AND s BETWEEN 10 AND 30
+                 AND q BETWEEN 5 AND 30) AS a2,
+                (p_brand = 'Brand#3' AND s BETWEEN 20 AND 50
+                 AND q BETWEEN 10 AND 40) AS a3
+              FROM f)
+            SELECT 'arm1' AS arm,
+                   CAST(coalesce(sum(cents) FILTER (a1), 0) AS BIGINT)
+                       AS revenue_cents,
+                   CAST(count(*) FILTER (a1) AS BIGINT) AS n_lines FROM m
+            UNION ALL
+            SELECT 'arm2',
+                   CAST(coalesce(sum(cents) FILTER (a2), 0) AS BIGINT),
+                   CAST(count(*) FILTER (a2) AS BIGINT) FROM m
+            UNION ALL
+            SELECT 'arm3',
+                   CAST(coalesce(sum(cents) FILTER (a3), 0) AS BIGINT),
+                   CAST(count(*) FILTER (a3) AS BIGINT) FROM m
+            UNION ALL
+            SELECT 'any',
+                   CAST(coalesce(sum(cents) FILTER (a1 OR a2 OR a3), 0)
+                        AS BIGINT),
+                   CAST(count(*) FILTER (a1 OR a2 OR a3) AS BIGINT) FROM m
+        """,
+        # TPC-H Q21 shape: lone-laggard supplier on finalized
+        # multi-supplier orders (max-shipdate holder, alone at the max)
+        "q21_waiting_supplier": """
+            WITH per_os AS (
+              SELECT l_orderkey AS ok, l_suppkey AS sk,
+                     max(l_shipdate) AS supp_max
+              FROM lineitem GROUP BY 1, 2),
+            per_order AS (
+              SELECT ok, max(supp_max) AS order_max,
+                     count(*) AS n_supp
+              FROM per_os GROUP BY 1),
+            gated AS (
+              SELECT p.* FROM per_order p
+              JOIN orders ON ok = o_orderkey
+              WHERE o_orderstatus = 'F'),
+            at_max AS (
+              SELECT p.ok, p.sk FROM per_os p
+              JOIN gated g ON p.ok = g.ok
+              WHERE p.supp_max = g.order_max AND g.n_supp >= 2),
+            lone AS (
+              SELECT ok, min(sk) AS s_suppkey
+              FROM at_max GROUP BY ok HAVING count(*) = 1)
+            SELECT s_suppkey, s_name,
+                   CAST(count(*) AS BIGINT) AS numwait
+            FROM lone JOIN supplier USING (s_suppkey)
+            GROUP BY 1, 2
+            ORDER BY numwait DESC, s_suppkey
+            LIMIT 10
+        """,
+        # TPC-H Q22 shape: above-average-balance customers idle since a
+        # cutoff (global scalar via exact cross-multiplication + left
+        # anti pattern), per market segment
+        "q22_idle_customers": """
+            WITH bal AS (
+              SELECT c_custkey, c_mktsegment,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer),
+            stats AS (
+              SELECT CAST(coalesce(sum(cents) FILTER (cents > 0), 0)
+                          AS BIGINT) AS s,
+                     CAST(count(*) FILTER (cents > 0) AS BIGINT) AS n
+              FROM bal),
+            last AS (
+              SELECT o_custkey AS c_custkey,
+                     max(o_orderdate) AS last_order
+              FROM orders GROUP BY 1)
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(sum(cents) AS BIGINT) AS total_bal_cents
+            FROM bal LEFT JOIN last USING (c_custkey), stats
+            WHERE cents * n > s
+              AND (last_order IS NULL
+                   OR last_order < TIMESTAMP '2000-01-01')
+            GROUP BY c_mktsegment
+        """,
+        # daily OHLC candles per event type: deterministic (ts, event_id)
+        # open/close, integer cents high/low
+        "events_ohlc": """
+            WITH e AS (
+              SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            r AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY event_type, day
+                                        ORDER BY ts, event_id) AS rn,
+                     row_number() OVER (PARTITION BY event_type, day
+                                        ORDER BY ts DESC, event_id DESC)
+                         AS rrn
+              FROM e)
+            SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+                   CAST(max(CASE WHEN rn = 1 THEN cents END) AS BIGINT)
+                       AS open_cents,
+                   CAST(max(cents) AS BIGINT) AS high_cents,
+                   CAST(min(cents) AS BIGINT) AS low_cents,
+                   CAST(max(CASE WHEN rrn = 1 THEN cents END) AS BIGINT)
+                       AS close_cents,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM r GROUP BY 1, 2
+        """,
+        # interpolated global percentiles in exact micro-units
+        # (percentile_cont without the float lerp): the mirror sorts, the
+        # Ray side histogram-selects the two neighbor order statistics
+        "lineitem_quantile_cont": """
+            WITH v AS (
+              SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+              FROM lineitem),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+            s AS (SELECT c, row_number() OVER (ORDER BY c) AS r FROM v),
+            p(q, pct) AS (VALUES ('p25', 25), ('p50', 50),
+                                 ('p75', 75), ('p90', 90)),
+            pos AS (
+              SELECT q, n, (n - 1) * pct // 100 + 1 AS lo_rank,
+                     (n - 1) * pct % 100 AS rem
+              FROM p, nn)
+            SELECT pos.q, pos.n, CAST(pos.lo_rank AS BIGINT) AS lo_rank,
+                   CAST(pos.rem AS BIGINT) AS rem,
+                   CAST(l.c AS BIGINT) AS v_lo,
+                   CAST(h.c AS BIGINT) AS v_hi,
+                   CAST(l.c * 1000000 + (h.c - l.c) * pos.rem * 10000
+                        AS BIGINT) AS value_micro
+            FROM pos
+            JOIN s l ON l.r = pos.lo_rank
+            JOIN s h ON h.r = CASE WHEN pos.rem > 0
+                                   THEN least(pos.lo_rank + 1, pos.n)
+                                   ELSE pos.lo_rank END
+        """,
+        # filtered ANN: ann_topk restricted to corpus rows sharing the
+        # query's label (metadata-predicate vector search)
+        "ann_filtered_topk": """
+            WITH q AS (SELECT vec_id AS query_vec_id, embedding AS qv,
+                              label AS ql
+                       FROM embeddings WHERE vec_id < 8),
+            pairs AS (
+              SELECT q.query_vec_id, e.vec_id,
+                     list_cosine_similarity(q.qv, e.embedding) AS sim
+              FROM q JOIN embeddings e
+                ON e.label = q.ql AND e.vec_id <> q.query_vec_id
+            ),
+            ranked AS (
+              SELECT query_vec_id, vec_id,
+                     row_number() OVER (PARTITION BY query_vec_id
+                                        ORDER BY sim DESC, vec_id ASC)
+                         AS rank
+              FROM pairs
+            )
+            SELECT query_vec_id, CAST(rank AS BIGINT) AS rank, vec_id
+            FROM ranked WHERE rank <= 5
+        """,
+        # per-(repo, lang) API surface: def/class counts + distinct
+        # def-name vocabulary (mirror of stages/codegraph.api_surface)
+        "code_api_surface": f"""
+            WITH src AS (
+              SELECT repo, lang, content
+              FROM read_parquet('{corpus}/*.parquet')),
+            d AS (
+              SELECT repo, lang,
+                     unnest(regexp_extract_all(content,
+                       '(?m)^[ \\t]*def[ \\t]+([A-Za-z_][A-Za-z0-9_]*)[ \\t]*\\(',
+                       1)) AS name
+              FROM src),
+            tot AS (
+              SELECT repo, lang,
+                     CAST(sum(len(regexp_extract_all(content,
+                       '(?m)^[ \\t]*def[ \\t]+([A-Za-z_][A-Za-z0-9_]*)[ \\t]*\\('
+                       ))) AS BIGINT) AS n_defs,
+                     CAST(sum(len(regexp_extract_all(content,
+                       '(?m)^[ \\t]*class[ \\t]+([A-Za-z_][A-Za-z0-9_]*)'
+                       ))) AS BIGINT) AS n_classes
+              FROM src GROUP BY 1, 2),
+            v AS (
+              SELECT repo, lang,
+                     CAST(count(DISTINCT name) AS BIGINT)
+                         AS n_distinct_defs
+              FROM d GROUP BY 1, 2)
+            SELECT tot.repo, tot.lang, tot.n_defs, tot.n_classes,
+                   coalesce(v.n_distinct_defs, 0) AS n_distinct_defs
+            FROM tot LEFT JOIN v USING (repo, lang)
         """,
         # TPC-H Q13 shape: per-customer order-count distribution including
         # zero-order customers (left outer join, count non-null)

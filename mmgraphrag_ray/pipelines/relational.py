@@ -2172,3 +2172,734 @@ def events_user_span(sf_dir: str):
         .groupby("_sbucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def q10_returned_items(sf_dir: str, d1: str = "1997-01-01",
+                       d2: str = "1997-07-01", k: int = 20):
+    """TPC-H Q10 shape — returned-item revenue: top-k customers by the
+    revenue of their 'R'-flagged lineitems on orders placed in a date
+    window (reference Q10's returned-item report over a quarter).
+
+    Scale plan: lineitem is filtered to returnflag='R' in the scan and
+    folds to ONE (orderkey, cents) row per order via combiner + bucketed
+    shuffle; orders are date-pruned at the parquet reader and carry only
+    (orderkey, custkey); ONE bucketed orderkey join moves fixed-width
+    rows; the per-customer reduce is small (one row per buying customer)
+    and the top-k is a sort+limit over that already-reduced table.
+    Customer name / nation names arrive via one final dimension
+    broadcast.  Exact int64 cents throughout."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from ..arrowutil import strip_pd_metadata
+    from ..stages.join import bucketed_join
+
+    d1_ts, d2_ts = pd.Timestamp(d1), pd.Timestamp(d2)
+    from ..runtime import configure
+
+    configure()
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= d1_ts.to_pydatetime())
+        & (pads.field("o_orderdate") < d2_ts.to_pydatetime()),
+    ).map_batches(
+        lambda b: strip_pd_metadata(
+            b[(b["o_orderdate"] >= d1_ts) & (b["o_orderdate"] < d2_ts)][
+                ["o_orderkey", "o_custkey"]
+            ]
+        ),
+        batch_format="pandas",
+    )
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def returned_cents(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[b["l_returnflag"] == "R"]
+        cents = np.floor(
+            s["l_extendedprice"].to_numpy()
+            * (1.0 - s["l_discount"].to_numpy()) * 100.0
+        ).astype("int64")
+        return pd.DataFrame({"o_orderkey": s["l_orderkey"], "cents": cents})
+
+    # pins: groupby -> join -> groupby is 3 hash shuffles (q4 note)
+    per_order = bucketed_groupby_agg(
+        li.map_batches(returned_cents, batch_format="pandas"),
+        keys=["o_orderkey"],
+        aggs={"cents": ("cents", "sum")},
+    ).materialize()
+    joined = bucketed_join(orders, per_order, on="o_orderkey",
+                           how="inner").materialize()
+    per_cust = bucketed_groupby_agg(
+        joined.map_batches(
+            lambda b: strip_pd_metadata(
+                pd.DataFrame({"c_custkey": b["o_custkey"],
+                              "cents": b["cents"]})
+            ) if len(b) else pd.DataFrame(
+                {"c_custkey": pd.Series(dtype="int64"),
+                 "cents": pd.Series(dtype="int64")}),
+            batch_format="pandas",
+        ),
+        keys=["c_custkey"],
+        aggs={"revenue_cents": ("cents", "sum")},
+    )
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey",
+                     right_on="n_nationkey")[["c_custkey", "c_name", "n_name"]]
+    named = broadcast_join(per_cust, dim, on="c_custkey")
+    return (
+        named.sort(["revenue_cents", "c_custkey"], descending=[True, False])
+        .limit(k)
+        .map_batches(
+            lambda b: b[["c_custkey", "c_name", "n_name", "revenue_cents"]],
+            batch_format="pandas",
+        )
+    )
+
+
+def q12_priority_lines(sf_dir: str, d1: str = "1997-01-01",
+                       d2: str = "1998-01-01"):
+    """TPC-H Q12 shape — shipment-class priority split: per lineitem
+    linestatus (this corpus has no shipmode column), how many lines
+    shipped in a date window belong to high-priority orders
+    (1-URGENT / 2-HIGH) vs everything else.
+
+    Scale plan: lineitem is date-pruned at the reader and carries only
+    (orderkey, linestatus); orders collapse to (orderkey, is_high int)
+    fixed-width rows; ONE bucketed orderkey join, then the reduce is a
+    conditional-count fold over the tiny linestatus domain (high_lines =
+    sum(flag), low_lines = count - sum)."""
+    import pyarrow.dataset as pads
+
+    from ..arrowutil import strip_pd_metadata
+    from ..stages.join import bucketed_join
+
+    d1_ts, d2_ts = pd.Timestamp(d1), pd.Timestamp(d2)
+    from ..runtime import configure
+
+    configure()
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= d1_ts.to_pydatetime())
+        & (pads.field("l_shipdate") < d2_ts.to_pydatetime()),
+    ).map_batches(
+        lambda b: strip_pd_metadata(
+            b[(b["l_shipdate"] >= d1_ts) & (b["l_shipdate"] < d2_ts)][
+                ["l_orderkey", "l_linestatus"]
+            ].rename(columns={"l_orderkey": "o_orderkey"})
+        ),
+        batch_format="pandas",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        return strip_pd_metadata(pd.DataFrame({
+            "o_orderkey": b["o_orderkey"],
+            "is_high": b["o_orderpriority"].isin(
+                ["1-URGENT", "2-HIGH"]).astype("int64"),
+        }))
+
+    joined = bucketed_join(
+        li, orders.map_batches(flag, batch_format="pandas"),
+        on="o_orderkey", how="inner",
+    ).materialize()
+    return bucketed_groupby_agg(
+        joined, keys=["l_linestatus"],
+        aggs={"high_lines": ("is_high", "sum"),
+              "n_lines": (None, "count")},
+    ).map_batches(
+        lambda b: b.assign(
+            low_lines=(b["n_lines"] - b["high_lines"]).astype("int64")
+        ),
+        batch_format="pandas",
+    )
+
+
+def q15_top_supplier(sf_dir: str, d1: str = "1997-01-01",
+                     d2: str = "1997-04-01"):
+    """TPC-H Q15 shape — top supplier(s): revenue per supplier over a
+    date window, then the supplier(s) achieving the GLOBAL maximum (the
+    revenue-view + scalar-subquery max selection).
+
+    Scale plan: lineitem is date-pruned at the reader and folds to one
+    (suppkey, cents) row per supplier via combiner + bucketed shuffle —
+    the reduced table has one row per supplier, so the global max is a
+    driver-side scalar over an already-tiny table (NOT a scan of the
+    fact), broadcast back as a filter constant; supplier names arrive
+    via one dimension broadcast."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from ..arrowutil import strip_pd_metadata
+
+    d1_ts, d2_ts = pd.Timestamp(d1), pd.Timestamp(d2)
+    from ..runtime import configure
+
+    configure()
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= d1_ts.to_pydatetime())
+        & (pads.field("l_shipdate") < d2_ts.to_pydatetime()),
+    )
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[(b["l_shipdate"] >= d1_ts) & (b["l_shipdate"] < d2_ts)]
+        c = np.floor(
+            s["l_extendedprice"].to_numpy()
+            * (1.0 - s["l_discount"].to_numpy()) * 100.0
+        ).astype("int64")
+        return strip_pd_metadata(
+            pd.DataFrame({"s_suppkey": s["l_suppkey"], "cents": c})
+        )
+
+    per_supp = bucketed_groupby_agg(
+        li.map_batches(cents, batch_format="pandas"),
+        keys=["s_suppkey"],
+        aggs={"total_revenue_cents": ("cents", "sum")},
+    ).materialize()
+    top = per_supp.max("total_revenue_cents")
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    best = per_supp.map_batches(
+        lambda b: b[b["total_revenue_cents"] == top],
+        batch_format="pandas",
+    )
+    return broadcast_join(best, supp, on="s_suppkey").map_batches(
+        lambda b: b[["s_suppkey", "s_name", "total_revenue_cents"]],
+        batch_format="pandas",
+    )
+
+
+def q17_small_qty_cents(sf_dir: str, brand: str = "Brand#1"):
+    """TPC-H Q17 shape — small-quantity-order revenue: for one brand's
+    parts, the total revenue of lineitems whose quantity is below 20%% of
+    that part's average ordered quantity (the correlated per-part AVG
+    subquery), kept integer-exact: qty < sum_qty/(5*cnt) is evaluated as
+    5*qty*cnt < sum_qty (quantities are integral in this corpus).
+
+    Scale plan: part is a dimension — the brand's partkeys broadcast as a
+    frozenset scan filter; the surviving lineitems fold to one
+    (partkey, sum_qty, cnt) row per part, which joins BACK to the same
+    filtered lines via one bucketed partkey join (fact⋈fold, the
+    correlated-aggregate shape); the final answer is a one-row fold."""
+    import numpy as np
+
+    from ..arrowutil import strip_pd_metadata
+    from ..stages.join import bucketed_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    keys = ray.put(
+        frozenset(part.loc[part["p_brand"] == brand, "p_partkey"].tolist())
+    )
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[b["l_partkey"].isin(ray.get(keys))]
+        return strip_pd_metadata(pd.DataFrame({
+            "p_partkey": s["l_partkey"],
+            "qty": s["l_quantity"].astype("int64"),
+            "price_cents": np.floor(
+                s["l_extendedprice"].to_numpy() * 100.0).astype("int64"),
+        })) if len(s) else pd.DataFrame({
+            "p_partkey": pd.Series(dtype="int64"),
+            "qty": pd.Series(dtype="int64"),
+            "price_cents": pd.Series(dtype="int64"),
+        })
+
+    lines = li.map_batches(keep, batch_format="pandas").materialize()
+    folds = bucketed_groupby_agg(
+        lines, keys=["p_partkey"],
+        aggs={"sum_qty": ("qty", "sum"), "cnt": (None, "count")},
+    ).materialize()
+    joined = bucketed_join(lines, folds, on="p_partkey", how="inner",
+                           small_side="right")
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        m = 5 * b["qty"] * b["cnt"] < b["sum_qty"]
+        return pd.DataFrame({
+            "small_qty_cents": [int(b.loc[m, "price_cents"].sum())],
+            "n_small_lines": [int(m.sum())],
+        })
+
+    def refold(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "small_qty_cents": [int(b["small_qty_cents"].sum())],
+            "n_small_lines": [int(b["n_small_lines"].sum())],
+        })
+
+    return (
+        joined.map_batches(fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(refold, batch_format="pandas")
+    )
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape — disjunctive predicate arms: revenue from
+    lineitems matching ANY of three (brand, size-range, quantity-range)
+    arm predicates (the multi-arm OR join that defeats naive predicate
+    pushdown), reported per arm plus the OR-total.
+
+    Scale plan: part is a dimension — partkey->(brand, size) broadcasts
+    as two flat dict maps; lineitem evaluates all three arms vectorized
+    in ONE scan (no join shuffle at all) and folds to a 4-row counter
+    table (arm1/arm2/arm3/any); rows matching several arms count in each
+    arm but once in the total."""
+    import numpy as np
+
+    from ..arrowutil import strip_pd_metadata
+
+    ARMS = [
+        ("arm1", "Brand#1", 1, 15, 1, 20),
+        ("arm2", "Brand#2", 10, 30, 5, 30),
+        ("arm3", "Brand#3", 20, 50, 10, 40),
+    ]
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    brand_map = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+    size_map = ray.put(dict(zip(part["p_partkey"],
+                                part["p_size"].astype("int64"))))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        brands = b["l_partkey"].map(ray.get(brand_map))
+        sizes = b["l_partkey"].map(ray.get(size_map)).astype("int64")
+        qty = b["l_quantity"].astype("int64").to_numpy()
+        cents = np.floor(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy()) * 100.0
+        ).astype("int64")
+        rows = []
+        any_mask = np.zeros(len(b), dtype=bool)
+        for name, brand, s_lo, s_hi, q_lo, q_hi in ARMS:
+            m = (
+                (brands == brand).to_numpy()
+                & (sizes.to_numpy() >= s_lo) & (sizes.to_numpy() <= s_hi)
+                & (qty >= q_lo) & (qty <= q_hi)
+            )
+            any_mask |= m
+            rows.append((name, int(cents[m].sum()), int(m.sum())))
+        rows.append(("any", int(cents[any_mask].sum()),
+                     int(any_mask.sum())))
+        return strip_pd_metadata(pd.DataFrame({
+            "arm": [r[0] for r in rows],
+            "revenue_cents": pd.Series([r[1] for r in rows], dtype="int64"),
+            "n_lines": pd.Series([r[2] for r in rows], dtype="int64"),
+        }))
+
+    parts = li.map_batches(partial, batch_format="pandas")
+    return bucketed_groupby_agg(
+        parts, keys=["arm"],
+        aggs={"revenue_cents": ("revenue_cents", "sum"),
+              "n_lines": ("n_lines", "sum")},
+    )
+
+
+def q21_waiting_supplier(sf_dir: str, k: int = 10):
+    """TPC-H Q21 shape — the lone-laggard supplier: on finalized ('F')
+    multi-supplier orders, the supplier who ALONE shipped last (this
+    corpus has no commit/receipt dates, so "kept the order waiting" =
+    holds the order's max shipdate and is the only supplier at that max
+    — the same exists/not-exists composition as the reference Q21).
+
+    Scale plan: every step is a keyed reduce or a bucketed orderkey join
+    over fixed-width rows — (1) per (orderkey, suppkey) max shipdate,
+    (2) per orderkey: order max + distinct-supplier count, (3) inner
+    semi-join to the 'F' order keys, (4) join (1)⋈(2-3) and keep
+    at-max rows on >=2-supplier orders, (5) per orderkey: count at-max
+    suppliers, lone laggard = min(suppkey) where that count is 1,
+    (6) per supplier: waiting-order count; name via one dimension
+    broadcast, top-k over the supplier-sized result.  materialize()
+    pins sit between the hash shuffles (q4 note)."""
+    from ..arrowutil import strip_pd_metadata
+    from ..stages.join import bucketed_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    per_os = bucketed_groupby_agg(
+        li.map_batches(
+            lambda b: strip_pd_metadata(pd.DataFrame({
+                "o_orderkey": b["l_orderkey"],
+                "s_suppkey": b["l_suppkey"],
+                "ship": b["l_shipdate"],
+            })),
+            batch_format="pandas",
+        ),
+        keys=["o_orderkey", "s_suppkey"],
+        aggs={"supp_max": ("ship", "max")},
+    ).materialize()
+    per_order = bucketed_groupby_agg(
+        per_os, keys=["o_orderkey"],
+        aggs={"order_max": ("supp_max", "max"), "n_supp": (None, "count")},
+    ).materialize()
+    f_orders = _read(sf_dir, "orders",
+                     ["o_orderkey", "o_orderstatus"]).map_batches(
+        lambda b: strip_pd_metadata(
+            b[b["o_orderstatus"] == "F"][["o_orderkey"]]),
+        batch_format="pandas",
+    )
+    gated = bucketed_join(per_order, f_orders, on="o_orderkey",
+                          how="inner").materialize()
+    at_max = bucketed_join(per_os, gated, on="o_orderkey",
+                           how="inner").map_batches(
+        lambda b: strip_pd_metadata(
+            b[(b["supp_max"] == b["order_max"]) & (b["n_supp"] >= 2)][
+                ["o_orderkey", "s_suppkey"]
+            ]) if len(b) else b[["o_orderkey", "s_suppkey"]],
+        batch_format="pandas",
+    ).materialize()
+    lone = bucketed_groupby_agg(
+        at_max, keys=["o_orderkey"],
+        aggs={"n_at_max": (None, "count"),
+              "s_suppkey": ("s_suppkey", "min")},
+    ).map_batches(
+        lambda b: strip_pd_metadata(
+            b[b["n_at_max"] == 1][["s_suppkey"]]) if len(b)
+        else b[["s_suppkey"]],
+        batch_format="pandas",
+    ).materialize()
+    per_supp = bucketed_groupby_agg(
+        lone, keys=["s_suppkey"], aggs={"numwait": (None, "count")}
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    return (
+        broadcast_join(per_supp, supp, on="s_suppkey")
+        .sort(["numwait", "s_suppkey"], descending=[True, False])
+        .limit(k)
+        .map_batches(lambda b: b[["s_suppkey", "s_name", "numwait"]],
+                     batch_format="pandas")
+    )
+
+
+def q22_idle_customers(sf_dir: str, cutoff: str = "2000-01-01"):
+    """TPC-H Q22 shape — the global-scalar + anti-join prospect report:
+    per market segment, customers whose account balance exceeds the
+    average POSITIVE balance (the scalar subquery) and who have placed
+    no order since a cutoff date (the NOT EXISTS, widened from Q22's
+    no-orders-ever because this synthetic corpus gives every customer at
+    least one order).
+
+    Scale plan: the balance average broadcasts as TWO integers
+    (sum_cents, n) and the comparison is the exact cross-multiplication
+    bal_cents * n > sum_cents — no float average on either engine;
+    recent orders fold to one (custkey, last_order) row via combiner +
+    bucketed shuffle; customers LEFT-join that profile (bucketed,
+    fixed-width) so never-matched rows survive as idle; the final
+    per-segment reduce is tiny."""
+    import numpy as np
+
+    from ..arrowutil import strip_pd_metadata
+    from ..stages.join import bucketed_join
+
+    cutoff_ts = pd.Timestamp(cutoff)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def bal_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["c_acctbal"].to_numpy() * 100.0).astype("int64")
+        pos = cents[cents > 0]
+        return pd.DataFrame({"sum_cents": [int(pos.sum())],
+                             "n_pos": [int(len(pos))]})
+
+    stats = (
+        cust.map_batches(bal_partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: pd.DataFrame({
+                "sum_cents": [int(b["sum_cents"].sum())],
+                "n_pos": [int(b["n_pos"].sum())],
+            }),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    sum_cents, n_pos = int(stats["sum_cents"][0]), int(stats["n_pos"][0])
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    last = bucketed_groupby_agg(
+        orders.map_batches(
+            lambda b: strip_pd_metadata(
+                b.rename(columns={"o_custkey": "c_custkey"})),
+            batch_format="pandas",
+        ),
+        keys=["c_custkey"],
+        aggs={"last_order": ("o_orderdate", "max")},
+    ).materialize()
+    joined = bucketed_join(cust, last, on="c_custkey", how="left")
+
+    def idle(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["c_acctbal"].to_numpy() * 100.0).astype("int64")
+        rich = cents * n_pos > sum_cents
+        no_recent = b["last_order"].isna() | (b["last_order"] < cutoff_ts)
+        s = b[rich & no_recent.to_numpy()]
+        if not len(s):
+            # typed empty block: keeps the shuffle schema stable
+            return pd.DataFrame({
+                "c_mktsegment": pd.Series(dtype="string"),
+                "bal_cents": pd.Series(dtype="int64"),
+            })
+        return strip_pd_metadata(pd.DataFrame({
+            "c_mktsegment": s["c_mktsegment"],
+            "bal_cents": np.round(
+                s["c_acctbal"].to_numpy() * 100.0).astype("int64"),
+        }))
+
+    kept = joined.map_batches(idle, batch_format="pandas").materialize()
+    return bucketed_groupby_agg(
+        kept, keys=["c_mktsegment"],
+        aggs={"n_cust": (None, "count"),
+              "total_bal_cents": ("bal_cents", "sum")},
+    )
+
+
+def q8_market_share(sf_dir: str, region: str = "ASIA",
+                    nation: str = "NATION_2"):
+    """TPC-H Q8 shape — national market share: within the orders of one
+    REGION's customers, the ppm share of revenue supplied by one target
+    NATION, per order year (the two-sided nation-stamp + share-of-total
+    report).
+
+    Scale plan: region/nation/customer/supplier are dimensions —
+    in-region custkeys and the target nation's suppkeys broadcast as
+    frozensets; orders keep only in-region rows as (orderkey, year);
+    lineitem folds its revenue to (orderkey, target_cents, total_cents)
+    fixed-width rows; ONE bucketed orderkey join, then the reduce is a
+    per-year two-counter fold.  Share = target*1e6 // total, integer on
+    both engines."""
+    import numpy as np
+
+    from ..arrowutil import strip_pd_metadata
+    from ..stages.join import bucketed_join
+
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    region_key = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    region_nations = set(
+        nat.loc[nat["n_regionkey"] == region_key, "n_nationkey"].tolist())
+    target_key = int(nat.loc[nat["n_name"] == nation, "n_nationkey"].iloc[0])
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    in_region = ray.put(frozenset(
+        cust.loc[cust["c_nationkey"].isin(region_nations),
+                 "c_custkey"].tolist()))
+    target_supp = ray.put(frozenset(
+        supp.loc[supp["s_nationkey"] == target_key, "s_suppkey"].tolist()))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def order_year(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[b["o_custkey"].isin(ray.get(in_region))]
+        out = pd.DataFrame({
+            "o_orderkey": s["o_orderkey"],
+            "o_year": s["o_orderdate"].dt.year.astype("int64"),
+        })
+        return strip_pd_metadata(out) if len(out) else out
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def li_cents(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy()) * 100.0
+        ).astype("int64")
+        is_target = b["l_suppkey"].isin(ray.get(target_supp)).to_numpy()
+        return strip_pd_metadata(pd.DataFrame({
+            "o_orderkey": b["l_orderkey"],
+            "target_cents": np.where(is_target, cents, 0),
+            "total_cents": cents,
+        }))
+
+    per_order = bucketed_groupby_agg(
+        li.map_batches(li_cents, batch_format="pandas"),
+        keys=["o_orderkey"],
+        aggs={"target_cents": ("target_cents", "sum"),
+              "total_cents": ("total_cents", "sum")},
+    ).materialize()
+    joined = bucketed_join(
+        orders.map_batches(order_year, batch_format="pandas"),
+        per_order, on="o_orderkey", how="inner",
+    ).materialize()
+    per_year = bucketed_groupby_agg(
+        joined, keys=["o_year"],
+        aggs={"target_cents": ("target_cents", "sum"),
+              "total_cents": ("total_cents", "sum")},
+    )
+    return per_year.map_batches(
+        lambda b: b.assign(
+            share_ppm=(b["target_cents"] * 1_000_000
+                       // b["total_cents"]).astype("int64")
+        ),
+        batch_format="pandas",
+    )
+
+
+def q9_profit_by_nation_year(sf_dir: str):
+    """TPC-H Q9 shape — product-type profit: profit per (supplier
+    nation, order year), with cost proxied by the part's retail price ×
+    quantity (this corpus has no partsupp/supplycost table):
+    profit_cents = floor(extprice*(1-disc)*100) - round(retail*100)*qty.
+
+    Scale plan: part and supplier are dimensions — partkey->retail_cents
+    and suppkey->nationkey broadcast as flat dict maps; lineitem stamps
+    nation + profit in one scan and folds to (orderkey, nation, cents)
+    combiner rows; orders carry (orderkey, year); ONE bucketed orderkey
+    join, then the (nation, year) reduce is tiny; nation names via one
+    final broadcast."""
+    import numpy as np
+
+    from ..arrowutil import strip_pd_metadata
+    from ..stages.join import bucketed_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_retailprice"]).to_pandas()
+    retail_map = ray.put(dict(zip(
+        part["p_partkey"],
+        np.round(part["p_retailprice"].to_numpy() * 100.0).astype("int64"),
+    )))
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp_map = ray.put(dict(zip(supp["s_suppkey"],
+                                supp["s_nationkey"].astype("int64"))))
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def profit(b: pd.DataFrame) -> pd.DataFrame:
+        rev = np.floor(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy()) * 100.0
+        ).astype("int64")
+        cost = (
+            b["l_partkey"].map(ray.get(retail_map)).to_numpy()
+            .astype("int64")
+            * b["l_quantity"].astype("int64").to_numpy()
+        )
+        return strip_pd_metadata(pd.DataFrame({
+            "o_orderkey": b["l_orderkey"],
+            "n_nationkey": b["l_suppkey"].map(ray.get(supp_map))
+            .astype("int64"),
+            "profit_cents": rev - cost,
+        }))
+
+    per_ok = bucketed_groupby_agg(
+        li.map_batches(profit, batch_format="pandas"),
+        keys=["o_orderkey", "n_nationkey"],
+        aggs={"profit_cents": ("profit_cents", "sum")},
+    ).materialize()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    years = orders.map_batches(
+        lambda b: strip_pd_metadata(pd.DataFrame({
+            "o_orderkey": b["o_orderkey"],
+            "o_year": b["o_orderdate"].dt.year.astype("int64"),
+        })),
+        batch_format="pandas",
+    )
+    joined = bucketed_join(per_ok, years, on="o_orderkey",
+                           how="inner").materialize()
+    per_ny = bucketed_groupby_agg(
+        joined, keys=["n_nationkey", "o_year"],
+        aggs={"profit_cents": ("profit_cents", "sum"),
+              "n_orders": (None, "count")},
+    )
+    return broadcast_join(per_ny, nation, on="n_nationkey").map_batches(
+        lambda b: b[["n_name", "o_year", "profit_cents", "n_orders"]],
+        batch_format="pandas",
+    )
+
+
+def events_ohlc(sf_dir: str):
+    """Daily OHLC candles per event type — open/high/low/close of the
+    event value over tumbling calendar days (the time-series rollup
+    behind any metrics dashboard), exact: values live on the integer
+    cents grid and open/close are picked by the deterministic
+    (ts, event_id) order.
+
+    Shape: the ONE-shuffle grouped-window contract — rows route to a
+    (event_type, day)-hashed bucket, the ordered first/last/min/max are
+    computed inside the bucket, one fixed-width row per candle comes
+    out.  -> Dataset(event_type, day, open_cents, high_cents, low_cents,
+    close_cents, n_events)."""
+    import numpy as np
+
+    from ..arrowutil import strip_pd_metadata
+    from ..stages.window import _bucket_of
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].dt.floor("D")
+        out = b.assign(
+            day=day,
+            cents=np.round(b["value"].to_numpy() * 100.0).astype("int64"),
+            _sbucket=_bucket_of(
+                b["event_type"].astype(str) + "|" + day.astype(str), 64
+            ),
+        )[["event_type", "day", "ts", "event_id", "cents", "_sbucket"]]
+        return strip_pd_metadata(out) if len(out) else out
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype=object),
+                "day": pd.Series(dtype="datetime64[us]"),
+                "open_cents": pd.Series(dtype="int64"),
+                "high_cents": pd.Series(dtype="int64"),
+                "low_cents": pd.Series(dtype="int64"),
+                "close_cents": pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+            })
+        b = bucket.sort_values(["event_type", "day", "ts", "event_id"],
+                               kind="mergesort")
+        g = b.groupby(["event_type", "day"], sort=False)
+        first = g.head(1).set_index(["event_type", "day"])["cents"]
+        last = g.tail(1).set_index(["event_type", "day"])["cents"]
+        agg = g["cents"].agg(["max", "min", "size"])
+        idx = agg.index
+        return pd.DataFrame({
+            "event_type": idx.get_level_values(0).to_numpy(),
+            "day": idx.get_level_values(1).astype("datetime64[us]"),
+            "open_cents": first.reindex(idx).to_numpy().astype("int64"),
+            "high_cents": agg["max"].to_numpy().astype("int64"),
+            "low_cents": agg["min"].to_numpy().astype("int64"),
+            "close_cents": last.reindex(idx).to_numpy().astype("int64"),
+            "n_events": agg["size"].to_numpy().astype("int64"),
+        })
+
+    return (
+        ev.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_sbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def lineitem_quantile_cont(sf_dir: str, pcts: list[int] = (25, 50, 75, 90)):
+    """Interpolated global percentiles (percentile_cont semantics) of the
+    lineitem price on the integer cents grid, exact in micro-units — the
+    continuous companion of price_global_quantiles' discrete selection.
+
+    Scale shape: quantile_cont_micro — one count pass + histogram-
+    refinement selection of ONLY the <= 2*|pcts| neighbor order
+    statistics; no global sort, driver state = bin counts."""
+    import numpy as np
+
+    from ..stages.groupagg import quantile_cont_micro
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return quantile_cont_micro(
+        li, "l_extendedprice", list(pcts),
+        quant=lambda col: pd.Series(
+            np.floor(col.to_numpy() * 100.0).astype("int64")),
+    )

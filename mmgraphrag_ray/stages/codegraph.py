@@ -410,3 +410,83 @@ def identifier_vocab(files_ds, n_buckets: int = 64):
     rows = files_ds.map_batches(explode, batch_format="pandas")
     return grouped_dominance(rows, keys=["repo"], cat_col="sub",
                              n_buckets=n_buckets)
+
+
+def api_surface(files_ds, n_buckets: int = 64):
+    """Per-(repo, lang) API-surface profile — the "what does this repo
+    export" inventory behind docs generation and API-churn tracking:
+    counts of function (``def <name>(``) and class (``class <Name>``)
+    definitions plus the DISTINCT function-name vocabulary size
+    (overloads/duplicates collapse).
+
+    Shape: one vectorized regex pass emits (repo, lang, def_name) rows
+    and a per-batch (repo, lang, n_defs, n_classes) counter partial; the
+    distinct reduce dedups names via one bucketed grouped pass keyed on
+    (repo, lang, name), the counters fold via a second small grouped
+    sum joined back bucketed — fixed-width rows only after extraction.
+    -> Dataset(repo, lang, n_defs, n_classes, n_distinct_defs)."""
+    from ..arrowutil import strip_pd_metadata
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    DEF_RE = r"(?m)^[ \t]*def[ \t]+([A-Za-z_][A-Za-z0-9_]*)[ \t]*\("
+    CLASS_RE = r"(?m)^[ \t]*class[ \t]+([A-Za-z_][A-Za-z0-9_]*)"
+
+    def names(batch: pd.DataFrame) -> pd.DataFrame:
+        defs = batch["content"].str.findall(DEF_RE)
+        df = pd.DataFrame({
+            "repo": batch["repo"], "lang": batch["lang"], "name": defs,
+        }).explode("name").dropna()
+        out = df.reset_index(drop=True)
+        return strip_pd_metadata(out) if len(out) else pd.DataFrame({
+            "repo": pd.Series(dtype=object),
+            "lang": pd.Series(dtype=object),
+            "name": pd.Series(dtype=object),
+        })
+
+    def counters(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "repo": batch["repo"],
+            "lang": batch["lang"],
+            "n_defs": batch["content"].str.count(DEF_RE).astype("int64"),
+            "n_classes": batch["content"].str.count(CLASS_RE).astype("int64"),
+        })
+        return strip_pd_metadata(out) if len(out) else out
+
+    # pins between the hash shuffles (stages/merge.py note)
+    distinct_names = bucketed_groupby_agg(
+        files_ds.map_batches(names, batch_format="pandas"),
+        keys=["repo", "lang", "name"],
+        aggs={"n_occ": (None, "count")},
+    ).materialize()
+    vocab = bucketed_groupby_agg(
+        distinct_names.map_batches(
+            lambda b: b[["repo", "lang"]], batch_format="pandas"
+        ),
+        keys=["repo", "lang"],
+        aggs={"n_distinct_defs": (None, "count")},
+    ).materialize()
+    totals = bucketed_groupby_agg(
+        files_ds.map_batches(counters, batch_format="pandas"),
+        keys=["repo", "lang"],
+        aggs={"n_defs": ("n_defs", "sum"),
+              "n_classes": ("n_classes", "sum")},
+    ).materialize()
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.assign(_k=b["repo"].astype(str) + "\x1f" + b["lang"].astype(str))
+        return strip_pd_metadata(out) if len(out) else out
+
+    joined = bucketed_join(
+        totals.map_batches(key, batch_format="pandas"),
+        vocab.map_batches(key, batch_format="pandas").map_batches(
+            lambda b: b[["_k", "n_distinct_defs"]], batch_format="pandas"
+        ),
+        on="_k", how="left",
+    )
+    return joined.map_batches(
+        lambda b: b.assign(
+            n_distinct_defs=b["n_distinct_defs"].fillna(0).astype("int64")
+        )[["repo", "lang", "n_defs", "n_classes", "n_distinct_defs"]],
+        batch_format="pandas",
+    )

@@ -87,6 +87,7 @@ def global_quantiles(
     n_bins: int = 1024,
     bin_cap: int = 100_000,
     max_rounds: int = 8,
+    ranks: list[int] | None = None,
 ):
     """Exact GLOBAL discrete quantiles (type-1 ``sorted[ceil(q*n)-1]``,
     DuckDB ``quantile_disc`` semantics) over a column too large to sort or
@@ -131,7 +132,13 @@ def global_quantiles(
 
     stats = ds.map_batches(mmc, batch_format="pandas").to_pandas()
     n = int(stats["cnt"].sum()) if len(stats) else 0
-    labels = [f"p{int(round(q * 100)):02d}" for q in qs]
+    if ranks is not None:
+        # explicit 1-based order statistics instead of q-fractions (the
+        # quantile_cont_micro path needs exact neighbor ranks lo/lo+1,
+        # which ceil(q*n) cannot target reliably under float rounding)
+        labels = [f"r{r}" for r in ranks]
+    else:
+        labels = [f"p{int(round(q * 100)):02d}" for q in qs]
     out_cols = ("q", "value", "rank", "n")
     if n == 0:
         import pyarrow as pa
@@ -147,10 +154,16 @@ def global_quantiles(
     # active search state per quantile: label -> (lo, hi, local_rank)
     # local_rank is 1-based within the rows falling in [lo, hi] under the
     # current bin lineage; initially the global rank within (min, max).
-    active = {
-        lab: (lo0, hi0, min(max(math.ceil(q * n), 1), n))
-        for lab, q in zip(labels, qs)
-    }
+    if ranks is not None:
+        active = {
+            lab: (lo0, hi0, min(max(int(r), 1), n))
+            for lab, r in zip(labels, ranks)
+        }
+    else:
+        active = {
+            lab: (lo0, hi0, min(max(math.ceil(q * n), 1), n))
+            for lab, q in zip(labels, qs)
+        }
     global_rank = {lab: active[lab][2] for lab in labels}
     resolved: dict[str, float] = {}
 
@@ -253,6 +266,85 @@ def global_quantiles(
             "n": pd.Series([n] * len(labels), dtype="int64"),
         }
     )
+    return ray.data.from_pandas(out)
+
+
+def quantile_cont_micro(
+    ds,
+    value_col: str,
+    pcts: list[int],
+    quant=None,
+    **gq_kw,
+):
+    """Exact INTERPOLATED percentiles (``percentile_cont`` / numpy
+    'linear' semantics) kept integer: at percentile ``p`` over n values,
+    pos = (n-1)*p/100 sits between order statistics lo = floor(pos)+1 and
+    hi = lo+1 (1-based), and the interpolated value in MICRO-units is
+
+        value_micro = v_lo * 1_000_000 + (v_hi - v_lo) * rem * 10_000
+
+    with rem = ((n-1)*p) mod 100 — every term an integer when the column
+    is integer-valued (``quant`` maps raw values onto an int grid, default
+    int64 truncation), so the result hash-matches SQL exactly where a
+    float lerp never would.
+
+    Scale shape: one streaming count pass (pruned single column), then
+    :func:`global_quantiles` fetches ONLY the <= 2*len(pcts) needed order
+    statistics via histogram refinement — no global sort, driver state =
+    bin counts.
+
+    -> Dataset(q, n, lo_rank, rem, v_lo, v_hi, value_micro), ints except
+    the 'q' label.
+    """
+    from ..arrowutil import strip_pd_metadata
+
+    def q(col):
+        if quant is not None:
+            return quant(col)
+        return col.astype("int64")
+
+    def widen(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"v": q(batch[value_col])})
+        return strip_pd_metadata(out) if len(out) else out
+
+    vals = ds.map_batches(widen, batch_format="pandas").materialize()
+    cnt = vals.map_batches(
+        lambda b: pd.DataFrame({"n": [len(b)]}), batch_format="pandas"
+    ).to_pandas()
+    n = int(cnt["n"].sum()) if len(cnt) else 0
+    if n == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            "q": pd.Series(dtype=object),
+            "n": pd.Series(dtype="int64"),
+            "lo_rank": pd.Series(dtype="int64"),
+            "rem": pd.Series(dtype="int64"),
+            "v_lo": pd.Series(dtype="int64"),
+            "v_hi": pd.Series(dtype="int64"),
+            "value_micro": pd.Series(dtype="int64"),
+        }))
+    spec = []
+    need: set[int] = set()
+    for p in pcts:
+        pos = (n - 1) * int(p)
+        lo = pos // 100 + 1
+        rem = pos % 100
+        hi = min(lo + 1, n) if rem else lo
+        spec.append((f"p{int(p):02d}", lo, rem, hi))
+        need.update((lo, hi))
+    ranks = sorted(need)
+    got = global_quantiles(
+        vals, "v", qs=[], ranks=ranks, **gq_kw
+    ).to_pandas()
+    by_rank = dict(zip(got["rank"].astype(int), got["value"]))
+    rows = []
+    for lab, lo, rem, hi in spec:
+        v_lo, v_hi = int(by_rank[lo]), int(by_rank[hi])
+        rows.append((lab, n, lo, rem, v_lo, v_hi,
+                     v_lo * 1_000_000 + (v_hi - v_lo) * rem * 10_000))
+    out = pd.DataFrame(rows, columns=["q", "n", "lo_rank", "rem",
+                                      "v_lo", "v_hi", "value_micro"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
     return ray.data.from_pandas(out)
 
 

@@ -41,6 +41,8 @@ def brute_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float | None = None,
+    query_labels: np.ndarray | None = None,
+    label_col: str = "label",
 ):
     """Top-k cosine neighbors for each query vector.
 
@@ -48,17 +50,29 @@ def brute_topk(
     internal so results are exactly comparable across engines (ordering ties
     broken by ascending id, mirroring `ORDER BY sim DESC, vec_id`).
     Self-pairs (query id == corpus id) are excluded.
+
+    ``query_labels`` turns this into FILTERED vector search (the
+    metadata-predicate ANN every vector store ships): query j only
+    considers corpus rows whose ``label_col`` equals ``query_labels[j]``.
+    The filter is applied per batch on the already-computed similarity
+    matrix — same one-broadcast / partial-top-k / small-final-reduce
+    plan, no extra pass and no per-label corpus copies.
     """
     qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
     qids = np.asarray(query_ids)
+    qlabels = None if query_labels is None else np.asarray(query_labels)
     id_type = (
         pa.from_numpy_dtype(qids.dtype) if qids.dtype != object else pa.string()
     )
-    ref = ray.put((qids, qmat))
+    ref = ray.put((qids, qmat, qlabels))
 
     def partial_topk(batch: pa.Table):
-        q_ids, q = ray.get(ref)
+        q_ids, q, q_lab = ray.get(ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        labs = (
+            batch.column(label_col).to_numpy(zero_copy_only=False)
+            if q_lab is not None else None
+        )
         vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
         if len(vecs) == 0:
             return _partial_arrow(
@@ -69,6 +83,8 @@ def brute_topk(
         for j in range(q.shape[0]):
             col = sims[:, j]
             mask = ids != q_ids[j]
+            if labs is not None:
+                mask &= labs == q_lab[j]
             cand_ids, cand_sims = ids[mask], col[mask]
             if threshold is not None:
                 keep = cand_sims >= threshold
