@@ -1911,6 +1911,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
             compare_cols=["o_totalprice", "o_orderstatus"],
         )
 
+    def orders_cdc_apply_q(sf_dir):
+        # MERGE INTO: apply the deterministic change set (delete %13,
+        # price-bump upsert %7, insert %11 under +10M keys — the same
+        # mutation orders_cdc_diff classifies) onto the base table; exact
+        # integer cents so the merged table value-hashes
+        from mmgraphrag_ray.stages.join import cdc_apply
+
+        cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+        raw = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+
+        def to_cents(b):
+            import pandas as pd
+
+            return pd.DataFrame({
+                "o_orderkey": b["o_orderkey"],
+                "price_cents": np.round(
+                    b["o_totalprice"].to_numpy() * 100.0).astype("int64"),
+                "o_orderstatus": b["o_orderstatus"],
+            })
+
+        base = raw.map_batches(to_cents, batch_format="pandas")
+
+        def make_changes(b):
+            import pandas as pd
+
+            cents = np.round(
+                b["o_totalprice"].to_numpy() * 100.0).astype("int64")
+            k = b["o_orderkey"]
+            dels = pd.DataFrame({
+                "o_orderkey": k[k % 13 == 0],
+                "price_cents": cents[(k % 13 == 0).to_numpy()],
+                "o_orderstatus": b["o_orderstatus"][k % 13 == 0],
+                "op": "delete",
+            })
+            um = (k % 7 == 0) & (k % 13 != 0)
+            ups = pd.DataFrame({
+                "o_orderkey": k[um],
+                "price_cents": cents[um.to_numpy()] + 100,
+                "o_orderstatus": b["o_orderstatus"][um],
+                "op": "upsert",
+            })
+            am = k % 11 == 0
+            adds = pd.DataFrame({
+                "o_orderkey": k[am] + 10_000_000,
+                "price_cents": cents[am.to_numpy()],
+                "o_orderstatus": b["o_orderstatus"][am],
+                "op": "upsert",
+            })
+            return pd.concat([dels, ups, adds], ignore_index=True)
+
+        changes = raw.map_batches(make_changes, batch_format="pandas")
+        return cdc_apply(base, changes, key_col="o_orderkey",
+                         payload_cols=["price_cents", "o_orderstatus"])
+
+    def doc_range_partition_plan_q(sf_dir):
+        # range-partitioner boundary planning over doc lengths: exact
+        # quantile boundaries + per-partition balance report
+        from mmgraphrag_ray.stages.layout import range_partition_plan
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["n_chars"]
+        )
+        return range_partition_plan(docs, "n_chars", n_parts=4)
+
+    def kg_ktruss_q(sf_dir):
+        # fixed-round 3-truss peel over the constructed KG edges
+        from mmgraphrag_ray.stages.graphalgo import ktruss_edges
+
+        _, edges = _build_graph_cached(sf_dir)
+        return ktruss_edges(edges, k=3, rounds=2)
+
     def code_secret_scan_q(sf_dir):
         # secret/PII scan + redaction over the code corpus (emails, long
         # hex tokens, long numeric literals -> typed placeholders)
@@ -2572,6 +2643,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_per_lang": doc_sample_per_lang_q,
         "events_window_dedup": events_window_dedup_q,
         "orders_cdc_diff": orders_cdc_diff_q,
+        "orders_cdc_apply": orders_cdc_apply_q,
+        "doc_range_partition_plan": doc_range_partition_plan_q,
+        "kg_ktruss": kg_ktruss_q,
         "emb_kmeans": emb_kmeans,
         "emb_covariance": emb_covariance_q,
         "documents_jsonl_roundtrip": documents_jsonl_roundtrip_q,
@@ -2988,6 +3062,47 @@ JOIN sagg s ON s.new_name = d.new_name
         # degree-ordered triangle counting: orientation keys kill hub
         # explosion; each triangle counted once from its min-key corner
         "kg_triangles": kg + merge + _triangles_sql(),
+        # fixed-round 3-truss peel: two unrolled support-recompute rounds
+        # (canonical a<b edges; each triangle a<b<c enumerated once as
+        # (a,b)x(b,c)x(a,c) — same triangle SET as the degree-ordered Ray
+        # plan, so the per-edge supports agree)
+        "kg_ktruss": kg + merge + """,
+kt_e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src_id, tgt_id) AS a,
+                  greatest(src_id, tgt_id) AS b
+  FROM edges WHERE src_id <> tgt_id
+),
+kt_t0 AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM kt_e0 e1
+  JOIN kt_e0 e2 ON e2.a = e1.b
+  JOIN kt_e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+kt_s0 AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+    SELECT x AS a, y AS b FROM kt_t0
+    UNION ALL SELECT x, z FROM kt_t0
+    UNION ALL SELECT y, z FROM kt_t0
+  ) GROUP BY 1, 2
+),
+kt_e1 AS MATERIALIZED (
+  SELECT a, b FROM kt_s0 WHERE support >= 1
+),
+kt_t1 AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM kt_e1 e1
+  JOIN kt_e1 e2 ON e2.a = e1.b
+  JOIN kt_e1 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+kt_s1 AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+    SELECT x AS a, y AS b FROM kt_t1
+    UNION ALL SELECT x, z FROM kt_t1
+    UNION ALL SELECT y, z FROM kt_t1
+  ) GROUP BY 1, 2
+)
+SELECT a, b, support FROM kt_s1 WHERE support >= 1
+        """,
         # typed wedge census: per-center type tallies -> pair products
         "kg_typed_wedges": kg + merge + """,
 eb AS (
@@ -5436,6 +5551,39 @@ FROM rankedkb WHERE rn = 1
                              AND l.o_orderstatus = r.o_orderstatus
                         THEN 'same' ELSE 'changed' END AS status
             FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+        """,
+        # MERGE INTO mirror: the merged table IS the mutated version the
+        # cdc_diff oracle builds, in exact integer cents
+        "orders_cdc_apply": """
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+                   + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END
+                       AS price_cents,
+                   o_orderstatus
+            FROM orders WHERE o_orderkey % 13 <> 0
+            UNION ALL
+            SELECT o_orderkey + 10000000,
+                   CAST(round(o_totalprice * 100) AS BIGINT),
+                   o_orderstatus
+            FROM orders WHERE o_orderkey % 11 = 0
+        """,
+        # range-partitioner plan: exact quantile boundaries (type-1
+        # discrete, same semantics as global_quantiles), partition id =
+        # count of boundaries strictly below the value
+        "doc_range_partition_plan": """
+            WITH b AS (
+              SELECT quantile_disc(n_chars, 0.25) AS b1,
+                     quantile_disc(n_chars, 0.50) AS b2,
+                     quantile_disc(n_chars, 0.75) AS b3
+              FROM documents)
+            SELECT CAST(CAST(n_chars > b1 AS BIGINT)
+                        + CAST(n_chars > b2 AS BIGINT)
+                        + CAST(n_chars > b3 AS BIGINT) AS BIGINT)
+                       AS part_id,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(min(n_chars) AS BIGINT) AS min_v,
+                   CAST(max(n_chars) AS BIGINT) AS max_v
+            FROM documents, b GROUP BY 1
         """,
         # mirror of stages/groupagg.py grouped_corr_components:
         # integer-quantized Pearson sufficient statistics per returnflag

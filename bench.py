@@ -121,6 +121,8 @@ def _bench_main() -> None:
             "events_window_users",
             "q5_nation_volume",
             "doc_bm25_topk",
+            "q10_returned_items",
+            "q21_waiting_supplier",
         ]:
             t0 = time.time()
             res = qs[name](sf_dir)

@@ -104,23 +104,17 @@ def min_label_rounds(nodes_ds, edges_ds, rounds: int = 4,
     return labels
 
 
-def triangle_counts(nodes_ds, edges_ds,
-                    node_col: str = "entity_name",
-                    src_col: str = "src_id", tgt_col: str = "tgt_id"):
-    """Per-node triangle participation counts over the undirected KG, via
-    DEGREE-ORDERED edge orientation (the standard scale trick: orient every
-    edge from the (degree, name)-smaller endpoint to the larger, so each
-    node's out-degree is O(sqrt(m)) and wedge enumeration never explodes on
-    hub nodes — crucial for the UNKNOWN-style hubs this KG produces).
+def _triangle_rows(edges_ds,
+                   src_col: str = "src_id", tgt_col: str = "tgt_id"):
+    """Degree-ordered triangle ENUMERATION over the undirected edge set —
+    the shared core of triangle_counts / clustering coefficients / k-truss:
+    orient every edge from the (degree, name)-smaller endpoint to the
+    larger (out-degree O(sqrt(m)), so wedge enumeration never explodes on
+    hub nodes), enumerate wedges per source inside a bucketed groupby,
+    close them with one bucketed join against the oriented edges.
 
-    Plan: degree table (grouped count) -> two key-partitioned joins to
-    stamp both endpoint orientation keys -> wedge enumeration per source
-    node inside a bucketed groupby (out-neighbors sorted by orientation
-    key; pairs are emitted only in key order) -> one bucketed join of
-    wedges against oriented edges on the composite (v, w) key -> per-node
-    grouped count (each triangle credits all three corners).
-
-    -> Dataset(node, n_triangles) for nodes in >= 1 triangle."""
+    -> Dataset(w_u, w_v, w_w) with ONE row per distinct triangle (corners
+    in orientation-key order), or None for a triangle-free graph."""
     import zlib
 
     from ..arrowutil import strip_pd_metadata
@@ -211,12 +205,7 @@ def triangle_counts(nodes_ds, edges_ds,
         .materialize()
     )
     if wedge_ds.count() == 0:  # triangle-free graph (e.g. pure star/tree)
-        import pyarrow as pa
-
-        return ray.data.from_arrow(
-            pa.table({"node": pa.array([], pa.string()),
-                      "n_triangles": pa.array([], pa.int64())})
-        )
+        return None
 
     closing = oriented.map_batches(
         lambda b: pd.DataFrame({
@@ -224,7 +213,27 @@ def triangle_counts(nodes_ds, edges_ds,
         }) if len(b) else pd.DataFrame({"vw": pd.Series(dtype=object)}),
         batch_format="pandas",
     )
-    tris = bucketed_join(wedge_ds, closing, on="vw", small_side="right")
+    return bucketed_join(wedge_ds, closing, on="vw", small_side="right")
+
+
+def triangle_counts(nodes_ds, edges_ds,
+                    node_col: str = "entity_name",
+                    src_col: str = "src_id", tgt_col: str = "tgt_id"):
+    """Per-node triangle participation counts over the undirected KG (see
+    :func:`_triangle_rows` for the degree-ordered plan) — each triangle
+    credits all three corners via one grouped count.
+
+    -> Dataset(node, n_triangles) for nodes in >= 1 triangle."""
+    from .groupagg import bucketed_groupby_agg
+
+    tris = _triangle_rows(edges_ds, src_col=src_col, tgt_col=tgt_col)
+    if tris is None:
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.string()),
+                      "n_triangles": pa.array([], pa.int64())})
+        )
 
     def corners(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
@@ -1511,4 +1520,103 @@ def typed_wedge_census(nodes_ds, edges_ds,
     )
     return out.map_batches(
         lambda b: b[b["n_wedges"] > 0], batch_format="pandas"
+    )
+
+
+def ktruss_edges(edges_ds, k: int = 3, rounds: int = 2,
+                 src_col: str = "src_id", tgt_col: str = "tgt_id"):
+    """Fixed-round k-truss peel over the undirected KG — the edge-side
+    companion of :func:`kcore_nodes`' node-degree peel: an edge survives a
+    round iff its triangle SUPPORT (number of triangles containing it) is
+    >= k-2, and each round recomputes support over the survivors.
+    ``rounds`` bounds the peel exactly like code_dep_depth bounds its
+    relaxation sweeps (exact fixpoint for graphs whose peel converges
+    within ``rounds``; k >= 3).
+
+    Scale shape: each round is one :func:`_triangle_rows` enumeration
+    (degree-ordered, hub-safe) + a flat edge-credit projection + one
+    bucketed grouped count + one bucketed join back to the canonical edge
+    set — fixed-width (a, b, support) rows only after enumeration; no
+    driver state.  -> Dataset(a, b, support) of edges alive after
+    ``rounds`` peels with their last-round support (a < b).
+    """
+    from ..arrowutil import strip_pd_metadata
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    if k < 3:
+        raise ValueError("k-truss requires k >= 3")
+
+    def _empty_out():
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.table({"a": pa.array([], pa.string()),
+                      "b": pa.array([], pa.string()),
+                      "support": pa.array([], pa.int64())})
+        )
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        aa = b[src_col].astype(str)
+        bb = b[tgt_col].astype(str)
+        lo = aa.where(aa < bb, bb)
+        hi = bb.where(aa < bb, aa)
+        out = pd.DataFrame({"a": lo, "b": hi})
+        out = out[out["a"] != out["b"]]
+        return strip_pd_metadata(out) if len(out) else out
+
+    cur = bucketed_groupby_agg(
+        edges_ds.map_batches(canon, batch_format="pandas"),
+        keys=["a", "b"],
+        aggs={"_n": (None, "count")},
+    ).map_batches(
+        lambda b: b[["a", "b"]], batch_format="pandas"
+    ).materialize()
+
+    min_support = k - 2
+    out = None
+    for _ in range(rounds):
+        tris = _triangle_rows(cur, src_col="a", tgt_col="b")
+        if tris is None:
+            return _empty_out()
+
+        def edge_credits(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame({"ek": pd.Series(dtype=object)})
+            frames = []
+            for ca, cb in (("w_u", "w_v"), ("w_u", "w_w"), ("w_v", "w_w")):
+                x = b[ca].astype(str)
+                y = b[cb].astype(str)
+                lo = x.where(x < y, y)
+                hi = y.where(x < y, x)
+                frames.append(lo + "\x1f" + hi)
+            return strip_pd_metadata(pd.DataFrame({
+                "ek": pd.concat(frames, ignore_index=True)
+            }))
+
+        support = bucketed_groupby_agg(
+            tris.map_batches(edge_credits, batch_format="pandas"),
+            keys=["ek"],
+            aggs={"support": (None, "count")},
+        ).materialize()
+        keyed = cur.map_batches(
+            lambda b: strip_pd_metadata(
+                b.assign(ek=b["a"].astype(str) + "\x1f" + b["b"].astype(str))
+            ) if len(b) else b.assign(ek=pd.Series(dtype=object)),
+            batch_format="pandas",
+        )
+        joined = bucketed_join(keyed, support, on="ek", how="inner",
+                               small_side="right")
+        out = joined.map_batches(
+            lambda b: b[b["support"] >= min_support][["a", "b", "support"]],
+            batch_format="pandas",
+        ).materialize()
+        if out.count() == 0:
+            return _empty_out()
+        cur = out.map_batches(
+            lambda b: b[["a", "b"]], batch_format="pandas"
+        ).materialize()
+    return out.map_batches(
+        lambda b: b.assign(support=b["support"].astype("int64")),
+        batch_format="pandas",
     )

@@ -337,3 +337,48 @@ def join_size_estimate(left, right, left_key: str, right_key: str,
             }
         )
     )
+
+
+def cdc_apply(
+    base,
+    changes,
+    key_col: str,
+    payload_cols: list[str],
+    n_buckets: int = 64,
+):
+    """MERGE INTO — apply a CDC change set onto a base table by primary
+    key (the replication/upsert primitive that closes the loop with
+    :func:`table_diff`): ``changes`` carries (key_col, op, payload...)
+    with op in {'upsert', 'delete'}; the result is every base row whose
+    key has NO change, plus the payload of every 'upsert' row (which both
+    updates existing keys and inserts new ones); 'delete' keys vanish.
+
+    Scale shape: the base side never moves its payload twice — ONE
+    bucketed LEFT join of base against the (key, op) columns of the
+    change set classifies survivors, and the upsert payload unions in as
+    already-final rows.  A key may appear at most once in ``changes``
+    (standard CDC compaction contract; enforced upstream).
+
+    -> Dataset(key_col, payload_cols...) of the merged table."""
+    from ..arrowutil import strip_pd_metadata
+
+    cols = [key_col] + list(payload_cols)
+
+    ops = changes.map_batches(
+        lambda b: strip_pd_metadata(b[[key_col, "op"]]) if len(b)
+        else b[[key_col, "op"]],
+        batch_format="pandas",
+    )
+    joined = bucketed_join(base, ops, on=key_col, how="left",
+                           n_buckets=n_buckets)
+    survivors = joined.map_batches(
+        lambda b: strip_pd_metadata(b[b["op"].isna()][cols]) if len(b)
+        else b[cols],
+        batch_format="pandas",
+    )
+    upserts = changes.map_batches(
+        lambda b: strip_pd_metadata(b[b["op"] == "upsert"][cols]) if len(b)
+        else b[cols],
+        batch_format="pandas",
+    )
+    return survivors.union(upserts)

@@ -245,3 +245,57 @@ def compaction_plan(paths: list[str], target_bytes: int):
 
     # the stats table is file-count-sized: one fold task assigns bins
     return stats.repartition(1).map_batches(assign, batch_format="pandas")
+
+
+def range_partition_plan(ds, value_col: str, n_parts: int = 4,
+                         quant=None):
+    """Range-partitioner boundary planning — the sort-shuffle prequel
+    every distributed engine runs before a range exchange: pick the
+    n_parts-1 boundary values as EXACT discrete quantiles of the column
+    (via groupagg.global_quantiles' histogram-refinement selection — no
+    sample-and-hope, no global sort), then one classify pass reports how
+    balanced the resulting partitions would be.
+
+    Partition id = number of boundaries strictly below the value, so
+    boundary ties land deterministically in the lower partition on both
+    engines.  -> Dataset(part_id, n_rows, min_v, max_v), ints.
+    """
+    import numpy as np
+
+    from ..arrowutil import strip_pd_metadata
+    from .groupagg import bucketed_groupby_agg, global_quantiles
+
+    def q(col):
+        if quant is not None:
+            return quant(col)
+        return col.astype("int64")
+
+    vals = ds.map_batches(
+        lambda b: strip_pd_metadata(pd.DataFrame({"v": q(b[value_col])}))
+        if len(b) else pd.DataFrame({"v": pd.Series(dtype="int64")}),
+        batch_format="pandas",
+    ).materialize()
+    qs = [i / n_parts for i in range(1, n_parts)]
+    bounds = np.sort(
+        global_quantiles(vals, "v", qs).to_pandas()["value"].to_numpy()
+    )
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["v"].to_numpy()
+        part = np.searchsorted(bounds, v, side="left").astype("int64")
+        g = pd.DataFrame({"part_id": part, "v": v}).groupby(
+            "part_id", sort=False)
+        out = pd.DataFrame({
+            "n_rows": g.size().astype("int64"),
+            "min_v": g["v"].min().astype("int64"),
+            "max_v": g["v"].max().astype("int64"),
+        }).reset_index()
+        return strip_pd_metadata(out) if len(out) else out
+
+    return bucketed_groupby_agg(
+        vals.map_batches(classify, batch_format="pandas"),
+        keys=["part_id"],
+        aggs={"n_rows": ("n_rows", "sum"),
+              "min_v": ("min_v", "min"),
+              "max_v": ("max_v", "max")},
+    )
