@@ -1327,6 +1327,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             window=3, max_edit=2,
         )
 
+    def kg_entity_resolution(sf_dir):
+        # end-to-end ER composition: sorted-neighborhood blocking ->
+        # Levenshtein-verified pairs -> distributed min-label connected
+        # components -> canonical clusters (rep = min member name);
+        # singleton entities drop (they resolved to themselves)
+        from mmgraphrag_ray.stages.blocking import fuzzy_key_pairs
+        from mmgraphrag_ray.stages.dedup import connected_components
+        from mmgraphrag_ray.stages.groupagg import bucketed_groupby_agg
+
+        nodes, _ = _build_graph_cached(sf_dir)
+        pairs = fuzzy_key_pairs(
+            nodes, key_col="entity_name", id_col="entity_name",
+            window=3, max_edit=2,
+        ).map_batches(
+            lambda b: b[["ida", "idb"]].rename(
+                columns={"ida": "id_a", "idb": "id_b"}),
+            batch_format="pandas",
+        )
+        labels = connected_components(pairs, nodes, id_col="entity_name")
+        clusters = bucketed_groupby_agg(
+            labels, keys=["label"],
+            aggs={"n_members": (None, "count"),
+                  "max_member": ("id", "max")},
+        )
+        return clusters.map_batches(
+            lambda b: b[b["n_members"] >= 2].rename(
+                columns={"label": "rep"}),
+            batch_format="pandas",
+        )
+
     def kg_entity_pmi(sf_dir):
         # top-20 co-occurring entity pairs by the integer PMI surrogate
         # (log-free p(x,y)/(p(x)p(y)) over mention chunks; graphalgo.py)
@@ -2589,6 +2619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_pmi": kg_entity_pmi,
         "kg_sorted_neighborhood": kg_sorted_neighborhood,
         "kg_fuzzy_name_pairs": kg_fuzzy_name_pairs,
+        "kg_entity_resolution": kg_entity_resolution,
         "kg_kcore": kg_kcore,
         "doc_mixture": doc_mixture_q,
         "doc_skipgrams": doc_skipgrams_q,
@@ -2728,6 +2759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_supplier": relational.q21_waiting_supplier,
         "q22_idle_customers": relational.q22_idle_customers,
         "events_ohlc": relational.events_ohlc,
+        "events_drawdown": relational.events_drawdown,
         "lineitem_quantile_cont": relational.lineitem_quantile_cont,
         "ann_filtered_topk": ann_filtered_topk,
         "code_api_surface": code_api_surface_q,
@@ -3223,6 +3255,37 @@ SELECT ka, ida, kb, idb, dist, edit FROM (
          CAST(levenshtein(a.entity_name, b.entity_name) AS BIGINT) AS edit
   FROM rk a JOIN rk b ON b.rank > a.rank AND b.rank <= a.rank + 3
 ) WHERE edit <= 2""",
+        # ER composition mirror: the fuzzy-pair CTE + recursive min-label
+        # transitive closure (same closure pattern as the minhash CC
+        # oracle), clusters of >= 2 with rep = min member
+        "kg_entity_resolution": kg.replace(
+            "\nWITH ", "\nWITH RECURSIVE ", 1) + merge + """,
+er_names AS MATERIALIZED (
+  SELECT entity_name FROM nodes
+),
+rk AS MATERIALIZED (
+  SELECT entity_name, row_number() OVER (ORDER BY entity_name) - 1 AS rank
+  FROM er_names
+),
+fz AS MATERIALIZED (
+  SELECT a.entity_name AS ida, b.entity_name AS idb
+  FROM rk a JOIN rk b ON b.rank > a.rank AND b.rank <= a.rank + 3
+  WHERE levenshtein(a.entity_name, b.entity_name) <= 2
+),
+er_edges AS MATERIALIZED (
+  SELECT ida AS u, idb AS v FROM fz
+  UNION ALL SELECT idb, ida FROM fz
+),
+reach(id, r) AS (
+  SELECT entity_name, entity_name FROM er_names
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN er_edges e ON e.u = reach.id
+),
+er_lbl AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+SELECT rep, CAST(count(*) AS BIGINT) AS n_members,
+       max(id) AS max_member
+FROM er_lbl GROUP BY rep HAVING count(*) >= 2
+        """,
         # integer PMI surrogate over chunk co-occurrence: one floor, HUGEINT
         # product (graphalgo.entity_cooccurrence_pmi)
         "kg_entity_pmi": kg + """,
@@ -4956,6 +5019,34 @@ FROM rankedkb WHERE rn = 1
                        AS close_cents,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM r GROUP BY 1, 2
+        """,
+        # max drawdown over the daily close series (running max minus
+        # close, global max per type) — composed on the OHLC mirror
+        "events_drawdown": """
+            WITH e AS (
+              SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            r AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY event_type, day
+                                        ORDER BY ts DESC, event_id DESC)
+                         AS rrn
+              FROM e),
+            closes AS (
+              SELECT event_type, day, cents AS close_cents
+              FROM r WHERE rrn = 1),
+            dd AS (
+              SELECT event_type,
+                     max(close_cents) OVER (PARTITION BY event_type
+                                            ORDER BY day) - close_cents
+                         AS deficit,
+                     close_cents
+              FROM closes)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(max(deficit) AS BIGINT) AS max_drawdown_cents,
+                   CAST(max(close_cents) AS BIGINT) AS peak_cents
+            FROM dd GROUP BY event_type
         """,
         # interpolated global percentiles in exact micro-units
         # (percentile_cont without the float lerp): the mirror sorts, the

@@ -2903,3 +2903,57 @@ def lineitem_quantile_cont(sf_dir: str, pcts: list[int] = (25, 50, 75, 90)):
         quant=lambda col: pd.Series(
             np.floor(col.to_numpy() * 100.0).astype("int64")),
     )
+
+
+def events_drawdown(sf_dir: str):
+    """Maximum drawdown per event type over the daily close series — the
+    running-max-minus-current scan reduction (the risk metric shape:
+    cumulative max, deficit, global max deficit), exact on the cents
+    grid with the deterministic (ts, event_id) close.
+
+    Shape: the daily closes come out of the OHLC grouped-window pass
+    (one shuffle); the per-type day series is tiny (one row per
+    (type, day)), so the drawdown scan runs inside a second grouped
+    window keyed on type alone.  -> Dataset(event_type, n_days,
+    max_drawdown_cents, peak_cents)."""
+    from ..stages.window import _bucket_of
+
+    closes = events_ohlc(sf_dir)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        from ..arrowutil import strip_pd_metadata
+
+        out = b[["event_type", "day", "close_cents"]].assign(
+            _sbucket=_bucket_of(b["event_type"], 64))
+        return strip_pd_metadata(out) if len(out) else out
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype=object),
+                "n_days": pd.Series(dtype="int64"),
+                "max_drawdown_cents": pd.Series(dtype="int64"),
+                "peak_cents": pd.Series(dtype="int64"),
+            })
+        b = bucket.sort_values(["event_type", "day"], kind="mergesort")
+        g = b.groupby("event_type", sort=False)
+        run_max = g["close_cents"].cummax()
+        dd = run_max - b["close_cents"]
+        agg = pd.DataFrame({
+            "event_type": b["event_type"],
+            "dd": dd,
+            "peak": b["close_cents"],
+        }).groupby("event_type", sort=False).agg(
+            n_days=("dd", "size"),
+            max_drawdown_cents=("dd", "max"),
+            peak_cents=("peak", "max"),
+        ).reset_index()
+        for c in ("n_days", "max_drawdown_cents", "peak_cents"):
+            agg[c] = agg[c].astype("int64")
+        return agg
+
+    return (
+        closes.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_sbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
