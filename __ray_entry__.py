@@ -2758,6 +2758,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "q21_waiting_supplier": relational.q21_waiting_supplier,
         "q22_idle_customers": relational.q22_idle_customers,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q20_part_share_suppliers": relational.q20_part_share_suppliers,
+        "basket_part_triples": relational.basket_part_triples,
         "events_ohlc": relational.events_ohlc,
         "events_drawdown": relational.events_drawdown,
         "lineitem_quantile_cont": relational.lineitem_quantile_cont,
@@ -4994,6 +4997,87 @@ FROM rankedkb WHERE rn = 1
               AND (last_order IS NULL
                    OR last_order < TIMESTAMP '2000-01-01')
             GROUP BY c_mktsegment
+        """,
+        # TPC-H Q2 shape: correlated-MIN equality join (min unit price per
+        # part from lineitem — no partsupp table), integer floor division
+        "q2_min_cost_supplier": """
+            WITH per_ps AS (
+              SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                     min(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                         // CAST(l_quantity AS BIGINT)) AS unit_cents
+              FROM lineitem GROUP BY 1, 2),
+            per_p AS (
+              SELECT p_partkey, min(unit_cents) AS min_cents
+              FROM per_ps GROUP BY 1)
+            SELECT p_partkey, p_name, s_suppkey, s_name,
+                   CAST(unit_cents AS BIGINT) AS unit_cents
+            FROM per_ps
+            JOIN per_p USING (p_partkey)
+            JOIN supplier USING (s_suppkey)
+            JOIN part USING (p_partkey)
+            WHERE unit_cents = min_cents
+            ORDER BY p_partkey, s_suppkey
+            LIMIT 20
+        """,
+        # TPC-H Q20 shape: suppliers shipping > 1/5 of a part's total
+        # quantity (nested aggregate + integer cross-multiplied share)
+        "q20_part_share_suppliers": """
+            WITH per_ps AS (
+              SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                         AS supp_qty
+              FROM lineitem GROUP BY 1, 2),
+            per_p AS (
+              SELECT p_partkey,
+                     CAST(sum(supp_qty) AS BIGINT) AS part_qty
+              FROM per_ps GROUP BY 1)
+            SELECT s_suppkey, s_name,
+                   CAST(count(*) AS BIGINT) AS n_dominated_parts
+            FROM per_ps
+            JOIN per_p USING (p_partkey)
+            JOIN supplier USING (s_suppkey)
+            WHERE 5 * supp_qty > 1 * part_qty
+            GROUP BY 1, 2
+        """,
+        # A-Priori round 2: frequent triples, candidates pruned to those
+        # whose three member pairs are all frequent (support >= 2)
+        "basket_part_triples": """
+            WITH items AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ),
+            sized AS (
+              SELECT o FROM items GROUP BY o
+              HAVING count(*) BETWEEN 2 AND 64
+            ),
+            pr AS (
+              SELECT a.p AS pa, b.p AS pb, count(*) AS support
+              FROM items a
+              JOIN sized s ON s.o = a.o
+              JOIN items b ON b.o = a.o AND a.p < b.p
+              GROUP BY 1, 2
+            ),
+            freq AS (SELECT pa, pb FROM pr WHERE support >= 2),
+            sized3 AS (
+              SELECT o FROM items GROUP BY o
+              HAVING count(*) BETWEEN 3 AND 64
+            ),
+            tri AS (
+              SELECT a.p AS pa, b.p AS pb, c.p AS pc,
+                     CAST(count(*) AS BIGINT) AS support
+              FROM items a
+              JOIN sized3 s ON s.o = a.o
+              JOIN items b ON b.o = a.o AND a.p < b.p
+              JOIN items c ON c.o = a.o AND b.p < c.p
+              JOIN freq f1 ON f1.pa = a.p AND f1.pb = b.p
+              JOIN freq f2 ON f2.pa = b.p AND f2.pb = c.p
+              JOIN freq f3 ON f3.pa = a.p AND f3.pb = c.p
+              GROUP BY 1, 2, 3
+            )
+            SELECT pa, pb, pc, support, rank FROM (
+              SELECT *, row_number() OVER
+                (ORDER BY support DESC, pa, pb, pc) AS rank
+              FROM tri
+            ) WHERE rank <= 20
         """,
         # daily OHLC candles per event type: deterministic (ts, event_id)
         # open/close, integer cents high/low

@@ -2957,3 +2957,230 @@ def events_drawdown(sf_dir: str):
         .groupby("_sbucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def q2_min_cost_supplier(sf_dir: str, k: int = 20):
+    """TPC-H Q2 shape — the correlated-MIN equality join: for every part,
+    the supplier(s) offering the minimum unit price (this corpus has no
+    partsupp/supplycost table, so unit cost derives from lineitem:
+    min over a supplier's lines of floor(100*extendedprice)//qty), then
+    the (part, supplier) rows achieving that part's minimum, top-k by
+    (partkey, suppkey).
+
+    Scale plan: lineitem folds to one (part, supp, unit_cents) row per
+    observed pair via combiner + bucketed shuffle; the per-part MIN is a
+    second small grouped reduce; the equality join back is one bucketed
+    partkey join of two already-reduced tables; names arrive by
+    dimension broadcast.  Integer unit price (floor division) on both
+    engines."""
+    import numpy as np
+
+    from ..arrowutil import strip_pd_metadata
+    from ..stages.join import bucketed_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"])
+
+    def unit(b: pd.DataFrame) -> pd.DataFrame:
+        qty = b["l_quantity"].astype("int64").to_numpy()
+        cents = np.floor(b["l_extendedprice"].to_numpy() * 100.0).astype("int64")
+        return strip_pd_metadata(pd.DataFrame({
+            "p_partkey": b["l_partkey"],
+            "s_suppkey": b["l_suppkey"],
+            "unit_cents": cents // qty,
+        }))
+
+    # pins between the hash shuffles (q4 note)
+    per_ps = bucketed_groupby_agg(
+        li.map_batches(unit, batch_format="pandas"),
+        keys=["p_partkey", "s_suppkey"],
+        aggs={"unit_cents": ("unit_cents", "min")},
+    ).materialize()
+    per_p = bucketed_groupby_agg(
+        per_ps, keys=["p_partkey"],
+        aggs={"min_cents": ("unit_cents", "min")},
+    ).materialize()
+    joined = bucketed_join(per_ps, per_p, on="p_partkey", how="inner",
+                           small_side="right")
+    best = joined.map_batches(
+        lambda b: b[b["unit_cents"] == b["min_cents"]][
+            ["p_partkey", "s_suppkey", "unit_cents"]],
+        batch_format="pandas",
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    named = broadcast_join(broadcast_join(best, supp, on="s_suppkey"),
+                           part, on="p_partkey")
+    return (
+        named.sort(["p_partkey", "s_suppkey"])
+        .limit(k)
+        .map_batches(
+            lambda b: b[["p_partkey", "p_name", "s_suppkey", "s_name",
+                         "unit_cents"]],
+            batch_format="pandas",
+        )
+    )
+
+
+def q20_part_share_suppliers(sf_dir: str, num: int = 1, den: int = 5):
+    """TPC-H Q20 shape — the nested-aggregate semi-join: suppliers who
+    shipped MORE than num/den (default a fifth) of some part's total
+    shipped quantity (the excess-stock supplier probe), with the share
+    test kept integer: den·supp_qty > num·part_qty.
+
+    Scale plan: lineitem folds to one (part, supp, qty) row per pair via
+    combiner + bucketed shuffle; the part totals are a second grouped
+    reduce over those folds; ONE bucketed partkey join compares the two,
+    and the surviving supplier set is a tiny distinct reduce joined to
+    the dimension by broadcast.  -> Dataset(s_suppkey, s_name,
+    n_dominated_parts)."""
+    from ..arrowutil import strip_pd_metadata
+    from ..stages.join import bucketed_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        return strip_pd_metadata(pd.DataFrame({
+            "p_partkey": b["l_partkey"],
+            "s_suppkey": b["l_suppkey"],
+            "qty": b["l_quantity"].astype("int64"),
+        }))
+
+    per_ps = bucketed_groupby_agg(
+        li.map_batches(fold, batch_format="pandas"),
+        keys=["p_partkey", "s_suppkey"],
+        aggs={"supp_qty": ("qty", "sum")},
+    ).materialize()
+    per_p = bucketed_groupby_agg(
+        per_ps, keys=["p_partkey"],
+        aggs={"part_qty": ("supp_qty", "sum")},
+    ).materialize()
+    joined = bucketed_join(per_ps, per_p, on="p_partkey", how="inner",
+                           small_side="right")
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[den * b["supp_qty"] > num * b["part_qty"]][["s_suppkey"]]
+        if not len(out):
+            # typed empty block: keeps the schema stable when no supplier
+            # clears the share bar anywhere
+            return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64")})
+        return strip_pd_metadata(out)
+
+    dominated = joined.map_batches(keep, batch_format="pandas").materialize()
+    per_supp = bucketed_groupby_agg(
+        dominated, keys=["s_suppkey"],
+        aggs={"n_dominated_parts": (None, "count")},
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    return broadcast_join(per_supp, supp, on="s_suppkey").map_batches(
+        lambda b: b[["s_suppkey", "s_name", "n_dominated_parts"]],
+        batch_format="pandas",
+    )
+
+
+def basket_part_triples(sf_dir: str, k: int = 20, min_pair_support: int = 2,
+                        max_basket: int = 64):
+    """A-Priori round 2 — frequent part TRIPLES: candidate triples are
+    generated only inside baskets, but counted only when ALL THREE member
+    pairs are frequent (support >= min_pair_support) — the classic
+    candidate-pruning step that keeps the lattice from exploding.  Top-k
+    triples by (support desc, pa, pb, pc).
+
+    Scale plan: round 1 (pair supports) is basket_part_pairs' bounded
+    in-basket enumeration + combiner reduce; the frequent-pair SET is a
+    tiny broadcast (it shrinks with min_support by A-Priori's own
+    argument); round 2 re-scans baskets once, emits only triples whose 3
+    pairs are all frequent, and folds through the same combiner reduce.
+    -> Dataset(pa, pb, pc, support, rank)."""
+    import zlib
+
+    import numpy as np
+
+    from ..arrowutil import strip_pd_metadata
+    from ..stages.groupagg import bucketed_groupby_agg
+    from ..stages.window import grouped_topk
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"o": b["l_orderkey"].astype("int64"),
+             "p": b["l_partkey"].astype("int64")}
+        )
+        out["_bucket"] = out["o"].map(
+            lambda v: zlib.crc32(str(int(v)).encode()) % 64
+        ).astype("int32")
+        return strip_pd_metadata(out) if len(out) else out
+
+    buckets = (
+        li.map_batches(add_bucket, batch_format="pandas").materialize()
+    )
+
+    def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        pa_, pb_ = [], []
+        for _, g in bucket.groupby("o", sort=False):
+            parts = sorted(set(int(x) for x in g["p"]))
+            if len(parts) < 2 or len(parts) > max_basket:
+                continue
+            for i in range(len(parts)):
+                for j in range(i + 1, len(parts)):
+                    pa_.append(parts[i])
+                    pb_.append(parts[j])
+        return pd.DataFrame(
+            {"pa": np.asarray(pa_, dtype=np.int64),
+             "pb": np.asarray(pb_, dtype=np.int64)}
+        )
+
+    pair_support = bucketed_groupby_agg(
+        buckets.groupby("_bucket").map_groups(pairs, batch_format="pandas")
+        .repartition(8),
+        keys=["pa", "pb"],
+        aggs={"support": (None, "count")},
+    ).materialize()
+    freq = pair_support.map_batches(
+        lambda b: b[b["support"] >= min_pair_support][["pa", "pb"]],
+        batch_format="pandas",
+    ).to_pandas()
+    freq_set = ray.put(frozenset(zip(freq["pa"], freq["pb"])))
+
+    def triples(bucket: pd.DataFrame) -> pd.DataFrame:
+        fs = ray.get(freq_set)
+        pa_, pb_, pc_ = [], [], []
+        for _, g in bucket.groupby("o", sort=False):
+            parts = sorted(set(int(x) for x in g["p"]))
+            if len(parts) < 3 or len(parts) > max_basket:
+                continue
+            n = len(parts)
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if (parts[i], parts[j]) not in fs:
+                        continue
+                    for m in range(j + 1, n):
+                        if ((parts[j], parts[m]) in fs
+                                and (parts[i], parts[m]) in fs):
+                            pa_.append(parts[i])
+                            pb_.append(parts[j])
+                            pc_.append(parts[m])
+        return pd.DataFrame(
+            {"pa": np.asarray(pa_, dtype=np.int64),
+             "pb": np.asarray(pb_, dtype=np.int64),
+             "pc": np.asarray(pc_, dtype=np.int64)}
+        )
+
+    support = bucketed_groupby_agg(
+        buckets.groupby("_bucket").map_groups(triples, batch_format="pandas")
+        .repartition(8),
+        keys=["pa", "pb", "pc"],
+        aggs={"support": (None, "count")},
+    )
+    scored = support.map_batches(
+        lambda b: b.assign(_g=np.int64(0)), batch_format="pandas"
+    )
+    top = grouped_topk(
+        scored, keys=["_g"], order_col="support", k=k,
+        tie_cols=["pa", "pb", "pc"],
+    )
+    return top.map_batches(
+        lambda b: b[["pa", "pb", "pc", "support", "rank"]],
+        batch_format="pandas",
+    )
