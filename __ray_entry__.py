@@ -289,6 +289,53 @@ pr_r{i} AS (
     return "".join(parts)
 
 
+def _ppr_sql(iterations: int = 3) -> str:
+    """Unrolled integer personalized PageRank over the merge CTE's
+    nodes/edges — exact mirror of stages/graphalgo.ppr_int with seeds =
+    the CLASS-typed nodes (all teleport mass returns to the seed set)."""
+    scale = 10**12
+    parts = [
+        """,
+ppr_seeds AS MATERIALIZED (
+  SELECT entity_name AS node FROM nodes WHERE entity_type = '"CLASS"'
+),
+ppr_ns AS (SELECT count(*) AS n FROM ppr_seeds),
+ppr_bid AS (
+  SELECT src_id AS u, tgt_id AS v FROM edges
+  UNION ALL SELECT tgt_id AS u, src_id AS v FROM edges
+),
+ppr_deg AS (SELECT u, count(*) AS d FROM ppr_bid GROUP BY 1),
+ppr_r0 AS (
+  SELECT nd.entity_name AS node,
+         CAST(CASE WHEN s.node IS NULL THEN 0
+              ELSE %d // (SELECT n FROM ppr_ns) END AS BIGINT) AS r
+  FROM nodes nd LEFT JOIN ppr_seeds s ON s.node = nd.entity_name
+)""" % scale
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+ppr_c{i} AS (
+  SELECT b.v AS node, SUM((85 * ppr_r{i - 1}.r // 100) // ppr_deg.d) AS s
+  FROM ppr_bid b
+  JOIN ppr_r{i - 1} ON ppr_r{i - 1}.node = b.u
+  JOIN ppr_deg ON ppr_deg.u = b.u
+  GROUP BY 1
+),
+ppr_r{i} AS (
+  SELECT nd.entity_name AS node,
+         CAST(CASE WHEN s.node IS NULL THEN 0
+              ELSE ({scale} * 15 // 100) // (SELECT n FROM ppr_ns) END
+              + COALESCE(ppr_c{i}.s, 0) AS BIGINT) AS r
+  FROM nodes nd
+  LEFT JOIN ppr_seeds s ON s.node = nd.entity_name
+  LEFT JOIN ppr_c{i} ON ppr_c{i}.node = nd.entity_name
+)"""
+        )
+    parts.append(f"\nSELECT node, r AS rank FROM ppr_r{iterations}")
+    return "".join(parts)
+
+
 def _label_prop_sql(rounds: int = 4, final: bool = True) -> str:
     """Unrolled min-label propagation over the merge CTE's nodes/edges —
     the exact mirror of stages/graphalgo.min_label_rounds (labels are node
@@ -2298,6 +2345,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return k_hop_distances(seeds, edges, k=2)
 
+    def kg_ppr_q(sf_dir):
+        # personalized PageRank from the CLASS-typed seed set — the
+        # GraphRAG-style seed-biased relevance ranking over the KG
+        from mmgraphrag_ray.stages.graphalgo import ppr_int
+
+        nodes, edges = _build_graph_cached(sf_dir)
+        seeds = nodes.map_batches(
+            lambda b: b[b["entity_type"] == '"CLASS"'][["entity_name"]],
+            batch_format="pandas",
+        )
+        ranks = ppr_int(nodes, edges, seeds, iterations=3)
+        return ranks.map_batches(
+            lambda b: b.rename(columns={"r": "rank"}), batch_format="pandas"
+        )
+
     def kg_path_counts_q(sf_dir):
         # Brandes σ: exact shortest-path counts from the CLASS seed set,
         # hops <= 2 (betweenness forward half; all-integer BFS sums)
@@ -2613,6 +2675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mm_answer": kg_mm_answer,
         "kg_node_degrees": kg_node_degrees,
         "kg_pagerank": kg_pagerank,
+        "kg_ppr": kg_ppr_q,
         "kg_label_prop": kg_label_prop,
         "kg_community_stats": kg_community_stats,
         "kg_triangles": kg_triangles,
@@ -2763,6 +2826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_part_triples": relational.basket_part_triples,
         "events_ohlc": relational.events_ohlc,
         "events_drawdown": relational.events_drawdown,
+        "events_rolling_7d": relational.events_rolling_7d,
         "lineitem_quantile_cont": relational.lineitem_quantile_cont,
         "ann_filtered_topk": ann_filtered_topk,
         "code_api_surface": code_api_surface_q,
@@ -3033,6 +3097,7 @@ JOIN sagg s ON s.new_name = d.new_name
         # (85*r//100)//deg, teleport = ((1e12*15)//100)//N — all-integer, so
         # both engines lose identical floor mass and sums are order-free
         "kg_pagerank": kg + merge + _pagerank_sql(iterations=3),
+        "kg_ppr": kg + merge + _ppr_sql(iterations=3),
         # fixed-round min-label propagation (distributed-CC building block):
         # 4 unrolled join+grouped-min iterations
         "kg_label_prop": kg + merge + _label_prop_sql(rounds=4),
@@ -5103,6 +5168,24 @@ FROM rankedkb WHERE rn = 1
                        AS close_cents,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM r GROUP BY 1, 2
+        """,
+        # RANGE-frame rolling window: 7-day revenue per type over the
+        # daily series (interval frame, calendar gaps shrink the window)
+        "events_rolling_7d": """
+            WITH e AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            daily AS (
+              SELECT event_type, day,
+                     CAST(sum(cents) AS BIGINT) AS day_cents
+              FROM e GROUP BY 1, 2)
+            SELECT event_type, CAST(day AS TIMESTAMP) AS day, day_cents,
+                   CAST(sum(day_cents) OVER (
+                     PARTITION BY event_type ORDER BY day
+                     RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS rolling_7d_cents
+            FROM daily
         """,
         # max drawdown over the daily close series (running max minus
         # close, global max per type) — composed on the OHLC mirror

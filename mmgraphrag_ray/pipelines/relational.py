@@ -3184,3 +3184,69 @@ def basket_part_triples(sf_dir: str, k: int = 20, min_pair_support: int = 2,
         lambda b: b[["pa", "pb", "pc", "support", "rank"]],
         batch_format="pandas",
     )
+
+
+def events_rolling_7d(sf_dir: str):
+    """Rolling 7-day revenue per event type — the RANGE-frame window
+    (value-based frame over days, NOT a row count: gaps in the calendar
+    shrink the window), exact integer cents.
+
+    Shape: daily totals come from one combiner-backed grouped sum (the
+    only fact-sized shuffle); the per-type day series is tiny, so the
+    rolling sum runs vectorized inside a type-bucketed grouped window
+    (prefix sums + a searchsorted left edge at day-6).
+    -> Dataset(event_type, day, day_cents, rolling_7d_cents)."""
+    import numpy as np
+
+    from ..arrowutil import strip_pd_metadata
+    from ..stages.window import _bucket_of
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        return strip_pd_metadata(pd.DataFrame({
+            "event_type": b["event_type"],
+            "day": b["ts"].dt.floor("D"),
+            "cents": np.round(b["value"].to_numpy() * 100.0).astype("int64"),
+        }))
+
+    daily = bucketed_groupby_agg(
+        ev.map_batches(fold, batch_format="pandas"),
+        keys=["event_type", "day"],
+        aggs={"day_cents": ("cents", "sum")},
+    ).materialize()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.assign(_sbucket=_bucket_of(b["event_type"], 64))
+        return strip_pd_metadata(out) if len(out) else out
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype=object),
+                "day": pd.Series(dtype="datetime64[us]"),
+                "day_cents": pd.Series(dtype="int64"),
+                "rolling_7d_cents": pd.Series(dtype="int64"),
+            })
+        b = bucket.sort_values(["event_type", "day"], kind="mergesort")
+        frames = []
+        for _, g in b.groupby("event_type", sort=False):
+            days = g["day"].astype("datetime64[us]").astype("int64").to_numpy()
+            cents = g["day_cents"].to_numpy()
+            cum = np.concatenate([[0], np.cumsum(cents)])
+            day_us = 24 * 3600 * 1_000_000
+            lo = np.searchsorted(days, days - 6 * day_us, side="left")
+            rolling = cum[1 + np.arange(len(days))] - cum[lo]
+            frames.append(pd.DataFrame({
+                "event_type": g["event_type"].to_numpy(),
+                "day": g["day"].astype("datetime64[us]").to_numpy(),
+                "day_cents": cents.astype("int64"),
+                "rolling_7d_cents": rolling.astype("int64"),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        daily.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_sbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

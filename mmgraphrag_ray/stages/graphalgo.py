@@ -1620,3 +1620,109 @@ def ktruss_edges(edges_ds, k: int = 3, rounds: int = 2,
         lambda b: b.assign(support=b["support"].astype("int64")),
         batch_format="pandas",
     )
+
+
+def ppr_int(nodes_ds, edges_ds, seeds_ds, iterations: int = 3,
+            node_col: str = "entity_name",
+            src_col: str = "src_id", tgt_col: str = "tgt_id"):
+    """Personalized PageRank (integer, ``iterations`` unrolled power
+    steps) — the seed-biased random walk behind GraphRAG-style retrieval
+    (rank the KG by relevance to a query's seed entities): identical to
+    :func:`pagerank_int` except ALL teleport mass returns to the seed
+    set, so scores concentrate around the seeds instead of spreading to
+    the global stationary distribution.
+
+    Seed sets are query-sized (broadcast as a frozenset — tiny by
+    definition; the graph side stays fully distributed).  Initial mass
+    SCALE//n_seeds on each seed, 0 elsewhere; per step a seed receives
+    teleport ((SCALE*15)//100)//n_seeds on top of the damped inflow.
+
+    -> Dataset(node, rank) — every node, integer rank."""
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    seed_names = frozenset(
+        seeds_ds.map_batches(
+            lambda b: b[[node_col]], batch_format="pandas"
+        ).to_pandas()[node_col].astype(str)
+    )
+    n_seeds = len(seed_names)
+    if n_seeds == 0:
+        raise ValueError("ppr_int needs a non-empty seed set")
+    seed_ref = ray.put(seed_names)
+    tel = ((SCALE * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN) // n_seeds
+    init = SCALE // n_seeds
+
+    nodes = nodes_ds.map_batches(
+        lambda b: b[[node_col]].rename(columns={node_col: "node"}),
+        batch_format="pandas",
+    ).materialize()
+
+    def bidir(b: pd.DataFrame) -> pd.DataFrame:
+        fwd = b[[src_col, tgt_col]].rename(columns={src_col: "u", tgt_col: "v"})
+        rev = b[[tgt_col, src_col]].rename(columns={tgt_col: "u", src_col: "v"})
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    bid = edges_ds.map_batches(bidir, batch_format="pandas").materialize()
+    deg = bucketed_groupby_agg(
+        bid.map_batches(lambda b: b[["u"]], batch_format="pandas"),
+        keys=["u"],
+        aggs={"d": (None, "count")},
+    ).materialize()
+
+    def seeded(col: pd.Series, when: int) -> "pd.Series":
+        isin = col.astype(str).isin(ray.get(seed_ref))
+        return isin.map(lambda t: when if t else 0)
+
+    ranks = nodes.map_batches(
+        lambda b: b.assign(r=seeded(b["node"], init).astype("int64")),
+        batch_format="pandas",
+    ).materialize()
+
+    for _ in range(iterations):
+        rd = bucketed_join(
+            ranks.map_batches(
+                lambda b: b.rename(columns={"node": "u"}), batch_format="pandas"
+            ),
+            deg,
+            on="u",
+            small_side="right",
+        ).materialize()
+        contrib_src = bucketed_join(bid, rd, on="u", small_side="right")
+
+        def per_edge(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame(
+                    {"v": pd.Series(dtype=object), "c": pd.Series(dtype="int64")}
+                )
+            c = (DAMP_NUM * b["r"] // DAMP_DEN) // b["d"]
+            return pd.DataFrame({"v": b["v"], "c": c.astype("int64")})
+
+        sums = bucketed_groupby_agg(
+            contrib_src.map_batches(per_edge, batch_format="pandas"),
+            keys=["v"],
+            aggs={"s": ("c", "sum")},
+        ).materialize()
+        joined = bucketed_join(
+            nodes, sums.map_batches(
+                lambda b: b.rename(columns={"v": "node"}), batch_format="pandas"
+            ),
+            on="node",
+            how="left",
+            small_side="right",
+        )
+
+        def step(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame(
+                    {"node": pd.Series(dtype=object), "r": pd.Series(dtype="int64")}
+                )
+            s = b["s"].fillna(0).astype("int64")
+            return pd.DataFrame({
+                "node": b["node"],
+                "r": (seeded(b["node"], tel) + s).astype("int64"),
+            })
+
+        ranks = joined.map_batches(step, batch_format="pandas").materialize()
+
+    return ranks
