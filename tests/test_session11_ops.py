@@ -218,3 +218,114 @@ def test_range_partition_plan_balances():
     assert out["n_rows"].tolist() == [25, 25, 25, 25]
     assert out["min_v"].tolist() == [1, 26, 51, 76]
     assert out["max_v"].tolist() == [25, 50, 75, 100]
+
+
+def test_cdc_apply_closes_the_diff_loop():
+    # apply(diff-changes) over the base must equal the mutated version
+    from mmgraphrag_ray.stages.join import cdc_apply
+
+    base = ray.data.from_pandas(pd.DataFrame({
+        "k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"],
+    }))
+    target = pd.DataFrame({"k": [1, 2, 5], "v": ["a", "B", "e"]})
+    changes = ray.data.from_pandas(pd.DataFrame({
+        "k": [2, 3, 4, 5],
+        "v": ["B", None, None, "e"],
+        "op": ["upsert", "delete", "delete", "upsert"],
+    }))
+    out = cdc_apply(base, changes, key_col="k", payload_cols=["v"]) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, target)
+
+
+def test_ppr_mass_concentrates_on_seed():
+    from mmgraphrag_ray.stages.graphalgo import ppr_int
+
+    # path graph a-b-c-d, seed {a}: rank(a) > rank(b) > rank(c) > rank(d)
+    nodes = ray.data.from_pandas(pd.DataFrame(
+        {"entity_name": ["a", "b", "c", "d"]}))
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "src_id": ["a", "b", "c"], "tgt_id": ["b", "c", "d"],
+    }))
+    seeds = ray.data.from_pandas(pd.DataFrame({"entity_name": ["a"]}))
+    out = ppr_int(nodes, edges, seeds, iterations=3).to_pandas() \
+        .set_index("node")["r"]
+    # hand-unrolled integer power steps (SCALE=1e12, damp 85/100,
+    # teleport only to the seed):
+    #   r1 = (150e9, 850e9, 0, 0)
+    #   r2 = (511.25e9, 127.5e9, 361.25e9, 0)
+    #   r3 = (204.1875e9, 588.09375e9, 54.1875e9, 153.53125e9)
+    assert out["a"] == 204_187_500_000
+    assert out["b"] == 588_093_750_000
+    assert out["c"] == 54_187_500_000
+    assert out["d"] == 153_531_250_000
+    # non-seed teleport is zero: a node unreachable from the seed scores 0
+    nodes2 = ray.data.from_pandas(pd.DataFrame(
+        {"entity_name": ["a", "b", "z1", "z2"]}))
+    edges2 = ray.data.from_pandas(pd.DataFrame({
+        "src_id": ["a", "z1"], "tgt_id": ["b", "z2"],
+    }))
+    out2 = ppr_int(nodes2, edges2, seeds, iterations=2).to_pandas() \
+        .set_index("node")["r"]
+    assert out2["z1"] == 0 and out2["z2"] == 0
+
+
+def test_rolling_7d_gap_shrinks_window():
+    from mmgraphrag_ray.pipelines.relational import events_rolling_7d
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = "/tmp/raykg_s11_roll"
+    os.makedirs(d, exist_ok=True)
+    # days 1, 2, then a jump to day 20: the rolling window at day 20
+    # must NOT include days 1-2 (RANGE frame, not ROWS)
+    ts = pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-20"])
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "event_type": pa.array(["t", "t", "t"], pa.string()),
+        "value": pa.array([1.0, 2.0, 4.0], pa.float64()),
+        "props": pa.array(["{}"] * 3, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    out = events_rolling_7d(d).to_pandas().sort_values("day") \
+        .reset_index(drop=True)
+    assert out["rolling_7d_cents"].tolist() == [100, 300, 400]
+
+
+def test_q20_share_test_is_integer_exact():
+    from mmgraphrag_ray.pipelines.relational import q20_part_share_suppliers
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = "/tmp/raykg_s11_q20"
+    os.makedirs(d, exist_ok=True)
+    # part 1: supplier 1 ships exactly 1/5 (NOT >1/5, excluded);
+    # part 2: supplier 2 ships 3/5 (included)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "l_partkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "l_suppkey": pa.array([1, 9, 2, 9], pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1, 2], pa.int64()),
+        "l_quantity": pa.array([1.0, 4.0, 3.0, 2.0], pa.float64()),
+        "l_extendedprice": pa.array([10.0] * 4, pa.float64()),
+        "l_discount": pa.array([0.0] * 4, pa.float64()),
+        "l_tax": pa.array([0.0] * 4, pa.float64()),
+        "l_returnflag": pa.array(["N"] * 4, pa.string()),
+        "l_linestatus": pa.array(["O"] * 4, pa.string()),
+        "l_shipdate": pa.array(
+            pd.to_datetime(["1997-06-01"] * 4), pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 9], pa.int64()),
+        "s_name": pa.array(["s1", "s2", "s9"], pa.string()),
+        "s_nationkey": pa.array([0, 0, 0], pa.int64()),
+        "s_acctbal": pa.array([0.0, 0.0, 0.0], pa.float64()),
+    }), os.path.join(d, "supplier.parquet"))
+    out = q20_part_share_suppliers(d).to_pandas()
+    got = dict(zip(out["s_suppkey"], out["n_dominated_parts"]))
+    assert 1 not in got          # exactly 1/5 is not > 1/5
+    assert got[2] == 1           # 3/5 of part 2
+    assert got[9] == 2           # 4/5 of part 1 and 2/5 of part 2
