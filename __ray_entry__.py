@@ -974,6 +974,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             hashed.materialize(), key="text_md5", order_by=["doc_id"]
         )
 
+    def dedup_minhash_cluster_sizes(sf_dir):
+        # near-dup component-size histogram on top of the MinHash labels:
+        # how much of the corpus sits in how-big duplicate clusters (the
+        # dedup-savings report a curation run starts from)
+        from mmgraphrag_ray.stages.dedup import dedup_minhash
+        from mmgraphrag_ray.stages.groupagg import bucketed_groupby_agg
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        labels = dedup_minhash(docs, threshold=0.8)
+        sizes = bucketed_groupby_agg(
+            labels, keys=["label"], aggs={"sz": (None, "count")}
+        ).materialize()
+        return bucketed_groupby_agg(
+            sizes, keys=["sz"], aggs={"n_clusters": (None, "count")}
+        ).map_batches(
+            lambda b: b.rename(columns={"sz": "cluster_size"}),
+            batch_format="pandas",
+        )
+
     def dedup_minhash_documents(sf_dir):
         from mmgraphrag_ray.stages.dedup import dedup_minhash
 
@@ -2738,6 +2759,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_dedup": events_window_dedup_q,
         "orders_cdc_diff": orders_cdc_diff_q,
         "orders_cdc_apply": orders_cdc_apply_q,
+        "orders_cdc_compact": relational.orders_cdc_compact,
+        "dedup_minhash_cluster_sizes": dedup_minhash_cluster_sizes,
         "doc_range_partition_plan": doc_range_partition_plan_q,
         "kg_ktruss": kg_ktruss_q,
         "emb_kmeans": emb_kmeans,
@@ -3962,6 +3985,43 @@ FROM vh GROUP BY 1, 2, 3
             ) WHERE rn = 1
         """,
         "dedup_minhash_documents": _minhash_cc_sql(threshold=0.8),
+        # component-size histogram composed on the MinHash closure SQL
+        "dedup_minhash_cluster_sizes": f"""
+            WITH mh AS ({_minhash_cc_sql(threshold=0.8)}),
+            sizes AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM mh GROUP BY label)
+            SELECT cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+            FROM sizes GROUP BY cluster_size
+        """,
+        # CDC log compaction: last op per key by sequence number (the
+        # synthesized %5 delete-after-upsert / %3 stale-then-fresh log)
+        "orders_cdc_compact": """
+            WITH log AS (
+              SELECT o_orderkey, 1 AS seq, 'upsert' AS op,
+                     CAST(round(o_totalprice * 100) AS BIGINT)
+                         AS price_cents
+              FROM orders WHERE o_orderkey % 5 = 0
+              UNION ALL
+              SELECT o_orderkey, 2, 'delete', 0
+              FROM orders WHERE o_orderkey % 5 = 0
+              UNION ALL
+              SELECT o_orderkey, 1, 'upsert',
+                     CAST(round(o_totalprice * 100) AS BIGINT) + 999
+              FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+              UNION ALL
+              SELECT o_orderkey, 2, 'upsert',
+                     CAST(round(o_totalprice * 100) AS BIGINT)
+              FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+            )
+            SELECT o_orderkey, CAST(seq AS BIGINT) AS seq, op, price_cents
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                           ORDER BY seq DESC) AS rn
+              FROM log
+            ) WHERE rn = 1
+        """,
         # cross-side (new-vs-indexed) verified pairs, integer counts out
         "dedup_incremental_minhash": _minhash_cross_sql(threshold=0.8),
         "dedup_jaccard_documents": _jaccard_cc_sql(threshold=0.8),

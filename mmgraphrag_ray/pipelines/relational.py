@@ -3250,3 +3250,68 @@ def events_rolling_7d(sf_dir: str):
         .groupby("_sbucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def orders_cdc_compact(sf_dir: str):
+    """CDC log compaction — last-writer-wins: collapse a multi-op change
+    log (key, seq, op, payload) to the single latest op per key (what a
+    replication sink does before cdc_apply).  The change log is
+    synthesized deterministically from orders: every %5 key gets
+    upsert@1 then delete@2; every %3 (non-%5) key gets upsert@2 after a
+    stale upsert@1 with the wrong payload — compaction must keep the
+    delete and the FRESH upsert respectively.
+
+    Shape: the ONE-shuffle grouped-window contract (max-seq row per key
+    inside a key bucket); exact integer cents payload.
+    -> Dataset(o_orderkey, seq, op, price_cents)."""
+    import numpy as np
+
+    from ..arrowutil import strip_pd_metadata
+    from ..stages.window import _bucket_of
+
+    raw = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def make_log(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"]
+        cents = np.round(b["o_totalprice"].to_numpy() * 100.0).astype("int64")
+        m5 = (k % 5 == 0).to_numpy()
+        m3 = ((k % 3 == 0) & (k % 5 != 0)).to_numpy()
+        frames = [
+            pd.DataFrame({"o_orderkey": k[m5], "seq": 1, "op": "upsert",
+                          "price_cents": cents[m5]}),
+            pd.DataFrame({"o_orderkey": k[m5], "seq": 2, "op": "delete",
+                          "price_cents": 0}),
+            pd.DataFrame({"o_orderkey": k[m3], "seq": 1, "op": "upsert",
+                          "price_cents": cents[m3] + 999}),  # stale
+            pd.DataFrame({"o_orderkey": k[m3], "seq": 2, "op": "upsert",
+                          "price_cents": cents[m3]}),
+        ]
+        out = pd.concat(frames, ignore_index=True)
+        out["seq"] = out["seq"].astype("int64")
+        out["price_cents"] = out["price_cents"].astype("int64")
+        return strip_pd_metadata(out) if len(out) else out
+
+    log = raw.map_batches(make_log, batch_format="pandas")
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.assign(_sbucket=_bucket_of(b["o_orderkey"], 64))
+        return strip_pd_metadata(out) if len(out) else out
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame({
+                "o_orderkey": pd.Series(dtype="int64"),
+                "seq": pd.Series(dtype="int64"),
+                "op": pd.Series(dtype=object),
+                "price_cents": pd.Series(dtype="int64"),
+            })
+        b = bucket.sort_values(["o_orderkey", "seq"], kind="mergesort")
+        last = b.groupby("o_orderkey", sort=False).tail(1)
+        return last[["o_orderkey", "seq", "op", "price_cents"]] \
+            .reset_index(drop=True)
+
+    return (
+        log.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_sbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
