@@ -2444,6 +2444,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         files = ray.data.read_parquet(_corpus(sf_dir), columns=["content"])
         return dependency_depth(files, rounds=4)
 
+    def code_call_cycles_q(sf_dir):
+        # min call-cycle length per module (recursion / circular-call
+        # detection) over the unambiguous-symbol-resolved call graph,
+        # exact for cycles <= 6 via meet-in-the-middle bounded closure
+        from mmgraphrag_ray.stages.codegraph import call_cycles
+
+        files = ray.data.read_parquet(_corpus(sf_dir), columns=["content"])
+        return call_cycles(files, max_len=6)
+
     def emb_label_scatter_q(sf_dir):
         # class-compactness report: integer within-label scatter numerator
         from mmgraphrag_ray.stages.vecstats import label_scatter
@@ -2880,6 +2889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_profile": relational.documents_profile,
         "doc_curation": relational.doc_curation,
         "user_customer_outer": relational.user_customer_outer,
+        "code_call_cycles": code_call_cycles_q,
     }
 
 
@@ -7060,5 +7070,56 @@ FROM rankedkb WHERE rn = 1
         UNION ALL SELECT qid, doc_id, mmr_rank, mmr_score FROM s3
         UNION ALL SELECT qid, doc_id, mmr_rank, mmr_score FROM s4
         UNION ALL SELECT qid, doc_id, mmr_rank, mmr_score FROM s5
+    """
+
+    # min call-cycle length per module: unambiguous symbol resolution
+    # (calls >< defs HAVING one defining module), two min-plus rounds
+    # give exact distances <= 3, meet-in-the-middle pairs (u,v)+(v,u)
+    # plus the closed-walk diagonal — mirrors codegraph.call_cycles
+    out["code_call_cycles"] = f"""
+        WITH f AS (SELECT content FROM read_parquet('{corpus}/*.parquet')),
+        mm AS (
+          SELECT module, content FROM (
+            SELECT regexp_extract(content, '(?m)^# module: ([\\w.]+)', 1)
+                     AS module, content
+            FROM f
+          ) WHERE module <> ''
+        ),
+        defs AS (
+          SELECT DISTINCT module, unnest(regexp_extract_all(content,
+            '(?m)^[ \\t]*def[ \\t]+([A-Za-z_][A-Za-z0-9_]*)[ \\t]*\\(', 1))
+              AS sym
+          FROM mm
+        ),
+        uds AS (SELECT sym, min(module) AS dst FROM defs
+                GROUP BY sym HAVING count(*) = 1),
+        calls AS (
+          SELECT DISTINCT module AS src, unnest(regexp_extract_all(content,
+            '= *([A-Za-z_][A-Za-z0-9_]*)\\(', 1)) AS sym
+          FROM mm
+        ),
+        e AS MATERIALIZED (
+          SELECT DISTINCT c.src, u.dst FROM calls c JOIN uds u USING (sym)),
+        c1 AS (SELECT src, dst, CAST(1 AS BIGINT) AS plen FROM e),
+        c2 AS MATERIALIZED (
+          SELECT src, dst, min(plen) AS plen FROM (
+            SELECT * FROM c1
+            UNION ALL
+            SELECT a.src, b.dst, a.plen + 1 FROM c1 a JOIN e b ON a.dst = b.src
+          ) GROUP BY 1, 2),
+        c3 AS MATERIALIZED (
+          SELECT src, dst, min(plen) AS plen FROM (
+            SELECT * FROM c2
+            UNION ALL
+            SELECT a.src, b.dst, a.plen + 1 FROM c2 a JOIN e b ON a.dst = b.src
+          ) GROUP BY 1, 2),
+        cand AS (
+          SELECT src AS module, plen AS l FROM c3 WHERE src = dst
+          UNION ALL
+          SELECT a.src AS module, a.plen + b.plen AS l
+          FROM c3 a JOIN c3 b ON a.dst = b.src AND a.src = b.dst
+        )
+        SELECT module, CAST(min(l) AS BIGINT) AS min_cycle_len
+        FROM cand GROUP BY 1 HAVING min(l) <= 6
     """
     return out

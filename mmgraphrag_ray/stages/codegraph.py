@@ -20,6 +20,7 @@ from __future__ import annotations
 import re
 import zlib
 
+import numpy as np
 import pandas as pd
 
 from ..arrowutil import strip_pd_metadata
@@ -488,5 +489,179 @@ def api_surface(files_ds, n_buckets: int = 64):
         lambda b: b.assign(
             n_distinct_defs=b["n_distinct_defs"].fillna(0).astype("int64")
         )[["repo", "lang", "n_defs", "n_classes", "n_distinct_defs"]],
+        batch_format="pandas",
+    )
+
+
+# call-site and def-name grammars shared by the call-graph builder and its
+# DuckDB oracle (__ray_entry__) — ASCII classes so Python re == DuckDB RE2
+CALLSITE_RE = r"= *([A-Za-z_][A-Za-z0-9_]*)\("
+DEF_NAME_RE = r"(?m)^[ \t]*def[ \t]+([A-Za-z_][A-Za-z0-9_]*)[ \t]*\("
+
+
+def _module_sym_rows(batch: pd.DataFrame, sym_re: str) -> pd.DataFrame:
+    """(module, sym) rows from one batch: the file's own module header
+    paired with every regex hit, locally deduped before the shuffle."""
+    mod = batch["content"].str.extract(MODULE_RE, expand=False)
+    syms = batch["content"].str.findall(sym_re)
+    df = pd.DataFrame({"module": mod, "sym": syms}).explode("sym").dropna()
+    df = df[df["module"] != ""]
+    out = df.drop_duplicates(ignore_index=True)
+    if len(out) == 0:
+        return pd.DataFrame({"module": pd.Series(dtype=object),
+                             "sym": pd.Series(dtype=object)})
+    return strip_pd_metadata(out)
+
+
+def resolved_call_edges(files_ds, n_buckets: int = 32):
+    """Module-level call graph via UNAMBIGUOUS symbol resolution — the
+    static-analysis step real call-graph builders (pycg, stack-graphs)
+    run corpus-wide: a call site `x = f(...)` becomes an edge
+    caller_module -> defining_module only when `f` is defined in exactly
+    ONE module; ambiguous symbols (the corpus's shared_fn_* helpers,
+    defined in dozens of modules) are dropped rather than guessed, which
+    also keeps hub fan-out out of the graph.
+
+    Shape: two vectorized extraction passes (defs, call sites) with
+    per-batch local dedup, a grouped distinct + HAVING n_modules == 1
+    reduce on the symbol key, one bucketed join calls><defs on the same
+    key, and a final (src, dst) distinct.  All shuffled rows are short
+    (module, symbol) string pairs — at 100 TB only deduped pairs move.
+    -> Dataset(src, dst) distinct; self-loops kept (recursion).
+    """
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    defs = files_ds.map_batches(
+        lambda b: _module_sym_rows(b, DEF_NAME_RE), batch_format="pandas"
+    )
+    def_pairs = bucketed_groupby_agg(
+        defs, keys=["sym", "module"], aggs={"n_occ": (None, "count")},
+        n_buckets=n_buckets,
+    ).materialize()
+    uds = bucketed_groupby_agg(
+        def_pairs.map_batches(lambda b: b[["sym", "module"]],
+                              batch_format="pandas"),
+        keys=["sym"],
+        aggs={"n_mods": (None, "count"), "dst": ("module", "min")},
+        n_buckets=n_buckets,
+    ).map_batches(
+        lambda b: b[b["n_mods"] == 1][["sym", "dst"]], batch_format="pandas"
+    ).materialize()
+
+    calls = files_ds.map_batches(
+        lambda b: _module_sym_rows(b, CALLSITE_RE), batch_format="pandas"
+    ).map_batches(lambda b: b.rename(columns={"module": "src"}),
+                  batch_format="pandas")
+    call_pairs = bucketed_groupby_agg(
+        calls, keys=["src", "sym"], aggs={"n_occ": (None, "count")},
+        n_buckets=n_buckets,
+    ).map_batches(lambda b: b[["src", "sym"]], batch_format="pandas"
+                  ).materialize()
+
+    hits = bucketed_join(call_pairs, uds, on="sym", small_side="right",
+                         n_buckets=n_buckets)
+    return bucketed_groupby_agg(
+        hits.map_batches(lambda b: b[["src", "dst"]], batch_format="pandas"),
+        keys=["src", "dst"], aggs={"n_occ": (None, "count")},
+        n_buckets=n_buckets,
+    ).map_batches(lambda b: b[["src", "dst"]], batch_format="pandas")
+
+
+def call_cycles(files_ds, max_len: int = 6, n_buckets: int = 32):
+    """Minimum call-cycle length per module (recursion/circular-call
+    detection), exact for cycles of length <= `max_len` — the bounded
+    analog of SCC condensation that code-health dashboards report.
+
+    Math: min closed-walk length from u equals the min simple-cycle
+    length through u (cutting a repeated intermediate vertex only
+    shortens the walk).  Meet-in-the-middle: with H = max_len // 2
+    min-plus rounds giving C_H(u, v) = exact min path length <= H, the
+    min cycle through u (<= 2H) is min(diag C_H(u, u), min over v of
+    C_H(u, v) + C_H(v, u)) — a cycle of length L <= 2H has a vertex at
+    forward distance <= H whose return distance is also <= H.
+
+    Shape: H - 1 rounds of (bucketed join reach><edges, grouped min per
+    (src, dst)) — Bellman-Ford layering, NOT path doubling, so the
+    per-round intermediate stays |reach| x avg-out-degree — then ONE
+    composite-key self-join pairs (u, v) with (v, u), and a final
+    grouped min per module.  Bounded closure: |reach| <= n x (nodes
+    within H hops); exact and cheap on the sparse, locality-clustered
+    call graphs real corpora produce (documented bound, same contract as
+    dependency_depth's fixed sweeps).  materialize() pins between hash
+    shuffles per stages/merge.py's >2-shuffle note.
+    -> Dataset(module, min_cycle_len) for modules with a cycle <= max_len.
+    """
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    half = max(1, max_len // 2)
+    edges = resolved_call_edges(files_ds, n_buckets=n_buckets).materialize()
+    hop = edges.map_batches(
+        lambda b: b.rename(columns={"src": "via"}), batch_format="pandas"
+    ).materialize()
+
+    def with_len(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.assign(plen=np.int64(1))
+        return strip_pd_metadata(out) if len(out) else out
+
+    reach = edges.map_batches(with_len, batch_format="pandas").materialize()
+    for _ in range(half - 1):
+        stepped = bucketed_join(
+            reach.map_batches(
+                lambda b: b.rename(columns={"dst": "via"}),
+                batch_format="pandas"),
+            hop, on="via", n_buckets=n_buckets,
+        ).map_batches(
+            lambda b: b.assign(plen=(b["plen"] + 1).astype("int64"))[
+                ["src", "dst", "plen"]],
+            batch_format="pandas",
+        )
+        reach = bucketed_groupby_agg(
+            reach.union(stepped), keys=["src", "dst"],
+            aggs={"plen": ("plen", "min")}, n_buckets=n_buckets,
+        ).materialize()
+
+    def fwd_key(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "pkey": b["src"].astype(str) + "\x1f" + b["dst"].astype(str),
+            "module": b["src"], "plen": b["plen"].astype("int64"),
+        })
+        return strip_pd_metadata(out) if len(out) else out
+
+    def rev_key(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "pkey": b["dst"].astype(str) + "\x1f" + b["src"].astype(str),
+            "plen_back": b["plen"].astype("int64"),
+        })
+        return strip_pd_metadata(out) if len(out) else out
+
+    paired = bucketed_join(
+        reach.map_batches(fwd_key, batch_format="pandas"),
+        reach.map_batches(rev_key, batch_format="pandas"),
+        on="pkey", n_buckets=n_buckets,
+    ).map_batches(
+        lambda b: pd.DataFrame({
+            "module": b["module"],
+            "l": (b["plen"] + b["plen_back"]).astype("int64")}),
+        batch_format="pandas",
+    )
+    def diag_rows(b: pd.DataFrame) -> pd.DataFrame:
+        sel = b[b["src"] == b["dst"]]
+        out = pd.DataFrame({"module": sel["src"],
+                            "l": sel["plen"].astype("int64")}
+                           ).reset_index(drop=True)
+        if len(out) == 0:
+            return pd.DataFrame({"module": pd.Series(dtype=object),
+                                 "l": pd.Series(dtype="int64")})
+        return strip_pd_metadata(out)
+
+    diag = reach.map_batches(diag_rows, batch_format="pandas")
+    best = bucketed_groupby_agg(
+        paired.union(diag), keys=["module"],
+        aggs={"min_cycle_len": ("l", "min")}, n_buckets=n_buckets,
+    )
+    return best.map_batches(
+        lambda b: b[b["min_cycle_len"] <= max_len].reset_index(drop=True),
         batch_format="pandas",
     )

@@ -101,3 +101,81 @@ def test_hits_scores_rank_hub_vs_authority():
     assert out["auth"].idxmax() == "a" and out.loc["a", "auth"] == 1_000_000
     assert out.loc["a", "hub"] == 0  # imports nothing
     assert out.loc["hub", "auth"] == 0  # imported by nobody
+
+
+def _call_files():
+    # call graph after unambiguous resolution:
+    #   a: defines fa, calls fb (unique in b) and shared (ambiguous: in a+d)
+    #   b: defines fb + shared?, calls fc
+    #   c: defines fc, calls fa  -> 3-cycle a->b->c->a
+    #   d: defines fd + shared, fd calls itself -> self-loop (cycle len 1)
+    #   e: defines fe, calls fb  -> on NO cycle (nothing calls back into e)
+    rows = [
+        "# module: a\ndef fa(x):\n    y = fb(1)\n    z = shared(2)\n",
+        "# module: b\ndef fb(x):\ndef shared(x):\n    y = fc(1)\n",
+        "# module: c\ndef fc(x):\n    y = fa(1)\n",
+        "# module: d\ndef fd(x):\ndef shared(x):\n    y = fd(1)\n",
+        "# module: e\ndef fe(x):\n    y = fb(1)\n",
+    ]
+    return ray.data.from_pandas(
+        pd.DataFrame({"content": rows})
+    ).repartition(3)
+
+
+def test_resolved_call_edges_drops_ambiguous_symbols():
+    from mmgraphrag_ray.stages.codegraph import resolved_call_edges
+
+    out = (
+        resolved_call_edges(_call_files(), n_buckets=4)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    # shared is defined in both b and d -> every `= shared(...)` call
+    # site resolves to nothing; fd's self-call keeps the self-loop
+    exp = pd.DataFrame(
+        {
+            "src": ["a", "b", "c", "d", "e"],
+            "dst": ["b", "c", "a", "d", "b"],
+        }
+    )
+    pd.testing.assert_frame_equal(out, exp)
+
+
+def test_call_cycles_min_length_and_non_cycle_exclusion():
+    from mmgraphrag_ray.stages.codegraph import call_cycles
+
+    out = (
+        call_cycles(_call_files(), max_len=6, n_buckets=4)
+        .to_pandas()
+        .sort_values("module")
+        .reset_index(drop=True)
+    )
+    # a,b,c sit on the 3-cycle; d self-recurses (len 1); e is acyclic
+    exp = pd.DataFrame(
+        {"module": ["a", "b", "c", "d"], "min_cycle_len": [3, 3, 3, 1]}
+    ).astype({"min_cycle_len": "int64"})
+    pd.testing.assert_frame_equal(out, exp)
+
+
+def test_call_cycles_meet_in_middle_exact_for_len_six():
+    from mmgraphrag_ray.stages.codegraph import call_cycles
+
+    # pure 6-cycle m0 -> m1 -> ... -> m5 -> m0: needs the off-diagonal
+    # C3(u,v)+C3(v,u) pairing (diagonal alone only sees cycles <= 3)
+    rows = [
+        f"# module: m{i}\ndef f{i}(x):\n    y = f{(i + 1) % 6}(1)\n"
+        for i in range(6)
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame({"content": rows})).repartition(2)
+    out = (
+        call_cycles(ds, max_len=6, n_buckets=4)
+        .to_pandas()
+        .sort_values("module")
+        .reset_index(drop=True)
+    )
+    exp = pd.DataFrame(
+        {"module": [f"m{i}" for i in range(6)],
+         "min_cycle_len": [6] * 6}
+    ).astype({"min_cycle_len": "int64"})
+    pd.testing.assert_frame_equal(out, exp)
