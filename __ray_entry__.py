@@ -2890,6 +2890,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_curation": relational.doc_curation,
         "user_customer_outer": relational.user_customer_outer,
         "code_call_cycles": code_call_cycles_q,
+        "orders_cube": relational.orders_cube,
+        "lineitem_regression": relational.lineitem_regression,
+        "events_cusum": relational.events_cusum,
+        "orders_backlog": relational.orders_backlog,
+        "basket_rules": relational.basket_rules,
     }
 
 
@@ -7121,5 +7126,110 @@ FROM rankedkb WHERE rn = 1
         )
         SELECT module, CAST(min(l) AS BIGINT) AS min_cycle_len
         FROM cand GROUP BY 1 HAVING min(l) <= 6
+    """
+
+    # CUBE = rollup's plan extended to every grouping set; min/max price
+    # are actual elements -> float-exact, counts re-fold as sums
+    out["orders_cube"] = """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               count(*) AS n_orders,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """
+
+    # OLS sufficient stats on the cents grid; slope_ppm from the exact
+    # integer sums — HUGEINT keeps n*sxy exact, and // truncates toward
+    # zero exactly like the engine's sign-aware abs floor-division
+    out["lineitem_regression"] = """
+        WITH q AS (
+          SELECT l_returnflag,
+                 CAST(l_quantity AS BIGINT) AS x,
+                 CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+          FROM lineitem),
+        s AS (
+          SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sum_x,
+                 CAST(sum(y) AS BIGINT) AS sum_y,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM q GROUP BY 1)
+        SELECT l_returnflag, n, sum_x, sum_y, sxx, sxy,
+               CAST(CASE WHEN CAST(n AS HUGEINT) * sxx
+                              - CAST(sum_x AS HUGEINT) * sum_x = 0 THEN 0
+                    ELSE (1000000 * (CAST(n AS HUGEINT) * sxy
+                                     - CAST(sum_x AS HUGEINT) * sum_y))
+                         // (CAST(n AS HUGEINT) * sxx
+                             - CAST(sum_x AS HUGEINT) * sum_x)
+                    END AS BIGINT) AS slope_ppm
+        FROM s
+    """
+
+    # CUSUM changepoint: deviation = n_days*c - total per observed day,
+    # running sum, argmax |cusum| with earliest-day tie-break
+    out["events_cusum"] = """
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(sum(c) AS BIGINT) AS total
+              FROM daily GROUP BY 1),
+        cu AS (SELECT d.event_type, d.day,
+                      sum(t.n_days * d.c - t.total) OVER (
+                        PARTITION BY d.event_type ORDER BY d.day
+                        ROWS UNBOUNDED PRECEDING) AS cusum
+               FROM daily d JOIN t USING (event_type)),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY abs(cusum) DESC, day) AS rn
+              FROM cu)
+        SELECT r.event_type, t.n_days, t.total, r.day AS change_day,
+               CAST(r.cusum AS BIGINT) AS cusum_at
+        FROM r JOIN t USING (event_type) WHERE rn = 1
+    """
+
+    # interval stabbing via +1/-1 boundary deltas and one running sum
+    out["orders_backlog"] = """
+        WITH close AS (
+          SELECT l_orderkey AS o_orderkey, max(l_shipdate) AS close_day
+          FROM lineitem GROUP BY 1),
+        iv AS (SELECT o.o_orderdate AS open_day, c.close_day
+               FROM orders o JOIN close c USING (o_orderkey)),
+        d AS (
+          SELECT open_day AS day, CAST(1 AS BIGINT) AS delta FROM iv
+          UNION ALL
+          SELECT close_day + INTERVAL 1 DAY, CAST(-1 AS BIGINT) FROM iv),
+        g AS (SELECT day, CAST(sum(delta) AS BIGINT) AS delta
+              FROM d GROUP BY 1)
+        SELECT day,
+               CAST(sum(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS open_orders
+        FROM g
+    """
+
+    # association rules over qualifying baskets (2..64 distinct parts):
+    # confidence/lift as exact floor divisions of int64 counts
+    out["basket_rules"] = """
+        WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                   FROM lineitem),
+        sz AS (SELECT o, count(*) AS n FROM b GROUP BY 1),
+        qual AS (SELECT o FROM sz WHERE n BETWEEN 2 AND 64),
+        bq AS (SELECT b.o, b.p FROM b JOIN qual USING (o)),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM qual),
+        item AS (SELECT p, CAST(count(*) AS BIGINT) AS np FROM bq GROUP BY 1),
+        sup AS (
+          SELECT x.p AS pa, y.p AS pb, CAST(count(*) AS BIGINT) AS support
+          FROM bq x JOIN bq y ON x.o = y.o AND x.p < y.p
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT CAST(s.pa AS BIGINT) AS pa, CAST(s.pb AS BIGINT) AS pb,
+               s.support, ia.np AS n_a, ib.np AS n_b, tot.nb AS n_baskets,
+               s.support * 1000000 // ia.np AS conf_a_ppm,
+               s.support * 1000000 // ib.np AS conf_b_ppm,
+               s.support * tot.nb * 1000000 // (ia.np * ib.np) AS lift_ppm
+        FROM sup s JOIN item ia ON ia.p = s.pa JOIN item ib ON ib.p = s.pb
+        CROSS JOIN tot
     """
     return out

@@ -3315,3 +3315,313 @@ def orders_cdc_compact(sf_dir: str):
         .groupby("_sbucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def orders_cube(sf_dir: str):
+    """GROUP BY CUBE(status, priority): order counts + exact min/max
+    price at ALL four grouping sets, subtotal keys carried as 'ALL'
+    (stages/reshape.cube_agg — one input pass; every coarser set
+    re-aggregates the materialized finest table)."""
+    from ..stages.reshape import cube_agg
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    return cube_agg(
+        orders,
+        keys=["o_orderstatus", "o_orderpriority"],
+        aggs={
+            "n_orders": (None, "count"),
+            "min_price": ("o_totalprice", "min"),
+            "max_price": ("o_totalprice", "max"),
+        },
+    )
+
+
+def lineitem_regression(sf_dir: str):
+    """Exact OLS sufficient statistics per return flag — the trend-fit /
+    linear-probe reduction (price-cents vs quantity): n, Σx, Σy, Σx²,
+    Σxy fold as int64 sums on the cents grid (associative combiner +
+    one tiny grouped sum — the classic "train a linear model as an
+    aggregation" shape), then slope_ppm = 1e6·(nΣxy−ΣxΣy)/(nΣx²−ΣxΣx)
+    computed from those exact integers per group with explicit
+    truncate-toward-zero division (DuckDB ``//`` truncates; Python
+    floors — the sign-aware abs form makes both engines agree).
+    -> Dataset(l_returnflag, n, sum_x, sum_y, sxx, sxy, slope_ppm)."""
+    import numpy as np
+
+    from ..arrowutil import strip_pd_metadata
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["l_quantity"].to_numpy().astype("int64")
+        y = np.floor(b["l_extendedprice"].to_numpy() * 100.0).astype("int64")
+        out = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "sum_x": x, "sum_y": y, "sxx": x * x, "sxy": x * y,
+        })
+        return strip_pd_metadata(out) if len(out) else out
+
+    agg = bucketed_groupby_agg(
+        li.map_batches(stats, batch_format="pandas"),
+        keys=["l_returnflag"],
+        aggs={
+            "n": (None, "count"),
+            "sum_x": ("sum_x", "sum"),
+            "sum_y": ("sum_y", "sum"),
+            "sxx": ("sxx", "sum"),
+            "sxy": ("sxy", "sum"),
+        },
+    )
+
+    def fit(b: pd.DataFrame) -> pd.DataFrame:
+        # per-group fold over the tiny (one row per flag) stats table;
+        # Python ints: n*sxy exceeds int64 at large scale factors
+        slopes = []
+        for r in b.itertuples(index=False):
+            n, sx, sy, sxx, sxy = (int(r.n), int(r.sum_x), int(r.sum_y),
+                                   int(r.sxx), int(r.sxy))
+            num = n * sxy - sx * sy
+            den = n * sxx - sx * sx
+            if den == 0:
+                slopes.append(0)
+            else:
+                v = (abs(num) * 1_000_000) // abs(den)
+                slopes.append(v if (num >= 0) == (den > 0) else -v)
+        out = b.assign(slope_ppm=pd.Series(slopes, dtype="int64",
+                                           index=b.index))
+        return out[["l_returnflag", "n", "sum_x", "sum_y", "sxx", "sxy",
+                    "slope_ppm"]]
+
+    return agg.map_batches(fit, batch_format="pandas")
+
+
+def events_cusum(sf_dir: str):
+    """CUSUM changepoint detection per event type over the daily count
+    series: deviation_d = n_days·count_d − total (integer, sums to zero
+    over the observed days), cumulative-sum scan, report the day where
+    |CUSUM| peaks (tie -> earliest day) — the burst/regime-shift locator
+    run next to spike detection.
+
+    Shape: daily counts fold via combiner + one grouped shuffle; the
+    per-type day series is tiny (one row per (type, day)), so the scan
+    runs inside a second grouped window keyed on type alone — state
+    bounded by #days, never #events.
+    -> Dataset(event_type, n_days, total, change_day, cusum_at)."""
+    import numpy as np
+
+    from ..arrowutil import strip_pd_metadata
+    from ..stages.window import _bucket_of
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def day_rows(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "event_type": b["event_type"],
+            "day": b["ts"].dt.floor("D"),
+        })
+        return strip_pd_metadata(out) if len(out) else out
+
+    daily = bucketed_groupby_agg(
+        ev.map_batches(day_rows, batch_format="pandas"),
+        keys=["event_type", "day"],
+        aggs={"c": (None, "count")},
+    ).materialize()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.assign(_sbucket=_bucket_of(b["event_type"], 64))
+        return strip_pd_metadata(out) if len(out) else out
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype=object),
+                "n_days": pd.Series(dtype="int64"),
+                "total": pd.Series(dtype="int64"),
+                "change_day": pd.Series(dtype="datetime64[us]"),
+                "cusum_at": pd.Series(dtype="int64"),
+            })
+        rows = []
+        b = bucket.sort_values(["event_type", "day"], kind="mergesort")
+        for et, g in b.groupby("event_type", sort=False):
+            c = g["c"].to_numpy().astype("int64")
+            n_days, total = len(c), int(c.sum())
+            cusum = np.cumsum(n_days * c - total)
+            idx = int(np.argmax(np.abs(cusum)))  # first max -> earliest day
+            rows.append((et, n_days, total, g["day"].iloc[idx],
+                         int(cusum[idx])))
+        return pd.DataFrame(rows, columns=["event_type", "n_days", "total",
+                                           "change_day", "cusum_at"])
+
+    return (
+        daily.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_sbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def orders_backlog(sf_dir: str):
+    """Concurrent open-order count per day (interval stabbing): an order
+    is open from o_orderdate through its last line's l_shipdate; the
+    running count at each boundary day is the fulfilment-backlog series
+    ops dashboards plot.
+
+    Shape: per-order close folds via combiner + one grouped max; the
+    interval becomes two +1/−1 delta rows which fold per day (second
+    grouped sum) — the scan then runs over the DAY-count-sized delta
+    table in one bounded group (state = #distinct days, never #orders).
+    -> Dataset(day, open_orders) at every interval boundary day."""
+    import numpy as np
+
+    from ..arrowutil import strip_pd_metadata
+    from ..stages.join import bucketed_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    close = bucketed_groupby_agg(
+        li.map_batches(
+            lambda b: strip_pd_metadata(b.rename(
+                columns={"l_orderkey": "o_orderkey"})) if len(b) else b,
+            batch_format="pandas"),
+        keys=["o_orderkey"],
+        aggs={"close_day": ("l_shipdate", "max")},
+    ).materialize()
+
+    iv = bucketed_join(orders, close, on="o_orderkey")
+
+    def deltas(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "day": pd.concat(
+                [b["o_orderdate"],
+                 b["close_day"] + pd.Timedelta(days=1)],
+                ignore_index=True),
+            "delta": np.concatenate(
+                [np.ones(len(b), dtype="int64"),
+                 -np.ones(len(b), dtype="int64")]),
+        })
+        return strip_pd_metadata(out) if len(out) else out
+
+    per_day = bucketed_groupby_agg(
+        iv.map_batches(deltas, batch_format="pandas"),
+        keys=["day"],
+        aggs={"delta": ("delta", "sum")},
+    ).materialize()
+
+    def scan(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame({
+                "day": pd.Series(dtype="datetime64[us]"),
+                "open_orders": pd.Series(dtype="int64"),
+            })
+        b = bucket.sort_values("day", kind="mergesort")
+        return pd.DataFrame({
+            "day": b["day"],
+            "open_orders": b["delta"].to_numpy().astype("int64").cumsum(),
+        })
+
+    return (
+        per_day.map_batches(
+            lambda b: b.assign(_g=np.int64(0)), batch_format="pandas")
+        .groupby("_g")
+        .map_groups(scan, batch_format="pandas")
+    )
+
+
+def basket_rules(sf_dir: str, min_support: int = 2, max_basket: int = 64):
+    """Association rules from the frequent part pairs: confidence in both
+    directions and lift, all in integer ppm over the qualifying-basket
+    universe (orders holding 2..max_basket distinct parts) — the
+    recommendation-rule report layered on basket_part_pairs' support
+    counting.
+
+    Shape: ONE order-bucketed grouped pass emits tagged rows (pair /
+    item / basket marker) so pair supports, item supports and the basket
+    count N all fold from the same shuffle; item supports broadcast
+    (parts-table-sized) onto the surviving pairs; every ratio is an
+    exact floor division of int64 counts.
+    -> Dataset(pa, pb, support, n_a, n_b, n_baskets, conf_a_ppm,
+    conf_b_ppm, lift_ppm) for pairs with support >= min_support."""
+    import zlib
+
+    import numpy as np
+
+    from ..arrowutil import strip_pd_metadata
+    from ..stages.join import broadcast_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"o": b["l_orderkey"].astype("int64"),
+             "p": b["l_partkey"].astype("int64")}
+        )
+        out["_bucket"] = out["o"].map(
+            lambda v: zlib.crc32(str(int(v)).encode()) % 64
+        ).astype("int32")
+        return strip_pd_metadata(out) if len(out) else out
+
+    def tagged(bucket: pd.DataFrame) -> pd.DataFrame:
+        kind, a, bb = [], [], []
+        for _, g in bucket.groupby("o", sort=False):
+            parts = sorted(set(int(x) for x in g["p"]))
+            if len(parts) < 2 or len(parts) > max_basket:
+                continue
+            kind.append("n"); a.append(-1); bb.append(-1)
+            for p in parts:
+                kind.append("i"); a.append(p); bb.append(-1)
+            for i in range(len(parts)):
+                for j in range(i + 1, len(parts)):
+                    kind.append("p"); a.append(parts[i]); bb.append(parts[j])
+        return pd.DataFrame({
+            "kind": pd.Series(kind, dtype=object),
+            "a": np.asarray(a, dtype=np.int64),
+            "b": np.asarray(bb, dtype=np.int64),
+        })
+
+    rows = (
+        li.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(tagged, batch_format="pandas")
+        .repartition(8)
+        .materialize()
+    )
+    n_baskets = rows.map_batches(
+        lambda b: b[b["kind"] == "n"], batch_format="pandas").count()
+    support = bucketed_groupby_agg(
+        rows.map_batches(
+            lambda b: b[b["kind"] == "p"][["a", "b"]]
+            .rename(columns={"a": "pa", "b": "pb"}),
+            batch_format="pandas"),
+        keys=["pa", "pb"],
+        aggs={"support": (None, "count")},
+    ).map_batches(
+        lambda b: b[b["support"] >= min_support].reset_index(drop=True),
+        batch_format="pandas",
+    )
+    item_df = bucketed_groupby_agg(
+        rows.map_batches(
+            lambda b: b[b["kind"] == "i"][["a"]], batch_format="pandas"),
+        keys=["a"],
+        aggs={"np": (None, "count")},
+    ).to_pandas()  # one row per distinct part — dimension-table-sized
+
+    ia = item_df.rename(columns={"a": "pa", "np": "n_a"})
+    ib = item_df.rename(columns={"a": "pb", "np": "n_b"})
+    joined = broadcast_join(broadcast_join(support, ia, on="pa"), ib, on="pb")
+
+    def ratios(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["support"].astype("int64")
+        na = b["n_a"].astype("int64")
+        nb = b["n_b"].astype("int64")
+        return pd.DataFrame({
+            "pa": b["pa"], "pb": b["pb"], "support": s,
+            "n_a": na, "n_b": nb,
+            "n_baskets": np.int64(n_baskets),
+            "conf_a_ppm": s * 1_000_000 // na,
+            "conf_b_ppm": s * 1_000_000 // nb,
+            "lift_ppm": s * int(n_baskets) * 1_000_000 // (na * nb),
+        })
+
+    return joined.map_batches(ratios, batch_format="pandas")

@@ -159,3 +159,58 @@ def rollup_agg(
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def cube_agg(
+    ds,
+    keys: list[str],
+    aggs: dict[str, tuple[str | None, str]],
+    all_token: str = "ALL",
+):
+    """SQL ``GROUP BY CUBE(keys...)``: aggregates at EVERY subset of the
+    key columns (2^n grouping sets); rolled-away keys carry ``all_token``
+    like rollup_agg.
+
+    Only the finest set scans the input — every other subset re-aggregates
+    the materialized finest table, whose size is the fine group count, so
+    n keys cost one full pass + (2^n - 2) group-count-sized passes + a
+    driver-side grand-total fold over that same tiny table."""
+    import itertools
+
+    import ray.data
+
+    reaggs = {out: (out, _REAGG[op]) for out, (_, op) in aggs.items()}
+
+    def stamp(batch: pd.DataFrame, kept: tuple) -> pd.DataFrame:
+        out = batch.copy()
+        for k in keys:
+            if k not in kept:
+                out[k] = all_token
+            else:
+                out[k] = out[k].astype(str)
+        return out[keys + list(aggs)]
+
+    finest = bucketed_groupby_agg(ds, keys=keys, aggs=aggs).materialize()
+    levels = [
+        finest.map_batches(
+            lambda b, _k=tuple(keys): stamp(b, _k), batch_format="pandas"
+        )
+    ]
+    for r in range(len(keys) - 1, 0, -1):
+        for kept in itertools.combinations(keys, r):
+            lvl = bucketed_groupby_agg(finest, keys=list(kept), aggs=reaggs)
+            levels.append(
+                lvl.map_batches(
+                    lambda b, _k=tuple(kept): stamp(b, _k),
+                    batch_format="pandas",
+                )
+            )
+    small = finest.to_pandas()  # fine-group-count rows, not input rows
+    row = {k: pd.Series([all_token], dtype=object) for k in keys}
+    for out in aggs:
+        row[out] = pd.Series([getattr(small[out], _REAGG[aggs[out][1]])()])
+    levels.append(ray.data.from_pandas(pd.DataFrame(row)))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

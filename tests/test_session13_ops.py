@@ -1,0 +1,158 @@
+"""Edge-case unit tests for the session-13 operators (the oracle gate
+covers corpus-scale parity; these pin the corner semantics)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+
+def test_cube_agg_emits_every_grouping_set():
+    from mmgraphrag_ray.stages.reshape import cube_agg
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "a": ["x", "x", "y"],
+        "b": ["1", "2", "1"],
+        "v": [10, 20, 5],
+    }))
+    out = cube_agg(
+        ds, keys=["a", "b"],
+        aggs={"n": (None, "count"), "mx": ("v", "max")},
+    ).to_pandas().set_index(["a", "b"]).sort_index()
+    # 2^2 grouping sets: finest (3 groups), by-a (2), by-b (2), total (1)
+    assert len(out) == 8
+    assert out.loc[("x", "2"), "n"] == 1 and out.loc[("x", "2"), "mx"] == 20
+    assert out.loc[("x", "ALL"), "n"] == 2 and out.loc[("x", "ALL"), "mx"] == 20
+    assert out.loc[("ALL", "1"), "n"] == 2 and out.loc[("ALL", "1"), "mx"] == 10
+    assert out.loc[("ALL", "ALL"), "n"] == 3 and out.loc[("ALL", "ALL"), "mx"] == 20
+
+
+def _write_lineitem(d: str, rows: dict):
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table(rows), os.path.join(d, "lineitem.parquet"))
+
+
+def test_regression_negative_slope_truncates_toward_zero():
+    from mmgraphrag_ray.pipelines.relational import lineitem_regression
+
+    d = "/tmp/raykg_s13_reg"
+    # x=[1,2,4], y cents=[300,250,100]: num=-950, den=14 ->
+    # slope = -67857142.857..., DuckDB // truncates toward zero
+    _write_lineitem(d, {
+        "l_returnflag": pa.array(["N", "N", "N"], pa.string()),
+        "l_quantity": pa.array([1.0, 2.0, 4.0], pa.float64()),
+        "l_extendedprice": pa.array([3.00, 2.50, 1.00], pa.float64()),
+    })
+    out = lineitem_regression(d).to_pandas()
+    assert out.loc[0, ["n", "sum_x", "sum_y", "sxx", "sxy"]].tolist() == \
+        [3, 7, 650, 21, 1200]
+    assert out.loc[0, "slope_ppm"] == -67_857_142
+
+
+def test_regression_perfect_line_and_degenerate_x():
+    from mmgraphrag_ray.pipelines.relational import lineitem_regression
+
+    d = "/tmp/raykg_s13_reg2"
+    # flag P: y = 200x exactly -> slope 2_000_000 ppm (cents per unit)
+    # flag D: constant x -> den = 0 -> slope 0 by definition
+    _write_lineitem(d, {
+        "l_returnflag": pa.array(["P", "P", "P", "D", "D"], pa.string()),
+        "l_quantity": pa.array([1.0, 2.0, 3.0, 5.0, 5.0], pa.float64()),
+        "l_extendedprice": pa.array([2.0, 4.0, 6.0, 1.0, 9.0], pa.float64()),
+    })
+    out = lineitem_regression(d).to_pandas().set_index("l_returnflag")
+    assert out.loc["P", "slope_ppm"] == 200 * 1_000_000
+    assert out.loc["D", "slope_ppm"] == 0
+
+
+def _write_events(d: str, ts_list, etype="t"):
+    os.makedirs(d, exist_ok=True)
+    n = len(ts_list)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(1, n + 1), pa.int64()),
+        "ts": pa.array(pd.to_datetime(ts_list), pa.timestamp("us")),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array([etype] * n, pa.string()),
+        "value": pa.array([1.0] * n, pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+
+
+def test_cusum_locates_step_change_boundary():
+    from mmgraphrag_ray.pipelines.relational import events_cusum
+
+    # daily counts 1,1,1,5,5,5: dev=(-12,-12,-12,+12,+12,+12),
+    # cusum=(-12,-24,-36,-24,-12,0) -> |cusum| peaks at day 3
+    ts = []
+    for day, cnt in [(1, 1), (2, 1), (3, 1), (4, 5), (5, 5), (6, 5)]:
+        ts += [f"2024-01-0{day} 10:{m:02d}:00" for m in range(cnt)]
+    d = "/tmp/raykg_s13_cusum"
+    _write_events(d, ts)
+    out = events_cusum(d).to_pandas()
+    assert out.loc[0, "n_days"] == 6 and out.loc[0, "total"] == 18
+    assert out.loc[0, "change_day"] == pd.Timestamp("2024-01-03")
+    assert out.loc[0, "cusum_at"] == -36
+
+
+def test_cusum_flat_series_ties_to_earliest_day():
+    from mmgraphrag_ray.pipelines.relational import events_cusum
+
+    d = "/tmp/raykg_s13_cusum_flat"
+    _write_events(d, ["2024-02-01 09:00:00", "2024-02-02 09:00:00",
+                      "2024-02-03 09:00:00"])
+    out = events_cusum(d).to_pandas()
+    # dev == 0 everywhere -> every cusum 0 -> earliest day wins the tie
+    assert out.loc[0, "change_day"] == pd.Timestamp("2024-02-01")
+    assert out.loc[0, "cusum_at"] == 0
+
+
+def test_backlog_overlapping_intervals():
+    from mmgraphrag_ray.pipelines.relational import orders_backlog
+
+    d = "/tmp/raykg_s13_backlog"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([1, 1], pa.int64()),
+        "o_orderstatus": pa.array(["O", "O"], pa.string()),
+        "o_totalprice": pa.array([1.0, 2.0], pa.float64()),
+        "o_orderdate": pa.array(
+            pd.to_datetime(["2024-03-01", "2024-03-02"]), pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1", "1"], pa.string()),
+    }), os.path.join(d, "orders.parquet"))
+    # order 1 ships last on 03-03 (two lines), order 2 on 03-02
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+        "l_shipdate": pa.array(
+            pd.to_datetime(["2024-03-02", "2024-03-03", "2024-03-02"]),
+            pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    out = (orders_backlog(d).to_pandas()
+           .sort_values("day").reset_index(drop=True))
+    got = list(zip(out["day"].dt.strftime("%m-%d"), out["open_orders"]))
+    # open: 1 on 03-01, 2 on 03-02, 1 on 03-03 (order2 closed), 0 on 03-04
+    assert got == [("03-01", 1), ("03-02", 2), ("03-03", 1), ("03-04", 0)]
+
+
+def test_basket_rules_counts_and_exclusions():
+    from mmgraphrag_ray.pipelines.relational import basket_rules
+
+    d = "/tmp/raykg_s13_rules"
+    os.makedirs(d, exist_ok=True)
+    # baskets: o1={1,2}, o2={1,2}, o3={1,3}, o4={9} (size-1: excluded)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2, 3, 3, 4], pa.int64()),
+        "l_partkey": pa.array([1, 2, 1, 2, 1, 3, 9], pa.int64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    out = basket_rules(d, min_support=2).to_pandas()
+    # only (1,2) survives min_support=2; (1,3) has support 1
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["pa"], r["pb"], r["support"]) == (1, 2, 2)
+    assert (r["n_a"], r["n_b"], r["n_baskets"]) == (3, 2, 3)
+    assert r["conf_a_ppm"] == 2 * 1_000_000 // 3   # 666_666
+    assert r["conf_b_ppm"] == 1_000_000
+    assert r["lift_ppm"] == 2 * 3 * 1_000_000 // (3 * 2)  # 1_000_000
