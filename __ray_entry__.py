@@ -2895,6 +2895,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cusum": relational.events_cusum,
         "orders_backlog": relational.orders_backlog,
         "basket_rules": relational.basket_rules,
+        "q11_important_parts": relational.q11_important_parts,
+        "q16_supplier_counts": relational.q16_supplier_counts,
+        "user_top_event": relational.user_top_event,
     }
 
 
@@ -7231,5 +7234,60 @@ FROM rankedkb WHERE rn = 1
                s.support * tot.nb * 1000000 // (ia.np * ib.np) AS lift_ppm
         FROM sup s JOIN item ia ON ia.p = s.pa JOIN item ib ON ib.p = s.pb
         CROSS JOIN tot
+    """
+
+    # Q11 adaptation: per-part value from region-0 suppliers' lines,
+    # HAVING above 2x the mean part value via exact integer
+    # cross-multiplication (value * n_parts > 2 * total)
+    out["q11_important_parts"] = """
+        WITH rs AS (
+          SELECT s_suppkey FROM supplier s
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          WHERE n.n_regionkey = 0),
+        v AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS value_cents
+          FROM lineitem JOIN rs ON rs.s_suppkey = lineitem.l_suppkey
+          GROUP BY 1),
+        tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS t,
+                       CAST(count(*) AS BIGINT) AS np FROM v)
+        SELECT CAST(l_partkey AS BIGINT) AS l_partkey, value_cents
+        FROM v, tot WHERE value_cents * tot.np > 2 * tot.t
+    """
+
+    # Q16 adaptation: distinct suppliers per (brand, type, size) over the
+    # filtered part universe, region-0 suppliers anti-joined out (the
+    # schema has no comment column for the original complaints filter)
+    out["q16_supplier_counts"] = """
+        WITH px AS (
+          SELECT p_partkey, p_brand, p_type, p_size FROM part
+          WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+            AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)),
+        ex AS (
+          SELECT s_suppkey FROM supplier s
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          WHERE n.n_regionkey = 0),
+        pairs AS (
+          SELECT DISTINCT p.p_brand, p.p_type, p.p_size, l.l_suppkey
+          FROM lineitem l JOIN px p ON p.p_partkey = l.l_partkey
+          WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM ex))
+        SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+               CAST(count(*) AS BIGINT) AS supplier_cnt
+        FROM pairs GROUP BY 1, 2, 3
+    """
+
+    # grouped mode with deterministic tie-break (count desc, type asc)
+    out["user_top_event"] = """
+        WITH c AS (
+          SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+          FROM c)
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               event_type AS top_event, n
+        FROM r WHERE rn = 1
     """
     return out

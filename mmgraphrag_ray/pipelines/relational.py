@@ -3625,3 +3625,181 @@ def basket_rules(sf_dir: str, min_support: int = 2, max_basket: int = 64):
         })
 
     return joined.map_batches(ratios, batch_format="pandas")
+
+
+def q11_important_parts(sf_dir: str, regionkey: int = 0, mult: int = 2):
+    """TPC-H Q11 shape — parts whose inventory value (proxied by shipped
+    lineitem cents from suppliers in ONE region; this schema has no
+    partsupp table) exceeds ``mult`` x the MEAN per-part value: the
+    HAVING-above-a-global-scalar pattern.  (Q11's literal fraction
+    0.0001/SF is scale-dependent by design; the mean-relative threshold
+    keeps the result non-empty at every corpus size.)
+
+    Scale plan: the region's supplier set is a dimension broadcast
+    applied at the lineitem scan; per-part values fold via combiner +
+    one grouped shuffle; the global total and part count are distributed
+    scalar folds over the per-part table; the threshold is the exact
+    integer cross-multiplication value_cents * n_parts > mult * total —
+    no float share ever computed.  -> Dataset(l_partkey, value_cents)."""
+    import numpy as np
+
+    from ..arrowutil import strip_pd_metadata
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_regionkey"]).to_pandas()
+    in_region = set(
+        supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+        .query("n_regionkey == @regionkey")["s_suppkey"].astype("int64")
+    )
+    sup_ref = ray.put(frozenset(in_region))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(sup_ref)
+        keep = b["l_suppkey"].map(lambda v: int(v) in s)
+        sel = b[keep]
+        out = pd.DataFrame({
+            "l_partkey": sel["l_partkey"].astype("int64"),
+            "cents": np.floor(
+                sel["l_extendedprice"].to_numpy() * 100.0).astype("int64"),
+        })
+        return strip_pd_metadata(out) if len(out) else pd.DataFrame({
+            "l_partkey": pd.Series(dtype="int64"),
+            "cents": pd.Series(dtype="int64"),
+        })
+
+    per_part = bucketed_groupby_agg(
+        li.map_batches(stamp, batch_format="pandas"),
+        keys=["l_partkey"],
+        aggs={"value_cents": ("cents", "sum")},
+    ).materialize()
+    total = int(per_part.sum("value_cents") or 0)
+    n_parts = per_part.count()
+
+    def above_mean(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[b["value_cents"] * n_parts > mult * total]
+        out = out.reset_index(drop=True)
+        if len(out) == 0:
+            return pd.DataFrame({"l_partkey": pd.Series(dtype="int64"),
+                                 "value_cents": pd.Series(dtype="int64")})
+        return out
+
+    return per_part.map_batches(above_mean, batch_format="pandas")
+
+
+def q16_supplier_counts(sf_dir: str, excl_regionkey: int = 0):
+    """TPC-H Q16 shape — distinct-supplier count per (brand, type, size)
+    over a filtered part universe, with an excluded-supplier anti-set
+    (suppliers in region ``excl_regionkey`` stand in for the reference's
+    'Customer Complaints' comment filter; this schema has no comment
+    column).
+
+    Scale plan: filtered parts collapse to a partkey->attrs broadcast
+    map and the excluded suppliers to a broadcast set — both applied at
+    the lineitem scan with per-batch local dedup; the exact distinct
+    count is the standard two-phase grouped reduce (distinct pairs, then
+    count) — no count-distinct state on any single node.
+    -> Dataset(p_brand, p_type, p_size, supplier_cnt)."""
+    from ..arrowutil import strip_pd_metadata
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    sizes = {1, 4, 9, 14, 19, 24, 29, 34}
+    px = part[(part["p_brand"] != "Brand#1") & (part["p_type"] != "PROMO")
+              & part["p_size"].isin(sizes)]
+    attr_map = ray.put({
+        int(k): (b, t, int(s)) for k, b, t, s in zip(
+            px["p_partkey"], px["p_brand"], px["p_type"], px["p_size"])
+    })
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_regionkey"]).to_pandas()
+    excluded = frozenset(
+        supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+        .query("n_regionkey == @excl_regionkey")["s_suppkey"].astype("int64")
+    )
+    ex_ref = ray.put(excluded)
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        m, ex = ray.get(attr_map), ray.get(ex_ref)
+        rows = {"p_brand": [], "p_type": [], "p_size": [], "l_suppkey": []}
+        for pk, sk in zip(b["l_partkey"].astype("int64"),
+                          b["l_suppkey"].astype("int64")):
+            a = m.get(int(pk))
+            if a is None or int(sk) in ex:
+                continue
+            rows["p_brand"].append(a[0])
+            rows["p_type"].append(a[1])
+            rows["p_size"].append(a[2])
+            rows["l_suppkey"].append(int(sk))
+        out = pd.DataFrame({
+            "p_brand": pd.Series(rows["p_brand"], dtype=object),
+            "p_type": pd.Series(rows["p_type"], dtype=object),
+            "p_size": pd.Series(rows["p_size"], dtype="int64"),
+            "l_suppkey": pd.Series(rows["l_suppkey"], dtype="int64"),
+        }).drop_duplicates(ignore_index=True)  # local dedup pre-shuffle
+        return strip_pd_metadata(out) if len(out) else out
+
+    pairs = bucketed_groupby_agg(
+        li.map_batches(stamp, batch_format="pandas"),
+        keys=["p_brand", "p_type", "p_size", "l_suppkey"],
+        aggs={"n_occ": (None, "count")},
+    ).materialize()
+    return bucketed_groupby_agg(
+        pairs.map_batches(
+            lambda b: b[["p_brand", "p_type", "p_size"]],
+            batch_format="pandas"),
+        keys=["p_brand", "p_type", "p_size"],
+        aggs={"supplier_cnt": (None, "count")},
+    )
+
+
+def user_top_event(sf_dir: str):
+    """Grouped MODE with deterministic tie-break: each user's most
+    frequent event type (ties -> lexicographically smallest type) plus
+    its count — the per-entity dominant-category reduction (top interest
+    / primary device / majority label).
+
+    Scale plan: (user, type) counts fold via combiner + one grouped
+    shuffle; the argmax folds in a SECOND user-bucketed reduce whose
+    state is one candidate row per (user, type) — never raw events.
+    -> Dataset(user_id, top_event, n)."""
+    from ..arrowutil import strip_pd_metadata
+    from ..stages.window import _bucket_of
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = bucketed_groupby_agg(
+        ev, keys=["user_id", "event_type"], aggs={"n": (None, "count")},
+    ).materialize()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.assign(_ubucket=_bucket_of(b["user_id"], 64))
+        return strip_pd_metadata(out) if len(out) else out
+
+    def argmax(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "top_event": pd.Series(dtype=object),
+                "n": pd.Series(dtype="int64"),
+            })
+        b = bucket.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True], kind="mergesort")
+        top = b.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame({
+            "user_id": top["user_id"].astype("int64"),
+            "top_event": top["event_type"],
+            "n": top["n"].astype("int64"),
+        })
+
+    return (
+        counts.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_ubucket")
+        .map_groups(argmax, batch_format="pandas")
+    )

@@ -156,3 +156,90 @@ def test_basket_rules_counts_and_exclusions():
     assert r["conf_a_ppm"] == 2 * 1_000_000 // 3   # 666_666
     assert r["conf_b_ppm"] == 1_000_000
     assert r["lift_ppm"] == 2 * 3 * 1_000_000 // (3 * 2)  # 1_000_000
+
+
+def _write_dims(d: str, supp_nation, nation_region):
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([k for k, _ in supp_nation], pa.int64()),
+        "s_name": pa.array([f"s{k}" for k, _ in supp_nation], pa.string()),
+        "s_nationkey": pa.array([n for _, n in supp_nation], pa.int64()),
+        "s_acctbal": pa.array([1.0] * len(supp_nation), pa.float64()),
+    }), os.path.join(d, "supplier.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([k for k, _ in nation_region], pa.int64()),
+        "n_name": pa.array([f"N{k}" for k, _ in nation_region], pa.string()),
+        "n_regionkey": pa.array([r for _, r in nation_region], pa.int64()),
+    }), os.path.join(d, "nation.parquet"))
+
+
+def test_q11_mean_relative_threshold_and_region_filter():
+    from mmgraphrag_ray.pipelines.relational import q11_important_parts
+
+    d = "/tmp/raykg_s13_q11"
+    # supplier 1 in region 0 (counted), supplier 2 in region 1 (ignored)
+    _write_dims(d, supp_nation=[(1, 10), (2, 11)],
+                nation_region=[(10, 0), (11, 1)])
+    # in-region part values (cents): p1=1000, p2=100, p4=100 -> mean=400;
+    # 2x mean = 800 -> only p1 qualifies.  p3 ships only via supplier 2.
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2, 4, 3], pa.int64()),
+        "l_suppkey": pa.array([1, 1, 1, 2], pa.int64()),
+        "l_extendedprice": pa.array([10.0, 1.0, 1.0, 99.0], pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    out = q11_important_parts(d).to_pandas()
+    assert out[["l_partkey", "value_cents"]].values.tolist() == [[1, 1000]]
+
+
+def test_q16_filters_parts_and_excludes_region_suppliers():
+    from mmgraphrag_ray.pipelines.relational import q16_supplier_counts
+
+    d = "/tmp/raykg_s13_q16"
+    # supplier 1 excluded (region 0); suppliers 2,3 counted
+    _write_dims(d, supp_nation=[(1, 10), (2, 11), (3, 11)],
+                nation_region=[(10, 0), (11, 1)])
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_name": pa.array(["a", "b", "c"], pa.string()),
+        # part 2 filtered by brand, part 3 by size
+        "p_brand": pa.array(["Brand#2", "Brand#1", "Brand#3"], pa.string()),
+        "p_type": pa.array(["SMALL", "SMALL", "SMALL"], pa.string()),
+        "p_size": pa.array([4, 4, 5], pa.int64()),
+        "p_retailprice": pa.array([1.0, 1.0, 1.0], pa.float64()),
+    }), os.path.join(d, "part.parquet"))
+    # part 1 supplied by all three suppliers (1 is excluded) + a dup row
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1, 1, 2, 3], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 3, 3, 2, 2], pa.int64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    out = q16_supplier_counts(d).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["p_brand"], r["p_type"], r["p_size"], r["supplier_cnt"]) == \
+        ("Brand#2", "SMALL", 4, 2)
+
+
+def test_user_top_event_tie_breaks_lexicographically():
+    from mmgraphrag_ray.pipelines.relational import user_top_event
+
+    d = "/tmp/raykg_s13_topev"
+    # user 1: 2 views vs 2 clicks -> 'click' wins the tie; user 2: view
+    _write_events_multi = [
+        (1, "view"), (1, "view"), (1, "click"), (1, "click"),
+        (2, "view"), (2, "view"), (2, "click"),
+    ]
+    os.makedirs(d, exist_ok=True)
+    n = len(_write_events_multi)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(pd.to_datetime(["2024-01-01"] * n),
+                       pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in _write_events_multi], pa.int64()),
+        "event_type": pa.array([t for _, t in _write_events_multi],
+                               pa.string()),
+        "value": pa.array([1.0] * n, pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    out = (user_top_event(d).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert out.values.tolist() == [[1, "click", 2], [2, "view", 2]]
