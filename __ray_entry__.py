@@ -1307,6 +1307,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nodes, edges = _build_graph_cached(sf_dir)
         return community_stats(nodes, edges, rounds=4)
 
+    def kg_conductance_q(sf_dir):
+        # per-community cut quality (integer ppm) over the same 4-round
+        # label-prop partition — composes on community_stats' reduces
+        from mmgraphrag_ray.stages.graphalgo import conductance_int
+
+        nodes, edges = _build_graph_cached(sf_dir)
+        return conductance_int(nodes, edges, rounds=4)
+
     def kg_triangles(sf_dir):
         # per-node triangle participation via degree-ordered orientation
         # (hub-safe wedge enumeration; stages/graphalgo.py)
@@ -2898,6 +2906,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_important_parts": relational.q11_important_parts,
         "q16_supplier_counts": relational.q16_supplier_counts,
         "user_top_event": relational.user_top_event,
+        "kg_conductance": kg_conductance_q,
+        "events_ab_test": relational.events_ab_test,
     }
 
 
@@ -7275,6 +7285,60 @@ FROM rankedkb WHERE rn = 1
         SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
                CAST(count(*) AS BIGINT) AS supplier_cnt
         FROM pairs GROUP BY 1, 2, 3
+    """
+
+    # per-community conductance over the 4-round label-prop partition:
+    # cut = d_c - 2 e_c, ppm over min(vol, 2m - vol) — same CTE chain as
+    # kg_community_stats plus the scalar edge count
+    out["kg_conductance"] = kg + merge + _label_prop_sql(
+        rounds=4, final=False) + """,
+        lab AS MATERIALIZED (SELECT node, label FROM lp_r4),
+        nn AS (SELECT label, count(*) AS n_nodes FROM lab GROUP BY 1),
+        te AS MATERIALIZED (
+          SELECT a.label AS lu, b.label AS lv
+          FROM edges e
+          JOIN lab a ON a.node = e.src_id
+          JOIN lab b ON b.node = e.tgt_id
+        ),
+        ie AS (SELECT lu AS label, count(*) AS internal_edges
+               FROM te WHERE lu = lv GROUP BY 1),
+        dg AS (SELECT label, count(*) AS degree_sum FROM (
+                 SELECT lu AS label FROM te
+                 UNION ALL SELECT lv AS label FROM te
+               ) GROUP BY 1),
+        mm_cnt AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+        st AS (SELECT nn.label, nn.n_nodes,
+                      COALESCE(ie.internal_edges, 0) AS e_c,
+                      COALESCE(dg.degree_sum, 0) AS d_c
+               FROM nn LEFT JOIN ie USING (label)
+               LEFT JOIN dg USING (label))
+        SELECT st.label, CAST(st.n_nodes AS BIGINT) AS n_nodes,
+               CAST(st.d_c - 2 * st.e_c AS BIGINT) AS cut_edges,
+               CAST(st.d_c AS BIGINT) AS degree_sum,
+               CAST(CASE WHEN least(st.d_c, 2 * mm_cnt.m - st.d_c) > 0
+                    THEN (st.d_c - 2 * st.e_c) * 1000000
+                         // least(st.d_c, 2 * mm_cnt.m - st.d_c)
+                    ELSE 0 END AS BIGINT) AS conductance_ppm
+        FROM st CROSS JOIN mm_cnt
+    """
+
+    # deterministic A/B split by md5(user_id) parity; exact integer
+    # per-variant reductions and floor cents-per-user
+    out["events_ab_test"] = """
+        WITH s AS (
+          SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                 1, 8)) AS UBIGINT) % 2 = 0
+                      THEN 'A' ELSE 'B' END AS variant,
+                 user_id, CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events),
+        u AS (SELECT variant, CAST(count(DISTINCT user_id) AS BIGINT)
+                     AS n_users FROM s GROUP BY 1),
+        e AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(sum(cents) AS BIGINT) AS value_cents
+              FROM s GROUP BY 1)
+        SELECT u.variant, u.n_users, e.n_events, e.value_cents,
+               e.value_cents // u.n_users AS cents_per_user
+        FROM u JOIN e USING (variant)
     """
 
     # grouped mode with deterministic tie-break (count desc, type asc)

@@ -3803,3 +3803,61 @@ def user_top_event(sf_dir: str):
         .groupby("_ubucket")
         .map_groups(argmax, batch_format="pandas")
     )
+
+
+def events_ab_test(sf_dir: str):
+    """Deterministic A/B experiment readout: users split by md5(user_id)
+    parity (the consistent-hash assignment real experiment platforms
+    use — membership is a pure key function, reproducible across runs
+    and engines), then per-variant distinct users, event count, exact
+    value cents, and floor cents-per-user.
+
+    Scale plan: the variant stamp + cents conversion is a stateless
+    vectorized map; distinct users fold via the two-phase grouped
+    reduce; counts/sums fold via combiner — two short shuffles over
+    (variant[, user]) rows.  -> Dataset(variant, n_users, n_events,
+    value_cents, cents_per_user)."""
+    import hashlib
+
+    import numpy as np
+
+    from ..arrowutil import strip_pd_metadata
+    from ..stages.join import broadcast_join
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        variants = b["user_id"].map(
+            lambda u: "A" if int(hashlib.md5(
+                str(int(u)).encode()).hexdigest()[:8], 16) % 2 == 0 else "B"
+        )
+        out = pd.DataFrame({
+            "variant": variants,
+            "user_id": b["user_id"].astype("int64"),
+            "cents": np.floor(b["value"].to_numpy() * 100.0).astype("int64"),
+        })
+        return strip_pd_metadata(out) if len(out) else out
+
+    s = ev.map_batches(stamp, batch_format="pandas").materialize()
+    users = bucketed_groupby_agg(
+        s.map_batches(lambda b: b[["variant", "user_id"]],
+                      batch_format="pandas"),
+        keys=["variant", "user_id"], aggs={"n_occ": (None, "count")},
+    )
+    n_users = bucketed_groupby_agg(
+        users.map_batches(lambda b: b[["variant"]], batch_format="pandas"),
+        keys=["variant"], aggs={"n_users": (None, "count")},
+    )
+    totals = bucketed_groupby_agg(
+        s, keys=["variant"],
+        aggs={"n_events": (None, "count"), "value_cents": ("cents", "sum")},
+    )
+    joined = broadcast_join(totals, n_users.to_pandas(), on="variant")
+    return joined.map_batches(
+        lambda b: b.assign(
+            cents_per_user=(b["value_cents"].astype("int64")
+                            // b["n_users"].astype("int64"))
+        )[["variant", "n_users", "n_events", "value_cents",
+           "cents_per_user"]],
+        batch_format="pandas",
+    )

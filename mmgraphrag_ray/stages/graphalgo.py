@@ -1726,3 +1726,50 @@ def ppr_int(nodes_ds, edges_ds, seeds_ds, iterations: int = 3,
         ranks = joined.map_batches(step, batch_format="pandas").materialize()
 
     return ranks
+
+
+def conductance_int(nodes_ds, edges_ds, rounds: int = 4,
+                    node_col: str = "entity_name",
+                    src_col: str = "src_id", tgt_col: str = "tgt_id"):
+    """Per-community conductance of the min-label partition, kept integer:
+    cut_c = degree_sum_c - 2*internal_c (edges leaving the community) and
+
+        conductance_ppm = cut_c * 1e6 // min(vol_c, 2m - vol_c)
+
+    with vol_c = degree_sum_c — the cut-quality score that complements
+    modularity_int (low conductance = well-separated community; the
+    partition-health report GraphRAG community summarizers gate on).
+
+    Shape: composes on community_stats' three grouped reduces — the only
+    extra work is one vectorized pass over the community-count-sized
+    table plus the scalar edge count.
+    -> Dataset(label, n_nodes, cut_edges, degree_sum, conductance_ppm).
+    """
+    stats = community_stats(
+        nodes_ds, edges_ds, rounds=rounds,
+        node_col=node_col, src_col=src_col, tgt_col=tgt_col,
+    )
+    m = edges_ds.count()
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({
+                "label": pd.Series(dtype=object),
+                "n_nodes": pd.Series(dtype="int64"),
+                "cut_edges": pd.Series(dtype="int64"),
+                "degree_sum": pd.Series(dtype="int64"),
+                "conductance_ppm": pd.Series(dtype="int64"),
+            })
+        vol = b["degree_sum"].astype("int64")
+        cut = (vol - 2 * b["internal_edges"].astype("int64")).astype("int64")
+        denom = np.minimum(vol, 2 * m - vol)
+        cond = np.where(denom > 0,
+                        cut * 1_000_000 // np.maximum(denom, 1),
+                        np.int64(0)).astype("int64")
+        return pd.DataFrame({
+            "label": b["label"], "n_nodes": b["n_nodes"].astype("int64"),
+            "cut_edges": cut, "degree_sum": vol,
+            "conductance_ppm": cond,
+        })
+
+    return stats.map_batches(score, batch_format="pandas")

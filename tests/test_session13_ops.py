@@ -243,3 +243,77 @@ def test_user_top_event_tie_breaks_lexicographically():
     out = (user_top_event(d).to_pandas()
            .sort_values("user_id").reset_index(drop=True))
     assert out.values.tolist() == [[1, "click", 2], [2, "view", 2]]
+
+
+def test_conductance_zero_for_isolated_components():
+    from mmgraphrag_ray.stages.graphalgo import conductance_int
+
+    nodes = ray.data.from_pandas(pd.DataFrame(
+        {"entity_name": ["a", "b", "c", "x", "y"]}))
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "src_id": ["a", "b", "a", "x"],
+        "tgt_id": ["b", "c", "c", "y"],
+    }))
+    out = (conductance_int(nodes, edges, rounds=4).to_pandas()
+           .set_index("label").sort_index())
+    # triangle {a,b,c}: vol=6, internal=3, cut=0; edge {x,y}: vol=2, cut=0
+    assert out.loc["a"].tolist() == [3, 0, 6, 0]
+    assert out.loc["x"].tolist() == [2, 0, 2, 0]
+
+
+def test_conductance_cut_edges_on_unconverged_partition():
+    from mmgraphrag_ray.stages.graphalgo import conductance_int
+
+    # path a-b-c-d with ONE label-prop round: labels a:a b:a c:b d:c ->
+    # community a has 1 internal + 1 cut edge; b and c are all-cut
+    nodes = ray.data.from_pandas(pd.DataFrame(
+        {"entity_name": ["a", "b", "c", "d"]}))
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "src_id": ["a", "b", "c"],
+        "tgt_id": ["b", "c", "d"],
+    }))
+    out = (conductance_int(nodes, edges, rounds=1).to_pandas()
+           .set_index("label").sort_index())
+    # m=3: community a: vol=3, cut=1 -> 1e6 // min(3, 3) = 333333
+    assert out.loc["a"].tolist() == [2, 1, 3, 333_333]
+    assert out.loc["b"].tolist() == [1, 2, 2, 1_000_000]
+    assert out.loc["c"].tolist() == [1, 1, 1, 1_000_000]
+
+
+def test_ab_test_split_and_exact_cents():
+    import hashlib
+
+    from mmgraphrag_ray.pipelines.relational import events_ab_test
+
+    d = "/tmp/raykg_s13_ab"
+    os.makedirs(d, exist_ok=True)
+    users = [1, 2, 3, 4]
+    # two events per user, values 1.25 and 2.50 -> 375 cents per user
+    uu = [u for u in users for _ in range(2)]
+    vv = [1.25, 2.50] * len(users)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(len(uu)), pa.int64()),
+        "ts": pa.array(pd.to_datetime(["2024-01-01"] * len(uu)),
+                       pa.timestamp("us")),
+        "user_id": pa.array(uu, pa.int64()),
+        "event_type": pa.array(["t"] * len(uu), pa.string()),
+        "value": pa.array(vv, pa.float64()),
+        "props": pa.array(["{}"] * len(uu), pa.string()),
+    }), os.path.join(d, "events.parquet"))
+
+    def variant(u):
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16)
+        return "A" if h % 2 == 0 else "B"
+
+    exp = {}
+    for u in users:
+        v = variant(u)
+        exp.setdefault(v, [0, 0, 0])
+        exp[v][0] += 1          # users
+        exp[v][1] += 2          # events
+        exp[v][2] += 375        # cents
+    out = events_ab_test(d).to_pandas().set_index("variant")
+    for v, (nu, ne, cents) in exp.items():
+        assert out.loc[v, ["n_users", "n_events", "value_cents"]].tolist() \
+            == [nu, ne, cents]
+        assert out.loc[v, "cents_per_user"] == cents // nu
