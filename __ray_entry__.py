@@ -1315,6 +1315,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nodes, edges = _build_graph_cached(sf_dir)
         return conductance_int(nodes, edges, rounds=4)
 
+    def kg_incremental_edges_q(sf_dir):
+        # incremental == batch, VALUE-checked: build the graph on the
+        # first 3/4 of the corpus, upsert the rest via update_graph
+        # (the reference's operating mode), and emit the exactly-additive
+        # edge columns (src, tgt, weight, order).  The oracle is the
+        # one-shot batch mirror's edges projection — the merge algebra's
+        # additivity makes the two runs bit-equal on these columns
+        # (pipelines/kg.update_graph docstring; cross-slice duplicate
+        # docs are pre-filtered by content, the anti-join J7 the caller
+        # owns — stages/join.broadcast_semi_join(anti=True) at scale).
+        import os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from mmgraphrag_ray.corpus import (CORPUS_VERSION,
+                                           generate_files_table,
+                                           n_files_for_sf)
+        from mmgraphrag_ray.pipelines.kg import build_graph, update_graph
+
+        sfname = os.path.basename(os.path.normpath(sf_dir))
+        root = f"/tmp/raykg_incr_gate/{sfname}_v{CORPUS_VERSION}"
+        base_dir, new_dir = f"{root}/base", f"{root}/new"
+        marker = f"{root}/.complete"
+        if not os.path.exists(marker):
+            table = generate_files_table(n_files_for_sf(sf_dir))
+            cut = (table.num_rows * 3) // 4
+            base_t = table.slice(0, cut)
+            new_t = table.slice(cut)
+            seen = set(base_t.column("content").to_pylist())
+            keep = [i for i, c in enumerate(new_t.column("content").to_pylist())
+                    if c not in seen]
+            new_t = new_t.take(_pa.array(keep, _pa.int64()))
+            for d, t in ((base_dir, base_t), (new_dir, new_t)):
+                os.makedirs(d, exist_ok=True)
+                _pq.write_table(t, os.path.join(d, "files.parquet"),
+                                row_group_size=2000)
+            with open(marker, "w") as f:
+                f.write("ok")
+        base_nodes, base_edges = build_graph(base_dir)
+        _, inc_edges = update_graph(
+            new_dir, base_nodes.materialize(), base_edges.materialize())
+        return inc_edges.map_batches(
+            lambda b: b[["src_id", "tgt_id", "weight", "order"]],
+            batch_format="pandas",
+        )
+
     def kg_triangles(sf_dir):
         # per-node triangle participation via degree-ordered orientation
         # (hub-safe wedge enumeration; stages/graphalgo.py)
@@ -2908,6 +2955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_event": relational.user_top_event,
         "kg_conductance": kg_conductance_q,
         "events_ab_test": relational.events_ab_test,
+        "kg_incremental_edges": kg_incremental_edges_q,
     }
 
 
@@ -7340,6 +7388,12 @@ FROM rankedkb WHERE rn = 1
                e.value_cents // u.n_users AS cents_per_user
         FROM u JOIN e USING (variant)
     """
+
+    # incremental-vs-batch equivalence: the oracle is the BATCH mirror's
+    # edges projection — the incremental Ray run must reproduce it exactly
+    out["kg_incremental_edges"] = (
+        kg + merge + '\nSELECT src_id, tgt_id, weight, "order" FROM edges'
+    )
 
     # grouped mode with deterministic tie-break (count desc, type asc)
     out["user_top_event"] = """
