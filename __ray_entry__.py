@@ -2956,6 +2956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conductance": kg_conductance_q,
         "events_ab_test": relational.events_ab_test,
         "kg_incremental_edges": kg_incremental_edges_q,
+        "events_sessions_microbatch": relational.events_sessions_microbatch,
     }
 
 
@@ -7394,6 +7395,10 @@ FROM rankedkb WHERE rn = 1
     out["kg_incremental_edges"] = (
         kg + merge + '\nSELECT src_id, tgt_id, weight, "order" FROM edges'
     )
+
+    # streaming micro-batch sessionization must reproduce the batch
+    # sessionization exactly — the oracle IS the batch sessions mirror
+    out["events_sessions_microbatch"] = out["events_sessions"]
 
     # grouped mode with deterministic tie-break (count desc, type asc)
     out["user_top_event"] = """

@@ -3861,3 +3861,143 @@ def events_ab_test(sf_dir: str):
            "cents_per_user"]],
         batch_format="pandas",
     )
+
+
+def events_sessions_microbatch(sf_dir: str, gap_minutes: int = 30,
+                               n_slices: int = 4):
+    """STREAMING sessionization: the event log is consumed as
+    ``n_slices`` sequential time slices (micro-batches) with carried
+    per-user state — (last event ts, last session id) — stitching
+    sessions ACROSS slice boundaries; the output is bit-equal to the
+    one-shot batch sessionization, which is exactly what the oracle
+    (the batch sessions mirror) checks.  This is the exactly-once
+    continuity contract a streaming ingest pipeline must honor.
+
+    Shape: each micro-batch is one user-bucketed grouped scan whose
+    group input is the slice's events UNION the state table (tagged
+    rows — state is data, never driver memory); the state table is one
+    short row per active user.  A boundary-spanning session emits
+    partial rows in adjacent slices under the SAME session id; one
+    final grouped fold (sum/min/max) merges them.
+    -> Dataset(user_id, session_id, n_events, first_ts, last_ts)."""
+    import zlib
+
+    import numpy as np
+
+    from ..arrowutil import strip_pd_metadata
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+    ev = _read(sf_dir, "events", ["user_id", "ts"]).materialize()
+    rng = ev.map_batches(
+        lambda b: pd.DataFrame({"mn": [b["ts"].min()], "mx": [b["ts"].max()]}),
+        batch_format="pandas").to_pandas()
+    lo, hi = rng["mn"].min(), rng["mx"].max()
+    # integer cut arithmetic: np.linspace would round the ~1e18 ns values
+    # through float64 (2^53 exact-int ceiling) and can push cut 0 ABOVE
+    # the true min, silently dropping the first event
+    lo_ns, hi_ns = int(lo.value), int(hi.value)
+    cuts = pd.to_datetime(
+        [lo_ns + ((hi_ns - lo_ns) * k) // n_slices
+         for k in range(n_slices + 1)])
+
+    def empty_tagged() -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": pd.Series(dtype="int64"),
+            "ts": pd.Series(dtype="datetime64[us]"),
+            "kind": pd.Series(dtype=object),
+            "sid": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "first_ts": pd.Series(dtype="datetime64[us]"),
+            "last_ts": pd.Series(dtype="datetime64[us]"),
+        })
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            out = empty_tagged()
+            out["_bucket"] = pd.Series(dtype="int32")
+            return out
+        out = b.copy()
+        out["_bucket"] = out["user_id"].map(
+            lambda u: zlib.crc32(str(int(u)).encode()) % 64).astype("int32")
+        return strip_pd_metadata(out)
+
+    def step(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in bucket.groupby("user_id", sort=False):
+            st = g[g["kind"] == "s"]
+            evs = g[g["kind"] == "e"].sort_values("ts", kind="mergesort")
+            base_sid = int(st["sid"].iloc[0]) if len(st) else 0
+            prev_ts = st["ts"].iloc[0] if len(st) else None
+            if len(evs) == 0:
+                # no activity this slice: carry the state row forward
+                rows.append((int(uid), prev_ts, "s", base_sid, 0,
+                             pd.NaT, pd.NaT))
+                continue
+            ts = evs["ts"].reset_index(drop=True)
+            new_flag = (ts.diff() > gap)
+            new_flag.iloc[0] = (prev_ts is None) or (ts.iloc[0] - prev_ts > gap)
+            sids = (base_sid + new_flag.cumsum()).astype("int64")
+            for sid, s in evs.assign(_sid=sids.to_numpy()).groupby(
+                    "_sid", sort=False):
+                rows.append((int(uid), pd.NaT, "p", int(sid), len(s),
+                             s["ts"].iloc[0], s["ts"].iloc[-1]))
+            rows.append((int(uid), ts.iloc[-1], "s", int(sids.iloc[-1]), 0,
+                         pd.NaT, pd.NaT))
+        if not rows:
+            return empty_tagged()
+        return pd.DataFrame(rows, columns=[
+            "user_id", "ts", "kind", "sid", "n", "first_ts", "last_ts"])
+
+    state = None
+    partials = []
+    for k in range(n_slices):
+        lo_k, hi_k, last = cuts[k], cuts[k + 1], k == n_slices - 1
+
+        def in_slice(b, lo_k=lo_k, hi_k=hi_k, last=last):
+            m = (b["ts"] >= lo_k) & (
+                (b["ts"] <= hi_k) if last else (b["ts"] < hi_k))
+            sel = b[m]
+            if len(sel) == 0:
+                return empty_tagged()
+            out = pd.DataFrame({
+                "user_id": sel["user_id"].astype("int64"),
+                "ts": sel["ts"],
+                "kind": "e",
+                "sid": np.int64(-1),
+                "n": np.int64(0),
+                "first_ts": pd.NaT,
+                "last_ts": pd.NaT,
+            })
+            return strip_pd_metadata(out)
+
+        feed = ev.map_batches(in_slice, batch_format="pandas")
+        if state is not None:
+            feed = feed.union(state)
+        stepped = (
+            feed.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(step, batch_format="pandas")
+            .repartition(8)
+            .materialize()
+        )
+        partials.append(stepped.map_batches(
+            lambda b: b[b["kind"] == "p"].reset_index(drop=True),
+            batch_format="pandas"))
+        state = stepped.map_batches(
+            lambda b: b[b["kind"] == "s"].reset_index(drop=True),
+            batch_format="pandas").materialize()
+
+    allp = partials[0]
+    for p in partials[1:]:
+        allp = allp.union(p)
+    merged = bucketed_groupby_agg(
+        allp.map_batches(
+            lambda b: b[["user_id", "sid", "n", "first_ts", "last_ts"]]
+            .rename(columns={"sid": "session_id", "n": "n_events"}),
+            batch_format="pandas"),
+        keys=["user_id", "session_id"],
+        aggs={"n_events": ("n_events", "sum"),
+              "first_ts": ("first_ts", "min"),
+              "last_ts": ("last_ts", "max")},
+    )
+    return merged

@@ -317,3 +317,38 @@ def test_ab_test_split_and_exact_cents():
         assert out.loc[v, ["n_users", "n_events", "value_cents"]].tolist() \
             == [nu, ne, cents]
         assert out.loc[v, "cents_per_user"] == cents // nu
+
+
+def test_microbatch_sessions_stitch_across_slice_boundary():
+    from mmgraphrag_ray.pipelines.relational import events_sessions_microbatch
+
+    d = "/tmp/raykg_s13_mbsess"
+    os.makedirs(d, exist_ok=True)
+    base = pd.Timestamp("2024-05-01 00:00:00")
+    h = pd.Timedelta(hours=1)
+    rows = [
+        # u3 pins global min/max: slices cut [0h,10h,20h,30h,40h]
+        (3, base), (3, base + 40 * h),
+        # u1's session straddles the 10h cut (10-minute gap)
+        (1, base + 9 * h + pd.Timedelta(minutes=55)),
+        (1, base + 10 * h + pd.Timedelta(minutes=5)),
+        # u2 is idle through two middle slices: state must carry
+        (2, base + 5 * h), (2, base + 35 * h),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(len(rows)), pa.int64()),
+        "ts": pa.array([t for _, t in rows], pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "event_type": pa.array(["t"] * len(rows), pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    out = (events_sessions_microbatch(d, n_slices=4).to_pandas()
+           .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+    got = [(int(r.user_id), int(r.session_id), int(r.n_events))
+           for r in out.itertuples()]
+    # boundary-spanning session merges into ONE row with n_events=2
+    assert got == [(1, 1, 2), (2, 1, 1), (2, 2, 1), (3, 1, 1), (3, 2, 1)]
+    u1 = out[out.user_id == 1].iloc[0]
+    assert u1["first_ts"] == base + 9 * h + pd.Timedelta(minutes=55)
+    assert u1["last_ts"] == base + 10 * h + pd.Timedelta(minutes=5)
