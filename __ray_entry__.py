@@ -5872,7 +5872,7 @@ FROM rankedkb WHERE rn = 1
             SELECT user_id, count(*) AS n_events,
                    count(gap) AS n_gaps,
                    min(gap) AS min_gap_us, max(gap) AS max_gap_us,
-                   sum(gap) AS sum_gap_us
+                   CAST(sum(gap) AS BIGINT) AS sum_gap_us
             FROM g GROUP BY 1
         """,
         # mirror of stages/sample.py grouped_hash_sample: 3 docs per lang

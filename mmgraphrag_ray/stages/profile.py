@@ -204,7 +204,7 @@ def run_expectations(ds, rules: list[dict]):
             checked.append(len(s))
             viol.append(bad)
         return pd.DataFrame(
-            {"rule": pd.array(names, dtype="string"),
+            {"rule": pd.Series(names, dtype=object),
              "n_checked": np.asarray(checked, dtype=np.int64),
              "n_violations": np.asarray(viol, dtype=np.int64)}
         )

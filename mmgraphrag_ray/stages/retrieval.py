@@ -651,7 +651,9 @@ def mmr_topk(
                 selected.append(best_doc)
                 remaining.remove(best_doc)
         return pd.DataFrame({
-            "qid": pd.array(out_qid, dtype="string"),
+            # object dtype: this frame IS the query output (no Arrow
+            # roundtrip downstream), and the oracle df carries object
+            "qid": pd.Series(out_qid, dtype=object),
             "doc_id": np.asarray(out_doc, dtype=np.int64),
             "mmr_rank": np.asarray(out_rank, dtype=np.int64),
             "mmr_score": np.asarray(out_score, dtype=np.int64),

@@ -595,7 +595,10 @@ def grouped_gap_stats(
         out = out.join(stats.reindex(kser.to_numpy()).reset_index(drop=True))
         out["n_gaps"] = out["n_gaps"].fillna(0).astype("int64")
         for c in ("min_gap_us", "max_gap_us", "sum_gap_us"):
-            out[c] = out[c].astype("Int64")
+            col = out[c].astype("Int64")
+            # plain int64 when the bucket has no single-event keys, so the
+            # output dtype matches the SQL mirror; Int64 only carries NULLs
+            out[c] = col.astype("int64") if not col.isna().any() else col
         return out
 
     return (
