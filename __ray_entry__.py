@@ -2508,6 +2508,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         files = ray.data.read_parquet(_corpus(sf_dir), columns=["content"])
         return call_cycles(files, max_len=6)
 
+    def code_vendored_files_q(sf_dir):
+        # cross-repo vendored-code report: same content_sha256 checked
+        # into >= 2 DISTINCT repos, with copy count and the canonical
+        # first location (lexicographic min (repo, path, commit))
+        from mmgraphrag_ray.sources.files import read_files
+        from mmgraphrag_ray.stages.codegraph import vendored_files
+
+        files = read_files(_corpus(sf_dir),
+                           columns=["repo", "path", "commit", "content"])
+        return vendored_files(files, min_repos=2)
+
+    def kg_square_census_q(sf_dir):
+        # 4-cycle (square) census over the KG: per diagonal pair, common
+        # neighbors z with deg(z) in [2, 64]; squares = C(cn, 2); top-20
+        from mmgraphrag_ray.stages.graphalgo import square_census
+
+        _, edges = _build_graph_cached(sf_dir)
+        return square_census(edges, k=20, deg_cap=64)
+
     def emb_label_scatter_q(sf_dir):
         # class-compactness report: integer within-label scatter numerator
         from mmgraphrag_ray.stages.vecstats import label_scatter
@@ -2957,6 +2976,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ab_test": relational.events_ab_test,
         "kg_incremental_edges": kg_incremental_edges_q,
         "events_sessions_microbatch": relational.events_sessions_microbatch,
+        "code_vendored_files": code_vendored_files_q,
+        "kg_square_census": kg_square_census_q,
     }
 
 
@@ -7413,4 +7434,49 @@ FROM rankedkb WHERE rn = 1
                event_type AS top_event, n
         FROM r WHERE rn = 1
     """
+
+    # cross-repo vendored-code detection: group the RAW copies (files0,
+    # pre-dedup) by content hash, keep hashes spanning >= 2 distinct
+    # repos; first location = lexicographic min over the \x1f-joined
+    # locator — the exact representative rule of the Ray stage
+    out["code_vendored_files"] = kg + """,
+vfz AS (
+  SELECT content_sha256, CAST(count(*) AS BIGINT) AS n_copies,
+         CAST(count(DISTINCT repo) AS BIGINT) AS n_repos,
+         min(repo || chr(31) || path || chr(31) || commit) AS loc
+  FROM files0 GROUP BY 1
+)
+SELECT content_sha256, n_copies, n_repos,
+       string_split(loc, chr(31))[1] AS first_repo,
+       string_split(loc, chr(31))[2] AS first_path
+FROM vfz WHERE n_repos >= 2"""
+
+    # square (4-cycle) census: per unordered diagonal pair, count common
+    # neighbors z with deg(z) in [2, 64] (part of the statistic's
+    # definition, same filter both engines); squares = C(cn, 2); top-20
+    # by (squares desc, ea, eb)
+    out["kg_square_census"] = kg + merge + """,
+adjsq AS (
+  SELECT DISTINCT z, x FROM (
+    SELECT src_id AS z, tgt_id AS x FROM edges
+    UNION ALL SELECT tgt_id, src_id FROM edges)
+),
+degsq AS (SELECT z, count(*) AS d FROM adjsq GROUP BY z),
+candsq AS (
+  SELECT a.x AS ea, b.x AS eb FROM adjsq a
+  JOIN adjsq b ON a.z = b.z AND a.x < b.x
+  JOIN degsq d ON d.z = a.z
+  WHERE d.d BETWEEN 2 AND 64
+),
+aggsq AS (
+  SELECT ea, eb, CAST(count(*) AS BIGINT) AS cn FROM candsq GROUP BY 1, 2
+),
+scsq AS (
+  SELECT ea, eb, cn, CAST(cn * (cn - 1) // 2 AS BIGINT) AS squares
+  FROM aggsq WHERE cn >= 2
+)
+SELECT ea, eb, cn, squares, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY squares DESC, ea, eb) AS rank
+  FROM scsq
+) WHERE rank <= 20"""
     return out

@@ -665,3 +665,75 @@ def call_cycles(files_ds, max_len: int = 6, n_buckets: int = 32):
         lambda b: b[b["min_cycle_len"] <= max_len].reset_index(drop=True),
         batch_format="pandas",
     )
+
+
+def vendored_files(files_ds, min_repos: int = 2):
+    """Cross-repo vendored-code detection — the "same bytes checked into
+    N repos" report a training-data pipeline needs before per-repo
+    weighting (a file vendored into 40 repos is 40x over-represented
+    unless collapsed; the reference dedups only within its ingest batch,
+    preprocessing.py:107-150 — this is the corpus-wide complement).
+
+    Groups files by ``content_sha256`` and keeps hashes seen in >=
+    ``min_repos`` DISTINCT repos; reports copy count, distinct-repo count
+    and the canonical first location (lexicographic min (repo, path,
+    commit) — same representative rule as dedup_exact).
+
+    Scale shape: two combiner-first grouped passes (copies fold counts +
+    lexicographic-min location per sha; repo fan-out dedups (sha, repo)
+    pairs then counts) and ONE sha-bucketed join — no driver state, no
+    per-occurrence rows past the first combiner.
+    -> Dataset(content_sha256, n_copies, n_repos, first_repo, first_path).
+    """
+    from ..arrowutil import strip_pd_metadata
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    SEP = "\x1f"
+
+    def loc_rows(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "content_sha256": b["content_sha256"],
+            "_loc": b["repo"].astype(str) + SEP + b["path"].astype(str)
+                    + SEP + b["commit"].astype(str),
+        })
+        return strip_pd_metadata(out) if len(out) else out
+
+    copies = bucketed_groupby_agg(
+        files_ds.map_batches(loc_rows, batch_format="pandas"),
+        keys=["content_sha256"],
+        aggs={"n_copies": (None, "count"), "_first": ("_loc", "min")},
+    )
+    repo_pairs = bucketed_groupby_agg(
+        files_ds.map_batches(
+            lambda b: strip_pd_metadata(
+                b[["content_sha256", "repo"]].copy()
+            ) if len(b) else b[["content_sha256", "repo"]],
+            batch_format="pandas",
+        ),
+        keys=["content_sha256", "repo"],
+        aggs={"_n": (None, "count")},
+    ).materialize()  # pin between hash shuffles (stages/merge.py note)
+    repo_counts = bucketed_groupby_agg(
+        repo_pairs.map_batches(
+            lambda b: b[["content_sha256"]], batch_format="pandas"
+        ),
+        keys=["content_sha256"],
+        aggs={"n_repos": (None, "count")},
+    ).materialize()
+
+    joined = bucketed_join(copies, repo_counts, on="content_sha256")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n_repos"] >= min_repos]
+        parts = b["_first"].str.split(SEP, expand=True)
+        out = pd.DataFrame({
+            "content_sha256": b["content_sha256"],
+            "n_copies": b["n_copies"].astype("int64"),
+            "n_repos": b["n_repos"].astype("int64"),
+            "first_repo": parts[0] if len(b) else pd.Series(dtype=object),
+            "first_path": parts[1] if len(b) else pd.Series(dtype=object),
+        }).reset_index(drop=True)
+        return strip_pd_metadata(out) if len(out) else out
+
+    return joined.map_batches(finish, batch_format="pandas")

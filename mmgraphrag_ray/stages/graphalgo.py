@@ -1773,3 +1773,104 @@ def conductance_int(nodes_ds, edges_ds, rounds: int = 4,
         })
 
     return stats.map_batches(score, batch_format="pandas")
+
+
+def square_census(edges_ds, k: int = 20, deg_cap: int = 64,
+                  src_col: str = "src_id", tgt_col: str = "tgt_id"):
+    """4-cycle (square) census over the constructed KG — the bipartite-ish
+    motif complement to the triangle census (two entities repeatedly
+    co-mediated by pairs of shared neighbors signal near-duplicate or
+    strongly-coupled concepts even when triangles are absent; squares are
+    the dominant motif in def/call KGs where same-layer nodes never link
+    directly).  For every unordered node pair (ea, eb), p = number of
+    common neighbors z with 2 <= deg(z) <= ``deg_cap``; the pair anchors
+    ``squares = p*(p-1)/2`` 4-cycles as opposite corners (each actual
+    4-cycle is counted once from each of its two diagonals — reported
+    per-diagonal, the standard opposite-corner census).  Hubs above
+    ``deg_cap`` are excluded from mediation by definition (same filter in
+    the SQL mirror — semantics, not truncation), which is also what bounds
+    the per-z pair fan-out at scale.
+
+    Scale shape: ONE z-bucketed shuffle enumerates the bounded per-z
+    neighbor pairs (identical plan to link_prediction_scores), one grouped
+    sum folds p per pair, one combiner top-k out.  Driver state: none.
+    -> Dataset(ea, eb, cn, squares, rank), rank 1..k by
+    (squares desc, ea, eb).
+    """
+    import zlib
+
+    from ..arrowutil import strip_pd_metadata
+    from .groupagg import bucketed_groupby_agg
+    from .window import grouped_topk
+
+    def bidir(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"z": pd.concat([b[src_col], b[tgt_col]], ignore_index=True),
+             "x": pd.concat([b[tgt_col], b[src_col]], ignore_index=True)}
+        )
+        out["z"] = out["z"].astype("string")
+        out["x"] = out["x"].astype("string")
+        return strip_pd_metadata(out) if len(out) else out
+
+    def add_z_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.assign(
+            _bucket=b["z"].map(
+                lambda s: zlib.crc32(str(s).encode()) % 64
+            ).astype("int32")
+        )
+        return strip_pd_metadata(out) if len(out) else out
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"ea": pd.Series(dtype="string"),
+             "eb": pd.Series(dtype="string"),
+             "cn": pd.Series(dtype="int64")}
+        )
+
+    def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        ea, eb = [], []
+        for _, g in bucket.groupby("z", sort=False):
+            nbrs = sorted(set(g["x"]))
+            d = len(nbrs)
+            if d < 2 or d > deg_cap:
+                continue
+            for i in range(d):
+                for j in range(i + 1, d):
+                    ea.append(nbrs[i])
+                    eb.append(nbrs[j])
+        if not ea:
+            return _empty()
+        return pd.DataFrame(
+            {"ea": pd.array(ea, dtype="string"),
+             "eb": pd.array(eb, dtype="string"),
+             "cn": np.ones(len(ea), dtype=np.int64)}
+        )
+
+    counted = bucketed_groupby_agg(
+        edges_ds.map_batches(bidir, batch_format="pandas")
+        .map_batches(add_z_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .repartition(8),
+        keys=["ea", "eb"],
+        aggs={"cn": ("cn", "sum")},
+    )
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["cn"] >= 2]
+        out = b.assign(
+            squares=(b["cn"] * (b["cn"] - 1) // 2).astype("int64"),
+            _g=np.int64(0),
+        ).reset_index(drop=True)
+        return strip_pd_metadata(out) if len(out) else out.assign(
+            squares=pd.Series(dtype="int64"), _g=pd.Series(dtype="int64")
+        )
+
+    top = grouped_topk(
+        counted.map_batches(score, batch_format="pandas"),
+        keys=["_g"], order_col="squares", k=k, tie_cols=["ea", "eb"],
+    )
+    return top.map_batches(
+        lambda b: b[["ea", "eb", "cn", "squares", "rank"]],
+        batch_format="pandas",
+    )

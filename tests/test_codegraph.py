@@ -179,3 +179,52 @@ def test_call_cycles_meet_in_middle_exact_for_len_six():
          "min_cycle_len": [6] * 6}
     ).astype({"min_cycle_len": "int64"})
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_vendored_files_cross_repo_detection():
+    from mmgraphrag_ray.stages.codegraph import vendored_files
+
+    # sha X: 3 copies across 2 repos (vendored); sha Y: 2 copies in ONE
+    # repo (internal duplicate, excluded); sha Z: unique (excluded)
+    rows = pd.DataFrame(
+        {
+            "content_sha256": ["X", "X", "X", "Y", "Y", "Z"],
+            "repo": ["r2", "r1", "r1", "r1", "r1", "r3"],
+            "path": ["b.py", "z.py", "a.py", "u.py", "v.py", "w.py"],
+            "commit": ["c9", "c1", "c2", "c1", "c1", "c1"],
+        }
+    )
+    out = (
+        vendored_files(ray.data.from_pandas(rows).repartition(3), min_repos=2)
+        .to_pandas()
+    )
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["content_sha256"] == "X"
+    assert r["n_copies"] == 3 and r["n_repos"] == 2
+    # canonical first location: lexicographic min of (repo, path, commit)
+    # -> ('r1', 'a.py', 'c2')
+    assert r["first_repo"] == "r1" and r["first_path"] == "a.py"
+
+
+def test_vendored_files_split_invariant():
+    from mmgraphrag_ray.stages.codegraph import vendored_files
+
+    rows = pd.DataFrame(
+        {
+            "content_sha256": [f"s{i % 4}" for i in range(16)],
+            "repo": [f"r{i % 3}" for i in range(16)],
+            "path": [f"p{i}.py" for i in range(16)],
+            "commit": ["c0"] * 16,
+        }
+    )
+
+    def run(nparts):
+        return (
+            vendored_files(ray.data.from_pandas(rows).repartition(nparts))
+            .to_pandas()
+            .sort_values("content_sha256")
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(1), run(5))

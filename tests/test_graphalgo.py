@@ -265,3 +265,53 @@ def test_degree_assortativity_components_tiny_graph():
     assert out["sx"].iloc[0] == 6 and out["sy"].iloc[0] == 6
     assert out["sxx"].iloc[0] == 10 and out["syy"].iloc[0] == 10
     assert out["sxy"].iloc[0] == 8
+
+
+def test_square_census_hand_computed():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.graphalgo import square_census
+
+    # 4-cycle a-b-c-d-a: diagonals (a,c) and (b,d) each see cn=2 common
+    # neighbors -> squares = C(2,2) = 1 per diagonal; rank by
+    # (squares desc, ea, eb) -> (a,c) then (b,d)
+    edges = pd.DataFrame(
+        {"src_id": ["a", "b", "c", "d"], "tgt_id": ["b", "c", "d", "a"]}
+    )
+    out = (
+        square_census(ray.data.from_pandas(edges).repartition(2), k=10)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert list(zip(out["ea"], out["eb"])) == [("a", "c"), ("b", "d")]
+    assert list(out["cn"]) == [2, 2]
+    assert list(out["squares"]) == [1, 1]
+    assert list(out["rank"]) == [1, 2]
+
+
+def test_square_census_deg_cap_excludes_hub():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.graphalgo import square_census
+
+    # hub h with 4 neighbors would anchor C(4,2)=6 candidate pairs, but
+    # deg_cap=3 excludes it from mediation; the remaining square
+    # x0-m1-x1-m2-x0 survives (diagonals (m1,m2) via {x0,x1} and
+    # (x0,x1) via {m1,m2}... m1,m2 also neighbor h but h is capped)
+    e = [("h", f"x{i}") for i in range(4)]
+    e += [("x0", "m1"), ("m1", "x1"), ("x1", "m2"), ("m2", "x0")]
+    edges = pd.DataFrame(e, columns=["src_id", "tgt_id"])
+    out = (
+        square_census(ray.data.from_pandas(edges).repartition(3),
+                      k=10, deg_cap=3)
+        .to_pandas()
+    )
+    pairs = set(zip(out["ea"], out["eb"]))
+    # no pair mediated ONLY by h appears; the two true diagonals do
+    assert ("m1", "m2") in pairs and ("x0", "x1") in pairs
+    for ea, eb in pairs:
+        assert not (ea.startswith("x") and eb.startswith("x")
+                    and {ea, eb} != {"x0", "x1"})
