@@ -249,6 +249,44 @@ FROM (
 """
 
 
+def _maxcover_sql(k: int = 4) -> str:
+    """Unrolled greedy max-coverage mirror of stages/select.maxcover_select:
+    per round, per-doc count of still-uncovered word BIGRAMS (left-anti vs
+    the running covered set), argmax by (gain desc, doc_id asc), covered
+    set grows by the winner's bigrams."""
+    parts = ["""WITH tsel AS (
+  SELECT DISTINCT doc_id, b AS tok FROM (
+    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS b
+    FROM (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+') AS toks
+          FROM documents),
+         unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  )
+),
+g1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM tsel GROUP BY 1),
+w1 AS (SELECT doc_id, gain FROM g1 ORDER BY gain DESC, doc_id LIMIT 1),
+c1 AS (SELECT DISTINCT tok FROM tsel JOIN w1 USING (doc_id))"""]
+    for r in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT doc_id FROM w{i}" for i in range(1, r)
+        )
+        parts.append(f""",
+g{r} AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS gain
+  FROM tsel t LEFT JOIN c{r - 1} c ON t.tok = c.tok
+  WHERE c.tok IS NULL AND t.doc_id NOT IN ({prev})
+  GROUP BY 1),
+w{r} AS (SELECT doc_id, gain FROM g{r} ORDER BY gain DESC, doc_id LIMIT 1),
+c{r} AS (SELECT tok FROM c{r - 1}
+         UNION SELECT tok FROM tsel JOIN w{r} USING (doc_id))""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, doc_id, gain,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM c{r}) AS covered_total"
+        f" FROM w{r}"
+        for r in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
 def _pagerank_sql(iterations: int = 3) -> str:
     """Unrolled integer power iteration over the merge CTE's nodes/edges —
     the exact mirror of stages/graphalgo.pagerank_int (SCALE=1e12,
@@ -2527,6 +2565,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _, edges = _build_graph_cached(sf_dir)
         return square_census(edges, k=20, deg_cap=64)
 
+    def doc_select_maxcover_q(sf_dir):
+        # greedy max-coverage selection: the 4 documents that together
+        # cover the most distinct word bigrams (one distributed pass per
+        # round; covered set is a tiny broadcast)
+        from mmgraphrag_ray.stages.select import maxcover_select
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return maxcover_select(docs, k=4)
+
     def emb_label_scatter_q(sf_dir):
         # class-compactness report: integer within-label scatter numerator
         from mmgraphrag_ray.stages.vecstats import label_scatter
@@ -2978,6 +3026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions_microbatch": relational.events_sessions_microbatch,
         "code_vendored_files": code_vendored_files_q,
         "kg_square_census": kg_square_census_q,
+        "doc_select_maxcover": doc_select_maxcover_q,
     }
 
 
@@ -7479,4 +7528,8 @@ SELECT ea, eb, cn, squares, rank FROM (
   SELECT *, row_number() OVER (ORDER BY squares DESC, ea, eb) AS rank
   FROM scsq
 ) WHERE rank <= 20"""
+
+    # greedy max-coverage selection, 4 unrolled rounds (argmax by
+    # gain desc / doc_id asc; covered set grows by the winner's tokens)
+    out["doc_select_maxcover"] = _maxcover_sql(k=4)
     return out

@@ -235,3 +235,106 @@ def pareto_skyline(ds, x_col: str, y_col: str, keep_cols: list[str]):
         pruned.repartition(1)
         .map_batches(local_skyline, batch_format="pandas")
     )
+
+
+def maxcover_select(docs_ds, k: int = 4, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Greedy max-coverage data selection — pick the k documents that
+    together cover the most distinct word BIGRAMS (the classic Nemhauser
+    greedy with its (1 - 1/e) guarantee; in training-data curation this is
+    the "smallest seed set that spans the corpus" pass used to pick
+    few-shot/eval anchors or bootstrap corpora).  Bigrams, not unigrams:
+    the coverage universe must be larger than one document's footprint for
+    greedy selection to discriminate (the synthetic corpus has a 31-word
+    vocabulary — any doc covers it — but 916 distinct bigrams).  The
+    reference engine has no data-selection stage (SURVEY §2.8 extension
+    surface) — this sits next to dsir_topk/token_budget_select in the
+    selection family.
+
+    Exact greedy is inherently sequential in k, so each of the k rounds is
+    ONE distributed pass: filter the exploded (doc, token) pairs against
+    the broadcast covered-token set (bounded by k x max-doc-vocab — tiny,
+    shipped once per round via ray.put), fold per-doc gains with the
+    combiner groupby, take the global argmax with grouped_topk (gain desc,
+    doc_id asc).  Driver state is the k winners + covered set, O(k·|doc|)
+    — independent of corpus size.  The exploded pair table is materialized
+    ONCE and re-read k+1 times (multi-consumer pin; at petabyte scale this
+    would be a checkpoint-to-parquet instead).
+
+    -> Dataset(round, doc_id, gain, covered_total), one row per round:
+    the winner, its marginal gain, and the running distinct-token total.
+    """
+    import ray.data
+
+    from ..arrowutil import strip_pd_metadata
+    from .groupagg import bucketed_groupby_agg
+    from .window import grouped_topk
+
+    WORD = r"([A-Za-z]+)"
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "tok": pd.Series(dtype=object)})
+        if len(b) == 0:
+            return empty
+        ex = b[text_col].reset_index(drop=True).str.extractall(WORD)
+        df = ex.reset_index()  # level_0 = row, match = token seq in row
+        if len(df) == 0:
+            return empty
+        # bigram = token + next token of the SAME row (extractall emits
+        # matches row-major, so a single shift + same-row mask suffices)
+        same_row = df["level_0"].shift(-1).to_numpy() == df["level_0"].to_numpy()
+        bg = df[0] + " " + df[0].shift(-1)
+        out = pd.DataFrame({
+            "doc_id": b[id_col].to_numpy()[df.loc[same_row, "level_0"].to_numpy()],
+            "tok": bg[same_row],
+        }).drop_duplicates().reset_index(drop=True)
+        return strip_pd_metadata(out) if len(out) else empty
+
+    pairs = docs_ds.map_batches(explode, batch_format="pandas").materialize()
+
+    covered: set = set()
+    selected: list = []
+    rows = []
+    for rnd in range(1, k + 1):
+        cov_ref = ray.put(covered)
+        sel = set(selected)
+
+        def gains_of(b: pd.DataFrame, cov_ref=cov_ref, sel=sel) -> pd.DataFrame:
+            cov = ray.get(cov_ref)
+            m = ~b["tok"].isin(cov)
+            if sel:
+                m &= ~b["doc_id"].isin(sel)
+            out = b.loc[m, ["doc_id"]].reset_index(drop=True)
+            return strip_pd_metadata(out) if len(out) else out
+
+        gains = bucketed_groupby_agg(
+            pairs.map_batches(gains_of, batch_format="pandas"),
+            keys=["doc_id"],
+            aggs={"gain": (None, "count")},
+        ).map_batches(
+            lambda b: strip_pd_metadata(b.assign(_g=np.int64(0)))
+            if len(b) else b.assign(_g=pd.Series(dtype="int64")),
+            batch_format="pandas",
+        )
+        top = grouped_topk(
+            gains, keys=["_g"], order_col="gain", k=1, tie_cols=["doc_id"]
+        ).take_all()
+        if not top:
+            break
+        win_id = top[0]["doc_id"]
+        win_gain = int(top[0]["gain"])
+        selected.append(win_id)
+        wtoks = pairs.map_batches(
+            lambda b, w=win_id: b[b["doc_id"] == w][["tok"]],
+            batch_format="pandas",
+        ).take_all()
+        covered |= {r["tok"] for r in wtoks}
+        rows.append({"round": rnd, "doc_id": win_id, "gain": win_gain,
+                     "covered_total": len(covered)})
+
+    out = pd.DataFrame(rows, columns=["round", "doc_id", "gain",
+                                      "covered_total"])
+    for c in ["round", "gain", "covered_total"]:
+        out[c] = out[c].astype("int64")
+    return ray.data.from_pandas(out)

@@ -137,3 +137,50 @@ def test_pareto_skyline_matches_brute_force():
         .to_pandas()
     )
     assert len(got2) == 2 * len(keep)
+
+
+def test_maxcover_select_hand_computed():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.select import maxcover_select
+
+    # bigram universes: d0 {a b, b c} (gain 2, ties d3 -> smaller id
+    # wins round 1); d1 {a b} fully covered after that (absent); d3
+    # {c d, d f} wins round 2 (gain 2); d2 {d e} -> round 3 (gain 1)
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a b c", "a b", "d e", "c d f"],
+        }
+    )
+    out = (
+        maxcover_select(ray.data.from_pandas(docs).repartition(2), k=3)
+        .to_pandas()
+        .sort_values("round")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [0, 3, 2]
+    assert list(out["gain"]) == [2, 2, 1]
+    assert list(out["covered_total"]) == [2, 4, 5]
+
+
+def test_maxcover_select_tie_break_and_exhaustion():
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.select import maxcover_select
+
+    # both docs cover the single bigram {x y} -> smaller doc_id wins
+    # round 1; round 2 the other doc covers nothing new and selected
+    # docs are excluded, so the gains table is empty -> early stop
+    docs = pd.DataFrame({"doc_id": [7, 3], "text": ["x y", "x y"]})
+    out = (
+        maxcover_select(ray.data.from_pandas(docs), k=4)
+        .to_pandas()
+        .sort_values("round")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [3]
+    assert list(out["gain"]) == [1]
+    assert list(out["covered_total"]) == [1]
