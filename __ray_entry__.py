@@ -2254,6 +2254,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return semdedup(emb, n_clusters=8, refine_rounds=1, tau=(2, 5))
 
+    def emb_mutual_knn_q(sf_dir):
+        # cluster-bucketed mutual-kNN graph: top-3 cosine neighbors among
+        # k-means co-members, signed squared-cosine integer ranking, plus
+        # the both-directions mutual flag (resolved inside the cluster)
+        from mmgraphrag_ray.stages.cluster import mutual_knn
+
+        emb = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return mutual_knn(emb, n_clusters=8, refine_rounds=1, k=3)
+
     def emb_negatives_q(sf_dir):
         # contrastive hard-negative mining off the Lloyd assignment:
         # k=2 negatives per anchor from other clusters, md5-keyed rank
@@ -2311,6 +2322,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         return bigram_lm_scores(docs)
+
+    def doc_quality_buckets_q(sf_dir):
+        # CCNet head/middle/tail partition by LM fluency: exact type-1
+        # p30/p70 boundaries of mean_p via the rank-targeted selector,
+        # one classify pass, 3-group fold
+        from mmgraphrag_ray.stages.select import lm_quality_buckets
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return lm_quality_buckets(docs)
 
     def kg_link_predict_q(sf_dir):
         # KG-completion primitive: propose missing edges by the integer
@@ -2901,6 +2923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_expectations": lineitem_expectations_q,
         "doc_commonness": doc_commonness_q,
         "doc_bigram_lm": doc_bigram_lm_q,
+        "doc_quality_buckets": doc_quality_buckets_q,
         "kg_link_predict": kg_link_predict_q,
         "kg_random_walks": kg_random_walks_q,
         "fk_orphan_audit": fk_orphan_audit_q,
@@ -2908,6 +2931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_zorder": orders_zorder_q,
         "emb_pca_component": emb_pca_component_q,
         "emb_semdedup": emb_semdedup,
+        "emb_mutual_knn": emb_mutual_knn_q,
         "emb_negatives": emb_negatives_q,
         "doc_sample": doc_sample,
         "ann_topk": ann_topk,
@@ -3086,6 +3110,45 @@ a2 AS (
 )"""
 
 
+
+
+# shared integer bigram-LM scoring CTE (mirror of stages/index.py
+# bigram_lm_scores: corpus bigram counts -> fixed-point conditional
+# probability sum per doc); used by doc_bigram_lm and doc_quality_buckets
+_BIGRAM_LM_CTE = """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z]+') AS toks
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, bg[1] || ' ' || bg[2] AS bigram, bg[1] AS lft
+              FROM (
+                SELECT doc_id, unnest(list_zip(toks[1:-2], toks[2:])) AS bg
+                FROM t WHERE len(toks) >= 2
+              )
+            ),
+            c2 AS (
+              SELECT bigram, any_value(lft) AS lft, count(*) AS n2
+              FROM b GROUP BY bigram
+            ),
+            c1 AS (
+              SELECT lft, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY lft
+            ),
+            dk AS (
+              SELECT doc_id, bigram, count(*) AS k
+              FROM b GROUP BY doc_id, bigram
+            ),
+            lm AS (
+              SELECT dk.doc_id,
+                     CAST(sum(dk.k) AS BIGINT) AS n_bigrams,
+                     CAST(sum(dk.k * ((1000000 * CAST(c2.n2 AS HUGEINT))
+                                      // c1.n1)) AS BIGINT) AS lm_score
+              FROM dk
+              JOIN c2 USING (bigram)
+              JOIN c1 ON c1.lft = c2.lft
+              GROUP BY dk.doc_id
+            )"""
 
 
 # shared curation-flags SQL (doc_curation and compositions over it)
@@ -6399,6 +6462,50 @@ FROM rankedkb WHERE rn = 1
         # mirror of stages/cluster.py semdedup (tau = 2/5): within-cluster
         # pairwise integer cosine test in HUGEINT — cos >= 2/5 iff dot >= 0
         # AND 25*dot^2 >= 4*|u|^2*|v|^2; partner must have a smaller id
+        # cluster.mutual_knn mirror: same _KMEANS_CTE assignment, then
+        # within-cluster top-3 by the signed squared-cosine surrogate
+        # sign(dot) * (dot^2 * 1e6) // (nn_a * nn_b) — all HUGEINT-exact
+        # (dot <= dim*scale^2 ~ 4e14; dot^2*1e6 ~ 1.5e35 < 1.7e38), tie
+        # broken by ascending neighbor id; mutual = edge in both top-3s
+        "emb_mutual_knn": _KMEANS_CTE + """,
+            prs AS (
+              SELECT a.vec_id AS va, b.vec_id AS vb
+              FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+            ),
+            dots AS (
+              SELECT p.va, p.vb, sum(CAST(qa.v AS HUGEINT) * qb.v) AS dot
+              FROM prs p
+              JOIN qe qa ON qa.vec_id = p.va
+              JOIN qe qb ON qb.vec_id = p.vb AND qb.d = qa.d
+              GROUP BY p.va, p.vb
+            ),
+            nrm AS (
+              SELECT vec_id, sum(CAST(v AS HUGEINT) * v) AS nn
+              FROM qe GROUP BY vec_id
+            ),
+            scored AS (
+              SELECT d.va, d.vb,
+                     CASE WHEN d.dot >= 0
+                       THEN (d.dot * d.dot * 1000000) // (na.nn * nb.nn)
+                       ELSE -((d.dot * d.dot * 1000000) // (na.nn * nb.nn))
+                     END AS score
+              FROM dots d
+              JOIN nrm na ON na.vec_id = d.va
+              JOIN nrm nb ON nb.vec_id = d.vb
+            ),
+            knn AS (
+              SELECT va, vb, rn FROM (
+                SELECT va, vb, row_number() OVER
+                  (PARTITION BY va ORDER BY score DESC, vb ASC) AS rn
+                FROM scored
+              ) WHERE rn <= 3
+            )
+            SELECT k.va AS vec_id, CAST(k.rn AS BIGINT) AS rank,
+                   k.vb AS nbr_id,
+                   CAST(CASE WHEN r.va IS NOT NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS mutual
+            FROM knn k LEFT JOIN knn r ON r.va = k.vb AND r.vb = k.va
+        """,
         "emb_semdedup": _KMEANS_CTE + """,
             pairs AS (
               SELECT a.vec_id AS vb, b.vec_id AS va
@@ -6972,38 +7079,31 @@ FROM rankedkb WHERE rn = 1
         # mirror of stages/index.py bigram_lm_scores: corpus bigram counts
         # c2, left-context counts c1, per-doc sum of k * floor(1e6*c2/c1)
         # (product in HUGEINT; the int64 bound is the Ray-side contract)
-        "doc_bigram_lm": """
-            WITH t AS (
-              SELECT doc_id,
-                     regexp_extract_all(lower(text), '[a-z]+') AS toks
-              FROM documents
+        "doc_bigram_lm": _BIGRAM_LM_CTE + """
+            SELECT doc_id, n_bigrams, lm_score FROM lm
+        """,
+        # mirror of stages/select.py lm_quality_buckets: the shared LM CTE,
+        # per-doc mean_p = lm_score // n_bigrams, exact type-1 boundaries
+        # via quantile_disc (== global_quantiles' ceil(q*n) order
+        # statistic), then the head/middle/tail fold
+        "doc_quality_buckets": _BIGRAM_LM_CTE + """,
+            m AS (
+              SELECT doc_id, n_bigrams, lm_score // n_bigrams AS mean_p
+              FROM lm
             ),
-            b AS (
-              SELECT doc_id, bg[1] || ' ' || bg[2] AS bigram, bg[1] AS lft
-              FROM (
-                SELECT doc_id, unnest(list_zip(toks[1:-2], toks[2:])) AS bg
-                FROM t WHERE len(toks) >= 2
-              )
-            ),
-            c2 AS (
-              SELECT bigram, any_value(lft) AS lft, count(*) AS n2
-              FROM b GROUP BY bigram
-            ),
-            c1 AS (
-              SELECT lft, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY lft
-            ),
-            dk AS (
-              SELECT doc_id, bigram, count(*) AS k
-              FROM b GROUP BY doc_id, bigram
+            qq AS (
+              SELECT quantile_disc(mean_p, 0.3) AS lo,
+                     quantile_disc(mean_p, 0.7) AS hi
+              FROM m
             )
-            SELECT dk.doc_id,
-                   CAST(sum(dk.k) AS BIGINT) AS n_bigrams,
-                   CAST(sum(dk.k * ((1000000 * CAST(c2.n2 AS HUGEINT))
-                                    // c1.n1)) AS BIGINT) AS lm_score
-            FROM dk
-            JOIN c2 USING (bigram)
-            JOIN c1 ON c1.lft = c2.lft
-            GROUP BY dk.doc_id
+            SELECT CASE WHEN m.mean_p >= qq.hi THEN 'head'
+                        WHEN m.mean_p < qq.lo THEN 'tail'
+                        ELSE 'middle' END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(m.n_bigrams) AS BIGINT) AS n_bigrams,
+                   CAST(min(m.mean_p) AS BIGINT) AS min_mean_p,
+                   CAST(max(m.mean_p) AS BIGINT) AS max_mean_p
+            FROM m, qq GROUP BY 1
         """,
         # mirror of stages/profile.py run_expectations: per-rule checked/
         # violation counts; nulls violate every rule kind except their own

@@ -180,43 +180,29 @@ def kmeans_assign(
     return emb_ds.map_batches(assign, batch_format="pandas")
 
 
-def semdedup(
+def _assigned_with_qv(
     emb_ds,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_clusters: int = 8,
-    refine_rounds: int = 1,
-    scale: int = 1_000_000,
-    tau: tuple = (2, 5),
+    id_col: str,
+    vec_col: str,
+    n_clusters: int,
+    refine_rounds: int,
+    scale: int,
 ):
-    """SemDeDup back half (Abbas et al. 2023): within each k-means cluster,
-    flag every vector whose cosine to an EARLIER (smaller-id) member of the
-    same cluster reaches tau = tau[0]/tau[1].  Returns one row per vector:
-    (id_col, cluster, n_dup_partners, is_dup).
-
-    Integer-exact cosine test (no float ties): with quantized vectors,
-    cos(u, v) >= num/den  <=>  dot >= 0 AND den^2*dot^2 >= num^2*|u|^2*|v|^2
-    — evaluated in arbitrary-precision ints here and HUGEINT in the SQL
-    oracle.  Pairwise work happens only INSIDE a cluster (one shuffle on the
-    cluster id); at corpus scale SemDeDup keeps clusters small by growing k
-    with n (k ~ n / target_cluster_size), which is the documented
-    partitioning assumption of this stage."""
+    """Shared front half of the cluster-bucketed pairwise stages
+    (semdedup / mutual_knn): k-means assignment where the quantized vector
+    rides the cluster shuffle as Arrow fixed_size_list<int64> (columnar,
+    never Python objects).  Returns (Dataset(id_col, cluster, qv), dim)."""
     import ray
 
-    num2 = tau[0] * tau[0]
-    den2 = tau[1] * tau[1]
+    import pyarrow as pa
+
     cents = kmeans_centroids(
         emb_ds, id_col, vec_col, n_clusters, refine_rounds, scale
     )
     ref = ray.put(cents)
-
-    import pyarrow as pa
-
     dim = cents.shape[1]
 
     def assign_with_vec(batch: pa.Table) -> pa.Table:
-        # quantized vectors ride the cluster shuffle as Arrow
-        # fixed_size_list<int64> (columnar), never Python objects
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         if len(ids) == 0:
             return pa.table({
@@ -238,6 +224,38 @@ def semdedup(
             "cluster": pa.array(d.argmin(axis=1).astype(np.int64)),
             "qv": qv,
         })
+
+    return emb_ds.map_batches(assign_with_vec, batch_format="pyarrow"), dim
+
+
+def semdedup(
+    emb_ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    refine_rounds: int = 1,
+    scale: int = 1_000_000,
+    tau: tuple = (2, 5),
+):
+    """SemDeDup back half (Abbas et al. 2023): within each k-means cluster,
+    flag every vector whose cosine to an EARLIER (smaller-id) member of the
+    same cluster reaches tau = tau[0]/tau[1].  Returns one row per vector:
+    (id_col, cluster, n_dup_partners, is_dup).
+
+    Integer-exact cosine test (no float ties): with quantized vectors,
+    cos(u, v) >= num/den  <=>  dot >= 0 AND den^2*dot^2 >= num^2*|u|^2*|v|^2
+    — evaluated in arbitrary-precision ints here and HUGEINT in the SQL
+    oracle.  Pairwise work happens only INSIDE a cluster (one shuffle on the
+    cluster id); at corpus scale SemDeDup keeps clusters small by growing k
+    with n (k ~ n / target_cluster_size), which is the documented
+    partitioning assumption of this stage."""
+    import pyarrow as pa
+
+    num2 = tau[0] * tau[0]
+    den2 = tau[1] * tau[1]
+    assigned, dim = _assigned_with_qv(
+        emb_ds, id_col, vec_col, n_clusters, refine_rounds, scale
+    )
 
     def per_cluster(group: pa.Table) -> pd.DataFrame:
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
@@ -267,7 +285,7 @@ def semdedup(
         )
 
     return (
-        emb_ds.map_batches(assign_with_vec, batch_format="pyarrow")
+        assigned
         .groupby("cluster")
         .map_groups(per_cluster, batch_format="pyarrow")
         .repartition(8)
@@ -415,3 +433,99 @@ def pq_assign_error(
         })
 
     return emb_ds.map_batches(assign, batch_format="pandas")
+
+
+def mutual_knn(
+    emb_ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    refine_rounds: int = 1,
+    k: int = 3,
+    scale: int = 1_000_000,
+    score_scale: int = 1_000_000,
+):
+    """Cluster-bucketed mutual-kNN graph over an embedding column — the
+    building block under SemDeDup-style pruning, kNN-graph clustering and
+    diffusion label propagation.  For each vector, its top-``k`` cosine
+    neighbors among its own k-means cluster co-members, plus a ``mutual``
+    flag (1 iff the edge appears in BOTH directions' top-k lists).
+
+    Integer-exact ranking (no float ties): neighbors are ordered by the
+    signed squared-cosine surrogate
+        score = sign(dot) * (dot^2 * score_scale) // (|u|^2 * |v|^2)
+    over quantized vectors — monotone in |cos| with the sign restored, so
+    the ordering equals the cosine ordering except inside a truncation tie,
+    which both engines break identically by ascending neighbor id.  All
+    products stay inside HUGEINT for the SQL mirror (dot <= dim*scale^2).
+
+    Scale shape: candidates are CLUSTER CO-MEMBERS only — one shuffle on
+    the k-means assignment (same as semdedup); at corpus scale k-means k
+    grows with n so clusters stay bounded (the documented partitioning
+    assumption).  The mutual flag is resolved inside the cluster group
+    (both directions of any candidate edge live in the same group by
+    construction), so no second shuffle.
+
+    -> Dataset(id_col, rank, nbr_id, mutual); singleton clusters emit no
+    rows, clusters with < k+1 members emit fewer than k rows per vector.
+    """
+    import pyarrow as pa
+
+    assigned, dim = _assigned_with_qv(
+        emb_ds, id_col, vec_col, n_clusters, refine_rounds, scale
+    )
+
+    def per_cluster(group: pa.Table) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            id_col: pd.Series(dtype="int64"),
+            "rank": pd.Series(dtype="int64"),
+            "nbr_id": pd.Series(dtype="int64"),
+            "mutual": pd.Series(dtype="int64"),
+        })
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        m = len(ids)
+        if m < 2:
+            return empty
+        qv = group.column("qv")
+        if isinstance(qv, pa.ChunkedArray):
+            qv = qv.combine_chunks()
+        q_all = np.asarray(qv.flatten()).reshape(-1, dim).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        q = q_all[order]
+        dot = q @ q.T  # exact: bounded by dim*scale^2 << 2^63
+        nn = np.einsum("ij,ij->i", q, q)
+        # arbitrary-precision score matrix (object dtype; clusters are
+        # bounded, so the m^2 big-int work is a few thousand ops)
+        dt = dot.astype(object)
+        nno = nn.astype(object)
+        mag = dt * dt * score_scale // (nno[:, None] * nno[None, :])
+        score = np.where(dot >= 0, mag, -mag)
+        knn: dict[int, list[int]] = {}
+        for i in range(m):
+            cand = sorted(
+                (j for j in range(m) if j != i),
+                key=lambda j: (-score[i, j], ids[j]),
+            )
+            knn[i] = cand[:k]
+        nbr_sets = {i: set(js) for i, js in knn.items()}
+        out_id, out_rank, out_nbr, out_mut = [], [], [], []
+        for i in range(m):
+            for r, j in enumerate(knn[i], start=1):
+                out_id.append(ids[i])
+                out_rank.append(r)
+                out_nbr.append(ids[j])
+                out_mut.append(1 if i in nbr_sets[j] else 0)
+        return pd.DataFrame({
+            id_col: np.asarray(out_id, dtype=np.int64),
+            "rank": np.asarray(out_rank, dtype=np.int64),
+            "nbr_id": np.asarray(out_nbr, dtype=np.int64),
+            "mutual": np.asarray(out_mut, dtype=np.int64),
+        })
+
+    return (
+        assigned
+        .groupby("cluster")
+        .map_groups(per_cluster, batch_format="pyarrow")
+        .repartition(8)
+    )

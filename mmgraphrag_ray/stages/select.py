@@ -266,15 +266,18 @@ def maxcover_select(docs_ds, k: int = 4, text_col: str = "text",
     """
     import ray.data
 
-    from ..arrowutil import strip_pd_metadata
+    from ..arrowutil import df_to_table, strip_pd_metadata
     from .groupagg import bucketed_groupby_agg
     from .window import grouped_topk
 
     WORD = r"([A-Za-z]+)"
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                              "tok": pd.Series(dtype=object)})
+        # Arrow empty block (not pandas) so Ray's pandas batch-size
+        # estimator never sees an empty string column (np.vectorize
+        # size-0 log noise in pandas_block.py)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "tok": pa.array([], pa.string())})
         if len(b) == 0:
             return empty
         ex = b[text_col].reset_index(drop=True).str.extractall(WORD)
@@ -326,7 +329,7 @@ def maxcover_select(docs_ds, k: int = 4, text_col: str = "text",
         win_gain = int(top[0]["gain"])
         selected.append(win_id)
         wtoks = pairs.map_batches(
-            lambda b, w=win_id: b[b["doc_id"] == w][["tok"]],
+            lambda b, w=win_id: df_to_table(b[b["doc_id"] == w][["tok"]]),
             batch_format="pandas",
         ).take_all()
         covered |= {r["tok"] for r in wtoks}
@@ -338,3 +341,81 @@ def maxcover_select(docs_ds, k: int = 4, text_col: str = "text",
     for c in ["round", "gain", "covered_total"]:
         out[c] = out[c].astype("int64")
     return ray.data.from_pandas(out)
+
+
+def lm_quality_buckets(
+    docs_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    q_lo: float = 0.3,
+    q_hi: float = 0.7,
+):
+    """CCNet-style quality partition (Wenzek et al. 2020): score every doc
+    with the corpus-trained integer bigram LM (index.bigram_lm_scores),
+    reduce each doc to mean_p = lm_score // n_bigrams (fixed-point mean
+    next-token probability), pick the exact type-1 ``q_lo``/``q_hi``
+    boundaries of mean_p with the rank-targeted histogram selector (no
+    global sort), then bucket: head (mean_p >= hi boundary), middle
+    (lo <= mean_p < hi), tail (< lo) — the head/middle/tail split CCNet
+    feeds to its per-bucket sampler.
+
+    -> Dataset(bucket, n_docs, n_bigrams, min_mean_p, max_mean_p); a
+    bucket emptied by boundary ties is absent (same in the SQL mirror).
+    Docs with < 2 tokens have no LM score and are outside every bucket.
+
+    Scale shape: LM scoring is bigram_lm_scores' documented streaming
+    plan; the per-doc (id, 3 ints) score table is materialized once and
+    consumed twice (boundary selection + classification) — a bounded pin,
+    ~32 B/doc, that a 100 TB run would swap for a parquet checkpoint; the
+    selector holds bin counts only; classification streams against two
+    broadcast ints; the final reduce is a 3-group fold.
+    """
+    from .groupagg import bucketed_groupby_agg, global_quantiles
+    from .index import bigram_lm_scores
+
+    def add_mean(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            b = b.copy()
+            b["mean_p"] = pd.Series(dtype="int64")
+            return b
+        b = b.copy()
+        b["mean_p"] = (b["lm_score"] // b["n_bigrams"]).astype("int64")
+        return b
+
+    scored = (
+        bigram_lm_scores(docs_ds, id_col=id_col, text_col=text_col)
+        .map_batches(add_mean, batch_format="pandas")
+        .materialize()
+    )
+    bounds = {
+        r["q"]: int(r["value"])
+        for r in global_quantiles(scored, "mean_p", qs=[q_lo, q_hi]).take_all()
+    }
+    lo = bounds[f"p{round(q_lo * 100)}"]
+    hi = bounds[f"p{round(q_hi * 100)}"]
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({
+                "bucket": pd.Series(dtype=object),
+                "n_bigrams": pd.Series(dtype="int64"),
+                "mean_p": pd.Series(dtype="int64"),
+            })
+        m = b["mean_p"].to_numpy()
+        bucket = np.where(m >= hi, "head", np.where(m < lo, "tail", "middle"))
+        return pd.DataFrame({
+            "bucket": bucket,
+            "n_bigrams": b["n_bigrams"].to_numpy(),
+            "mean_p": m,
+        })
+
+    return bucketed_groupby_agg(
+        scored.map_batches(classify, batch_format="pandas"),
+        keys=["bucket"],
+        aggs={
+            "n_docs": (None, "count"),
+            "n_bigrams": ("n_bigrams", "sum"),
+            "min_mean_p": ("mean_p", "min"),
+            "max_mean_p": ("mean_p", "max"),
+        },
+    )

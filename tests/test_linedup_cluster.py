@@ -345,3 +345,37 @@ def test_pq_rejects_indivisible_dim():
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_mutual_knn_ranks_and_mutual_flags():
+    from mmgraphrag_ray.stages.cluster import mutual_knn
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(0, 0.3, (12, 6)).astype(np.float32)
+    # vec 12 is a near-copy of vec 3 -> they should be each other's rank-1
+    # neighbors (mutual edge) inside whatever cluster they land in together
+    near = base[3] * 1.0002 + 1e-6
+    vecs = np.vstack([base, near]).astype(np.float32)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(13), "embedding": [v for v in vecs]}
+    )
+    out = (
+        mutual_knn(ray.data.from_pandas(df), n_clusters=2, refine_rounds=1,
+                   k=3)
+        .to_pandas()
+    )
+    # per-vector ranks are 1..k without gaps
+    for vid, g in out.groupby("vec_id"):
+        assert list(g.sort_values("rank")["rank"]) == list(
+            range(1, len(g) + 1)
+        )
+        assert vid not in set(g["nbr_id"])  # no self edges
+    # the twin pair is mutual at rank 1 in both directions
+    r1 = out[(out["vec_id"] == 12) & (out["rank"] == 1)].iloc[0]
+    assert r1["nbr_id"] == 3 and r1["mutual"] == 1
+    r2 = out[(out["vec_id"] == 3) & (out["rank"] == 1)].iloc[0]
+    assert r2["nbr_id"] == 12 and r2["mutual"] == 1
+    # mutual flag is symmetric: every (a, b, mutual=1) has (b, a, mutual=1)
+    m = out[out["mutual"] == 1]
+    pairs = set(zip(m["vec_id"], m["nbr_id"]))
+    assert all((b, a) in pairs for a, b in pairs)

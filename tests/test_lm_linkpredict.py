@@ -218,3 +218,39 @@ def test_basket_part_pairs_support_and_cap(tmp_path):
     assert list(out.itertuples(index=False, name=None)) == [
         (10, 20, 3, 1), (10, 30, 1, 2), (20, 30, 1, 3),
     ]
+
+
+def test_quality_buckets_partitions_and_totals():
+    from mmgraphrag_ray.stages.select import lm_quality_buckets
+
+    # 10 scored docs with distinct fluency levels: repetitive docs score
+    # high (their bigrams dominate the corpus LM), unique ones low
+    texts = (["a b " * 20] * 3           # very fluent (common bigrams)
+             + ["a b c d " * 5] * 4      # mixed
+             + ["q w e r t y u i", "m n o p s t u v", "z x c v b n m k"])
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = (
+        lm_quality_buckets(ray.data.from_pandas(df).repartition(3))
+        .to_pandas().set_index("bucket").sort_index()
+    )
+    # every scored doc lands in exactly one bucket
+    assert out["n_docs"].sum() == len(texts)
+    assert set(out.index) <= {"head", "middle", "tail"}
+    # ordering invariant: every head doc's mean_p >= every middle's
+    # >= every tail's (bucket ranges must not overlap)
+    if {"head", "middle"} <= set(out.index):
+        assert out.loc["head", "min_mean_p"] >= out.loc["middle", "max_mean_p"]
+    if {"middle", "tail"} <= set(out.index):
+        assert out.loc["middle", "min_mean_p"] > out.loc["tail", "max_mean_p"]
+    # the repetitive docs are fluent -> head bucket is non-empty
+    assert "head" in out.index and out.loc["head", "n_docs"] >= 1
+
+
+def test_quality_buckets_all_equal_scores_single_bucket():
+    from mmgraphrag_ray.stages.select import lm_quality_buckets
+
+    # identical docs -> identical mean_p -> lo == hi == the value ->
+    # everything is 'head' (mean_p >= hi), no middle/tail rows
+    df = pd.DataFrame({"doc_id": range(6), "text": ["a b c"] * 6})
+    out = lm_quality_buckets(ray.data.from_pandas(df)).to_pandas()
+    assert list(out["bucket"]) == ["head"] and out.iloc[0]["n_docs"] == 6
