@@ -3023,6 +3023,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders_per_segment": relational.topk_orders_per_segment,
         "user_running_stats": relational.user_running_stats,
         "segment_price_quantiles": relational.segment_price_quantiles,
+        "orders_ship_lag": relational.orders_ship_lag,
+        "events_sessions_in_spikes": relational.events_sessions_in_spikes,
         "price_global_quantiles": relational.price_global_quantiles,
         "user_event_pivot": relational.user_event_pivot,
         "orders_rollup": relational.orders_rollup,
@@ -6770,6 +6772,19 @@ FROM rankedkb WHERE rn = 1
         """,
         # exact discrete (type-1) quantiles: value = sorted[ceil(q*n)-1],
         # always an actual element, so float-exact across engines
+        # mirror of relational.orders_ship_lag: fact-fact join + signed
+        # whole-day lag (midnight timestamps -> day arithmetic exact) +
+        # per-priority exact discrete quantiles
+        "orders_ship_lag": """
+            SELECT o_orderpriority,
+                   quantile_disc(date_diff('day', o_orderdate, l_shipdate),
+                                 0.5) AS p50,
+                   quantile_disc(date_diff('day', o_orderdate, l_shipdate),
+                                 0.9) AS p90,
+                   count(*) AS n_rows
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        """,
         "segment_price_quantiles": """
             SELECT c_mktsegment,
                    quantile_disc(o_totalprice, 0.25) AS p25,
@@ -7569,6 +7584,37 @@ FROM rankedkb WHERE rn = 1
     # streaming micro-batch sessionization must reproduce the batch
     # sessionization exactly — the oracle IS the batch sessions mirror
     out["events_sessions_microbatch"] = out["events_sessions"]
+
+    # interval-overlap semi-join of the two derived streams above:
+    # sessions x distinct spike days, day D overlaps [first, last] iff
+    # trunc_day(first) <= D <= last (inclusive BETWEEN, day-aligned);
+    # spike factor 21/20 (see relational.events_sessions_in_spikes —
+    # the headline 2x never fires on this near-uniform corpus)
+    out["events_sessions_in_spikes"] = f"""
+        WITH sess AS ({out['events_sessions']}),
+        sc AS (
+          SELECT event_type,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        st AS (
+          SELECT event_type, CAST(sum(n) AS BIGINT) AS type_total,
+                 CAST(count(*) AS BIGINT) AS n_days
+          FROM sc GROUP BY 1
+        ),
+        spk AS (
+          SELECT DISTINCT sc.day
+          FROM sc JOIN st USING (event_type)
+          WHERE sc.n * st.n_days * 20 > 21 * st.type_total
+        )
+        SELECT sess.user_id, sess.session_id, sess.n_events,
+               CAST(count(DISTINCT spk.day) AS BIGINT) AS n_spike_days
+        FROM sess JOIN spk
+          ON spk.day BETWEEN date_trunc('day', sess.first_ts)
+                         AND sess.last_ts
+        GROUP BY 1, 2, 3
+    """
 
     # grouped mode with deterministic tie-break (count desc, type asc)
     out["user_top_event"] = """

@@ -4001,3 +4001,126 @@ def events_sessions_microbatch(sf_dir: str, gap_minutes: int = 30,
               "last_ts": ("last_ts", "max")},
     )
     return merged
+
+
+def orders_ship_lag(sf_dir: str):
+    """Order-to-ship latency distribution per order priority — the
+    fulfilment-SLA report shape: a FACT-FACT join (lineitem x orders on
+    orderkey, stages/join.bucketed_join hash-partitioned both sides)
+    feeding per-group exact discrete quantiles (window.group_quantiles,
+    quantile_disc semantics).  lag_days = whole days from o_orderdate to
+    l_shipdate (both midnight timestamps, so day arithmetic is exact and
+    signed — early ships are negative).
+
+    -> Dataset(o_orderpriority, p50, p90, n_rows)."""
+    import pandas as pd
+
+    from ..stages.join import bucketed_join
+    from ..stages.window import group_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas",
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    joined = bucketed_join(li, orders, on="o_orderkey")
+
+    def lag(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series(dtype=object),
+                "lag_days": pd.Series(dtype="int64"),
+            })
+        d = pd.to_datetime(b["l_shipdate"]) - pd.to_datetime(b["o_orderdate"])
+        return pd.DataFrame({
+            "o_orderpriority": b["o_orderpriority"],
+            "lag_days": d.dt.days.astype("int64"),
+        })
+
+    return group_quantiles(
+        joined.map_batches(lag, batch_format="pandas"),
+        keys=["o_orderpriority"],
+        value_col="lag_days",
+        qs=[0.5, 0.9],
+    )
+
+
+def events_sessions_in_spikes(
+    sf_dir: str,
+    gap_minutes: int = 30,
+    factor_num: int = 21,
+    factor_den: int = 20,
+):
+    """Interval-overlap semi-join between two DERIVED streams: user
+    sessions (events_sessions) x corpus-wide spike days (events_spike_days
+    with spike = 1 under a 5%-over-mean factor, any event type) — "which
+    sessions touched an anomaly window", the standard incident-correlation
+    report.  The default factor is 21/20 rather than spike_days' headline
+    2x because the synthetic corpus is near-uniform: a 2x day never occurs
+    above sf0.001, which would make this composition vacuous.
+
+    Overlap rule (day granularity, inclusive both ends like SQL BETWEEN):
+    a session [first_ts, last_ts] overlaps spike day D iff
+    trunc_day(first_ts) <= D <= last_ts.  Only overlapping sessions are
+    emitted (inner-join semantics).
+
+    Scale shape: spike days are bounded by the calendar (#distinct days),
+    so the spike side is collected once and broadcast via ray.put; each
+    session batch counts overlaps with two binary searches over the sorted
+    day array — no shuffle beyond the two parents' own plans.
+
+    -> Dataset(user_id, session_id, n_events, n_spike_days)."""
+    import numpy as np
+
+    import ray as _ray
+
+    sessions = events_sessions(sf_dir, gap_minutes=gap_minutes)
+    spikes = events_spike_days(sf_dir, factor_num=factor_num,
+                               factor_den=factor_den)
+    day_rows = spikes.map_batches(
+        lambda b: b.loc[b["spike"] == 1, ["day"]].drop_duplicates(),
+        batch_format="pandas",
+    ).take_all()
+    days = np.array(
+        sorted({pd.Timestamp(r["day"]).value for r in day_rows}),
+        dtype="int64",
+    )
+    ref = _ray.put(days)
+
+    day_ns = 24 * 3600 * 1_000_000_000
+
+    def overlap(b: pd.DataFrame):
+        import pyarrow as pa
+
+        # Arrow out so empty blocks still carry the schema (an all-empty
+        # result must not collapse to a column-less frame)
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "session_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "n_spike_days": pa.array([], pa.int64()),
+        })
+        if len(b) == 0:
+            return empty
+        d = _ray.get(ref)
+        first = b["first_ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        last = b["last_ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        lo = (first // day_ns) * day_ns  # trunc_day(first_ts)
+        n = (
+            np.searchsorted(d, last, side="right")
+            - np.searchsorted(d, lo, side="left")
+        ).astype(np.int64)
+        keep = n >= 1
+        if not keep.any():
+            return empty
+        return pa.table({
+            "user_id": pa.array(b["user_id"].to_numpy()[keep], pa.int64()),
+            "session_id": pa.array(b["session_id"].to_numpy()[keep],
+                                   pa.int64()),
+            "n_events": pa.array(b["n_events"].to_numpy()[keep], pa.int64()),
+            "n_spike_days": pa.array(n[keep], pa.int64()),
+        })
+
+    return sessions.map_batches(overlap, batch_format="pandas")

@@ -165,14 +165,20 @@ def dedup_exact_broadcast(
             loser_keys.add("\x00".join(row))
     ref = _ray.put(frozenset(loser_keys))
 
-    def drop_losers(batch: pd.DataFrame) -> pd.DataFrame:
+    def drop_losers(batch: pd.DataFrame):
         lose = _ray.get(ref)
         rk = [
             "\x00".join(vals)
             for vals in zip(*(batch[c].astype(str) for c in cols))
         ]
         mask = [k not in lose for k in rk]
-        return batch[pd.Series(mask, index=batch.index)]
+        out = batch[pd.Series(mask, index=batch.index)]
+        # Arrow out: downstream stages consume pyarrow anyway, and an
+        # empty pandas slice with string columns trips Ray's batch-size
+        # estimator (np.vectorize size-0 log spam in pandas_block.py)
+        from ..arrowutil import df_to_table
+
+        return df_to_table(out.reset_index(drop=True))
 
     return ds.map_batches(drop_losers, batch_format="pandas")
 

@@ -1,0 +1,91 @@
+"""Edge-case unit tests for the session-14 operators (the oracle gate
+covers corpus-scale parity; these pin the corner semantics)."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write(d: str, table: str, rows: dict):
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table(rows), os.path.join(d, f"{table}.parquet"))
+
+
+def test_ship_lag_signed_days_and_type1_quantiles():
+    from mmgraphrag_ray.pipelines.relational import orders_ship_lag
+
+    d = "/tmp/raykg_s14_lag"
+    base = pd.Timestamp("2024-01-10")
+    # priority A lags: [-2, 1, 5] -> p50 = sorted[ceil(.5*3)-1] = 1,
+    #                                p90 = sorted[ceil(.9*3)-1] = 5
+    # priority B lags: [7] -> p50 = p90 = 7
+    _write(d, "orders", {
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_orderdate": pa.array([base] * 4, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["A", "A", "A", "B"], pa.string()),
+    })
+    _write(d, "lineitem", {
+        "l_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "l_shipdate": pa.array(
+            [base + pd.Timedelta(days=k) for k in (-2, 1, 5, 7)],
+            pa.timestamp("us")),
+    })
+    out = orders_ship_lag(d).to_pandas().set_index("o_orderpriority")
+    assert out.loc["A", "p50"] == 1 and out.loc["A", "p90"] == 5
+    assert out.loc["A", "n_rows"] == 3
+    assert out.loc["B", "p50"] == 7 and out.loc["B", "p90"] == 7
+
+
+def test_sessions_in_spikes_inclusive_day_overlap():
+    from mmgraphrag_ray.pipelines.relational import events_sessions_in_spikes
+
+    d = "/tmp/raykg_s14_spk"
+    # type 'x' over 3 days: counts 4/1/1 (avg 2) -> day1 spikes at 21/20;
+    # type 'y' uniform -> never spikes
+    t = pd.Timestamp("2024-03-01 10:00:00")
+    day2, day3 = t + pd.Timedelta(days=1), t + pd.Timedelta(days=2)
+    ts = (
+        # user 1: one session spanning day1 only (4 'x' events, the spike)
+        [t, t + pd.Timedelta(minutes=5), t + pd.Timedelta(minutes=10),
+         t + pd.Timedelta(minutes=15)]
+        # user 2: one session on day2 only (no spike) -> filtered out
+        + [day2, day2 + pd.Timedelta(minutes=1)]
+        # user 3: one event exactly at day3 midnight-10:00; session
+        # [day3 10:00, day3 10:00] does NOT include day1 -> filtered
+        + [day3]
+    )
+    _write(d, "events", {
+        "event_id": pa.array(range(len(ts)), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        "event_type": pa.array(["x", "x", "x", "x", "y", "x", "x"],
+                               pa.string()),
+    })
+    out = events_sessions_in_spikes(d).to_pandas()
+    # only user 1's session overlaps the spike day
+    assert set(out["user_id"]) == {1}
+    row = out.iloc[0]
+    assert row["n_events"] == 4 and row["n_spike_days"] == 1
+
+
+def test_sessions_in_spikes_empty_keeps_schema():
+    from mmgraphrag_ray.pipelines.relational import events_sessions_in_spikes
+
+    d = "/tmp/raykg_s14_spk0"
+    # perfectly uniform: 1 event/day/type -> no spikes -> empty WITH schema
+    t = pd.Timestamp("2024-03-01")
+    ts = [t + pd.Timedelta(days=k) for k in range(3)]
+    _write(d, "events", {
+        "event_id": pa.array(range(3), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 2, 3], pa.int64()),
+        "event_type": pa.array(["x", "x", "x"], pa.string()),
+    })
+    ds = events_sessions_in_spikes(d)
+    # Ray's to_pandas() drops columns on an all-empty dataset; the BLOCK
+    # schema is what must survive (Arrow empty tables, not bare frames)
+    assert ds.schema().names == ["user_id", "session_id", "n_events",
+                                 "n_spike_days"]
+    assert ds.count() == 0
