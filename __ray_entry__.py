@@ -2912,6 +2912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_dedup": events_window_dedup_q,
         "orders_cdc_diff": orders_cdc_diff_q,
         "orders_cdc_apply": orders_cdc_apply_q,
+        "orders_cdc_ivm": relational.orders_cdc_ivm,
         "orders_cdc_compact": relational.orders_cdc_compact,
         "dedup_minhash_cluster_sizes": dedup_minhash_cluster_sizes,
         "doc_range_partition_plan": doc_range_partition_plan_q,
@@ -6096,6 +6097,28 @@ FROM rankedkb WHERE rn = 1
                    CAST(round(o_totalprice * 100) AS BIGINT),
                    o_orderstatus
             FROM orders WHERE o_orderkey % 11 = 0
+        """,
+        # IVM check: the Ray side maintains the per-status view from the
+        # base view + CDC delta ALONE; the oracle recomputes it from the
+        # applied snapshot — green = the IVM algebra equals recomputation
+        "orders_cdc_ivm": """
+            WITH applied AS (
+              SELECT o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT)
+                     + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END
+                         AS price_cents,
+                     o_orderstatus
+              FROM orders WHERE o_orderkey % 13 <> 0
+              UNION ALL
+              SELECT o_orderkey + 10000000,
+                     CAST(round(o_totalprice * 100) AS BIGINT),
+                     o_orderstatus
+              FROM orders WHERE o_orderkey % 11 = 0
+            )
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(price_cents) AS BIGINT) AS sum_cents
+            FROM applied GROUP BY 1
         """,
         # range-partitioner plan: exact quantile boundaries (type-1
         # discrete, same semantics as global_quantiles), partition id =

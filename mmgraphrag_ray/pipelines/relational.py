@@ -4124,3 +4124,68 @@ def events_sessions_in_spikes(
         })
 
     return sessions.map_batches(overlap, batch_format="pandas")
+
+
+def orders_cdc_ivm(sf_dir: str):
+    """Incremental view maintenance over the repo's deterministic CDC
+    stream (same mutation orders_cdc_diff/apply use: delete keys %13,
+    +100-cent price bump on surviving %7 keys, re-insert %11 keys under
+    +10M ids): the view  per-o_orderstatus (n_orders, sum_cents)  is
+    maintained as  base view (+) delta  in the counting semiring —
+    deletes contribute (-1, -old_cents), in-place bumps (0, +100),
+    inserts (+1, +new_cents) — WITHOUT rescanning the applied table.
+    The oracle recomputes the same view from the applied snapshot, so a
+    green check proves the IVM algebra equals full recomputation.
+
+    Scale shape: ONE streaming pass over the base emits base-view AND
+    delta partials per batch (vectorized masks, grouped combiner rows —
+    at most 2 x |status| rows per batch); one tiny bucketed grouped sum
+    folds them.  A real warehouse would read the change LOG instead of
+    deriving it, but the fold is identical.
+
+    -> Dataset(o_orderstatus, n_orders, sum_cents)."""
+    import numpy as np
+
+    ords = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_totalprice", "o_orderstatus"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({
+                "o_orderstatus": pd.Series(dtype=object),
+                "n": pd.Series(dtype="int64"),
+                "s": pd.Series(dtype="int64"),
+            })
+        k = b["o_orderkey"].to_numpy()
+        cents = np.round(b["o_totalprice"].to_numpy() * 100.0).astype("int64")
+        status = b["o_orderstatus"].to_numpy()
+        m13 = k % 13 == 0
+        m7 = (k % 7 == 0) & ~m13
+        m11 = k % 11 == 0
+        frames = [
+            # base view
+            pd.DataFrame({"o_orderstatus": status,
+                          "n": np.ones(len(k), dtype=np.int64), "s": cents}),
+            # deletes: remove the old row's contribution
+            pd.DataFrame({"o_orderstatus": status[m13],
+                          "n": np.full(int(m13.sum()), -1, dtype=np.int64),
+                          "s": -cents[m13]}),
+            # in-place bumps: +100 cents, count unchanged
+            pd.DataFrame({"o_orderstatus": status[m7],
+                          "n": np.zeros(int(m7.sum()), dtype=np.int64),
+                          "s": np.full(int(m7.sum()), 100, dtype=np.int64)}),
+            # inserts under new ids: original price rides along
+            pd.DataFrame({"o_orderstatus": status[m11],
+                          "n": np.ones(int(m11.sum()), dtype=np.int64),
+                          "s": cents[m11]}),
+        ]
+        allf = pd.concat(frames, ignore_index=True)
+        g = allf.groupby("o_orderstatus", sort=False).sum().reset_index()
+        return g
+
+    folded = bucketed_groupby_agg(
+        ords.map_batches(partials, batch_format="pandas"),
+        keys=["o_orderstatus"],
+        aggs={"n_orders": ("n", "sum"), "sum_cents": ("s", "sum")},
+    )
+    return folded

@@ -89,3 +89,27 @@ def test_sessions_in_spikes_empty_keeps_schema():
     assert ds.schema().names == ["user_id", "session_id", "n_events",
                                  "n_spike_days"]
     assert ds.count() == 0
+
+
+def test_cdc_ivm_overlap_classes_hand_computed():
+    from mmgraphrag_ray.pipelines.relational import orders_cdc_ivm
+
+    d = "/tmp/raykg_s14_ivm"
+    # keys chosen for every overlap class of the deterministic mutation:
+    #   91 = 7*13  -> deleted (bump must NOT fire on a deleted key)
+    #  143 = 11*13 -> deleted but re-inserted under +10M (net n: 0)
+    #   14 = 7     -> survives with +100 bump
+    #   11 = 11    -> survives AND re-inserted (counted twice)
+    #    1         -> plain survivor
+    _write(d, "orders", {
+        "o_orderkey": pa.array([91, 143, 14, 11, 1], pa.int64()),
+        "o_totalprice": pa.array([1.0, 2.0, 3.0, 4.0, 5.0], pa.float64()),
+        "o_orderstatus": pa.array(["O"] * 5, pa.string()),
+    })
+    out = orders_cdc_ivm(d).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    # applied table: 14 (300+100), 11 (400), 1 (500), 143+10M (200),
+    # 11+10M (400)  -> n = 5, sum = 1900
+    assert row["o_orderstatus"] == "O"
+    assert row["n_orders"] == 5 and row["sum_cents"] == 1900
