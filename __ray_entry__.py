@@ -2508,6 +2508,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return k_hop_path_counts(seeds, edges, k=2)
 
+    def kg_betweenness_q(sf_dir):
+        # Brandes backward half on the same CLASS-seed BFS: fixed-point
+        # ppm dependency accumulation over the hop-DAG (per-term floor,
+        # order-independent), completing kg_path_counts' sigma
+        from mmgraphrag_ray.stages.graphalgo import betweenness_ppm
+
+        nodes, edges = _build_graph_cached(sf_dir)
+        seeds = nodes.map_batches(
+            lambda b: b[b["entity_type"] == '"CLASS"'][["entity_name"]],
+            batch_format="pandas",
+        )
+        return betweenness_ppm(seeds, edges, k=2)
+
     def doc_sample(sf_dir):
         # deterministic systematic sample (1-in-10 by id) so the DuckDB
         # oracle matches exactly; Ray's random_sample exists for the
@@ -2864,6 +2877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental_minhash": dedup_incremental_minhash_q,
         "kg_two_hop": kg_two_hop,
         "kg_path_counts": kg_path_counts_q,
+        "kg_betweenness": kg_betweenness_q,
         "token_postings": token_postings_q,
         "doc_tfidf_topk": doc_tfidf_topk_q,
         "doc_bm25_topk": doc_bm25_topk_q,
@@ -3714,6 +3728,54 @@ l2 AS (SELECT c2.u, c2.sigma FROM c2
 SELECT u AS entity_name, CAST(0 AS BIGINT) AS hop, sigma FROM l0
 UNION ALL SELECT u, CAST(1 AS BIGINT), sigma FROM l1
 UNION ALL SELECT u, CAST(2 AS BIGINT), sigma FROM l2
+        """,
+        # betweenness_ppm mirror: same sigma rounds as kg_path_counts,
+        # then the 2 unrolled backward rounds — per-term floored HUGEINT
+        # (sigma_u*(1e6+delta_v))//sigma_v summed per predecessor
+        "kg_betweenness": kg + merge + """,
+seeds AS (SELECT DISTINCT entity_name AS u FROM nodes
+          WHERE entity_type = '"CLASS"'),
+eb AS (
+  SELECT src_id AS u, tgt_id AS v FROM edges
+  UNION SELECT tgt_id, src_id FROM edges
+),
+l0 AS (SELECT u, CAST(1 AS BIGINT) AS sigma FROM seeds),
+c1 AS (SELECT eb.v AS u, CAST(sum(l0.sigma) AS BIGINT) AS sigma
+       FROM l0 JOIN eb USING (u) GROUP BY 1),
+l1 AS (SELECT c1.u, c1.sigma FROM c1
+       WHERE c1.u NOT IN (SELECT u FROM l0)),
+c2 AS (SELECT eb.v AS u, CAST(sum(l1.sigma) AS BIGINT) AS sigma
+       FROM l1 JOIN eb ON eb.u = l1.u GROUP BY 1),
+l2 AS (SELECT c2.u, c2.sigma FROM c2
+       WHERE c2.u NOT IN (SELECT u FROM l0)
+         AND c2.u NOT IN (SELECT u FROM l1)),
+d1 AS (
+  SELECT l1.u,
+         CAST(sum((CAST(l1.sigma AS HUGEINT) * (1000000 + 0))
+                  // l2.sigma) AS BIGINT) AS delta
+  FROM l1 JOIN eb ON eb.u = l1.u
+  JOIN l2 ON l2.u = eb.v
+  GROUP BY 1
+),
+d0 AS (
+  SELECT l0.u,
+         CAST(sum((CAST(l0.sigma AS HUGEINT)
+                   * (1000000 + coalesce(d1.delta, 0)))
+                  // l1.sigma) AS BIGINT) AS delta
+  FROM l0 JOIN eb ON eb.u = l0.u
+  JOIN l1 ON l1.u = eb.v
+  LEFT JOIN d1 ON d1.u = eb.v
+  GROUP BY 1
+)
+SELECT l0.u AS entity_name, CAST(0 AS BIGINT) AS hop, l0.sigma,
+       CAST(coalesce(d0.delta, 0) AS BIGINT) AS delta_ppm
+FROM l0 LEFT JOIN d0 ON d0.u = l0.u
+UNION ALL
+SELECT l1.u, CAST(1 AS BIGINT), l1.sigma,
+       CAST(coalesce(d1.delta, 0) AS BIGINT)
+FROM l1 LEFT JOIN d1 ON d1.u = l1.u
+UNION ALL
+SELECT u, CAST(2 AS BIGINT), sigma, CAST(0 AS BIGINT) FROM l2
         """,
         # 1-round Weisfeiler-Lehman refinement: md5(own type || '|' ||
         # sorted comma-joined neighbor types); isolated nodes hash an

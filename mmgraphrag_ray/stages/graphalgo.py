@@ -1874,3 +1874,166 @@ def square_census(edges_ds, k: int = 20, deg_cap: int = 64,
         lambda b: b[["ea", "eb", "cn", "squares", "rank"]],
         batch_format="pandas",
     )
+
+
+def betweenness_ppm(seeds_ds, edges_ds, k: int = 2, scale: int = 1_000_000,
+                    node_col: str = "entity_name",
+                    src: str = "src_id", tgt: str = "tgt_id"):
+    """Brandes betweenness dependency accumulation from a seed set, in
+    fixed-point ppm — the backward half completing k_hop_path_counts' σ:
+
+        δ_ppm(u) = Σ_{v ∈ succ(u)}  (σ(u) · (scale + δ_ppm(v))) // σ(v)
+
+    with succ(u) = BFS-DAG successors (neighbors v at hop(u)+1), each
+    term floored INDEPENDENTLY so the sum is order-independent and hence
+    bit-deterministic under any shuffle — exact Brandes sums rationals;
+    this surrogate deviates by < |succ(u)|/scale from it, which is the
+    price of a SQL-mirrorable (k unrolled rounds, HUGEINT) value oracle.
+
+    Scale shape: the forward half is k_hop_path_counts' plan with the
+    per-hop layers kept (per round: one bucketed frontier⋈edges join, one
+    grouped σ sum, one anti-join); the DAG table is built with two
+    bucketed joins and reused by every backward round; each backward
+    round h is ONE bucketed join (successor δ lookup) + ONE grouped sum
+    over the layer-h DAG edges only.  k is a small constant, so the
+    whole pass is O(k) shuffles of frontier-adjacent edges.
+
+    -> Dataset(node_col, hop, sigma, delta_ppm) over all reached nodes
+    (leaves and the deepest layer carry δ = 0).
+    """
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    def bidir(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "u": pd.concat([b[src], b[tgt]], ignore_index=True),
+                "v": pd.concat([b[tgt], b[src]], ignore_index=True),
+            }
+        )
+        return out.drop_duplicates()
+
+    edges_bi = edges_ds.map_batches(bidir, batch_format="pandas").materialize()
+
+    # ---- forward: σ per hop, layers kept ------------------------------
+    frontier = seeds_ds.map_batches(
+        lambda b: pd.DataFrame(
+            {"u": b[node_col].drop_duplicates(),
+             "hop": np.int64(0), "sigma": np.int64(1)}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    layers = [frontier]
+    visited = frontier
+    for hop in range(1, k + 1):
+        nbrs = bucketed_join(
+            frontier.map_batches(
+                lambda b: b[["u", "sigma"]], batch_format="pandas"
+            ),
+            edges_bi,
+            on="u",
+        ).map_batches(
+            lambda b, h=hop: pd.DataFrame(
+                {"u": b["v"], "hop": np.int64(h), "sigma": b["sigma"]}
+            ),
+            batch_format="pandas",
+        )
+        cand = bucketed_groupby_agg(
+            nbrs, ["u"], {"hop": ("hop", "min"), "sigma": ("sigma", "sum")}
+        ).materialize()
+        seen = visited.map_batches(
+            lambda b: pd.DataFrame({"u": b["u"], "_seen": np.int64(1)}),
+            batch_format="pandas",
+        )
+        frontier = bucketed_join(cand, seen, on="u", how="left").map_batches(
+            lambda b: b[b["_seen"].isna()][["u", "hop", "sigma"]],
+            batch_format="pandas",
+        ).materialize()
+        if frontier.count() == 0:
+            break
+        layers.append(frontier)
+        visited = visited.union(frontier).materialize()
+
+    # ---- DAG: u (hop h) -> v (hop h+1) --------------------------------
+    vis_u = visited.map_batches(
+        lambda b: b.rename(columns={"hop": "hop_u", "sigma": "sigma_u"}),
+        batch_format="pandas",
+    )
+    half = bucketed_join(vis_u, edges_bi, on="u").map_batches(
+        lambda b: b.rename(columns={"u": "u_src", "v": "u"}),
+        batch_format="pandas",
+    )
+    vis_v = visited.map_batches(
+        lambda b: pd.DataFrame({"u": b["u"], "hop_v": b["hop"],
+                                "sigma_v": b["sigma"]}),
+        batch_format="pandas",
+    )
+    dag = bucketed_join(half, vis_v, on="u").map_batches(
+        lambda b: b[b["hop_v"] == b["hop_u"] + 1].rename(
+            columns={"u": "v", "u_src": "u"}
+        )[["u", "hop_u", "sigma_u", "v", "sigma_v"]],
+        batch_format="pandas",
+    ).materialize()
+
+    # ---- backward: δ per layer, deepest first -------------------------
+    max_hop = len(layers) - 1
+    delta_by_hop: dict[int, object] = {}
+    for h in range(max_hop - 1, -1, -1):
+        dag_h = dag.map_batches(
+            lambda b, hh=h: b[b["hop_u"] == hh].rename(
+                columns={"v": "u", "u": "u_src"}
+            )[["u", "u_src", "sigma_u", "sigma_v"]],
+            batch_format="pandas",
+        )
+        dnext = delta_by_hop.get(h + 1)
+        if dnext is not None:
+            dag_h = bucketed_join(dag_h, dnext, on="u", how="left")
+        else:
+            dag_h = dag_h.map_batches(
+                lambda b: b.assign(delta=np.int64(0)), batch_format="pandas"
+            )
+
+        def terms(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame({"u": pd.Series(dtype=object),
+                                     "t": pd.Series(dtype="int64")})
+            su = b["sigma_u"].astype(object).to_numpy()
+            sv = b["sigma_v"].astype(object).to_numpy()
+            dv = b["delta"].fillna(0).astype("int64").astype(object).to_numpy()
+            # big-int exact per-term floor, then int64 (bounded: δ stays
+            # within scale · Σ σ ratios, far below 2^63 at any sane k)
+            t = np.array(
+                [int(a * (scale + c) // d) for a, c, d in zip(su, dv, sv)],
+                dtype=np.int64,
+            )
+            return pd.DataFrame({"u": b["u_src"].to_numpy(), "t": t})
+
+        dsum = bucketed_groupby_agg(
+            dag_h.map_batches(terms, batch_format="pandas"),
+            keys=["u"],
+            aggs={"delta": ("t", "sum")},
+        ).materialize()
+        delta_by_hop[h] = dsum
+
+    deltas = None
+    for h, dset in delta_by_hop.items():
+        deltas = dset if deltas is None else deltas.union(dset)
+
+    if deltas is None:
+        return visited.map_batches(
+            lambda b: b.assign(delta_ppm=np.int64(0)).rename(
+                columns={"u": node_col}
+            ),
+            batch_format="pandas",
+        )
+
+    out = bucketed_join(visited, deltas.materialize(), on="u", how="left")
+    return out.map_batches(
+        lambda b: pd.DataFrame({
+            node_col: b["u"],
+            "hop": b["hop"].astype("int64"),
+            "sigma": b["sigma"].astype("int64"),
+            "delta_ppm": b["delta"].fillna(0).astype("int64"),
+        }),
+        batch_format="pandas",
+    )

@@ -315,3 +315,42 @@ def test_square_census_deg_cap_excludes_hub():
     for ea, eb in pairs:
         assert not (ea.startswith("x") and eb.startswith("x")
                     and {ea, eb} != {"x0", "x1"})
+
+
+def test_betweenness_ppm_diamond_floor_division():
+    from mmgraphrag_ray.stages.graphalgo import betweenness_ppm
+
+    # diamond: a - b - d, a - c - d  (seed {a})
+    # sigma: a=1 (hop0), b=c=1 (hop1), d=2 (hop2)
+    # delta(b) = delta(c) = (1 * (1e6 + 0)) // 2 = 500000  (floor over sigma_v=2)
+    # delta(a) = (1*(1e6+500000))//1 + (1*(1e6+500000))//1 = 3000000
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "src_id": ["a", "a", "b", "c"],
+        "tgt_id": ["b", "c", "d", "d"],
+    }))
+    seeds = ray.data.from_pandas(pd.DataFrame({"entity_name": ["a"]}))
+    out = (
+        betweenness_ppm(seeds, edges, k=2)
+        .to_pandas().set_index("entity_name").sort_index()
+    )
+    assert out.loc["d", ["hop", "sigma", "delta_ppm"]].tolist() == [2, 2, 0]
+    assert out.loc["b", ["hop", "sigma", "delta_ppm"]].tolist() == [1, 1, 500000]
+    assert out.loc["c", "delta_ppm"] == 500000
+    assert out.loc["a", ["hop", "sigma", "delta_ppm"]].tolist() == [0, 1, 3000000]
+
+
+def test_betweenness_ppm_path_chain():
+    from mmgraphrag_ray.stages.graphalgo import betweenness_ppm
+
+    # chain a - b - c, seed {a}: delta(b) = 1e6, delta(a) = 2e6
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "src_id": ["a", "b"], "tgt_id": ["b", "c"],
+    }))
+    seeds = ray.data.from_pandas(pd.DataFrame({"entity_name": ["a"]}))
+    out = (
+        betweenness_ppm(seeds, edges, k=2)
+        .to_pandas().set_index("entity_name")
+    )
+    assert out.loc["b", "delta_ppm"] == 1_000_000
+    assert out.loc["a", "delta_ppm"] == 2_000_000
+    assert out.loc["c", "delta_ppm"] == 0
