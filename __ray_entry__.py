@@ -2927,6 +2927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cdc_diff": orders_cdc_diff_q,
         "orders_cdc_apply": orders_cdc_apply_q,
         "orders_cdc_ivm": relational.orders_cdc_ivm,
+        "events_autocorr": relational.events_autocorr,
         "orders_cdc_compact": relational.orders_cdc_compact,
         "dedup_minhash_cluster_sizes": dedup_minhash_cluster_sizes,
         "doc_range_partition_plan": doc_range_partition_plan_q,
@@ -6159,6 +6160,30 @@ FROM rankedkb WHERE rn = 1
                    CAST(round(o_totalprice * 100) AS BIGINT),
                    o_orderstatus
             FROM orders WHERE o_orderkey % 11 = 0
+        """,
+        # lag-1 autocorrelation sufficient stats over consecutive-day
+        # count pairs (mirror of relational.events_autocorr; days missing
+        # from the series contribute no pair)
+        "events_autocorr": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            p AS (
+              SELECT a.event_type, a.n AS x, b.n AS y
+              FROM c a JOIN c b
+                ON b.event_type = a.event_type
+               AND b.day = a.day + INTERVAL 1 DAY
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM p GROUP BY 1
         """,
         # IVM check: the Ray side maintains the per-status view from the
         # base view + CDC delta ALONE; the oracle recomputes it from the

@@ -4189,3 +4189,81 @@ def orders_cdc_ivm(sf_dir: str):
         aggs={"n_orders": ("n", "sum"), "sum_cents": ("s", "sum")},
     )
     return folded
+
+
+def events_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation SUFFICIENT STATS of the daily event-count
+    series per event type — the time-series self-similarity diagnostic
+    (is yesterday's volume predictive of today's?).  Emits the exact
+    integer components (n, sx, sy, sxx, syy, sxy) over consecutive-day
+    pairs (x = count(day), y = count(day+1); days missing from the series
+    contribute no pair) — the consumer forms r, keeping this table
+    float-free like lineitem_corr_components / kg_assortativity.
+
+    Scale shape: exact (type, day) counts via the combiner groupby; the
+    lag join keys on 'type|epoch_day' so consecutive days co-locate in
+    ONE bucketed join (no window sort); the final fold is per-type.
+
+    -> Dataset(event_type, n, sx, sy, sxx, syy, sxy)."""
+    import numpy as np
+
+    from ..stages.join import bucketed_join
+
+    day_us = 24 * 3600 * 1_000_000
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "eday": ts // day_us,
+        })
+
+    counts = bucketed_groupby_agg(
+        ev.map_batches(stamp, batch_format="pandas"),
+        keys=["event_type", "eday"],
+        aggs={"n": (None, "count")},
+    ).materialize()
+
+    def key_today(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": b["event_type"].astype(str) + "|"
+                 + b["eday"].astype("int64").astype(str),
+            "x": b["n"].astype("int64"),
+        })
+
+    def key_tomorrow(b: pd.DataFrame) -> pd.DataFrame:
+        # shift the key one day forward: this row becomes the 'y' of the
+        # PREVIOUS day's pair
+        return pd.DataFrame({
+            "k": b["event_type"].astype(str) + "|"
+                 + (b["eday"].astype("int64") - 1).astype(str),
+            "y": b["n"].astype("int64"),
+        })
+
+    pairs = bucketed_join(
+        counts.map_batches(key_today, batch_format="pandas"),
+        counts.map_batches(key_tomorrow, batch_format="pandas"),
+        on="k",
+    )
+
+    def widen(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64" if c != "event_type" else object)
+                                 for c in ["event_type", "one", "x", "y",
+                                           "xx", "yy", "xy"]})
+        x = b["x"].to_numpy(dtype=np.int64)
+        y = b["y"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "event_type": b["k"].str.split("|").str[0],
+            "one": np.ones(len(b), dtype=np.int64),
+            "x": x, "y": y, "xx": x * x, "yy": y * y, "xy": x * y,
+        })
+
+    return bucketed_groupby_agg(
+        pairs.map_batches(widen, batch_format="pandas"),
+        keys=["event_type"],
+        aggs={"n": ("one", "sum"), "sx": ("x", "sum"), "sy": ("y", "sum"),
+              "sxx": ("xx", "sum"), "syy": ("yy", "sum"),
+              "sxy": ("xy", "sum")},
+    )

@@ -113,3 +113,26 @@ def test_cdc_ivm_overlap_classes_hand_computed():
     # 11+10M (400)  -> n = 5, sum = 1900
     assert row["o_orderstatus"] == "O"
     assert row["n_orders"] == 5 and row["sum_cents"] == 1900
+
+
+def test_autocorr_skips_missing_days_and_sums_exact():
+    from mmgraphrag_ray.pipelines.relational import events_autocorr
+
+    d = "/tmp/raykg_s14_ac"
+    # type 'x' daily counts: day0=2, day1=3, day3=1 (day2 missing)
+    # -> only pair (2, 3): n=1, sx=2, sy=3, sxx=4, syy=9, sxy=6
+    t = pd.Timestamp("2024-05-01")
+    ts = ([t, t + pd.Timedelta(hours=1)]
+          + [t + pd.Timedelta(days=1, hours=h) for h in (0, 1, 2)]
+          + [t + pd.Timedelta(days=3)])
+    _write(d, "events", {
+        "event_id": pa.array(range(len(ts)), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * len(ts), pa.int64()),
+        "event_type": pa.array(["x"] * len(ts), pa.string()),
+    })
+    out = events_autocorr(d).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row[["n", "sx", "sy", "sxx", "syy", "sxy"]].tolist() == \
+        [1, 2, 3, 4, 9, 6]
