@@ -1049,6 +1049,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dedup_jaccard(docs, threshold=0.8)
 
+    def doc_containment_q(sf_dir):
+        # Broder containment (asymmetric |A∩B|/|A| in integer ppm): the
+        # sub/superset near-dup detector Jaccard misses; same shingle
+        # blocking + join-based text fetch, both directions scored
+        from mmgraphrag_ray.stages.dedup import containment_pairs
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return containment_pairs(docs, threshold_ppm=800_000)
+
     def dedup_simhash_documents(sf_dir):
         from mmgraphrag_ray.stages.dedup import dedup_simhash
 
@@ -2843,6 +2854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_jaccard_documents": dedup_jaccard_documents,
+        "doc_containment": doc_containment_q,
         "dedup_keep_best": dedup_keep_best_q,
         "dedup_simhash_documents": dedup_simhash_documents,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
@@ -4301,6 +4313,52 @@ FROM vh GROUP BY 1, 2, 3
         # cross-side (new-vs-indexed) verified pairs, integer counts out
         "dedup_incremental_minhash": _minhash_cross_sql(threshold=0.8),
         "dedup_jaccard_documents": _jaccard_cc_sql(threshold=0.8),
+        # containment_pairs mirror: the same shingle blocking/verify CTEs
+        # as the jaccard family, final select = integer containment ppm in
+        # both directions, kept when either reaches 800000
+        "doc_containment": """
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+),
+shing AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(list_slice(ws, s, s + 2), ' ') AS shingle
+    FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(s)
+    WHERE len(ws) >= 3
+    UNION ALL
+    SELECT doc_id, array_to_string(ws, ' ') FROM words WHERE len(ws) BETWEEN 1 AND 2
+  )
+),
+sh AS (SELECT doc_id, substr(md5(shingle), 1, 16) AS sh FROM shing),
+df AS (SELECT sh, count(DISTINCT doc_id) AS n FROM sh GROUP BY 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a
+  JOIN df ON df.sh = a.sh AND df.n <= 64
+  JOIN sh b ON b.sh = a.sh AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN shing sa ON sa.doc_id = c.id_a
+  JOIN shing sb ON sb.doc_id = c.id_b AND sa.shingle = sb.shingle
+  GROUP BY 1, 2
+),
+scoredc AS (
+  SELECT c.id_a, c.id_b,
+         CAST(COALESCE(i.i, 0) AS BIGINT) AS n_common,
+         CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+         CAST(COALESCE(i.i, 0) * 1000000 // ca.n AS BIGINT) AS cont_ab_ppm,
+         CAST(COALESCE(i.i, 0) * 1000000 // cb.n AS BIGINT) AS cont_ba_ppm
+  FROM cand c
+  JOIN counts ca ON ca.doc_id = c.id_a
+  JOIN counts cb ON cb.doc_id = c.id_b
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+)
+SELECT * FROM scoredc
+WHERE greatest(cont_ab_ppm, cont_ba_ppm) >= 800000
+        """,
         # keep_best_representative over the jaccard components: per label
         # keep (max length(text), tie min doc_id) + member count
         "dedup_keep_best": _jaccard_cc_sql(threshold=0.8, final=False) + """,

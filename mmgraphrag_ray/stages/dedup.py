@@ -297,15 +297,16 @@ def minhash_candidate_pairs(
     ), key="pair", order_by=["id_a", "id_b"]).drop_columns(["pair"])
 
 
-def verify_jaccard(pairs_ds, docs_ds, threshold: float,
-                   id_col: str = "doc_id", text_col: str = "text", k: int = 3):
-    """Exact word-shingle Jaccard for candidate pairs — JOIN-based: each
-    endpoint's text reaches its pairs through a bucketed join (no driver
-    materialization, no whole-corpus broadcast; candidate volume scales with
-    near-dup density, not corpus size).  The pair table is the designated
-    small side: below the join's broadcast cap both joins run as map-side
+def _pairs_with_texts(pairs_ds, docs_ds,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """JOIN-based text fetch for candidate pairs: each endpoint's text
+    reaches its pairs through a bucketed join (no driver materialization,
+    no whole-corpus broadcast; candidate volume scales with near-dup
+    density, not corpus size).  The pair table is the designated small
+    side: below the join's broadcast cap both joins run as map-side
     broadcast hash joins over the text table (no shuffle); above it they
-    fall back to the bucketed shuffle."""
+    fall back to the bucketed shuffle.  Shared by verify_jaccard and
+    containment_pairs.  -> Dataset(id_a, id_b, ..., text_a, text_b)."""
     from .join import bucketed_join
 
     def rn(frame_cols):
@@ -321,7 +322,15 @@ def verify_jaccard(pairs_ds, docs_ds, threshold: float,
     # pin between the two join shuffles (>2 chained hash shuffles deadlock
     # this Ray build's aggregator scheduling)
     j1 = bucketed_join(pairs_ds, ta, on="id_a", small_side="left").materialize()
-    j2 = bucketed_join(j1, tb, on="id_b", small_side="left").materialize()
+    return bucketed_join(j1, tb, on="id_b", small_side="left").materialize()
+
+
+def verify_jaccard(pairs_ds, docs_ds, threshold: float,
+                   id_col: str = "doc_id", text_col: str = "text", k: int = 3):
+    """Exact word-shingle Jaccard for candidate pairs — JOIN-based text
+    fetch via _pairs_with_texts, then a vectorized per-pair shingle-set
+    score."""
+    j2 = _pairs_with_texts(pairs_ds, docs_ds, id_col, text_col)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
@@ -1296,3 +1305,47 @@ def keep_best_representative(labels_ds, scores_ds,
         lambda b: b[["label", "keep_id", score_col, "n_members"]],
         batch_format="pandas",
     )
+
+
+def containment_pairs(docs_ds, threshold_ppm: int = 800_000,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 3, max_df: int = JACCARD_MAX_DF):
+    """Broder CONTAINMENT near-dup — the asymmetric |A∩B| / |A| measure
+    that catches sub/superset documents (quoted excerpts, vendored
+    fragments, expanded revisions) which symmetric Jaccard misses: a tiny
+    doc fully contained in a huge one has containment 1.0 but Jaccard
+    ~|A|/|B| ~ 0.  Candidates come from the same shared-shingle blocking
+    as dedup_jaccard (document-frequency-capped, no LSH false negatives),
+    texts reach pairs via the join-based fetch, and the verify computes
+    the exact integer containment ppm in BOTH directions, keeping pairs
+    where either direction reaches ``threshold_ppm``.
+
+    -> Dataset(id_a, id_b, n_common, n_a, n_b, cont_ab_ppm, cont_ba_ppm)
+    with cont_ab_ppm = |A∩B|·1e6 // |A| (shingle-set sizes; id_a < id_b).
+    """
+    docs_ds = docs_ds.materialize()
+    pairs = jaccard_candidate_pairs(docs_ds, id_col, text_col, k, max_df)
+    j2 = _pairs_with_texts(pairs.materialize(), docs_ds, id_col, text_col)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        cols = ["id_a", "id_b", "n_common", "n_a", "n_b",
+                "cont_ab_ppm", "cont_ba_ppm"]
+        if len(batch) == 0:
+            return pd.DataFrame({c: pd.Series(
+                dtype="int64" if c != "id_a" and c != "id_b" else object)
+                for c in cols})
+        rows = []
+        for ia, ib, ta_, tb_ in zip(batch["id_a"], batch["id_b"],
+                                    batch["text_a"], batch["text_b"]):
+            sa, sb = shingle_set(ta_, k), shingle_set(tb_, k)
+            na, nb, nc = len(sa), len(sb), len(sa & sb)
+            cab = nc * 1_000_000 // na if na else 0
+            cba = nc * 1_000_000 // nb if nb else 0
+            if max(cab, cba) >= threshold_ppm:
+                rows.append((ia, ib, nc, na, nb, cab, cba))
+        out = pd.DataFrame(rows, columns=cols)
+        for c in cols[2:]:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return j2.map_batches(score, batch_format="pandas")

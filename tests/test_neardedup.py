@@ -195,3 +195,27 @@ def test_dup_passages_counts_and_zero_short_docs():
         assert list(got["n_windows"]) == [3, 3, 2, 0]
         assert list(got["n_dup_positions"]) == [1, 1, 0, 0]
         assert list(got["n_dup_distinct"]) == [1, 1, 0, 0]
+
+
+def test_containment_catches_subset_jaccard_misses():
+    from mmgraphrag_ray.stages.dedup import containment_pairs
+
+    big = " ".join(f"w{i}" for i in range(60))
+    small = " ".join(f"w{i}" for i in range(10))  # fully contained prefix
+    other = " ".join(f"z{i}" for i in range(30))
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [big, small, other],
+    }))
+    out = containment_pairs(docs, threshold_ppm=900_000).to_pandas()
+    # the (big, small) pair survives: small's shingles all appear in big
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["id_a"], row["id_b"]) == (1, 2)
+    # small has 8 shingles (10 words, k=3), all contained -> ppm = 1e6
+    assert row["n_b"] == 8 and row["n_common"] == 8
+    assert row["cont_ba_ppm"] == 1_000_000
+    # the big side's containment is far below threshold (58 shingles)
+    assert row["cont_ab_ppm"] == 8 * 1_000_000 // 58
+    # symmetric Jaccard would be 8/58 ~ 0.14 -> this is the case the
+    # asymmetric measure exists for
