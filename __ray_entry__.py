@@ -2940,6 +2940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cdc_apply": orders_cdc_apply_q,
         "orders_cdc_ivm": relational.orders_cdc_ivm,
         "events_autocorr": relational.events_autocorr,
+        "documents_schema_drift": relational.documents_schema_drift,
         "orders_cdc_compact": relational.orders_cdc_compact,
         "dedup_minhash_cluster_sizes": dedup_minhash_cluster_sizes,
         "doc_range_partition_plan": doc_range_partition_plan_q,
@@ -6218,6 +6219,21 @@ FROM rankedkb WHERE rn = 1
                    CAST(round(o_totalprice * 100) AS BIGINT),
                    o_orderstatus
             FROM orders WHERE o_orderkey % 11 = 0
+        """,
+        # schema-drift union audit: v1 = even doc_ids (no source), v2 =
+        # odd doc_ids (no lang); the Ray side reads two physically
+        # different parquet schemas and aligns with typed NULLs
+        "documents_schema_drift": """
+            SELECT 1 AS gen, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(0 AS BIGINT) AS null_lang,
+                   CAST(count(*) AS BIGINT) AS null_source,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_len
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT 2, CAST(count(*) AS BIGINT),
+                   CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+                   CAST(sum(length(text)) AS BIGINT)
+            FROM documents WHERE doc_id % 2 = 1
         """,
         # lag-1 autocorrelation sufficient stats over consecutive-day
         # count pairs (mirror of relational.events_autocorr; days missing

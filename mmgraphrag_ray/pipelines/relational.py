@@ -4267,3 +4267,87 @@ def events_autocorr(sf_dir: str):
               "sxx": ("xx", "sum"), "syy": ("yy", "sum"),
               "sxy": ("xy", "sum")},
     )
+
+
+def documents_schema_drift(sf_dir: str):
+    """Mixed-generation scan with SCHEMA EVOLUTION — the read every
+    long-lived lake table eventually needs: generation v1 of the documents
+    feed carries (doc_id, text, lang), generation v2 dropped ``lang`` and
+    added (source, n_chars).  Both generations (materialized once as
+    parquet under /tmp, even doc_ids -> v1, odd -> v2) are read with their
+    OWN schemas, aligned to the evolved superset by adding the missing
+    columns as typed NULLs per batch, unioned, and audited: per-generation
+    row count, NULL counts for the two drifting columns, and the summed
+    text length (integrity of the shared column through the union).
+
+    Ray shape: one read_parquet per generation + a stateless align
+    map_batches + union + combiner groupby; nothing about the union is
+    driver-side, so generations of any size stream.  -> Dataset(gen,
+    n_rows, null_lang, null_source, sum_len)."""
+    import hashlib as _hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = _hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    root = f"/tmp/raykg_schema_drift/{tag}"
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        t = pq.read_table(src, columns=["doc_id", "text", "lang",
+                                        "source", "n_chars"])
+        even = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+        v1 = t.filter(even).select(["doc_id", "text", "lang"])
+        v2 = t.filter(pc.invert(even)).select(
+            ["doc_id", "text", "source", "n_chars"])
+        pq.write_table(v1, os.path.join(root, "v1.parquet"))
+        pq.write_table(v2, os.path.join(root, "v2.parquet"))
+        with open(done, "w") as f:
+            f.write("ok")
+
+    def align(gen: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "gen": np.int64(gen),
+                "doc_id": b["doc_id"].astype("int64"),
+                "text": b["text"],
+                "lang": b["lang"] if "lang" in b.columns
+                        else pd.Series([None] * len(b), dtype=object),
+                "source": b["source"] if "source" in b.columns
+                          else pd.Series([None] * len(b), dtype=object),
+            })
+            return out
+        return fn
+
+    v1_ds = ray.data.read_parquet(f"{root}/v1.parquet").map_batches(
+        align(1), batch_format="pandas")
+    v2_ds = ray.data.read_parquet(f"{root}/v2.parquet").map_batches(
+        align(2), batch_format="pandas")
+    unioned = v1_ds.union(v2_ds)
+
+    def widen(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({
+                "gen": pd.Series(dtype="int64"),
+                "one": pd.Series(dtype="int64"),
+                "nl": pd.Series(dtype="int64"),
+                "ns": pd.Series(dtype="int64"),
+                "ln": pd.Series(dtype="int64"),
+            })
+        return pd.DataFrame({
+            "gen": b["gen"].astype("int64"),
+            "one": np.int64(1),
+            "nl": b["lang"].isna().astype("int64"),
+            "ns": b["source"].isna().astype("int64"),
+            "ln": b["text"].str.len().astype("int64"),
+        })
+
+    return bucketed_groupby_agg(
+        unioned.map_batches(widen, batch_format="pandas"),
+        keys=["gen"],
+        aggs={"n_rows": ("one", "sum"), "null_lang": ("nl", "sum"),
+              "null_source": ("ns", "sum"), "sum_len": ("ln", "sum")},
+    )
