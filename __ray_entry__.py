@@ -1730,6 +1730,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return api_surface(files)
 
+    def ann_pq_topk_q(sf_dir):
+        # PQ asymmetric-distance search (codes-only corpus + per-query
+        # integer LUT): the compressed-index ANN variant next to brute
+        # and IVF; one streaming pass, partial top-k per batch
+        from mmgraphrag_ray.stages.cluster import pq_adc_topk
+
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                    columns=["vec_id", "embedding"])
+        return pq_adc_topk(emb, n_queries=8, k=5, n_subspaces=2,
+                           n_clusters=8, refine_rounds=1)
+
     def ann_ivf_topk(sf_dir):
         from mmgraphrag_ray.stages.similarity import ivf_topk
 
@@ -2965,6 +2976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": doc_sample,
         "ann_topk": ann_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_pq_topk": ann_pq_topk_q,
         "knn_label": knn_label,
         "q1_pricing": relational.q1_pricing,
         "basket_part_pairs": relational.basket_part_pairs,
@@ -6724,6 +6736,94 @@ FROM rankedkb WHERE rn = 1
             FROM a2 LEFT JOIN flags f ON f.vec_id = a2.vec_id
         """,
         "ann_ivf_topk": _ivf_sql(),
+        # pq_adc_topk mirror: the emb_pq_error PQ unroll (2 subspaces of
+        # 32 dims, 8 centroids, one refine round) + per-query LUT join;
+        # ADC dist = sum over subspaces of the query->assigned-centroid
+        # exact integer squared L2, ties by ascending vec_id
+        "ann_pq_topk": """
+            WITH q AS (
+              SELECT vec_id, list_transform(embedding, x ->
+                     CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+              FROM embeddings
+            ),
+            qe AS (
+              SELECT vec_id, unnest(qv) AS v,
+                     unnest(range(1, len(qv) + 1)) AS d
+              FROM q
+            ),
+            qs AS (
+              SELECT vec_id, CAST((d - 1) // 32 AS BIGINT) AS sub, d, v
+              FROM qe
+            ),
+            c0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
+              FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8)
+            ),
+            ce0 AS (
+              SELECT c0.cid, qs.sub, qs.d, qs.v AS cv
+              FROM c0 JOIN qs USING (vec_id)
+            ),
+            d1 AS (
+              SELECT qs.vec_id, qs.sub, ce0.cid,
+                     sum((qs.v - ce0.cv) * (qs.v - ce0.cv)) AS dist
+              FROM qs JOIN ce0 ON ce0.d = qs.d AND ce0.sub = qs.sub
+              GROUP BY 1, 2, 3
+            ),
+            a1 AS (
+              SELECT vec_id, sub, cid FROM (
+                SELECT vec_id, sub, cid, row_number() OVER (
+                  PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+                FROM d1
+              ) WHERE rn = 1
+            ),
+            ce1 AS (
+              SELECT ce0.cid, ce0.sub, ce0.d, COALESCE(m.cv, ce0.cv) AS cv
+              FROM ce0 LEFT JOIN (
+                SELECT a1.cid, qs2.sub, qs2.d,
+                       CAST(floor(CAST(sum(qs2.v) AS DOUBLE) / count(*))
+                            AS BIGINT) AS cv
+                FROM a1 JOIN qs qs2
+                  ON qs2.vec_id = a1.vec_id AND qs2.sub = a1.sub
+                GROUP BY 1, 2, 3
+              ) m ON m.cid = ce0.cid AND m.sub = ce0.sub AND m.d = ce0.d
+            ),
+            d2 AS (
+              SELECT qs.vec_id, qs.sub, ce1.cid,
+                     sum((qs.v - ce1.cv) * (qs.v - ce1.cv)) AS dist
+              FROM qs JOIN ce1 ON ce1.d = qs.d AND ce1.sub = qs.sub
+              GROUP BY 1, 2, 3
+            ),
+            pqa AS (
+              SELECT vec_id, sub, cid FROM (
+                SELECT vec_id, sub, cid, row_number() OVER (
+                  PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+                FROM d2
+              ) WHERE rn = 1
+            ),
+            qdims AS (
+              SELECT vec_id AS qid, sub, d, v FROM qs WHERE vec_id < 8
+            ),
+            lut AS (
+              SELECT qd.qid, ce1.cid, qd.sub,
+                     sum((qd.v - ce1.cv) * (qd.v - ce1.cv)) AS pd
+              FROM qdims qd
+              JOIN ce1 ON ce1.d = qd.d AND ce1.sub = qd.sub
+              GROUP BY 1, 2, 3
+            ),
+            adc AS (
+              SELECT l.qid, p.vec_id, CAST(sum(l.pd) AS BIGINT) AS dist
+              FROM pqa p JOIN lut l ON l.cid = p.cid AND l.sub = p.sub
+              WHERE p.vec_id <> l.qid
+              GROUP BY 1, 2
+            )
+            SELECT qid AS query_vec_id, CAST(rn AS BIGINT) AS rank,
+                   vec_id, dist AS adc_dist
+            FROM (
+              SELECT qid, vec_id, dist, row_number() OVER (
+                PARTITION BY qid ORDER BY dist, vec_id) AS rn
+              FROM adc
+            ) WHERE rn <= 5
+        """,
         "knn_label": """
             WITH q AS (SELECT vec_id AS query_vec_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
             pairs AS (

@@ -529,3 +529,126 @@ def mutual_knn(
         .map_groups(per_cluster, batch_format="pyarrow")
         .repartition(8)
     )
+
+
+def pq_adc_topk(
+    emb_ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 8,
+    k: int = 5,
+    n_subspaces: int = 2,
+    n_clusters: int = 8,
+    refine_rounds: int = 1,
+    scale: int = 1_000_000,
+):
+    """PQ asymmetric-distance (ADC) top-k search (Jegou et al. 2011) —
+    the compressed-index ANN variant completing the brute
+    (similarity.brute_topk) and IVF (similarity.ivf_topk) pair: corpus
+    vectors are represented ONLY by their per-subspace codes, a query
+    scores a vector as  Σ_s lut[q, s, code_s]  with
+    lut = exact integer squared L2 from the query's sub-vector to each
+    sub-centroid, and ties break by ascending id.  Queries are the
+    ``n_queries`` smallest-id vectors (the ann_topk convention);
+    self-pairs are excluded.
+
+    Scale shape: codebooks train with kmeans_centroids' streaming
+    combiner per subspace (driver state S·k·(dim/S) ints); the LUT is
+    n_queries·S·k ints broadcast once via ray.put; the search is ONE
+    streaming pass (assign codes per batch, per-batch partial top-k per
+    query, tiny final reduce) — the corpus never materializes and the
+    shuffle moves <= n_queries·k rows per batch.
+
+    -> Dataset(query_vec_id, rank, vec_id, adc_dist), all-integer so the
+    SQL mirror (PQ unroll + LUT join) is value-exact.
+    """
+    import ray
+
+    dim_probe = emb_ds.take(1)[0][vec_col]
+    dim = len(dim_probe)
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces}")
+    w = dim // n_subspaces
+
+    def slicer(lo: int, hi: int):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[[id_col]].copy()
+            out[vec_col] = [np.asarray(v)[lo:hi] for v in batch[vec_col]]
+            return out
+        return fn
+
+    cents = []
+    for s in range(n_subspaces):
+        sub_ds = emb_ds.map_batches(slicer(s * w, (s + 1) * w),
+                                    batch_format="pandas")
+        cents.append(kmeans_centroids(
+            sub_ds, id_col, vec_col, n_clusters, refine_rounds, scale
+        ))
+    c = np.stack(cents)  # (S, k, w) int64
+
+    # queries: the n_queries smallest ids — per-batch min-k partials,
+    # never a corpus sort (same plan as kmeans_centroids' init)
+    qcand = emb_ds.map_batches(
+        lambda b: b.nsmallest(n_queries, id_col)[[id_col, vec_col]]
+        if len(b) else b[[id_col, vec_col]],
+        batch_format="pandas",
+    ).take_all()
+    qcand.sort(key=lambda r: r[id_col])
+    qrows = qcand[:n_queries]
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qmat = _check_range(quantize(
+        np.stack([np.asarray(r[vec_col]) for r in qrows]), scale))
+
+    # LUT[j, s, cid] = exact squared L2 of query j's subspace s to centroid
+    lut = np.zeros((len(qids), n_subspaces, n_clusters), dtype=np.int64)
+    for s in range(n_subspaces):
+        qs = qmat[:, s * w:(s + 1) * w]
+        lut[:, s, :] = ((qs[:, None, :] - c[s][None, :, :]) ** 2).sum(axis=2)
+    ref = ray.put((qids, c, lut))
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "query_vec_id": pd.Series(dtype="int64"),
+            "vec_id": pd.Series(dtype="int64"),
+            "adc_dist": pd.Series(dtype="int64"),
+        })
+        if len(batch) == 0:
+            return empty
+        q_ids, cc, ll = ray.get(ref)
+        ids = batch[id_col].astype("int64").to_numpy()
+        qm = _check_range(quantize(np.stack(batch[vec_col].to_numpy()), scale))
+        # codes per subspace, then ADC via LUT gather
+        dist = np.zeros((len(ids), len(q_ids)), dtype=np.int64)
+        for s in range(n_subspaces):
+            qs = qm[:, s * w:(s + 1) * w]
+            d = ((qs[:, None, :] - cc[s][None, :, :]) ** 2).sum(axis=2)
+            codes = d.argmin(axis=1)
+            dist += ll[:, s, :][:, codes].T  # (batch, nq)
+        frames = []
+        for j in range(len(q_ids)):
+            mask = ids != q_ids[j]
+            cand_ids, cand_d = ids[mask], dist[mask, j]
+            take = min(k, len(cand_ids))
+            if take == 0:
+                continue
+            part = np.argpartition(cand_d, take - 1)[:take]
+            order = part[np.lexsort((cand_ids[part], cand_d[part]))]
+            frames.append(pd.DataFrame({
+                "query_vec_id": np.full(take, q_ids[j], dtype=np.int64),
+                "vec_id": cand_ids[order],
+                "adc_dist": cand_d[order],
+            }))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["adc_dist", "vec_id"],
+                              kind="mergesort").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_vec_id", "rank", "vec_id", "adc_dist"]]
+
+    return (
+        emb_ds.map_batches(partial_topk, batch_format="pandas")
+        .groupby("query_vec_id")
+        .map_groups(final_topk, batch_format="pandas")
+        .repartition(8)
+    )

@@ -379,3 +379,25 @@ def test_mutual_knn_ranks_and_mutual_flags():
     m = out[out["mutual"] == 1]
     pairs = set(zip(m["vec_id"], m["nbr_id"]))
     assert all((b, a) in pairs for a, b in pairs)
+
+
+def test_pq_adc_topk_self_excluded_and_ranks_dense():
+    from mmgraphrag_ray.stages.cluster import pq_adc_topk
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(0, 0.4, (24, 4)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(24), "embedding": list(vecs)})
+    out = (
+        pq_adc_topk(ray.data.from_pandas(df).repartition(3),
+                    n_queries=3, k=4, n_subspaces=2, n_clusters=4)
+        .to_pandas()
+    )
+    assert set(out["query_vec_id"]) == {0, 1, 2}
+    for qid, g in out.groupby("query_vec_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == [1, 2, 3, 4]
+        assert qid not in set(g["vec_id"])          # self excluded
+        assert g["adc_dist"].is_monotonic_increasing  # dist asc
+        # ties broken by ascending vec_id within equal dist
+        for _, grp in g.groupby("adc_dist"):
+            assert grp["vec_id"].is_monotonic_increasing
