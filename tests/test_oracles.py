@@ -109,6 +109,17 @@ CASES = [
     "kg_extraction_coverage",
     "emb_label_scatter",
     "doc_curated_bm25",
+    # session 14
+    "emb_mutual_knn",
+    "doc_quality_buckets",
+    "orders_ship_lag",
+    "events_sessions_in_spikes",
+    "orders_cdc_ivm",
+    "kg_betweenness",
+    "events_autocorr",
+    "doc_containment",
+    "documents_schema_drift",
+    "ann_pq_topk",
 ]
 
 
