@@ -2715,6 +2715,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ann_recall(brute.materialize(), ivf.materialize())
 
+    def emb_pq_recall_q(sf_dir):
+        # compressed-index acceptance: per-query overlap of the PQ-ADC
+        # top-5 vs the exact top-5 (the recall gate a PQ rollout needs)
+        from mmgraphrag_ray.stages.cluster import pq_adc_topk
+        from mmgraphrag_ray.stages.similarity import ann_recall
+
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").materialize()
+        qdf = emb.filter(expr="vec_id < 8").to_pandas()
+        qids = qdf["vec_id"].to_numpy()
+        qvecs = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+        brute = brute_topk(emb, qids, qvecs, k=5).map_batches(
+            lambda b: b[["query_vec_id", "vec_id"]], batch_format="pandas"
+        )
+        pq = pq_adc_topk(emb, n_queries=8, k=5, n_subspaces=2,
+                         n_clusters=8).map_batches(
+            lambda b: b[["query_vec_id", "vec_id"]], batch_format="pandas"
+        )
+        rec = ann_recall(brute.materialize(), pq.materialize())
+        return rec.map_batches(
+            lambda b: b.rename(columns={"n_ivf": "n_pq"}),
+            batch_format="pandas",
+        )
+
     def events_lateness_q(sf_dir):
         # streaming out-of-orderness diagnostic: per-user watermark
         # lateness in arrival (event_id) order, exact integer µs
@@ -3005,6 +3028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow": doc_winnow_q,
         "events_lateness": events_lateness_q,
         "emb_ann_recall": emb_ann_recall_q,
+        "emb_pq_recall": emb_pq_recall_q,
         "events_dwell": relational.events_dwell,
         "kg_assortativity": kg_assortativity_q,
         "code_import_hits": code_import_hits_q,
@@ -7505,6 +7529,25 @@ FROM rankedkb WHERE rn = 1
                CAST(ni.n_ivf AS BIGINT) AS n_ivf,
                CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common
         FROM nb JOIN ni USING (query_vec_id)
+        LEFT JOIN common c USING (query_vec_id)
+    """
+
+    # PQ recall composes the same way from the PQ-ADC mirror
+    out["emb_pq_recall"] = f"""
+        WITH brute AS ({out['ann_topk']}),
+        pq AS ({out['ann_pq_topk']}),
+        common AS (
+          SELECT b.query_vec_id, count(*) AS n_common
+          FROM brute b JOIN pq p
+            ON p.query_vec_id = b.query_vec_id AND p.vec_id = b.vec_id
+          GROUP BY 1
+        ),
+        nb AS (SELECT query_vec_id, count(*) AS n_brute FROM brute GROUP BY 1),
+        np AS (SELECT query_vec_id, count(*) AS n_pq FROM pq GROUP BY 1)
+        SELECT nb.query_vec_id, CAST(nb.n_brute AS BIGINT) AS n_brute,
+               CAST(np.n_pq AS BIGINT) AS n_pq,
+               CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common
+        FROM nb JOIN np USING (query_vec_id)
         LEFT JOIN common c USING (query_vec_id)
     """
 
