@@ -2530,6 +2530,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return k_hop_path_counts(seeds, edges, k=2)
 
+    def kg_hyperball_q(sf_dir):
+        # HyperBall neighborhood-function sketch: per-node HLL registers
+        # max-merged over 2 graph rounds; integer sufficient stats out
+        from mmgraphrag_ray.stages.graphalgo import hyperball_registers
+
+        nodes, edges = _build_graph_cached(sf_dir)
+        return hyperball_registers(nodes, edges, rounds=2)
+
     def kg_betweenness_q(sf_dir):
         # Brandes backward half on the same CLASS-seed BFS: fixed-point
         # ppm dependency accumulation over the hop-DAG (per-term floor,
@@ -2924,6 +2932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop": kg_two_hop,
         "kg_path_counts": kg_path_counts_q,
         "kg_betweenness": kg_betweenness_q,
+        "kg_hyperball": kg_hyperball_q,
         "token_postings": token_postings_q,
         "doc_tfidf_topk": doc_tfidf_topk_q,
         "doc_bm25_topk": doc_bm25_topk_q,
@@ -2975,6 +2984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cdc_ivm": relational.orders_cdc_ivm,
         "events_autocorr": relational.events_autocorr,
         "documents_schema_drift": relational.documents_schema_drift,
+        "user_event_unpivot": relational.user_event_unpivot,
         "orders_cdc_compact": relational.orders_cdc_compact,
         "dedup_minhash_cluster_sizes": dedup_minhash_cluster_sizes,
         "doc_range_partition_plan": doc_range_partition_plan_q,
@@ -3778,6 +3788,41 @@ l2 AS (SELECT c2.u, c2.sigma FROM c2
 SELECT u AS entity_name, CAST(0 AS BIGINT) AS hop, sigma FROM l0
 UNION ALL SELECT u, CAST(1 AS BIGINT), sigma FROM l1
 UNION ALL SELECT u, CAST(2 AS BIGINT), sigma FROM l2
+        """,
+        # hyperball_registers mirror: the events_hll_registers hash rule
+        # seeded per node, then 2 unrolled register-max merge rounds over
+        # the undirected edge set; integer sufficient stats out
+        "kg_hyperball": kg + merge + """,
+nodesu AS (SELECT DISTINCT entity_name AS u FROM nodes),
+eb AS (
+  SELECT src_id AS u, tgt_id AS v FROM edges
+  UNION SELECT tgt_id, src_id FROM edges
+),
+hh AS (
+  SELECT u, CAST(('0x' || substr(md5(u), 1, 16)) AS UBIGINT) AS hv
+  FROM nodesu
+),
+r0 AS (
+  SELECT u, CAST(hv % 64 AS BIGINT) AS register,
+         CAST(CASE WHEN hv // 64 = 0 THEN 59
+              ELSE 59 - length(bin(hv // 64)) END AS BIGINT) AS rho
+  FROM hh
+),
+r1 AS (
+  SELECT u, register, max(rho) AS rho FROM (
+    SELECT u, register, rho FROM r0
+    UNION ALL SELECT eb.u, r0.register, r0.rho FROM eb JOIN r0 ON r0.u = eb.v
+  ) GROUP BY 1, 2
+),
+r2 AS (
+  SELECT u, register, max(rho) AS rho FROM (
+    SELECT u, register, rho FROM r1
+    UNION ALL SELECT eb.u, r1.register, r1.rho FROM eb JOIN r1 ON r1.u = eb.v
+  ) GROUP BY 1, 2
+)
+SELECT u AS entity_name, CAST(count(*) AS BIGINT) AS n_registers,
+       CAST(sum(rho) AS BIGINT) AS sum_rho
+FROM r2 GROUP BY 1
         """,
         # betweenness_ppm mirror: same sigma rounds as kg_path_counts,
         # then the 2 unrolled backward rounds — per-term floored HUGEINT
@@ -6255,6 +6300,15 @@ FROM rankedkb WHERE rn = 1
                    CAST(round(o_totalprice * 100) AS BIGINT),
                    o_orderstatus
             FROM orders WHERE o_orderkey % 11 = 0
+        """,
+        # pivot-inverse check: the melted crosstab must equal the plain
+        # grouped count (sparse long form, known 5-category domain)
+        "user_event_unpivot": """
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events
+            WHERE event_type IN ('click', 'error', 'purchase',
+                                 'signup', 'view')
+            GROUP BY 1, 2
         """,
         # schema-drift union audit: v1 = even doc_ids (no source), v2 =
         # odd doc_ids (no lang); the Ray side reads two physically

@@ -4351,3 +4351,20 @@ def documents_schema_drift(sf_dir: str):
         aggs={"n_rows": ("one", "sum"), "null_lang": ("nl", "sum"),
               "null_source": ("ns", "sum"), "sum_len": ("ln", "sum")},
     )
+
+
+def user_event_unpivot(sf_dir: str):
+    """Round-trip reshape check: the wide per-user crosstab
+    (user_event_pivot) melted back to sparse long form — pivot ∘ unpivot
+    must equal the plain grouped count, which is exactly what the oracle
+    computes, so a green check proves the two reshapes are inverses.
+    -> Dataset(user_id, event_type, n) with n > 0."""
+    from ..stages.reshape import unpivot
+
+    cats = ["click", "error", "purchase", "signup", "view"]
+    wide = user_event_pivot(sf_dir)
+    return unpivot(
+        wide, keys=["user_id"], value_cols=[f"n_{c}" for c in cats],
+        var_col="event_type", val_col="n",
+        drop_zero=True, strip_prefix="n_",
+    )

@@ -2037,3 +2037,88 @@ def betweenness_ppm(seeds_ds, edges_ds, k: int = 2, scale: int = 1_000_000,
         }),
         batch_format="pandas",
     )
+
+
+def hyperball_registers(nodes_ds, edges_ds, rounds: int = 2,
+                        node_col: str = "entity_name",
+                        n_registers: int = 64):
+    """HyperBall (Boldi & Vigna 2013): per-node neighborhood-size SKETCH —
+    each node starts with the HyperLogLog registers of {itself} (the same
+    md5-derived register/rho rule as sketch.hll_registers, so the SQL
+    mirror is exact), and each round register-max-merges every neighbor's
+    sketch; after ``rounds`` rounds, node v's registers sketch its
+    <= rounds-hop ball.  The per-node output is the sketch's INTEGER
+    sufficient stats (n_registers set, sum of max-rho) — the float
+    harmonic HLL estimate is the consumer's one-liner, kept out of the
+    table so the value oracle stays bit-exact (same discipline as the
+    corr/OLS sufficient-stat ops).
+
+    Why a sketch when k_hop_distances is exact: the exact ball needs
+    per-node SETS (quadratic blow-up on dense graphs); HyperBall's state
+    is a constant 64 registers per node — THE neighborhood-function
+    algorithm at web scale.  Each round is one bucketed join (ship
+    registers over edges) + one grouped max — O(|E| · registers) rows
+    shuffled, driver state zero.
+
+    -> Dataset(node_col, n_registers, sum_rho).
+    """
+    import hashlib
+
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    def bidir(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "u": pd.concat([b["src_id"], b["tgt_id"]], ignore_index=True),
+                "v": pd.concat([b["tgt_id"], b["src_id"]], ignore_index=True),
+            }
+        )
+        return out.drop_duplicates()
+
+    edges_bi = edges_ds.map_batches(bidir, batch_format="pandas").materialize()
+
+    def seed(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"u": pd.Series(dtype=object),
+                                 "register": pd.Series(dtype="int64"),
+                                 "rho": pd.Series(dtype="int64")})
+        names = b[node_col].drop_duplicates()
+        regs, rhos = [], []
+        for name in names:
+            hv = int(hashlib.md5(str(name).encode()).hexdigest()[:16], 16)
+            rest = hv // n_registers
+            regs.append(hv % n_registers)
+            rhos.append(59 if rest == 0 else 59 - rest.bit_length())
+        return pd.DataFrame({"u": names.to_numpy(),
+                             "register": np.asarray(regs, dtype=np.int64),
+                             "rho": np.asarray(rhos, dtype=np.int64)})
+
+    regs = nodes_ds.map_batches(seed, batch_format="pandas").materialize()
+    for _ in range(rounds):
+        shipped = bucketed_join(regs, edges_bi, on="u").map_batches(
+            lambda b: pd.DataFrame({"u": b["v"], "register": b["register"],
+                                    "rho": b["rho"]}),
+            batch_format="pandas",
+        )
+        regs = bucketed_groupby_agg(
+            regs.union(shipped), keys=["u", "register"],
+            aggs={"rho": ("rho", "max")},
+        ).materialize()
+
+    def widen(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"u": pd.Series(dtype=object),
+                                 "one": pd.Series(dtype="int64"),
+                                 "rho": pd.Series(dtype="int64")})
+        return pd.DataFrame({"u": b["u"], "one": np.int64(1),
+                             "rho": b["rho"].astype("int64")})
+
+    out = bucketed_groupby_agg(
+        regs.map_batches(widen, batch_format="pandas"),
+        keys=["u"],
+        aggs={"n_registers": ("one", "sum"), "sum_rho": ("rho", "sum")},
+    )
+    return out.map_batches(
+        lambda b: b.rename(columns={"u": node_col}), batch_format="pandas"
+    )

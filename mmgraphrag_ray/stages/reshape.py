@@ -214,3 +214,31 @@ def cube_agg(
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def unpivot(ds, keys: list[str], value_cols: list[str],
+            var_col: str = "variable", val_col: str = "value",
+            drop_zero: bool = False, strip_prefix: str = ""):
+    """Wide -> long melt — the inverse of :func:`pivot_counts`, completing
+    the reshape pair: every input row explodes into one row per value
+    column ``(keys..., var_col = column name, val_col = cell)``.
+    ``strip_prefix`` trims a column-name prefix (e.g. the ``n_`` that
+    pivot_counts adds); ``drop_zero`` omits empty cells (sparse long
+    form).  Stateless vectorized map_batches — no shuffle, row count out
+    = rows x |value_cols| (minus zeros)."""
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            cols = {k: b[k] for k in keys}
+            cols[var_col] = pd.Series(dtype=object)
+            cols[val_col] = pd.Series(dtype="int64")
+            return pd.DataFrame(cols)
+        out = b.melt(id_vars=keys, value_vars=value_cols,
+                     var_name=var_col, value_name=val_col)
+        if strip_prefix:
+            out[var_col] = out[var_col].str.removeprefix(strip_prefix)
+        if drop_zero:
+            out = out[out[val_col] != 0]
+        return out.reset_index(drop=True)
+
+    return ds.map_batches(fn, batch_format="pandas")

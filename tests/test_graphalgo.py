@@ -354,3 +354,47 @@ def test_betweenness_ppm_path_chain():
     assert out.loc["b", "delta_ppm"] == 1_000_000
     assert out.loc["a", "delta_ppm"] == 2_000_000
     assert out.loc["c", "delta_ppm"] == 0
+
+
+def test_hyperball_monotone_and_star_merges_all():
+    import hashlib
+
+    from mmgraphrag_ray.stages.graphalgo import hyperball_registers
+
+    # star: hub h connected to a,b,c — after 1 round the hub holds the
+    # max-merge of all four singleton sketches; after 2 rounds the leaves
+    # do too (leaf -> hub -> leaf)
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "src_id": ["h", "h", "h"], "tgt_id": ["a", "b", "c"],
+    }))
+    nodes = ray.data.from_pandas(pd.DataFrame(
+        {"entity_name": ["h", "a", "b", "c"]}))
+
+    def singleton(name):
+        hv = int(hashlib.md5(name.encode()).hexdigest()[:16], 16)
+        rest = hv // 64
+        return (hv % 64, 59 if rest == 0 else 59 - rest.bit_length())
+
+    merged = {}
+    for n in ["h", "a", "b", "c"]:
+        reg, rho = singleton(n)
+        merged[reg] = max(merged.get(reg, -1), rho)
+
+    out2 = (
+        hyperball_registers(nodes, edges, rounds=2)
+        .to_pandas().set_index("entity_name")
+    )
+    # all four nodes see the full 2-hop ball = the whole star
+    for n in ["h", "a", "b", "c"]:
+        assert out2.loc[n, "n_registers"] == len(merged)
+        assert out2.loc[n, "sum_rho"] == sum(merged.values())
+
+    out1 = (
+        hyperball_registers(nodes, edges, rounds=1)
+        .to_pandas().set_index("entity_name")
+    )
+    # after 1 round the hub already holds everything; a leaf holds only
+    # its own + the hub's registers (monotone: never more than round 2)
+    assert out1.loc["h", "n_registers"] == len(merged)
+    for n in ["a", "b", "c"]:
+        assert out1.loc[n, "n_registers"] <= out2.loc[n, "n_registers"]
