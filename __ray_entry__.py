@@ -599,6 +599,84 @@ SELECT id, min(r) AS label FROM reach GROUP BY id
 """
 
 
+def _lsh_recall_sql(threshold: float = 0.8, max_df: int = 64) -> str:
+    """Mirror of stages/dedup.py lsh_recall_pairs: the union of the
+    df-capped exhaustive candidates (in_exact) and the MinHash-LSH band
+    candidates (in_lsh), exact-Jaccard verified at `threshold`."""
+    from mmgraphrag_ray.stages.dedup import _MERSENNE, _PERM_A, _PERM_B
+
+    perm_rows = ",\n    ".join(
+        f"({i}, {int(a)}::UBIGINT, {int(b)}::UBIGINT)"
+        for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    )
+    return f"""
+WITH perms(pidx, a, b) AS (VALUES
+    {perm_rows}
+),
+words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+),
+shing AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(list_slice(ws, s, s + 2), ' ') AS shingle
+    FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(s)
+    WHERE len(ws) >= 3
+    UNION ALL
+    SELECT doc_id, array_to_string(ws, ' ') FROM words WHERE len(ws) BETWEEN 1 AND 2
+  )
+),
+hashes AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT) AS h FROM shing
+),
+mh AS (
+  SELECT doc_id, pidx, min((a * h + b) % {_MERSENNE}) AS v
+  FROM hashes CROSS JOIN perms GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, pidx // 8 AS band_id,
+         substr(md5(string_agg(CAST(v AS VARCHAR), '-' ORDER BY pidx)), 1, 16) AS band_hash
+  FROM mh GROUP BY 1, 2
+),
+candl AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+),
+shx AS (SELECT doc_id, substr(md5(shingle), 1, 16) AS sh FROM shing),
+dfx AS (SELECT sh, count(DISTINCT doc_id) AS n FROM shx GROUP BY 1),
+candx AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM shx a
+  JOIN dfx ON dfx.sh = a.sh AND dfx.n <= {max_df}
+  JOIN shx b ON b.sh = a.sh AND a.doc_id < b.doc_id
+),
+cand AS (
+  SELECT id_a, id_b,
+         max(e) AS in_exact, max(l) AS in_lsh
+  FROM (
+    SELECT id_a, id_b, 1 AS e, 0 AS l FROM candx
+    UNION ALL SELECT id_a, id_b, 0, 1 FROM candl
+  ) GROUP BY 1, 2
+),
+counts AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN shing sa ON sa.doc_id = c.id_a
+  JOIN shing sb ON sb.doc_id = c.id_b AND sa.shingle = sb.shingle
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       CAST(c.in_exact AS BIGINT) AS in_exact,
+       CAST(c.in_lsh AS BIGINT) AS in_lsh
+FROM cand c
+JOIN counts ca ON ca.doc_id = c.id_a
+JOIN counts cb ON cb.doc_id = c.id_b
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+WHERE CAST(COALESCE(i.i, 0) AS DOUBLE) / (ca.n + cb.n - COALESCE(i.i, 0)) >= {threshold}
+"""
+
+
 def _minhash_cross_sql(threshold: float = 0.8) -> str:
     """Exact SQL mirror of stages/dedup.py minhash_cross_pairs with the
     query's side split (new = doc_id % 5 == 0): same md5 shingle hashes /
@@ -1048,6 +1126,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         return dedup_jaccard(docs, threshold=0.8)
+
+    def dedup_minhash_recall_q(sf_dir):
+        # LSH acceptance eval: exact-verified near-dup pairs from the
+        # exhaustive blocking vs the MinHash band candidates — in_lsh=0
+        # rows are banding false negatives
+        from mmgraphrag_ray.stages.dedup import lsh_recall_pairs
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return lsh_recall_pairs(docs, threshold=0.8)
 
     def doc_containment_q(sf_dir):
         # Broder containment (asymmetric |A∩B|/|A| in integer ppm): the
@@ -2897,6 +2986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_jaccard_documents": dedup_jaccard_documents,
         "doc_containment": doc_containment_q,
+        "dedup_minhash_recall": dedup_minhash_recall_q,
         "dedup_keep_best": dedup_keep_best_q,
         "dedup_simhash_documents": dedup_simhash_documents,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
@@ -4478,6 +4568,7 @@ FROM rankedkb WHERE rn = 1
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
         """,
         "dedup_simhash_documents": _simhash_pairs_sql(max_hamming=3),
+        "dedup_minhash_recall": _lsh_recall_sql(threshold=0.8),
         "distinct_lang_source": """
             SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY 1, 2
         """,

@@ -1349,3 +1349,79 @@ def containment_pairs(docs_ds, threshold_ppm: int = 800_000,
         return out
 
     return j2.map_batches(score, batch_format="pandas")
+
+
+def lsh_recall_pairs(docs_ds, threshold: float = 0.8,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     k: int = 3, max_df: int = JACCARD_MAX_DF):
+    """LSH acceptance eval: every pair that EXACT-Jaccard-verifies at
+    ``threshold`` under the df-capped exhaustive shared-shingle blocking
+    (the dedup_jaccard ground truth) or under MinHash-LSH banding, with
+    per-pair flags — ``in_lsh = 0`` rows are LSH FALSE NEGATIVES (banding
+    missed a true near-dup pair), the quantity every probabilistic-dedup
+    rollout has to measure before trusting the bands.  recall =
+    sum(in_lsh & in_exact) / sum(in_exact), computed downstream.
+
+    Ground-truth caveat (documented): the exhaustive path df-caps hot
+    shingles at ``max_df``, so a pair whose ONLY shared shingles are
+    hotter than the cap is outside the ground-truth universe on both
+    engines identically.
+
+    -> Dataset(id_a, id_b, in_exact, in_lsh); union of both verified
+    sets, one row per pair.
+    """
+    from .groupagg import bucketed_groupby_agg
+
+    docs_ds = docs_ds.materialize()
+    exact_cand = jaccard_candidate_pairs(docs_ds, id_col, text_col, k, max_df)
+    lsh_cand = minhash_candidate_pairs(docs_ds, id_col, text_col, k)
+
+    def tag(flag_exact: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            out = b[["id_a", "id_b"]].copy()
+            out["e"] = np.int64(flag_exact)
+            out["l"] = np.int64(1 - flag_exact)
+            return out
+        return fn
+
+    cand = bucketed_groupby_agg(
+        exact_cand.map_batches(tag(1), batch_format="pandas").union(
+            lsh_cand.map_batches(tag(0), batch_format="pandas")
+        ).map_batches(
+            lambda b: b.assign(_k=b["id_a"].astype(str) + "|"
+                               + b["id_b"].astype(str)),
+            batch_format="pandas",
+        ),
+        keys=["_k"],
+        aggs={"id_a": ("id_a", "min"), "id_b": ("id_b", "min"),
+              "e": ("e", "max"), "l": ("l", "max")},
+    ).materialize()
+
+    verified = verify_jaccard(
+        cand.map_batches(lambda b: b[["id_a", "id_b"]],
+                         batch_format="pandas").materialize(),
+        docs_ds, threshold, id_col, text_col, k,
+    ).map_batches(
+        lambda b: b[["id_a", "id_b"]].assign(ok=np.int64(1)),
+        batch_format="pandas",
+    )
+
+    from .join import bucketed_join
+
+    keyed_flags = cand.map_batches(
+        lambda b: pd.DataFrame({"_k": b["_k"], "in_exact": b["e"],
+                                "in_lsh": b["l"]}),
+        batch_format="pandas",
+    )
+    keyed_ver = verified.map_batches(
+        lambda b: pd.DataFrame({"_k": b["id_a"].astype(str) + "|"
+                                + b["id_b"].astype(str),
+                                "id_a": b["id_a"], "id_b": b["id_b"]}),
+        batch_format="pandas",
+    ).materialize()
+    out = bucketed_join(keyed_ver, keyed_flags, on="_k")
+    return out.map_batches(
+        lambda b: b[["id_a", "id_b", "in_exact", "in_lsh"]].astype(
+            {"in_exact": "int64", "in_lsh": "int64"}),
+        batch_format="pandas",
+    )

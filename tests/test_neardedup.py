@@ -219,3 +219,20 @@ def test_containment_catches_subset_jaccard_misses():
     assert row["cont_ab_ppm"] == 8 * 1_000_000 // 58
     # symmetric Jaccard would be 8/58 ~ 0.14 -> this is the case the
     # asymmetric measure exists for
+
+
+def test_lsh_recall_pairs_flags_and_union():
+    from mmgraphrag_ray.stages.dedup import lsh_recall_pairs
+
+    # two exact copies (caught by both paths) + one unrelated doc
+    t = " ".join(f"tok{i}" for i in range(30))
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [t, t, " ".join(f"zz{i}" for i in range(30))],
+    }))
+    out = lsh_recall_pairs(docs, threshold=0.8).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["id_a"], row["id_b"]) == (1, 2)
+    # an identical pair shares every shingle AND every band
+    assert row["in_exact"] == 1 and row["in_lsh"] == 1
