@@ -3075,6 +3075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_autocorr": relational.events_autocorr,
         "documents_schema_drift": relational.documents_schema_drift,
         "user_event_unpivot": relational.user_event_unpivot,
+        "events_late_arrivals": relational.events_late_arrivals,
         "orders_cdc_compact": relational.orders_cdc_compact,
         "dedup_minhash_cluster_sizes": dedup_minhash_cluster_sizes,
         "doc_range_partition_plan": doc_range_partition_plan_q,
@@ -6391,6 +6392,29 @@ FROM rankedkb WHERE rn = 1
                    CAST(round(o_totalprice * 100) AS BIGINT),
                    o_orderstatus
             FROM orders WHERE o_orderkey % 11 = 0
+        """,
+        # allowed-lateness accounting: late = event-time more than 10 min
+        # behind the user's watermark over strictly earlier ARRIVALS,
+        # arrival order = (md5(event_id), event_id) — the deterministic
+        # reordering that makes late counts non-vacuous on this corpus
+        "events_late_arrivals": """
+            WITH w AS (
+              SELECT event_type,
+                     CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, ts,
+                     max(ts) OVER (
+                       PARTITION BY user_id
+                       ORDER BY substr(md5(CAST(event_id AS VARCHAR)), 1, 8),
+                                event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS wm
+              FROM events
+            )
+            SELECT event_type, hour,
+                   CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(sum(CASE WHEN wm IS NOT NULL
+                             AND ts < wm - INTERVAL 10 MINUTE
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+            FROM w GROUP BY 1, 2
         """,
         # pivot-inverse check: the melted crosstab must equal the plain
         # grouped count (sparse long form, known 5-category domain)

@@ -4368,3 +4368,99 @@ def user_event_unpivot(sf_dir: str):
         var_col="event_type", val_col="n",
         drop_zero=True, strip_prefix="n_",
     )
+
+
+def events_late_arrivals(sf_dir: str, allowance_minutes: int = 10):
+    """Allowed-lateness window accounting (the Flink/Beam late-firing
+    semantics made batch-checkable): an event is LATE if its timestamp is
+    more than ``allowance_minutes`` behind its user's watermark at
+    arrival — watermark = max event-time over the user's STRICTLY EARLIER
+    arrivals; a user's first arrival is never late.  Per (event_type,
+    tumbling hour of event time): total events and how many arrived late
+    — the per-window late-update budget a streaming job must provision.
+
+    Arrival order = (md5(event_id), event_id): the synthetic corpus is
+    time-ordered per user (event_id follows ts), under which nothing is
+    ever late and the accounting path would verify vacuously — the keyed
+    md5 permutation models network reordering deterministically on both
+    engines, so late counts are non-zero and positively checked.
+
+    Ray shape: the sessionizer's partition-by-user bucketed groupby, one
+    vectorized per-user pass (sort by arrival, expanding max, shift), then
+    the combiner groupby to windows.  Exact integer microsecond compares.
+
+    -> Dataset(event_type, hour, n_total, n_late)."""
+    import zlib
+
+    import numpy as np
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    allow_us = allowance_minutes * 60 * 1_000_000
+    hour_us = 3600 * 1_000_000
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            out = b.copy()
+            out["_bucket"] = pd.Series(dtype="int32")
+            return out
+        out = b.copy()
+        out["_bucket"] = out["user_id"].map(
+            lambda u: zlib.crc32(str(int(u)).encode()) % 64
+        ).astype("int32")
+        return out
+
+    def flag_late(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype=object),
+                "hour_us": pd.Series(dtype="int64"),
+                "one": pd.Series(dtype="int64"),
+                "late": pd.Series(dtype="int64"),
+            })
+        import hashlib
+
+        frames = []
+        for _, g in bucket.groupby("user_id", sort=False):
+            g = g.assign(_arr=g["event_id"].map(
+                lambda e: hashlib.md5(str(int(e)).encode()).hexdigest()[:8]
+            )).sort_values(["_arr", "event_id"], kind="mergesort")
+            ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            wm = np.maximum.accumulate(ts)
+            # watermark at arrival i = max over arrivals < i
+            prev_wm = np.concatenate(([np.iinfo(np.int64).min], wm[:-1]))
+            late = (prev_wm != np.iinfo(np.int64).min) & (
+                ts < prev_wm - allow_us)
+            frames.append(pd.DataFrame({
+                "event_type": g["event_type"].to_numpy(),
+                "hour_us": (ts // hour_us) * hour_us,
+                "one": np.int64(1),
+                "late": late.astype(np.int64),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    flagged = (
+        ev.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(flag_late, batch_format="pandas")
+    )
+    agg = bucketed_groupby_agg(
+        flagged, keys=["event_type", "hour_us"],
+        aggs={"n_total": ("one", "sum"), "n_late": ("late", "sum")},
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype=object),
+                "hour": pd.Series(dtype="datetime64[us]"),
+                "n_total": pd.Series(dtype="int64"),
+                "n_late": pd.Series(dtype="int64"),
+            })
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "hour": pd.to_datetime(b["hour_us"].astype("int64"), unit="us"),
+            "n_total": b["n_total"].astype("int64"),
+            "n_late": b["n_late"].astype("int64"),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -136,3 +136,36 @@ def test_autocorr_skips_missing_days_and_sums_exact():
     row = out.iloc[0]
     assert row[["n", "sx", "sy", "sxx", "syy", "sxy"]].tolist() == \
         [1, 2, 3, 4, 9, 6]
+
+
+def test_late_arrivals_hand_computed_reordering():
+    import hashlib
+
+    from mmgraphrag_ray.pipelines.relational import events_late_arrivals
+
+    d = "/tmp/raykg_s14_late"
+    # one user, 4 events 30 min apart; arrival = md5(event_id) order.
+    # Recompute the expected late set with the same rule.
+    t0 = pd.Timestamp("2024-06-01 00:00:00")
+    ts = [t0 + pd.Timedelta(minutes=30 * i) for i in range(4)]
+    _write(d, "events", {
+        "event_id": pa.array(range(4), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([7] * 4, pa.int64()),
+        "event_type": pa.array(["x"] * 4, pa.string()),
+    })
+    order = sorted(range(4), key=lambda e: (
+        hashlib.md5(str(e).encode()).hexdigest()[:8], e))
+    wm = None
+    expected_late = set()
+    for e in order:
+        if wm is not None and ts[e] < wm - pd.Timedelta(minutes=10):
+            expected_late.add(e)
+        wm = ts[e] if wm is None else max(wm, ts[e])
+    out = events_late_arrivals(d).to_pandas()
+    assert out["n_total"].sum() == 4
+    assert out["n_late"].sum() == len(expected_late)
+    # the permutation must actually produce lateness on some corpus —
+    # guard against a vacuous identity ordering
+    if order != sorted(order):
+        assert len(expected_late) >= 1
