@@ -120,6 +120,12 @@ CASES = [
     "doc_containment",
     "documents_schema_drift",
     "ann_pq_topk",
+    "emb_pq_recall",
+    "user_event_unpivot",
+    "kg_hyperball",
+    "dedup_minhash_recall",
+    "events_late_arrivals",
+    "doc_select_maxcover",
 ]
 
 
