@@ -123,6 +123,9 @@ def _bench_main() -> None:
             "doc_bm25_topk",
             "q10_returned_items",
             "q21_waiting_supplier",
+            "dedup_minhash_recall",
+            "kg_hyperball",
+            "ann_pq_topk",
         ]:
             t0 = time.time()
             res = qs[name](sf_dir)
