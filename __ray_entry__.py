@@ -3076,6 +3076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_schema_drift": relational.documents_schema_drift,
         "user_event_unpivot": relational.user_event_unpivot,
         "events_late_arrivals": relational.events_late_arrivals,
+        "doc_tokenizer_fertility": relational.doc_tokenizer_fertility,
         "orders_cdc_compact": relational.orders_cdc_compact,
         "dedup_minhash_cluster_sizes": dedup_minhash_cluster_sizes,
         "doc_range_partition_plan": doc_range_partition_plan_q,
@@ -7756,6 +7757,19 @@ FROM rankedkb WHERE rn = 1
                    CAST(sum(dwc.c * syms.n_syms) AS BIGINT) AS n_tokens_bpe
             FROM dwc JOIN syms USING (w) GROUP BY 1
         """
+
+    # tokenizer fertility composes the encode mirror with the documents
+    # dimension: per-lang sums + tokens-per-word in integer ppm
+    out["doc_tokenizer_fertility"] = f"""
+        WITH enc AS ({out['doc_bpe_encode']})
+        SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(enc.n_words) AS BIGINT) AS n_words,
+               CAST(sum(enc.n_tokens_bpe) AS BIGINT) AS n_tokens_bpe,
+               CAST(sum(enc.n_tokens_bpe) * 1000000
+                    // sum(enc.n_words) AS BIGINT) AS fertility_ppm
+        FROM enc JOIN documents d USING (doc_id)
+        GROUP BY 1
+    """
 
     # MMR mirror: candidate CTE derived from the BM25 mirror (k bumped to
     # 20 textually so the scoring definitions cannot drift), pairwise

@@ -4464,3 +4464,63 @@ def events_late_arrivals(sf_dir: str, allowance_minutes: int = 10):
         })
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def doc_tokenizer_fertility(sf_dir: str):
+    """Tokenizer-eval fertility report: BPE tokens per word, per language
+    — THE acceptance metric for a trained tokenizer (a lang whose
+    fertility stays near 1e6 ppm compresses well; high fertility means
+    the merges were learned on someone else's distribution).  Composes
+    the trained-tokenizer application (bpe.bpe_encode_counts, 5 learned
+    merges) with the documents dimension: per lang, doc/word/BPE-token
+    sums and fertility_ppm = total_tokens · 1e6 // total_words.
+
+    Scale shape: encoding is bpe_encode_counts' documented one-vocab-join
+    plan; the lang stamp is ONE bucketed join on doc_id; the final fold
+    is |langs| rows.  -> Dataset(lang, n_docs, n_words, n_tokens_bpe,
+    fertility_ppm)."""
+    import numpy as np
+
+    from ..stages.bpe import bpe_encode_counts
+    from ..stages.join import bucketed_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    enc = bpe_encode_counts(docs, n_merges=5).materialize()
+    langs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    joined = bucketed_join(enc, langs, on="doc_id")
+
+    def widen(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({
+                "lang": pd.Series(dtype=object),
+                "one": pd.Series(dtype="int64"),
+                "w": pd.Series(dtype="int64"),
+                "t": pd.Series(dtype="int64"),
+            })
+        return pd.DataFrame({
+            "lang": b["lang"],
+            "one": np.int64(1),
+            "w": b["n_words"].astype("int64"),
+            "t": b["n_tokens_bpe"].astype("int64"),
+        })
+
+    agg = bucketed_groupby_agg(
+        joined.map_batches(widen, batch_format="pandas"),
+        keys=["lang"],
+        aggs={"n_docs": ("one", "sum"), "n_words": ("w", "sum"),
+              "n_tokens_bpe": ("t", "sum")},
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            out = b.copy()
+            out["fertility_ppm"] = pd.Series(dtype="int64")
+            return out
+        out = b.copy()
+        out["fertility_ppm"] = (
+            out["n_tokens_bpe"].astype("int64") * 1_000_000
+            // out["n_words"].astype("int64")
+        )
+        return out
+
+    return agg.map_batches(finish, batch_format="pandas")

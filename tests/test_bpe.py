@@ -124,3 +124,31 @@ def test_word_counts_combiner_exact():
         .to_dict()
     )
     assert wc["low"] == 4 and wc["new"] == 3 and wc["aa"] == 1
+
+
+def test_tokenizer_fertility_hand_computed(tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mmgraphrag_ray.pipelines.relational import doc_tokenizer_fertility
+
+    d = str(tmp_path)
+    # fertility floor: every word encodes to >= 1 token, so
+    # fertility_ppm >= 1e6; langs partition the doc set
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["ab ab ab cd", "ab cd cd", "xy"], pa.string()),
+        "lang": pa.array(["aa", "aa", "bb"], pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    out = doc_tokenizer_fertility(d).to_pandas().set_index("lang")
+    assert set(out.index) == {"aa", "bb"}
+    assert out.loc["aa", "n_docs"] == 2 and out.loc["bb", "n_docs"] == 1
+    assert out.loc["aa", "n_words"] == 7 and out.loc["bb", "n_words"] == 1
+    for lang in ("aa", "bb"):
+        assert out.loc[lang, "n_tokens_bpe"] >= out.loc[lang, "n_words"]
+        assert out.loc[lang, "fertility_ppm"] >= 1_000_000
+        assert out.loc[lang, "fertility_ppm"] == (
+            out.loc[lang, "n_tokens_bpe"] * 1_000_000
+            // out.loc[lang, "n_words"])
