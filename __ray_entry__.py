@@ -1138,6 +1138,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return lsh_recall_pairs(docs, threshold=0.8)
 
+    def code_unused_defs_q(sf_dir):
+        # dead-symbol scan: per repo, def names whose only call-shaped
+        # appearances are their own def lines (n_callsites == n_defs)
+        from mmgraphrag_ray.stages.codegraph import unused_defs
+
+        files = ray.data.read_parquet(_corpus(sf_dir),
+                                      columns=["repo", "content"])
+        return unused_defs(files)
+
     def doc_containment_q(sf_dir):
         # Broder containment (asymmetric |A∩B|/|A| in integer ppm): the
         # sub/superset near-dup detector Jaccard misses; same shingle
@@ -2987,6 +2996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard_documents": dedup_jaccard_documents,
         "doc_containment": doc_containment_q,
         "dedup_minhash_recall": dedup_minhash_recall_q,
+        "code_unused_defs": code_unused_defs_q,
         "dedup_keep_best": dedup_keep_best_q,
         "dedup_simhash_documents": dedup_simhash_documents,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
@@ -5835,6 +5845,37 @@ FROM rankedkb WHERE rn = 1
         """,
         # per-(repo, lang) API surface: def/class counts + distinct
         # def-name vocabulary (mirror of stages/codegraph.api_surface)
+        # unused_defs mirror: defs vs call-shaped occurrences per (repo,
+        # name); unused iff the counts are equal (each def line is itself
+        # a callsite match); first_unused = lexicographic min or ''
+        "code_unused_defs": f"""
+            WITH src AS (
+              SELECT repo, content FROM read_parquet('{corpus}/*.parquet')),
+            defs AS (
+              SELECT repo, unnest(regexp_extract_all(content,
+                '(?m)^[ \\t]*def[ \\t]+([A-Za-z_][A-Za-z0-9_]*)[ \\t]*\\(',
+                1)) AS name
+              FROM src),
+            dc AS (SELECT repo, name, count(*) AS n_def
+                   FROM defs GROUP BY 1, 2),
+            calls AS (
+              SELECT repo, unnest(regexp_extract_all(content,
+                '([A-Za-z_][A-Za-z0-9_]*)[ \\t]*\\(', 1)) AS name
+              FROM src),
+            cc AS (SELECT repo, name, count(*) AS n_call
+                   FROM calls GROUP BY 1, 2),
+            flag AS (
+              SELECT dc.repo, dc.name, dc.n_def,
+                     coalesce(cc.n_call, 0) AS n_call
+              FROM dc LEFT JOIN cc
+                ON cc.repo = dc.repo AND cc.name = dc.name)
+            SELECT repo, CAST(count(*) AS BIGINT) AS n_defs,
+                   CAST(sum(CASE WHEN n_call = n_def THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_unused,
+                   coalesce(min(CASE WHEN n_call = n_def THEN name END),
+                            '') AS first_unused
+            FROM flag GROUP BY 1
+        """,
         "code_api_surface": f"""
             WITH src AS (
               SELECT repo, lang, content

@@ -737,3 +737,92 @@ def vendored_files(files_ds, min_repos: int = 2):
         return strip_pd_metadata(out) if len(out) else out
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+DEF_RE = r"(?m)^[ \t]*def[ \t]+([A-Za-z_][A-Za-z0-9_]*)[ \t]*\("
+CALLSITE_RE = r"([A-Za-z_][A-Za-z0-9_]*)[ \t]*\("
+
+
+def unused_defs(files_ds, n_buckets: int = 64):
+    """Dead-symbol scan per repo — the static-analysis pipeline every
+    monorepo runs before a deletion sweep: a function is UNUSED when its
+    only call-shaped appearances (``name(``) in its repo are its own
+    ``def`` lines, i.e. n_callsites == n_defs (each def line is itself a
+    callsite match, so equality means zero references; a self-recursive
+    call counts as a reference by this rule, documented).
+
+    Ray shape: one vectorized extractall pass emits per-batch (repo,
+    name) def/callsite combiner counts; one bucketed grouped sum per
+    table; defs LEFT JOIN callsites inside the same bucketed join; the
+    final fold is per-repo.  -> Dataset(repo, n_defs, n_unused,
+    first_unused) with n_defs = distinct def names, first_unused = the
+    lexicographically smallest unused name ('' when none).
+    """
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    def counts(pattern: str, out_col: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"k": pd.Series(dtype=object),
+                                  out_col: pd.Series(dtype="int64")})
+            if len(b) == 0:
+                return empty
+            ex = b["content"].reset_index(drop=True).str.extractall(pattern)
+            if len(ex) == 0:
+                return empty
+            df = ex.reset_index()
+            df["repo"] = b["repo"].to_numpy()[df["level_0"].to_numpy()]
+            g = df.groupby(["repo", 0], sort=False).size()
+            out = g.reset_index(name=out_col)
+            out["k"] = out["repo"].astype(str) + "|" + out[0].astype(str)
+            return out[["k", out_col]]
+        return fn
+
+    defs = bucketed_groupby_agg(
+        files_ds.map_batches(counts(DEF_RE, "n_def"), batch_format="pandas"),
+        keys=["k"], aggs={"n_def": ("n_def", "sum")},
+    ).materialize()
+    calls = bucketed_groupby_agg(
+        files_ds.map_batches(counts(CALLSITE_RE, "n_call"),
+                             batch_format="pandas"),
+        keys=["k"], aggs={"n_call": ("n_call", "sum")},
+    ).materialize()
+    flagged = bucketed_join(defs, calls, on="k", how="left")
+
+    def widen(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({
+                "repo": pd.Series(dtype=object),
+                "one": pd.Series(dtype="int64"),
+                "unused": pd.Series(dtype="int64"),
+                "uname": pd.Series(dtype=object),
+            })
+        parts = b["k"].str.split("|", n=1, expand=True)
+        n_call = b["n_call"].fillna(0).astype("int64")
+        unused = (n_call == b["n_def"].astype("int64")).astype("int64")
+        return pd.DataFrame({
+            "repo": parts[0],
+            "one": np.int64(1),
+            "unused": unused,
+            # sentinel sorts after every identifier so min() lands on a
+            # real unused name whenever one exists
+            "uname": np.where(unused == 1, parts[1], "\x7f"),
+        })
+
+    agg = bucketed_groupby_agg(
+        flagged.map_batches(widen, batch_format="pandas"),
+        keys=["repo"],
+        aggs={"n_defs": ("one", "sum"), "n_unused": ("unused", "sum"),
+              "first_unused": ("uname", "min")},
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        out = b.copy()
+        out["first_unused"] = out["first_unused"].where(
+            out["n_unused"] > 0, "")
+        out.loc[out["first_unused"] == "\x7f", "first_unused"] = ""
+        return out
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -228,3 +228,26 @@ def test_vendored_files_split_invariant():
         )
 
     pd.testing.assert_frame_equal(run(1), run(5))
+
+
+def test_unused_defs_counts_and_self_recursion_is_a_use():
+    from mmgraphrag_ray.stages.codegraph import unused_defs
+
+    files = ray.data.from_pandas(pd.DataFrame({
+        "repo": ["r1", "r1", "r2"],
+        "content": [
+            # helper() used cross-file; dead() never called; rec() only
+            # calls itself -> a USE under the documented rule
+            "def helper(a):\n    return a\n\ndef dead(x):\n    return x\n",
+            "def main():\n    return helper(1)\n\ndef rec(n):\n    return rec(n - 1)\n",
+            "def lonely():\n    pass\n",
+        ],
+    }))
+    out = unused_defs(files).to_pandas().set_index("repo")
+    assert out.loc["r1", "n_defs"] == 4
+    # dead() is the only unused def in r1 (helper used, main... main is
+    # never called -> also unused!)  expected unused: dead, main
+    assert out.loc["r1", "n_unused"] == 2
+    assert out.loc["r1", "first_unused"] == "dead"
+    assert out.loc["r2", "n_defs"] == 1 and out.loc["r2", "n_unused"] == 1
+    assert out.loc["r2", "first_unused"] == "lonely"
