@@ -126,6 +126,8 @@ CASES = [
     "dedup_minhash_recall",
     "events_late_arrivals",
     "doc_select_maxcover",
+    "doc_tokenizer_fertility",
+    "code_unused_defs",
 ]
 
 
