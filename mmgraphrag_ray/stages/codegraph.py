@@ -739,8 +739,8 @@ def vendored_files(files_ds, min_repos: int = 2):
     return joined.map_batches(finish, batch_format="pandas")
 
 
-DEF_RE = r"(?m)^[ \t]*def[ \t]+([A-Za-z_][A-Za-z0-9_]*)[ \t]*\("
-CALLSITE_RE = r"([A-Za-z_][A-Za-z0-9_]*)[ \t]*\("
+UNUSED_DEF_RE = r"(?m)^[ \t]*def[ \t]+([A-Za-z_][A-Za-z0-9_]*)[ \t]*\("
+ANY_CALLSITE_RE = r"([A-Za-z_][A-Za-z0-9_]*)[ \t]*\("
 
 
 def unused_defs(files_ds, n_buckets: int = 64):
@@ -779,11 +779,12 @@ def unused_defs(files_ds, n_buckets: int = 64):
         return fn
 
     defs = bucketed_groupby_agg(
-        files_ds.map_batches(counts(DEF_RE, "n_def"), batch_format="pandas"),
+        files_ds.map_batches(counts(UNUSED_DEF_RE, "n_def"),
+                             batch_format="pandas"),
         keys=["k"], aggs={"n_def": ("n_def", "sum")},
     ).materialize()
     calls = bucketed_groupby_agg(
-        files_ds.map_batches(counts(CALLSITE_RE, "n_call"),
+        files_ds.map_batches(counts(ANY_CALLSITE_RE, "n_call"),
                              batch_format="pandas"),
         keys=["k"], aggs={"n_call": ("n_call", "sum")},
     ).materialize()
