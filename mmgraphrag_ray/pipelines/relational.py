@@ -4292,21 +4292,32 @@ def documents_schema_drift(sf_dir: str):
     import pyarrow.parquet as pq
 
     src = os.path.join(sf_dir, "documents.parquet")
-    tag = _hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # Cache tag covers the SOURCE CONTENT identity (path + mtime + size),
+    # so regenerating the corpus at the same path invalidates the cache;
+    # writes go through a tmp dir + atomic rename (lineage-checkpoint
+    # style) so concurrent runs can't observe a half-written generation.
+    st = os.stat(src)
+    tag = _hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
     root = f"/tmp/raykg_schema_drift/{tag}"
-    done = os.path.join(root, "_DONE")
-    if not os.path.exists(done):
-        os.makedirs(root, exist_ok=True)
+    if not os.path.isdir(root):
+        tmp = f"{root}.tmp.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
         t = pq.read_table(src, columns=["doc_id", "text", "lang",
                                         "source", "n_chars"])
         even = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
         v1 = t.filter(even).select(["doc_id", "text", "lang"])
         v2 = t.filter(pc.invert(even)).select(
             ["doc_id", "text", "source", "n_chars"])
-        pq.write_table(v1, os.path.join(root, "v1.parquet"))
-        pq.write_table(v2, os.path.join(root, "v2.parquet"))
-        with open(done, "w") as f:
-            f.write("ok")
+        pq.write_table(v1, os.path.join(tmp, "v1.parquet"))
+        pq.write_table(v2, os.path.join(tmp, "v2.parquet"))
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            # Another run won the rename race; its contents are identical.
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def align(gen: int):
         def fn(b: pd.DataFrame) -> pd.DataFrame:

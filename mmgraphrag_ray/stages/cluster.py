@@ -631,8 +631,12 @@ def pq_adc_topk(
             take = min(k, len(cand_ids))
             if take == 0:
                 continue
-            part = np.argpartition(cand_d, take - 1)[:take]
-            order = part[np.lexsort((cand_ids[part], cand_d[part]))]
+            # Tie-aware truncation: ADC distances tie structurally (co-cell
+            # vectors share codes), so the per-batch cut must honor the
+            # ascending-vec_id tie-break or the global top-k depends on the
+            # block layout. Full lexsort over the batch's candidates is cheap
+            # (batch-sized) and deterministic.
+            order = np.lexsort((cand_ids, cand_d))[:take]
             frames.append(pd.DataFrame({
                 "query_vec_id": np.full(take, q_ids[j], dtype=np.int64),
                 "vec_id": cand_ids[order],

@@ -1331,9 +1331,9 @@ def containment_pairs(docs_ds, threshold_ppm: int = 800_000,
         cols = ["id_a", "id_b", "n_common", "n_a", "n_b",
                 "cont_ab_ppm", "cont_ba_ppm"]
         if len(batch) == 0:
-            return pd.DataFrame({c: pd.Series(
-                dtype="int64" if c != "id_a" and c != "id_b" else object)
-                for c in cols})
+            # id_a/id_b are integer doc ids here; typing them int64 keeps
+            # empty blocks schema-identical to populated ones.
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
         rows = []
         for ia, ib, ta_, tb_ in zip(batch["id_a"], batch["id_b"],
                                     batch["text_a"], batch["text_b"]):

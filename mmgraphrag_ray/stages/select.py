@@ -391,8 +391,9 @@ def lm_quality_buckets(
         r["q"]: int(r["value"])
         for r in global_quantiles(scored, "mean_p", qs=[q_lo, q_hi]).take_all()
     }
-    lo = bounds[f"p{round(q_lo * 100)}"]
-    hi = bounds[f"p{round(q_hi * 100)}"]
+    # Same label format as global_quantiles (zero-padded): q=0.05 -> "p05".
+    lo = bounds[f"p{int(round(q_lo * 100)):02d}"]
+    hi = bounds[f"p{int(round(q_hi * 100)):02d}"]
 
     def classify(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:

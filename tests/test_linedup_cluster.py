@@ -401,3 +401,33 @@ def test_pq_adc_topk_self_excluded_and_ranks_dense():
         # ties broken by ascending vec_id within equal dist
         for _, grp in g.groupby("adc_dist"):
             assert grp["vec_id"].is_monotonic_increasing
+
+
+def test_pq_adc_topk_block_layout_invariant_under_ties():
+    """ADC distances tie structurally (co-cell vectors share codes); the
+    per-batch truncation must be tie-aware or the global top-k depends on
+    how Ray happens to split blocks.  Duplicated vectors force tie groups
+    straddling the top-k boundary; 1-block and 6-block layouts must agree
+    exactly."""
+    from mmgraphrag_ray.stages.cluster import pq_adc_topk
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 0.4, (4, 4)).astype(np.float32)
+    vecs = np.repeat(base, 6, axis=0)  # 24 vectors, 4 distinct -> heavy ties
+    df = pd.DataFrame({"vec_id": np.arange(24), "embedding": list(vecs)})
+
+    def run(nparts):
+        return (
+            pq_adc_topk(ray.data.from_pandas(df).repartition(nparts),
+                        n_queries=3, k=5, n_subspaces=2, n_clusters=4)
+            .to_pandas()
+            .sort_values(["query_vec_id", "rank"])
+            .reset_index(drop=True)
+        )
+
+    a, b = run(1), run(6)
+    pd.testing.assert_frame_equal(a, b)
+    # tie-break is ascending vec_id within equal dist
+    for _, g in a.groupby("query_vec_id"):
+        for _, grp in g.groupby("adc_dist"):
+            assert grp["vec_id"].is_monotonic_increasing
