@@ -34,6 +34,7 @@ are kept (the reference does not remove them).
 from __future__ import annotations
 
 import math
+import os
 import zlib
 
 import numpy as np
@@ -479,28 +480,31 @@ def enhance_unaligned_entities(
 
     Returns (new_nodes, new_edges, rewrite_table).  The `enhancer` is the
     LLM seam; the reference prompts it with nearby chunks — callers embed
-    that context in the closure."""
+    that context in the closure.
+
+    Scale shape (same dual plan as :func:`_alias_applier`): the alias table
+    grows with merge-rate x nodes and is unbounded at 100 TB, so BOTH
+    driver pulls here are bounded — the aligned-name anti-join broadcasts a
+    frozenset only while ``alias_ds.count() <= broadcast_limit`` and
+    otherwise runs as a distinct-names ``bucketed_join(how='left')`` +
+    null-marker filter; the rewrite-description apply broadcasts a dict
+    only while the rewrite table is under the limit and otherwise
+    left-joins ``new_description`` in by name."""
     import ray
 
     from ..config import DEFAULT_CONFIG
+    from .groupagg import bucketed_groupby_agg
 
     cfg = cfg or DEFAULT_CONFIG
-    alias_df = alias_ds.to_pandas() if hasattr(alias_ds, "to_pandas") else alias_ds
-    aligned = frozenset(alias_df["member_name"]) | frozenset(alias_df["canonical_name"])
-    aligned_ref = ray.put(aligned)
+    broadcast_limit = int(os.environ.get(
+        "RAYKG_ALIAS_BROADCAST_MAX", str(ALIAS_BROADCAST_LIMIT)))
+    if isinstance(alias_ds, pd.DataFrame):  # pandas convenience input
+        import ray.data as _rd
+        alias_ds = _rd.from_pandas(alias_ds)
+    alias_ds = alias_ds.materialize()
     types = frozenset(entity_types)
 
-    def rewrites(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            return pd.DataFrame(
-                {"member_name": pd.Series(dtype=str),
-                 "canonical_name": pd.Series(dtype=str),
-                 "new_description": pd.Series(dtype=str)}
-            )
-        al = ray.get(aligned_ref)
-        target = batch[
-            batch["entity_type"].isin(types) & ~batch["entity_name"].isin(al)
-        ]
+    def _enhance_batch(target: pd.DataFrame) -> pd.DataFrame:
         old, new, descs = [], [], []
         for name, desc in zip(target["entity_name"], target["description"]):
             out = enhancer(name, desc)
@@ -511,27 +515,114 @@ def enhance_unaligned_entities(
             new.append(new_name)
             descs.append(new_desc)
         return pd.DataFrame(
-            {"member_name": old, "canonical_name": new, "new_description": descs}
+            {"member_name": pd.Series(old, dtype=object),
+             "canonical_name": pd.Series(new, dtype=object),
+             "new_description": pd.Series(descs, dtype=object)}
         )
 
-    rewrite_tbl = nodes_ds.map_batches(rewrites, batch_format="pandas").materialize()
-    rw_df = rewrite_tbl.to_pandas()
-    if len(rw_df) == 0:
+    _EMPTY_RW = {"member_name": pd.Series(dtype=object),
+                 "canonical_name": pd.Series(dtype=object),
+                 "new_description": pd.Series(dtype=object)}
+
+    n_alias = alias_ds.count()
+    if n_alias <= broadcast_limit:
+        if n_alias == 0:
+            # empty-Dataset to_pandas() drops columns; the set is just empty
+            aligned_ref = ray.put(frozenset())
+        else:
+            alias_df = alias_ds.to_pandas()
+            aligned_ref = ray.put(
+                frozenset(alias_df["member_name"])
+                | frozenset(alias_df["canonical_name"])
+            )
+
+        def rewrites(batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:
+                return pd.DataFrame(_EMPTY_RW)
+            al = ray.get(aligned_ref)
+            return _enhance_batch(batch[
+                batch["entity_type"].isin(types)
+                & ~batch["entity_name"].isin(al)
+            ])
+
+        rewrite_tbl = (
+            nodes_ds.map_batches(rewrites, batch_format="pandas").materialize()
+        )
+    else:
+        # Distinct aligned names (member ∪ canonical) as a keyed marker
+        # table; unaligned nodes are the left-join rows with a null marker.
+        def _names(col):
+            def fn(b: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {"entity_name": b[col].astype(object)
+                     if len(b) else pd.Series(dtype=object)})
+            return fn
+
+        aligned_names = bucketed_groupby_agg(
+            alias_ds.map_batches(_names("member_name"), batch_format="pandas")
+            .union(alias_ds.map_batches(_names("canonical_name"),
+                                        batch_format="pandas")),
+            keys=["entity_name"],
+            aggs={"_aligned": (None, "count")},
+        )
+        probe = nodes_ds.map_batches(
+            lambda b: b[["entity_name", "entity_type", "description"]],
+            batch_format="pandas",
+        )
+        marked = bucketed_join(
+            probe, aligned_names, on="entity_name", how="left"
+        ).materialize()  # pin between join shuffles (>2-shuffle deadlock)
+
+        def rewrites_join(batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:
+                return pd.DataFrame(_EMPTY_RW)
+            return _enhance_batch(batch[
+                batch["entity_type"].isin(types) & batch["_aligned"].isna()
+            ])
+
+        rewrite_tbl = (
+            marked.map_batches(rewrites_join, batch_format="pandas")
+            .materialize()
+        )
+
+    n_rewrites = rewrite_tbl.count()
+    if n_rewrites == 0:
         return nodes_ds, edges_ds, rewrite_tbl
 
-    desc_ref = ray.put(dict(zip(rw_df["member_name"], rw_df["new_description"])))
+    if n_rewrites <= broadcast_limit:
+        rw_df = rewrite_tbl.to_pandas()
+        desc_ref = ray.put(
+            dict(zip(rw_df["member_name"], rw_df["new_description"])))
 
-    def apply_desc(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            return batch
-        dmap = ray.get(desc_ref)
-        out = batch.copy()
-        hit = out["entity_name"].isin(dmap)
-        if hit.any():
-            out.loc[hit, "description"] = out.loc[hit, "entity_name"].map(dmap)
-        return out
+        def apply_desc(batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:
+                return batch
+            dmap = ray.get(desc_ref)
+            out = batch.copy()
+            hit = out["entity_name"].isin(dmap)
+            if hit.any():
+                out.loc[hit, "description"] = out.loc[hit, "entity_name"].map(dmap)
+            return out
 
-    rewritten_nodes = nodes_ds.map_batches(apply_desc, batch_format="pandas")
+        rewritten_nodes = nodes_ds.map_batches(apply_desc, batch_format="pandas")
+    else:
+        desc_side = rewrite_tbl.map_batches(
+            lambda b: pd.DataFrame({
+                "entity_name": b["member_name"].astype(object)
+                if len(b) else pd.Series(dtype=object),
+                "_new_desc": b["new_description"].astype(object)
+                if len(b) else pd.Series(dtype=object)}),
+            batch_format="pandas",
+        )
+        rewritten_nodes = bucketed_join(
+            nodes_ds, desc_side, on="entity_name", how="left"
+        ).map_batches(
+            lambda b: b.assign(
+                description=b["_new_desc"].where(
+                    b["_new_desc"].notna(), b["description"])
+            ).drop(columns=["_new_desc"]),
+            batch_format="pandas",
+        ).materialize()  # pin ahead of contract_graph's shuffles
     new_nodes, new_edges = contract_graph(
         rewritten_nodes,
         edges_ds,

@@ -310,3 +310,65 @@ def test_chunk_window_partitioning_j2(ray_session):
     assert p['"A"'] == p['"B"'] == "d1#w0"
     # C is 8 chunks away -> different window
     assert p['"C"'] == "d1#w3"
+
+
+def test_enhance_unaligned_entities_plan_parity(ray_session, monkeypatch):
+    """The F6 dual plan: forcing the bucketed_join path (broadcast limit 0)
+    must produce row-identical nodes/edges/rewrites to the default
+    broadcast plan — the same parity contract _alias_applier carries."""
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.linking import enhance_unaligned_entities
+
+    nodes = pd.DataFrame(
+        {
+            "entity_name": ['"HELPER"', '"M1"', '"ALIGNED_X"', '"LONER"'],
+            "entity_type": ['"UNKNOWN"', '"MODULE"', '"UNKNOWN"', '"UNKNOWN"'],
+            "description": ['"calls helper."', '"Module m1."', '"x."', '"l."'],
+            "source_id": ["c1", "c1", "c2", "c4"],
+        }
+    )
+    edges = pd.DataFrame(
+        {
+            "src_id": ['"HELPER"', '"HELPER"', '"LONER"'],
+            "tgt_id": ['"M1"', '"M1"', '"M1"'],
+            "weight": [2.0, 2.0, 1.0],
+            "description": ['"call a."', '"call b."', '"l edge."'],
+            "source_id": ["c1", "c3", "c4"],
+            "order": [1, 1, 1],
+        }
+    )
+    alias = pd.DataFrame(
+        {"member_name": ['"ALIGNED_X"'], "canonical_name": ['"X"']}
+    )
+
+    def enhancer(name, desc):
+        return name.strip('"').join(['"', '_RESOLVED"']), f'"[enhanced] {desc}"'
+
+    def run():
+        n, e, rw = enhance_unaligned_entities(
+            ray.data.from_pandas(nodes),
+            ray.data.from_pandas(edges),
+            ray.data.from_pandas(alias),
+            enhancer,
+        )
+
+        def norm(ds, keys):
+            df = ds.to_pandas()
+            return (df[sorted(df.columns)]
+                    .sort_values(keys, kind="mergesort")
+                    .reset_index(drop=True))
+
+        return (norm(n, ["entity_name"]), norm(e, ["src_id", "tgt_id"]),
+                norm(rw, ["member_name"]))
+
+    nb, eb, rb = run()  # broadcast plan (default limit)
+    monkeypatch.setenv("RAYKG_ALIAS_BROADCAST_MAX", "0")
+    nj, ej, rj = run()  # join plan for both the anti-join and desc apply
+
+    pd.testing.assert_frame_equal(nb, nj)
+    pd.testing.assert_frame_equal(eb, ej)
+    pd.testing.assert_frame_equal(rb, rj)
+    assert '"HELPER_RESOLVED"' in set(nb.entity_name)
+    assert set(rb.member_name) == {'"HELPER"', '"LONER"'}
