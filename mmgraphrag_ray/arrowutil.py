@@ -98,3 +98,56 @@ def df_to_table_aligned(
             arrays.append(pa.nulls(n, type=t))
         fields.append(pa.field(c, t))
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
+COMPACT_ROWS = 65536
+COMPACT_MIN_BLOCKS = 16
+
+
+def compact_blocks(ds, target_rows: int | None = None):
+    """Consolidate a post-shuffle Dataset's many tiny blocks WITHOUT the
+    column-less empty padding a bare ``repartition(n)`` produces when n
+    exceeds the row count.  Those schema-less empties are skipped by
+    map_batches (a UDF can never repair them) and then poison downstream
+    pandas/Arrow concats inside hash shuffles — int64 columns float-promote
+    and, when a whole aggregate partition is empties, columns degrade to
+    Arrow ``null`` type, which ``pa.Table.join`` rejects outright.  They
+    also EXPLODE block counts across iterative shuffles (each map_groups
+    emits ~n_groups tiny blocks; ``target_num_rows_per_block`` only
+    SPLITS, never merges).
+
+    Returns a MATERIALIZED dataset coalesced to
+    ``clamp(rows/target_rows, COMPACT_MIN_BLOCKS, rows)`` blocks — k <=
+    rows guarantees every output block is populated, so no schema-less
+    padding.  Materializing here doubles as the between-shuffle pin this
+    Ray build needs (>2 chained hash shuffles deadlock)."""
+    import os
+
+    rows_per = target_rows or int(os.environ.get("RAYKG_COMPACT_ROWS",
+                                                 str(COMPACT_ROWS)))
+    m = ds.materialize()
+    n = m.count()
+    if n == 0:
+        return m
+    k = max(1, min(n, max(COMPACT_MIN_BLOCKS, n // rows_per)))
+    if m.num_blocks() > k:
+        m = m.repartition(k).materialize()
+    return m
+
+
+def sever_lineage(ds):
+    """Materialize and REBUILD the dataset from its block object refs,
+    discarding the logical plan.  ``materialize()`` alone keeps the full
+    upstream plan attached; in iterative rebinding loops
+    (``labels = f(labels)`` — connected components, HyperBall, PageRank,
+    BPE rounds) every round's plan embeds the previous round's plan once
+    per consumer branch, so driver-side plan handling grows
+    EXPONENTIALLY (~3x per round measured) and a 60-hop chain that
+    should take 8 x 0.5 s rounds instead stalls for minutes.
+    ``from_arrow_refs(m.to_arrow_refs())`` is zero-copy for Arrow blocks
+    (refs stay in the object store) and resets the plan to a flat read."""
+    import ray
+    import ray.data
+
+    m = ds.materialize()  # no-op-cheap when already materialized
+    return ray.data.from_arrow_refs(m.to_arrow_refs())

@@ -424,7 +424,10 @@ def connected_components(pairs_ds, all_ids_ds, id_col: str, max_iters: int = 25)
         return _cc_local_unionfind(pairs, labels)
 
     changed_total = None
-    for _ in range(max_iters):
+    import time as _time
+    _dbg = os.environ.get("RAYKG_CC_DEBUG") == "1"
+    for _it in range(max_iters):
+        _t0 = _time.time()
         # label of endpoint a
         la = bucketed_join(
             pairs.map_batches(
@@ -478,23 +481,76 @@ def connected_components(pairs_ds, all_ids_ds, id_col: str, max_iters: int = 25)
             out["changed"] = (new < old.reindex(new.index)).astype("int64")
             return out.reset_index(names="id")[["id", "label", "changed"]]
 
-        merged = (
+        from ..arrowutil import compact_blocks, sever_lineage
+
+        merged = compact_blocks(
             cur.union(proposals)
             .map_batches(add_bucket, batch_format="pandas")
             .groupby("_cbucket")
             .map_groups(merge_bucket, batch_format="pandas")
-            .repartition(8)
+        ).materialize()
+        _t1 = _time.time()
+        changed_edges = merged.sum("changed")
+        # sever: plain materialize keeps the whole upstream plan; in this
+        # labels = f(labels) loop that grows the plan ~3x per round
+        # (la/lab/cur branches each embed it) -> exponential driver stall
+        labels = sever_lineage(merged.drop_columns(["changed"]))
+        _t2 = _time.time()
+
+        # Pointer-jumping shortcut (label doubling): label(id) <-
+        # label(label(id)).  Every label value is itself an id (labels are
+        # min ids), so the self-join always matches; since label(x) <= x
+        # monotonically, the jump halves each id's distance to its
+        # component root — combined with the edge round above, a
+        # diameter-D component converges in O(log D) rounds, not O(D).
+        # Output types are PINNED to the original id Arrow type: the join's
+        # typed-null side + column-less repartition empties otherwise
+        # float-promote int64 ids in pandas batches, which would break the
+        # next round's crc32(str(id)) bucketing.
+        from ..arrowutil import dataset_arrow_types, df_to_table
+
+        id_t = dataset_arrow_types(labels)["id"]
+        left = labels.map_batches(
+            lambda b: b.rename(columns={"label": "ptr"}), batch_format="pandas"
+        )
+        right = labels.map_batches(
+            lambda b: b.rename(columns={"id": "ptr", "label": "label2"}),
+            batch_format="pandas",
+        )
+
+        def jump(b: pd.DataFrame, id_t=id_t):
+            import pyarrow as pa
+
+            if len(b) == 0 or "id" not in b.columns:
+                return pa.schema(
+                    [("id", id_t), ("label", id_t), ("changed", pa.int64())]
+                ).empty_table()
+            ptr = b["ptr"].to_numpy()
+            lbl = np.minimum(ptr, b["label2"].to_numpy())
+            return df_to_table(pd.DataFrame({
+                "id": b["id"].to_numpy(),
+                "label": lbl,
+                "changed": (lbl < ptr).astype("int64"),
+            }), id=id_t, label=id_t, changed=pa.int64())
+
+        jumped = (
+            bucketed_join(left, right, on="ptr")
+            .map_batches(jump, batch_format="pandas")
             .materialize()
         )
-        changed_total = merged.sum("changed")
-        labels = merged.drop_columns(["changed"]).materialize()
+        changed_total = int(changed_edges or 0) + int(jumped.sum("changed") or 0)
+        labels = sever_lineage(jumped.drop_columns(["changed"]))
+        if _dbg:
+            print(f"[cc] round {_it}: edges={_t1-_t0:.1f}s jump={_time.time()-_t2:.1f}s "
+                  f"changed={changed_total} nblocks={labels.num_blocks()}", flush=True)
         if not changed_total:
             break
     if changed_total:
-        logging.getLogger(__name__).warning(
-            "connected_components: not converged after %d rounds "
-            "(component diameter exceeds the iteration budget)", max_iters
-        )
+        msg = ("connected_components: not converged after %d rounds "
+               "(component diameter exceeds the iteration budget)" % max_iters)
+        if os.environ.get("RAYKG_CC_STRICT", "0") == "1":
+            raise RuntimeError(msg)
+        logging.getLogger(__name__).warning(msg)
     return labels
 
 

@@ -68,8 +68,9 @@ def bucketed_groupby_agg(
 
     partials = ds.map_batches(partial, batch_format="pandas")
     out = partials.groupby("_bucket").map_groups(final, batch_format="pandas")
-    # coalesce away schema-less empty blocks from empty hash partitions
-    return out.repartition(8)
+    # coalesce WITHOUT empty-block padding (see arrowutil.compact_blocks)
+    from ..arrowutil import compact_blocks
+    return compact_blocks(out)
 
 
 def _bin_index(v: "np.ndarray", lo: float, hi: float, n_bins: int) -> "np.ndarray":
@@ -608,11 +609,12 @@ def grouped_exact_rank(
             )
         return pd.concat(outs, ignore_index=True)
 
-    return (
+    from ..arrowutil import compact_blocks
+
+    return compact_blocks(
         rows.map_batches(add_bucket, batch_format="pandas")
         .groupby("_bucket")
         .map_groups(rank_cell, batch_format="pandas")
-        .repartition(8)
     )
 
 

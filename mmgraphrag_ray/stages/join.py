@@ -149,16 +149,29 @@ def bucketed_join(
         # corrupting downstream key hashing/rejoining)
         import pyarrow.compute as pc
 
+        def typed(tbl: "pa.Table", cols) -> "pa.Table":
+            # Ray's hash shuffle aggregates via pandas: the other side's
+            # typed-null int64 columns become NaN doubles, and a bucket
+            # holding ONLY one side degrades the absent side's columns to
+            # Arrow `null` type, which pa.Table.join rejects.  After the
+            # side filter every remaining value is the side's own (no
+            # NaNs), so casting back to the DECLARED input types is always
+            # safe — and keeps the join output schema stable (int64 ids
+            # stay int64, so downstream crc32(str(key)) bucketing agrees).
+            want = pa.schema([pa.field(c, types[c]) for c in cols])
+            return tbl if tbl.schema == want else tbl.cast(want)
+
         side = bucket.column("_side")
-        l = bucket.filter(pc.equal(side, "l")).select(left_cols)
-        r = bucket.filter(pc.equal(side, "r")).select(right_cols)
+        l = typed(bucket.filter(pc.equal(side, "l")).select(left_cols), left_cols)
+        r = typed(bucket.filter(pc.equal(side, "r")).select(right_cols), right_cols)
         joined = l.join(r, keys=on, join_type=_ARROW_HOW[how])
         return joined.select(out_cols)
 
-    return (
+    from ..arrowutil import compact_blocks
+
+    return compact_blocks(
         both.groupby("_jbucket")
         .map_groups(join_bucket, batch_format="pyarrow")
-        .repartition(16)
     )
 
 

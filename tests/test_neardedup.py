@@ -236,3 +236,23 @@ def test_lsh_recall_pairs_flags_and_union():
     assert (row["id_a"], row["id_b"]) == (1, 2)
     # an identical pair shares every shingle AND every band
     assert row["in_exact"] == 1 and row["in_lsh"] == 1
+
+
+def test_connected_components_pointer_jumping_long_chain(monkeypatch):
+    """Label doubling: a 60-doc chain (diameter 59) must converge in
+    O(log D) shuffle rounds, not O(D).  max_iters=8 with RAYKG_CC_STRICT=1
+    would raise on non-convergence, so passing proves the pointer-jumping
+    shortcut works; labels must equal the min id of the chain."""
+    monkeypatch.setenv("RAYKG_CC_LOCAL_MAX", "0")  # force the shuffle path
+    monkeypatch.setenv("RAYKG_CC_STRICT", "1")     # non-convergence -> raise
+    n = 60
+    pairs = pd.DataFrame({"id_a": list(range(1, n)),
+                          "id_b": list(range(2, n + 1))})
+    ids = pd.DataFrame({"doc_id": list(range(1, n + 1)) + [99]})
+    labels = connected_components(
+        ray.data.from_pandas(pairs), ray.data.from_pandas(ids), "doc_id",
+        max_iters=8,
+    ).to_pandas()
+    lab = dict(zip(labels["id"], labels["label"]))
+    assert all(lab[i] == 1 for i in range(1, n + 1))
+    assert lab[99] == 99
