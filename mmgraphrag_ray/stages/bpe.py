@@ -171,14 +171,18 @@ def bpe_learn(documents_ds, n_merges: int = 8, text_col: str = "text"):
 
         def apply_merge(batch: pd.DataFrame, pat=pat, l=left, r=right):
             out = batch.copy()
-            out["symbols"] = out["symbols"].map(
-                lambda s: pat.sub(l + r, s)
-            )
+            # vectorized: pandas dispatches the compiled regex sub at the
+            # C/str-accessor level instead of a Python lambda per row
+            out["symbols"] = out["symbols"].str.replace(pat, l + r, regex=True)
             return out
 
-        vocab = vocab.map_batches(
+        from ..arrowutil import sever_lineage
+
+        # sever: n_merges sequential rounds rebind vocab; carrying the
+        # full plan forward grows driver-side plan handling exponentially
+        vocab = sever_lineage(vocab.map_batches(
             apply_merge, batch_format="pandas"
-        ).materialize()
+        ))
 
     return merges, vocab
 

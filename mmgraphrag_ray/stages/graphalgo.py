@@ -20,6 +20,8 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from ..arrowutil import sever_lineage
+
 SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100
 N_BUCKETS = 64
@@ -99,7 +101,7 @@ def min_label_rounds(nodes_ds, edges_ds, rounds: int = 4,
             )
             return pd.DataFrame({"node": b["node"], "label": lab})
 
-        labels = joined.map_batches(take_min, batch_format="pandas").materialize()
+        labels = sever_lineage(joined.map_batches(take_min, batch_format="pandas"))
 
     return labels
 
@@ -327,7 +329,7 @@ def pagerank_int(nodes_ds, edges_ds, iterations: int = 3,
             s = b["s"].fillna(0).astype("int64")
             return pd.DataFrame({"node": b["node"], "r": teleport + s})
 
-        ranks = joined.map_batches(add_teleport, batch_format="pandas").materialize()
+        ranks = sever_lineage(joined.map_batches(add_teleport, batch_format="pandas"))
 
     return ranks
 
@@ -394,13 +396,14 @@ def k_hop_distances(seeds_ds, edges_ds, k: int = 2,
             lambda b: pd.DataFrame({"u": b["u"], "_seen": np.int64(1)}),
             batch_format="pandas",
         )
-        frontier = bucketed_join(cand, seen, on="u", how="left").map_batches(
-            lambda b: b[b["_seen"].isna()][["u", "hop"]],
-            batch_format="pandas",
-        ).materialize()
+        frontier = sever_lineage(
+            bucketed_join(cand, seen, on="u", how="left").map_batches(
+                lambda b: b[b["_seen"].isna()][["u", "hop"]],
+                batch_format="pandas",
+            ))
         if frontier.count() == 0:
             break
-        visited = visited.union(frontier).materialize()
+        visited = sever_lineage(visited.union(frontier))
 
     return visited.map_batches(
         lambda b: b.rename(columns={"u": node_col}), batch_format="pandas"
@@ -591,7 +594,8 @@ def k_core_peel(edges_ds, k: int = 2, rounds: int = 3,
         ).map_batches(
             lambda b: b.rename(columns={"u": "v", "_w": "u"})[["u", "v"]],
             batch_format="pandas",
-        ).materialize()
+        )
+        cur = sever_lineage(cur)
         if cur.count() == 0:
             # typed empty out: an empty edge Dataset has no schema to
             # carry through the grouped count's hash shuffle
@@ -1277,13 +1281,14 @@ def k_hop_path_counts(seeds_ds, edges_ds, k: int = 2,
             lambda b: pd.DataFrame({"u": b["u"], "_seen": np.int64(1)}),
             batch_format="pandas",
         )
-        frontier = bucketed_join(cand, seen, on="u", how="left").map_batches(
-            lambda b: b[b["_seen"].isna()][["u", "hop", "sigma"]],
-            batch_format="pandas",
-        ).materialize()
+        frontier = sever_lineage(
+            bucketed_join(cand, seen, on="u", how="left").map_batches(
+                lambda b: b[b["_seen"].isna()][["u", "hop", "sigma"]],
+                batch_format="pandas",
+            ))
         if frontier.count() == 0:
             break
-        visited = visited.union(frontier).materialize()
+        visited = sever_lineage(visited.union(frontier))
 
     return visited.map_batches(
         lambda b: b.rename(columns={"u": node_col}), batch_format="pandas"
@@ -1607,15 +1612,15 @@ def ktruss_edges(edges_ds, k: int = 3, rounds: int = 2,
         )
         joined = bucketed_join(keyed, support, on="ek", how="inner",
                                small_side="right")
-        out = joined.map_batches(
+        out = sever_lineage(joined.map_batches(
             lambda b: b[b["support"] >= min_support][["a", "b", "support"]],
             batch_format="pandas",
-        ).materialize()
+        ))
         if out.count() == 0:
             return _empty_out()
-        cur = out.map_batches(
+        cur = sever_lineage(out.map_batches(
             lambda b: b[["a", "b"]], batch_format="pandas"
-        ).materialize()
+        ))
     return out.map_batches(
         lambda b: b.assign(support=b["support"].astype("int64")),
         batch_format="pandas",
@@ -1723,7 +1728,7 @@ def ppr_int(nodes_ds, edges_ds, seeds_ds, iterations: int = 3,
                 "r": (seeded(b["node"], tel) + s).astype("int64"),
             })
 
-        ranks = joined.map_batches(step, batch_format="pandas").materialize()
+        ranks = sever_lineage(joined.map_batches(step, batch_format="pandas"))
 
     return ranks
 
@@ -2101,10 +2106,10 @@ def hyperball_registers(nodes_ds, edges_ds, rounds: int = 2,
                                     "rho": b["rho"]}),
             batch_format="pandas",
         )
-        regs = bucketed_groupby_agg(
+        regs = sever_lineage(bucketed_groupby_agg(
             regs.union(shipped), keys=["u", "register"],
             aggs={"rho": ("rho", "max")},
-        ).materialize()
+        ))
 
     def widen(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
