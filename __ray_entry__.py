@@ -1315,6 +1315,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return mfc(ray.data.from_arrow(synth_media_table(MEDIA_N)))
 
+    def media_wav_decode(sf_dir):
+        # REAL RIFF/WAVE decode (T4 upgrade): genuine container chunk walk
+        # + fmt unpack + PCM extraction over synthesized real WAV files
+        # (multimodal.py make_wav_payload; cross-checked against the stdlib
+        # `wave` module in tests).  The oracle reproduces every field AND
+        # the PCM md5 purely from the generator formulas, so a green check
+        # proves the decoder parsed the container rather than echoing
+        # stored metadata.
+        from mmgraphrag_ray.stages.multimodal import decode_wav_media, synth_wav_table
+
+        return decode_wav_media(ray.data.from_arrow(synth_wav_table(MEDIA_N)))
+
     def kg_mm_answer(sf_dir):
         # ORI_IMG multimodal answer path (reference query.py:414-469) with
         # deterministic model seams over a media KV derived from documents
@@ -3012,6 +3024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": media_frame_sample,
         "media_feature_vecs": media_feature_vecs,
         "media_feature_components": media_feature_components,
+        "media_wav_decode": media_wav_decode,
         "kg_query_context": kg_query_context,
         "kg_mm_answer": kg_mm_answer,
         "kg_node_degrees": kg_node_degrees,
@@ -4388,6 +4401,37 @@ FROM te GROUP BY 1, 2
         # 16 chained md5 digests; one hit per 8-byte stride window, window
         # hash = md5 of the window's lowercase hex (md5(BLOB) is unavailable,
         # so both sides hash the hex string), dim = h%64, sign = bit 16
+        # REAL WAV decode mirror: all fields and the PCM checksum derive
+        # from the generator formulas — v(j) = (id*31 + j*17) % 65536 as
+        # little-endian uint16, hashed as lowercase hex like every md5
+        # oracle in this module (DuckDB md5 is VARCHAR-only)
+        "media_wav_decode": """
+            WITH m AS (
+              SELECT i AS media_id,
+                     1 + i % 2 AS channels,
+                     CASE CAST(i % 3 AS INT) WHEN 0 THEN 8000
+                          WHEN 1 THEN 16000 ELSE 44100 END AS sample_rate,
+                     16 AS bits,
+                     (100 + i % 50) * (1 + i % 2) AS n_samples
+              FROM range(300) t(i)
+            ),
+            pcm AS (
+              SELECT m.media_id,
+                     string_agg(
+                       printf('%02x%02x',
+                              CAST(((m.media_id * 31 + j.j * 17) % 65536) % 256 AS INT),
+                              CAST(((m.media_id * 31 + j.j * 17) % 65536) // 256 AS INT)),
+                       '' ORDER BY j.j) AS hx
+              FROM m, range(300) j(j)
+              WHERE j.j < m.n_samples
+              GROUP BY m.media_id
+            )
+            SELECT m.media_id, m.channels, m.sample_rate, m.bits,
+                   m.n_samples,
+                   (m.n_samples // m.channels) * 1000 // m.sample_rate AS duration_ms,
+                   md5(p.hx) AS pcm_md5
+            FROM m JOIN pcm p USING (media_id)
+        """,
         "media_feature_components": """
             WITH m AS (
               SELECT i AS media_id,

@@ -66,9 +66,12 @@ def decode_payload(payload: bytes) -> dict:
     """STUB boundary: real image/audio decode is unavailable offline.
     Recognizes only the deterministic fake format; anything else raises
     NotImplementedError exactly where a PIL/ffmpeg call would go."""
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)  # REAL decode path (see below)
     if not payload.startswith(MAGIC):
         raise NotImplementedError(
-            "real media decoding (PIL/ffmpeg) is not available in this sandbox"
+            "real image/video decoding (PIL/ffmpeg) is not available in this "
+            "sandbox; WAV audio decodes for real via decode_wav"
         )
     kind = {b"i": "image", b"a": "audio", b"v": "video"}[payload[4:5]]
     width, height, n_frames = struct.unpack("<HHH", payload[5:11])
@@ -204,29 +207,30 @@ def sample_frames(media_ds, every_n: int = 4):
     return media_ds.map_batches(frames, batch_format="pyarrow", batch_size=32)
 
 
-def decode_media(media_ds, concurrency=(1, 4), batch_size: int = 32):
+def decode_media(media_ds, concurrency=None, batch_size: int = 32):
     return media_ds.map_batches(
-        MediaDecoder, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+        MediaDecoder, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or media_concurrency(),
     )
 
 
-def media_features(media_ds, concurrency=(1, 4), batch_size: int = 32):
+def media_features(media_ds, concurrency=None, batch_size: int = 32):
     return media_ds.map_batches(
         MediaFeatureExtractor,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or media_concurrency(),
     )
 
 
-def media_feature_components(media_ds, concurrency=(1, 4), batch_size: int = 32):
+def media_feature_components(media_ds, concurrency=None, batch_size: int = 32):
     """Exploded integer feature components (media_id, dim_idx, component) —
     the SQL-checkable view of media_features (oracle in __ray_entry__.py)."""
     return media_ds.map_batches(
         _MediaFeatureComponents,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or media_concurrency(),
     )
 
 
@@ -265,10 +269,139 @@ class MediaResizer:
         )
 
 
-def resize_media(media_ds, concurrency=(1, 4), batch_size: int = 32):
+def resize_media(media_ds, concurrency=None, batch_size: int = 32):
     """Resize as an actor-pool stage — small batches are load-bearing for
     real payloads (batch x concurrency must fit the worker heap)."""
     return media_ds.map_batches(
-        MediaResizer, concurrency=concurrency, batch_size=batch_size,
-        batch_format="pyarrow",
+        MediaResizer, concurrency=concurrency or media_concurrency(),
+        batch_size=batch_size, batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL WAV decode (T4 upgrade): the one media format a pure-stdlib sandbox
+# can decode for real.  Reference analog: img2graph.py:280-346 runs real
+# decoders on real payloads; here the RIFF/WAVE container parse, fmt-chunk
+# unpack and PCM extraction are genuine (a JUNK chunk is inserted between
+# fmt and data so fixed-offset "parsers" cannot fake it) — only JPEG/PNG
+# remain behind the NotImplementedError boundary above.
+# ---------------------------------------------------------------------------
+
+WAV_RATES = (8000, 16000, 44100)
+
+
+def make_wav_payload(media_id: int) -> bytes:
+    """Deterministic REAL RIFF/WAVE file: 16-bit PCM, channels = 1+(id%2),
+    rate = WAV_RATES[id%3], frames = 100+(id%50) whole frames (so
+    n_samples = frames*channels int16 samples) with wire value
+    v(j) = (id*31 + j*17) % 65536 (little-endian).  The SQL
+    oracle reproduces every field and the PCM md5 from these formulas, so
+    a green check proves the decoder actually parsed the container."""
+    rate = WAV_RATES[media_id % 3]
+    channels = 1 + media_id % 2
+    n_samples = (100 + media_id % 50) * channels
+    bits = 16
+    j = np.arange(n_samples, dtype=np.int64)
+    pcm = ((media_id * 31 + j * 17) % 65536).astype("<u2").tobytes()
+    block_align = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block_align,
+                      block_align, bits)
+    junk = b"deterministic-junk-chunk"  # forces a real chunk walk
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"JUNK" + struct.pack("<I", len(junk)) + junk
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def synth_wav_table(n: int) -> pa.Table:
+    """Synthetic REAL-WAV media corpus (audio-only)."""
+    return pa.table(
+        {
+            "media_id": pa.array(list(range(n)), pa.int64()),
+            "kind": pa.array(["audio"] * n, pa.string()),
+            "payload": pa.array([make_wav_payload(i) for i in range(n)],
+                                pa.binary()),
+            "meta": pa.array([json.dumps({"codec": "pcm_s16le"})] * n,
+                             pa.string()),
+        }
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Real RIFF/WAVE parse: chunk walk (fmt may appear anywhere before
+    data; unknown chunks are skipped with odd-size padding per the RIFF
+    spec), fmt unpack, PCM data extraction."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_body, data_body = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_body = body
+        elif cid == b"data":
+            data_body = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt_body is None or data_body is None:
+        raise ValueError("missing fmt/data chunk")
+    (audio_fmt, channels, rate, _byte_rate,
+     _block_align, bits) = struct.unpack("<HHIIHH", fmt_body[:16])
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError("only 16-bit PCM WAV is supported")
+    n_samples = len(data_body) // 2
+    frames = n_samples // channels
+    return {
+        "kind": "audio",
+        "channels": channels,
+        "sample_rate": rate,
+        "bits": bits,
+        "n_samples": n_samples,
+        "duration_ms": frames * 1000 // rate,
+        "pcm_md5": hashlib.md5(data_body.hex().encode()).hexdigest(),
+    }
+
+
+class WavDecoder:
+    """Actor-pool REAL-decode stage: WAV payload -> typed audio metadata +
+    PCM checksum columns."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {
+            "media_id": ([], pa.int64()), "channels": ([], pa.int64()),
+            "sample_rate": ([], pa.int64()), "bits": ([], pa.int64()),
+            "n_samples": ([], pa.int64()), "duration_ms": ([], pa.int64()),
+            "pcm_md5": ([], pa.string()),
+        }
+        if batch.num_rows:
+            for mid, p in zip(batch.column("media_id").to_pylist(),
+                              batch.column("payload").to_pylist()):
+                m = decode_wav(p)
+                cols["media_id"][0].append(mid)
+                for k in ("channels", "sample_rate", "bits", "n_samples",
+                          "duration_ms", "pcm_md5"):
+                    cols[k][0].append(m[k])
+        return pa.table({k: pa.array(v, t) for k, (v, t) in cols.items()})
+
+
+def media_concurrency() -> tuple:
+    """Actor-pool sizing for the media stages — cfg-driven instead of a
+    hard (1, 4) cap: (1, N) autoscaling tuple with N = RAYKG_MEDIA_ACTORS
+    or half the node's CPUs (decode is CPU-bound but payload-heavy, so
+    batch_size x N must fit the worker heap; the (1, N) lower bound keeps
+    the pool from starving upstream stages on small machines)."""
+    import os
+
+    n = int(os.environ.get("RAYKG_MEDIA_ACTORS", "0"))
+    if n <= 0:
+        n = max(4, (os.cpu_count() or 8) // 2)
+    return (1, n)
+
+
+def decode_wav_media(media_ds, concurrency=None, batch_size: int = 32):
+    return media_ds.map_batches(
+        WavDecoder, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or media_concurrency(),
     )
