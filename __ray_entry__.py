@@ -1049,6 +1049,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_alias_table(sf_dir):
         return _canonical(sf_dir)[2]
 
+    def kg_canonicalization_invariants(sf_dir):
+        # VALUE oracle for the two rows-only fusion outputs: the spectral+
+        # DBSCAN math is not SQL-expressible, but its STRUCTURAL contract
+        # is — every violation count below must be exactly 0, and the SQL
+        # mirror asserts those constants, so the driver sample can no
+        # longer silently regress kg_canonical_nodes / kg_alias_table.
+        #   members_not_in_nodes  — alias members ⊆ original node names
+        #   canonicals_not_in_nodes — canonicals are real nodes too
+        #   canonical_in_members  — a canonical never appears as a member
+        #   members_in_canonical  — members are contracted away
+        #   size_mismatch         — |canonical| = |nodes| − |distinct members|
+        import pandas as pd
+
+        from mmgraphrag_ray.stages.join import bucketed_join
+
+        nodes, _ = _build_graph_cached(sf_dir)
+        cnodes, _ce, alias, _cl = _canonical(sf_dir)
+        alias = alias.materialize()
+
+        def names_of(ds, col):
+            return ds.map_batches(
+                lambda b, c=col: pd.DataFrame(
+                    {"name": b[c].astype(object)} if len(b)
+                    else {"name": pd.Series(dtype=object)}),
+                batch_format="pandas",
+            )
+
+        def mark(ds, colname):
+            return ds.map_batches(
+                lambda b, c=colname: (
+                    b.assign(**{c: pd.Series([1] * len(b), dtype="int64",
+                                             index=b.index)})
+                    if len(b) else b.assign(**{c: pd.Series(dtype="int64")})),
+                batch_format="pandas",
+            )
+
+        def n_missing(probe, target_marked, marker):
+            j = bucketed_join(probe, target_marked, on="name", how="left")
+            return int(j.map_batches(
+                lambda b, m=marker: pd.DataFrame(
+                    {"miss": [int(b[m].isna().sum())]}),
+                batch_format="pandas",
+            ).sum("miss") or 0)
+
+        node_names = mark(names_of(nodes, "entity_name")
+                          .groupby("name").count()
+                          .drop_columns(["count()"]), "_in_nodes").materialize()
+        cnode_names = mark(names_of(cnodes, "entity_name")
+                           .groupby("name").count()
+                           .drop_columns(["count()"]), "_in_cn").materialize()
+        members = names_of(alias, "member_name").materialize()
+        canons = (names_of(alias, "canonical_name")
+                  .groupby("name").count().drop_columns(["count()"])
+                  .materialize())
+
+        members_not_in_nodes = n_missing(members, node_names, "_in_nodes")
+        canonicals_not_in_nodes = n_missing(canons, node_names, "_in_nodes")
+        # canonical ∩ member = rows of canons NOT missing from members set
+        member_marked = mark(
+            members.groupby("name").count().drop_columns(["count()"]),
+            "_in_m").materialize()
+        canonical_in_members = canons.count() - n_missing(
+            canons, member_marked, "_in_m")
+        members_in_canonical = members.count() - n_missing(
+            members, cnode_names, "_in_cn")
+        n_distinct_members = member_marked.count()
+        size_mismatch = abs(
+            cnodes.count() - (nodes.count() - n_distinct_members))
+
+        return pd.DataFrame({
+            "invariant": ["members_not_in_nodes", "canonicals_not_in_nodes",
+                          "canonical_in_members", "members_in_canonical",
+                          "size_mismatch"],
+            "violations": pd.Series(
+                [members_not_in_nodes, canonicals_not_in_nodes,
+                 canonical_in_members, members_in_canonical, size_mismatch],
+                dtype="int64"),
+        })
+
     def kg_entity_vecs(sf_dir):
         from mmgraphrag_ray.stages.embed import build_entity_vecs
 
@@ -3001,6 +3080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": kg_edges,
         "kg_canonical_nodes": kg_canonical_nodes,
         "kg_alias_table": kg_alias_table,
+        "kg_canonicalization_invariants": kg_canonicalization_invariants,
         "kg_entity_vecs": kg_entity_vecs,
         "kg_entity_vec_components": kg_entity_vec_components,
         "dedup_exact_documents": dedup_exact_documents,
@@ -4405,6 +4485,14 @@ FROM te GROUP BY 1, 2
         # from the generator formulas — v(j) = (id*31 + j*17) % 65536 as
         # little-endian uint16, hashed as lowercase hex like every md5
         # oracle in this module (DuckDB md5 is VARCHAR-only)
+        # structural contract of canonicalization (see the query docstring):
+        # every violation count is exactly 0 by construction
+        "kg_canonicalization_invariants": """
+            SELECT invariant, CAST(0 AS BIGINT) AS violations
+            FROM (VALUES ('members_not_in_nodes'), ('canonicals_not_in_nodes'),
+                         ('canonical_in_members'), ('members_in_canonical'),
+                         ('size_mismatch')) t(invariant)
+        """,
         "media_wav_decode": """
             WITH m AS (
               SELECT i AS media_id,
