@@ -130,7 +130,10 @@ def compact_blocks(ds, target_rows: int | None = None):
     if n == 0:
         return m
     k = max(1, min(n, max(COMPACT_MIN_BLOCKS, n // rows_per)))
-    if m.num_blocks() > k:
+    if m.num_blocks() != k:
+        # always redistribute when counts differ: a hash shuffle's empty
+        # aggregate partitions are column-less even when the block count is
+        # already small, and only a row-balanced repartition removes them
         m = m.repartition(k).materialize()
     return m
 

@@ -60,6 +60,7 @@ def configure(num_cpus: int | None = None, force: bool = False) -> None:
     )
     _patch_hash_shuffle_schema_broadcast()
     _patch_aggregator_sort_tolerance()
+    _patch_empty_schema_symmetry()
 
 
 class _SortTolerantAggFactory:
@@ -224,3 +225,50 @@ def pin_dataset(ds, name: str):
     shutil.rmtree(path, ignore_errors=True)
     os.rename(tmp, path)
     return ray.data.read_parquet(path)
+
+
+def _patch_empty_schema_symmetry() -> None:
+    """Ray's executor skips the schema-divergence warning when the OLD
+    schema is empty but warns when the NEW bundle's schema is empty
+    (streaming_executor_state.dedupe_schemas_with_validation) — yet a
+    zero-column empty block, which a hash-shuffle aggregator finalizes for
+    any partition that received no shards, carries no schema information
+    at all.  Treat the two directions symmetrically: keep the old schema
+    and stay quiet.  This removes the cosmetic "new schema: ." warning
+    tail without masking REAL schema divergences (non-empty vs non-empty
+    still warns)."""
+    try:
+        from ray.data._internal.execution import (
+            streaming_executor_state as _ses,
+        )
+        from ray.data._internal.execution.interfaces.ref_bundle import (
+            RefBundle,
+        )
+        from ray.data.block import _is_empty_schema
+    except Exception:  # noqa: BLE001 — future Ray versions: patch not needed
+        return
+    if getattr(_ses, "_raykg_empty_schema_patch", False):
+        return
+    orig = _ses.dedupe_schemas_with_validation
+
+    def patched(old_schema, bundle, warn=True, enforce_schemas=False):
+        if (
+            not _is_empty_schema(old_schema)
+            and _is_empty_schema(bundle.schema)
+        ):
+            return (
+                RefBundle(
+                    bundle.blocks,
+                    schema=old_schema,
+                    owns_blocks=bundle.owns_blocks,
+                    output_split_idx=bundle.output_split_idx,
+                    _cached_object_meta=bundle._cached_object_meta,
+                    _cached_preferred_locations=bundle._cached_preferred_locations,
+                ),
+                False,
+            )
+        return orig(old_schema, bundle, warn=warn,
+                    enforce_schemas=enforce_schemas)
+
+    _ses.dedupe_schemas_with_validation = patched
+    _ses._raykg_empty_schema_patch = True

@@ -332,9 +332,15 @@ def verify_jaccard(pairs_ds, docs_ds, threshold: float,
     score."""
     j2 = _pairs_with_texts(pairs_ds, docs_ds, id_col, text_col)
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
+    def score(batch: pd.DataFrame):
+        from ..arrowutil import df_to_table, strip_pd_metadata
+
         if len(batch) == 0:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+            # typed Arrow empty: id dtypes follow the (empty) joined block
+            # (df_to_table maps empty object columns to string, never null)
+            return df_to_table(
+                batch[["id_a", "id_b"]].assign(
+                    jaccard=pd.Series(dtype="float64")))
         jac = []
         for ta_, tb_ in zip(batch["text_a"], batch["text_b"]):
             sa, sb = shingle_set(ta_, k), shingle_set(tb_, k)
@@ -342,12 +348,9 @@ def verify_jaccard(pairs_ds, docs_ds, threshold: float,
             jac.append(len(sa & sb) / denom if denom else 0.0)
         out = batch[["id_a", "id_b"]].copy()
         out["jaccard"] = jac
-        return out
+        return strip_pd_metadata(out[out["jaccard"] >= threshold])
 
-    scored = j2.map_batches(score, batch_format="pandas")
-    return scored.map_batches(
-        lambda b: b[b["jaccard"] >= threshold], batch_format="pandas"
-    )
+    return j2.map_batches(score, batch_format="pandas")
 
 
 def _cc_local_unionfind(pairs, labels):
@@ -846,10 +849,12 @@ def line_dup_set(files_ds, text_col: str, min_files: int,
         )
         return df_to_table(cnt, nf=pa.int64(), _bucket=pa.int32())
 
-    def bucket_dups(bucket: pd.DataFrame) -> pd.DataFrame:
+    def bucket_dups(bucket: pd.DataFrame):
+        import pyarrow as pa
+
         tot = bucket.groupby("line", sort=False)["nf"].sum()
         dup = tot[tot > min_files]
-        return pd.DataFrame({"line": dup.index.to_numpy(dtype=object)})
+        return pa.table({"line": pa.array(dup.index.tolist(), pa.string())})
 
     return (
         files_ds.map_batches(line_partials, batch_format="pandas")

@@ -183,21 +183,23 @@ def _triangle_rows(edges_ds,
         )
         return strip_pd_metadata(out) if len(out) else out
 
-    def wedges(bucket: pd.DataFrame) -> pd.DataFrame:
+    def wedges(bucket: pd.DataFrame):
+        import pyarrow as pa
+
         rows = []
         for u, g in bucket.groupby("src", sort=False):
             nb = sorted(zip(g["dkey"], g["dst"]))  # orientation-key order
             for i in range(len(nb)):
                 for j in range(i + 1, len(nb)):
                     rows.append((u, nb[i][1], nb[j][1]))
-        if not rows:  # typed empty: keeps every block's schema identical
-            return pd.DataFrame(
-                {c: pd.Series(dtype="string")
-                 for c in ("w_u", "w_v", "w_w", "vw")}
-            )
+        cols = ("w_u", "w_v", "w_w", "vw")
+        if not rows:  # typed Arrow empty: no pandas size-estimator trip
+            return pa.schema([(c, pa.string()) for c in cols]).empty_table()
         out = pd.DataFrame(rows, columns=["w_u", "w_v", "w_w"])
         out["vw"] = out["w_v"].astype(str) + "\x1f" + out["w_w"].astype(str)
-        return out
+        from ..arrowutil import df_to_table
+
+        return df_to_table(out)
 
     wedge_ds = (
         oriented.map_batches(add_src_bucket, batch_format="pandas")
@@ -1523,8 +1525,10 @@ def typed_wedge_census(nodes_ds, edges_ds,
         aggs={"n_wedges": ("w", "sum")},
         n_buckets=n_buckets,
     )
+    from ..arrowutil import df_to_table
+
     return out.map_batches(
-        lambda b: b[b["n_wedges"] > 0], batch_format="pandas"
+        lambda b: df_to_table(b[b["n_wedges"] > 0]), batch_format="pandas"
     )
 
 
