@@ -2,6 +2,9 @@
 correctness gate (row count + schema + order-insensitive values).
 
 Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+
+Set RAYKG_ORACLES_JSON=<path> to also write a per-query JSON tally
+(status + row count), e.g. the committed ORACLES_FULL.json artifact.
 """
 
 import os
@@ -52,6 +55,7 @@ def main():
         )
 
     failures = []
+    tally = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -60,6 +64,7 @@ def main():
             ours = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
             if name not in oracles:
                 print(f"{name:24s} rows-only: {len(ours)} rows  (no oracle)")
+                tally[name] = {"status": "rows_only", "rows": int(len(ours))}
                 continue
             sql = oracles[name]
             # oracle strings are written against sf0.01; for other sfs swap
@@ -85,13 +90,30 @@ def main():
             if status:
                 failures.append(name)
                 print(f"{name:24s} FAIL  {'; '.join(status)}")
+                tally[name] = {"status": "fail", "detail": "; ".join(status)}
             else:
                 print(f"{name:24s} OK    {len(a)} rows x {len(a.columns)} cols")
+                tally[name] = {"status": "ok", "rows": int(len(a))}
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"{name:24s} ERROR {type(e).__name__}: {str(e)[:200]}")
+            tally[name] = {"status": "error",
+                           "detail": f"{type(e).__name__}: {str(e)[:200]}"}
 
     ray.shutdown()
+    out_json = os.environ.get("RAYKG_ORACLES_JSON")
+    if out_json:
+        import json
+
+        ok = sum(1 for v in tally.values() if v["status"] == "ok")
+        rows_only = sum(1 for v in tally.values() if v["status"] == "rows_only")
+        with open(out_json, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(tally),
+                       "n_ok": ok, "n_rows_only": rows_only,
+                       "n_failed": len(failures), "failed": sorted(failures),
+                       "queries": tally}, f, indent=1, sort_keys=True)
+        print(f"wrote {out_json}: {ok} ok / {rows_only} rows-only / "
+              f"{len(failures)} failed of {len(tally)}")
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
