@@ -126,15 +126,23 @@ def compact_blocks(ds, target_rows: int | None = None):
     rows_per = target_rows or int(os.environ.get("RAYKG_COMPACT_ROWS",
                                                  str(COMPACT_ROWS)))
     m = ds.materialize()
-    n = m.count()
+    try:
+        per_block = m._block_num_rows()
+        n = sum(per_block)
+        has_empty = any(r == 0 for r in per_block)
+    except Exception:  # noqa: BLE001 — internal API; fall back to count()
+        n = m.count()
+        has_empty = True
     if n == 0:
         return m
     k = max(1, min(n, max(COMPACT_MIN_BLOCKS, n // rows_per)))
-    if m.num_blocks() != k:
-        # always redistribute when counts differ: a hash shuffle's empty
-        # aggregate partitions are column-less even when the block count is
-        # already small, and only a row-balanced repartition removes them
-        m = m.repartition(k).materialize()
+    # redistribute when over-sharded OR any block is empty: a hash
+    # shuffle's empty aggregate partitions are column-less even when the
+    # block count is small, and only a row-balanced repartition removes
+    # them; when blocks are already few and all populated, skip the
+    # extra all-to-all entirely
+    if m.num_blocks() > k or has_empty:
+        m = m.repartition(min(k, m.num_blocks())).materialize()
     return m
 
 

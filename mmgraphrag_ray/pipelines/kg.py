@@ -70,9 +70,13 @@ def build_graph(
     # fused single-shuffle node+edge merge over the UNIFIED mentions table
     # (one scan computes both partials); outputs are pinned (each is
     # consumed twice: backfill + sink). The write path (state/lineage.py)
-    # checkpoints them to parquet instead.
-    nodes, edges = merge_graph(cfg=cfg, mentions_ds=mentions_ds)
-    nodes = backfill_unknown_nodes(nodes, edges)
+    # checkpoints them to parquet instead.  backfill_candidates=True
+    # threads the UNKNOWN-endpoint anti-join through the SAME shuffle, so
+    # the backfill phase is payload-fetch only (one map over the edges).
+    nodes, edges, winners = merge_graph(
+        cfg=cfg, mentions_ds=mentions_ds, backfill_candidates=True
+    )
+    nodes = backfill_unknown_nodes(nodes, edges, winners_ds=winners)
     return nodes, finalize_edges(edges)
 
 

@@ -422,7 +422,8 @@ def merge_edges(rel_mentions_ds, cfg=None, buckets=None, emit_bucket_col=False):
 # ------------------------------------------------- fused node+edge merge
 
 
-def merge_graph(entity_mentions_ds=None, rel_mentions_ds=None, cfg=None, mentions_ds=None):
+def merge_graph(entity_mentions_ds=None, rel_mentions_ds=None, cfg=None,
+                mentions_ds=None, backfill_candidates: bool = False):
     """Node AND edge merges through ONE shuffle: partial rows from both
     tables share a unified tall schema and a routing bucket
     crc32(table+key) % N; one groupby(bucket) runs both vectorized finals.
@@ -434,8 +435,17 @@ def merge_graph(entity_mentions_ds=None, rel_mentions_ds=None, cfg=None, mention
     ONE scan per batch (one task pool instead of two filtered re-scans of
     the mentions table — measured ~2-3 s at sf0.1/32 CPUs).
 
-    Returns (nodes_ds, edges_ds) — lazy projections over the ONE
-    materialized fused table (multiple consumers re-map, never re-shuffle)."""
+    ``backfill_candidates=True`` (unified path only) additionally threads
+    the UNKNOWN-backfill WINNER SELECTION through the SAME shuffle: each
+    rel batch emits per-batch-min key-only candidate rows (table='c',
+    key=endpoint, value=src+US+tgt) bucketed by the NODE bucket function,
+    so a candidate meets every node partial of its name in one group and
+    the anti-join (reference text2graph.py:258-268) costs ZERO extra
+    shuffle ops — backfill_unknown_nodes then only fetches payloads.
+
+    Returns (nodes_ds, edges_ds[, winners_ds]) — lazy projections over the
+    ONE materialized fused table (multiple consumers re-map, never
+    re-shuffle)."""
     from ..config import DEFAULT_CONFIG
 
     cfg = cfg or DEFAULT_CONFIG
@@ -504,6 +514,25 @@ def merge_graph(entity_mentions_ds=None, rel_mentions_ds=None, cfg=None, mention
             f = _edge_uni_frame(rel)
             if f is not None:
                 parts.append(f)
+            if backfill_candidates:
+                # per-batch combiner: one candidate row per endpoint name,
+                # min (src, tgt) tie-break packed as src+US+tgt (US=0x1f
+                # sorts below every name char, so string min == tuple min)
+                packed = rel["src_id"] + "\x1f" + rel["tgt_id"]
+                cand = pd.DataFrame({
+                    "key": pd.concat([rel["src_id"], rel["tgt_id"]],
+                                     ignore_index=True),
+                    "value": pd.concat([packed, packed], ignore_index=True),
+                })
+                cand = cand.sort_values(["key", "value"], kind="mergesort")
+                cand = cand.drop_duplicates(subset=["key"], keep="first")
+                cf = pd.DataFrame({
+                    "table": "c", "key": cand["key"], "kind": "cand",
+                    "value": cand["value"], "n": 0, "wsum": 0.0, "omin": 0,
+                })
+                # NODE bucket function: candidates must meet the node rows
+                cf["bucket"] = _bucket_of("n" + cf["key"])
+                parts.append(cf)
         if not parts:
             return _empty_uni()
         return _partials_to_arrow(pd.concat(parts, ignore_index=True))
@@ -550,6 +579,25 @@ def merge_graph(entity_mentions_ds=None, rel_mentions_ds=None, cfg=None, mention
                 gate,
             )
             parts.append(_pad(ef, "e"))
+        crows = bucket.filter(pc.equal(tcol, "c"))
+        if crows.num_rows:
+            # backfill winner selection IN the merge shuffle: min packed
+            # (src,tgt) per endpoint, anti-joined against this bucket's
+            # node names (complete: both sides bucket on crc32('n'+name))
+            ct = (crows.select(["key", "value"]).group_by("key")
+                  .aggregate([("value", "min")]))
+            if nrows.num_rows:
+                ct = ct.filter(pc.invert(pc.is_in(
+                    ct.column("key"),
+                    value_set=pc.unique(nrows.column("key")))))
+            if ct.num_rows:
+                pairs = [v.split("\x1f", 1) for v in ct.column("value_min").to_pylist()]
+                w = pa.table({
+                    "entity_name": ct.column("key"),
+                    "src_id": pa.array([p[0] for p in pairs], pa.string()),
+                    "tgt_id": pa.array([p[1] for p in pairs], pa.string()),
+                })
+                parts.append(_pad(w, "c"))
         if not parts:
             return OUT_SCHEMA.empty_table()
         return pa.concat_tables(parts)
@@ -592,7 +640,15 @@ def merge_graph(entity_mentions_ds=None, rel_mentions_ds=None, cfg=None, mention
         ),
         batch_format="pandas",
     )
-    return nodes, edges
+    if not backfill_candidates:
+        return nodes, edges
+    winners = merged.map_batches(
+        lambda b: b[b["table"] == "c"][["entity_name", "src_id", "tgt_id"]]
+        if len(b)
+        else _empty_frame(["entity_name", "src_id", "tgt_id"]),
+        batch_format="pandas",
+    )
+    return nodes, edges, winners
 
 
 # ------------------------------------------------------ UNKNOWN backfill
@@ -662,9 +718,54 @@ def _unknown_from_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def backfill_unknown_nodes(nodes_ds, edges_ds):
+def _fetch_winner_payloads(winners, edges_ds):
+    """Winner (entity_name, src_id, tgt_id) rows -> UNKNOWN node rows with
+    the winning edge's merged description_full/source_id payload, fetched
+    with ONE map-side pass over the merged edges against a broadcast
+    winner-key dict (payloads never shuffle)."""
+    import ray as _ray
+
+    by_edge: dict = {}
+    for b in winners.iter_batches(batch_format="pandas"):
+        for name, s, t in zip(b["entity_name"], b["src_id"], b["tgt_id"]):
+            by_edge.setdefault((s, t), []).append(name)
+    wref = _ray.put(by_edge)
+
+    def fetch_payloads(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = _ray.get(wref)
+        names, descs, sources = [], [], []
+        for s, t, d, src in zip(
+            batch["src_id"], batch["tgt_id"],
+            batch["description_full"], batch["source_id"],
+        ):
+            for name in lookup.get((s, t), ()):
+                names.append(name)
+                descs.append(d)
+                sources.append(src)
+        return df_to_table(
+            pd.DataFrame(
+                {
+                    "entity_name": pd.Series(names, dtype="object"),
+                    "entity_type": pd.Series(['"UNKNOWN"'] * len(names), dtype="object"),
+                    "description": pd.Series(descs, dtype="object"),
+                    "source_id": pd.Series(sources, dtype="object"),
+                }
+            ),
+            entity_name=pa.string(), entity_type=pa.string(),
+            description=pa.string(), source_id=pa.string(),
+        )
+
+    return edges_ds.map_batches(fetch_payloads, batch_format="pandas").repartition(4)
+
+
+def backfill_unknown_nodes(nodes_ds, edges_ds, winners_ds=None):
     """Anti-join: edge endpoints absent from nodes become '"UNKNOWN"'-typed
     nodes (reference text2graph.py:258-268). Returns the union nodes dataset.
+
+    ``winners_ds`` (entity_name, src_id, tgt_id), when provided by
+    merge_graph(backfill_candidates=True), IS the anti-join result computed
+    inside the fused merge shuffle — this function then only runs the
+    payload fetch, removing the whole winners shuffle from the hot path.
 
     Small-side broadcast path (the broadcast-join-threshold pattern): node
     NAMES are a key-only column — below `RAYKG_BROADCAST_NAMES_MAX` distinct
@@ -682,6 +783,12 @@ def backfill_unknown_nodes(nodes_ds, edges_ds):
     # driver-side name table and no serial reduce tail — broadcast only pays
     # off where it skips a shuffle op's fixed ~2.5 s setup on SMALL graphs
     max_names = int(os.environ.get("RAYKG_BROADCAST_NAMES_MAX", "200000"))
+    if winners_ds is not None:
+        winners = winners_ds.materialize()
+        max_winners = int(os.environ.get("RAYKG_BACKFILL_WINNERS_MAX", "2000000"))
+        if winners.count() <= max_winners:
+            return nodes_ds.union(_fetch_winner_payloads(winners, edges_ds))
+        # pathological winner rate: fall through to the self-contained plans
     # nodes_ds is a cheap projection over the pinned merge output, so this
     # count is one map pass, not a recomputation of the merge shuffle.
     if nodes_ds.count() <= max_names:
@@ -849,38 +956,7 @@ def backfill_unknown_nodes(nodes_ds, edges_ds):
         )
         return nodes_ds.union(unknown)
 
-    by_edge: dict = {}
-    for b in winners.iter_batches(batch_format="pandas"):
-        for name, s, t in zip(b["entity_name"], b["src_id"], b["tgt_id"]):
-            by_edge.setdefault((s, t), []).append(name)
-    wref = _ray.put(by_edge)
-
-    def fetch_payloads(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = _ray.get(wref)
-        names, descs, sources = [], [], []
-        for s, t, d, src in zip(
-            batch["src_id"], batch["tgt_id"],
-            batch["description_full"], batch["source_id"],
-        ):
-            for name in lookup.get((s, t), ()):
-                names.append(name)
-                descs.append(d)
-                sources.append(src)
-        return df_to_table(
-            pd.DataFrame(
-                {
-                    "entity_name": pd.Series(names, dtype="object"),
-                    "entity_type": pd.Series(['"UNKNOWN"'] * len(names), dtype="object"),
-                    "description": pd.Series(descs, dtype="object"),
-                    "source_id": pd.Series(sources, dtype="object"),
-                }
-            ),
-            entity_name=pa.string(), entity_type=pa.string(),
-            description=pa.string(), source_id=pa.string(),
-        )
-
-    unknown = edges_ds.map_batches(fetch_payloads, batch_format="pandas").repartition(4)
-    return nodes_ds.union(unknown)
+    return nodes_ds.union(_fetch_winner_payloads(winners, edges_ds))
 
 
 _EDGE_PUBLIC_COLS = ["src_id", "tgt_id", "weight", "description", "source_id", "order"]

@@ -248,3 +248,45 @@ def test_pin_dataset_spill_path_parity(tmp_path, monkeypatch):
 
     pd.testing.assert_frame_equal(srt(n1), srt(n2), check_dtype=False)
     pd.testing.assert_frame_equal(srt(e1), srt(e2), check_dtype=False)
+
+
+def test_fused_backfill_winners_parity(ray_session):
+    """merge_graph(backfill_candidates=True) computes the UNKNOWN-endpoint
+    anti-join inside the fused shuffle; the resulting nodes table must be
+    row-identical to the self-contained backfill plans (both the broadcast
+    probe and the bucketed shuffle, forced via env caps)."""
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.merge import backfill_unknown_nodes, merge_graph
+
+    mentions = pd.DataFrame({
+        "kind": ["entity", "rel", "rel", "rel"],
+        "entity_name": ['"A"', None, None, None],
+        "entity_type": ['"MODULE"', None, None, None],
+        "src_id": [None, '"A"', '"A"', '"B"'],
+        "tgt_id": [None, '"B"', '"C"', '"C"'],
+        "weight": [None, 2.0, 1.0, 1.0],
+        "order": [None, 1, 1, 1],
+        "description": ['"a."', '"ab."', '"ac."', '"bc."'],
+        "source_id": ["c1", "c1", "c2", "c2"],
+    })
+
+    def norm(nodes_ds):
+        df = nodes_ds.to_pandas()
+        return (df[sorted(df.columns)]
+                .sort_values("entity_name", kind="mergesort")
+                .reset_index(drop=True))
+
+    ds = ray.data.from_pandas(mentions)
+    n_f, e_f, w_f = merge_graph(mentions_ds=ds, backfill_candidates=True)
+    fused = norm(backfill_unknown_nodes(n_f, e_f, winners_ds=w_f))
+
+    n_b, e_b = merge_graph(mentions_ds=ds)
+    plain = norm(backfill_unknown_nodes(n_b, e_b))
+
+    pd.testing.assert_frame_equal(fused, plain)
+    # B and C are backfilled; B's winning payload is min-(src,tgt) edge (A,B)
+    assert set(fused.entity_name) == {'"A"', '"B"', '"C"'}
+    row_b = fused[fused.entity_name == '"B"'].iloc[0]
+    assert row_b.entity_type == '"UNKNOWN"' and '"ab."' in row_b.description
