@@ -1394,6 +1394,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return mfc(ray.data.from_arrow(synth_media_table(MEDIA_N)))
 
+    def dedup_cut_spans(sf_dir):
+        # ExactSubstr-style duplicated-span REMOVAL (Lee et al. 2021): cut
+        # every token covered by an 8-token window occurring in >= 2 docs;
+        # the oracle recomputes the cut AND the cleaned-text md5 in SQL, so
+        # the span semantics (not just counts) are value-verified
+        from mmgraphrag_ray.stages.dedup import cut_dup_spans
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return cut_dup_spans(docs, win=8)
+
     def media_wav_decode(sf_dir):
         # REAL RIFF/WAVE decode (T4 upgrade): genuine container chunk walk
         # + fmt unpack + PCM extraction over synthesized real WAV files
@@ -3104,6 +3116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": media_frame_sample,
         "media_feature_vecs": media_feature_vecs,
         "media_feature_components": media_feature_components,
+        "dedup_cut_spans": dedup_cut_spans,
         "media_wav_decode": media_wav_decode,
         "kg_query_context": kg_query_context,
         "kg_mm_answer": kg_mm_answer,
@@ -4492,6 +4505,58 @@ FROM te GROUP BY 1, 2
             FROM (VALUES ('members_not_in_nodes'), ('canonicals_not_in_nodes'),
                          ('canonical_in_members'), ('members_in_canonical'),
                          ('size_mismatch')) t(invariant)
+        """,
+        # ExactSubstr cut mirror: same tokenization, 16-hex window hash,
+        # >= 2 distinct-doc duplication test, BETWEEN coverage join, run
+        # counting via lag(), md5 of the space-joined kept tokens
+        "dedup_cut_spans": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+              FROM documents
+            ),
+            tok AS (
+              SELECT doc_id, u.i AS pos, l[u.i + 1] AS tok
+              FROM toks, unnest(generate_series(0, len(l) - 1)) u(i)
+            ),
+            w AS (
+              SELECT doc_id, u.i AS pos,
+                     substr(md5(array_to_string(l[u.i + 1 : u.i + 8], ' ')), 1, 16) AS wh
+              FROM toks, unnest(generate_series(0, len(l) - 8)) u(i)
+            ),
+            dup AS (
+              SELECT wh FROM (SELECT wh, count(DISTINCT doc_id) AS df
+                              FROM w GROUP BY wh) WHERE df >= 2
+            ),
+            cut AS (
+              SELECT DISTINCT t.doc_id, t.pos
+              FROM tok t JOIN (SELECT w.* FROM w JOIN dup USING (wh)) d
+                ON d.doc_id = t.doc_id AND t.pos BETWEEN d.pos AND d.pos + 7
+            ),
+            spans AS (
+              SELECT doc_id,
+                     count(*) FILTER (
+                       WHERE prev IS NULL OR prev < pos - 1) AS n_spans,
+                     count(*) AS n_cut_tokens
+              FROM (SELECT doc_id, pos,
+                           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                    FROM cut)
+              GROUP BY doc_id
+            ),
+            kept AS (
+              SELECT t.doc_id,
+                     coalesce(string_agg(t.tok, ' ' ORDER BY t.pos), '') AS cleaned
+              FROM tok t LEFT JOIN cut c ON c.doc_id = t.doc_id AND c.pos = t.pos
+              WHERE c.pos IS NULL
+              GROUP BY t.doc_id
+            )
+            SELECT tk.doc_id,
+                   len(tk.l) AS n_tokens,
+                   coalesce(s.n_spans, 0) AS n_spans,
+                   coalesce(s.n_cut_tokens, 0) AS n_cut_tokens,
+                   md5(coalesce(k.cleaned, '')) AS clean_md5
+            FROM toks tk
+            LEFT JOIN spans s USING (doc_id)
+            LEFT JOIN kept k USING (doc_id)
         """,
         "media_wav_decode": """
             WITH m AS (

@@ -1486,3 +1486,109 @@ def lsh_recall_pairs(docs_ds, threshold: float = 0.8,
             {"in_exact": "int64", "in_lsh": "int64"}),
         batch_format="pandas",
     )
+
+
+def cut_dup_spans(docs_ds, win: int = 8,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """ExactSubstr-style duplicated-SPAN REMOVAL (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", the cut
+    step after dup_passages' detection signal): a token position is CUT
+    when it is covered by any ``win``-token window whose text occurs in
+    >= 2 distinct documents; maximal runs of cut positions form spans, and
+    the cleaned document is the uncut tokens re-joined.
+
+    -> Dataset(doc_id, n_tokens, n_spans, n_cut_tokens, clean_md5) with
+    clean_md5 = md5 of the space-joined kept tokens — value-exact against
+    the DuckDB mirror, so the cut itself (not just the counts) is verified.
+
+    Scale shape (positions NEVER shuffle): pass 1 emits per-doc DISTINCT
+    window hashes (the dup_passages combiner), one bucketed df count finds
+    corpus-duplicated hashes, and the doc's dup-hash set rides BACK to the
+    doc through one grouped shuffle of (text row ∪ dup-hash rows) tagged by
+    doc — the per-doc finalizer recomputes window hashes locally (CPU-only)
+    and marks covered positions.  Shuffled bytes: text once + 16-hex hashes,
+    never O(positions)."""
+    from ..arrowutil import df_to_table
+    from .groupagg import bucketed_groupby_agg
+    from .join import bucketed_join
+
+    word = re.compile(r"[a-z0-9]+")
+
+    def doc_window_hashes(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, hs = [], []
+        for doc_id, text in zip(batch[id_col], batch[text_col]):
+            toks = word.findall(str(text).lower())
+            seen = set()
+            for i in range(len(toks) - win + 1):
+                seen.add(hashlib.md5(
+                    " ".join(toks[i:i + win]).encode()).hexdigest()[:16])
+            for h in sorted(seen):
+                ids.append(int(doc_id))
+                hs.append(h)
+        return df_to_table(pd.DataFrame({
+            id_col: pd.array(ids, dtype="int64"),
+            "wh": pd.array(hs, dtype="object"),
+        }))
+
+    wrows = docs_ds.map_batches(doc_window_hashes,
+                                batch_format="pandas").materialize()
+    df_tbl = bucketed_groupby_agg(
+        wrows.map_batches(lambda b: b[["wh"]], batch_format="pandas"),
+        keys=["wh"], aggs={"df": (None, "count")},
+    )
+    dup_rows = bucketed_join(wrows, df_tbl, on="wh").map_batches(
+        lambda b: df_to_table(
+            b.loc[b["df"] >= 2, [id_col, "wh"]].assign(_kind="dup")),
+        batch_format="pandas",
+    )
+    text_rows = docs_ds.map_batches(
+        lambda b: df_to_table(pd.DataFrame({
+            id_col: b[id_col].astype("int64"),
+            "wh": b[text_col].astype(object),  # payload rides the wh column
+            "_kind": "text",
+        })),
+        batch_format="pandas",
+    )
+
+    OUT = {"doc_id": "int64", "n_tokens": "int64", "n_spans": "int64",
+           "n_cut_tokens": "int64", "clean_md5": "object"}
+
+    def per_doc(group: pd.DataFrame) -> pd.DataFrame:
+        rows = {c: [] for c in OUT}
+        for doc_id, g in group.groupby(id_col, sort=False):
+            texts = g.loc[g["_kind"] == "text", "wh"]
+            if not len(texts):
+                continue  # dup rows for a doc absent from docs_ds: impossible
+            toks = word.findall(str(texts.iloc[0]).lower())
+            dup = set(g.loc[g["_kind"] == "dup", "wh"])
+            cut = np.zeros(len(toks), dtype=bool)
+            if dup:
+                for i in range(len(toks) - win + 1):
+                    h = hashlib.md5(
+                        " ".join(toks[i:i + win]).encode()).hexdigest()[:16]
+                    if h in dup:
+                        cut[i:i + win] = True
+            kept = [t for t, c in zip(toks, cut) if not c]
+            # a span starts where cut is True and the previous position isn't
+            prev = np.concatenate(([False], cut[:-1])) if len(cut) else cut
+            n_spans = int((cut & ~prev).sum())
+            rows["doc_id"].append(int(doc_id))
+            rows["n_tokens"].append(len(toks))
+            rows["n_spans"].append(n_spans)
+            rows["n_cut_tokens"].append(int(cut.sum()))
+            rows["clean_md5"].append(
+                hashlib.md5(" ".join(kept).encode()).hexdigest())
+        return df_to_table(pd.DataFrame(
+            {c: pd.array(rows[c], dtype=t) for c, t in OUT.items()}))
+
+    def add_bucket(b: pd.DataFrame):
+        out = b.assign(_dbucket=(b[id_col] % N_BUCKETS).astype("int32") if len(b)
+                       else pd.Series(dtype="int32"))
+        return df_to_table(out)
+
+    return (
+        text_rows.union(dup_rows)
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("_dbucket")
+        .map_groups(per_doc, batch_format="pandas")
+    )

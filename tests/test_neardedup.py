@@ -256,3 +256,30 @@ def test_connected_components_pointer_jumping_long_chain(monkeypatch):
     lab = dict(zip(labels["id"], labels["label"]))
     assert all(lab[i] == 1 for i in range(1, n + 1))
     assert lab[99] == 99
+
+
+def test_cut_dup_spans_exactsubstr_cut():
+    """ExactSubstr-style span removal: the shared 8-token passage is cut
+    from BOTH docs (maximal span), unique docs pass through untouched, and
+    clean_md5 verifies the actual cleaned text, not just counts."""
+    import hashlib
+
+    from mmgraphrag_ray.stages.dedup import cut_dup_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [f"one two {shared} three four",
+                 f"{shared} five six seven eight nine ten",
+                 "totally unique words only here nothing shared at all ok"],
+    })
+    out = (cut_dup_spans(ray.data.from_pandas(docs), win=8)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[1, "n_tokens"] == 12
+    assert out.loc[1, "n_spans"] == 1 and out.loc[1, "n_cut_tokens"] == 8
+    assert out.loc[1, "clean_md5"] == hashlib.md5(
+        b"one two three four").hexdigest()
+    assert out.loc[2, "n_spans"] == 1 and out.loc[2, "n_cut_tokens"] == 8
+    assert out.loc[3, "n_cut_tokens"] == 0 and out.loc[3, "n_spans"] == 0
+    assert out.loc[3, "clean_md5"] == hashlib.md5(
+        b"totally unique words only here nothing shared at all ok").hexdigest()
