@@ -1406,6 +1406,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return cut_dup_spans(docs, win=8)
 
+    def media_ppm_resize(sf_dir):
+        # REAL image decode + resize (T4 image half): binary PPM header
+        # parse + 2x2 box-filter downsample over real pixel buffers; the
+        # oracle reconstructs the downsampled bytes and their md5 purely
+        # from the generator pixel formula
+        from mmgraphrag_ray.stages.multimodal import resize_ppm_media, synth_ppm_table
+
+        return resize_ppm_media(ray.data.from_arrow(synth_ppm_table(MEDIA_N)))
+
     def media_wav_decode(sf_dir):
         # REAL RIFF/WAVE decode (T4 upgrade): genuine container chunk walk
         # + fmt unpack + PCM extraction over synthesized real WAV files
@@ -3117,6 +3126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_feature_vecs": media_feature_vecs,
         "media_feature_components": media_feature_components,
         "dedup_cut_spans": dedup_cut_spans,
+        "media_ppm_resize": media_ppm_resize,
         "media_wav_decode": media_wav_decode,
         "kg_query_context": kg_query_context,
         "kg_mm_answer": kg_mm_answer,
@@ -4557,6 +4567,35 @@ FROM te GROUP BY 1, 2
             FROM toks tk
             LEFT JOIN spans s USING (doc_id)
             LEFT JOIN kept k USING (doc_id)
+        """,
+        # REAL PPM resize mirror: small(Y,X,c) = floor-mean of the 2x2
+        # source pixels from the generator formula, hex-packed row-major
+        "media_ppm_resize": """
+            WITH m AS (
+              SELECT i AS media_id, 8 + i % 9 AS w, 6 + i % 7 AS h
+              FROM range(300) t(i)
+            ),
+            px AS (
+              SELECT media_id, Y.y AS y, X.x AS x, C.c AS c,
+                     ((media_id*7 + (2*Y.y)*31   + (2*X.x)*13   + C.c*5) % 256
+                    + (media_id*7 + (2*Y.y)*31   + (2*X.x+1)*13 + C.c*5) % 256
+                    + (media_id*7 + (2*Y.y+1)*31 + (2*X.x)*13   + C.c*5) % 256
+                    + (media_id*7 + (2*Y.y+1)*31 + (2*X.x+1)*13 + C.c*5) % 256
+                     ) // 4 AS v
+              FROM m, range(8) Y(y), range(8) X(x), range(3) C(c)
+              WHERE Y.y < h // 2 AND X.x < w // 2
+            ),
+            hx AS (
+              SELECT media_id,
+                     string_agg(printf('%02x', CAST(v AS INT)), ''
+                                ORDER BY y, x, c) AS s
+              FROM px GROUP BY media_id
+            )
+            SELECT m.media_id,
+                   CAST(m.w // 2 AS BIGINT) AS r_width,
+                   CAST(m.h // 2 AS BIGINT) AS r_height,
+                   md5(hx.s) AS r_md5
+            FROM m JOIN hx USING (media_id)
         """,
         "media_wav_decode": """
             WITH m AS (

@@ -68,6 +68,10 @@ def decode_payload(payload: bytes) -> dict:
     NotImplementedError exactly where a PIL/ffmpeg call would go."""
     if payload[:4] == b"RIFF":
         return decode_wav(payload)  # REAL decode path (see below)
+    if payload[:2] == b"P6":
+        m = decode_ppm(payload)  # REAL decode path (see below)
+        return {"kind": "image", "width": m["width"],
+                "height": m["height"], "n_frames": 1}
     if not payload.startswith(MAGIC):
         raise NotImplementedError(
             "real image/video decoding (PIL/ffmpeg) is not available in this "
@@ -403,5 +407,103 @@ def media_concurrency() -> tuple:
 def decode_wav_media(media_ds, concurrency=None, batch_size: int = 32):
     return media_ds.map_batches(
         WavDecoder, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or media_concurrency(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL PPM (P6) image decode + resize: the image-side companion of the WAV
+# upgrade.  Binary PPM is a real interchange format (netpbm) a pure-stdlib
+# sandbox can parse: ASCII header (magic, width, height, maxval, with
+# comment lines) followed by raw RGB bytes.  The header parse, pixel
+# extraction and the 2x2 box-filter downsample below are genuine image
+# operations; JPEG/PNG entropy coding stays behind NotImplementedError.
+# ---------------------------------------------------------------------------
+
+
+def make_ppm_payload(media_id: int) -> bytes:
+    """Deterministic REAL binary PPM (P6): width = 8+(id%9), height =
+    6+(id%7), maxval 255, pixel (x, y) channel c value =
+    (id*7 + y*31 + x*13 + c*5) % 256.  A comment line rides the header so
+    fixed-offset readers fail."""
+    w, h = 8 + media_id % 9, 6 + media_id % 7
+    header = f"P6\n# synth {media_id}\n{w} {h}\n255\n".encode()
+    y, x, c = np.meshgrid(np.arange(h), np.arange(w), np.arange(3),
+                          indexing="ij")
+    px = ((media_id * 7 + y * 31 + x * 13 + c * 5) % 256).astype(np.uint8)
+    return header + px.tobytes()
+
+
+def synth_ppm_table(n: int) -> pa.Table:
+    return pa.table({
+        "media_id": pa.array(list(range(n)), pa.int64()),
+        "kind": pa.array(["image"] * n, pa.string()),
+        "payload": pa.array([make_ppm_payload(i) for i in range(n)],
+                            pa.binary()),
+        "meta": pa.array([json.dumps({"codec": "ppm"})] * n, pa.string()),
+    })
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Real P6 parse: tokenized header (comments skipped per the netpbm
+    spec), raw RGB pixel buffer as (h, w, 3) uint8."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM payload")
+    # header = 4 whitespace-separated tokens; '#' starts a comment to EOL
+    tokens, pos = [], 2
+    while len(tokens) < 3 and pos < len(payload):
+        ch = payload[pos:pos + 1]
+        if ch == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif ch.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end:end + 1].isspace():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM is supported")
+    px = np.frombuffer(payload, dtype=np.uint8,
+                       count=w * h * 3, offset=pos).reshape(h, w, 3)
+    return {"kind": "image", "width": w, "height": h, "pixels": px}
+
+
+class PpmResizer:
+    """Actor-pool REAL resize: 2x2 box-filter downsample (floor mean per
+    channel, odd trailing row/col dropped) over decoded PPM pixels; output
+    = halved dims + md5 of the downsampled buffer's hex (the engine's
+    SQL-mirrorable hash family)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, md5s = [], [], [], []
+        if batch.num_rows:
+            for mid, p in zip(batch.column("media_id").to_pylist(),
+                              batch.column("payload").to_pylist()):
+                m = decode_ppm(p)
+                px = m["pixels"]
+                h2, w2 = m["height"] // 2, m["width"] // 2
+                q = px[:h2 * 2, :w2 * 2].reshape(h2, 2, w2, 2, 3)
+                small = (q.astype(np.uint32).sum(axis=(1, 3)) // 4
+                         ).astype(np.uint8)
+                ids.append(mid)
+                ws.append(w2)
+                hs.append(h2)
+                md5s.append(hashlib.md5(
+                    small.tobytes().hex().encode()).hexdigest())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "r_width": pa.array(ws, pa.int64()),
+            "r_height": pa.array(hs, pa.int64()),
+            "r_md5": pa.array(md5s, pa.string()),
+        })
+
+
+def resize_ppm_media(media_ds, concurrency=None, batch_size: int = 32):
+    return media_ds.map_batches(
+        PpmResizer, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency or media_concurrency(),
     )

@@ -168,3 +168,42 @@ def test_media_concurrency_env_override(monkeypatch):
     monkeypatch.delenv("RAYKG_MEDIA_ACTORS")
     lo, hi = media_concurrency()
     assert lo == 1 and hi >= 4
+
+
+def test_decode_ppm_header_and_pixels():
+    """Real P6 parse: comment lines skipped, dims from the header, pixel
+    buffer values match the generator formula independently recomputed."""
+    from mmgraphrag_ray.stages.multimodal import decode_ppm, make_ppm_payload
+
+    for mid in (0, 4, 13):
+        m = decode_ppm(make_ppm_payload(mid))
+        w, h = 8 + mid % 9, 6 + mid % 7
+        assert (m["width"], m["height"]) == (w, h)
+        assert m["pixels"].shape == (h, w, 3)
+        for (y, x, c) in ((0, 0, 0), (h - 1, w - 1, 2), (1, 3, 1)):
+            assert m["pixels"][y, x, c] == (mid * 7 + y * 31 + x * 13 + c * 5) % 256
+
+
+def test_ppm_resize_box_filter_exact():
+    """2x2 box filter on a hand-built 2x2 image: output = floor mean."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+
+    from mmgraphrag_ray.stages.multimodal import PpmResizer
+
+    px = np.array([[[10, 20, 30], [20, 30, 40]],
+                   [[30, 40, 50], [41, 51, 61]]], dtype=np.uint8)
+    payload = b"P6\n2 2\n255\n" + px.tobytes()
+    out = PpmResizer()(pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([payload], pa.binary()),
+    }))
+    import hashlib
+    small = np.array([[[(10+20+30+41)//4, (20+30+40+51)//4,
+                        (30+40+50+61)//4]]], dtype=np.uint8)
+    assert out.column("r_width").to_pylist() == [1]
+    assert out.column("r_height").to_pylist() == [1]
+    assert out.column("r_md5").to_pylist() == [
+        hashlib.md5(small.tobytes().hex().encode()).hexdigest()]
