@@ -64,8 +64,12 @@ def build_graph(
     """Returns (nodes_ds, edges_ds). If mentions_ds is given (e.g. a
     checkpointed parquet re-read), extraction is skipped."""
     if mentions_ds is None:
-        # materialize the (small, post-extraction) mentions once so the
-        # entity/relationship branches don't re-run chunk+extract twice.
+        # Materialize mentions before the fused shuffle.  A/B measured:
+        # streaming them straight into the shuffle's map side leaves T16
+        # unchanged (16.9 -> 16.3 s, within noise) but costs ~18% at 4
+        # CPUs (55.4 -> 65.4 s) — extraction tasks and shuffle aggregator
+        # actors thrash when parallelism is scarce, so the barrier is the
+        # better plan at every scale that matters.
         mentions_ds = build_mentions(files_path, cfg).materialize()
     # fused single-shuffle node+edge merge over the UNIFIED mentions table
     # (one scan computes both partials); outputs are pinned (each is

@@ -721,34 +721,32 @@ def _unknown_from_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
 def _fetch_winner_payloads(winners, edges_ds):
     """Winner (entity_name, src_id, tgt_id) rows -> UNKNOWN node rows with
     the winning edge's merged description_full/source_id payload, fetched
-    with ONE map-side pass over the merged edges against a broadcast
-    winner-key dict (payloads never shuffle)."""
+    with ONE map-side pass over the merged edges against the broadcast
+    winners frame (payloads never shuffle).  The per-batch lookup is a
+    vectorized pandas merge, and the driver only concatenates winner
+    blocks — no Python-loop dict build on the serial path."""
     import ray as _ray
 
-    by_edge: dict = {}
-    for b in winners.iter_batches(batch_format="pandas"):
-        for name, s, t in zip(b["entity_name"], b["src_id"], b["tgt_id"]):
-            by_edge.setdefault((s, t), []).append(name)
-    wref = _ray.put(by_edge)
+    wdf = winners.to_pandas()
+    if len(wdf) == 0:
+        wdf = pd.DataFrame({"entity_name": pd.Series(dtype=object),
+                            "src_id": pd.Series(dtype=object),
+                            "tgt_id": pd.Series(dtype=object)})
+    wref = _ray.put(wdf[["entity_name", "src_id", "tgt_id"]])
 
     def fetch_payloads(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = _ray.get(wref)
-        names, descs, sources = [], [], []
-        for s, t, d, src in zip(
-            batch["src_id"], batch["tgt_id"],
-            batch["description_full"], batch["source_id"],
-        ):
-            for name in lookup.get((s, t), ()):
-                names.append(name)
-                descs.append(d)
-                sources.append(src)
+        w = _ray.get(wref)
+        hit = batch[["src_id", "tgt_id", "description_full", "source_id"]].merge(
+            w, on=["src_id", "tgt_id"], how="inner"
+        )
         return df_to_table(
             pd.DataFrame(
                 {
-                    "entity_name": pd.Series(names, dtype="object"),
-                    "entity_type": pd.Series(['"UNKNOWN"'] * len(names), dtype="object"),
-                    "description": pd.Series(descs, dtype="object"),
-                    "source_id": pd.Series(sources, dtype="object"),
+                    "entity_name": hit["entity_name"].astype(object),
+                    "entity_type": pd.Series(
+                        ['"UNKNOWN"'] * len(hit), dtype="object"),
+                    "description": hit["description_full"].astype(object),
+                    "source_id": hit["source_id"].astype(object),
                 }
             ),
             entity_name=pa.string(), entity_type=pa.string(),
