@@ -1582,8 +1582,10 @@ def cut_dup_spans(docs_ds, win: int = 8,
             {c: pd.array(rows[c], dtype=t) for c, t in OUT.items()}))
 
     def add_bucket(b: pd.DataFrame):
-        out = b.assign(_dbucket=(b[id_col] % N_BUCKETS).astype("int32") if len(b)
-                       else pd.Series(dtype="int32"))
+        # crc32 routing (repo convention) so non-integer doc ids work too
+        out = b.assign(_dbucket=b[id_col].map(
+            lambda v: zlib.crc32(str(v).encode()) % N_BUCKETS
+        ).astype("int32") if len(b) else pd.Series(dtype="int32"))
         return df_to_table(out)
 
     return (

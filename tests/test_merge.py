@@ -290,3 +290,31 @@ def test_fused_backfill_winners_parity(ray_session):
     assert set(fused.entity_name) == {'"A"', '"B"', '"C"'}
     row_b = fused[fused.entity_name == '"B"'].iloc[0]
     assert row_b.entity_type == '"UNKNOWN"' and '"ab."' in row_b.description
+
+
+def test_fused_backfill_winner_cap_fallback(ray_session, monkeypatch):
+    """Pathological winner rates (RAYKG_BACKFILL_WINNERS_MAX=0) must fall
+    through to the self-contained backfill plans and still produce the
+    identical nodes table."""
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.merge import backfill_unknown_nodes, merge_graph
+
+    mentions = pd.DataFrame({
+        "kind": ["entity", "rel"],
+        "entity_name": ['"A"', None],
+        "entity_type": ['"MODULE"', None],
+        "src_id": [None, '"A"'],
+        "tgt_id": [None, '"B"'],
+        "weight": [None, 2.0],
+        "order": [None, 1],
+        "description": ['"a."', '"ab."'],
+        "source_id": ["c1", "c1"],
+    })
+    ds = ray.data.from_pandas(mentions)
+    n, e, w = merge_graph(mentions_ds=ds, backfill_candidates=True)
+    monkeypatch.setenv("RAYKG_BACKFILL_WINNERS_MAX", "0")
+    out = backfill_unknown_nodes(n, e, winners_ds=w).to_pandas()
+    assert set(out.entity_name) == {'"A"', '"B"'}
+    assert out[out.entity_name == '"B"'].entity_type.iloc[0] == '"UNKNOWN"'
