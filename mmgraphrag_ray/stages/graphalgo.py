@@ -2089,9 +2089,11 @@ def hyperball_registers(nodes_ds, edges_ds, rounds: int = 2,
 
     def seed(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
-            return pd.DataFrame({"u": pd.Series(dtype=object),
-                                 "register": pd.Series(dtype="int64"),
-                                 "rho": pd.Series(dtype="int64")})
+            from ..arrowutil import df_to_table as _d2t
+
+            return _d2t(pd.DataFrame({"u": pd.Series(dtype=object),
+                                      "register": pd.Series(dtype="int64"),
+                                      "rho": pd.Series(dtype="int64")}))
         names = b[node_col].drop_duplicates()
         regs, rhos = [], []
         for name in names:
@@ -2099,15 +2101,19 @@ def hyperball_registers(nodes_ds, edges_ds, rounds: int = 2,
             rest = hv // n_registers
             regs.append(hv % n_registers)
             rhos.append(59 if rest == 0 else 59 - rest.bit_length())
-        return pd.DataFrame({"u": names.to_numpy(),
-                             "register": np.asarray(regs, dtype=np.int64),
-                             "rho": np.asarray(rhos, dtype=np.int64)})
+        from ..arrowutil import df_to_table as _d2t
+
+        return _d2t(pd.DataFrame({"u": names.to_numpy(),
+                                  "register": np.asarray(regs, dtype=np.int64),
+                                  "rho": np.asarray(rhos, dtype=np.int64)}))
 
     regs = nodes_ds.map_batches(seed, batch_format="pandas").materialize()
     for _ in range(rounds):
+        from ..arrowutil import df_to_table as _d2t
+
         shipped = bucketed_join(regs, edges_bi, on="u").map_batches(
-            lambda b: pd.DataFrame({"u": b["v"], "register": b["register"],
-                                    "rho": b["rho"]}),
+            lambda b: _d2t(pd.DataFrame({"u": b["v"], "register": b["register"],
+                                         "rho": b["rho"]})),
             batch_format="pandas",
         )
         regs = sever_lineage(bucketed_groupby_agg(

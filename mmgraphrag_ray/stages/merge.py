@@ -622,14 +622,16 @@ def merge_graph(entity_mentions_ds=None, rel_mentions_ds=None, cfg=None,
     # edges twice (backfill + sink) costs two map passes — strictly cheaper
     # than materializing both projections up front (measured: ~2 full-table
     # object-store copies saved at 60k files).
-    nodes = merged.map_batches(
-        lambda b: b[b["table"] == "n"][
-            ["entity_name", "entity_type", "description", "source_id"]
-        ]
-        if len(b)
-        else _empty_frame(["entity_name", "entity_type", "description", "source_id"]),
-        batch_format="pandas",
-    )
+    _NODE_COLS = ["entity_name", "entity_type", "description", "source_id"]
+
+    def _nodes_proj(b: pd.DataFrame):
+        out = (b[b["table"] == "n"][_NODE_COLS]
+               if len(b) else _empty_frame(_NODE_COLS))
+        # Arrow out: the backfill union's other side is Arrow, and mixed
+        # pandas/arrow union members trip the executor's schema check
+        return df_to_table(out, **{c: pa.string() for c in _NODE_COLS})
+
+    nodes = merged.map_batches(_nodes_proj, batch_format="pandas")
     edges = merged.map_batches(
         lambda b: b[b["table"] == "e"][
             ["src_id", "tgt_id", "weight", "description", "description_full", "source_id", "order"]
@@ -642,12 +644,13 @@ def merge_graph(entity_mentions_ds=None, rel_mentions_ds=None, cfg=None,
     )
     if not backfill_candidates:
         return nodes, edges
-    winners = merged.map_batches(
-        lambda b: b[b["table"] == "c"][["entity_name", "src_id", "tgt_id"]]
-        if len(b)
-        else _empty_frame(["entity_name", "src_id", "tgt_id"]),
-        batch_format="pandas",
-    )
+    def _winners_proj(b: pd.DataFrame):
+        cols = ["entity_name", "src_id", "tgt_id"]
+        out = b[b["table"] == "c"][cols] if len(b) else _empty_frame(cols)
+        return df_to_table(out, entity_name=pa.string(),
+                           src_id=pa.string(), tgt_id=pa.string())
+
+    winners = merged.map_batches(_winners_proj, batch_format="pandas")
     return nodes, edges, winners
 
 
@@ -836,22 +839,22 @@ def backfill_unknown_nodes(nodes_ds, edges_ds, winners_ds=None):
 
         survivors = edges_ds.map_batches(probe_endpoints, batch_format="pandas")
 
-        def final_min(batch: pd.DataFrame) -> pd.DataFrame:
+        def final_min(batch: pd.DataFrame):
             if len(batch) == 0:
-                return _empty_frame(
+                return df_to_table(_empty_frame(
                     ["entity_name", "entity_type", "description", "source_id"]
-                )
+                ))
             best = batch.sort_values(
                 ["entity_name", "src_id", "tgt_id"], kind="mergesort"
             ).drop_duplicates(subset=["entity_name"], keep="first")
-            return pd.DataFrame(
+            return df_to_table(pd.DataFrame(
                 {
                     "entity_name": best["entity_name"],
                     "entity_type": '"UNKNOWN"',
                     "description": best["description"],
                     "source_id": best["source_id"],
                 }
-            )
+            ))
 
         def partial_min(batch: pd.DataFrame) -> pd.DataFrame:
             # min of per-block mins == global min, so intermediate levels
