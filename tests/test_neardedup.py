@@ -283,3 +283,89 @@ def test_cut_dup_spans_exactsubstr_cut():
     assert out.loc[3, "n_cut_tokens"] == 0 and out.loc[3, "n_spans"] == 0
     assert out.loc[3, "clean_md5"] == hashlib.md5(
         b"totally unique words only here nothing shared at all ok").hexdigest()
+
+
+def test_cut_dup_spans_property_matches_bruteforce():
+    """Property: on random small-vocab corpora (forced window collisions),
+    cut_dup_spans equals a brute-force single-process implementation."""
+    import hashlib
+    import random
+
+    from mmgraphrag_ray.stages.dedup import cut_dup_spans
+
+    rng = random.Random(11)
+    vocab = ["aa", "bb", "cc", "dd"]
+    win = 3
+    for trial in range(3):
+        docs = pd.DataFrame({
+            "doc_id": list(range(1, 7)),
+            "text": [" ".join(rng.choice(vocab)
+                              for _ in range(rng.randint(0, 12)))
+                     for _ in range(6)],
+        })
+        out = (cut_dup_spans(ray.data.from_pandas(docs), win=win)
+               .to_pandas().set_index("doc_id").sort_index())
+
+        # brute force
+        toks = {r.doc_id: r.text.split() if r.text else []
+                for r in docs.itertuples()}
+        wh = {d: [hashlib.md5(" ".join(t[i:i + win]).encode()).hexdigest()[:16]
+                  for i in range(len(t) - win + 1)]
+              for d, t in toks.items()}
+        from collections import Counter
+        df = Counter(h for d in wh for h in set(wh[d]))
+        for d in toks:
+            cut = [False] * len(toks[d])
+            for i, h in enumerate(wh[d]):
+                if df[h] >= 2:
+                    for j in range(i, i + win):
+                        cut[j] = True
+            kept = [t for t, c in zip(toks[d], cut) if not c]
+            spans = sum(1 for i, c in enumerate(cut)
+                        if c and (i == 0 or not cut[i - 1]))
+            assert out.loc[d, "n_tokens"] == len(toks[d]), (trial, d)
+            assert out.loc[d, "n_cut_tokens"] == sum(cut), (trial, d)
+            assert out.loc[d, "n_spans"] == spans, (trial, d)
+            assert out.loc[d, "clean_md5"] == hashlib.md5(
+                " ".join(kept).encode()).hexdigest(), (trial, d)
+
+
+def test_connected_components_property_random_graphs(monkeypatch):
+    """Property: pointer-jumping distributed CC equals a driver union-find
+    on random graphs (shuffle path forced, strict convergence)."""
+    import random
+
+    monkeypatch.setenv("RAYKG_CC_LOCAL_MAX", "0")
+    monkeypatch.setenv("RAYKG_CC_STRICT", "1")
+    rng = random.Random(5)
+    n = 30
+    edges = sorted({tuple(sorted(rng.sample(range(1, n + 1), 2)))
+                    for _ in range(20)})
+    pairs = pd.DataFrame({"id_a": [a for a, b in edges],
+                          "id_b": [b for a, b in edges]})
+    ids = pd.DataFrame({"doc_id": list(range(1, n + 1))})
+    labels = connected_components(
+        ray.data.from_pandas(pairs), ray.data.from_pandas(ids), "doc_id",
+        max_iters=8,
+    ).to_pandas()
+    got = dict(zip(labels["id"], labels["label"]))
+
+    parent = {i: i for i in range(1, n + 1)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id per component
+    comp_min = {}
+    for i in range(1, n + 1):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    want = {i: comp_min[find(i)] for i in range(1, n + 1)}
+    assert got == want
