@@ -1198,6 +1198,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dedup_minhash(docs, threshold=0.8)
 
+    def doc_leakage_safe_split(sf_dir):
+        # leakage-safe train/val split: the split key is the minhash
+        # near-dup COMPONENT label, so near-duplicates co-assign; md5
+        # bucketing keeps the assignment SQL-mirrorable end to end
+        from mmgraphrag_ray.stages.dedup import dedup_minhash
+        from mmgraphrag_ray.stages.select import leakage_safe_split
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return leakage_safe_split(dedup_minhash(docs, threshold=0.8))
+
     def dedup_jaccard_documents(sf_dir):
         from mmgraphrag_ray.stages.dedup import dedup_jaccard
 
@@ -3106,6 +3118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_vec_components": kg_entity_vec_components,
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
+        "doc_leakage_safe_split": doc_leakage_safe_split,
         "dedup_jaccard_documents": dedup_jaccard_documents,
         "doc_containment": doc_containment_q,
         "dedup_minhash_recall": dedup_minhash_recall_q,
@@ -4693,6 +4706,14 @@ FROM vh GROUP BY 1, 2, 3
             ) WHERE rn = 1
         """,
         "dedup_minhash_documents": _minhash_cc_sql(threshold=0.8),
+        # split mirror: component labels from the same CC SQL, then the
+        # md5 bucket assignment
+        "doc_leakage_safe_split": (
+            "SELECT id, label, CASE WHEN "
+            "('0x' || substr(md5(CAST(label AS VARCHAR)), 1, 8))::UBIGINT "
+            "% 100 < 10 THEN 'val' ELSE 'train' END AS split FROM ("
+            + _minhash_cc_sql(threshold=0.8) + ") t"
+        ),
         # component-size histogram composed on the MinHash closure SQL
         "dedup_minhash_cluster_sizes": f"""
             WITH mh AS ({_minhash_cc_sql(threshold=0.8)}),

@@ -420,3 +420,39 @@ def lm_quality_buckets(
             "max_mean_p": ("mean_p", "max"),
         },
     )
+
+
+def leakage_safe_split(labels_ds, val_pct: int = 10,
+                       id_col: str = "id", label_col: str = "label"):
+    """Leakage-safe train/val assignment: the split key is the NEAR-DUP
+    COMPONENT label (e.g. dedup_minhash output), not the document id, so
+    near-duplicate documents always land on the same side — the guard
+    every eval split over web-scale corpora needs (a val doc's near-twin
+    in train is silent contamination).  Deterministic md5 bucketing (the
+    engine's SQL-mirrorable hash family): split = 'val' iff
+    int(md5(str(label))[:8], 16) % 100 < val_pct.
+
+    -> Dataset(id, label, split); pure map over the labels table (the
+    component computation upstream carries all the shuffle cost)."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..arrowutil import df_to_table
+
+    def assign(b: pd.DataFrame):
+        import pyarrow as pa
+
+        if len(b) == 0:
+            return pa.schema([(id_col, pa.int64()), (label_col, pa.int64()),
+                              ("split", pa.string())]).empty_table()
+        pct = b[label_col].map(
+            lambda v: int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 100
+        )
+        return df_to_table(pd.DataFrame({
+            id_col: b[id_col],
+            label_col: b[label_col],
+            "split": (pct < val_pct).map({True: "val", False: "train"}),
+        }))
+
+    return labels_ds.map_batches(assign, batch_format="pandas")

@@ -184,3 +184,26 @@ def test_maxcover_select_tie_break_and_exhaustion():
     assert list(out["doc_id"]) == [3]
     assert list(out["gain"]) == [1]
     assert list(out["covered_total"]) == [1]
+
+
+def test_leakage_safe_split_coassigns_near_dups(ray_session):
+    """Near-duplicate docs (same component label) must land on the SAME
+    split side; the assignment is the deterministic md5 bucket of the
+    label."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.select import leakage_safe_split
+
+    labels = pd.DataFrame({"id": [1, 2, 3, 9], "label": [1, 1, 3, 9]})
+    out = leakage_safe_split(
+        ray.data.from_pandas(labels), val_pct=50
+    ).to_pandas().set_index("id")
+    # component members agree
+    assert out.loc[1, "split"] == out.loc[2, "split"]
+    for lab, row in zip(labels["label"], labels["id"]):
+        want = "val" if int(hashlib.md5(
+            str(lab).encode()).hexdigest()[:8], 16) % 100 < 50 else "train"
+        assert out.loc[row, "split"] == want
