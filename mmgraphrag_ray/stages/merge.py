@@ -657,106 +657,106 @@ def merge_graph(entity_mentions_ds=None, rel_mentions_ds=None, cfg=None,
 # ------------------------------------------------------ UNKNOWN backfill
 
 
-def _explode_endpoints(batch: pd.DataFrame) -> pd.DataFrame:
-    if len(batch) == 0:
-        return _empty_frame(_ENDPOINT_COLS)
-    frames = []
-    for endpoint_col in ("src_id", "tgt_id"):
-        frames.append(
-            pd.DataFrame(
-                {
-                    "entity_name": batch[endpoint_col],
-                    "kind": "cand",
-                    "src_id": batch["src_id"],
-                    "tgt_id": batch["tgt_id"],
-                    "description": batch["description_full"],
-                    "source_id": batch["source_id"],
-                }
-            )
-        )
-    out = pd.concat(frames, ignore_index=True)
-    # combiner: only the min-(src,tgt) candidate per endpoint can win the
-    # final (min of per-batch mins == global min), so pre-reduce before the
-    # shuffle — halves+ the payload rows the anti-join moves
-    out = out.sort_values(
-        ["entity_name", "src_id", "tgt_id"], kind="mergesort"
-    ).drop_duplicates(subset=["entity_name"], keep="first")
-    out["bucket"] = _bucket_of(out["entity_name"])
-    return out
-
-
-def _node_marker(batch: pd.DataFrame) -> pd.DataFrame:
-    if len(batch) == 0:
-        return _empty_frame(_ENDPOINT_COLS)
-    out = pd.DataFrame(
-        {
-            "entity_name": batch["entity_name"],
-            "kind": "node",
-            "src_id": None,
-            "tgt_id": None,
-            "description": None,
-            "source_id": None,
-        }
-    )
-    out["bucket"] = _bucket_of(out["entity_name"])
-    return out
-
-
-def _unknown_from_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized anti-join within one hash bucket: candidates whose name has
-    no node marker; keep the candidate from the smallest (src, tgt) edge."""
-    known = set(bucket.loc[bucket["kind"] == "node", "entity_name"])
-    cands = bucket[(bucket["kind"] == "cand") & ~bucket["entity_name"].isin(known)]
-    best = (
-        cands.sort_values(["entity_name", "src_id", "tgt_id"], kind="mergesort")
-        .drop_duplicates(subset=["entity_name"], keep="first")
-    )
-    return pd.DataFrame(
-        {
-            "entity_name": best["entity_name"],
-            "entity_type": '"UNKNOWN"',
-            "description": best["description"],
-            "source_id": best["source_id"],
-        }
+def _winner_rows_to_unknown(hit: pd.DataFrame) -> "pa.Table":
+    return df_to_table(
+        pd.DataFrame(
+            {
+                "entity_name": hit["entity_name"].astype(object),
+                "entity_type": pd.Series(
+                    ['"UNKNOWN"'] * len(hit), dtype="object"),
+                "description": hit["description_full"].astype(object),
+                "source_id": hit["source_id"].astype(object),
+            }
+        ),
+        entity_name=pa.string(), entity_type=pa.string(),
+        description=pa.string(), source_id=pa.string(),
     )
 
 
 def _fetch_winner_payloads(winners, edges_ds):
     """Winner (entity_name, src_id, tgt_id) rows -> UNKNOWN node rows with
-    the winning edge's merged description_full/source_id payload, fetched
-    with ONE map-side pass over the merged edges against the broadcast
-    winners frame (payloads never shuffle).  The per-batch lookup is a
-    vectorized pandas merge, and the driver only concatenates winner
-    blocks — no Python-loop dict build on the serial path."""
+    the winning edge's merged description_full/source_id payload.
+
+    Dual plan (the same bounded shape as linking._alias_applier / F6):
+
+    - winners.count() <= ``RAYKG_BACKFILL_WINNERS_MAX`` (default 2M):
+      broadcast — the winners frame is `ray.put` ONCE and the payload fetch
+      is one map-side vectorized pandas merge over the merged edges
+      (payloads never shuffle; the driver only concatenates winner blocks).
+    - above the cap (pathological UNKNOWN rate — winners scale with graph
+      size in the worst case, so a fixed driver pull would OOM at 100 TB):
+      pack the composite edge key src\\x1ftgt on both sides and run the
+      bucketed large-large join (join.bucketed_join) — no driver state,
+      payloads shuffle exactly once.
+
+    ``winners`` must be materialized (both callers do), so count() is free.
+    The \\x1f packing inherits the _KEY_SEP invariant documented at the top
+    of this module: entity/source ids contain no control characters."""
+    import os
+
     import ray as _ray
 
-    wdf = winners.to_pandas()
-    if len(wdf) == 0:
-        wdf = pd.DataFrame({"entity_name": pd.Series(dtype=object),
-                            "src_id": pd.Series(dtype=object),
-                            "tgt_id": pd.Series(dtype=object)})
-    wref = _ray.put(wdf[["entity_name", "src_id", "tgt_id"]])
+    cap = int(os.environ.get("RAYKG_BACKFILL_WINNERS_MAX", "2000000"))
+    if winners.count() <= cap:
+        wdf = winners.to_pandas()
+        if len(wdf) == 0:
+            wdf = pd.DataFrame({"entity_name": pd.Series(dtype=object),
+                                "src_id": pd.Series(dtype=object),
+                                "tgt_id": pd.Series(dtype=object)})
+        wref = _ray.put(wdf[["entity_name", "src_id", "tgt_id"]])
 
-    def fetch_payloads(batch: pd.DataFrame) -> pd.DataFrame:
-        w = _ray.get(wref)
-        hit = batch[["src_id", "tgt_id", "description_full", "source_id"]].merge(
-            w, on=["src_id", "tgt_id"], how="inner"
-        )
-        return df_to_table(
-            pd.DataFrame(
-                {
-                    "entity_name": hit["entity_name"].astype(object),
-                    "entity_type": pd.Series(
-                        ['"UNKNOWN"'] * len(hit), dtype="object"),
-                    "description": hit["description_full"].astype(object),
-                    "source_id": hit["source_id"].astype(object),
-                }
-            ),
-            entity_name=pa.string(), entity_type=pa.string(),
-            description=pa.string(), source_id=pa.string(),
-        )
+        def fetch_payloads(batch: pd.DataFrame) -> pd.DataFrame:
+            w = _ray.get(wref)
+            hit = batch[["src_id", "tgt_id", "description_full", "source_id"]].merge(
+                w, on=["src_id", "tgt_id"], how="inner"
+            )
+            return _winner_rows_to_unknown(hit)
 
-    return edges_ds.map_batches(fetch_payloads, batch_format="pandas").repartition(4)
+        return edges_ds.map_batches(
+            fetch_payloads, batch_format="pandas").repartition(4)
+
+    # join plan: winners never touch the driver
+    from .join import bucketed_join
+
+    def pack_winners(batch: pd.DataFrame):
+        out = pd.DataFrame(
+            {
+                "_ekey": batch["src_id"].astype(str)
+                + _KEY_SEP
+                + batch["tgt_id"].astype(str),
+                "entity_name": batch["entity_name"].astype(object),
+            }
+            if len(batch)
+            else {"_ekey": pd.Series(dtype=object),
+                  "entity_name": pd.Series(dtype=object)}
+        )
+        return df_to_table(out, _ekey=pa.string(), entity_name=pa.string())
+
+    def pack_edges(batch: pd.DataFrame):
+        out = pd.DataFrame(
+            {
+                "_ekey": batch["src_id"].astype(str)
+                + _KEY_SEP
+                + batch["tgt_id"].astype(str),
+                "description_full": batch["description_full"].astype(object),
+                "source_id": batch["source_id"].astype(object),
+            }
+            if len(batch)
+            else {"_ekey": pd.Series(dtype=object),
+                  "description_full": pd.Series(dtype=object),
+                  "source_id": pd.Series(dtype=object)}
+        )
+        return df_to_table(out, _ekey=pa.string(),
+                           description_full=pa.string(), source_id=pa.string())
+
+    joined = bucketed_join(
+        edges_ds.map_batches(pack_edges, batch_format="pandas"),
+        winners.map_batches(pack_winners, batch_format="pandas"),
+        on="_ekey",
+        how="inner",
+    )
+    return joined.map_batches(
+        _winner_rows_to_unknown, batch_format="pandas")
 
 
 def backfill_unknown_nodes(nodes_ds, edges_ds, winners_ds=None):
@@ -785,11 +785,11 @@ def backfill_unknown_nodes(nodes_ds, edges_ds, winners_ds=None):
     # off where it skips a shuffle op's fixed ~2.5 s setup on SMALL graphs
     max_names = int(os.environ.get("RAYKG_BROADCAST_NAMES_MAX", "200000"))
     if winners_ds is not None:
+        # _fetch_winner_payloads is its own dual plan (broadcast under
+        # RAYKG_BACKFILL_WINNERS_MAX, bucketed join above) — never fall back
+        # to recomputing the anti-join the fused shuffle already produced.
         winners = winners_ds.materialize()
-        max_winners = int(os.environ.get("RAYKG_BACKFILL_WINNERS_MAX", "2000000"))
-        if winners.count() <= max_winners:
-            return nodes_ds.union(_fetch_winner_payloads(winners, edges_ds))
-        # pathological winner rate: fall through to the self-contained plans
+        return nodes_ds.union(_fetch_winner_payloads(winners, edges_ds))
     # nodes_ds is a cheap projection over the pinned merge output, so this
     # count is one map pass, not a recomputation of the merge shuffle.
     if nodes_ds.count() <= max_names:
@@ -882,10 +882,9 @@ def backfill_unknown_nodes(nodes_ds, edges_ds, winners_ds=None):
     # Bucketed scale path — KEY-ONLY shuffle: candidates carry just
     # (endpoint, src, tgt), never the description payload (shuffled bytes
     # scale with key width, like every other shuffle in this engine).  The
-    # few winners' payloads are fetched afterwards with one map-side pass
-    # over the edges against a broadcast winner-key dict; if winners are
-    # pathologically many (> RAYKG_BACKFILL_WINNERS_MAX), fall back to the
-    # payload-carrying shuffle which handles any rate.
+    # winners' payloads are fetched afterwards by _fetch_winner_payloads'
+    # dual plan (broadcast under RAYKG_BACKFILL_WINNERS_MAX, bucketed join
+    # above — no driver pull at any winner rate).
     def _explode_keys(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
             return _empty_frame(["entity_name", "kind", "src_id", "tgt_id", "bucket"])
@@ -941,22 +940,6 @@ def backfill_unknown_nodes(nodes_ds, edges_ds, winners_ds=None):
         .repartition(8)
         .materialize()
     )
-    max_winners = int(os.environ.get("RAYKG_BACKFILL_WINNERS_MAX", "2000000"))
-    if winners.count() > max_winners:
-        cands = edges_ds.map_batches(
-            lambda b: _partials_to_arrow(_explode_endpoints(b)), batch_format="pandas"
-        )
-        markers = nodes_ds.map_batches(
-            lambda b: _partials_to_arrow(_node_marker(b)), batch_format="pandas"
-        )
-        unknown = (
-            cands.union(markers)
-            .groupby("bucket")
-            .map_groups(_unknown_from_bucket, batch_format="pandas")
-            .repartition(8)
-        )
-        return nodes_ds.union(unknown)
-
     return nodes_ds.union(_fetch_winner_payloads(winners, edges_ds))
 
 

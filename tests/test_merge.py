@@ -292,29 +292,41 @@ def test_fused_backfill_winners_parity(ray_session):
     assert row_b.entity_type == '"UNKNOWN"' and '"ab."' in row_b.description
 
 
-def test_fused_backfill_winner_cap_fallback(ray_session, monkeypatch):
-    """Pathological winner rates (RAYKG_BACKFILL_WINNERS_MAX=0) must fall
-    through to the self-contained backfill plans and still produce the
-    identical nodes table."""
+def test_fused_backfill_winner_payload_plan_parity(ray_session, monkeypatch):
+    """_fetch_winner_payloads dual plan: forcing the bucketed-join path
+    (RAYKG_BACKFILL_WINNERS_MAX=0, the pathological-winner-rate plan that
+    never pulls the winners frame to the driver) must produce a nodes table
+    row-identical — payloads included — to the default broadcast plan."""
     import pandas as pd
     import ray.data
 
     from mmgraphrag_ray.stages.merge import backfill_unknown_nodes, merge_graph
 
     mentions = pd.DataFrame({
-        "kind": ["entity", "rel"],
-        "entity_name": ['"A"', None],
-        "entity_type": ['"MODULE"', None],
-        "src_id": [None, '"A"'],
-        "tgt_id": [None, '"B"'],
-        "weight": [None, 2.0],
-        "order": [None, 1],
-        "description": ['"a."', '"ab."'],
-        "source_id": ["c1", "c1"],
+        "kind": ["entity", "rel", "rel", "rel"],
+        "entity_name": ['"A"', None, None, None],
+        "entity_type": ['"MODULE"', None, None, None],
+        "src_id": [None, '"A"', '"A"', '"B"'],
+        "tgt_id": [None, '"B"', '"C"', '"C"'],
+        "weight": [None, 2.0, 1.0, 1.0],
+        "order": [None, 1, 1, 1],
+        "description": ['"a."', '"ab."', '"ac."', '"bc."'],
+        "source_id": ["c1", "c1", "c2", "c2"],
     })
     ds = ray.data.from_pandas(mentions)
     n, e, w = merge_graph(mentions_ds=ds, backfill_candidates=True)
+
+    def norm(nodes_ds):
+        df = nodes_ds.to_pandas()
+        return (df[sorted(df.columns)]
+                .sort_values("entity_name", kind="mergesort")
+                .reset_index(drop=True))
+
+    broadcast = norm(backfill_unknown_nodes(n, e, winners_ds=w))
     monkeypatch.setenv("RAYKG_BACKFILL_WINNERS_MAX", "0")
-    out = backfill_unknown_nodes(n, e, winners_ds=w).to_pandas()
-    assert set(out.entity_name) == {'"A"', '"B"'}
-    assert out[out.entity_name == '"B"'].entity_type.iloc[0] == '"UNKNOWN"'
+    joined = norm(backfill_unknown_nodes(n, e, winners_ds=w))
+
+    pd.testing.assert_frame_equal(broadcast, joined)
+    assert set(broadcast.entity_name) == {'"A"', '"B"', '"C"'}
+    row_b = broadcast[broadcast.entity_name == '"B"'].iloc[0]
+    assert row_b.entity_type == '"UNKNOWN"' and '"ab."' in row_b.description
