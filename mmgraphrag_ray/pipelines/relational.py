@@ -15,7 +15,7 @@ import pandas as pd
 import ray.data
 
 from ..stages.groupagg import bucketed_groupby_agg
-from ..stages.join import broadcast_join
+from ..stages.join import broadcast_join, bucketed_join
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -44,12 +44,16 @@ def q1_pricing(sf_dir: str):
 
 
 def segment_order_stats(sf_dir: str):
-    """Broadcast join orders->customer (dimension side via ray.put), then
-    exact per-segment aggregates."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    """Join orders->customer via bucketed_join's capped dual plan (the
+    dimension broadcasts under RAYKG_JOIN_BROADCAST_MAX — one ray.put, no
+    shuffle; above the cap it shuffles, no driver pull), then exact
+    per-segment aggregates."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.rename(columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas",
+    )
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = broadcast_join(orders, cust, on="o_custkey")
+    joined = bucketed_join(orders, cust, on="o_custkey", small_side="right")
     return bucketed_groupby_agg(
         joined,
         keys=["c_mktsegment"],
@@ -66,8 +70,11 @@ def q3_shipping(sf_dir: str, k: int = 10, cut: str = "1998-06-01"):
     customer(filtered segment) ⋈ orders(date filter) ⋈ lineitem(date
     filter), revenue per order, global top-k.
 
-    Scale plan: the customer side reduces to a key SET before touching
-    the fact tables (broadcast semi-join — no shuffle); lineitem revenue
+    Scale plan: the customer side reduces to a key-only column before
+    touching the fact tables and attaches through bucketed_join's capped
+    dual plan (a key-only inner join IS the semi-join since custkeys are
+    unique: broadcast map-side under RAYKG_JOIN_BROADCAST_MAX, bucketed
+    shuffle above — no unconditional driver pull); lineitem revenue
     is pre-aggregated to one row per order (combiner + one bucketed
     shuffle) BEFORE the orders join, so the fact⋈fact join moves one
     row per qualifying order on each side; the final ranking is a
@@ -80,16 +87,15 @@ def q3_shipping(sf_dir: str, k: int = 10, cut: str = "1998-06-01"):
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     keys = cust.map_batches(
-        lambda b: b[b["c_mktsegment"] == "BUILDING"][["c_custkey"]],
+        lambda b: b[b["c_mktsegment"] == "BUILDING"][["c_custkey"]]
+        .rename(columns={"c_custkey": "o_custkey"}),
         batch_format="pandas",
-    ).to_pandas()["c_custkey"]
-
-    from ..stages.join import broadcast_semi_join, bucketed_join
+    )
 
     orders = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
     )
-    orders = broadcast_semi_join(orders, set(keys.tolist()), "o_custkey")
+    orders = bucketed_join(orders, keys, on="o_custkey", small_side="right")
     orders = orders.map_batches(
         lambda b: b[b["o_orderdate"] < cut_ts][
             ["o_orderkey", "o_orderdate", "o_orderpriority"]
@@ -278,10 +284,12 @@ def topk_orders_per_segment(sf_dir: str, k: int = 3):
     segment per batch before the shuffle (stages/window.grouped_topk)."""
     from ..stages.window import grouped_topk
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.rename(columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas",
+    )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    joined = broadcast_join(orders, cust, on="o_custkey")
+    joined = bucketed_join(orders, cust, on="o_custkey", small_side="right")
     return grouped_topk(
         joined,
         keys=["c_mktsegment"],
@@ -313,12 +321,14 @@ def segment_price_quantiles(sf_dir: str):
     DuckDB quantile_disc semantics) — stages/window.group_quantiles."""
     from ..stages.window import group_quantiles
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    cust = cust.rename(columns={"c_custkey": "o_custkey"})
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = broadcast_join(orders, cust, on="o_custkey").select_columns(
-        ["c_mktsegment", "o_totalprice"]
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.rename(columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas",
     )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = bucketed_join(
+        orders, cust, on="o_custkey", small_side="right"
+    ).select_columns(["c_mktsegment", "o_totalprice"])
     return group_quantiles(
         joined, keys=["c_mktsegment"], value_col="o_totalprice", qs=[0.25, 0.5, 0.9]
     )
@@ -1253,67 +1263,84 @@ def q4_late_orders(sf_dir: str, d1: str = "1997-01-01", d2: str = "1998-01-01"):
     )
 
 
-def q5_nation_volume(sf_dir: str):
-    """TPC-H Q5 shape — revenue per nation where the CUSTOMER and the
-    SUPPLIER sit in the same nation (the local-supplier-volume join).
+def _nation_stamped_sides(sf_dir: str):
+    """Shared q5/q7 plan: orders stamped with the customer's nation,
+    lineitem stamped with the supplier's nation + exact int64 cents.
 
-    Scale plan: customer and supplier are dimensions — each collapses to
-    a key->nationkey broadcast map applied inside map_batches (no
-    shuffle); lineitem stamps its supplier nation and exact int64 cents
-    revenue per row, orders stamp their customer nation, and the ONLY
-    shuffle is one bucketed orderkey join moving fixed-width rows
-    (orderkey, nation, cents).  The same-nation filter and the final
-    per-nation sum are vectorized; nation names arrive via one last
-    dimension broadcast."""
+    Each dimension attach goes through bucketed_join's capped dual plan
+    (`small_side='right'`): under RAYKG_JOIN_BROADCAST_MAX the dimension
+    is ray.put once and the attach is a map-side Arrow hash join (no
+    shuffle); above the cap it is a bucketed shuffle — no driver pull at
+    any dimension size.  Returns (orders_stamped, li_stamped) =
+    (o_orderkey, c_nation) / (o_orderkey, s_nation, cents)."""
     import numpy as np
 
-    from ..stages.join import broadcast_join
+    from ..arrowutil import strip_pd_metadata
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust_map = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"].astype("int64"))))
-    supp_map = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"].astype("int64"))))
+    def _p(out: pd.DataFrame) -> pd.DataFrame:
+        return strip_pd_metadata(out) if len(out) else out
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: _p(pd.DataFrame({
+            "o_custkey": b["c_custkey"],
+            "c_nation": b["c_nationkey"].astype("int64"),
+        })),
+        batch_format="pandas",
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: _p(pd.DataFrame({
+            "l_suppkey": b["s_suppkey"],
+            "s_nation": b["s_nationkey"].astype("int64"),
+        })),
+        batch_format="pandas",
+    )
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-
-    def stamp_cust_nation(b: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(cust_map)
-        out = pd.DataFrame({
-            "o_orderkey": b["o_orderkey"],
-            "c_nation": b["o_custkey"].map(m).astype("int64"),
-        })
-        from ..arrowutil import strip_pd_metadata
-
-        return strip_pd_metadata(out) if len(out) else out
+    orders_stamped = bucketed_join(
+        orders, cust, on="o_custkey", small_side="right"
+    ).map_batches(
+        lambda b: _p(b[["o_orderkey", "c_nation"]]), batch_format="pandas"
+    )
 
     li = _read(
         sf_dir, "lineitem",
         ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
 
-    def stamp_supp_nation(b: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(supp_map)
+    def li_cents(b: pd.DataFrame) -> pd.DataFrame:
         cents = np.floor(
             b["l_extendedprice"].to_numpy()
             * (1.0 - b["l_discount"].to_numpy()) * 100.0
         ).astype("int64")
-        out = pd.DataFrame({
+        return _p(pd.DataFrame({
             "o_orderkey": b["l_orderkey"],
-            "s_nation": b["l_suppkey"].map(m).astype("int64"),
+            "l_suppkey": b["l_suppkey"],
             "cents": cents,
-        })
-        from ..arrowutil import strip_pd_metadata
+        }))
 
-        return strip_pd_metadata(out) if len(out) else out
-
-    from ..stages.join import bucketed_join
-
-    joined = bucketed_join(
-        li.map_batches(stamp_supp_nation, batch_format="pandas"),
-        orders.map_batches(stamp_cust_nation, batch_format="pandas"),
-        on="o_orderkey", how="inner",
+    li_stamped = bucketed_join(
+        li.map_batches(li_cents, batch_format="pandas"),
+        supp, on="l_suppkey", small_side="right",
+    ).map_batches(
+        lambda b: _p(b[["o_orderkey", "s_nation", "cents"]]),
+        batch_format="pandas",
     )
+    return orders_stamped, li_stamped
+
+
+def q5_nation_volume(sf_dir: str):
+    """TPC-H Q5 shape — revenue per nation where the CUSTOMER and the
+    SUPPLIER sit in the same nation (the local-supplier-volume join).
+
+    Scale plan: the dimension attaches run through _nation_stamped_sides'
+    capped dual plan (broadcast under RAYKG_JOIN_BROADCAST_MAX, bucketed
+    join above — no unconditional driver pulls); the fact⋈fact step is
+    one bucketed orderkey join moving fixed-width rows (orderkey, nation,
+    cents).  The same-nation filter and the final per-nation sum are
+    vectorized; nation names arrive via one last dimension broadcast."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    orders_stamped, li_stamped = _nation_stamped_sides(sf_dir)
+    joined = bucketed_join(li_stamped, orders_stamped, on="o_orderkey", how="inner")
     local = joined.map_batches(
         lambda b: b[b["s_nation"] == b["c_nation"]][["s_nation", "cents"]]
         .rename(columns={"s_nation": "n_nationkey"}),
@@ -1639,58 +1666,14 @@ def q7_nation_flows(sf_dir: str):
     full trade-flow matrix rather than Q7's two-nation filter.
 
     Scale plan: identical to q5_nation_volume's stamped-join plan (the
-    two dimension broadcasts + ONE bucketed orderkey join); only the
-    final reduce differs — grouping by the nation-pair vocabulary
-    instead of filtering to the diagonal.  -> Dataset(supp_nation,
-    cust_nation, revenue_cents, n_items)."""
-    import numpy as np
-
-    from ..stages.join import broadcast_join, bucketed_join
-
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    capped dual-plan dimension attaches + ONE bucketed orderkey join);
+    only the final reduce differs — grouping by the nation-pair
+    vocabulary instead of filtering to the diagonal.  -> Dataset(
+    supp_nation, cust_nation, revenue_cents, n_items)."""
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     name_of = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
-    cust_map = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"].astype("int64"))))
-    supp_map = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"].astype("int64"))))
-
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-
-    def stamp_cust(b: pd.DataFrame) -> pd.DataFrame:
-        from ..arrowutil import strip_pd_metadata
-
-        m = ray.get(cust_map)
-        out = pd.DataFrame({
-            "o_orderkey": b["o_orderkey"],
-            "c_nation": b["o_custkey"].map(m).astype("int64"),
-        })
-        return strip_pd_metadata(out) if len(out) else out
-
-    li = _read(
-        sf_dir, "lineitem",
-        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    )
-
-    def stamp_supp(b: pd.DataFrame) -> pd.DataFrame:
-        from ..arrowutil import strip_pd_metadata
-
-        m = ray.get(supp_map)
-        cents = np.floor(
-            b["l_extendedprice"].to_numpy()
-            * (1.0 - b["l_discount"].to_numpy()) * 100.0
-        ).astype("int64")
-        out = pd.DataFrame({
-            "o_orderkey": b["l_orderkey"],
-            "s_nation": b["l_suppkey"].map(m).astype("int64"),
-            "cents": cents,
-        })
-        return strip_pd_metadata(out) if len(out) else out
-
-    joined = bucketed_join(
-        li.map_batches(stamp_supp, batch_format="pandas"),
-        orders.map_batches(stamp_cust, batch_format="pandas"),
-        on="o_orderkey", how="inner",
-    )
+    orders_stamped, li_stamped = _nation_stamped_sides(sf_dir)
+    joined = bucketed_join(li_stamped, orders_stamped, on="o_orderkey", how="inner")
     flows = bucketed_groupby_agg(
         joined.map_batches(
             lambda b: b[["s_nation", "c_nation", "cents"]],

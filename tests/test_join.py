@@ -203,3 +203,40 @@ def test_join_size_estimate_exact():
     # cross-check against the actual join
     real = l.merge(r, left_on="k", right_on="j")
     assert len(real) == 7
+
+
+def test_dimension_pipelines_plan_parity(ray_session, monkeypatch):
+    """The relational dimension attaches (segment_order_stats, q3/q5's
+    customer/supplier sides, grouped-topk and quantile segments) must be
+    plan-invariant: forcing the bucketed shuffle (RAYKG_JOIN_BROADCAST_MAX=1,
+    the 100x-dimension path that never pulls a dimension to the driver)
+    produces frames row-identical to the default broadcast plan."""
+    import pandas as pd
+
+    from mmgraphrag_ray.pipelines.relational import (
+        q5_nation_volume,
+        segment_order_stats,
+        segment_price_quantiles,
+        topk_orders_per_segment,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pipelines = {
+        "segment_order_stats": segment_order_stats,
+        "topk_orders_per_segment": topk_orders_per_segment,
+        "segment_price_quantiles": segment_price_quantiles,
+        "q5_nation_volume": q5_nation_volume,
+    }
+
+    def norm(ds):
+        df = ds.to_pandas()
+        return (df[sorted(df.columns)]
+                .sort_values(sorted(df.columns), kind="mergesort")
+                .reset_index(drop=True))
+
+    broadcast = {n: norm(fn(sf)) for n, fn in pipelines.items()}
+    monkeypatch.setenv("RAYKG_JOIN_BROADCAST_MAX", "1")
+    for n, fn in pipelines.items():
+        pd.testing.assert_frame_equal(
+            broadcast[n], norm(fn(sf)), check_dtype=False, obj=n
+        )
