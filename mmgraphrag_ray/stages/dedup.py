@@ -1514,17 +1514,36 @@ def cut_dup_spans(docs_ds, win: int = 8,
 
     word = re.compile(r"[a-z0-9]+")
 
+    def token_windows(text):
+        """tokens + (start, end) offset lists of every win-token window in
+        the ONE space-joined doc string — each window is an O(1) substring
+        slice instead of a per-position " ".join of win tokens.  md5 (the
+        SQL-mirrorable corpus hash family — unchanged at the oracle
+        boundary) remains the per-window cost floor: an A/B with an
+        np.unique hash-distinct-windows-only variant measured SLOWER at
+        every doc length (object-string sort > md5 savings; BASELINE.md),
+        so the kernel hashes windows directly from the slices."""
+        toks = word.findall(str(text).lower())
+        n = len(toks) - win + 1
+        if n <= 0:
+            return toks, "", [], []
+        joined = " ".join(toks)
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                           count=len(toks))
+        starts = np.zeros(len(toks), dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+        return (toks, joined, starts[:n].tolist(),
+                (starts + lens)[win - 1:].tolist())
+
     def doc_window_hashes(batch: pd.DataFrame) -> pd.DataFrame:
         ids, hs = [], []
+        md5 = hashlib.md5
         for doc_id, text in zip(batch[id_col], batch[text_col]):
-            toks = word.findall(str(text).lower())
-            seen = set()
-            for i in range(len(toks) - win + 1):
-                seen.add(hashlib.md5(
-                    " ".join(toks[i:i + win]).encode()).hexdigest()[:16])
-            for h in sorted(seen):
-                ids.append(int(doc_id))
-                hs.append(h)
+            _, joined, ws, we = token_windows(text)
+            seen = sorted({md5(joined[a:b].encode()).hexdigest()[:16]
+                           for a, b in zip(ws, we)})
+            hs.extend(seen)
+            ids.extend([int(doc_id)] * len(seen))
         return df_to_table(pd.DataFrame({
             id_col: pd.array(ids, dtype="int64"),
             "wh": pd.array(hs, dtype="object"),
@@ -1559,16 +1578,23 @@ def cut_dup_spans(docs_ds, win: int = 8,
             texts = g.loc[g["_kind"] == "text", "wh"]
             if not len(texts):
                 continue  # dup rows for a doc absent from docs_ds: impossible
-            toks = word.findall(str(texts.iloc[0]).lower())
             dup = set(g.loc[g["_kind"] == "dup", "wh"])
+            toks, joined, ws, we = token_windows(texts.iloc[0])
             cut = np.zeros(len(toks), dtype=bool)
-            if dup:
-                for i in range(len(toks) - win + 1):
-                    h = hashlib.md5(
-                        " ".join(toks[i:i + win]).encode()).hexdigest()[:16]
-                    if h in dup:
-                        cut[i:i + win] = True
-            kept = [t for t, c in zip(toks, cut) if not c]
+            if dup and ws:
+                md5 = hashlib.md5
+                hit = np.fromiter(
+                    (md5(joined[a:b].encode()).hexdigest()[:16] in dup
+                     for a, b in zip(ws, we)),
+                    dtype=bool, count=len(ws))
+                marked = np.nonzero(hit)[0]
+                if len(marked):
+                    # difference-array cover: window i cuts [i, i+win)
+                    diff = np.zeros(len(toks) + 1, dtype=np.int64)
+                    np.add.at(diff, marked, 1)
+                    np.add.at(diff, marked + win, -1)
+                    cut = np.cumsum(diff[:-1]) > 0
+            kept = np.array(toks, dtype=object)[~cut] if len(toks) else []
             # a span starts where cut is True and the previous position isn't
             prev = np.concatenate(([False], cut[:-1])) if len(cut) else cut
             n_spans = int((cut & ~prev).sum())
