@@ -172,8 +172,23 @@ class _VecComponents:
         )
 
 
-def entity_vec_components(nodes_ds):
+def embed_pool_concurrency() -> tuple:
+    """Actor-pool sizing for the embedding stages — env/CPU-derived
+    (multimodal.media_concurrency's pattern) instead of a hard-coded cap:
+    (1, N) with N = RAYKG_EMBED_ACTORS or half the node's CPUs.  The
+    min=1 lower bound keeps the pool from reserving every CPU and
+    starving upstream stages (config.KGConfig note)."""
+    import os
+
+    n = int(os.environ.get("RAYKG_EMBED_ACTORS", "0"))
+    if n <= 0:
+        n = max(4, (os.cpu_count() or 8) // 2)
+    return (1, n)
+
+
+def entity_vec_components(nodes_ds, concurrency=None):
     """nodes Dataset -> (entity_id, entity_name, dim_idx, component)."""
     return nodes_ds.map_batches(
-        _VecComponents, batch_format="pyarrow", concurrency=(1, 8)
+        _VecComponents, batch_format="pyarrow",
+        concurrency=concurrency or embed_pool_concurrency(),
     )

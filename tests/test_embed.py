@@ -66,3 +66,24 @@ def test_vec_components_consistent_with_embedding(ray_session):
         if n:
             dense = dense / n
         assert np.allclose(dense, np.array(vrow.embedding), atol=1e-6)
+
+
+def test_no_hardcoded_concurrency_caps():
+    """Starvation-knob guard (the (1,4)/(1,8) cap class removed in rounds
+    2-4): no literal `concurrency=(a, b)` tuple at any call site in the
+    package — pool sizing must come from cfg or the env/CPU-derived
+    helpers (embed_pool_concurrency, media_concurrency)."""
+    import pathlib
+    import re
+
+    import mmgraphrag_ray
+
+    root = pathlib.Path(mmgraphrag_ray.__file__).parent
+    pat = re.compile(r"concurrency\s*=\s*\(\s*\d+\s*,\s*\d+\s*\)")
+    offenders = [
+        f"{p.name}:{i}"
+        for p in root.rglob("*.py")
+        for i, line in enumerate(p.read_text().splitlines(), 1)
+        if pat.search(line)
+    ]
+    assert not offenders, f"hard-coded actor-pool caps: {offenders}"
