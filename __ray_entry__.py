@@ -1439,6 +1439,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return decode_wav_media(ray.data.from_arrow(synth_wav_table(MEDIA_N)))
 
+    def media_png_decode(sf_dir):
+        # REAL PNG decode (the last reachable half of the T4 boundary):
+        # chunk walk with CRC-32 verification, multi-IDAT zlib inflate, and
+        # per-scanline filter reconstruction (rows cycle through all five
+        # PNG filter types incl. Paeth — multimodal.py make_png_payload).
+        # The oracle recomputes the DECODED pixels and their md5 purely
+        # from the generator pixel formula, while the wire bytes are
+        # filtered + deflated — a green check proves inflate + unfilter
+        # actually ran.
+        from mmgraphrag_ray.stages.multimodal import decode_png_media, synth_png_table
+
+        return decode_png_media(ray.data.from_arrow(synth_png_table(MEDIA_N)))
+
     def kg_mm_answer(sf_dir):
         # ORI_IMG multimodal answer path (reference query.py:414-469) with
         # deterministic model seams over a media KV derived from documents
@@ -3141,6 +3154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cut_spans": dedup_cut_spans,
         "media_ppm_resize": media_ppm_resize,
         "media_wav_decode": media_wav_decode,
+        "media_png_decode": media_png_decode,
         "kg_query_context": kg_query_context,
         "kg_mm_answer": kg_mm_answer,
         "kg_node_degrees": kg_node_degrees,
@@ -4636,6 +4650,33 @@ FROM te GROUP BY 1, 2
                    (m.n_samples // m.channels) * 1000 // m.sample_rate AS duration_ms,
                    md5(p.hx) AS pcm_md5
             FROM m JOIN pcm p USING (media_id)
+        """,
+        # REAL PNG decode mirror: the DECODED raw RGB buffer from the
+        # generator pixel formula, hex-packed row-major — the wire bytes
+        # are per-row-filtered + deflated, so matching this md5 proves the
+        # engine's inflate + unfilter reconstruction
+        "media_png_decode": """
+            WITH m AS (
+              SELECT i AS media_id, 8 + i % 9 AS w, 6 + i % 7 AS h
+              FROM range(300) t(i)
+            ),
+            px AS (
+              SELECT media_id, Y.y AS y, X.x AS x, C.c AS c,
+                     (media_id*7 + Y.y*31 + X.x*13 + C.c*5) % 256 AS v
+              FROM m, range(12) Y(y), range(16) X(x), range(3) C(c)
+              WHERE Y.y < h AND X.x < w
+            ),
+            hx AS (
+              SELECT media_id,
+                     string_agg(printf('%02x', CAST(v AS INT)), ''
+                                ORDER BY y, x, c) AS s
+              FROM px GROUP BY media_id
+            )
+            SELECT m.media_id,
+                   CAST(m.w AS BIGINT) AS width,
+                   CAST(m.h AS BIGINT) AS height,
+                   md5(hx.s) AS px_md5
+            FROM m JOIN hx USING (media_id)
         """,
         "media_feature_components": """
             WITH m AS (

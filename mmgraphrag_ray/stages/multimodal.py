@@ -16,8 +16,9 @@ Payload wire format (deterministic fake): b'FAKE' + kind[0] + uint16 width +
 uint16 height + uint16 n_frames + 256 body bytes from an md5 chain seeded by
 media_id (md5 is the engine's SQL-mirrorable hash family — the whole packed
 payload, and therefore the fake feature extraction below, has an exact DuckDB
-oracle; see media_feature_components in __ray_entry__.py).  A real
-JPEG/PNG/WAV decoder raises NotImplementedError here.
+oracle; see media_feature_components in __ray_entry__.py).  WAV, PPM and
+PNG payloads decode for REAL (sections below); only JPEG entropy coding
+raises NotImplementedError here.
 """
 
 from __future__ import annotations
@@ -63,19 +64,28 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
 
 
 def decode_payload(payload: bytes) -> dict:
-    """STUB boundary: real image/audio decode is unavailable offline.
-    Recognizes only the deterministic fake format; anything else raises
-    NotImplementedError exactly where a PIL/ffmpeg call would go."""
+    """Dispatch boundary: WAV/PPM/PNG decode for REAL (see below); the
+    deterministic fake format covers everything else the sandbox cannot
+    decode, and an unknown payload raises NotImplementedError exactly
+    where a PIL/ffmpeg call would go.  Every branch returns the same
+    width/height/n_frames shape MediaDecoder reads (audio reports 0x0
+    with one frame per PCM frame), plus any format-specific fields."""
     if payload[:4] == b"RIFF":
-        return decode_wav(payload)  # REAL decode path (see below)
+        m = decode_wav(payload)  # REAL decode path (see below)
+        return {**m, "width": 0, "height": 0,
+                "n_frames": m["n_samples"] // max(m["channels"], 1)}
     if payload[:2] == b"P6":
         m = decode_ppm(payload)  # REAL decode path (see below)
         return {"kind": "image", "width": m["width"],
                 "height": m["height"], "n_frames": 1}
+    if payload[:8] == PNG_SIG:
+        m = decode_png(payload)  # REAL decode path (see below)
+        return {"kind": "image", "width": m["width"],
+                "height": m["height"], "n_frames": 1}
     if not payload.startswith(MAGIC):
         raise NotImplementedError(
-            "real image/video decoding (PIL/ffmpeg) is not available in this "
-            "sandbox; WAV audio decodes for real via decode_wav"
+            "real JPEG decoding is not available in this sandbox; "
+            "WAV/PPM/PNG decode for real via decode_wav/decode_ppm/decode_png"
         )
     kind = {b"i": "image", b"a": "audio", b"v": "video"}[payload[4:5]]
     width, height, n_frames = struct.unpack("<HHH", payload[5:11])
@@ -287,8 +297,9 @@ def resize_media(media_ds, concurrency=None, batch_size: int = 32):
 # can decode for real.  Reference analog: img2graph.py:280-346 runs real
 # decoders on real payloads; here the RIFF/WAVE container parse, fmt-chunk
 # unpack and PCM extraction are genuine (a JUNK chunk is inserted between
-# fmt and data so fixed-offset "parsers" cannot fake it) — only JPEG/PNG
-# remain behind the NotImplementedError boundary above.
+# fmt and data so fixed-offset "parsers" cannot fake it) — only JPEG
+# remains behind the NotImplementedError boundary above (PNG decodes for
+# real too; see the PNG section).
 # ---------------------------------------------------------------------------
 
 WAV_RATES = (8000, 16000, 44100)
@@ -417,7 +428,7 @@ def decode_wav_media(media_ds, concurrency=None, batch_size: int = 32):
 # sandbox can parse: ASCII header (magic, width, height, maxval, with
 # comment lines) followed by raw RGB bytes.  The header parse, pixel
 # extraction and the 2x2 box-filter downsample below are genuine image
-# operations; JPEG/PNG entropy coding stays behind NotImplementedError.
+# operations; only JPEG entropy coding stays behind NotImplementedError.
 # ---------------------------------------------------------------------------
 
 
@@ -505,5 +516,201 @@ class PpmResizer:
 def resize_ppm_media(media_ds, concurrency=None, batch_size: int = 32):
     return media_ds.map_batches(
         PpmResizer, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or media_concurrency(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG decode (the reachable half of the remaining T4 boundary): PNG's
+# container + compression + filter layers are pure-stdlib — zlib inflate,
+# chunk CRC-32 verification, and per-scanline filter reconstruction
+# (None/Sub/Up/Average/Paeth per the PNG spec).  The generator writes real
+# PNGs whose rows cycle through ALL FIVE filter types, splits IDAT in two,
+# and inserts an ancillary tEXt chunk, so nothing short of a genuine
+# chunk-walk + inflate + unfilter pass reproduces the pixels.  Only JPEG
+# entropy coding now remains behind NotImplementedError.
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def make_png_payload(media_id: int) -> bytes:
+    """Deterministic REAL PNG: 8-bit RGB (color type 2), width = 8+(id%9),
+    height = 6+(id%7), pixel (x, y) channel c = (id*7 + y*31 + x*13 + c*5)
+    % 256 — the PPM generator's formula, so the SQL oracle mirrors the
+    DECODED pixels while the wire bytes are filtered + deflated.  Row y
+    uses filter type y % 5 (h >= 6 exercises every filter), IDAT is split
+    in two, and an ancillary tEXt chunk rides between IHDR and IDAT."""
+    import zlib
+
+    w, h = 8 + media_id % 9, 6 + media_id % 7
+    y, x, c = np.meshgrid(np.arange(h), np.arange(w), np.arange(3),
+                          indexing="ij")
+    px = ((media_id * 7 + y * 31 + x * 13 + c * 5) % 256).astype(np.int64)
+    raw = px.reshape(h, w * 3)
+    bpp, lines = 3, []
+    prior = np.zeros(w * 3, dtype=np.int64)
+    for yy in range(h):
+        row, ftype = raw[yy], yy % 5
+        if ftype == 0:
+            filt = row.copy()
+        elif ftype == 1:
+            filt = row.copy()
+            filt[bpp:] = (row[bpp:] - row[:-bpp]) % 256
+        elif ftype == 2:
+            filt = (row - prior) % 256
+        elif ftype == 3:
+            filt = row.copy()
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                filt[i] = (row[i] - (left + prior[i]) // 2) % 256
+        else:
+            filt = row.copy()
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prior[i - bpp] if i >= bpp else 0
+                filt[i] = (row[i] - _paeth(int(left), int(prior[i]),
+                                           int(ul))) % 256
+        lines.append(bytes([ftype]) + (filt % 256).astype(np.uint8).tobytes())
+        prior = row
+    idat = zlib.compress(b"".join(lines))
+    half = max(1, len(idat) // 2)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"tEXt", b"Comment\x00synth " + str(media_id).encode())
+            + _png_chunk(b"IDAT", idat[:half])
+            + _png_chunk(b"IDAT", idat[half:])
+            + _png_chunk(b"IEND", b""))
+
+
+def synth_png_table(n: int) -> pa.Table:
+    return pa.table({
+        "media_id": pa.array(list(range(n)), pa.int64()),
+        "kind": pa.array(["image"] * n, pa.string()),
+        "payload": pa.array([make_png_payload(i) for i in range(n)],
+                            pa.binary()),
+        "meta": pa.array([json.dumps({"codec": "png"})] * n, pa.string()),
+    })
+
+
+def decode_png(payload: bytes) -> dict:
+    """Real PNG decode: signature check, chunk walk with CRC-32
+    verification, IHDR unpack, multi-IDAT concat, zlib inflate, and
+    per-scanline filter reconstruction (all five PNG filter types; the
+    per-byte loop is inherent — PNG filters are sequentially dependent
+    within a row, which is why real decoders do this in C).  Supports
+    8-bit RGB non-interlaced; other PNG flavors raise
+    NotImplementedError (the honest remaining boundary)."""
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(payload):
+        size = struct.unpack(">I", payload[pos:pos + 4])[0]
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + size]
+        crc = struct.unpack(">I", payload[pos + 8 + size:pos + 12 + size])[0]
+        if zlib.crc32(ctype + data) != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt_m, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if depth != 8 or color != 2 or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit non-interlaced RGB PNG is supported")
+    stream = zlib.decompress(b"".join(idat))
+    stride, bpp = w * 3, 3
+    if len(stream) != h * (stride + 1):
+        raise ValueError("PNG pixel stream size mismatch")
+    out = np.zeros((h, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    for yy in range(h):
+        off = yy * (stride + 1)
+        ftype = stream[off]
+        row = np.frombuffer(stream, dtype=np.uint8, count=stride,
+                            offset=off + 1).astype(np.int64)
+        if ftype == 0:
+            rec = row
+        elif ftype == 2:
+            rec = (row + prior) % 256
+        elif ftype == 1:
+            rec = row.copy()
+            for i in range(bpp, stride):
+                rec[i] = (rec[i] + rec[i - bpp]) % 256
+        elif ftype == 3:
+            rec = row.copy()
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (rec[i] + (left + prior[i]) // 2) % 256
+        elif ftype == 4:
+            rec = row.copy()
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                ul = prior[i - bpp] if i >= bpp else 0
+                rec[i] = (rec[i] + _paeth(int(left), int(prior[i]),
+                                          int(ul))) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[yy] = rec
+        prior = rec
+    px = out.astype(np.uint8).reshape(h, w, 3)
+    return {"kind": "image", "width": int(w), "height": int(h), "pixels": px}
+
+
+class PngDecoder:
+    """Actor-pool REAL PNG decode stage: payload -> dims + md5 of the
+    reconstructed raw RGB buffer's hex (the engine's SQL-mirrorable hash
+    family) — the oracle recomputes the pixels from the generator formula,
+    so a green check proves inflate + unfilter ran for real."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, md5s = [], [], [], []
+        if batch.num_rows:
+            for mid, p in zip(batch.column("media_id").to_pylist(),
+                              batch.column("payload").to_pylist()):
+                m = decode_png(p)
+                ids.append(mid)
+                ws.append(m["width"])
+                hs.append(m["height"])
+                md5s.append(hashlib.md5(
+                    m["pixels"].tobytes().hex().encode()).hexdigest())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "px_md5": pa.array(md5s, pa.string()),
+        })
+
+
+def decode_png_media(media_ds, concurrency=None, batch_size: int = 32):
+    return media_ds.map_batches(
+        PngDecoder, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency or media_concurrency(),
     )

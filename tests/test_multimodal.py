@@ -207,3 +207,77 @@ def test_ppm_resize_box_filter_exact():
     assert out.column("r_height").to_pylist() == [1]
     assert out.column("r_md5").to_pylist() == [
         hashlib.md5(small.tobytes().hex().encode()).hexdigest()]
+
+
+def test_decode_png_roundtrip_and_filters():
+    """decode_png reconstructs the generator-formula pixels from real
+    filtered+deflated wire bytes; the generator cycles rows through all
+    five PNG filter types, so every reconstruction branch runs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mmgraphrag_ray.stages.multimodal import decode_png, make_png_payload
+
+    for i in (0, 3, 8, 62):  # varied (w, h) residues
+        m = decode_png(make_png_payload(i))
+        w, h = 8 + i % 9, 6 + i % 7
+        y, x, c = np.meshgrid(np.arange(h), np.arange(w), np.arange(3),
+                              indexing="ij")
+        px = ((i * 7 + y * 31 + x * 13 + c * 5) % 256).astype(np.uint8)
+        assert (m["width"], m["height"]) == (w, h)
+        assert (m["pixels"] == px).all()
+
+    # all five filter types appear on the wire (h >= 6 -> rows 0..5)
+    p = make_png_payload(0)
+    idat, pos = [], 8
+    while pos + 12 <= len(p):
+        size = struct.unpack(">I", p[pos:pos + 4])[0]
+        if p[pos + 4:pos + 8] == b"IDAT":
+            idat.append(p[pos + 8:pos + 8 + size])
+        pos += 12 + size
+    stream = zlib.decompress(b"".join(idat))
+    stride = (8 + 0 % 9) * 3 + 1
+    ftypes = {stream[r * stride] for r in range(6)}
+    assert ftypes == {0, 1, 2, 3, 4}
+
+
+def test_decode_png_verifies_crc_and_rejects_unsupported():
+    import struct
+
+    import pytest as _pytest
+
+    from mmgraphrag_ray.stages.multimodal import PNG_SIG, decode_png, make_png_payload
+
+    p = bytearray(make_png_payload(5))
+    p[-5] ^= 0xFF  # corrupt IEND CRC
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(p))
+
+    # grayscale (color type 0) is behind the honest boundary
+    from mmgraphrag_ray.stages.multimodal import _png_chunk
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    gray = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", b"x") \
+        + _png_chunk(b"IEND", b"")
+    with _pytest.raises(NotImplementedError):
+        decode_png(gray)
+
+
+def test_decode_payload_dispatch_shapes():
+    """Every decode_payload branch returns the width/height/n_frames shape
+    MediaDecoder reads (the WAV branch regression from ADVICE r3)."""
+    from mmgraphrag_ray.stages.multimodal import (
+        decode_payload,
+        make_png_payload,
+        make_ppm_payload,
+        make_wav_payload,
+    )
+
+    for payload in (make_wav_payload(7), make_ppm_payload(7),
+                    make_png_payload(7)):
+        m = decode_payload(payload)
+        assert {"kind", "width", "height", "n_frames"} <= set(m)
+    wav = decode_payload(make_wav_payload(7))
+    assert wav["kind"] == "audio" and wav["n_frames"] == wav["n_samples"] // wav["channels"]
