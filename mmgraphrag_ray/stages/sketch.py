@@ -213,14 +213,20 @@ def bloom_semi_join(probe_ds, bits_ref, key_col: str):
     row set is exactly reproducible in SQL)."""
     import ray
 
-    def filt(batch: pd.DataFrame) -> pd.DataFrame:
+    from ..arrowutil import df_to_table
+
+    def filt(batch: pd.DataFrame):
+        # typed-Arrow output even when the surviving slice is EMPTY:
+        # raw pandas slices with string columns trip Ray's batch-size
+        # estimator (np.vectorize on size-0 inputs) and let block schemas
+        # drift (repo-wide hygiene rule; arrowutil.df_to_table)
         if len(batch) == 0:
-            return batch
+            return df_to_table(batch)
         bits = ray.get(bits_ref)
         keys = batch[key_col].to_numpy()
         uniq, inv = np.unique(keys.astype(str), return_inverse=True)
         ok_uniq = bits[_bloom_positions(uniq)].all(axis=1)
-        return batch[ok_uniq[inv]]
+        return df_to_table(batch[ok_uniq[inv]])
 
     return probe_ds.map_batches(filt, batch_format="pandas")
 
