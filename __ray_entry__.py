@@ -1142,6 +1142,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nodes, _ = _build_graph_cached(sf_dir)
         return entity_vec_components(nodes)
 
+    def kg_entity_vecs_invariants(sf_dir):
+        # structural value oracle for the FLOAT kg_entity_vecs table (the
+        # rows-only driver output): unit-norm within 100 ppm wherever any
+        # integer component is nonzero, exact zero/nonzero pattern match,
+        # and sign(v[dim]) == sign(component) for every component row —
+        # all integer counts the DuckDB mirror recomputes from the
+        # kg_entity_vec_components SQL
+        from mmgraphrag_ray.stages.embed import (
+            build_entity_vecs,
+            entity_vec_components,
+            vec_component_invariants,
+        )
+
+        nodes, _ = _build_graph_cached(sf_dir)
+        return vec_component_invariants(
+            build_entity_vecs(nodes), entity_vec_components(nodes),
+            "entity_id",
+        )
+
     def kg_edges(sf_dir):
         _, edges = _build_graph_cached(sf_dir)
         return edges
@@ -1405,6 +1424,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         return mfc(ray.data.from_arrow(synth_media_table(MEDIA_N)))
+
+    def media_feature_vecs_invariants(sf_dir):
+        # structural value oracle for the FLOAT media_feature_vecs table
+        # (same contract as kg_entity_vecs_invariants, over the
+        # media_feature_components integer mirror)
+        from mmgraphrag_ray.stages.embed import vec_component_invariants
+        from mmgraphrag_ray.stages.multimodal import (
+            media_feature_components as mfc,
+            media_features,
+            synth_media_table,
+        )
+
+        media = ray.data.from_arrow(synth_media_table(MEDIA_N))
+        return vec_component_invariants(
+            media_features(media), mfc(media), "media_id", vec_col="feature",
+        )
 
     def dedup_cut_spans(sf_dir):
         # ExactSubstr-style duplicated-span REMOVAL (Lee et al. 2021): cut
@@ -3129,6 +3164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_canonicalization_invariants": kg_canonicalization_invariants,
         "kg_entity_vecs": kg_entity_vecs,
         "kg_entity_vec_components": kg_entity_vec_components,
+        "kg_entity_vecs_invariants": kg_entity_vecs_invariants,
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
         "doc_leakage_safe_split": doc_leakage_safe_split,
@@ -3151,6 +3187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": media_frame_sample,
         "media_feature_vecs": media_feature_vecs,
         "media_feature_components": media_feature_components,
+        "media_feature_vecs_invariants": media_feature_vecs_invariants,
         "dedup_cut_spans": dedup_cut_spans,
         "media_ppm_resize": media_ppm_resize,
         "media_wav_decode": media_wav_decode,
@@ -4712,6 +4749,62 @@ FROM te GROUP BY 1, 2
                                  THEN 1 ELSE -1 END) AS BIGINT) AS component
             FROM hits GROUP BY 1, 2
         """,
+        # structural invariants of the float media feature vectors from the
+        # integer hit mirror (same contract as kg_entity_vecs_invariants)
+        "media_feature_vecs_invariants": """
+            WITH m AS (
+              SELECT i AS media_id,
+                     CASE CAST(i % 3 AS INT) WHEN 0 THEN '69'
+                          WHEN 1 THEN '61' ELSE '76' END AS kind_hex,
+                     64 + (i * 7) % 512 AS w,
+                     64 + (i * 13) % 512 AS h,
+                     CASE WHEN i % 3 = 0 THEN 1 ELSE 8 + i % 24 END AS f
+              FROM range(300) t(i)
+            ),
+            body AS (
+              SELECT i AS media_id,
+                     string_agg(md5(concat(i, '-', j)), '' ORDER BY j) AS body_hex
+              FROM range(300) t(i) CROSS JOIN range(16) r(j) GROUP BY 1
+            ),
+            payload AS (
+              SELECT m.media_id,
+                     '46414b45' || kind_hex ||
+                     printf('%02x%02x', w % 256, w // 256) ||
+                     printf('%02x%02x', h % 256, h // 256) ||
+                     printf('%02x%02x', f % 256, f // 256) || body_hex AS hex
+              FROM m JOIN body USING (media_id)
+            ),
+            hits AS (
+              SELECT media_id,
+                     CAST(('0x' || substr(md5(substr(hex, CAST(o.off * 2 + 1 AS INT), 16)),
+                                          1, 8)) AS UBIGINT) AS hv
+              FROM payload CROSS JOIN range(0, 259, 8) o(off)
+            ),
+            comp AS (
+              SELECT media_id, CAST(hv % 64 AS BIGINT) AS dim_idx,
+                     CAST(SUM(CASE WHEN (hv // 65536) % 2 = 1
+                                   THEN 1 ELSE -1 END) AS BIGINT) AS component
+              FROM hits GROUP BY 1, 2
+            ),
+            per_m AS (
+              SELECT media_id, SUM(component * component) AS ss,
+                     COUNT(*) AS n_rows,
+                     COUNT(*) FILTER (WHERE component != 0) AS n_nz
+              FROM comp GROUP BY 1
+            )
+            SELECT CAST(300 AS BIGINT) AS n_vecs,
+                   CAST((SELECT count(*) FROM per_m WHERE ss > 0) AS BIGINT)
+                     AS n_unit_norm,
+                   CAST(300 - (SELECT count(*) FROM per_m WHERE ss > 0)
+                        AS BIGINT) AS n_zero_vecs,
+                   CAST((SELECT coalesce(sum(n_nz), 0) FROM per_m) AS BIGINT)
+                     AS n_nonzero_dims,
+                   CAST((SELECT coalesce(sum(n_rows), 0) FROM per_m) AS BIGINT)
+                     AS n_comp_rows,
+                   CAST((SELECT coalesce(sum(n_nz), 0) FROM per_m) AS BIGINT)
+                     AS n_comp_nonzero,
+                   CAST(0 AS BIGINT) AS n_sign_mismatch
+        """,
         # exact mirror of stages/embed.py HashEmbedder pre-normalization
         # components: content = name || description (fusion.py:133-141),
         # token regex [a-z_]+|[0-9]+ over lower(), md5-derived uint32 hash,
@@ -4737,6 +4830,50 @@ SELECT entity_id, entity_name,
        CAST(SUM(CASE WHEN (hv // 65536) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT)
          AS component
 FROM vh GROUP BY 1, 2, 3
+        """,
+        # structural invariants of the float entity-vec table, recomputed
+        # entirely from the integer component mirror: the float side is
+        # unit-norm exactly where sum(component^2) > 0, nonzero exactly at
+        # nonzero components, sign-consistent everywhere
+        "kg_entity_vecs_invariants": kg + merge + """,
+vc2 AS (
+  SELECT 'ent-' || md5(entity_name) AS entity_id,
+         entity_name || description AS content
+  FROM nodes
+),
+vh2 AS (
+  SELECT entity_id,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) AS hv
+  FROM (SELECT entity_id,
+               unnest(regexp_extract_all(lower(content), '[a-z_]+|[0-9]+'))
+                 AS tok
+        FROM vc2)
+),
+comp AS (
+  SELECT entity_id, CAST(hv % 384 AS BIGINT) AS dim_idx,
+         CAST(SUM(CASE WHEN (hv // 65536) % 2 = 1 THEN 1 ELSE -1 END)
+              AS BIGINT) AS component
+  FROM vh2 GROUP BY 1, 2
+),
+per_ent AS (
+  SELECT entity_id, SUM(component * component) AS ss,
+         COUNT(*) AS n_rows,
+         COUNT(*) FILTER (WHERE component != 0) AS n_nz
+  FROM comp GROUP BY 1
+)
+SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_vecs,
+       CAST((SELECT count(*) FROM per_ent WHERE ss > 0) AS BIGINT)
+         AS n_unit_norm,
+       CAST((SELECT count(*) FROM nodes)
+            - (SELECT count(*) FROM per_ent WHERE ss > 0) AS BIGINT)
+         AS n_zero_vecs,
+       CAST((SELECT coalesce(sum(n_nz), 0) FROM per_ent) AS BIGINT)
+         AS n_nonzero_dims,
+       CAST((SELECT coalesce(sum(n_rows), 0) FROM per_ent) AS BIGINT)
+         AS n_comp_rows,
+       CAST((SELECT coalesce(sum(n_nz), 0) FROM per_ent) AS BIGINT)
+         AS n_comp_nonzero,
+       CAST(0 AS BIGINT) AS n_sign_mismatch
         """,
         "kg_edges": kg + merge + "\nSELECT * FROM edges",
         "dedup_exact_documents": """

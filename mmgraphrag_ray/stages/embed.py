@@ -192,3 +192,108 @@ def entity_vec_components(nodes_ds, concurrency=None):
         _VecComponents, batch_format="pyarrow",
         concurrency=concurrency or embed_pool_concurrency(),
     )
+
+
+def vec_component_invariants(vecs_ds, comps_ds, id_col: str,
+                             vec_col: str = "embedding",
+                             dim_col: str = "dim_idx",
+                             comp_col: str = "component",
+                             ppm_tol: int = 100):
+    """ONE-row integer invariant summary tying a float L2-normalized vector
+    table to its value-oracled integer pre-normalization components — the
+    oracle for outputs whose float values can never hash-compare across
+    engines (kg_entity_vecs / media_feature_vecs, the last two rows-only
+    driver outputs):
+
+    - n_vecs / n_unit_norm / n_zero_vecs: every vector with any nonzero
+      integer component must be unit-norm within ``ppm_tol`` ppm of
+      sum(v^2)=1 (measured 0 ppm for float32 at dims 64/384); all-cancelled
+      or token-free vectors are exactly zero.
+    - n_nonzero_dims (vec side) vs n_comp_nonzero (component side): the
+      float vector is nonzero EXACTLY where the integer component is.
+    - n_sign_mismatch: sign(v[dim]) == sign(component) for every component
+      row (normalization preserves signs) — must be 0.
+
+    Scale shape: vector-side stats reduce to one partial row per batch;
+    the sign check joins component rows to exploded nonzero vector entries
+    through the capped bucketed_join on the packed id|dim key — rows moved
+    are the sparse nonzero entries, never the dense vectors."""
+    import pandas as pd
+
+    from ..arrowutil import df_to_table
+    from .join import bucketed_join
+
+    COLS = ["n_vecs", "n_unit_norm", "n_zero_vecs", "n_nonzero_dims"]
+
+    def vec_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in COLS})
+        emb = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        ppm = np.rint((emb * emb).sum(axis=1) * 1e6)
+        return pa.table({
+            "n_vecs": pa.array([batch.num_rows], pa.int64()),
+            "n_unit_norm": pa.array(
+                [int((np.abs(ppm - 1e6) <= ppm_tol).sum())], pa.int64()),
+            "n_zero_vecs": pa.array([int((ppm == 0).sum())], pa.int64()),
+            "n_nonzero_dims": pa.array([int((emb != 0).sum())], pa.int64()),
+        })
+
+    vstats = vecs_ds.map_batches(
+        vec_partial, batch_format="pyarrow").to_pandas().sum()
+
+    def vec_sign_rows(batch: pa.Table) -> pa.Table:
+        ks, vs = [], []
+        if batch.num_rows:
+            ids = batch.column(id_col).to_pylist()
+            emb = np.asarray(batch.column(vec_col).to_pylist(),
+                             dtype=np.float64)
+            for rid, row in zip(ids, emb):
+                for d in np.nonzero(row)[0]:
+                    ks.append(f"{rid}|{d}")
+                    vs.append(1 if row[d] > 0 else -1)
+        return pa.table({"_k": pa.array(ks, pa.string()),
+                         "vsign": pa.array(vs, pa.int64())})
+
+    def comp_keyed(b: pd.DataFrame):
+        out = pd.DataFrame({
+            "_k": b[id_col].astype(str) + "|" + b[dim_col].astype(str),
+            "csign": np.sign(b[comp_col]).astype("int64"),
+        } if len(b) else {"_k": pd.Series(dtype=object),
+                          "csign": pd.Series(dtype="int64")})
+        return df_to_table(out, _k=pa.string(), csign=pa.int64())
+
+    joined = bucketed_join(
+        comps_ds.map_batches(comp_keyed, batch_format="pandas"),
+        vecs_ds.map_batches(vec_sign_rows, batch_format="pyarrow"),
+        on="_k", how="left",
+    )
+
+    def join_partial(b: pd.DataFrame):
+        vs = b["vsign"].fillna(0).astype("int64") if len(b) else b["vsign"]
+        return df_to_table(pd.DataFrame({
+            "n_comp_rows": pd.array([len(b)], dtype="int64"),
+            "n_comp_nonzero": pd.array(
+                [int((b["csign"] != 0).sum())] if len(b) else [0],
+                dtype="int64"),
+            "n_sign_mismatch": pd.array(
+                [int((b["csign"] != vs).sum())] if len(b) else [0],
+                dtype="int64"),
+        }))
+
+    jstats = joined.map_batches(
+        join_partial, batch_format="pandas").to_pandas().sum()
+
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame({
+        "n_vecs": pd.array([int(vstats["n_vecs"])], dtype="int64"),
+        "n_unit_norm": pd.array([int(vstats["n_unit_norm"])], dtype="int64"),
+        "n_zero_vecs": pd.array([int(vstats["n_zero_vecs"])], dtype="int64"),
+        "n_nonzero_dims": pd.array(
+            [int(vstats["n_nonzero_dims"])], dtype="int64"),
+        "n_comp_rows": pd.array([int(jstats["n_comp_rows"])], dtype="int64"),
+        "n_comp_nonzero": pd.array(
+            [int(jstats["n_comp_nonzero"])], dtype="int64"),
+        "n_sign_mismatch": pd.array(
+            [int(jstats["n_sign_mismatch"])], dtype="int64"),
+    }))

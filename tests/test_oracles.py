@@ -128,6 +128,10 @@ CASES = [
     "doc_select_maxcover",
     "doc_tokenizer_fertility",
     "code_unused_defs",
+    # round 4
+    "media_png_decode",
+    "kg_entity_vecs_invariants",
+    "media_feature_vecs_invariants",
 ]
 
 
