@@ -256,17 +256,23 @@ def _patch_empty_schema_symmetry() -> None:
             not _is_empty_schema(old_schema)
             and _is_empty_schema(bundle.schema)
         ):
-            return (
-                RefBundle(
-                    bundle.blocks,
-                    schema=old_schema,
-                    owns_blocks=bundle.owns_blocks,
-                    output_split_idx=bundle.output_split_idx,
-                    _cached_object_meta=bundle._cached_object_meta,
-                    _cached_preferred_locations=bundle._cached_preferred_locations,
-                ),
-                False,
-            )
+            try:
+                # private ctor kwargs match the pinned Ray build; if a
+                # future Ray changes the signature, degrade to the original
+                # (cosmetic warning) instead of crashing the executor
+                return (
+                    RefBundle(
+                        bundle.blocks,
+                        schema=old_schema,
+                        owns_blocks=bundle.owns_blocks,
+                        output_split_idx=bundle.output_split_idx,
+                        _cached_object_meta=bundle._cached_object_meta,
+                        _cached_preferred_locations=bundle._cached_preferred_locations,
+                    ),
+                    False,
+                )
+            except Exception:  # noqa: BLE001
+                pass
         return orig(old_schema, bundle, warn=warn,
                     enforce_schemas=enforce_schemas)
 

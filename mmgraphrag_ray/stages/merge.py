@@ -53,7 +53,15 @@ from ..arrowutil import df_to_table
 from ..tokenizer import truncate_tokens
 from .. import GRAPH_FIELD_SEP
 
-_KEY_SEP = "\x1f"  # internal composite-key separator for the undirected pair
+# Internal composite-key separator (undirected edge pairs, backfill winner
+# packing, the winner-payload join key).  CONTRACT — this comment is the
+# single place it lives: entity names / source ids contain no control
+# characters (< 0x20).  clean_str strips them at mention normalization
+# (textutils.py), so \x1f can never occur in a key segment and string-min on
+# packed keys equals tuple-min on the segments; NUL specifically is also
+# dropped by Ray's hash shuffle (see memory: raykg-engine-gotchas), which is
+# why the separator is 0x1f and not 0x00.
+_KEY_SEP = "\x1f"
 
 N_BUCKETS = 64
 

@@ -437,15 +437,21 @@ def leakage_safe_split(labels_ds, val_pct: int = 10,
     import hashlib
 
     import pandas as pd
+    import pyarrow as pa
 
-    from ..arrowutil import df_to_table
+    from ..arrowutil import dataset_arrow_types, df_to_table
+
+    # empty-batch schema derives from the INPUT dataset's declared types
+    # (id/label are caller parameters — string ids must not float-promote
+    # into an int64 empty schema; ADVICE r3)
+    in_types = dataset_arrow_types(labels_ds)
 
     def assign(b: pd.DataFrame):
-        import pyarrow as pa
-
         if len(b) == 0:
-            return pa.schema([(id_col, pa.int64()), (label_col, pa.int64()),
-                              ("split", pa.string())]).empty_table()
+            return pa.schema(
+                [(id_col, in_types.get(id_col, pa.int64())),
+                 (label_col, in_types.get(label_col, pa.int64())),
+                 ("split", pa.string())]).empty_table()
         pct = b[label_col].map(
             lambda v: int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 100
         )
