@@ -1398,21 +1398,32 @@ def q14_promo_share(sf_dir: str, d1: str = "1997-03-01", d2: str = "1997-09-01")
     of shipped revenue in a date window that comes from parts of type
     'PROMO'.
 
-    Scale plan: part is a dimension — it collapses to a broadcast
-    partkey->is_promo flag set; lineitem is date-pruned at the reader and
-    folds to TWO int64 counters per batch (promo cents, total cents); the
-    global reduce is a one-row fold.  Share = promo*1_000_000 // total —
-    integer division on both engines, no float ratio."""
+    Scale plan: part is a dimension — its partkey->is_promo flag attaches
+    through the capped dual plan (join.attach_dim: ray.put broadcast under
+    RAYKG_JOIN_BROADCAST_MAX, bucketed shuffle above — no unconditional
+    driver pull); lineitem is date-pruned at the reader and folds to TWO
+    int64 counters per batch (promo cents, total cents); the global reduce
+    is a one-row fold.  Share = promo*1_000_000 // total — integer
+    division on both engines, no float ratio."""
     import numpy as np
     import pyarrow.dataset as pads
+
+    from ..arrowutil import strip_pd_metadata
+    from ..stages.join import attach_dim
 
     d1_ts, d2_ts = pd.Timestamp(d1), pd.Timestamp(d2)
     from ..runtime import configure
 
     configure()
-    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
-    promo_keys = ray.put(
-        frozenset(part.loc[part["p_type"] == "PROMO", "p_partkey"].tolist())
+    flags = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda b: strip_pd_metadata(pd.DataFrame({
+            "l_partkey": b["p_partkey"],
+            "is_promo": (b["p_type"] == "PROMO").astype("int64"),
+        })) if len(b) else pd.DataFrame({
+            "l_partkey": pd.Series(dtype="int64"),
+            "is_promo": pd.Series(dtype="int64"),
+        }),
+        batch_format="pandas",
     )
     li = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -1420,6 +1431,7 @@ def q14_promo_share(sf_dir: str, d1: str = "1997-03-01", d2: str = "1997-09-01")
         filter=(pads.field("l_shipdate") >= d1_ts.to_pydatetime())
         & (pads.field("l_shipdate") < d2_ts.to_pydatetime()),
     )
+    li = attach_dim(li, flags, on="l_partkey")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         m = (b["l_shipdate"] >= d1_ts) & (b["l_shipdate"] < d2_ts)
@@ -1428,7 +1440,7 @@ def q14_promo_share(sf_dir: str, d1: str = "1997-03-01", d2: str = "1997-09-01")
             s["l_extendedprice"].to_numpy()
             * (1.0 - s["l_discount"].to_numpy()) * 100.0
         ).astype("int64")
-        promo = s["l_partkey"].isin(ray.get(promo_keys)).to_numpy()
+        promo = s["is_promo"].to_numpy() == 1
         return pd.DataFrame({
             "promo_cents": [int(cents[promo].sum())],
             "total_cents": [int(cents.sum())],
@@ -2347,14 +2359,16 @@ def q15_top_supplier(sf_dir: str, d1: str = "1997-01-01",
         aggs={"total_revenue_cents": ("cents", "sum")},
     ).materialize()
     top = per_supp.max("total_revenue_cents")
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
     best = per_supp.map_batches(
         lambda b: b[b["total_revenue_cents"] == top],
         batch_format="pandas",
     )
-    return broadcast_join(best, supp, on="s_suppkey").map_batches(
-        lambda b: b[["s_suppkey", "s_name", "total_revenue_cents"]],
-        batch_format="pandas",
+    from ..stages.join import attach_dim
+
+    return attach_dim(
+        best, _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        on="s_suppkey",
+        project=["s_suppkey", "s_name", "total_revenue_cents"],
     )
 
 
@@ -2365,31 +2379,37 @@ def q17_small_qty_cents(sf_dir: str, brand: str = "Brand#1"):
     subquery), kept integer-exact: qty < sum_qty/(5*cnt) is evaluated as
     5*qty*cnt < sum_qty (quantities are integral in this corpus).
 
-    Scale plan: part is a dimension — the brand's partkeys broadcast as a
-    frozenset scan filter; the surviving lineitems fold to one
-    (partkey, sum_qty, cnt) row per part, which joins BACK to the same
-    filtered lines via one bucketed partkey join (fact⋈fold, the
-    correlated-aggregate shape); the final answer is a one-row fold."""
+    Scale plan: part is a dimension — the brand's partkeys attach as a
+    key-only semi-join through the capped dual plan (join.attach_dim);
+    the surviving lineitems fold to one (partkey, sum_qty, cnt) row per
+    part, which joins BACK to the same filtered lines via one bucketed
+    partkey join (fact⋈fold, the correlated-aggregate shape); the final
+    answer is a one-row fold."""
     import numpy as np
 
     from ..arrowutil import strip_pd_metadata
-    from ..stages.join import bucketed_join
+    from ..stages.join import attach_dim, bucketed_join
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
-    keys = ray.put(
-        frozenset(part.loc[part["p_brand"] == brand, "p_partkey"].tolist())
+    brand_keys = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda b: strip_pd_metadata(
+            b.loc[b["p_brand"] == brand, ["p_partkey"]]
+            .rename(columns={"p_partkey": "l_partkey"}))
+        if len(b) else pd.DataFrame({"l_partkey": pd.Series(dtype="int64")}),
+        batch_format="pandas",
     )
-    li = _read(sf_dir, "lineitem",
-               ["l_partkey", "l_quantity", "l_extendedprice"])
+    li = attach_dim(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice"]),
+        brand_keys, on="l_partkey",
+    )
 
     def keep(b: pd.DataFrame) -> pd.DataFrame:
-        s = b[b["l_partkey"].isin(ray.get(keys))]
         return strip_pd_metadata(pd.DataFrame({
-            "p_partkey": s["l_partkey"],
-            "qty": s["l_quantity"].astype("int64"),
+            "p_partkey": b["l_partkey"],
+            "qty": b["l_quantity"].astype("int64"),
             "price_cents": np.floor(
-                s["l_extendedprice"].to_numpy() * 100.0).astype("int64"),
-        })) if len(s) else pd.DataFrame({
+                b["l_extendedprice"].to_numpy() * 100.0).astype("int64"),
+        })) if len(b) else pd.DataFrame({
             "p_partkey": pd.Series(dtype="int64"),
             "qty": pd.Series(dtype="int64"),
             "price_cents": pd.Series(dtype="int64"),
@@ -2429,31 +2449,44 @@ def q19_disjunctive_revenue(sf_dir: str):
     arm predicates (the multi-arm OR join that defeats naive predicate
     pushdown), reported per arm plus the OR-total.
 
-    Scale plan: part is a dimension — partkey->(brand, size) broadcasts
-    as two flat dict maps; lineitem evaluates all three arms vectorized
-    in ONE scan (no join shuffle at all) and folds to a 4-row counter
-    table (arm1/arm2/arm3/any); rows matching several arms count in each
-    arm but once in the total."""
+    Scale plan: part is a dimension — its (brand, size) attributes attach
+    through the capped dual plan (join.attach_dim: broadcast Arrow join
+    under the cap, bucketed shuffle above); lineitem evaluates all three
+    arms vectorized in ONE scan and folds to a 4-row counter table
+    (arm1/arm2/arm3/any); rows matching several arms count in each arm
+    but once in the total."""
     import numpy as np
 
     from ..arrowutil import strip_pd_metadata
+    from ..stages.join import attach_dim
 
     ARMS = [
         ("arm1", "Brand#1", 1, 15, 1, 20),
         ("arm2", "Brand#2", 10, 30, 5, 30),
         ("arm3", "Brand#3", 20, 50, 10, 40),
     ]
-    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).to_pandas()
-    brand_map = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
-    size_map = ray.put(dict(zip(part["p_partkey"],
-                                part["p_size"].astype("int64"))))
-
-    li = _read(sf_dir, "lineitem",
-               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    attrs = _read(sf_dir, "part",
+                  ["p_partkey", "p_brand", "p_size"]).map_batches(
+        lambda b: strip_pd_metadata(pd.DataFrame({
+            "l_partkey": b["p_partkey"],
+            "p_brand": b["p_brand"].astype(object),
+            "p_size": b["p_size"].astype("int64"),
+        })) if len(b) else pd.DataFrame({
+            "l_partkey": pd.Series(dtype="int64"),
+            "p_brand": pd.Series(dtype=object),
+            "p_size": pd.Series(dtype="int64"),
+        }),
+        batch_format="pandas",
+    )
+    li = attach_dim(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]),
+        attrs, on="l_partkey",
+    )
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        brands = b["l_partkey"].map(ray.get(brand_map))
-        sizes = b["l_partkey"].map(ray.get(size_map)).astype("int64")
+        brands = b["p_brand"]
+        sizes = b["p_size"].astype("int64")
         qty = b["l_quantity"].astype("int64").to_numpy()
         cents = np.floor(
             b["l_extendedprice"].to_numpy()
@@ -2550,13 +2583,15 @@ def q21_waiting_supplier(sf_dir: str, k: int = 10):
     per_supp = bucketed_groupby_agg(
         lone, keys=["s_suppkey"], aggs={"numwait": (None, "count")}
     )
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
-    return (
-        broadcast_join(per_supp, supp, on="s_suppkey")
-        .sort(["numwait", "s_suppkey"], descending=[True, False])
-        .limit(k)
-        .map_batches(lambda b: b[["s_suppkey", "s_name", "numwait"]],
-                     batch_format="pandas")
+    # top-k BEFORE the name lookup (sort keys need no dimension column),
+    # so the dual-plan attach labels k rows, never the supplier universe
+    from ..stages.join import attach_dim
+
+    topk = per_supp.sort(["numwait", "s_suppkey"],
+                         descending=[True, False]).limit(k)
+    return attach_dim(
+        topk, _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        on="s_suppkey", project=["s_suppkey", "s_name", "numwait"],
     )
 
 
@@ -2990,19 +3025,19 @@ def q2_min_cost_supplier(sf_dir: str, k: int = 20):
             ["p_partkey", "s_suppkey", "unit_cents"]],
         batch_format="pandas",
     )
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
-    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
-    named = broadcast_join(broadcast_join(best, supp, on="s_suppkey"),
-                           part, on="p_partkey")
-    return (
-        named.sort(["p_partkey", "s_suppkey"])
-        .limit(k)
-        .map_batches(
-            lambda b: b[["p_partkey", "p_name", "s_suppkey", "s_name",
-                         "unit_cents"]],
-            batch_format="pandas",
-        )
+    # top-k first (sort keys are the join keys themselves), then label the
+    # k rows through the dual-plan attaches — neither dimension is pulled
+    from ..stages.join import attach_dim
+
+    topk = best.sort(["p_partkey", "s_suppkey"]).limit(k).materialize()
+    named = attach_dim(
+        attach_dim(topk, _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+                   on="s_suppkey"),
+        _read(sf_dir, "part", ["p_partkey", "p_name"]),
+        on="p_partkey",
+        project=["p_partkey", "p_name", "s_suppkey", "s_name", "unit_cents"],
     )
+    return named
 
 
 def q20_part_share_suppliers(sf_dir: str, num: int = 1, den: int = 5):
@@ -3054,10 +3089,12 @@ def q20_part_share_suppliers(sf_dir: str, num: int = 1, den: int = 5):
         dominated, keys=["s_suppkey"],
         aggs={"n_dominated_parts": (None, "count")},
     )
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
-    return broadcast_join(per_supp, supp, on="s_suppkey").map_batches(
-        lambda b: b[["s_suppkey", "s_name", "n_dominated_parts"]],
-        batch_format="pandas",
+    from ..stages.join import attach_dim
+
+    return attach_dim(
+        per_supp, _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        on="s_suppkey",
+        project=["s_suppkey", "s_name", "n_dominated_parts"],
     )
 
 

@@ -175,6 +175,37 @@ def bucketed_join(
     )
 
 
+def attach_dim(fact, dim, on: str, rename: dict | None = None,
+               project: list | None = None, how: str = "inner"):
+    """Attach dimension columns to a fact Dataset through the capped dual
+    plan — the ONLY sanctioned way to consume a growing dimension table
+    (customer/supplier/part scale linearly with SF; an unconditional
+    .to_pandas()/dict broadcast is a multi-GB driver pull at 100x):
+    `bucketed_join(small_side='right')` broadcasts the dimension once via
+    ray.put under RAYKG_JOIN_BROADCAST_MAX and runs a map-side Arrow hash
+    join (no shuffle, the dict-stamp equivalent); above the cap it is the
+    bucketed shuffle with no driver state.  ``rename`` maps dimension
+    column names onto the fact's key/attr names; ``project`` trims the
+    output columns.  A key-only renamed dimension makes this a semi-join
+    (keys unique -> no row duplication)."""
+    from ..arrowutil import strip_pd_metadata
+
+    if rename:
+        dim = dim.map_batches(
+            lambda b: strip_pd_metadata(b.rename(columns=rename))
+            if len(b) else b.rename(columns=rename),
+            batch_format="pandas",
+        )
+    out = bucketed_join(fact, dim, on=on, how=how, small_side="right")
+    if project:
+        out = out.map_batches(
+            lambda b: strip_pd_metadata(b[project]) if len(b)
+            else b[project],
+            batch_format="pandas",
+        )
+    return out
+
+
 def broadcast_semi_join(ds, keys, col: str, anti: bool = False):
     ref = ray.put(frozenset(keys))
 
