@@ -2240,19 +2240,32 @@ def q10_returned_items(sf_dir: str, d1: str = "1997-01-01",
         keys=["c_custkey"],
         aggs={"revenue_cents": ("cents", "sum")},
     )
-    cust = _read(sf_dir, "customer",
-                 ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    # top-k BEFORE the name lookup (sort keys are in the reduced table),
+    # then attach the customer dimension through the capped dual plan;
+    # nation is constant-size (25 rows) and rides as a closure map
+    from ..arrowutil import strip_pd_metadata
+    from ..stages.join import attach_dim
+
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    dim = cust.merge(nation, left_on="c_nationkey",
-                     right_on="n_nationkey")[["c_custkey", "c_name", "n_name"]]
-    named = broadcast_join(per_cust, dim, on="c_custkey")
-    return (
-        named.sort(["revenue_cents", "c_custkey"], descending=[True, False])
-        .limit(k)
-        .map_batches(
-            lambda b: b[["c_custkey", "c_name", "n_name", "revenue_cents"]],
-            batch_format="pandas",
-        )
+    n_name = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    dim = _read(sf_dir, "customer",
+                ["c_custkey", "c_name", "c_nationkey"]).map_batches(
+        lambda b: strip_pd_metadata(pd.DataFrame({
+            "c_custkey": b["c_custkey"],
+            "c_name": b["c_name"].astype(object),
+            "n_name": b["c_nationkey"].astype(int).map(n_name).astype(object),
+        })) if len(b) else pd.DataFrame({
+            "c_custkey": pd.Series(dtype="int64"),
+            "c_name": pd.Series(dtype=object),
+            "n_name": pd.Series(dtype=object),
+        }),
+        batch_format="pandas",
+    )
+    topk = per_cust.sort(["revenue_cents", "c_custkey"],
+                         descending=[True, False]).limit(k)
+    return attach_dim(
+        topk, dim, on="c_custkey",
+        project=["c_custkey", "c_name", "n_name", "revenue_cents"],
     )
 
 
@@ -2703,36 +2716,56 @@ def q8_market_share(sf_dir: str, region: str = "ASIA",
         nat.loc[nat["n_regionkey"] == region_key, "n_nationkey"].tolist())
     target_key = int(nat.loc[nat["n_name"] == nation, "n_nationkey"].iloc[0])
 
-    cust = _read(sf_dir, "customer",
-                 ["c_custkey", "c_nationkey"]).to_pandas()
-    supp = _read(sf_dir, "supplier",
-                 ["s_suppkey", "s_nationkey"]).to_pandas()
-    in_region = ray.put(frozenset(
-        cust.loc[cust["c_nationkey"].isin(region_nations),
-                 "c_custkey"].tolist()))
-    target_supp = ray.put(frozenset(
-        supp.loc[supp["s_nationkey"] == target_key, "s_suppkey"].tolist()))
+    # region-filtered customer keys and the target-nation supplier flag
+    # attach through the capped dual plan (region/nation literals are
+    # constant-size closures; customer/supplier never pull to the driver)
+    from ..stages.join import attach_dim
 
-    orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    region_custkeys = _read(sf_dir, "customer",
+                            ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: strip_pd_metadata(
+            b.loc[b["c_nationkey"].isin(region_nations), ["c_custkey"]]
+            .rename(columns={"c_custkey": "o_custkey"}))
+        if len(b) else pd.DataFrame({"o_custkey": pd.Series(dtype="int64")}),
+        batch_format="pandas",
+    )
+    target_flags = _read(sf_dir, "supplier",
+                         ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: strip_pd_metadata(pd.DataFrame({
+            "l_suppkey": b["s_suppkey"],
+            "is_target": (b["s_nationkey"].astype("int64") == target_key)
+            .astype("int64"),
+        })) if len(b) else pd.DataFrame({
+            "l_suppkey": pd.Series(dtype="int64"),
+            "is_target": pd.Series(dtype="int64"),
+        }),
+        batch_format="pandas",
+    )
+
+    orders = attach_dim(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        region_custkeys, on="o_custkey",
+    )
 
     def order_year(b: pd.DataFrame) -> pd.DataFrame:
-        s = b[b["o_custkey"].isin(ray.get(in_region))]
         out = pd.DataFrame({
-            "o_orderkey": s["o_orderkey"],
-            "o_year": s["o_orderdate"].dt.year.astype("int64"),
+            "o_orderkey": b["o_orderkey"],
+            "o_year": b["o_orderdate"].dt.year.astype("int64"),
         })
         return strip_pd_metadata(out) if len(out) else out
 
-    li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    li = attach_dim(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]),
+        target_flags, on="l_suppkey",
+    )
 
     def li_cents(b: pd.DataFrame) -> pd.DataFrame:
         cents = np.floor(
             b["l_extendedprice"].to_numpy()
             * (1.0 - b["l_discount"].to_numpy()) * 100.0
         ).astype("int64")
-        is_target = b["l_suppkey"].isin(ray.get(target_supp)).to_numpy()
+        is_target = b["is_target"].to_numpy() == 1
         return strip_pd_metadata(pd.DataFrame({
             "o_orderkey": b["l_orderkey"],
             "target_cents": np.where(is_target, cents, 0),
@@ -2770,30 +2803,51 @@ def q9_profit_by_nation_year(sf_dir: str):
     profit_cents = floor(extprice*(1-disc)*100) - round(retail*100)*qty.
 
     Scale plan: part and supplier are dimensions — partkey->retail_cents
-    and suppkey->nationkey broadcast as flat dict maps; lineitem stamps
-    nation + profit in one scan and folds to (orderkey, nation, cents)
-    combiner rows; orders carry (orderkey, year); ONE bucketed orderkey
-    join, then the (nation, year) reduce is tiny; nation names via one
-    final broadcast."""
+    and suppkey->nationkey attach through the capped dual plan
+    (join.attach_dim); lineitem stamps nation + profit in one scan and
+    folds to (orderkey, nation, cents) combiner rows; orders carry
+    (orderkey, year); ONE bucketed orderkey join, then the (nation, year)
+    reduce is tiny; nation names via one final broadcast (nation is
+    constant-size, 25 rows)."""
     import numpy as np
 
     from ..arrowutil import strip_pd_metadata
-    from ..stages.join import bucketed_join
+    from ..stages.join import attach_dim, bucketed_join
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_retailprice"]).to_pandas()
-    retail_map = ray.put(dict(zip(
-        part["p_partkey"],
-        np.round(part["p_retailprice"].to_numpy() * 100.0).astype("int64"),
-    )))
-    supp = _read(sf_dir, "supplier",
-                 ["s_suppkey", "s_nationkey"]).to_pandas()
-    supp_map = ray.put(dict(zip(supp["s_suppkey"],
-                                supp["s_nationkey"].astype("int64"))))
+    retail = _read(sf_dir, "part",
+                   ["p_partkey", "p_retailprice"]).map_batches(
+        lambda b: strip_pd_metadata(pd.DataFrame({
+            "l_partkey": b["p_partkey"],
+            "retail_cents": np.round(
+                b["p_retailprice"].to_numpy() * 100.0).astype("int64"),
+        })) if len(b) else pd.DataFrame({
+            "l_partkey": pd.Series(dtype="int64"),
+            "retail_cents": pd.Series(dtype="int64"),
+        }),
+        batch_format="pandas",
+    )
+    supp_nat = _read(sf_dir, "supplier",
+                     ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: strip_pd_metadata(pd.DataFrame({
+            "l_suppkey": b["s_suppkey"],
+            "n_nationkey": b["s_nationkey"].astype("int64"),
+        })) if len(b) else pd.DataFrame({
+            "l_suppkey": pd.Series(dtype="int64"),
+            "n_nationkey": pd.Series(dtype="int64"),
+        }),
+        batch_format="pandas",
+    )
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
 
-    li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
-                "l_extendedprice", "l_discount"])
+    li = attach_dim(
+        attach_dim(
+            _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                   "l_extendedprice", "l_discount"]),
+            retail, on="l_partkey",
+        ),
+        supp_nat, on="l_suppkey",
+    )
 
     def profit(b: pd.DataFrame) -> pd.DataFrame:
         rev = np.floor(
@@ -2801,14 +2855,12 @@ def q9_profit_by_nation_year(sf_dir: str):
             * (1.0 - b["l_discount"].to_numpy()) * 100.0
         ).astype("int64")
         cost = (
-            b["l_partkey"].map(ray.get(retail_map)).to_numpy()
-            .astype("int64")
+            b["retail_cents"].to_numpy().astype("int64")
             * b["l_quantity"].astype("int64").to_numpy()
         )
         return strip_pd_metadata(pd.DataFrame({
             "o_orderkey": b["l_orderkey"],
-            "n_nationkey": b["l_suppkey"].map(ray.get(supp_map))
-            .astype("int64"),
+            "n_nationkey": b["n_nationkey"].astype("int64"),
             "profit_cents": rev - cost,
         }))
 
@@ -3665,26 +3717,36 @@ def q11_important_parts(sf_dir: str, regionkey: int = 0, mult: int = 2):
 
     from ..arrowutil import strip_pd_metadata
 
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    # region's supplier keys attach as a key-only semi-join through the
+    # capped dual plan (nation is a constant 25-row closure map)
+    from ..stages.join import attach_dim
+
     nation = _read(sf_dir, "nation",
                    ["n_nationkey", "n_regionkey"]).to_pandas()
-    in_region = set(
-        supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
-        .query("n_regionkey == @regionkey")["s_suppkey"].astype("int64")
+    region_nations = set(
+        nation.loc[nation["n_regionkey"] == regionkey, "n_nationkey"]
+        .astype(int)
     )
-    sup_ref = ray.put(frozenset(in_region))
+    region_suppkeys = _read(sf_dir, "supplier",
+                            ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: strip_pd_metadata(
+            b.loc[b["s_nationkey"].astype(int).isin(region_nations),
+                  ["s_suppkey"]].rename(columns={"s_suppkey": "l_suppkey"}))
+        if len(b) else pd.DataFrame({"l_suppkey": pd.Series(dtype="int64")}),
+        batch_format="pandas",
+    )
 
-    li = _read(sf_dir, "lineitem",
-               ["l_partkey", "l_suppkey", "l_extendedprice"])
+    li = attach_dim(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice"]),
+        region_suppkeys, on="l_suppkey",
+    )
 
     def stamp(b: pd.DataFrame) -> pd.DataFrame:
-        s = ray.get(sup_ref)
-        keep = b["l_suppkey"].map(lambda v: int(v) in s)
-        sel = b[keep]
         out = pd.DataFrame({
-            "l_partkey": sel["l_partkey"].astype("int64"),
+            "l_partkey": b["l_partkey"].astype("int64"),
             "cents": np.floor(
-                sel["l_extendedprice"].to_numpy() * 100.0).astype("int64"),
+                b["l_extendedprice"].to_numpy() * 100.0).astype("int64"),
         })
         return strip_pd_metadata(out) if len(out) else pd.DataFrame({
             "l_partkey": pd.Series(dtype="int64"),
@@ -3717,51 +3779,70 @@ def q16_supplier_counts(sf_dir: str, excl_regionkey: int = 0):
     'Customer Complaints' comment filter; this schema has no comment
     column).
 
-    Scale plan: filtered parts collapse to a partkey->attrs broadcast
-    map and the excluded suppliers to a broadcast set — both applied at
-    the lineitem scan with per-batch local dedup; the exact distinct
-    count is the standard two-phase grouped reduce (distinct pairs, then
-    count) — no count-distinct state on any single node.
+    Scale plan: the filtered part universe and the excluded-supplier flag
+    both attach through the capped dual plan (join.attach_dim) at the
+    lineitem scan — fully vectorized (the old partkey->attrs dict walk
+    was a per-row Python loop) — with per-batch local dedup; the exact
+    distinct count is the standard two-phase grouped reduce (distinct
+    pairs, then count) — no count-distinct state on any single node.
     -> Dataset(p_brand, p_type, p_size, supplier_cnt)."""
     from ..arrowutil import strip_pd_metadata
+    from ..stages.join import attach_dim
 
-    part = _read(sf_dir, "part",
-                 ["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
     sizes = {1, 4, 9, 14, 19, 24, 29, 34}
-    px = part[(part["p_brand"] != "Brand#1") & (part["p_type"] != "PROMO")
-              & part["p_size"].isin(sizes)]
-    attr_map = ray.put({
-        int(k): (b, t, int(s)) for k, b, t, s in zip(
-            px["p_partkey"], px["p_brand"], px["p_type"], px["p_size"])
-    })
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+
+    def part_attrs(b: pd.DataFrame):
+        keep = b[(b["p_brand"] != "Brand#1") & (b["p_type"] != "PROMO")
+                 & b["p_size"].isin(sizes)]
+        out = pd.DataFrame({
+            "l_partkey": keep["p_partkey"],
+            "p_brand": keep["p_brand"].astype(object),
+            "p_type": keep["p_type"].astype(object),
+            "p_size": keep["p_size"].astype("int64"),
+        }) if len(keep) else pd.DataFrame({
+            "l_partkey": pd.Series(dtype="int64"),
+            "p_brand": pd.Series(dtype=object),
+            "p_type": pd.Series(dtype=object),
+            "p_size": pd.Series(dtype="int64"),
+        })
+        return strip_pd_metadata(out) if len(out) else out
+
+    px = _read(sf_dir, "part",
+               ["p_partkey", "p_brand", "p_type", "p_size"]).map_batches(
+        part_attrs, batch_format="pandas")
     nation = _read(sf_dir, "nation",
                    ["n_nationkey", "n_regionkey"]).to_pandas()
-    excluded = frozenset(
-        supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
-        .query("n_regionkey == @excl_regionkey")["s_suppkey"].astype("int64")
+    excl_nations = set(
+        nation.loc[nation["n_regionkey"] == excl_regionkey, "n_nationkey"]
+        .astype(int)
     )
-    ex_ref = ray.put(excluded)
+    supp_flags = _read(sf_dir, "supplier",
+                       ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: strip_pd_metadata(pd.DataFrame({
+            "l_suppkey": b["s_suppkey"],
+            "excl": b["s_nationkey"].astype(int).isin(excl_nations)
+            .astype("int64"),
+        })) if len(b) else pd.DataFrame({
+            "l_suppkey": pd.Series(dtype="int64"),
+            "excl": pd.Series(dtype="int64"),
+        }),
+        batch_format="pandas",
+    )
 
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    li = attach_dim(
+        attach_dim(_read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+                   px, on="l_partkey"),
+        supp_flags, on="l_suppkey",
+    )
 
     def stamp(b: pd.DataFrame) -> pd.DataFrame:
-        m, ex = ray.get(attr_map), ray.get(ex_ref)
-        rows = {"p_brand": [], "p_type": [], "p_size": [], "l_suppkey": []}
-        for pk, sk in zip(b["l_partkey"].astype("int64"),
-                          b["l_suppkey"].astype("int64")):
-            a = m.get(int(pk))
-            if a is None or int(sk) in ex:
-                continue
-            rows["p_brand"].append(a[0])
-            rows["p_type"].append(a[1])
-            rows["p_size"].append(a[2])
-            rows["l_suppkey"].append(int(sk))
+        out = b.loc[b["excl"] == 0,
+                    ["p_brand", "p_type", "p_size", "l_suppkey"]]
         out = pd.DataFrame({
-            "p_brand": pd.Series(rows["p_brand"], dtype=object),
-            "p_type": pd.Series(rows["p_type"], dtype=object),
-            "p_size": pd.Series(rows["p_size"], dtype="int64"),
-            "l_suppkey": pd.Series(rows["l_suppkey"], dtype="int64"),
+            "p_brand": out["p_brand"].astype(object),
+            "p_type": out["p_type"].astype(object),
+            "p_size": out["p_size"].astype("int64"),
+            "l_suppkey": out["l_suppkey"].astype("int64"),
         }).drop_duplicates(ignore_index=True)  # local dedup pre-shuffle
         return strip_pd_metadata(out) if len(out) else out
 

@@ -215,6 +215,9 @@ def test_dimension_pipelines_plan_parity(ray_session, monkeypatch):
 
     from mmgraphrag_ray.pipelines.relational import (
         q5_nation_volume,
+        q14_promo_share,
+        q16_supplier_counts,
+        q21_waiting_supplier,
         segment_order_stats,
         segment_price_quantiles,
         topk_orders_per_segment,
@@ -226,6 +229,9 @@ def test_dimension_pipelines_plan_parity(ray_session, monkeypatch):
         "topk_orders_per_segment": topk_orders_per_segment,
         "segment_price_quantiles": segment_price_quantiles,
         "q5_nation_volume": q5_nation_volume,
+        "q14_promo_share": q14_promo_share,
+        "q16_supplier_counts": q16_supplier_counts,
+        "q21_waiting_supplier": q21_waiting_supplier,
     }
 
     def norm(ds):
