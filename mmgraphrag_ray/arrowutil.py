@@ -25,6 +25,12 @@ def _arrow_type_for(series: pd.Series, override: pa.DataType | None) -> pa.DataT
         return override
     dt = series.dtype
     if dt == object or str(dt) in ("string", "str"):
+        # object columns default to string (empty/all-None included) so
+        # block schemas never disagree — EXCEPT bytes payloads, which must
+        # stay binary (a string cast would corrupt media columns)
+        first = series.first_valid_index()
+        if first is not None and isinstance(series.loc[first], (bytes, bytearray)):
+            return pa.binary()
         return pa.string()
     if str(dt).startswith("datetime64"):
         return pa.timestamp("ns")

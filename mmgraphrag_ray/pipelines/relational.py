@@ -4001,8 +4001,12 @@ def events_sessions_microbatch(sf_dir: str, gap_minutes: int = 30,
         [lo_ns + ((hi_ns - lo_ns) * k) // n_slices
          for k in range(n_slices + 1)])
 
-    def empty_tagged() -> pd.DataFrame:
-        return pd.DataFrame({
+    def empty_tagged():
+        # typed Arrow (not a pandas object-column empty — size-estimator
+        # hygiene; df_to_table maps the object kind column to string)
+        from ..arrowutil import df_to_table
+
+        return df_to_table(pd.DataFrame({
             "user_id": pd.Series(dtype="int64"),
             "ts": pd.Series(dtype="datetime64[us]"),
             "kind": pd.Series(dtype=object),
@@ -4010,7 +4014,7 @@ def events_sessions_microbatch(sf_dir: str, gap_minutes: int = 30,
             "n": pd.Series(dtype="int64"),
             "first_ts": pd.Series(dtype="datetime64[us]"),
             "last_ts": pd.Series(dtype="datetime64[us]"),
-        })
+        }))
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:

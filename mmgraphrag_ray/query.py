@@ -196,11 +196,14 @@ def build_local_context(
     ).reset_index(drop=True)
 
     # incident edges of retrieved nodes
-    def incident(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            return batch
+    def incident(batch: pd.DataFrame):
+        from .arrowutil import df_to_table
+
         sel = set(names)
-        return batch[batch["src_id"].isin(sel) | batch["tgt_id"].isin(sel)]
+        return df_to_table(
+            batch[batch["src_id"].isin(sel) | batch["tgt_id"].isin(sel)]
+            if len(batch) else batch
+        )
 
     inc_edges = edges_ds.map_batches(incident, batch_format="pandas").to_pandas()
 

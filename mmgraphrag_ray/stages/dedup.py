@@ -245,6 +245,24 @@ def _pairs_arrow(df: pd.DataFrame):
     return df_to_table(df)
 
 
+def _typed_pair_rows(rows, like, extra: dict | None = None):
+    """pair rows -> typed Arrow: id columns inherit the source id dtype even
+    when rows is empty (an all-object empty frame trips Ray's size estimator
+    AND diverges from populated int64 blocks); `extra` maps additional
+    column -> dtype."""
+    cols = ["id_a", "id_b"] + list(extra or {})
+    out = pd.DataFrame(rows, columns=cols).drop_duplicates()
+    if not len(out):
+        out = pd.DataFrame(
+            {"id_a": pd.Series(dtype=like.dtype),
+             "id_b": pd.Series(dtype=like.dtype),
+             **{c: pd.Series(dtype=t) for c, t in (extra or {}).items()}}
+        )
+    elif extra:
+        out = out.astype(extra)
+    return _pairs_arrow(out)
+
+
 def minhash_candidate_pairs(
     docs_ds, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
     max_bucket: int = MAX_BUCKET_ALL_PAIRS,
@@ -281,7 +299,7 @@ def minhash_candidate_pairs(
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     rows.append((ids[i], ids[j]))
-        return pd.DataFrame(rows, columns=["id_a", "id_b"]).drop_duplicates()
+        return _typed_pair_rows(rows, bucket["doc_id"])
 
     bands = docs_ds.map_batches(to_bands, batch_format="pandas")
     pairs = (
@@ -613,7 +631,7 @@ def jaccard_candidate_pairs(
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     rows.append((ids[i], ids[j]))
-        return pd.DataFrame(rows, columns=["id_a", "id_b"]).drop_duplicates()
+        return _typed_pair_rows(rows, bucket["doc_id"])
 
     rows = docs_ds.map_batches(to_shingle_rows, batch_format="pandas")
     pairs = (
@@ -720,7 +738,8 @@ def dedup_simhash(docs_ds, max_hamming: int = 3,
                 d = hamming64(ra[1], ra[2], rb[1], rb[2])
                 if d <= max_hamming:
                     rows.append((ra[0], rb[0], d))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]).drop_duplicates()
+        return _typed_pair_rows(rows, bucket["doc_id"],
+                                extra={"hamming": "int64"})
 
     chunks = docs_ds.map_batches(to_chunks, batch_format="pandas")
     pairs = (
@@ -797,7 +816,8 @@ def embedding_near_dup(emb_ds, threshold: float = 0.95,
                 for j in range(i + 1, len(ids)):
                     if sims[i, j] >= threshold:
                         rows.append((int(ids[i]), int(ids[j]), float(sims[i, j])))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+        return _typed_pair_rows(
+            rows, pd.Series(dtype="int64"), extra={"cosine": "float64"})
 
     buckets = emb_ds.map_batches(to_buckets, batch_format="pyarrow")
     return (
@@ -1010,12 +1030,17 @@ def decontaminate(docs_ds, text_col: str = "text", id_col: str = "doc_id",
         broadcast_max = int(os.environ.get("RAYKG_DECON_BROADCAST_MAX",
                                            2_000_000))
 
-    def bench_shingles(batch: pd.DataFrame) -> pd.DataFrame:
+    def bench_shingles(batch: pd.DataFrame):
+        from ..arrowutil import df_to_table
+
         m = batch[batch[id_col] % bench_mod == 0]
         out: set = set()
         for t in m[text_col]:
             out |= shingle_set(t, k)
-        return pd.DataFrame({"s": sorted(out)})
+        # typed Arrow: a no-bench-doc batch would emit an object-vs-float64
+        # pandas schema divergence (empty list infers float64)
+        return df_to_table(
+            pd.DataFrame({"s": pd.Series(sorted(out), dtype=object)}))
 
     sh = docs_ds.map_batches(bench_shingles, batch_format="pandas")
     sh = sh.materialize()
@@ -1404,10 +1429,10 @@ def containment_pairs(docs_ds, threshold_ppm: int = 800_000,
             cba = nc * 1_000_000 // nb if nb else 0
             if max(cab, cba) >= threshold_ppm:
                 rows.append((ia, ib, nc, na, nb, cab, cba))
+        from ..arrowutil import df_to_table
+
         out = pd.DataFrame(rows, columns=cols)
-        for c in cols[2:]:
-            out[c] = out[c].astype("int64")
-        return out
+        return df_to_table(out.astype({c: "int64" for c in cols}))
 
     return j2.map_batches(score, batch_format="pandas")
 

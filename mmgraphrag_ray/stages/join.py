@@ -209,9 +209,13 @@ def attach_dim(fact, dim, on: str, rename: dict | None = None,
 def broadcast_semi_join(ds, keys, col: str, anti: bool = False):
     ref = ray.put(frozenset(keys))
 
-    def filter_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    def filter_batch(batch: pd.DataFrame):
+        # typed-Arrow output: raw pandas slices with string columns trip
+        # Ray's size estimator whenever a batch filters to empty
+        from ..arrowutil import df_to_table
+
         mask = batch[col].isin(ray.get(ref))
-        return batch[~mask] if anti else batch[mask]
+        return df_to_table(batch[~mask] if anti else batch[mask])
 
     return ds.map_batches(filter_batch, batch_format="pandas")
 

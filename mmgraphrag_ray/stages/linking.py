@@ -500,11 +500,18 @@ def enhance_unaligned_entities(
         "RAYKG_ALIAS_BROADCAST_MAX", str(ALIAS_BROADCAST_LIMIT)))
     if isinstance(alias_ds, pd.DataFrame):  # pandas convenience input
         import ray.data as _rd
-        alias_ds = _rd.from_pandas(alias_ds)
+
+        from ..arrowutil import df_to_table
+
+        # arrow block, not a pandas one: an EMPTY alias frame's object
+        # columns would trip the size estimator at every metadata fetch
+        alias_ds = _rd.from_arrow(df_to_table(alias_ds))
     alias_ds = alias_ds.materialize()
     types = frozenset(entity_types)
 
-    def _enhance_batch(target: pd.DataFrame) -> pd.DataFrame:
+    def _enhance_batch(target: pd.DataFrame):
+        from ..arrowutil import df_to_table
+
         old, new, descs = [], [], []
         for name, desc in zip(target["entity_name"], target["description"]):
             out = enhancer(name, desc)
@@ -514,11 +521,13 @@ def enhance_unaligned_entities(
             old.append(name)
             new.append(new_name)
             descs.append(new_desc)
-        return pd.DataFrame(
+        # typed Arrow even when every row filtered/declined: empty pandas
+        # object columns trip Ray's size estimator
+        return df_to_table(pd.DataFrame(
             {"member_name": pd.Series(old, dtype=object),
              "canonical_name": pd.Series(new, dtype=object),
              "new_description": pd.Series(descs, dtype=object)}
-        )
+        ))
 
     _EMPTY_RW = {"member_name": pd.Series(dtype=object),
                  "canonical_name": pd.Series(dtype=object),
@@ -536,9 +545,11 @@ def enhance_unaligned_entities(
                 | frozenset(alias_df["canonical_name"])
             )
 
-        def rewrites(batch: pd.DataFrame) -> pd.DataFrame:
+        def rewrites(batch: pd.DataFrame):
             if len(batch) == 0:
-                return pd.DataFrame(_EMPTY_RW)
+                from ..arrowutil import df_to_table
+
+                return df_to_table(pd.DataFrame(_EMPTY_RW))
             al = ray.get(aligned_ref)
             return _enhance_batch(batch[
                 batch["entity_type"].isin(types)
@@ -573,9 +584,11 @@ def enhance_unaligned_entities(
             probe, aligned_names, on="entity_name", how="left"
         ).materialize()  # pin between join shuffles (>2-shuffle deadlock)
 
-        def rewrites_join(batch: pd.DataFrame) -> pd.DataFrame:
+        def rewrites_join(batch: pd.DataFrame):
             if len(batch) == 0:
-                return pd.DataFrame(_EMPTY_RW)
+                from ..arrowutil import df_to_table
+
+                return df_to_table(pd.DataFrame(_EMPTY_RW))
             return _enhance_batch(batch[
                 batch["entity_type"].isin(types) & batch["_aligned"].isna()
             ])

@@ -345,11 +345,13 @@ def prf_expansion_terms(
                         out_qid.append(qid)
                         out_term.append(t)
                         out_w.append(n)
-        return pd.DataFrame(
+        from ..arrowutil import df_to_table
+
+        return df_to_table(pd.DataFrame(
             {"qid": pd.array(out_qid, dtype="string"),
              "term": pd.array(out_term, dtype="string"),
              "w": np.asarray(out_w, dtype=np.int64)}
-        )
+        ))
 
     sums = bucketed_groupby_agg(
         documents_ds.map_batches(tf_partial, batch_format="pandas"),
