@@ -724,7 +724,9 @@ def vendored_files(files_ds, min_repos: int = 2):
 
     joined = bucketed_join(copies, repo_counts, on="content_sha256")
 
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
+    def finish(b: pd.DataFrame):
+        from ..arrowutil import df_to_table
+
         b = b[b["n_repos"] >= min_repos]
         parts = b["_first"].str.split(SEP, expand=True)
         out = pd.DataFrame({
@@ -734,7 +736,8 @@ def vendored_files(files_ds, min_repos: int = 2):
             "first_repo": parts[0] if len(b) else pd.Series(dtype=object),
             "first_path": parts[1] if len(b) else pd.Series(dtype=object),
         }).reset_index(drop=True)
-        return strip_pd_metadata(out) if len(out) else out
+        # typed Arrow: the min_repos filter empties most blocks
+        return df_to_table(out)
 
     return joined.map_batches(finish, batch_format="pandas")
 

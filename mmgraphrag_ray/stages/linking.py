@@ -563,10 +563,12 @@ def enhance_unaligned_entities(
         # Distinct aligned names (member ∪ canonical) as a keyed marker
         # table; unaligned nodes are the left-join rows with a null marker.
         def _names(col):
-            def fn(b: pd.DataFrame) -> pd.DataFrame:
-                return pd.DataFrame(
+            def fn(b: pd.DataFrame):
+                from ..arrowutil import df_to_table
+
+                return df_to_table(pd.DataFrame(
                     {"entity_name": b[col].astype(object)
-                     if len(b) else pd.Series(dtype=object)})
+                     if len(b) else pd.Series(dtype=object)}))
             return fn
 
         aligned_names = bucketed_groupby_agg(

@@ -802,12 +802,15 @@ def backfill_unknown_nodes(nodes_ds, edges_ds, winners_ds=None):
     # count is one map pass, not a recomputation of the merge shuffle.
     if nodes_ds.count() <= max_names:
         names_df = nodes_ds.map_batches(
-            lambda b: b[["entity_name"]].drop_duplicates()
-            if len(b)
-            else _empty_frame(["entity_name"]),
+            lambda b: df_to_table(
+                b[["entity_name"]].drop_duplicates()
+                if len(b)
+                else _empty_frame(["entity_name"])),
             batch_format="pandas",
         ).to_pandas()
-        ref = _ray.put(frozenset(names_df["entity_name"]))
+        # empty-graph guard: an all-empty Dataset's to_pandas() drops cols
+        ref = _ray.put(frozenset(
+            names_df["entity_name"] if "entity_name" in names_df else ()))
 
         def probe_endpoints(batch: pd.DataFrame) -> pd.DataFrame:
             # membership-test FIRST, explode/min-reduce only the survivors:
