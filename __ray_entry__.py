@@ -2344,6 +2344,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      columns=["lang", "doc_id"])
         return grouped_hash_sample(docs, keys=["lang"], id_col="doc_id", k=3)
 
+    def doc_stratified_sample_q(sf_dir):
+        # EXACT per-stratum 10% sample: per lang keep the ceil(n/10)
+        # smallest-md5(doc_id) docs — the per-stratum quantile threshold
+        # comes from group_quantiles (quantile_disc semantics), so the SQL
+        # mirror is h <= quantile_disc(h, .1) OVER (PARTITION BY lang)
+        from mmgraphrag_ray.stages.select import stratified_sample
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "lang"])
+        return stratified_sample(docs, stratum_col="lang",
+                                 id_col="doc_id", pct=10)
+
+    def events_funnel_q(sf_dir):
+        # ordered view->click->purchase funnel: per step, users with an
+        # event of that type strictly after their previous-step min time
+        from mmgraphrag_ray.stages.window import funnel_counts
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_type"])
+        return funnel_counts(ev, ["view", "click", "purchase"])
+
     def lineitem_price_histogram_q(sf_dir):
         # equi-width histogram (24 bins over [0, 120000)): one streaming
         # combiner pass, n_bins rows of driver-visible state
@@ -3256,6 +3278,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle_order": doc_shuffle_order_q,
         "doc_weighted_median_len": doc_weighted_median_len_q,
         "doc_split_assign": doc_split_assign_q,
+        "doc_exact_stratified_sample": doc_stratified_sample_q,
+        "events_strict_funnel": events_funnel_q,
         "join_size_events_customer": join_size_events_customer_q,
         "doc_sample_per_lang": doc_sample_per_lang_q,
         "events_window_dedup": events_window_dedup_q,
@@ -6567,6 +6591,42 @@ FROM rankedkb WHERE rn = 1
         """,
         "doc_sample": """
             SELECT * FROM documents WHERE doc_id % 10 = 0
+        """,
+        # exact per-stratum 10% sample: per-lang quantile_disc threshold
+        # over the md5-derived id hash (the engine's group_quantiles is
+        # the identical type-1 selection)
+        "doc_exact_stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang, h,
+                     quantile_disc(h, 0.1) OVER (PARTITION BY lang) AS thr
+              FROM (SELECT doc_id, lang,
+                           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                1, 8)) AS UBIGINT) AS h
+                    FROM documents)
+            ) WHERE h <= thr
+        """,
+        # strict-sequence funnel: min-after-previous join chain
+        "events_strict_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+            )
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                   CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT 2, 'click', (SELECT count(*) FROM s2)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT count(*) FROM s3)
         """,
         # mirror of stages/dedup.py dedup_lines (min_files=4): non-empty
         # lines in > 4 distinct files are removed from every file

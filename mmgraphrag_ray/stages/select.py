@@ -462,3 +462,70 @@ def leakage_safe_split(labels_ds, val_pct: int = 10,
         }))
 
     return labels_ds.map_batches(assign, batch_format="pandas")
+
+
+def stratified_sample(ds, stratum_col: str, id_col: str = "id",
+                      pct: int = 10):
+    """EXACT per-stratum consistent sample: within every stratum keep the
+    ``ceil(pct/100 * n)`` rows with the smallest md5-derived hash of the id
+    — stratified holdout selection with the reproducibility of
+    hash-threshold sampling (membership is a pure function of the id and
+    the per-stratum quantile, so strata keep their exact proportions even
+    under skewed stratum sizes, where a global ``md5 % 100 < pct`` filter
+    drifts on small strata).
+
+    Scale shape: one pass computes (stratum, h); the per-stratum threshold
+    is window.group_quantiles' exact type-1 selection (one hash shuffle of
+    fixed-width rows, DuckDB quantile_disc semantics, so the SQL mirror is
+    ``h <= quantile_disc(h, pct/100) OVER (PARTITION BY stratum)``); the
+    thresholds table (one row per stratum) attaches back through the
+    capped dual plan and the keep filter is a vectorized map.
+
+    -> Dataset(id_col, stratum_col) of the sampled rows."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..arrowutil import df_to_table
+    from .join import attach_dim
+    from .window import group_quantiles
+
+    def hashed(b: pd.DataFrame):
+        out = pd.DataFrame({
+            id_col: b[id_col],
+            stratum_col: b[stratum_col],
+            "_h": b[id_col].map(
+                lambda v: int(hashlib.md5(
+                    str(v).encode()).hexdigest()[:8], 16)
+            ).astype("int64"),
+        } if len(b) else {
+            id_col: pd.Series(dtype="int64"),
+            stratum_col: pd.Series(dtype=object),
+            "_h": pd.Series(dtype="int64"),
+        })
+        return df_to_table(out)
+
+    hds = ds.map_batches(hashed, batch_format="pandas").materialize()
+    qcol = f"p{int(round(pct)):02d}"
+    thr = group_quantiles(
+        hds.map_batches(
+            lambda b: b[[stratum_col, "_h"]], batch_format="pandas"),
+        keys=[stratum_col], value_col="_h", qs=[pct / 100.0],
+    ).map_batches(
+        lambda b: df_to_table(pd.DataFrame({
+            stratum_col: b[stratum_col],
+            "_thr": b[qcol].astype("int64"),
+        } if len(b) else {stratum_col: pd.Series(dtype=object),
+                          "_thr": pd.Series(dtype="int64")})),
+        batch_format="pandas",
+    )
+
+    kept = attach_dim(hds, thr, on=stratum_col)
+
+    def keep(b: pd.DataFrame):
+        return df_to_table(
+            b.loc[b["_h"] <= b["_thr"], [id_col, stratum_col]]
+            if len(b) else b[[id_col, stratum_col]])
+
+    return kept.map_batches(keep, batch_format="pandas")

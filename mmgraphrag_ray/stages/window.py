@@ -741,3 +741,72 @@ def lateness_profile(
         .map_groups(per_bucket, batch_format="pandas")
         .repartition(8)
     )
+
+
+def funnel_counts(events_ds, steps: list[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type", n_buckets: int = 64):
+    """Ordered event FUNNEL — per step, how many users reached it: a user
+    reaches step k when an event of type ``steps[k]`` exists STRICTLY
+    after their (minimal) step-k-1 timestamp; t_k(user) = min such ts (the
+    standard strict-sequence funnel, SQL-mirrorable as a chain of
+    min-after-previous joins).
+
+    Scale shape: events prune to the step types at the scan; ONE hash
+    shuffle co-locates each user's step events (bucketed by user), and
+    every per-bucket pass is vectorized pandas (per-step: merge previous
+    step times, strict-after filter, groupby-min) — state per bucket is
+    one timestamp per active user per step, never raw history; the final
+    reduce sums |steps| counter rows per bucket.
+
+    -> Dataset(step, event_type, n_users), one row per funnel step."""
+    import zlib
+
+    import pandas as pd
+
+    from ..arrowutil import df_to_table
+    from .groupagg import bucketed_groupby_agg
+
+    step_set = frozenset(steps)
+
+    def prune(b: pd.DataFrame):
+        out = b.loc[b[type_col].isin(step_set),
+                    [user_col, ts_col, type_col]]
+        if len(out):
+            out = out.copy()
+            out["_fbucket"] = out[user_col].map(
+                lambda v: zlib.crc32(str(v).encode()) % n_buckets
+            ).astype("int32")
+        else:
+            out = out.assign(_fbucket=pd.Series(dtype="int32"))
+        return df_to_table(out)
+
+    def per_bucket(g: pd.DataFrame):
+        counts = []
+        prev = None  # Series: user -> t_{k-1}
+        for k, st in enumerate(steps):
+            sel = g[g[type_col] == st]
+            if prev is None:
+                cur = sel.groupby(user_col, sort=False)[ts_col].min()
+            else:
+                m = sel.merge(prev.rename("_prev"), left_on=user_col,
+                              right_index=True)
+                m = m[m[ts_col] > m["_prev"]]
+                cur = m.groupby(user_col, sort=False)[ts_col].min()
+            counts.append(len(cur))
+            prev = cur
+        return df_to_table(pd.DataFrame({
+            "step": pd.array(range(1, len(steps) + 1), dtype="int64"),
+            "event_type": pd.array(list(steps), dtype=object),
+            "n_users": pd.array(counts, dtype="int64"),
+        }))
+
+    partials = (
+        events_ds.map_batches(prune, batch_format="pandas")
+        .groupby("_fbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return bucketed_groupby_agg(
+        partials, keys=["step", "event_type"],
+        aggs={"n_users": ("n_users", "sum")},
+    )

@@ -132,6 +132,8 @@ CASES = [
     "media_png_decode",
     "kg_entity_vecs_invariants",
     "media_feature_vecs_invariants",
+    "doc_exact_stratified_sample",
+    "events_strict_funnel",
 ]
 
 
