@@ -998,6 +998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     import numpy as np
     import ray.data
 
+    from mmgraphrag_ray.arrowutil import df_to_table as _dtt
     from mmgraphrag_ray.runtime import configure
 
     configure()
@@ -2790,7 +2791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         nodes, edges = _build_graph_cached(sf_dir)
         seeds = nodes.map_batches(
-            lambda b: b[b["entity_type"] == '"CLASS"'][["entity_name"]],
+            lambda b: _dtt(b[b["entity_type"] == '"CLASS"'][["entity_name"]]),
             batch_format="pandas",
         )
         return k_hop_distances(seeds, edges, k=2)
@@ -2802,7 +2803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         nodes, edges = _build_graph_cached(sf_dir)
         seeds = nodes.map_batches(
-            lambda b: b[b["entity_type"] == '"CLASS"'][["entity_name"]],
+            lambda b: _dtt(b[b["entity_type"] == '"CLASS"'][["entity_name"]]),
             batch_format="pandas",
         )
         ranks = ppr_int(nodes, edges, seeds, iterations=3)
@@ -2817,7 +2818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         nodes, edges = _build_graph_cached(sf_dir)
         seeds = nodes.map_batches(
-            lambda b: b[b["entity_type"] == '"CLASS"'][["entity_name"]],
+            lambda b: _dtt(b[b["entity_type"] == '"CLASS"'][["entity_name"]]),
             batch_format="pandas",
         )
         return k_hop_path_counts(seeds, edges, k=2)
@@ -2838,7 +2839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         nodes, edges = _build_graph_cached(sf_dir)
         seeds = nodes.map_batches(
-            lambda b: b[b["entity_type"] == '"CLASS"'][["entity_name"]],
+            lambda b: _dtt(b[b["entity_type"] == '"CLASS"'][["entity_name"]]),
             batch_format="pandas",
         )
         return betweenness_ppm(seeds, edges, k=2)

@@ -107,8 +107,10 @@ def main():
 
         ok = sum(1 for v in tally.values() if v["status"] == "ok")
         rows_only = sum(1 for v in tally.values() if v["status"] == "rows_only")
+        payload_note = os.environ.get("RAYKG_ORACLES_NOTE")
         with open(out_json, "w") as f:
             json.dump({"sf_dir": sf_dir, "n_queries": len(tally),
+                       **({"note": payload_note} if payload_note else {}),
                        "n_ok": ok, "n_rows_only": rows_only,
                        "n_failed": len(failures), "failed": sorted(failures),
                        "queries": tally}, f, indent=1, sort_keys=True)
