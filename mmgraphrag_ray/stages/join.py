@@ -77,7 +77,16 @@ def bucketed_join(
         small_side = None
     if small_side is not None:
         cap = int(os.environ.get("RAYKG_JOIN_BROADCAST_MAX", "500000"))
-        small = left if small_side == "left" else right
+        # materialize ONCE: count() and the broadcast collection would
+        # otherwise each re-execute the dimension's read+map pipeline
+        # (measured ~0.5-1 s per extra execution on the TPC-H q5/q10
+        # dimension attaches); the bucketed path below reuses the same
+        # materialized blocks
+        small = (left if small_side == "left" else right).materialize()
+        if small_side == "left":
+            left = small
+        else:
+            right = small
         if small.count() <= cap:
             from ..arrowutil import df_to_table
 
