@@ -789,9 +789,11 @@ def funnel_counts(events_ds, steps: list[str],
             if prev is None:
                 cur = sel.groupby(user_col, sort=False)[ts_col].min()
             else:
-                m = sel.merge(prev.rename("_prev"), left_on=user_col,
-                              right_index=True)
-                m = m[m[ts_col] > m["_prev"]]
+                # index-map, not merge: a right_index merge renames the
+                # result index to user_col, making the next groupby
+                # ambiguous (index level vs column label)
+                prev_ts = sel[user_col].map(prev)
+                m = sel[prev_ts.notna() & (sel[ts_col] > prev_ts)]
                 cur = m.groupby(user_col, sort=False)[ts_col].min()
             counts.append(len(cur))
             prev = cur

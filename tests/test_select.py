@@ -207,3 +207,38 @@ def test_leakage_safe_split_coassigns_near_dups(ray_session):
         want = "val" if int(hashlib.md5(
             str(lab).encode()).hexdigest()[:8], 16) % 100 < 50 else "train"
         assert out.loc[row, "split"] == want
+
+
+def test_stratified_sample_exact_quota_vs_brute_force(ray_session):
+    """Per stratum, stratified_sample must keep EXACTLY the ceil(pct/100*n)
+    smallest-md5(id) rows (type-1 quantile semantics) — checked against a
+    brute-force pandas computation on a skewed synthetic stratum layout."""
+    import hashlib
+    import math
+
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.select import stratified_sample
+
+    rows = []
+    # skewed strata: 400/37/8/1 rows (the regime where a rate-threshold
+    # sample drifts but the quota sample must stay exact)
+    for stratum, n in [("big", 400), ("mid", 37), ("small", 8), ("one", 1)]:
+        base = {"big": 0, "mid": 10000, "small": 20000, "one": 30000}[stratum]
+        rows += [{"id": base + i, "s": stratum} for i in range(n)]
+    df = pd.DataFrame(rows)
+
+    out = stratified_sample(
+        ray.data.from_pandas(df).repartition(7), stratum_col="s",
+        id_col="id", pct=10,
+    ).to_pandas()
+
+    def h(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+    for stratum, g in df.groupby("s"):
+        want_n = math.ceil(0.1 * len(g))
+        want = set(sorted(g["id"], key=h)[:want_n])
+        got = set(out.loc[out["s"] == stratum, "id"])
+        assert got == want, (stratum, len(got), want_n)

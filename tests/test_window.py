@@ -598,3 +598,42 @@ def test_lateness_profile_counts_watermark_violations():
     assert out["n_late"].iloc[0] == 1
     assert out["max_lateness_us"].iloc[0] == 10_000_000
     assert out["sum_lateness_us"].iloc[0] == 10_000_000
+
+
+def test_funnel_counts_vs_brute_force(ray_session):
+    """funnel_counts must equal a per-user brute-force strict-sequence
+    simulation on a randomized event log (fixed seed), including users
+    who do steps out of order or repeat steps."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from mmgraphrag_ray.stages.window import funnel_counts
+
+    rng = np.random.default_rng(11)
+    steps = ["a", "b", "c"]
+    rows = []
+    for u in range(120):
+        n = rng.integers(1, 12)
+        for ts in sorted(rng.integers(0, 1000, size=n).tolist()):
+            rows.append({"user_id": u,
+                         "ts": pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(seconds=int(ts)),
+                         "event_type": str(rng.choice(steps + ["x", "y"]))})
+    ev = pd.DataFrame(rows).drop_duplicates(["user_id", "ts"])
+
+    out = funnel_counts(
+        ray.data.from_pandas(ev).repartition(5), steps,
+    ).to_pandas().set_index("step")["n_users"].to_dict()
+
+    expect = {1: 0, 2: 0, 3: 0}
+    for _, g in ev.sort_values("ts").groupby("user_id"):
+        prev = None
+        for k, st in enumerate(steps, 1):
+            sel = g[(g["event_type"] == st)
+                    & ((g["ts"] > prev) if prev is not None else True)]
+            if not len(sel):
+                break
+            prev = sel["ts"].min()
+            expect[k] += 1
+    assert out == expect and expect[1] > expect[3] > 0
