@@ -2538,61 +2538,98 @@ def q21_waiting_supplier(sf_dir: str, k: int = 10):
     holds the order's max shipdate and is the only supplier at that max
     — the same exists/not-exists composition as the reference Q21).
 
-    Scale plan: every step is a keyed reduce or a bucketed orderkey join
-    over fixed-width rows — (1) per (orderkey, suppkey) max shipdate,
-    (2) per orderkey: order max + distinct-supplier count, (3) inner
-    semi-join to the 'F' order keys, (4) join (1)⋈(2-3) and keep
-    at-max rows on >=2-supplier orders, (5) per orderkey: count at-max
-    suppliers, lone laggard = min(suppkey) where that count is 1,
-    (6) per supplier: waiting-order count; name via one dimension
-    broadcast, top-k over the supplier-sized result.  materialize()
-    pins sit between the hash shuffles (q4 note)."""
-    from ..arrowutil import strip_pd_metadata
-    from ..stages.join import bucketed_join
+    Scale plan — ONE fused orderkey shuffle (round 4; the previous plan
+    ran FIVE sequential shuffles all keyed on o_orderkey — per-(o,s) max,
+    per-order reduce, F-semi-join, the at-max join and the lone reduce —
+    the exact one-partitioning-key-reused-everywhere case):
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
-    per_os = bucketed_groupby_agg(
-        li.map_batches(
-            lambda b: strip_pd_metadata(pd.DataFrame({
+    (1) lineitem COMBINES per batch to (okey, skey, max ship) rows and
+        F-orders contribute key-only marker rows, all bucketed by
+        crc32(okey) into the SAME shuffle;
+    (2) inside each bucket every per-order step is a vectorized pandas
+        groupby chain — per-(o,s) max, order max + supplier count,
+        F-gate, at-max filter on >= 2-supplier orders, lone laggard
+        (exactly one at-max supplier) — emitting one s_suppkey row per
+        waiting order;
+    (3) one tiny supplier-keyed reduce counts waiting orders; top-k
+        BEFORE the name lookup, dual-plan dimension attach."""
+    import zlib
+
+    from ..arrowutil import df_to_table
+
+    N_B = 64
+
+    def li_combine(b: pd.DataFrame):
+        # per-batch combiner: only the per-(okey, skey) max can win
+        out = (
+            pd.DataFrame({
                 "o_orderkey": b["l_orderkey"],
                 "s_suppkey": b["l_suppkey"],
                 "ship": b["l_shipdate"],
-            })),
-            batch_format="pandas",
-        ),
-        keys=["o_orderkey", "s_suppkey"],
-        aggs={"supp_max": ("ship", "max")},
-    ).materialize()
-    per_order = bucketed_groupby_agg(
-        per_os, keys=["o_orderkey"],
-        aggs={"order_max": ("supp_max", "max"), "n_supp": (None, "count")},
-    ).materialize()
-    f_orders = _read(sf_dir, "orders",
-                     ["o_orderkey", "o_orderstatus"]).map_batches(
-        lambda b: strip_pd_metadata(
-            b[b["o_orderstatus"] == "F"][["o_orderkey"]]),
-        batch_format="pandas",
+            })
+            .groupby(["o_orderkey", "s_suppkey"], sort=False, as_index=False)
+            .max()
+        ) if len(b) else pd.DataFrame({
+            "o_orderkey": pd.Series(dtype="int64"),
+            "s_suppkey": pd.Series(dtype="int64"),
+            "ship": pd.Series(dtype="datetime64[us]"),
+        })
+        out["_qbucket"] = (
+            out["o_orderkey"].map(
+                lambda v: zlib.crc32(str(int(v)).encode()) % N_B
+            ).astype("int32")
+            if len(out) else pd.Series(dtype="int32")
+        )
+        return df_to_table(out)
+
+    def f_markers(b: pd.DataFrame):
+        keys = b.loc[b["o_orderstatus"] == "F", ["o_orderkey"]]
+        out = pd.DataFrame({
+            "o_orderkey": keys["o_orderkey"],
+            "s_suppkey": np.int64(-1),
+            "ship": pd.NaT,
+        }) if len(keys) else pd.DataFrame({
+            "o_orderkey": pd.Series(dtype="int64"),
+            "s_suppkey": pd.Series(dtype="int64"),
+            "ship": pd.Series(dtype="datetime64[us]"),
+        })
+        out["_qbucket"] = (
+            out["o_orderkey"].map(
+                lambda v: zlib.crc32(str(int(v)).encode()) % N_B
+            ).astype("int32")
+            if len(out) else pd.Series(dtype="int32")
+        )
+        return df_to_table(out)
+
+    def lone_per_bucket(g: pd.DataFrame):
+        f_keys = g.loc[g["s_suppkey"] == -1, "o_orderkey"].unique()
+        li_rows = g[g["s_suppkey"] != -1]
+        li_rows = li_rows[li_rows["o_orderkey"].isin(f_keys)]
+        per_os = li_rows.groupby(
+            ["o_orderkey", "s_suppkey"], sort=False, as_index=False
+        )["ship"].max()
+        grp = per_os.groupby("o_orderkey", sort=False)
+        order_max = grp["ship"].transform("max")
+        n_supp = grp["s_suppkey"].transform("size")
+        at_max = per_os[(per_os["ship"] == order_max) & (n_supp >= 2)]
+        lone = at_max.groupby("o_orderkey", sort=False).agg(
+            n=("s_suppkey", "size"), s=("s_suppkey", "min"))
+        lone = lone[lone["n"] == 1]
+        return df_to_table(pd.DataFrame({
+            "s_suppkey": lone["s"].astype("int64").reset_index(drop=True)
+        }))
+
+    import numpy as np
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    lone = (
+        li.map_batches(li_combine, batch_format="pandas")
+        .union(orders.map_batches(f_markers, batch_format="pandas"))
+        .groupby("_qbucket")
+        .map_groups(lone_per_bucket, batch_format="pandas")
+        .materialize()
     )
-    gated = bucketed_join(per_order, f_orders, on="o_orderkey",
-                          how="inner").materialize()
-    at_max = bucketed_join(per_os, gated, on="o_orderkey",
-                           how="inner").map_batches(
-        lambda b: strip_pd_metadata(
-            b[(b["supp_max"] == b["order_max"]) & (b["n_supp"] >= 2)][
-                ["o_orderkey", "s_suppkey"]
-            ]) if len(b) else b[["o_orderkey", "s_suppkey"]],
-        batch_format="pandas",
-    ).materialize()
-    lone = bucketed_groupby_agg(
-        at_max, keys=["o_orderkey"],
-        aggs={"n_at_max": (None, "count"),
-              "s_suppkey": ("s_suppkey", "min")},
-    ).map_batches(
-        lambda b: strip_pd_metadata(
-            b[b["n_at_max"] == 1][["s_suppkey"]]) if len(b)
-        else b[["s_suppkey"]],
-        batch_format="pandas",
-    ).materialize()
     per_supp = bucketed_groupby_agg(
         lone, keys=["s_suppkey"], aggs={"numwait": (None, "count")}
     )
