@@ -2175,14 +2175,14 @@ def q10_returned_items(sf_dir: str, d1: str = "1997-01-01",
     revenue of their 'R'-flagged lineitems on orders placed in a date
     window (reference Q10's returned-item report over a quarter).
 
-    Scale plan: lineitem is filtered to returnflag='R' in the scan and
-    folds to ONE (orderkey, cents) row per order via combiner + bucketed
-    shuffle; orders are date-pruned at the parquet reader and carry only
-    (orderkey, custkey); ONE bucketed orderkey join moves fixed-width
-    rows; the per-customer reduce is small (one row per buying customer)
-    and the top-k is a sort+limit over that already-reduced table.
-    Customer name / nation names arrive via one final dimension
-    broadcast.  Exact int64 cents throughout."""
+    Scale plan (round-4 fused): the per-order revenue reduce and the
+    orders join share ONE crc32(orderkey)-bucketed shuffle — lineitem
+    combines 'R' cents per orderkey per batch, date-pruned orders ride as
+    (orderkey, custkey) marker rows, and each bucket joins + pre-reduces
+    to per-customer partials; the per-customer final is the only other
+    shuffle (different key), over one row per (bucket, customer).  Top-k
+    BEFORE the dual-plan customer-name attach.  Exact int64 cents
+    throughout."""
     import numpy as np
     import pyarrow.dataset as pads
 
@@ -2211,33 +2211,75 @@ def q10_returned_items(sf_dir: str, d1: str = "1997-01-01",
         ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
     )
 
-    def returned_cents(b: pd.DataFrame) -> pd.DataFrame:
+    import zlib
+
+    from ..arrowutil import df_to_table
+
+    N_B = 64
+
+    def _okey_bucket(s: pd.Series) -> pd.Series:
+        return (s.map(lambda v: zlib.crc32(str(int(v)).encode()) % N_B)
+                .astype("int32")
+                if len(s) else pd.Series(dtype="int32"))
+
+    def returned_cents(b: pd.DataFrame):
         s = b[b["l_returnflag"] == "R"]
         cents = np.floor(
             s["l_extendedprice"].to_numpy()
             * (1.0 - s["l_discount"].to_numpy()) * 100.0
         ).astype("int64")
-        return pd.DataFrame({"o_orderkey": s["l_orderkey"], "cents": cents})
+        # per-batch combiner: one (okey, cents-sum) row per order per batch
+        out = (
+            pd.DataFrame({"o_orderkey": s["l_orderkey"], "cents": cents})
+            .groupby("o_orderkey", sort=False, as_index=False).sum()
+        ) if len(s) else pd.DataFrame({
+            "o_orderkey": pd.Series(dtype="int64"),
+            "cents": pd.Series(dtype="int64"),
+        })
+        out["o_custkey"] = np.int64(-1)
+        out["_qbucket"] = _okey_bucket(out["o_orderkey"])
+        return df_to_table(out)
 
-    # pins: groupby -> join -> groupby is 3 hash shuffles (q4 note)
-    per_order = bucketed_groupby_agg(
-        li.map_batches(returned_cents, batch_format="pandas"),
-        keys=["o_orderkey"],
-        aggs={"cents": ("cents", "sum")},
-    ).materialize()
-    joined = bucketed_join(orders, per_order, on="o_orderkey",
-                           how="inner").materialize()
+    def order_markers(b: pd.DataFrame):
+        out = pd.DataFrame({
+            "o_orderkey": b["o_orderkey"],
+            "cents": np.int64(0),
+            "o_custkey": b["o_custkey"].astype("int64"),
+        }) if len(b) else pd.DataFrame({
+            "o_orderkey": pd.Series(dtype="int64"),
+            "cents": pd.Series(dtype="int64"),
+            "o_custkey": pd.Series(dtype="int64"),
+        })
+        out["_qbucket"] = _okey_bucket(out["o_orderkey"])
+        return df_to_table(out)
+
+    def join_reduce(g: pd.DataFrame):
+        li_sum = (
+            g[g["o_custkey"] == -1]
+            .groupby("o_orderkey", sort=False, as_index=False)["cents"].sum()
+        )
+        od = g.loc[g["o_custkey"] != -1, ["o_orderkey", "o_custkey"]]
+        m = od.merge(li_sum, on="o_orderkey", how="inner")
+        out = (
+            pd.DataFrame({"c_custkey": m["o_custkey"], "cents": m["cents"]})
+            .groupby("c_custkey", sort=False, as_index=False).sum()
+        ) if len(m) else pd.DataFrame({
+            "c_custkey": pd.Series(dtype="int64"),
+            "cents": pd.Series(dtype="int64"),
+        })
+        return df_to_table(out)
+
+    # fused: per-order reduce + orders join in ONE orderkey shuffle,
+    # emitting per-customer partials; the custkey final is the 2nd shuffle
+    partials = (
+        li.map_batches(returned_cents, batch_format="pandas")
+        .union(orders.map_batches(order_markers, batch_format="pandas"))
+        .groupby("_qbucket")
+        .map_groups(join_reduce, batch_format="pandas")
+        .materialize()
+    )
     per_cust = bucketed_groupby_agg(
-        joined.map_batches(
-            lambda b: strip_pd_metadata(
-                pd.DataFrame({"c_custkey": b["o_custkey"],
-                              "cents": b["cents"]})
-            ) if len(b) else pd.DataFrame(
-                {"c_custkey": pd.Series(dtype="int64"),
-                 "cents": pd.Series(dtype="int64")}),
-            batch_format="pandas",
-        ),
-        keys=["c_custkey"],
+        partials, keys=["c_custkey"],
         aggs={"revenue_cents": ("cents", "sum")},
     )
     # top-k BEFORE the name lookup (sort keys are in the reduced table),
