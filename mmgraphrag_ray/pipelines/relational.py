@@ -1240,26 +1240,78 @@ def q4_late_orders(sf_dir: str, d1: str = "1997-01-01", d2: str = "1998-01-01"):
         batch_format="pandas",
     )
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
-    # materialize() pins between the three hash shuffles (agg -> join ->
-    # agg): this Ray build deadlocks when >2 hash-shuffle stages stream
-    # concurrently in one pipeline (same mitigation as stages/merge.py)
-    last_ship = bucketed_groupby_agg(
-        li.map_batches(
-            lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}),
-            batch_format="pandas",
-        ),
-        keys=["o_orderkey"],
-        aggs={"max_shipdate": ("l_shipdate", "max")},
-    ).materialize()
-    from ..stages.join import bucketed_join
+    # round-4 fused plan: the per-order max-shipdate reduce and the
+    # orders join share ONE crc32(orderkey)-bucketed shuffle (the
+    # one-key-reused fusion also applied to q10/q21); each bucket emits
+    # per-priority partial counts, so the final is a 5-row sum
+    import zlib
 
-    joined = bucketed_join(orders, last_ship, on="o_orderkey", how="inner")
-    late = joined.map_batches(
-        lambda b: b[b["max_shipdate"] > b["o_orderdate"]][["o_orderpriority"]],
-        batch_format="pandas",
-    ).materialize()
+    import numpy as np
+
+    from ..arrowutil import df_to_table
+
+    N_B = 64
+
+    def _okb(s: pd.Series) -> pd.Series:
+        return (s.map(lambda v: zlib.crc32(str(int(v)).encode()) % N_B)
+                .astype("int32")
+                if len(s) else pd.Series(dtype="int32"))
+
+    def li_rows(b: pd.DataFrame):
+        out = (
+            pd.DataFrame({"o_orderkey": b["l_orderkey"],
+                          "d": b["l_shipdate"]})
+            .groupby("o_orderkey", sort=False, as_index=False).max()
+        ) if len(b) else pd.DataFrame({
+            "o_orderkey": pd.Series(dtype="int64"),
+            "d": pd.Series(dtype="datetime64[us]"),
+        })
+        out["o_orderpriority"] = ""
+        out["_qbucket"] = _okb(out["o_orderkey"])
+        return df_to_table(out)
+
+    def o_rows(b: pd.DataFrame):
+        out = pd.DataFrame({
+            "o_orderkey": b["o_orderkey"],
+            "d": b["o_orderdate"],
+            "o_orderpriority": b["o_orderpriority"].astype(object),
+        }) if len(b) else pd.DataFrame({
+            "o_orderkey": pd.Series(dtype="int64"),
+            "d": pd.Series(dtype="datetime64[us]"),
+            "o_orderpriority": pd.Series(dtype=object),
+        })
+        out["_qbucket"] = _okb(out["o_orderkey"])
+        return df_to_table(out)
+
+    def late_per_bucket(g: pd.DataFrame):
+        li_max = (
+            g[g["o_orderpriority"] == ""]
+            .groupby("o_orderkey", sort=False, as_index=False)["d"].max()
+            .rename(columns={"d": "max_shipdate"})
+        )
+        od = g[g["o_orderpriority"] != ""]
+        m = od.merge(li_max, on="o_orderkey", how="inner")
+        late = m[m["max_shipdate"] > m["d"]]
+        out = (
+            late.groupby("o_orderpriority", sort=False)
+            .size().rename("n").reset_index()
+        ) if len(late) else pd.DataFrame({
+            "o_orderpriority": pd.Series(dtype=object),
+            "n": pd.Series(dtype="int64"),
+        })
+        out["n"] = out["n"].astype("int64") if len(out) else out["n"]
+        return df_to_table(out)
+
+    partials = (
+        li.map_batches(li_rows, batch_format="pandas")
+        .union(orders.map_batches(o_rows, batch_format="pandas"))
+        .groupby("_qbucket")
+        .map_groups(late_per_bucket, batch_format="pandas")
+        .materialize()
+    )
     return bucketed_groupby_agg(
-        late, keys=["o_orderpriority"], aggs={"n_late_orders": (None, "count")}
+        partials, keys=["o_orderpriority"],
+        aggs={"n_late_orders": ("n", "sum")},
     )
 
 
@@ -1368,28 +1420,80 @@ def q13_order_distribution(sf_dir: str, excl_priority: str = "1-URGENT"):
     bucketed shuffle; the customer key column left-joins that small
     profile (bucketed, payload = two int64s per row); missing matches
     count as 0; the outer groupby is over the tiny count domain."""
-    from ..stages.join import bucketed_join
+    # round-4 fused plan: the per-customer order count and the customer
+    # left join share ONE crc32(custkey)-bucketed shuffle (q10/q21's
+    # one-key-reused fusion) — orders pre-count per batch, customer keys
+    # ride as marker rows (zero-order customers get count 0), and each
+    # bucket emits per-c_count partials for a tiny final reduce
+    import zlib
+
+    import numpy as np
+
+    from ..arrowutil import df_to_table
+
+    N_B = 64
+
+    def _ckb(s: pd.Series) -> pd.Series:
+        return (s.map(lambda v: zlib.crc32(str(int(v)).encode()) % N_B)
+                .astype("int32")
+                if len(s) else pd.Series(dtype="int32"))
+
+    def order_rows(b: pd.DataFrame):
+        kept = b[b["o_orderpriority"] != excl_priority]
+        out = (
+            kept.groupby("o_custkey", sort=False)
+            .size().rename("n").reset_index()
+            .rename(columns={"o_custkey": "c_custkey"})
+        ) if len(kept) else pd.DataFrame({
+            "c_custkey": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+        })
+        if len(out):
+            out["n"] = out["n"].astype("int64")
+        out["_qbucket"] = _ckb(out["c_custkey"])
+        return df_to_table(out)
+
+    def cust_rows(b: pd.DataFrame):
+        out = pd.DataFrame({
+            "c_custkey": b["c_custkey"],
+            "n": np.int64(-1),  # marker: customer-universe row
+        }) if len(b) else pd.DataFrame({
+            "c_custkey": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+        })
+        out["_qbucket"] = _ckb(out["c_custkey"])
+        return df_to_table(out)
+
+    def dist_per_bucket(g: pd.DataFrame):
+        per_cust = (
+            g[g["n"] >= 0]
+            .groupby("c_custkey", sort=False, as_index=False)["n"].sum()
+        )
+        universe = g.loc[g["n"] == -1, ["c_custkey"]].drop_duplicates()
+        m = universe.merge(per_cust, on="c_custkey", how="left")
+        cc = m["n"].fillna(0).astype("int64")
+        out = (
+            cc.value_counts().rename("custdist").rename_axis("c_count")
+            .reset_index()
+        ) if len(m) else pd.DataFrame({
+            "c_count": pd.Series(dtype="int64"),
+            "custdist": pd.Series(dtype="int64"),
+        })
+        if len(out):
+            out["custdist"] = out["custdist"].astype("int64")
+        return df_to_table(out)
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-    kept = orders.map_batches(
-        lambda b: b[b["o_orderpriority"] != excl_priority][["o_custkey"]]
-        .rename(columns={"o_custkey": "c_custkey"}),
-        batch_format="pandas",
-    )
-    # pins: 3 hash shuffles in this chain (see q4_late_orders note)
-    per_cust = bucketed_groupby_agg(
-        kept, keys=["c_custkey"], aggs={"c_count": (None, "count")}
-    ).materialize()
     cust_keys = _read(sf_dir, "customer", ["c_custkey"])
-    joined = bucketed_join(cust_keys, per_cust, on="c_custkey", how="left")
-    counts = joined.map_batches(
-        lambda b: pd.DataFrame(
-            {"c_count": b["c_count"].fillna(0).astype("int64")}
-        ),
-        batch_format="pandas",
-    ).materialize()
+    partials = (
+        orders.map_batches(order_rows, batch_format="pandas")
+        .union(cust_keys.map_batches(cust_rows, batch_format="pandas"))
+        .groupby("_qbucket")
+        .map_groups(dist_per_bucket, batch_format="pandas")
+        .materialize()
+    )
     return bucketed_groupby_agg(
-        counts, keys=["c_count"], aggs={"custdist": (None, "count")}
+        partials, keys=["c_count"], aggs={"custdist": ("custdist", "sum")}
     )
 
 
@@ -2943,25 +3047,86 @@ def q9_profit_by_nation_year(sf_dir: str):
             "profit_cents": rev - cost,
         }))
 
-    per_ok = bucketed_groupby_agg(
-        li.map_batches(profit, batch_format="pandas"),
-        keys=["o_orderkey", "n_nationkey"],
-        aggs={"profit_cents": ("profit_cents", "sum")},
-    ).materialize()
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
-    years = orders.map_batches(
-        lambda b: strip_pd_metadata(pd.DataFrame({
+    # round-4 fused plan: the per-(order, nation) profit reduce and the
+    # order-year join share ONE crc32(orderkey)-bucketed shuffle (the
+    # q10/q21 one-key-reused fusion); buckets emit per-(nation, year)
+    # partials carrying the n_orders count, so the final reduce is tiny
+    import zlib
+
+    N_B = 64
+
+    def _okb(s: pd.Series) -> pd.Series:
+        return (s.map(lambda v: zlib.crc32(str(int(v)).encode()) % N_B)
+                .astype("int32")
+                if len(s) else pd.Series(dtype="int32"))
+
+    from ..arrowutil import df_to_table
+
+    def li_rows(b: pd.DataFrame):
+        p = profit(b)
+        if not isinstance(p, pd.DataFrame):  # strip_pd_metadata -> pa.Table
+            p = p.to_pandas()
+        out = (
+            p.groupby(["o_orderkey", "n_nationkey"], sort=False,
+                      as_index=False)["profit_cents"].sum()
+        ) if len(p) else pd.DataFrame({
+            "o_orderkey": pd.Series(dtype="int64"),
+            "n_nationkey": pd.Series(dtype="int64"),
+            "profit_cents": pd.Series(dtype="int64"),
+        })
+        out["_qbucket"] = _okb(out["o_orderkey"])
+        return df_to_table(out)
+
+    def year_rows(b: pd.DataFrame):
+        out = pd.DataFrame({
             "o_orderkey": b["o_orderkey"],
-            "o_year": b["o_orderdate"].dt.year.astype("int64"),
-        })),
-        batch_format="pandas",
+            "n_nationkey": np.int64(-1),
+            "profit_cents": b["o_orderdate"].dt.year.astype("int64"),
+        }) if len(b) else pd.DataFrame({
+            "o_orderkey": pd.Series(dtype="int64"),
+            "n_nationkey": pd.Series(dtype="int64"),
+            "profit_cents": pd.Series(dtype="int64"),
+        })
+        out["_qbucket"] = _okb(out["o_orderkey"])
+        return df_to_table(out)
+
+    def ny_per_bucket(g: pd.DataFrame):
+        yrs = g.loc[g["n_nationkey"] == -1,
+                    ["o_orderkey", "profit_cents"]].rename(
+            columns={"profit_cents": "o_year"})
+        pk = g[g["n_nationkey"] != -1]
+        pk = (
+            pk.groupby(["o_orderkey", "n_nationkey"], sort=False,
+                       as_index=False)["profit_cents"].sum()
+        )
+        m = pk.merge(yrs, on="o_orderkey", how="inner")
+        out = (
+            m.groupby(["n_nationkey", "o_year"], sort=False)
+            .agg(profit_cents=("profit_cents", "sum"),
+                 n_orders=("o_orderkey", "size"))
+            .reset_index()
+        ) if len(m) else pd.DataFrame({
+            "n_nationkey": pd.Series(dtype="int64"),
+            "o_year": pd.Series(dtype="int64"),
+            "profit_cents": pd.Series(dtype="int64"),
+            "n_orders": pd.Series(dtype="int64"),
+        })
+        if len(out):
+            out["n_orders"] = out["n_orders"].astype("int64")
+        return df_to_table(out)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    partials = (
+        li.map_batches(li_rows, batch_format="pandas")
+        .union(orders.map_batches(year_rows, batch_format="pandas"))
+        .groupby("_qbucket")
+        .map_groups(ny_per_bucket, batch_format="pandas")
+        .materialize()
     )
-    joined = bucketed_join(per_ok, years, on="o_orderkey",
-                           how="inner").materialize()
     per_ny = bucketed_groupby_agg(
-        joined, keys=["n_nationkey", "o_year"],
+        partials, keys=["n_nationkey", "o_year"],
         aggs={"profit_cents": ("profit_cents", "sum"),
-              "n_orders": (None, "count")},
+              "n_orders": ("n_orders", "sum")},
     )
     return broadcast_join(per_ny, nation, on="n_nationkey").map_batches(
         lambda b: b[["n_name", "o_year", "profit_cents", "n_orders"]],
