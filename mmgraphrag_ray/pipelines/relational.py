@@ -1380,28 +1380,105 @@ def _nation_stamped_sides(sf_dir: str):
     return orders_stamped, li_stamped
 
 
+def _nation_flow_partials(sf_dir: str):
+    """Shared q5/q7 FUSED core (round 4): the fact⋈fact orderkey join and
+    the nation-pair reduce share ONE crc32(orderkey)-bucketed shuffle —
+    the stamped lineitem side pre-combines (okey, s_nation) cents per
+    batch, stamped orders ride as (okey, c_nation) marker rows, and each
+    bucket joins + reduces to (s_nation, c_nation, revenue_cents,
+    n_items) partials.  q7 sums all pairs; q5 sums the diagonal."""
+    import zlib
+
+    import numpy as np
+
+    from ..arrowutil import df_to_table
+
+    orders_stamped, li_stamped = _nation_stamped_sides(sf_dir)
+    N_B = 64
+
+    def _okb(s: pd.Series) -> pd.Series:
+        return (s.map(lambda v: zlib.crc32(str(int(v)).encode()) % N_B)
+                .astype("int32")
+                if len(s) else pd.Series(dtype="int32"))
+
+    def li_rows(b: pd.DataFrame):
+        out = (
+            b.groupby(["o_orderkey", "s_nation"], sort=False)
+            .agg(cents=("cents", "sum"), n=("cents", "size")).reset_index()
+        ) if len(b) else pd.DataFrame({
+            "o_orderkey": pd.Series(dtype="int64"),
+            "s_nation": pd.Series(dtype="int64"),
+            "cents": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+        })
+        if len(out):
+            out["n"] = out["n"].astype("int64")
+        out["_qbucket"] = _okb(out["o_orderkey"])
+        return df_to_table(out)
+
+    def o_rows(b: pd.DataFrame):
+        out = pd.DataFrame({
+            "o_orderkey": b["o_orderkey"],
+            "s_nation": np.int64(-1),
+            "cents": b["c_nation"].astype("int64"),  # payload reuse
+            "n": np.int64(0),
+        }) if len(b) else pd.DataFrame({
+            "o_orderkey": pd.Series(dtype="int64"),
+            "s_nation": pd.Series(dtype="int64"),
+            "cents": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+        })
+        out["_qbucket"] = _okb(out["o_orderkey"])
+        return df_to_table(out)
+
+    def flows_per_bucket(g: pd.DataFrame):
+        cn = g.loc[g["s_nation"] == -1,
+                   ["o_orderkey", "cents"]].rename(
+            columns={"cents": "c_nation"})
+        li = g[g["s_nation"] != -1]
+        m = li.merge(cn, on="o_orderkey", how="inner")
+        out = (
+            m.groupby(["s_nation", "c_nation"], sort=False)
+            .agg(revenue_cents=("cents", "sum"), n_items=("n", "sum"))
+            .reset_index()
+        ) if len(m) else pd.DataFrame({
+            "s_nation": pd.Series(dtype="int64"),
+            "c_nation": pd.Series(dtype="int64"),
+            "revenue_cents": pd.Series(dtype="int64"),
+            "n_items": pd.Series(dtype="int64"),
+        })
+        return df_to_table(out)
+
+    return (
+        li_stamped.map_batches(li_rows, batch_format="pandas")
+        .union(orders_stamped.map_batches(o_rows, batch_format="pandas"))
+        .groupby("_qbucket")
+        .map_groups(flows_per_bucket, batch_format="pandas")
+        .materialize()
+    )
+
+
 def q5_nation_volume(sf_dir: str):
     """TPC-H Q5 shape — revenue per nation where the CUSTOMER and the
     SUPPLIER sit in the same nation (the local-supplier-volume join).
 
-    Scale plan: the dimension attaches run through _nation_stamped_sides'
-    capped dual plan (broadcast under RAYKG_JOIN_BROADCAST_MAX, bucketed
-    join above — no unconditional driver pulls); the fact⋈fact step is
-    one bucketed orderkey join moving fixed-width rows (orderkey, nation,
-    cents).  The same-nation filter and the final per-nation sum are
-    vectorized; nation names arrive via one last dimension broadcast."""
+    Scale plan: dimension attaches via _nation_stamped_sides' capped dual
+    plan; then the FUSED _nation_flow_partials core (join + nation-pair
+    reduce in one orderkey shuffle); the diagonal filter and final
+    per-nation sum run over the tiny pair table; nation names arrive via
+    one constant-size broadcast."""
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    orders_stamped, li_stamped = _nation_stamped_sides(sf_dir)
-    joined = bucketed_join(li_stamped, orders_stamped, on="o_orderkey", how="inner")
-    local = joined.map_batches(
-        lambda b: b[b["s_nation"] == b["c_nation"]][["s_nation", "cents"]]
+    pairs = _nation_flow_partials(sf_dir)
+    local = pairs.map_batches(
+        lambda b: b[b["s_nation"] == b["c_nation"]][
+            ["s_nation", "revenue_cents", "n_items"]]
         .rename(columns={"s_nation": "n_nationkey"}),
         batch_format="pandas",
     )
     per_nation = bucketed_groupby_agg(
         local, keys=["n_nationkey"],
-        aggs={"revenue_cents": ("cents", "sum"),
-              "n_items": (None, "count")},
+        aggs={"revenue_cents": ("revenue_cents", "sum"),
+              "n_items": ("n_items", "sum")},
     )
     named = broadcast_join(per_nation, nation, on="n_nationkey")
     return named.map_batches(
@@ -1781,22 +1858,18 @@ def q7_nation_flows(sf_dir: str):
     revenue per ordered (supplier nation -> customer nation) pair, the
     full trade-flow matrix rather than Q7's two-nation filter.
 
-    Scale plan: identical to q5_nation_volume's stamped-join plan (the
-    capped dual-plan dimension attaches + ONE bucketed orderkey join);
-    only the final reduce differs — grouping by the nation-pair
-    vocabulary instead of filtering to the diagonal.  -> Dataset(
+    Scale plan: identical to q5_nation_volume — the capped dual-plan
+    dimension attaches, then the FUSED _nation_flow_partials core (join +
+    nation-pair reduce in ONE orderkey shuffle); only the final differs:
+    q7 sums the full pair vocabulary, q5 the diagonal.  -> Dataset(
     supp_nation, cust_nation, revenue_cents, n_items)."""
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     name_of = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
-    orders_stamped, li_stamped = _nation_stamped_sides(sf_dir)
-    joined = bucketed_join(li_stamped, orders_stamped, on="o_orderkey", how="inner")
     flows = bucketed_groupby_agg(
-        joined.map_batches(
-            lambda b: b[["s_nation", "c_nation", "cents"]],
-            batch_format="pandas",
-        ),
+        _nation_flow_partials(sf_dir),
         keys=["s_nation", "c_nation"],
-        aggs={"revenue_cents": ("cents", "sum"), "n_items": (None, "count")},
+        aggs={"revenue_cents": ("revenue_cents", "sum"),
+              "n_items": ("n_items", "sum")},
     )
     names_ref = ray.put(name_of)
 
