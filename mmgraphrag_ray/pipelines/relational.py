@@ -119,30 +119,86 @@ def q3_shipping(sf_dir: str, k: int = 10, cut: str = "1998-06-01"):
             {"l_orderkey": b["l_orderkey"].to_numpy(), "revenue_cents": cents}
         )
 
-    per_order = bucketed_groupby_agg(
-        li.map_batches(rev, batch_format="pandas"),
-        keys=["l_orderkey"],
-        aggs={"revenue_cents": ("revenue_cents", "sum")},
-    )
-    # the filtered orders side is dimension-sized (segment x date cuts):
-    # pin it once, let bucketed_join take its broadcast path — the
-    # fact-side shuffle in per_order stays the only all-to-all
-    joined = bucketed_join(
-        per_order, orders.materialize(), on="l_orderkey", small_side="right"
-    )
+    # round-4 fused tail: the per-order revenue reduce and the orders
+    # join share ONE crc32(orderkey)-bucketed shuffle (q10/q21's fusion);
+    # each bucket joins, reduces, and keeps its local top-k, so the final
+    # is a one-block k-row sort
+    import zlib
 
-    # global top-k as partial/final (no full sort): each batch keeps k,
-    # one tiny final reduce
+    from ..arrowutil import df_to_table
+
+    N_B = 64
+
+    def _okb(s: pd.Series) -> pd.Series:
+        return (s.map(lambda v: zlib.crc32(str(int(v)).encode()) % N_B)
+                .astype("int32")
+                if len(s) else pd.Series(dtype="int32"))
+
+    def li_rows(b: pd.DataFrame):
+        r = rev(b)
+        out = (
+            r.groupby("l_orderkey", sort=False, as_index=False)
+            ["revenue_cents"].sum()
+        ) if len(r) else pd.DataFrame({
+            "l_orderkey": pd.Series(dtype="int64"),
+            "revenue_cents": pd.Series(dtype="int64"),
+        })
+        out["o_orderdate"] = pd.NaT
+        out["o_orderpriority"] = ""
+        out["_qbucket"] = _okb(out["l_orderkey"])
+        return df_to_table(out)
+
+    def o_rows(b: pd.DataFrame):
+        out = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"],
+            "revenue_cents": np.int64(-1),
+            "o_orderdate": b["o_orderdate"],
+            "o_orderpriority": b["o_orderpriority"].astype(object),
+        }) if len(b) else pd.DataFrame({
+            "l_orderkey": pd.Series(dtype="int64"),
+            "revenue_cents": pd.Series(dtype="int64"),
+            "o_orderdate": pd.Series(dtype="datetime64[us]"),
+            "o_orderpriority": pd.Series(dtype=object),
+        })
+        out["_qbucket"] = _okb(out["l_orderkey"])
+        return df_to_table(out)
+
     sort_cols = ["revenue_cents", "o_orderdate", "l_orderkey"]
     asc = [False, True, True]
 
-    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
-        return b.sort_values(sort_cols, ascending=asc, kind="mergesort").head(k)
+    def topk_per_bucket(g: pd.DataFrame):
+        li_sum = (
+            g[g["revenue_cents"] >= 0]
+            .groupby("l_orderkey", sort=False, as_index=False)
+            ["revenue_cents"].sum()
+        )
+        od = g.loc[g["revenue_cents"] == -1,
+                   ["l_orderkey", "o_orderdate", "o_orderpriority"]]
+        m = li_sum.merge(od, on="l_orderkey", how="inner")
+        out = m.sort_values(sort_cols, ascending=asc,
+                            kind="mergesort").head(k)
+        return df_to_table(out[
+            ["l_orderkey", "revenue_cents", "o_orderdate",
+             "o_orderpriority"]]) if len(out) else df_to_table(
+            pd.DataFrame({
+                "l_orderkey": pd.Series(dtype="int64"),
+                "revenue_cents": pd.Series(dtype="int64"),
+                "o_orderdate": pd.Series(dtype="datetime64[us]"),
+                "o_orderpriority": pd.Series(dtype=object),
+            }))
+
+    def final_topk(b: pd.DataFrame):
+        return df_to_table(
+            b.sort_values(sort_cols, ascending=asc,
+                          kind="mergesort").head(k))
 
     return (
-        joined.map_batches(local_topk, batch_format="pandas")
+        li.map_batches(li_rows, batch_format="pandas")
+        .union(orders.map_batches(o_rows, batch_format="pandas"))
+        .groupby("_qbucket")
+        .map_groups(topk_per_bucket, batch_format="pandas")
         .repartition(1)
-        .map_batches(local_topk, batch_format="pandas")
+        .map_batches(final_topk, batch_format="pandas")
     )
 
 
