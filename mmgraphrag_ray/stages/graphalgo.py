@@ -2107,33 +2107,82 @@ def hyperball_registers(nodes_ds, edges_ds, rounds: int = 2,
                                   "register": np.asarray(regs, dtype=np.int64),
                                   "rho": np.asarray(rhos, dtype=np.int64)}))
 
-    regs = nodes_ds.map_batches(seed, batch_format="pandas").materialize()
+    # Round-4 fused Pregel loop: the register MERGE of round k and the
+    # neighbor SHIP of round k+1 both key on the same node id, so each
+    # round is ONE crc32(node)-bucketed shuffle whose buckets merge
+    # registers (groupby max) and immediately ship the merged sketch over
+    # the bucket's edges; the final merge + sufficient-stat widen fuse
+    # into one more shuffle.  rounds+1 shuffles total (was 2/round + 1).
+    import zlib
+
+    from ..arrowutil import df_to_table as _d2t
+
+    N_HB = 64
+
+    def _ub(s: pd.Series) -> pd.Series:
+        return (s.map(lambda v: zlib.crc32(str(v).encode()) % N_HB)
+                .astype("int32")
+                if len(s) else pd.Series(dtype="int32"))
+
+    def edge_rows(b: pd.DataFrame):
+        out = pd.DataFrame({
+            "u": b["u"].astype(object),
+            "v": b["v"].astype(object),
+            "register": np.int64(-1),  # edge marker
+            "rho": np.int64(0),
+        }) if len(b) else pd.DataFrame({
+            "u": pd.Series(dtype=object), "v": pd.Series(dtype=object),
+            "register": pd.Series(dtype="int64"),
+            "rho": pd.Series(dtype="int64"),
+        })
+        out["_hbucket"] = _ub(out["u"])
+        return _d2t(out)
+
+    edges_tagged = edges_bi.map_batches(
+        edge_rows, batch_format="pandas").materialize()
+
+    def seed_rows(b: pd.DataFrame):
+        t = seed(b).to_pandas()
+        t["v"] = ""
+        t["_hbucket"] = _ub(t["u"])
+        return _d2t(t[["u", "v", "register", "rho", "_hbucket"]])
+
+    state = nodes_ds.map_batches(
+        seed_rows, batch_format="pandas").materialize()
+
+    def step(g: pd.DataFrame):
+        e = g.loc[g["register"] == -1, ["u", "v"]]
+        r = g[g["register"] != -1]
+        merged = r.groupby(["u", "register"], sort=False,
+                           as_index=False)["rho"].max()
+        ship = merged.merge(e, on="u", how="inner")
+        out = pd.concat(
+            [merged.assign(v=""),
+             pd.DataFrame({"u": ship["v"], "register": ship["register"],
+                           "rho": ship["rho"], "v": ""})],
+            ignore_index=True,
+        ) if len(merged) else merged.assign(v="")
+        out = out[["u", "v", "register", "rho"]]
+        out["_hbucket"] = _ub(out["u"])
+        return _d2t(out)
+
     for _ in range(rounds):
-        from ..arrowutil import df_to_table as _d2t
-
-        shipped = bucketed_join(regs, edges_bi, on="u").map_batches(
-            lambda b: _d2t(pd.DataFrame({"u": b["v"], "register": b["register"],
-                                         "rho": b["rho"]})),
-            batch_format="pandas",
+        state = sever_lineage(
+            state.union(edges_tagged)
+            .groupby("_hbucket")
+            .map_groups(step, batch_format="pandas")
         )
-        regs = sever_lineage(bucketed_groupby_agg(
-            regs.union(shipped), keys=["u", "register"],
-            aggs={"rho": ("rho", "max")},
-        ))
 
-    def widen(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
-            return pd.DataFrame({"u": pd.Series(dtype=object),
-                                 "one": pd.Series(dtype="int64"),
-                                 "rho": pd.Series(dtype="int64")})
-        return pd.DataFrame({"u": b["u"], "one": np.int64(1),
-                             "rho": b["rho"].astype("int64")})
+    def final_merge(g: pd.DataFrame):
+        r = g[g["register"] != -1]
+        merged = r.groupby(["u", "register"], sort=False,
+                           as_index=False)["rho"].max()
+        per_u = merged.groupby("u", sort=False).agg(
+            n_registers=("register", "size"),
+            sum_rho=("rho", "sum")).reset_index()
+        per_u["n_registers"] = per_u["n_registers"].astype("int64")
+        per_u["sum_rho"] = per_u["sum_rho"].astype("int64")
+        return _d2t(per_u.rename(columns={"u": node_col}))
 
-    out = bucketed_groupby_agg(
-        regs.map_batches(widen, batch_format="pandas"),
-        keys=["u"],
-        aggs={"n_registers": ("one", "sum"), "sum_rho": ("rho", "sum")},
-    )
-    return out.map_batches(
-        lambda b: b.rename(columns={"u": node_col}), batch_format="pandas"
-    )
+    return state.groupby("_hbucket").map_groups(
+        final_merge, batch_format="pandas")
