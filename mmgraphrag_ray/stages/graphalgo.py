@@ -258,82 +258,113 @@ def pagerank_int(nodes_ds, edges_ds, iterations: int = 3,
                  src_col: str = "src_id", tgt_col: str = "tgt_id"):
     """-> Dataset(node, rank) after ``iterations`` integer power steps over
     the undirected graph (each edge contributes in both directions).
-    Teleport share = ((SCALE * 15) // 100) // N per node per step."""
-    from .groupagg import bucketed_groupby_agg
-    from .join import bucketed_join
+    Teleport share = ((SCALE * 15) // 100) // N per node per step.
+
+    Round-4 fused Pregel loop (the HyperBall fusion): the contribution
+    GATHER of step k and the SHIP of step k+1 both key on the same node
+    id, so each step is ONE crc32(node)-bucketed shuffle — buckets sum
+    incoming contributions + teleport into the node's new rank, derive
+    the node's out-degree from the edge rows co-resident in its bucket,
+    and immediately emit the next step's per-edge contributions keyed by
+    neighbor; node marker rows re-seed their own (stable) bucket.
+    iterations+1 shuffles total, no per-step driver collects (the old
+    plan ran a shuffle + three broadcast joins with driver-side
+    materializes per step)."""
+    import zlib
+
+    from ..arrowutil import df_to_table as _d2t
 
     n_nodes = nodes_ds.count()
     teleport = ((SCALE * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN) // n_nodes
 
-    nodes = nodes_ds.map_batches(
-        lambda b: b[[node_col]].rename(columns={node_col: "node"}),
-        batch_format="pandas",
-    ).materialize()
+    N_PB = 64
 
-    def bidir(b: pd.DataFrame) -> pd.DataFrame:
-        fwd = b[[src_col, tgt_col]].rename(columns={src_col: "u", tgt_col: "v"})
-        rev = b[[tgt_col, src_col]].rename(columns={tgt_col: "u", src_col: "v"})
-        return pd.concat([fwd, rev], ignore_index=True)
+    def _nb(s: pd.Series) -> pd.Series:
+        return (s.map(lambda x: zlib.crc32(str(x).encode()) % N_PB)
+                .astype("int32")
+                if len(s) else pd.Series(dtype="int32"))
 
-    bid = edges_ds.map_batches(bidir, batch_format="pandas").materialize()
-    deg = bucketed_groupby_agg(
-        bid.map_batches(lambda b: b[["u"]], batch_format="pandas"),
-        keys=["u"],
-        aggs={"d": (None, "count")},
-    ).materialize()
+    # shared row schema (u, v, val, kind): 'e' edge (u -> v), 'n' node
+    # marker carrying the current rank in val, 'c' contribution to u
+    def edge_rows(b: pd.DataFrame):
+        out = pd.DataFrame({
+            "u": pd.concat([b[src_col], b[tgt_col]], ignore_index=True)
+            .astype(object),
+            "v": pd.concat([b[tgt_col], b[src_col]], ignore_index=True)
+            .astype(object),
+            "val": np.int64(0),
+            "kind": "e",
+        }) if len(b) else pd.DataFrame({
+            "u": pd.Series(dtype=object), "v": pd.Series(dtype=object),
+            "val": pd.Series(dtype="int64"),
+            "kind": pd.Series(dtype=object),
+        })
+        out["_pbucket"] = _nb(out["u"])
+        return _d2t(out)
 
-    ranks = nodes.map_batches(
-        lambda b: b.assign(r=SCALE // n_nodes), batch_format="pandas"
-    ).materialize()
+    def seed_rows(b: pd.DataFrame):
+        out = pd.DataFrame({
+            "u": b[node_col].astype(object),
+            "v": "",
+            "val": np.int64(SCALE // n_nodes),
+            "kind": "n",
+        }) if len(b) else pd.DataFrame({
+            "u": pd.Series(dtype=object), "v": pd.Series(dtype=object),
+            "val": pd.Series(dtype="int64"),
+            "kind": pd.Series(dtype=object),
+        })
+        out["_pbucket"] = _nb(out["u"])
+        return _d2t(out)
 
-    for _ in range(iterations):
-        # rank + degree per source node (ranks/deg are node-sized tables —
-        # small next to edges — so the join claims the broadcast plan)
-        # materialize small sides: bucketed_join's broadcast path calls
-        # count() then to_arrow_refs(), which re-executes a LAZY plan twice
-        rd = bucketed_join(
-            ranks.map_batches(
-                lambda b: b.rename(columns={"node": "u"}), batch_format="pandas"
-            ),
-            deg,
-            on="u",
-            small_side="right",
-        ).materialize()
-        contrib_src = bucketed_join(bid, rd, on="u", small_side="right")
+    edges_tagged = edges_ds.map_batches(
+        edge_rows, batch_format="pandas").materialize()
+    state = nodes_ds.map_batches(
+        seed_rows, batch_format="pandas").materialize()
 
-        def per_edge(b: pd.DataFrame) -> pd.DataFrame:
-            if len(b) == 0:
-                return pd.DataFrame(
-                    {"v": pd.Series(dtype=object), "c": pd.Series(dtype="int64")}
-                )
-            c = (DAMP_NUM * b["r"] // DAMP_DEN) // b["d"]
-            return pd.DataFrame({"v": b["v"], "c": c.astype("int64")})
+    def make_step(first: bool, last: bool):
+        def step(g: pd.DataFrame):
+            marks = g[g["kind"] == "n"]
+            if first:
+                r_cur = marks.set_index("u")["val"]
+            else:
+                c = (g[g["kind"] == "c"]
+                     .groupby("u", sort=False)["val"].sum())
+                r_cur = (c.reindex(marks["u"]).fillna(0).astype("int64")
+                         + teleport)
+                r_cur.index = marks["u"]
+            if last:
+                return _d2t(pd.DataFrame({
+                    "node": r_cur.index.to_numpy(dtype=object),
+                    "r": r_cur.to_numpy().astype("int64"),
+                }))
+            e = g.loc[g["kind"] == "e", ["u", "v"]]
+            d = e.groupby("u", sort=False)["v"].transform("size")
+            r_e = e["u"].map(r_cur)
+            live = r_e.notna()
+            contrib = pd.DataFrame({
+                "u": e.loc[live, "v"],
+                "v": "",
+                "val": ((DAMP_NUM * r_e[live].astype("int64") // DAMP_DEN)
+                        // d[live]).astype("int64"),
+                "kind": "c",
+            })
+            markers = pd.DataFrame({
+                "u": marks["u"], "v": "",
+                "val": np.int64(0), "kind": "n",
+            })
+            out = pd.concat([markers, contrib], ignore_index=True)
+            out["_pbucket"] = _nb(out["u"])
+            return _d2t(out)
 
-        sums = bucketed_groupby_agg(
-            contrib_src.map_batches(per_edge, batch_format="pandas"),
-            keys=["v"],
-            aggs={"s": ("c", "sum")},
-        ).materialize()
-        joined = bucketed_join(
-            nodes, sums.map_batches(
-                lambda b: b.rename(columns={"v": "node"}), batch_format="pandas"
-            ),
-            on="node",
-            how="left",
-            small_side="right",
-        )
+        return step
 
-        def add_teleport(b: pd.DataFrame) -> pd.DataFrame:
-            if len(b) == 0:
-                return pd.DataFrame(
-                    {"node": pd.Series(dtype=object), "r": pd.Series(dtype="int64")}
-                )
-            s = b["s"].fillna(0).astype("int64")
-            return pd.DataFrame({"node": b["node"], "r": teleport + s})
-
-        ranks = sever_lineage(joined.map_batches(add_teleport, batch_format="pandas"))
-
-    return ranks
+    for i in range(iterations + 1):
+        first, last = i == 0, i == iterations
+        inp = state if last else state.union(edges_tagged)
+        state = sever_lineage(
+            inp.groupby("_pbucket").map_groups(
+                make_step(first, last), batch_format="pandas"))
+    return state
 
 
 def k_hop_distances(seeds_ds, edges_ds, k: int = 2,
