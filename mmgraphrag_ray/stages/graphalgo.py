@@ -1677,9 +1677,16 @@ def ppr_int(nodes_ds, edges_ds, seeds_ds, iterations: int = 3,
     SCALE//n_seeds on each seed, 0 elsewhere; per step a seed receives
     teleport ((SCALE*15)//100)//n_seeds on top of the damped inflow.
 
-    -> Dataset(node, rank) — every node, integer rank."""
-    from .groupagg import bucketed_groupby_agg
-    from .join import bucketed_join
+    -> Dataset(node, rank) — every node, integer rank.
+
+    Round-4 fused Pregel loop: identical shuffle structure to
+    :func:`pagerank_int` (1 crc32(node)-bucketed shuffle per step, no
+    per-step driver collects); only the teleport rule differs — seeds
+    (broadcast frozenset, query-sized by definition) receive
+    ((SCALE*15)//100)//n_seeds, everyone else 0."""
+    import zlib
+
+    from ..arrowutil import df_to_table as _d2t
 
     seed_names = frozenset(
         seeds_ds.map_batches(
@@ -1693,79 +1700,95 @@ def ppr_int(nodes_ds, edges_ds, seeds_ds, iterations: int = 3,
     tel = ((SCALE * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN) // n_seeds
     init = SCALE // n_seeds
 
-    nodes = nodes_ds.map_batches(
-        lambda b: b[[node_col]].rename(columns={node_col: "node"}),
-        batch_format="pandas",
-    ).materialize()
+    N_PB = 64
 
-    def bidir(b: pd.DataFrame) -> pd.DataFrame:
-        fwd = b[[src_col, tgt_col]].rename(columns={src_col: "u", tgt_col: "v"})
-        rev = b[[tgt_col, src_col]].rename(columns={tgt_col: "u", src_col: "v"})
-        return pd.concat([fwd, rev], ignore_index=True)
+    def _nb(s: pd.Series) -> pd.Series:
+        return (s.map(lambda x: zlib.crc32(str(x).encode()) % N_PB)
+                .astype("int32")
+                if len(s) else pd.Series(dtype="int32"))
 
-    bid = edges_ds.map_batches(bidir, batch_format="pandas").materialize()
-    deg = bucketed_groupby_agg(
-        bid.map_batches(lambda b: b[["u"]], batch_format="pandas"),
-        keys=["u"],
-        aggs={"d": (None, "count")},
-    ).materialize()
+    def edge_rows(b: pd.DataFrame):
+        out = pd.DataFrame({
+            "u": pd.concat([b[src_col], b[tgt_col]], ignore_index=True)
+            .astype(object),
+            "v": pd.concat([b[tgt_col], b[src_col]], ignore_index=True)
+            .astype(object),
+            "val": np.int64(0),
+            "kind": "e",
+        }) if len(b) else pd.DataFrame({
+            "u": pd.Series(dtype=object), "v": pd.Series(dtype=object),
+            "val": pd.Series(dtype="int64"),
+            "kind": pd.Series(dtype=object),
+        })
+        out["_pbucket"] = _nb(out["u"])
+        return _d2t(out)
 
-    def seeded(col: pd.Series, when: int) -> "pd.Series":
-        isin = col.astype(str).isin(ray.get(seed_ref))
-        return isin.map(lambda t: when if t else 0)
+    def seed_rows(b: pd.DataFrame):
+        isin = b[node_col].astype(str).isin(ray.get(seed_ref))
+        out = pd.DataFrame({
+            "u": b[node_col].astype(object),
+            "v": "",
+            "val": isin.map(lambda t: init if t else 0).astype("int64"),
+            "kind": "n",
+        }) if len(b) else pd.DataFrame({
+            "u": pd.Series(dtype=object), "v": pd.Series(dtype=object),
+            "val": pd.Series(dtype="int64"),
+            "kind": pd.Series(dtype=object),
+        })
+        out["_pbucket"] = _nb(out["u"])
+        return _d2t(out)
 
-    ranks = nodes.map_batches(
-        lambda b: b.assign(r=seeded(b["node"], init).astype("int64")),
-        batch_format="pandas",
-    ).materialize()
+    edges_tagged = edges_ds.map_batches(
+        edge_rows, batch_format="pandas").materialize()
+    state = nodes_ds.map_batches(
+        seed_rows, batch_format="pandas").materialize()
 
-    for _ in range(iterations):
-        rd = bucketed_join(
-            ranks.map_batches(
-                lambda b: b.rename(columns={"node": "u"}), batch_format="pandas"
-            ),
-            deg,
-            on="u",
-            small_side="right",
-        ).materialize()
-        contrib_src = bucketed_join(bid, rd, on="u", small_side="right")
-
-        def per_edge(b: pd.DataFrame) -> pd.DataFrame:
-            if len(b) == 0:
-                return pd.DataFrame(
-                    {"v": pd.Series(dtype=object), "c": pd.Series(dtype="int64")}
-                )
-            c = (DAMP_NUM * b["r"] // DAMP_DEN) // b["d"]
-            return pd.DataFrame({"v": b["v"], "c": c.astype("int64")})
-
-        sums = bucketed_groupby_agg(
-            contrib_src.map_batches(per_edge, batch_format="pandas"),
-            keys=["v"],
-            aggs={"s": ("c", "sum")},
-        ).materialize()
-        joined = bucketed_join(
-            nodes, sums.map_batches(
-                lambda b: b.rename(columns={"v": "node"}), batch_format="pandas"
-            ),
-            on="node",
-            how="left",
-            small_side="right",
-        )
-
-        def step(b: pd.DataFrame) -> pd.DataFrame:
-            if len(b) == 0:
-                return pd.DataFrame(
-                    {"node": pd.Series(dtype=object), "r": pd.Series(dtype="int64")}
-                )
-            s = b["s"].fillna(0).astype("int64")
-            return pd.DataFrame({
-                "node": b["node"],
-                "r": (seeded(b["node"], tel) + s).astype("int64"),
+    def make_step(first: bool, last: bool):
+        def step(g: pd.DataFrame):
+            marks = g[g["kind"] == "n"]
+            if first:
+                r_cur = marks.set_index("u")["val"]
+            else:
+                seed_tel = (marks["u"].astype(str).isin(ray.get(seed_ref))
+                            .map(lambda t: tel if t else 0).astype("int64"))
+                c = (g[g["kind"] == "c"]
+                     .groupby("u", sort=False)["val"].sum())
+                r_cur = (c.reindex(marks["u"]).fillna(0).astype("int64")
+                         + seed_tel.to_numpy())
+                r_cur.index = marks["u"]
+            if last:
+                return _d2t(pd.DataFrame({
+                    "node": r_cur.index.to_numpy(dtype=object),
+                    "r": r_cur.to_numpy().astype("int64"),
+                }))
+            e = g.loc[g["kind"] == "e", ["u", "v"]]
+            d = e.groupby("u", sort=False)["v"].transform("size")
+            r_e = e["u"].map(r_cur)
+            live = r_e.notna()
+            contrib = pd.DataFrame({
+                "u": e.loc[live, "v"],
+                "v": "",
+                "val": ((DAMP_NUM * r_e[live].astype("int64") // DAMP_DEN)
+                        // d[live]).astype("int64"),
+                "kind": "c",
             })
+            markers = pd.DataFrame({
+                "u": marks["u"], "v": "",
+                "val": np.int64(0), "kind": "n",
+            })
+            out = pd.concat([markers, contrib], ignore_index=True)
+            out["_pbucket"] = _nb(out["u"])
+            return _d2t(out)
 
-        ranks = sever_lineage(joined.map_batches(step, batch_format="pandas"))
+        return step
 
-    return ranks
+    for i in range(iterations + 1):
+        first, last = i == 0, i == iterations
+        inp = state if last else state.union(edges_tagged)
+        state = sever_lineage(
+            inp.groupby("_pbucket").map_groups(
+                make_step(first, last), batch_format="pandas"))
+    return state
 
 
 def conductance_int(nodes_ds, edges_ds, rounds: int = 4,
