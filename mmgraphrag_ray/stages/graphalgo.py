@@ -39,71 +39,102 @@ def min_label_rounds(nodes_ds, edges_ds, rounds: int = 4,
     label_0(v) = v; label_{t+1}(v) = min(label_t(v), min over neighbors u
     of label_t(u)).  Labels are the node-name strings; min is bytewise
     (ASCII/UTF-8 code-point order — identical in pandas and DuckDB's
-    binary collation).  Each round: ONE key-partitioned join (label table
-    is node-sized -> broadcast plan under the cap) + ONE grouped min with
-    a per-batch combiner.  State = one string per node.
+    binary collation).
+
+    Round-4 fused Pregel loop (the pagerank_int/hyperball fusion): each
+    round is ONE crc32(node)-bucketed shuffle — a bucket min-merges the
+    label proposals shipped by the previous round into its node markers
+    (the label rides the marker row since min is cumulative) and
+    immediately ships the merged label over the bucket's edges.
+    rounds+1 shuffles total, no per-round broadcast collects.
 
     -> Dataset(node, label)."""
-    from .groupagg import bucketed_groupby_agg
-    from .join import bucketed_join
+    import zlib
 
-    nodes = nodes_ds.map_batches(
-        lambda b: b[[node_col]].rename(columns={node_col: "node"}),
-        batch_format="pandas",
-    ).materialize()
+    from ..arrowutil import df_to_table as _d2t
 
-    def bidir(b: pd.DataFrame) -> pd.DataFrame:
-        fwd = b[[src_col, tgt_col]].rename(columns={src_col: "u", tgt_col: "v"})
-        rev = b[[tgt_col, src_col]].rename(columns={tgt_col: "u", src_col: "v"})
-        return pd.concat([fwd, rev], ignore_index=True)
+    N_PB = 64
 
-    bid = edges_ds.map_batches(bidir, batch_format="pandas").materialize()
-    labels = nodes.map_batches(
-        lambda b: b.assign(label=b["node"]), batch_format="pandas"
-    ).materialize()
+    def _nb(s: pd.Series) -> pd.Series:
+        return (s.map(lambda x: zlib.crc32(str(x).encode()) % N_PB)
+                .astype("int32")
+                if len(s) else pd.Series(dtype="int32"))
 
-    for _ in range(rounds):
-        # neighbor labels: edge (u -> v) carries label(u) to v
-        nbr = bucketed_join(
-            bid,
-            labels.map_batches(
-                lambda b: b.rename(columns={"node": "u"}), batch_format="pandas"
-            ),
-            on="u",
-            small_side="right",
-        )
-        nbr_min = bucketed_groupby_agg(
-            nbr.map_batches(
-                lambda b: b[["v", "label"]], batch_format="pandas"
-            ),
-            keys=["v"],
-            aggs={"nbr_label": ("label", "min")},
-        ).materialize()
-        joined = bucketed_join(
-            labels,
-            nbr_min.map_batches(
-                lambda b: b.rename(columns={"v": "node"}), batch_format="pandas"
-            ),
-            on="node",
-            how="left",
-            small_side="right",
-        )
+    def edge_rows(b: pd.DataFrame):
+        out = pd.DataFrame({
+            "u": pd.concat([b[src_col], b[tgt_col]], ignore_index=True)
+            .astype(object),
+            "v": pd.concat([b[tgt_col], b[src_col]], ignore_index=True)
+            .astype(object),
+            "lbl": "",
+            "kind": "e",
+        }) if len(b) else pd.DataFrame({
+            "u": pd.Series(dtype=object), "v": pd.Series(dtype=object),
+            "lbl": pd.Series(dtype=object),
+            "kind": pd.Series(dtype=object),
+        })
+        out["_pbucket"] = _nb(out["u"])
+        return _d2t(out)
 
-        def take_min(b: pd.DataFrame) -> pd.DataFrame:
-            if len(b) == 0:
-                return pd.DataFrame(
-                    {"node": pd.Series(dtype=object),
-                     "label": pd.Series(dtype=object)}
-                )
-            lab = b["label"].where(
-                b["nbr_label"].isna() | (b["label"] <= b["nbr_label"]),
-                b["nbr_label"],
-            )
-            return pd.DataFrame({"node": b["node"], "label": lab})
+    def seed_rows(b: pd.DataFrame):
+        out = pd.DataFrame({
+            "u": b[node_col].astype(object),
+            "v": "",
+            "lbl": b[node_col].astype(object),
+            "kind": "n",
+        }) if len(b) else pd.DataFrame({
+            "u": pd.Series(dtype=object), "v": pd.Series(dtype=object),
+            "lbl": pd.Series(dtype=object),
+            "kind": pd.Series(dtype=object),
+        })
+        out["_pbucket"] = _nb(out["u"])
+        return _d2t(out)
 
-        labels = sever_lineage(joined.map_batches(take_min, batch_format="pandas"))
+    edges_tagged = edges_ds.map_batches(
+        edge_rows, batch_format="pandas").materialize()
+    state = nodes_ds.map_batches(
+        seed_rows, batch_format="pandas").materialize()
 
-    return labels
+    def make_step(first: bool, last: bool):
+        def step(g: pd.DataFrame):
+            marks = g[g["kind"] == "n"]
+            if first:
+                cur = marks.set_index("u")["lbl"]
+            else:
+                p = (g[g["kind"] == "c"]
+                     .groupby("u", sort=False)["lbl"].min())
+                own = marks.set_index("u")["lbl"]
+                nbr = p.reindex(own.index)
+                cur = own.where(nbr.isna() | (own <= nbr), nbr)
+            if last:
+                return _d2t(pd.DataFrame({
+                    "node": cur.index.to_numpy(dtype=object),
+                    "label": cur.to_numpy(dtype=object),
+                }))
+            e = g.loc[g["kind"] == "e", ["u", "v"]]
+            l_e = e["u"].map(cur)
+            live = l_e.notna()
+            ship = pd.DataFrame({
+                "u": e.loc[live, "v"], "v": "",
+                "lbl": l_e[live].astype(object), "kind": "c",
+            })
+            markers = pd.DataFrame({
+                "u": cur.index.to_numpy(dtype=object), "v": "",
+                "lbl": cur.to_numpy(dtype=object), "kind": "n",
+            })
+            out = pd.concat([markers, ship], ignore_index=True)
+            out["_pbucket"] = _nb(out["u"])
+            return _d2t(out)
+
+        return step
+
+    for i in range(rounds + 1):
+        first, last = i == 0, i == rounds
+        inp = state if last else state.union(edges_tagged)
+        state = sever_lineage(
+            inp.groupby("_pbucket").map_groups(
+                make_step(first, last), batch_format="pandas"))
+    return state
 
 
 def _triangle_rows(edges_ds,
