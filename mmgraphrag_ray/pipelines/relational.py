@@ -3471,48 +3471,69 @@ def q20_part_share_suppliers(sf_dir: str, num: int = 1, den: int = 5):
     shipped quantity (the excess-stock supplier probe), with the share
     test kept integer: den·supp_qty > num·part_qty.
 
-    Scale plan: lineitem folds to one (part, supp, qty) row per pair via
-    combiner + bucketed shuffle; the part totals are a second grouped
-    reduce over those folds; ONE bucketed partkey join compares the two,
-    and the surviving supplier set is a tiny distinct reduce joined to
-    the dimension by broadcast.  -> Dataset(s_suppkey, s_name,
-    n_dominated_parts)."""
-    from ..arrowutil import strip_pd_metadata
-    from ..stages.join import bucketed_join
+    Scale plan (round-4 fused): lineitem pre-combines (part, supp, qty)
+    per batch and ONE crc32(partkey)-bucketed shuffle does everything
+    per-part — the (part, supp) reduce, the part total, and the integer
+    share test den·supp_qty > num·part_qty — emitting per-supplier
+    partial domination counts; the only other shuffle is the tiny
+    supplier final, then the dual-plan name attach.
+    -> Dataset(s_suppkey, s_name, n_dominated_parts)."""
+    import zlib
+
+    from ..arrowutil import df_to_table
+
+    N_B = 64
+
+    def _pkb(s: pd.Series) -> pd.Series:
+        return (s.map(lambda v: zlib.crc32(str(int(v)).encode()) % N_B)
+                .astype("int32")
+                if len(s) else pd.Series(dtype="int32"))
+
+    def fold(b: pd.DataFrame):
+        out = (
+            pd.DataFrame({
+                "p_partkey": b["l_partkey"],
+                "s_suppkey": b["l_suppkey"],
+                "qty": b["l_quantity"].astype("int64"),
+            })
+            .groupby(["p_partkey", "s_suppkey"], sort=False, as_index=False)
+            .sum()
+        ) if len(b) else pd.DataFrame({
+            "p_partkey": pd.Series(dtype="int64"),
+            "s_suppkey": pd.Series(dtype="int64"),
+            "qty": pd.Series(dtype="int64"),
+        })
+        out["_qbucket"] = _pkb(out["p_partkey"])
+        return df_to_table(out)
+
+    def dominate_per_bucket(g: pd.DataFrame):
+        per_ps = g.groupby(["p_partkey", "s_suppkey"], sort=False,
+                           as_index=False)["qty"].sum()
+        part_qty = per_ps.groupby("p_partkey", sort=False)["qty"]\
+            .transform("sum")
+        dom = per_ps[den * per_ps["qty"] > num * part_qty]
+        out = (
+            dom.groupby("s_suppkey", sort=False)
+            .size().rename("n").reset_index()
+        ) if len(dom) else pd.DataFrame({
+            "s_suppkey": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+        })
+        if len(out):
+            out["n"] = out["n"].astype("int64")
+        return df_to_table(out)
 
     li = _read(sf_dir, "lineitem",
                ["l_partkey", "l_suppkey", "l_quantity"])
-
-    def fold(b: pd.DataFrame) -> pd.DataFrame:
-        return strip_pd_metadata(pd.DataFrame({
-            "p_partkey": b["l_partkey"],
-            "s_suppkey": b["l_suppkey"],
-            "qty": b["l_quantity"].astype("int64"),
-        }))
-
-    per_ps = bucketed_groupby_agg(
-        li.map_batches(fold, batch_format="pandas"),
-        keys=["p_partkey", "s_suppkey"],
-        aggs={"supp_qty": ("qty", "sum")},
-    ).materialize()
-    per_p = bucketed_groupby_agg(
-        per_ps, keys=["p_partkey"],
-        aggs={"part_qty": ("supp_qty", "sum")},
-    ).materialize()
-    joined = bucketed_join(per_ps, per_p, on="p_partkey", how="inner",
-                           small_side="right")
-    def keep(b: pd.DataFrame) -> pd.DataFrame:
-        out = b[den * b["supp_qty"] > num * b["part_qty"]][["s_suppkey"]]
-        if not len(out):
-            # typed empty block: keeps the schema stable when no supplier
-            # clears the share bar anywhere
-            return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64")})
-        return strip_pd_metadata(out)
-
-    dominated = joined.map_batches(keep, batch_format="pandas").materialize()
+    partials = (
+        li.map_batches(fold, batch_format="pandas")
+        .groupby("_qbucket")
+        .map_groups(dominate_per_bucket, batch_format="pandas")
+        .materialize()
+    )
     per_supp = bucketed_groupby_agg(
-        dominated, keys=["s_suppkey"],
-        aggs={"n_dominated_parts": (None, "count")},
+        partials, keys=["s_suppkey"],
+        aggs={"n_dominated_parts": ("n", "sum")},
     )
     from ..stages.join import attach_dim
 
