@@ -14,6 +14,7 @@ import os
 import pandas as pd
 import ray.data
 
+from ..hashing import bucket_ints
 from ..stages.groupagg import bucketed_groupby_agg
 from ..stages.join import broadcast_join, bucketed_join
 
@@ -120,19 +121,16 @@ def q3_shipping(sf_dir: str, k: int = 10, cut: str = "1998-06-01"):
         )
 
     # round-4 fused tail: the per-order revenue reduce and the orders
-    # join share ONE crc32(orderkey)-bucketed shuffle (q10/q21's fusion);
+    # join share ONE orderkey-hash-bucketed shuffle (q10/q21's fusion);
     # each bucket joins, reduces, and keeps its local top-k, so the final
     # is a one-block k-row sort
-    import zlib
 
     from ..arrowutil import df_to_table
 
     N_B = 64
 
     def _okb(s: pd.Series) -> pd.Series:
-        return (s.map(lambda v: zlib.crc32(str(int(v)).encode()) % N_B)
-                .astype("int32")
-                if len(s) else pd.Series(dtype="int32"))
+        return pd.Series(bucket_ints(s, N_B), index=s.index)
 
     def li_rows(b: pd.DataFrame):
         r = rev(b)
@@ -510,7 +508,6 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
     user (bucketed groupby), per-user pandas sessionization inside the group
     — the ray_guide streaming-shaped pattern (ordered, partitioned log).
     Output: (user_id, session_id, n_events, first_ts, last_ts)."""
-    import zlib
 
     ev = _read(sf_dir, "events", ["user_id", "ts"])
 
@@ -521,9 +518,7 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
                  "_bucket": pd.Series(dtype="int32")}
             )
         out = b.copy()
-        out["_bucket"] = out["user_id"].map(
-            lambda u: zlib.crc32(str(int(u)).encode()) % 64
-        ).astype("int32")
+        out["_bucket"] = bucket_ints(out["user_id"], 64)
         return out
 
     def sessionize(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -868,7 +863,6 @@ def basket_part_pairs(sf_dir: str, k: int = 20, max_basket: int = 64):
     basket is excluded from the statistic BY DEFINITION, mirrored in
     SQL).  Pair supports fold through the combiner reduce; one combiner
     top-k out.  Driver state: none."""
-    import zlib
 
     import numpy as np
 
@@ -883,9 +877,7 @@ def basket_part_pairs(sf_dir: str, k: int = 20, max_basket: int = 64):
             {"o": b["l_orderkey"].astype("int64"),
              "p": b["l_partkey"].astype("int64")}
         )
-        out["_bucket"] = out["o"].map(
-            lambda v: zlib.crc32(str(int(v)).encode()) % 64
-        ).astype("int32")
+        out["_bucket"] = bucket_ints(out["o"], 64)
         return strip_pd_metadata(out) if len(out) else out
 
     def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -1297,10 +1289,9 @@ def q4_late_orders(sf_dir: str, d1: str = "1997-01-01", d2: str = "1998-01-01"):
     )
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
     # round-4 fused plan: the per-order max-shipdate reduce and the
-    # orders join share ONE crc32(orderkey)-bucketed shuffle (the
+    # orders join share ONE orderkey-hash-bucketed shuffle (the
     # one-key-reused fusion also applied to q10/q21); each bucket emits
     # per-priority partial counts, so the final is a 5-row sum
-    import zlib
 
     import numpy as np
 
@@ -1309,9 +1300,7 @@ def q4_late_orders(sf_dir: str, d1: str = "1997-01-01", d2: str = "1998-01-01"):
     N_B = 64
 
     def _okb(s: pd.Series) -> pd.Series:
-        return (s.map(lambda v: zlib.crc32(str(int(v)).encode()) % N_B)
-                .astype("int32")
-                if len(s) else pd.Series(dtype="int32"))
+        return pd.Series(bucket_ints(s, N_B), index=s.index)
 
     def li_rows(b: pd.DataFrame):
         out = (
@@ -1438,12 +1427,11 @@ def _nation_stamped_sides(sf_dir: str):
 
 def _nation_flow_partials(sf_dir: str):
     """Shared q5/q7 FUSED core (round 4): the fact⋈fact orderkey join and
-    the nation-pair reduce share ONE crc32(orderkey)-bucketed shuffle —
+    the nation-pair reduce share ONE orderkey-hash-bucketed shuffle —
     the stamped lineitem side pre-combines (okey, s_nation) cents per
     batch, stamped orders ride as (okey, c_nation) marker rows, and each
     bucket joins + reduces to (s_nation, c_nation, revenue_cents,
     n_items) partials.  q7 sums all pairs; q5 sums the diagonal."""
-    import zlib
 
     import numpy as np
 
@@ -1453,9 +1441,7 @@ def _nation_flow_partials(sf_dir: str):
     N_B = 64
 
     def _okb(s: pd.Series) -> pd.Series:
-        return (s.map(lambda v: zlib.crc32(str(int(v)).encode()) % N_B)
-                .astype("int32")
-                if len(s) else pd.Series(dtype="int32"))
+        return pd.Series(bucket_ints(s, N_B), index=s.index)
 
     def li_rows(b: pd.DataFrame):
         out = (
@@ -1554,11 +1540,10 @@ def q13_order_distribution(sf_dir: str, excl_priority: str = "1-URGENT"):
     profile (bucketed, payload = two int64s per row); missing matches
     count as 0; the outer groupby is over the tiny count domain."""
     # round-4 fused plan: the per-customer order count and the customer
-    # left join share ONE crc32(custkey)-bucketed shuffle (q10/q21's
+    # left join share ONE custkey-hash-bucketed shuffle (q10/q21's
     # one-key-reused fusion) — orders pre-count per batch, customer keys
     # ride as marker rows (zero-order customers get count 0), and each
     # bucket emits per-c_count partials for a tiny final reduce
-    import zlib
 
     import numpy as np
 
@@ -1567,9 +1552,7 @@ def q13_order_distribution(sf_dir: str, excl_priority: str = "1-URGENT"):
     N_B = 64
 
     def _ckb(s: pd.Series) -> pd.Series:
-        return (s.map(lambda v: zlib.crc32(str(int(v)).encode()) % N_B)
-                .astype("int32")
-                if len(s) else pd.Series(dtype="int32"))
+        return pd.Series(bucket_ints(s, N_B), index=s.index)
 
     def order_rows(b: pd.DataFrame):
         kept = b[b["o_orderpriority"] != excl_priority]
@@ -2409,7 +2392,7 @@ def q10_returned_items(sf_dir: str, d1: str = "1997-01-01",
     window (reference Q10's returned-item report over a quarter).
 
     Scale plan (round-4 fused): the per-order revenue reduce and the
-    orders join share ONE crc32(orderkey)-bucketed shuffle — lineitem
+    orders join share ONE orderkey-hash-bucketed shuffle — lineitem
     combines 'R' cents per orderkey per batch, date-pruned orders ride as
     (orderkey, custkey) marker rows, and each bucket joins + pre-reduces
     to per-customer partials; the per-customer final is the only other
@@ -2444,16 +2427,13 @@ def q10_returned_items(sf_dir: str, d1: str = "1997-01-01",
         ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
     )
 
-    import zlib
 
     from ..arrowutil import df_to_table
 
     N_B = 64
 
     def _okey_bucket(s: pd.Series) -> pd.Series:
-        return (s.map(lambda v: zlib.crc32(str(int(v)).encode()) % N_B)
-                .astype("int32")
-                if len(s) else pd.Series(dtype="int32"))
+        return pd.Series(bucket_ints(s, N_B), index=s.index)
 
     def returned_cents(b: pd.DataFrame):
         s = b[b["l_returnflag"] == "R"]
@@ -2820,7 +2800,7 @@ def q21_waiting_supplier(sf_dir: str, k: int = 10):
 
     (1) lineitem COMBINES per batch to (okey, skey, max ship) rows and
         F-orders contribute key-only marker rows, all bucketed by
-        crc32(okey) into the SAME shuffle;
+        hash(okey) into the SAME shuffle;
     (2) inside each bucket every per-order step is a vectorized pandas
         groupby chain — per-(o,s) max, order max + supplier count,
         F-gate, at-max filter on >= 2-supplier orders, lone laggard
@@ -2828,7 +2808,6 @@ def q21_waiting_supplier(sf_dir: str, k: int = 10):
         waiting order;
     (3) one tiny supplier-keyed reduce counts waiting orders; top-k
         BEFORE the name lookup, dual-plan dimension attach."""
-    import zlib
 
     from ..arrowutil import df_to_table
 
@@ -2849,12 +2828,7 @@ def q21_waiting_supplier(sf_dir: str, k: int = 10):
             "s_suppkey": pd.Series(dtype="int64"),
             "ship": pd.Series(dtype="datetime64[us]"),
         })
-        out["_qbucket"] = (
-            out["o_orderkey"].map(
-                lambda v: zlib.crc32(str(int(v)).encode()) % N_B
-            ).astype("int32")
-            if len(out) else pd.Series(dtype="int32")
-        )
+        out["_qbucket"] = bucket_ints(out["o_orderkey"], N_B)
         return df_to_table(out)
 
     def f_markers(b: pd.DataFrame):
@@ -2868,12 +2842,7 @@ def q21_waiting_supplier(sf_dir: str, k: int = 10):
             "s_suppkey": pd.Series(dtype="int64"),
             "ship": pd.Series(dtype="datetime64[us]"),
         })
-        out["_qbucket"] = (
-            out["o_orderkey"].map(
-                lambda v: zlib.crc32(str(int(v)).encode()) % N_B
-            ).astype("int32")
-            if len(out) else pd.Series(dtype="int32")
-        )
+        out["_qbucket"] = bucket_ints(out["o_orderkey"], N_B)
         return df_to_table(out)
 
     def lone_per_bucket(g: pd.DataFrame):
@@ -3177,17 +3146,14 @@ def q9_profit_by_nation_year(sf_dir: str):
         }))
 
     # round-4 fused plan: the per-(order, nation) profit reduce and the
-    # order-year join share ONE crc32(orderkey)-bucketed shuffle (the
+    # order-year join share ONE orderkey-hash-bucketed shuffle (the
     # q10/q21 one-key-reused fusion); buckets emit per-(nation, year)
     # partials carrying the n_orders count, so the final reduce is tiny
-    import zlib
 
     N_B = 64
 
     def _okb(s: pd.Series) -> pd.Series:
-        return (s.map(lambda v: zlib.crc32(str(int(v)).encode()) % N_B)
-                .astype("int32")
-                if len(s) else pd.Series(dtype="int32"))
+        return pd.Series(bucket_ints(s, N_B), index=s.index)
 
     from ..arrowutil import df_to_table
 
@@ -3472,22 +3438,19 @@ def q20_part_share_suppliers(sf_dir: str, num: int = 1, den: int = 5):
     test kept integer: den·supp_qty > num·part_qty.
 
     Scale plan (round-4 fused): lineitem pre-combines (part, supp, qty)
-    per batch and ONE crc32(partkey)-bucketed shuffle does everything
+    per batch and ONE partkey-hash-bucketed shuffle does everything
     per-part — the (part, supp) reduce, the part total, and the integer
     share test den·supp_qty > num·part_qty — emitting per-supplier
     partial domination counts; the only other shuffle is the tiny
     supplier final, then the dual-plan name attach.
     -> Dataset(s_suppkey, s_name, n_dominated_parts)."""
-    import zlib
 
     from ..arrowutil import df_to_table
 
     N_B = 64
 
     def _pkb(s: pd.Series) -> pd.Series:
-        return (s.map(lambda v: zlib.crc32(str(int(v)).encode()) % N_B)
-                .astype("int32")
-                if len(s) else pd.Series(dtype="int32"))
+        return pd.Series(bucket_ints(s, N_B), index=s.index)
 
     def fold(b: pd.DataFrame):
         out = (
@@ -3558,7 +3521,6 @@ def basket_part_triples(sf_dir: str, k: int = 20, min_pair_support: int = 2,
     argument); round 2 re-scans baskets once, emits only triples whose 3
     pairs are all frequent, and folds through the same combiner reduce.
     -> Dataset(pa, pb, pc, support, rank)."""
-    import zlib
 
     import numpy as np
 
@@ -3573,9 +3535,7 @@ def basket_part_triples(sf_dir: str, k: int = 20, min_pair_support: int = 2,
             {"o": b["l_orderkey"].astype("int64"),
              "p": b["l_partkey"].astype("int64")}
         )
-        out["_bucket"] = out["o"].map(
-            lambda v: zlib.crc32(str(int(v)).encode()) % 64
-        ).astype("int32")
+        out["_bucket"] = bucket_ints(out["o"], 64)
         return strip_pd_metadata(out) if len(out) else out
 
     buckets = (
@@ -4009,7 +3969,6 @@ def basket_rules(sf_dir: str, min_support: int = 2, max_basket: int = 64):
     exact floor division of int64 counts.
     -> Dataset(pa, pb, support, n_a, n_b, n_baskets, conf_a_ppm,
     conf_b_ppm, lift_ppm) for pairs with support >= min_support."""
-    import zlib
 
     import numpy as np
 
@@ -4023,9 +3982,7 @@ def basket_rules(sf_dir: str, min_support: int = 2, max_basket: int = 64):
             {"o": b["l_orderkey"].astype("int64"),
              "p": b["l_partkey"].astype("int64")}
         )
-        out["_bucket"] = out["o"].map(
-            lambda v: zlib.crc32(str(int(v)).encode()) % 64
-        ).astype("int32")
+        out["_bucket"] = bucket_ints(out["o"], 64)
         return strip_pd_metadata(out) if len(out) else out
 
     def tagged(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -4375,7 +4332,6 @@ def events_sessions_microbatch(sf_dir: str, gap_minutes: int = 30,
     partial rows in adjacent slices under the SAME session id; one
     final grouped fold (sum/min/max) merges them.
     -> Dataset(user_id, session_id, n_events, first_ts, last_ts)."""
-    import zlib
 
     import numpy as np
 
@@ -4416,8 +4372,7 @@ def events_sessions_microbatch(sf_dir: str, gap_minutes: int = 30,
             out["_bucket"] = pd.Series(dtype="int32")
             return out
         out = b.copy()
-        out["_bucket"] = out["user_id"].map(
-            lambda u: zlib.crc32(str(int(u)).encode()) % 64).astype("int32")
+        out["_bucket"] = bucket_ints(out["user_id"], 64)
         return strip_pd_metadata(out)
 
     def step(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -4900,7 +4855,6 @@ def events_late_arrivals(sf_dir: str, allowance_minutes: int = 10):
     the combiner groupby to windows.  Exact integer microsecond compares.
 
     -> Dataset(event_type, hour, n_total, n_late)."""
-    import zlib
 
     import numpy as np
 
@@ -4914,9 +4868,7 @@ def events_late_arrivals(sf_dir: str, allowance_minutes: int = 10):
             out["_bucket"] = pd.Series(dtype="int32")
             return out
         out = b.copy()
-        out["_bucket"] = out["user_id"].map(
-            lambda u: zlib.crc32(str(int(u)).encode()) % 64
-        ).astype("int32")
+        out["_bucket"] = bucket_ints(out["user_id"], 64)
         return out
 
     def flag_late(bucket: pd.DataFrame) -> pd.DataFrame:

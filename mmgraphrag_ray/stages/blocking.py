@@ -35,6 +35,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from ..hashing import bucket_any
+
 
 def sorted_neighborhood_pairs(
     ds,
@@ -80,9 +82,7 @@ def sorted_neighborhood_pairs(
 
     def add_rng_bucket(b: pd.DataFrame) -> pd.DataFrame:
         out = b.assign(
-            _bucket=b["rng"].map(
-                lambda s: zlib.crc32(str(s).encode()) % 64
-            ).astype("int32")
+            _bucket=bucket_any(b["rng"], 64)
         )
         return strip_pd_metadata(out) if len(out) else out
 

@@ -18,10 +18,11 @@ only all-to-all moves (src, dst) string pairs already deduped per batch.
 from __future__ import annotations
 
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
+
+from ..hashing import bucket_strs
 
 from ..arrowutil import strip_pd_metadata
 
@@ -54,11 +55,7 @@ def import_edges(files_ds, n_buckets: int = 32):
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         df = _extract_batch(batch)
-        df["_bucket"] = (
-            df["dst_module"]
-            .map(lambda s: zlib.crc32(s.encode()) % n_buckets)
-            .astype("int32")
-        )
+        df["_bucket"] = bucket_strs(df["dst_module"], n_buckets)
         return strip_pd_metadata(df) if len(df) else df
 
     def dedup(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -84,11 +81,7 @@ def import_indegree_topk(files_ds, k: int = 20, n_buckets: int = 32):
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         df = _extract_batch(batch)
-        df["_bucket"] = (
-            df["dst_module"]
-            .map(lambda s: zlib.crc32(s.encode()) % n_buckets)
-            .astype("int32")
-        )
+        df["_bucket"] = bucket_strs(df["dst_module"], n_buckets)
         return strip_pd_metadata(df) if len(df) else df
 
     def count(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -180,9 +173,7 @@ def function_clones(files_ds, key_cols: tuple = ("repo", "path"),
         out = pd.DataFrame({"ch": pd.Series(hs, dtype=object),
                             "fkey": pd.Series(fks, dtype=object)})
         if len(out):
-            out["_bucket"] = out["ch"].map(
-                lambda s: zlib.crc32(s.encode()) % n_buckets
-            ).astype("int32")
+            out["_bucket"] = bucket_strs(out["ch"], n_buckets)
         else:
             out["_bucket"] = pd.Series(dtype="int32")
         return strip_pd_metadata(out) if len(out) else out

@@ -28,11 +28,12 @@ from __future__ import annotations
 
 import hashlib
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
 import ray.data
+
+from ..hashing import bucket_any, bucket_strs
 
 
 N_BUCKETS = 64
@@ -57,7 +58,7 @@ def dedup_exact(
             subset=[key], keep="first"
         )
         out = out.assign(
-            _bucket=out[key].map(lambda s: zlib.crc32(str(s).encode()) % n_buckets)
+            _bucket=bucket_any(out[key], n_buckets)
         )
         # Arrow out: pandas blocks entering the hash shuffle carry unhashable
         # pandas schema metadata, defeating Ray's schema dedup (arrowutil)
@@ -113,9 +114,7 @@ def dedup_exact_broadcast(
         from ..arrowutil import strip_pd_metadata
 
         out = batch[cols].copy()
-        out["_bucket"] = out[key].map(
-            lambda s: zlib.crc32(str(s).encode()) % n_buckets
-        )
+        out["_bucket"] = bucket_any(out[key], n_buckets)
         return strip_pd_metadata(out) if len(out) else out
 
     def bucket_losers(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -275,9 +274,7 @@ def minhash_candidate_pairs(
             rows.extend(_band_rows(doc_id, minhash_signature(text, k)))
         out = pd.DataFrame(rows, columns=["doc_id", "band_id", "band_hash"])
         if len(out):
-            out["bucket"] = out["band_hash"].map(
-                lambda s: zlib.crc32(s.encode()) % N_BUCKETS
-            ).astype("int32")
+            out["bucket"] = bucket_strs(out["band_hash"], N_BUCKETS)
         else:
             out["bucket"] = pd.Series(dtype="int32")
         return _pairs_arrow(out)
@@ -489,9 +486,7 @@ def connected_components(pairs_ds, all_ids_ds, id_col: str, max_iters: int = 25)
 
         def add_bucket(b: pd.DataFrame):
             out = b.assign(
-                _cbucket=b["id"].map(
-                    lambda s: zlib.crc32(str(s).encode()) % N_BUCKETS
-                ).astype("int32")
+                _cbucket=bucket_any(b["id"], N_BUCKETS)
             )
             return _pairs_arrow(out)
 
@@ -615,9 +610,7 @@ def jaccard_candidate_pairs(
                 shs.append(hashlib.md5(s.encode()).hexdigest()[:16])
         out = pd.DataFrame({"doc_id": ids, "sh": shs})
         if len(out):
-            out["bucket"] = out["sh"].map(
-                lambda s: zlib.crc32(s.encode()) % N_BUCKETS
-            ).astype("int32")
+            out["bucket"] = bucket_strs(out["sh"], N_BUCKETS)
         else:
             out["bucket"] = pd.Series(dtype="int32")
         return _pairs_arrow(out)
@@ -780,7 +773,7 @@ def embedding_near_dup(emb_ds, threshold: float = 0.95,
         planes = np.random.default_rng(7).standard_normal((n_planes, dim))
         signs = (vecs @ planes.T) >= 0
         sigs = ["".join("1" if s else "0" for s in row) for row in signs]
-        buckets = [zlib.crc32(s.encode()) % N_BUCKETS for s in sigs]
+        buckets = bucket_strs(np.asarray(sigs, dtype=object), N_BUCKETS)
         flat = pa.array(vecs.astype(np.float32).ravel(), pa.float32())
         vec_arr = pa.FixedSizeListArray.from_arrays(flat, dim)
         return pa.table({
@@ -864,9 +857,7 @@ def line_dup_set(files_ds, text_col: str, min_files: int,
             return pa.table({"line": pa.array([], pa.string()),
                              "nf": pa.array([], pa.int64()),
                              "_bucket": pa.array([], pa.int32())})
-        cnt["_bucket"] = cnt["line"].map(
-            lambda s: zlib.crc32(s.encode()) % n_buckets
-        )
+        cnt["_bucket"] = bucket_strs(cnt["line"], n_buckets)
         return df_to_table(cnt, nf=pa.int64(), _bucket=pa.int32())
 
     def bucket_dups(bucket: pd.DataFrame):
@@ -973,9 +964,7 @@ def dedup_lines(
 
         out = b.copy()
         out["_keep"] = (out["line"] == "") | out["_dup"].isna()
-        out["_rbucket"] = out["_fkey"].map(
-            lambda s: zlib.crc32(s.encode()) % n_buckets
-        )
+        out["_rbucket"] = bucket_strs(out["_fkey"], n_buckets)
         return strip_pd_metadata(out) if len(out) else out
 
     def bucket_reassemble(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -1170,9 +1159,7 @@ def minhash_cross_pairs(
             rows, columns=["doc_id", "band_id", "band_hash", "side"]
         )
         if len(out):
-            out["bucket"] = out["band_hash"].map(
-                lambda s: zlib.crc32(s.encode()) % N_BUCKETS
-            ).astype("int32")
+            out["bucket"] = bucket_strs(out["band_hash"], N_BUCKETS)
         else:
             out["bucket"] = pd.Series(dtype="int32")
         return _pairs_arrow(out)
@@ -1634,9 +1621,8 @@ def cut_dup_spans(docs_ds, win: int = 8,
 
     def add_bucket(b: pd.DataFrame):
         # crc32 routing (repo convention) so non-integer doc ids work too
-        out = b.assign(_dbucket=b[id_col].map(
-            lambda v: zlib.crc32(str(v).encode()) % N_BUCKETS
-        ).astype("int32") if len(b) else pd.Series(dtype="int32"))
+        out = b.assign(_dbucket=bucket_any(b[id_col], N_BUCKETS)
+                   if len(b) else pd.Series(dtype="int32"))
         return df_to_table(out)
 
     return (

@@ -21,6 +21,7 @@ import pandas as pd
 import ray.data
 
 from ..arrowutil import sever_lineage
+from ..hashing import bucket_any
 
 SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100
@@ -49,16 +50,13 @@ def min_label_rounds(nodes_ds, edges_ds, rounds: int = 4,
     rounds+1 shuffles total, no per-round broadcast collects.
 
     -> Dataset(node, label)."""
-    import zlib
 
     from ..arrowutil import df_to_table as _d2t
 
     N_PB = 64
 
     def _nb(s: pd.Series) -> pd.Series:
-        return (s.map(lambda x: zlib.crc32(str(x).encode()) % N_PB)
-                .astype("int32")
-                if len(s) else pd.Series(dtype="int32"))
+        return pd.Series(bucket_any(s, N_PB), index=s.index)
 
     def edge_rows(b: pd.DataFrame):
         out = pd.DataFrame({
@@ -148,7 +146,6 @@ def _triangle_rows(edges_ds,
 
     -> Dataset(w_u, w_v, w_w) with ONE row per distinct triangle (corners
     in orientation-key order), or None for a triangle-free graph."""
-    import zlib
 
     from ..arrowutil import strip_pd_metadata
     from .groupagg import bucketed_groupby_agg
@@ -208,9 +205,7 @@ def _triangle_rows(edges_ds,
 
     def add_src_bucket(b: pd.DataFrame) -> pd.DataFrame:
         out = b.assign(
-            _bucket=b["src"].map(
-                lambda s: zlib.crc32(str(s).encode()) % 64
-            ).astype("int32")
+            _bucket=bucket_any(b["src"], 64)
         )
         return strip_pd_metadata(out) if len(out) else out
 
@@ -301,7 +296,6 @@ def pagerank_int(nodes_ds, edges_ds, iterations: int = 3,
     iterations+1 shuffles total, no per-step driver collects (the old
     plan ran a shuffle + three broadcast joins with driver-side
     materializes per step)."""
-    import zlib
 
     from ..arrowutil import df_to_table as _d2t
 
@@ -311,9 +305,7 @@ def pagerank_int(nodes_ds, edges_ds, iterations: int = 3,
     N_PB = 64
 
     def _nb(s: pd.Series) -> pd.Series:
-        return (s.map(lambda x: zlib.crc32(str(x).encode()) % N_PB)
-                .astype("int32")
-                if len(s) else pd.Series(dtype="int32"))
+        return pd.Series(bucket_any(s, N_PB), index=s.index)
 
     # shared row schema (u, v, val, kind): 'e' edge (u -> v), 'n' node
     # marker carrying the current rank in val, 'c' contribution to u
@@ -503,7 +495,6 @@ def entity_cooccurrence_pmi(ent_mentions_ds, k: int = 20, min_pairs: int = 2,
     two bucketed joins (entity tables can be vocabulary-sized — never
     broadcast); one final combiner top-k.  Driver state: the n_chunks
     scalar."""
-    import zlib
 
     from ..arrowutil import strip_pd_metadata
     from .groupagg import bucketed_groupby_agg
@@ -530,9 +521,7 @@ def entity_cooccurrence_pmi(ent_mentions_ds, k: int = 20, min_pairs: int = 2,
 
     def add_chunk_bucket(b: pd.DataFrame) -> pd.DataFrame:
         out = b.assign(
-            _bucket=b["c"].map(
-                lambda s: zlib.crc32(str(s).encode()) % 64
-            ).astype("int32")
+            _bucket=bucket_any(b["c"], 64)
         )
         return strip_pd_metadata(out) if len(out) else out
 
@@ -787,7 +776,6 @@ def link_prediction_scores(edges_ds, k: int = 20, deg_cap: int = 64,
     (edge rows carry ex=1, candidate rows ex=0 — no second shuffle, no
     driver key set); one combiner top-k out.  Driver state: none.
     """
-    import zlib
 
     from ..arrowutil import strip_pd_metadata
     from .groupagg import bucketed_groupby_agg
@@ -804,9 +792,7 @@ def link_prediction_scores(edges_ds, k: int = 20, deg_cap: int = 64,
 
     def add_z_bucket(b: pd.DataFrame) -> pd.DataFrame:
         out = b.assign(
-            _bucket=b["z"].map(
-                lambda s: zlib.crc32(str(s).encode()) % 64
-            ).astype("int32")
+            _bucket=bucket_any(b["z"], 64)
         )
         return strip_pd_metadata(out) if len(out) else out
 
@@ -903,7 +889,6 @@ def random_walks(edges_ds, length: int = 3,
     (never a join on u alone, which would fan out deg(u) rows per walk
     at every hub).  Walk state never touches the driver."""
     import hashlib
-    import zlib
 
     from ..arrowutil import strip_pd_metadata
     from .groupagg import bucketed_groupby_agg
@@ -920,9 +905,7 @@ def random_walks(edges_ds, length: int = 3,
 
     def add_u_bucket(b: pd.DataFrame) -> pd.DataFrame:
         out = b.assign(
-            _bucket=b["u"].map(
-                lambda s: zlib.crc32(str(s).encode()) % 64
-            ).astype("int32")
+            _bucket=bucket_any(b["u"], 64)
         )
         return strip_pd_metadata(out) if len(out) else out
 
@@ -1110,13 +1093,10 @@ def wl_neighborhood_hashes(nodes_ds, edges_ds,
                             n_buckets=n_buckets)
 
     def add_ubucket(b: pd.DataFrame) -> pd.DataFrame:
-        import zlib
 
         from ..arrowutil import strip_pd_metadata
 
-        out = b.assign(_ubucket=b["u"].map(
-            lambda s: zlib.crc32(str(s).encode()) % n_buckets
-        ).astype("int32"))
+        out = b.assign(_ubucket=bucket_any(b["u"], n_buckets))
         return strip_pd_metadata(out) if len(out) else out
 
     def signatures(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -1516,7 +1496,6 @@ def typed_wedge_census(nodes_ds, edges_ds,
     vocabulary-bounded pair products inside a center-bucketed pass ->
     one tiny (ct, t1, t2) reduce.  -> Dataset(center_type, type_a,
     type_b, n_wedges), type_a <= type_b."""
-    import zlib
 
     from ..arrowutil import strip_pd_metadata
     from .groupagg import bucketed_groupby_agg
@@ -1555,9 +1534,7 @@ def typed_wedge_census(nodes_ds, edges_ds,
     ).materialize()
 
     def add_cbucket(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.assign(_cbucket=b["center"].map(
-            lambda s: zlib.crc32(str(s).encode()) % n_buckets
-        ).astype("int32"))
+        out = b.assign(_cbucket=bucket_any(b["center"], n_buckets))
         return strip_pd_metadata(out) if len(out) else out
 
     def per_center(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -1715,7 +1692,6 @@ def ppr_int(nodes_ds, edges_ds, seeds_ds, iterations: int = 3,
     per-step driver collects); only the teleport rule differs — seeds
     (broadcast frozenset, query-sized by definition) receive
     ((SCALE*15)//100)//n_seeds, everyone else 0."""
-    import zlib
 
     from ..arrowutil import df_to_table as _d2t
 
@@ -1734,9 +1710,7 @@ def ppr_int(nodes_ds, edges_ds, seeds_ds, iterations: int = 3,
     N_PB = 64
 
     def _nb(s: pd.Series) -> pd.Series:
-        return (s.map(lambda x: zlib.crc32(str(x).encode()) % N_PB)
-                .astype("int32")
-                if len(s) else pd.Series(dtype="int32"))
+        return pd.Series(bucket_any(s, N_PB), index=s.index)
 
     def edge_rows(b: pd.DataFrame):
         out = pd.DataFrame({
@@ -1891,7 +1865,6 @@ def square_census(edges_ds, k: int = 20, deg_cap: int = 64,
     -> Dataset(ea, eb, cn, squares, rank), rank 1..k by
     (squares desc, ea, eb).
     """
-    import zlib
 
     from ..arrowutil import strip_pd_metadata
     from .groupagg import bucketed_groupby_agg
@@ -1908,9 +1881,7 @@ def square_census(edges_ds, k: int = 20, deg_cap: int = 64,
 
     def add_z_bucket(b: pd.DataFrame) -> pd.DataFrame:
         out = b.assign(
-            _bucket=b["z"].map(
-                lambda s: zlib.crc32(str(s).encode()) % 64
-            ).astype("int32")
+            _bucket=bucket_any(b["z"], 64)
         )
         return strip_pd_metadata(out) if len(out) else out
 
@@ -2198,16 +2169,13 @@ def hyperball_registers(nodes_ds, edges_ds, rounds: int = 2,
     # registers (groupby max) and immediately ship the merged sketch over
     # the bucket's edges; the final merge + sufficient-stat widen fuse
     # into one more shuffle.  rounds+1 shuffles total (was 2/round + 1).
-    import zlib
 
     from ..arrowutil import df_to_table as _d2t
 
     N_HB = 64
 
     def _ub(s: pd.Series) -> pd.Series:
-        return (s.map(lambda v: zlib.crc32(str(v).encode()) % N_HB)
-                .astype("int32")
-                if len(s) else pd.Series(dtype="int32"))
+        return pd.Series(bucket_any(s, N_HB), index=s.index)
 
     def edge_rows(b: pd.DataFrame):
         out = pd.DataFrame({

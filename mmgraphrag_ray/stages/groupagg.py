@@ -14,11 +14,12 @@ count -> sum of partial counts, sum -> sum, min -> min, max -> max.
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pandas as pd
 import ray.data
+
+from ..hashing import bucket_strs
 
 N_BUCKETS = 64
 
@@ -26,15 +27,16 @@ _FINAL_OP = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
 
 
 def key_bucket(df: pd.DataFrame, keys: list[str], n_buckets: int) -> pd.Series:
-    """THE routing bucket for multi-key grouped shuffles: crc32 of the
-    '\\x1f'-joined stringified key tuple, mod n_buckets.  Shared by every
-    operator that buckets on composite keys (groupagg, window.grouped_topk,
-    window.group_quantiles) — the hash and separator must stay byte-
-    identical across them for bucket compatibility."""
+    """THE routing bucket for multi-key grouped shuffles: vectorized hash
+    (hashing.bucket_strs) of the '\\x1f'-joined stringified key tuple, mod
+    n_buckets.  Shared by every operator that buckets on composite keys
+    (groupagg, window.grouped_topk, window.group_quantiles) — the hash and
+    separator must stay byte-identical across them for bucket
+    compatibility."""
     key_str = df[keys[0]].astype(str)
     for k in keys[1:]:
         key_str = key_str + "\x1f" + df[k].astype(str)
-    return key_str.map(lambda s: zlib.crc32(s.encode()) % n_buckets).astype("int32")
+    return pd.Series(bucket_strs(key_str, n_buckets), index=df.index)
 
 
 def bucketed_groupby_agg(

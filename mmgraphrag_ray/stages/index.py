@@ -27,6 +27,8 @@ import re
 
 import numpy as np
 import pandas as pd
+
+from ..hashing import bucket_strs
 import pyarrow as pa
 
 TOKEN_RE = r"[a-z]+"
@@ -87,9 +89,7 @@ def token_postings(
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         out = b.assign(
-            _bucket=b["token"]
-            .map(lambda s: zlib.crc32(s.encode()) % 64)
-            .astype("int32")
+            _bucket=bucket_strs(b["token"], 64)
         )
         return strip_pd_metadata(out) if len(out) else out
 

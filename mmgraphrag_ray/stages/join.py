@@ -19,6 +19,8 @@ from __future__ import annotations
 import pandas as pd
 import ray
 
+from ..hashing import bucket_any
+
 
 def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner"):
     ref = ray.put(small_df)
@@ -138,7 +140,7 @@ def bucketed_join(
             out = batch.copy()
             out["_side"] = side
             out["_jbucket"] = (
-                out[on].map(lambda s: zlib.crc32(str(s).encode()) % n_buckets).astype("int32")
+                pd.Series(bucket_any(out[on], n_buckets), index=out.index)
                 if len(out)
                 else pd.Series(dtype="int32")
             )

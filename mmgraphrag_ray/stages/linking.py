@@ -35,10 +35,11 @@ from __future__ import annotations
 
 import math
 import os
-import zlib
 
 import numpy as np
 import pandas as pd
+
+from ..hashing import bucket_any, bucket_strs
 
 from .. import GRAPH_FIELD_SEP
 from .embed import HashEmbedder
@@ -262,17 +263,15 @@ def cluster_entities(nodes_ds, edges_ds, ent_mentions_ds, max_group: int = 64,
     def tag_e(b: pd.DataFrame):
         b = b.copy()
         b["_kind"] = "e"
-        b["pbucket"] = b["partition"].map(
-            lambda s: zlib.crc32(str(s).encode()) % N_BUCKETS
-        ).astype("int32") if len(b) else pd.Series(dtype="int32")
+        b["pbucket"] = (pd.Series(bucket_any(b["partition"], N_BUCKETS), index=b.index)
+                        if len(b) else pd.Series(dtype="int32"))
         return df_to_table_aligned(b, TAG_COLS, TAG_TYPES)
 
     def tag_r(b: pd.DataFrame):
         b = b.copy()
         b["_kind"] = "r"
-        b["pbucket"] = b["partition"].map(
-            lambda s: zlib.crc32(str(s).encode()) % N_BUCKETS
-        ).astype("int32") if len(b) else pd.Series(dtype="int32")
+        b["pbucket"] = (pd.Series(bucket_any(b["partition"], N_BUCKETS), index=b.index)
+                        if len(b) else pd.Series(dtype="int32"))
         return df_to_table_aligned(b, TAG_COLS, TAG_TYPES)
 
     both = ent.map_batches(tag_e, batch_format="pandas").union(
@@ -329,8 +328,9 @@ def build_alias_table(clusters_ds, judge_threshold: float = 0.9):
                  "label": pa.int64(), "cbucket": pa.int32()}
         b = b.copy()
         b["cbucket"] = (
-            (b["partition"].astype(str) + "\x1f" + b["group_id"].astype(str))
-            .map(lambda s: zlib.crc32(s.encode()) % N_BUCKETS).astype("int32")
+            pd.Series(bucket_strs(
+                b["partition"].astype(str) + "\x1f" + b["group_id"].astype(str),
+                N_BUCKETS), index=b.index)
             if len(b) else pd.Series(dtype="int32")
         )
         return df_to_table_aligned(b, cols, types)

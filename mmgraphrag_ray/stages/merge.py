@@ -42,7 +42,6 @@ Scale design — two layers, both vectorized:
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -50,6 +49,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..arrowutil import df_to_table
+from ..hashing import bucket_strs
 from ..tokenizer import truncate_tokens
 from .. import GRAPH_FIELD_SEP
 
@@ -67,7 +67,7 @@ N_BUCKETS = 64
 
 
 def _bucket_of(series: pd.Series, n_buckets: int = N_BUCKETS) -> pd.Series:
-    return series.map(lambda s: zlib.crc32(s.encode()) % n_buckets).astype("int32")
+    return pd.Series(bucket_strs(series, n_buckets), index=series.index)
 
 
 def summarize_description(description: str, gate_tokens: int) -> str:

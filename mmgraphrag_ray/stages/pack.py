@@ -26,6 +26,8 @@ from __future__ import annotations
 import re
 
 import pandas as pd
+
+from ..hashing import bucket_ints, bucket_strs
 import pyarrow as pa
 
 TOKEN_RE = r"[a-z0-9]+"
@@ -87,9 +89,7 @@ def pack_sequences(
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         out = b.assign(
-            _bucket=b["rng"].map(
-                lambda r: zlib.crc32(str(int(r)).encode()) % 64
-            ).astype("int32")
+            _bucket=bucket_ints(b["rng"], 64)
         )
         return strip_pd_metadata(out) if len(out) else out
 
@@ -184,11 +184,7 @@ def repo_context_pack(files_ds, n_buckets: int = 32):
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[["repo", "path", "content"]].copy()
-        out["_bucket"] = (
-            out["repo"]
-            .map(lambda s: zlib.crc32(s.encode()) % n_buckets)
-            .astype("int32")
-        )
+        out["_bucket"] = bucket_strs(out["repo"], n_buckets)
         return strip_pd_metadata(out) if len(out) else out
 
     def pack(bucket: pd.DataFrame) -> pd.DataFrame:

@@ -15,9 +15,10 @@ call sites that share a symbol.
 from __future__ import annotations
 
 import re
-import zlib
 
 import pandas as pd
+
+from ..hashing import bucket_any
 
 N_BUCKETS = 64
 _WORD_RE = re.compile(r"[A-Za-z0-9]+")
@@ -75,9 +76,7 @@ def resolve_symbol_refs(rel_mentions_ds, ent_mentions_ds, chunks_ds):
                 if c not in out.columns:
                     out[c] = None
             out["_side"] = side
-            out["_bucket"] = out["symbol"].map(
-                lambda s: zlib.crc32(str(s).encode()) % N_BUCKETS
-            ).astype("int32")
+            out["_bucket"] = bucket_any(out["symbol"], N_BUCKETS)
             return out[SUPER]
 
         return fn

@@ -11,6 +11,8 @@ import hashlib
 import numpy as np
 import pandas as pd
 
+from ..hashing import bucket_strs
+
 
 def _hash_u32(key: str) -> int:
     return int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
@@ -180,12 +182,7 @@ def token_budget_select(
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.copy()
-        out["_bucket"] = (
-            out[group_col]
-            .astype(str)
-            .map(lambda s: zlib.crc32(s.encode()) % n_buckets)
-            .astype("int32")
-        )
+        out["_bucket"] = bucket_strs(out[group_col].astype(str), n_buckets)
         return strip_pd_metadata(out) if len(out) else out
 
     ascending = [not d for d in descending]
@@ -260,9 +257,7 @@ def global_shuffle_order(ds, id_col: str, seed: int = 7, n_buckets: int = 64):
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         out = b.assign(
-            _bucket=b["_rng"]
-            .map(lambda s: zlib.crc32(s.encode()) % n_buckets)
-            .astype("int32")
+            _bucket=bucket_strs(b["_rng"], n_buckets)
         )
         return strip_pd_metadata(out) if len(out) else out
 

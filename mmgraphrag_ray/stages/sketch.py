@@ -16,10 +16,11 @@ group still only ever has m register rows in flight).
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pandas as pd
+
+from ..hashing import bucket_any
 
 M = 64          # registers (b = 6 bits); relative error ~ 1.04/sqrt(M) = 13%
 _W_BITS = 58    # hash bits left after the register index
@@ -76,9 +77,7 @@ def hll_registers(ds, group_col: str, value_col: str, n_buckets: int = N_BUCKETS
             .max()
             .reset_index()
         )
-        out["_bucket"] = out[group_col].map(
-            lambda s: zlib.crc32(str(s).encode()) % n_buckets
-        ).astype("int32")
+        out["_bucket"] = bucket_any(out[group_col], n_buckets)
         return strip_pd_metadata(out)
 
     def final(bucket: pd.DataFrame) -> pd.DataFrame:

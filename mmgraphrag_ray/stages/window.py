@@ -27,10 +27,11 @@ BASELINE.md engineering notes).
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pandas as pd
+
+from ..hashing import bucket_any
 
 N_BUCKETS = 64
 
@@ -38,9 +39,7 @@ N_BUCKETS = 64
 def _bucket_of(series: pd.Series, n_buckets: int) -> pd.Series:
     if len(series) == 0:
         return pd.Series(dtype="int32")
-    return series.map(lambda s: zlib.crc32(str(s).encode()) % n_buckets).astype(
-        "int32"
-    )
+    return pd.Series(bucket_any(series, n_buckets), index=series.index)
 
 
 def _tagged_union(left, right, on: str, n_buckets: int):
@@ -774,9 +773,7 @@ def funnel_counts(events_ds, steps: list[str],
                     [user_col, ts_col, type_col]]
         if len(out):
             out = out.copy()
-            out["_fbucket"] = out[user_col].map(
-                lambda v: zlib.crc32(str(v).encode()) % n_buckets
-            ).astype("int32")
+            out["_fbucket"] = bucket_any(out[user_col], n_buckets)
         else:
             out = out.assign(_fbucket=pd.Series(dtype="int32"))
         return df_to_table(out)
