@@ -28,6 +28,73 @@ DAMP_NUM, DAMP_DEN = 85, 100
 N_BUCKETS = 64
 
 
+def _edge_bucket_refs(edges_tagged, bucket_col: str, n_buckets: int,
+                      keep_cols: list[str]):
+    """One-time per-bucket object-store split of a STATIC edge relation.
+
+    The fused Pregel loops below shuffle per-round state (node markers +
+    contributions) grouped by a routing bucket; before round 5 the
+    unchanged edge rows were unioned into that shuffle every round —
+    O(|E|) redundant serialize+transfer per round.  This helper pays ONE
+    hash shuffle to co-locate each bucket's edges, then splits every
+    resulting block into per-bucket Arrow tables via a multi-return Ray
+    task, so the pieces are plain driver-owned object-store entries.
+
+    Each round's reduce task fetches its bucket's pieces with ray.get —
+    zero-copy plasma reads, cached node-local after the first round on a
+    real cluster — and the per-round shuffle carries only rows that are
+    genuinely new.  Returns {bucket: [ObjectRef[pa.Table]]}; the caller
+    must keep the dict referenced for the loop's lifetime (the refs own
+    the blocks)."""
+    import pyarrow as pa
+    import ray as _ray
+
+    blocks = (
+        edges_tagged.groupby(bucket_col)
+        .map_groups(lambda g: g, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    # all Pregel edge relations are (node-name string, node-name string);
+    # empty shuffle partitions yield SCHEMA-LESS blocks (memory: raykg
+    # gotchas), so split needs the piece schema explicitly
+    piece_schema = pa.schema([pa.field(c, pa.string()) for c in keep_cols])
+
+    @_ray.remote
+    def split(tbl, n=n_buckets, col=bucket_col, cols=tuple(keep_cols),
+              schema=piece_schema):
+        import pyarrow.compute as pc
+        if tbl.num_rows == 0 or col not in tbl.schema.names:
+            empty = schema.empty_table()
+            return tuple(empty for _ in range(n))
+        b = tbl.column(col)
+        return tuple(
+            tbl.filter(pc.equal(b, i)).select(list(cols)).cast(schema)
+            for i in range(n)
+        )
+
+    mapping: dict[int, list] = {i: [] for i in range(n_buckets)}
+    for blk in blocks:
+        for i, ref in enumerate(
+            split.options(num_returns=n_buckets).remote(blk)
+        ):
+            mapping[i].append(ref)
+    return mapping
+
+
+def _fetch_bucket_edges(mapping: dict, bucket_id: int,
+                        keep_cols: list[str]) -> pd.DataFrame:
+    """Concatenate one bucket's static edge pieces (see
+    :func:`_edge_bucket_refs`) into a pandas frame; empty-safe."""
+    import pyarrow as pa
+
+    refs = mapping.get(bucket_id, [])
+    if not refs:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in keep_cols})
+    tbls = ray.get(list(refs))
+    return pa.concat_tables(tbls).to_pandas()
+
+
 def min_label_rounds(nodes_ds, edges_ds, rounds: int = 4,
                      node_col: str = "entity_name",
                      src_col: str = "src_id", tgt_col: str = "tgt_id"):
@@ -42,12 +109,15 @@ def min_label_rounds(nodes_ds, edges_ds, rounds: int = 4,
     (ASCII/UTF-8 code-point order — identical in pandas and DuckDB's
     binary collation).
 
-    Round-4 fused Pregel loop (the pagerank_int/hyperball fusion): each
-    round is ONE crc32(node)-bucketed shuffle — a bucket min-merges the
-    label proposals shipped by the previous round into its node markers
-    (the label rides the marker row since min is cumulative) and
-    immediately ships the merged label over the bucket's edges.
-    rounds+1 shuffles total, no per-round broadcast collects.
+    Fused Pregel loop (round 4), static edges pinned (round 5): each
+    round is ONE node-bucketed shuffle — a bucket min-merges the label
+    proposals shipped by the previous round into its node markers (the
+    label rides the marker row since min is cumulative) and immediately
+    ships the merged label over the bucket's edges, which it reads from
+    the one-time per-bucket object-store split
+    (:func:`_edge_bucket_refs`) instead of re-shuffling them every
+    round.  rounds+1 shuffles total carrying only markers+proposals, no
+    per-round broadcast collects.
 
     -> Dataset(node, label)."""
 
@@ -64,12 +134,8 @@ def min_label_rounds(nodes_ds, edges_ds, rounds: int = 4,
             .astype(object),
             "v": pd.concat([b[tgt_col], b[src_col]], ignore_index=True)
             .astype(object),
-            "lbl": "",
-            "kind": "e",
         }) if len(b) else pd.DataFrame({
             "u": pd.Series(dtype=object), "v": pd.Series(dtype=object),
-            "lbl": pd.Series(dtype=object),
-            "kind": pd.Series(dtype=object),
         })
         out["_pbucket"] = _nb(out["u"])
         return _d2t(out)
@@ -77,19 +143,19 @@ def min_label_rounds(nodes_ds, edges_ds, rounds: int = 4,
     def seed_rows(b: pd.DataFrame):
         out = pd.DataFrame({
             "u": b[node_col].astype(object),
-            "v": "",
             "lbl": b[node_col].astype(object),
             "kind": "n",
         }) if len(b) else pd.DataFrame({
-            "u": pd.Series(dtype=object), "v": pd.Series(dtype=object),
+            "u": pd.Series(dtype=object),
             "lbl": pd.Series(dtype=object),
             "kind": pd.Series(dtype=object),
         })
         out["_pbucket"] = _nb(out["u"])
         return _d2t(out)
 
-    edges_tagged = edges_ds.map_batches(
-        edge_rows, batch_format="pandas").materialize()
+    edge_parts = _edge_bucket_refs(
+        edges_ds.map_batches(edge_rows, batch_format="pandas"),
+        "_pbucket", N_PB, ["u", "v"])
     state = nodes_ds.map_batches(
         seed_rows, batch_format="pandas").materialize()
 
@@ -109,15 +175,16 @@ def min_label_rounds(nodes_ds, edges_ds, rounds: int = 4,
                     "node": cur.index.to_numpy(dtype=object),
                     "label": cur.to_numpy(dtype=object),
                 }))
-            e = g.loc[g["kind"] == "e", ["u", "v"]]
+            e = _fetch_bucket_edges(
+                edge_parts, int(g["_pbucket"].iloc[0]), ["u", "v"])
             l_e = e["u"].map(cur)
             live = l_e.notna()
             ship = pd.DataFrame({
-                "u": e.loc[live, "v"], "v": "",
+                "u": e.loc[live, "v"],
                 "lbl": l_e[live].astype(object), "kind": "c",
             })
             markers = pd.DataFrame({
-                "u": cur.index.to_numpy(dtype=object), "v": "",
+                "u": cur.index.to_numpy(dtype=object),
                 "lbl": cur.to_numpy(dtype=object), "kind": "n",
             })
             out = pd.concat([markers, ship], ignore_index=True)
@@ -128,9 +195,8 @@ def min_label_rounds(nodes_ds, edges_ds, rounds: int = 4,
 
     for i in range(rounds + 1):
         first, last = i == 0, i == rounds
-        inp = state if last else state.union(edges_tagged)
         state = sever_lineage(
-            inp.groupby("_pbucket").map_groups(
+            state.groupby("_pbucket").map_groups(
                 make_step(first, last), batch_format="pandas"))
     return state
 
@@ -286,16 +352,16 @@ def pagerank_int(nodes_ds, edges_ds, iterations: int = 3,
     the undirected graph (each edge contributes in both directions).
     Teleport share = ((SCALE * 15) // 100) // N per node per step.
 
-    Round-4 fused Pregel loop (the HyperBall fusion): the contribution
-    GATHER of step k and the SHIP of step k+1 both key on the same node
-    id, so each step is ONE crc32(node)-bucketed shuffle — buckets sum
-    incoming contributions + teleport into the node's new rank, derive
-    the node's out-degree from the edge rows co-resident in its bucket,
-    and immediately emit the next step's per-edge contributions keyed by
-    neighbor; node marker rows re-seed their own (stable) bucket.
-    iterations+1 shuffles total, no per-step driver collects (the old
-    plan ran a shuffle + three broadcast joins with driver-side
-    materializes per step)."""
+    Fused Pregel loop (round 4), static edges pinned (round 5): the
+    contribution GATHER of step k and the SHIP of step k+1 both key on
+    the same node id, so each step is ONE node-bucketed shuffle —
+    buckets sum incoming contributions + teleport into the node's new
+    rank, derive the node's out-degree from its bucket's edges (read
+    from the one-time :func:`_edge_bucket_refs` object-store split, not
+    re-shuffled per round), and immediately emit the next step's
+    per-edge contributions keyed by neighbor; node marker rows re-seed
+    their own (stable) bucket.  iterations+1 shuffles total carrying
+    only markers+contributions, no per-step driver collects."""
 
     from ..arrowutil import df_to_table as _d2t
 
@@ -307,20 +373,17 @@ def pagerank_int(nodes_ds, edges_ds, iterations: int = 3,
     def _nb(s: pd.Series) -> pd.Series:
         return pd.Series(bucket_any(s, N_PB), index=s.index)
 
-    # shared row schema (u, v, val, kind): 'e' edge (u -> v), 'n' node
-    # marker carrying the current rank in val, 'c' contribution to u
+    # state row schema (u, val, kind): 'n' node marker carrying the
+    # current rank in val, 'c' contribution to u; edges live in the
+    # per-bucket object-store split, outside the shuffle
     def edge_rows(b: pd.DataFrame):
         out = pd.DataFrame({
             "u": pd.concat([b[src_col], b[tgt_col]], ignore_index=True)
             .astype(object),
             "v": pd.concat([b[tgt_col], b[src_col]], ignore_index=True)
             .astype(object),
-            "val": np.int64(0),
-            "kind": "e",
         }) if len(b) else pd.DataFrame({
             "u": pd.Series(dtype=object), "v": pd.Series(dtype=object),
-            "val": pd.Series(dtype="int64"),
-            "kind": pd.Series(dtype=object),
         })
         out["_pbucket"] = _nb(out["u"])
         return _d2t(out)
@@ -328,19 +391,19 @@ def pagerank_int(nodes_ds, edges_ds, iterations: int = 3,
     def seed_rows(b: pd.DataFrame):
         out = pd.DataFrame({
             "u": b[node_col].astype(object),
-            "v": "",
             "val": np.int64(SCALE // n_nodes),
             "kind": "n",
         }) if len(b) else pd.DataFrame({
-            "u": pd.Series(dtype=object), "v": pd.Series(dtype=object),
+            "u": pd.Series(dtype=object),
             "val": pd.Series(dtype="int64"),
             "kind": pd.Series(dtype=object),
         })
         out["_pbucket"] = _nb(out["u"])
         return _d2t(out)
 
-    edges_tagged = edges_ds.map_batches(
-        edge_rows, batch_format="pandas").materialize()
+    edge_parts = _edge_bucket_refs(
+        edges_ds.map_batches(edge_rows, batch_format="pandas"),
+        "_pbucket", N_PB, ["u", "v"])
     state = nodes_ds.map_batches(
         seed_rows, batch_format="pandas").materialize()
 
@@ -360,19 +423,19 @@ def pagerank_int(nodes_ds, edges_ds, iterations: int = 3,
                     "node": r_cur.index.to_numpy(dtype=object),
                     "r": r_cur.to_numpy().astype("int64"),
                 }))
-            e = g.loc[g["kind"] == "e", ["u", "v"]]
+            e = _fetch_bucket_edges(
+                edge_parts, int(g["_pbucket"].iloc[0]), ["u", "v"])
             d = e.groupby("u", sort=False)["v"].transform("size")
             r_e = e["u"].map(r_cur)
             live = r_e.notna()
             contrib = pd.DataFrame({
                 "u": e.loc[live, "v"],
-                "v": "",
                 "val": ((DAMP_NUM * r_e[live].astype("int64") // DAMP_DEN)
                         // d[live]).astype("int64"),
                 "kind": "c",
             })
             markers = pd.DataFrame({
-                "u": marks["u"], "v": "",
+                "u": marks["u"],
                 "val": np.int64(0), "kind": "n",
             })
             out = pd.concat([markers, contrib], ignore_index=True)
@@ -383,9 +446,8 @@ def pagerank_int(nodes_ds, edges_ds, iterations: int = 3,
 
     for i in range(iterations + 1):
         first, last = i == 0, i == iterations
-        inp = state if last else state.union(edges_tagged)
         state = sever_lineage(
-            inp.groupby("_pbucket").map_groups(
+            state.groupby("_pbucket").map_groups(
                 make_step(first, last), batch_format="pandas"))
     return state
 
@@ -1687,11 +1749,13 @@ def ppr_int(nodes_ds, edges_ds, seeds_ds, iterations: int = 3,
 
     -> Dataset(node, rank) — every node, integer rank.
 
-    Round-4 fused Pregel loop: identical shuffle structure to
-    :func:`pagerank_int` (1 crc32(node)-bucketed shuffle per step, no
-    per-step driver collects); only the teleport rule differs — seeds
-    (broadcast frozenset, query-sized by definition) receive
-    ((SCALE*15)//100)//n_seeds, everyone else 0."""
+    Fused Pregel loop, static edges pinned: identical shuffle structure
+    to :func:`pagerank_int` (1 node-bucketed shuffle per step carrying
+    only markers+contributions; edges read from the one-time
+    :func:`_edge_bucket_refs` split; no per-step driver collects); only
+    the teleport rule differs — seeds (broadcast frozenset, query-sized
+    by definition) receive ((SCALE*15)//100)//n_seeds, everyone else
+    0."""
 
     from ..arrowutil import df_to_table as _d2t
 
@@ -1718,12 +1782,8 @@ def ppr_int(nodes_ds, edges_ds, seeds_ds, iterations: int = 3,
             .astype(object),
             "v": pd.concat([b[tgt_col], b[src_col]], ignore_index=True)
             .astype(object),
-            "val": np.int64(0),
-            "kind": "e",
         }) if len(b) else pd.DataFrame({
             "u": pd.Series(dtype=object), "v": pd.Series(dtype=object),
-            "val": pd.Series(dtype="int64"),
-            "kind": pd.Series(dtype=object),
         })
         out["_pbucket"] = _nb(out["u"])
         return _d2t(out)
@@ -1732,19 +1792,19 @@ def ppr_int(nodes_ds, edges_ds, seeds_ds, iterations: int = 3,
         isin = b[node_col].astype(str).isin(ray.get(seed_ref))
         out = pd.DataFrame({
             "u": b[node_col].astype(object),
-            "v": "",
             "val": isin.map(lambda t: init if t else 0).astype("int64"),
             "kind": "n",
         }) if len(b) else pd.DataFrame({
-            "u": pd.Series(dtype=object), "v": pd.Series(dtype=object),
+            "u": pd.Series(dtype=object),
             "val": pd.Series(dtype="int64"),
             "kind": pd.Series(dtype=object),
         })
         out["_pbucket"] = _nb(out["u"])
         return _d2t(out)
 
-    edges_tagged = edges_ds.map_batches(
-        edge_rows, batch_format="pandas").materialize()
+    edge_parts = _edge_bucket_refs(
+        edges_ds.map_batches(edge_rows, batch_format="pandas"),
+        "_pbucket", N_PB, ["u", "v"])
     state = nodes_ds.map_batches(
         seed_rows, batch_format="pandas").materialize()
 
@@ -1766,19 +1826,19 @@ def ppr_int(nodes_ds, edges_ds, seeds_ds, iterations: int = 3,
                     "node": r_cur.index.to_numpy(dtype=object),
                     "r": r_cur.to_numpy().astype("int64"),
                 }))
-            e = g.loc[g["kind"] == "e", ["u", "v"]]
+            e = _fetch_bucket_edges(
+                edge_parts, int(g["_pbucket"].iloc[0]), ["u", "v"])
             d = e.groupby("u", sort=False)["v"].transform("size")
             r_e = e["u"].map(r_cur)
             live = r_e.notna()
             contrib = pd.DataFrame({
                 "u": e.loc[live, "v"],
-                "v": "",
                 "val": ((DAMP_NUM * r_e[live].astype("int64") // DAMP_DEN)
                         // d[live]).astype("int64"),
                 "kind": "c",
             })
             markers = pd.DataFrame({
-                "u": marks["u"], "v": "",
+                "u": marks["u"],
                 "val": np.int64(0), "kind": "n",
             })
             out = pd.concat([markers, contrib], ignore_index=True)
@@ -1789,9 +1849,8 @@ def ppr_int(nodes_ds, edges_ds, seeds_ds, iterations: int = 3,
 
     for i in range(iterations + 1):
         first, last = i == 0, i == iterations
-        inp = state if last else state.union(edges_tagged)
         state = sever_lineage(
-            inp.groupby("_pbucket").map_groups(
+            state.groupby("_pbucket").map_groups(
                 make_step(first, last), batch_format="pandas"))
     return state
 
@@ -2163,12 +2222,15 @@ def hyperball_registers(nodes_ds, edges_ds, rounds: int = 2,
                                   "register": np.asarray(regs, dtype=np.int64),
                                   "rho": np.asarray(rhos, dtype=np.int64)}))
 
-    # Round-4 fused Pregel loop: the register MERGE of round k and the
-    # neighbor SHIP of round k+1 both key on the same node id, so each
-    # round is ONE crc32(node)-bucketed shuffle whose buckets merge
-    # registers (groupby max) and immediately ship the merged sketch over
-    # the bucket's edges; the final merge + sufficient-stat widen fuse
-    # into one more shuffle.  rounds+1 shuffles total (was 2/round + 1).
+    # Fused Pregel loop (round 4), static edges pinned (round 5): the
+    # register MERGE of round k and the neighbor SHIP of round k+1 both
+    # key on the same node id, so each round is ONE node-bucketed
+    # shuffle whose buckets merge registers (groupby max) and
+    # immediately ship the merged sketch over the bucket's edges, read
+    # from the one-time _edge_bucket_refs object-store split instead of
+    # re-shuffling them every round; the final merge + sufficient-stat
+    # widen fuse into one more shuffle.  rounds+1 shuffles total
+    # carrying only sketch rows (was 2/round + 1, then +|E| rows/round).
 
     from ..arrowutil import df_to_table as _d2t
 
@@ -2181,54 +2243,49 @@ def hyperball_registers(nodes_ds, edges_ds, rounds: int = 2,
         out = pd.DataFrame({
             "u": b["u"].astype(object),
             "v": b["v"].astype(object),
-            "register": np.int64(-1),  # edge marker
-            "rho": np.int64(0),
         }) if len(b) else pd.DataFrame({
             "u": pd.Series(dtype=object), "v": pd.Series(dtype=object),
-            "register": pd.Series(dtype="int64"),
-            "rho": pd.Series(dtype="int64"),
         })
         out["_hbucket"] = _ub(out["u"])
         return _d2t(out)
 
-    edges_tagged = edges_bi.map_batches(
-        edge_rows, batch_format="pandas").materialize()
+    edge_parts = _edge_bucket_refs(
+        edges_bi.map_batches(edge_rows, batch_format="pandas"),
+        "_hbucket", N_HB, ["u", "v"])
 
     def seed_rows(b: pd.DataFrame):
         t = seed(b).to_pandas()
-        t["v"] = ""
         t["_hbucket"] = _ub(t["u"])
-        return _d2t(t[["u", "v", "register", "rho", "_hbucket"]])
+        return _d2t(t[["u", "register", "rho", "_hbucket"]])
 
     state = nodes_ds.map_batches(
         seed_rows, batch_format="pandas").materialize()
 
     def step(g: pd.DataFrame):
-        e = g.loc[g["register"] == -1, ["u", "v"]]
-        r = g[g["register"] != -1]
-        merged = r.groupby(["u", "register"], sort=False,
+        e = _fetch_bucket_edges(
+            edge_parts, int(g["_hbucket"].iloc[0]), ["u", "v"])
+        merged = g.groupby(["u", "register"], sort=False,
                            as_index=False)["rho"].max()
         ship = merged.merge(e, on="u", how="inner")
         out = pd.concat(
-            [merged.assign(v=""),
+            [merged,
              pd.DataFrame({"u": ship["v"], "register": ship["register"],
-                           "rho": ship["rho"], "v": ""})],
+                           "rho": ship["rho"]})],
             ignore_index=True,
-        ) if len(merged) else merged.assign(v="")
-        out = out[["u", "v", "register", "rho"]]
+        ) if len(merged) else merged
+        out = out[["u", "register", "rho"]]
         out["_hbucket"] = _ub(out["u"])
         return _d2t(out)
 
     for _ in range(rounds):
         state = sever_lineage(
-            state.union(edges_tagged)
+            state
             .groupby("_hbucket")
             .map_groups(step, batch_format="pandas")
         )
 
     def final_merge(g: pd.DataFrame):
-        r = g[g["register"] != -1]
-        merged = r.groupby(["u", "register"], sort=False,
+        merged = g.groupby(["u", "register"], sort=False,
                            as_index=False)["rho"].max()
         per_u = merged.groupby("u", sort=False).agg(
             n_registers=("register", "size"),

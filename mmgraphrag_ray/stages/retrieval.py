@@ -432,17 +432,24 @@ def boolean_and_retrieval(
         _CandidateStage(vocab, id_col, text_col), batch_format="pyarrow"
     )
 
-    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+    def expand(batch: pd.DataFrame):
+        # typed Arrow out even when empty: a plain pandas frame with an
+        # object-dtype empty qid column trips Ray's batch-size estimator
+        # (np.vectorize on size-0 input; ADVICE r4 / memory gotchas)
+        from ..arrowutil import df_to_table
+
         if len(batch) == 0:
-            return pd.DataFrame({"qid": pd.Series(dtype=object),
-                                 "doc_id": pd.Series(dtype="int64")})
+            return df_to_table(pd.DataFrame(
+                {"qid": pd.Series(dtype=object),
+                 "doc_id": pd.Series(dtype="int64")}))
         qids, dids = [], []
         for doc_id, term in zip(batch["doc_id"], batch["term"]):
             for qid in term_to_qids[term]:
                 qids.append(qid)
                 dids.append(doc_id)
-        return pd.DataFrame({"qid": qids,
-                             "doc_id": np.asarray(dids, dtype=np.int64)})
+        return df_to_table(pd.DataFrame(
+            {"qid": pd.Series(qids, dtype=object),
+             "doc_id": np.asarray(dids, dtype=np.int64)}))
 
     matched = bucketed_groupby_agg(
         cand.map_batches(expand, batch_format="pandas"),
@@ -450,16 +457,20 @@ def boolean_and_retrieval(
         aggs={"n_matched": (None, "count")},
     )
 
-    def keep_full(batch: pd.DataFrame) -> pd.DataFrame:
+    def keep_full(batch: pd.DataFrame):
+        from ..arrowutil import df_to_table
+
         if len(batch) == 0:
-            return pd.DataFrame({"qid": pd.Series(dtype=object),
-                                 "doc_id": pd.Series(dtype="int64"),
-                                 "n_terms": pd.Series(dtype="int64")})
+            return df_to_table(pd.DataFrame(
+                {"qid": pd.Series(dtype=object),
+                 "doc_id": pd.Series(dtype="int64"),
+                 "n_terms": pd.Series(dtype="int64")}))
         req = batch["qid"].map(need).astype("int64")
         out = batch[batch["n_matched"] == req]
-        return pd.DataFrame({"qid": out["qid"].to_numpy(),
-                             "doc_id": out["doc_id"].astype("int64").to_numpy(),
-                             "n_terms": req[batch["n_matched"] == req].to_numpy()})
+        return df_to_table(pd.DataFrame(
+            {"qid": pd.Series(out["qid"].to_numpy(), dtype=object),
+             "doc_id": out["doc_id"].astype("int64").to_numpy(),
+             "n_terms": req[batch["n_matched"] == req].to_numpy()}))
 
     return matched.map_batches(keep_full, batch_format="pandas")
 
