@@ -1488,6 +1488,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return decode_png_media(ray.data.from_arrow(synth_png_table(MEDIA_N)))
 
+    def media_jpeg_decode(sf_dir):
+        # REAL baseline-JPEG decode (T4 complete): marker walk (DQT/DHT/
+        # SOF0/DRI/SOS), canonical Huffman entropy decode with byte
+        # un-stuffing and restart-marker predictor resets, dequantize +
+        # dezigzag + float 2-D IDCT + YCbCr->RGB (multimodal.py
+        # decode_jpeg; reference preprocessing.py:265-297 handles real
+        # JPEGs).  The corpus uses per-8x8-block constant colors, so with
+        # q_DC = 8 the quantize->IDCT chain is integer-exact and the
+        # oracle recomputes the DECODED pixels from the block formula
+        # while the wire bytes are Huffman-coded DC differentials.
+        from mmgraphrag_ray.stages.multimodal import (
+            decode_jpeg_media,
+            synth_jpeg_table,
+        )
+
+        return decode_jpeg_media(ray.data.from_arrow(synth_jpeg_table(MEDIA_N)))
+
     def kg_mm_answer(sf_dir):
         # ORI_IMG multimodal answer path (reference query.py:414-469) with
         # deterministic model seams over a media KV derived from documents
@@ -3215,6 +3232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_ppm_resize": media_ppm_resize,
         "media_wav_decode": media_wav_decode,
         "media_png_decode": media_png_decode,
+        "media_jpeg_decode": media_jpeg_decode,
         "kg_query_context": kg_query_context,
         "kg_mm_answer": kg_mm_answer,
         "kg_node_degrees": kg_node_degrees,
@@ -4733,6 +4751,52 @@ FROM te GROUP BY 1, 2
                      string_agg(printf('%02x', CAST(v AS INT)), ''
                                 ORDER BY y, x, c) AS s
               FROM px GROUP BY media_id
+            )
+            SELECT m.media_id,
+                   CAST(m.w AS BIGINT) AS width,
+                   CAST(m.h AS BIGINT) AS height,
+                   md5(hx.s) AS px_md5
+            FROM m JOIN hx USING (media_id)
+        """,
+        # REAL baseline-JPEG decode mirror: the corpus blocks are constant
+        # YCbCr colors and q_DC = 8, so dequantize->IDCT is integer-exact
+        # and the DECODED RGB equals this closed-form conversion of the
+        # block formula (floor(x+0.5) rounding, clamp — the decoder's
+        # convention) — matching the md5 proves the Huffman + IDCT +
+        # color-convert chain ran over the real wire bytes
+        "media_jpeg_decode": """
+            WITH m AS (
+              SELECT i AS media_id, 8*(2 + i % 3) AS w, 8*(1 + i % 4) AS h
+              FROM range(300) t(i)
+            ),
+            px AS (
+              SELECT media_id, Y.y AS y, X.x AS x,
+                     CAST((media_id*7  + (Y.y//8)*31 + (X.x//8)*13) % 256
+                          AS DOUBLE) AS yv,
+                     CAST((media_id*11 + (Y.y//8)*17 + (X.x//8)*19) % 256
+                          AS DOUBLE) AS cb,
+                     CAST((media_id*5  + (Y.y//8)*23 + (X.x//8)*29) % 256
+                          AS DOUBLE) AS cr
+              FROM m, range(32) Y(y), range(32) X(x)
+              WHERE Y.y < h AND X.x < w
+            ),
+            rgb AS (
+              SELECT media_id, y, x,
+                     greatest(0, least(255,
+                       floor(yv + 1.402*(cr-128) + 0.5))) AS r,
+                     greatest(0, least(255,
+                       floor(yv - 0.344136*(cb-128)
+                                - 0.714136*(cr-128) + 0.5))) AS g,
+                     greatest(0, least(255,
+                       floor(yv + 1.772*(cb-128) + 0.5))) AS b
+              FROM px
+            ),
+            hx AS (
+              SELECT media_id,
+                     string_agg(printf('%02x%02x%02x', CAST(r AS INT),
+                                       CAST(g AS INT), CAST(b AS INT)), ''
+                                ORDER BY y, x) AS s
+              FROM rgb GROUP BY media_id
             )
             SELECT m.media_id,
                    CAST(m.w AS BIGINT) AS width,

@@ -16,9 +16,10 @@ Payload wire format (deterministic fake): b'FAKE' + kind[0] + uint16 width +
 uint16 height + uint16 n_frames + 256 body bytes from an md5 chain seeded by
 media_id (md5 is the engine's SQL-mirrorable hash family — the whole packed
 payload, and therefore the fake feature extraction below, has an exact DuckDB
-oracle; see media_feature_components in __ray_entry__.py).  WAV, PPM and
-PNG payloads decode for REAL (sections below); only JPEG entropy coding
-raises NotImplementedError here.
+oracle; see media_feature_components in __ray_entry__.py).  WAV, PPM, PNG
+and baseline-sequential JPEG payloads decode for REAL (sections below);
+the remaining NotImplementedError boundaries are exotic format flavors
+(progressive/12-bit/subsampled JPEG, 16-bit PPM/PNG, non-PCM WAV).
 """
 
 from __future__ import annotations
@@ -82,10 +83,14 @@ def decode_payload(payload: bytes) -> dict:
         m = decode_png(payload)  # REAL decode path (see below)
         return {"kind": "image", "width": m["width"],
                 "height": m["height"], "n_frames": 1}
+    if payload[:2] == b"\xff\xd8":
+        m = decode_jpeg(payload)  # REAL decode path (see below)
+        return {"kind": "image", "width": m["width"],
+                "height": m["height"], "n_frames": 1}
     if not payload.startswith(MAGIC):
         raise NotImplementedError(
-            "real JPEG decoding is not available in this sandbox; "
-            "WAV/PPM/PNG decode for real via decode_wav/decode_ppm/decode_png"
+            "unknown payload format; WAV/PPM/PNG/baseline-JPEG decode for "
+            "real via decode_wav/decode_ppm/decode_png/decode_jpeg"
         )
     kind = {b"i": "image", b"a": "audio", b"v": "video"}[payload[4:5]]
     width, height, n_frames = struct.unpack("<HHH", payload[5:11])
@@ -712,5 +717,440 @@ class PngDecoder:
 def decode_png_media(media_ds, concurrency=None, batch_size: int = 32):
     return media_ds.map_batches(
         PngDecoder, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or media_concurrency(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL baseline JPEG (T4 image half, final piece — reference
+# preprocessing.py:265-297 re-encodes real JPEGs in its image pipeline).
+# The generator writes genuine baseline-sequential JFIF files — DQT/DHT
+# tables, SOF0, restart markers, canonical Huffman entropy coding with
+# byte stuffing — and `decode_jpeg` is a GENERAL baseline decoder:
+# marker walk, canonical Huffman decode (DC categories + AC
+# run/size/EOB/ZRL), dequantize, dezigzag, float 2-D IDCT, level shift,
+# and YCbCr->RGB.  The synthetic images use per-8x8-block constant
+# colors, so every AC coefficient is zero and (with q_DC = 8) the
+# quantize -> dequantize -> IDCT chain is integer-exact: the DECODED
+# pixels equal a closed-form formula the DuckDB oracle mirrors
+# bit-for-bit, while the wire bytes are Huffman-coded DC differentials.
+# Progressive (SOF2), 12-bit, arithmetic-coded and subsampled streams
+# raise NotImplementedError — the documented sandbox boundary is now
+# "baseline sequential 4:4:4 only", not "no JPEG".
+# ---------------------------------------------------------------------------
+
+# standard zigzag scan: zigzag position -> raster index in the 8x8 block
+JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# canonical Huffman tables (custom but fully legal JPEG): 12 DC category
+# symbols all at code length 4; all 162 AC symbols (EOB, ZRL, and
+# (run 0-15, size 1-10)) at code length 8.  Fixed-length canonical codes
+# are valid prefix codes and keep the all-ones max-length code unused.
+_JPEG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_AC_VALS = sorted(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+
+
+def _jpeg_canon_codes(bits, vals):
+    """BITS/HUFFVAL -> {symbol: (length, code)} per the canonical JPEG
+    code construction (Annex C)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit emitter with 0xFF byte stuffing (B.1.1.5)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def align(self):
+        while self.n:
+            self.write(1, 1)
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _jpeg_magnitude_bits(v: int, cat: int) -> int:
+    return v if v >= 0 else v + (1 << cat) - 1
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def jpeg_encode_blocks(w: int, h: int, comp_blocks, quant, restart_interval: int):
+    """Assemble a baseline-sequential JFIF byte stream from already-
+    quantized coefficient blocks.
+
+    comp_blocks: per component (Y, Cb, Cr), a list of 64-int arrays in
+    ZIGZAG order, MCU-ordered row-major; quant: {0: luma 64, 1: chroma
+    64} zigzag-order tables.  General entropy coder (DC differentials,
+    AC run/size with ZRL and EOB) — the tests drive it with dense AC
+    spectra; `make_jpeg_payload` drives it DC-only."""
+    dc_codes = _jpeg_canon_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canon_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def dht(cls, tid, bits, vals):
+        return bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+
+    head = bytearray()
+    head += struct.pack(">H", 0xFFD8)                              # SOI
+    head += _jpeg_seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    head += _jpeg_seg(0xFFDB, bytes([0x00]) + bytes(quant[0]))     # DQT 0
+    head += _jpeg_seg(0xFFDB, bytes([0x01]) + bytes(quant[1]))     # DQT 1
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):                       # 4:4:4
+        sof += bytes([cid, 0x11, tq])
+    head += _jpeg_seg(0xFFC0, sof)                                 # SOF0
+    head += _jpeg_seg(0xFFC4, dht(0, 0, _JPEG_DC_BITS, _JPEG_DC_VALS)
+                      + dht(1, 0, _JPEG_AC_BITS, _JPEG_AC_VALS)
+                      + dht(0, 1, _JPEG_DC_BITS, _JPEG_DC_VALS)
+                      + dht(1, 1, _JPEG_AC_BITS, _JPEG_AC_VALS))
+    if restart_interval:
+        head += _jpeg_seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([3])
+    for cid, tbl in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        sos += bytes([cid, tbl])
+    sos += bytes([0, 63, 0])
+    head += _jpeg_seg(0xFFDA, sos)                                 # SOS
+
+    bw = _JpegBitWriter()
+    pred = [0, 0, 0]
+    n_mcus = len(comp_blocks[0])
+    rst = 0
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.align()
+            bw.buf += struct.pack(">H", 0xFFD0 + rst % 8)
+            rst += 1
+            pred = [0, 0, 0]
+        for ci in range(3):
+            zz = comp_blocks[ci][m]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            cat = _jpeg_category(diff)
+            ln, code = dc_codes[cat]
+            bw.write(code, ln)
+            if cat:
+                bw.write(_jpeg_magnitude_bits(diff, cat), cat)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    ln, code = ac_codes[0xF0]                       # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                cat = _jpeg_category(v)
+                ln, code = ac_codes[(run << 4) | cat]
+                bw.write(code, ln)
+                bw.write(_jpeg_magnitude_bits(v, cat), cat)
+                run = 0
+            if run:
+                ln, code = ac_codes[0x00]                           # EOB
+                bw.write(code, ln)
+    bw.align()
+    return bytes(head) + bytes(bw.buf) + struct.pack(">H", 0xFFD9)  # EOI
+
+
+def _jpeg_block_value(media_id: int, comp: int, by: int, bx: int) -> int:
+    """Per-8x8-block constant YCbCr sample for the synthetic corpus —
+    the closed form the SQL oracle mirrors."""
+    mults = ((7, 31, 13), (11, 17, 19), (5, 23, 29))
+    a, b, c = mults[comp]
+    return (media_id * a + by * b + bx * c) % 256
+
+
+def make_jpeg_payload(media_id: int) -> bytes:
+    """Deterministic REAL baseline JPEG: width = 8*(2+id%3), height =
+    8*(1+id%4), 4:4:4, restart interval = one MCU row.  Every 8x8 block
+    is a constant YCbCr color from :func:`_jpeg_block_value`; with all
+    quant entries = 8 the DC path (quantize -> dequantize -> IDCT) is
+    integer-exact, so the decoded RGB equals the closed-form conversion
+    of those block constants while the wire bytes are Huffman-coded DC
+    differentials with byte stuffing and per-row predictor resets."""
+    w, h = 8 * (2 + media_id % 3), 8 * (1 + media_id % 4)
+    bw_, bh = w // 8, h // 8
+    comp_blocks = [[], [], []]
+    for by in range(bh):
+        for bx in range(bw_):
+            for ci in range(3):
+                v = _jpeg_block_value(media_id, ci, by, bx)
+                zz = np.zeros(64, dtype=np.int64)
+                zz[0] = v - 128          # q_DC = 8 and F00 = 8*(v-128)/8
+                comp_blocks[ci].append(zz)
+    quant = {0: [8] * 64, 1: [8] * 64}
+    return jpeg_encode_blocks(w, h, comp_blocks, quant, restart_interval=bw_)
+
+
+def synth_jpeg_table(n: int) -> pa.Table:
+    return pa.table({
+        "media_id": pa.array(list(range(n)), pa.int64()),
+        "kind": pa.array(["image"] * n, pa.string()),
+        "payload": pa.array([make_jpeg_payload(i) for i in range(n)],
+                            pa.binary()),
+        "meta": pa.array([json.dumps({"codec": "jpeg"})] * n, pa.string()),
+    })
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data: un-stuffs 0xFF00,
+    byte-aligns and consumes RSTn at restart boundaries, stops at any
+    other marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _next_byte(self) -> int:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy stream")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+                return 0xFF
+            raise ValueError("marker inside entropy-coded segment")
+        self.pos += 1
+        return b
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self.acc = self._next_byte()
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self):
+        self.n = 0                       # discard pad bits
+        d = self.data
+        if d[self.pos] != 0xFF or not (0xD0 <= d[self.pos + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+def _jpeg_decode_symbol(reader: _JpegBitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _jpeg_extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+_IDCT_BASIS = None
+
+
+def _idct_basis() -> np.ndarray:
+    global _IDCT_BASIS
+    if _IDCT_BASIS is None:
+        u = np.arange(8).reshape(8, 1)
+        x = np.arange(8).reshape(1, 8)
+        a = np.cos((2 * x + 1) * u * np.pi / 16) * np.sqrt(2.0 / 8.0)
+        a[0, :] = np.sqrt(1.0 / 8.0)
+        _IDCT_BASIS = a                  # orthonormal: spatial = A.T @ F @ A
+    return _IDCT_BASIS
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """GENERAL baseline-sequential JPEG decode: marker walk (multi-table
+    DQT/DHT, SOF0, DRI, SOS), canonical Huffman entropy decode (DC
+    differentials, AC run/size with ZRL + EOB, byte un-stuffing, restart
+    handling), dequantize, dezigzag, float 2-D IDCT, level shift +
+    clamp, YCbCr->RGB (floor(x+0.5) rounding, the SQL-mirrorable
+    convention).  Supports 8-bit 4:4:4 streams; progressive/12-bit/
+    arithmetic/subsampled raise NotImplementedError (the remaining
+    honest boundary)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
+    w = h = 0
+    restart_interval = 0
+    scan_comps = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = payload[pos + 1]
+        if marker == 0xD9:               # EOI
+            break
+        size = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        body = payload[pos + 4:pos + 2 + size]
+        pos += 2 + size
+        if marker == 0xDB:               # DQT (may hold several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                quant[tq] = np.frombuffer(
+                    body, np.uint8, 64, i + 1).astype(np.int64)
+                i += 65
+        elif marker == 0xC4:             # DHT (may hold several tables)
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17:i + 17 + nv])
+                codes = _jpeg_canon_codes(bits, vals)
+                huff[(cls, tid)] = {(ln, c): s for s, (ln, c) in codes.items()}
+                i += 17 + nv
+        elif marker == 0xC0:             # SOF0 baseline
+            depth, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if depth != 8:
+                raise NotImplementedError("only 8-bit JPEG is supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling is not supported (4:4:4 only)")
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0) JPEG is supported")
+        elif marker == 0xDD:             # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:             # SOS -> entropy data follows
+            ns = body[0]
+            scan_comps = []
+            for ci in range(ns):
+                cid, tbl = body[1 + 2 * ci:3 + 2 * ci]
+                scan_comps.append((cid, tbl >> 4, tbl & 15))
+            break
+        # APPn / COM / other ancillary segments: skipped
+    if comps is None or scan_comps is None:
+        raise ValueError("missing SOF0/SOS")
+
+    basis = _idct_basis()
+    bw_, bh = (w + 7) // 8, (h + 7) // 8
+    planes = [np.zeros((bh * 8, bw_ * 8), dtype=np.int64) for _ in comps]
+    reader = _JpegBitReader(payload, pos)
+    pred = [0] * len(comps)
+    comp_q = {cid: tq for cid, tq in comps}
+    for m in range(bh * bw_):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.restart()
+            pred = [0] * len(comps)
+        by, bx = divmod(m, bw_)
+        for ci, (cid, dct, act) in enumerate(scan_comps):
+            dc_tbl, ac_tbl = huff[(0, dct)], huff[(1, act)]
+            cat = _jpeg_decode_symbol(reader, dc_tbl)
+            diff = _jpeg_extend(reader.read_bits(cat), cat)
+            pred[ci] += diff
+            zz = np.zeros(64, dtype=np.int64)
+            zz[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = _jpeg_decode_symbol(reader, ac_tbl)
+                if rs == 0x00:           # EOB
+                    break
+                if rs == 0xF0:           # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                cat = rs & 15
+                zz[k] = _jpeg_extend(reader.read_bits(cat), cat)
+                k += 1
+            deq = zz * quant[comp_q[cid]]
+            blk = np.zeros(64, dtype=np.float64)
+            blk[JPEG_ZIGZAG] = deq
+            f = blk.reshape(8, 8)
+            spatial = basis.T @ f @ basis
+            samples = np.clip(np.floor(spatial + 128.0 + 0.5), 0, 255)
+            planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                samples.astype(np.int64))
+    y = planes[0][:h, :w].astype(np.float64)
+    cb = planes[1][:h, :w].astype(np.float64)
+    cr = planes[2][:h, :w].astype(np.float64)
+    r = np.clip(np.floor(y + 1.402 * (cr - 128.0) + 0.5), 0, 255)
+    g = np.clip(np.floor(
+        y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5), 0, 255)
+    b = np.clip(np.floor(y + 1.772 * (cb - 128.0) + 0.5), 0, 255)
+    px = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    return {"kind": "image", "width": int(w), "height": int(h), "pixels": px}
+
+
+class JpegDecoder:
+    """Actor-pool REAL baseline-JPEG decode stage: payload -> dims + md5
+    of the reconstructed raw RGB buffer's hex (the engine's
+    SQL-mirrorable hash family) — the oracle recomputes the pixels from
+    the block-constant generator formula, so a green check proves the
+    Huffman + IDCT + color-convert chain ran for real."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, md5s = [], [], [], []
+        if batch.num_rows:
+            for mid, p in zip(batch.column("media_id").to_pylist(),
+                              batch.column("payload").to_pylist()):
+                m = decode_jpeg(p)
+                ids.append(mid)
+                ws.append(m["width"])
+                hs.append(m["height"])
+                md5s.append(hashlib.md5(
+                    m["pixels"].tobytes().hex().encode()).hexdigest())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "px_md5": pa.array(md5s, pa.string()),
+        })
+
+
+def decode_jpeg_media(media_ds, concurrency=None, batch_size: int = 32):
+    return media_ds.map_batches(
+        JpegDecoder, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency or media_concurrency(),
     )
