@@ -3223,8 +3223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_lang_id": doc_lang_id_q,
         "media_decode": media_decode,
-        "media_resize": media_resize,
-        "media_frame_sample": media_frame_sample,
+        "orders_cdc_apply": orders_cdc_apply_q,
+        "events_sessions_microbatch": relational.events_sessions_microbatch,
         "media_feature_vecs": media_feature_vecs,
         "media_feature_components": media_feature_components,
         "media_feature_vecs_invariants": media_feature_vecs_invariants,
@@ -3242,7 +3242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_community_stats": kg_community_stats,
         "kg_triangles": kg_triangles,
         "kg_entity_pmi": kg_entity_pmi,
-        "kg_sorted_neighborhood": kg_sorted_neighborhood,
+        "kg_ktruss": kg_ktruss_q,
         "kg_fuzzy_name_pairs": kg_fuzzy_name_pairs,
         "kg_entity_resolution": kg_entity_resolution,
         "kg_kcore": kg_kcore,
@@ -3303,7 +3303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_per_lang": doc_sample_per_lang_q,
         "events_window_dedup": events_window_dedup_q,
         "orders_cdc_diff": orders_cdc_diff_q,
-        "orders_cdc_apply": orders_cdc_apply_q,
+        "media_resize": media_resize,
         "orders_cdc_ivm": relational.orders_cdc_ivm,
         "events_autocorr": relational.events_autocorr,
         "documents_schema_drift": relational.documents_schema_drift,
@@ -3313,7 +3313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cdc_compact": relational.orders_cdc_compact,
         "dedup_minhash_cluster_sizes": dedup_minhash_cluster_sizes,
         "doc_range_partition_plan": doc_range_partition_plan_q,
-        "kg_ktruss": kg_ktruss_q,
+        "kg_sorted_neighborhood": kg_sorted_neighborhood,
         "emb_kmeans": emb_kmeans,
         "emb_covariance": emb_covariance_q,
         "documents_jsonl_roundtrip": documents_jsonl_roundtrip_q,
@@ -3449,7 +3449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conductance": kg_conductance_q,
         "events_ab_test": relational.events_ab_test,
         "kg_incremental_edges": kg_incremental_edges_q,
-        "events_sessions_microbatch": relational.events_sessions_microbatch,
+        "media_frame_sample": media_frame_sample,
         "code_vendored_files": code_vendored_files_q,
         "kg_square_census": kg_square_census_q,
         "doc_select_maxcover": doc_select_maxcover_q,

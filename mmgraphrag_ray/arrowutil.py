@@ -28,9 +28,15 @@ def _arrow_type_for(series: pd.Series, override: pa.DataType | None) -> pa.DataT
         # object columns default to string (empty/all-None included) so
         # block schemas never disagree — EXCEPT bytes payloads, which must
         # stay binary (a string cast would corrupt media columns)
+        # positional lookup: .loc[label] returns a SERIES under duplicated
+        # index labels, silently failing the isinstance check (ADVICE r4)
         first = series.first_valid_index()
-        if first is not None and isinstance(series.loc[first], (bytes, bytearray)):
-            return pa.binary()
+        if first is not None:
+            v = series.iloc[series.index.get_loc(first)]
+            if isinstance(v, pd.Series):  # duplicated label -> take first
+                v = v.iloc[0]
+            if isinstance(v, (bytes, bytearray)):
+                return pa.binary()
         return pa.string()
     if str(dt).startswith("datetime64"):
         return pa.timestamp("ns")

@@ -28,6 +28,17 @@ def _read(sf_dir: str, table: str, columns=None):
     )
 
 
+def _guard_sentinel(series, sentinel, label: str):
+    """Marker-row sentinel guard (ADVICE r4): the fused single-shuffle
+    plans tag the other side's rows with an in-band sentinel in a reused
+    payload column — silently wrong if real data ever contains the
+    sentinel value.  Called on the REAL side of each such shuffle; one
+    vectorized comparison per batch."""
+    if len(series) and (series == sentinel).any():
+        raise ValueError(
+            f"fused-plan sentinel collision: real {label} contains {sentinel!r}")
+
+
 def q1_pricing(sf_dir: str):
     """TPC-H Q1 shape: groupby returnflag/linestatus with exact aggregates.
     Pre-aggregation happens inside Ray's hash-aggregate; input pruned to the
@@ -141,6 +152,7 @@ def q3_shipping(sf_dir: str, k: int = 10, cut: str = "1998-06-01"):
             "l_orderkey": pd.Series(dtype="int64"),
             "revenue_cents": pd.Series(dtype="int64"),
         })
+        _guard_sentinel(out["revenue_cents"], -1, "revenue_cents")
         out["o_orderdate"] = pd.NaT
         out["o_orderpriority"] = ""
         out["_qbucket"] = _okb(out["l_orderkey"])
@@ -1325,6 +1337,7 @@ def q4_late_orders(sf_dir: str, d1: str = "1997-01-01", d2: str = "1998-01-01"):
             "d": pd.Series(dtype="datetime64[us]"),
             "o_orderpriority": pd.Series(dtype=object),
         })
+        _guard_sentinel(out["o_orderpriority"], "", "o_orderpriority")
         out["_qbucket"] = _okb(out["o_orderkey"])
         return df_to_table(out)
 
@@ -1455,6 +1468,7 @@ def _nation_flow_partials(sf_dir: str):
         })
         if len(out):
             out["n"] = out["n"].astype("int64")
+        _guard_sentinel(out["s_nation"], -1, "s_nation")
         out["_qbucket"] = _okb(out["o_orderkey"])
         return df_to_table(out)
 
@@ -1566,6 +1580,7 @@ def q13_order_distribution(sf_dir: str, excl_priority: str = "1-URGENT"):
         })
         if len(out):
             out["n"] = out["n"].astype("int64")
+        _guard_sentinel(out["n"], -1, "order count n")
         out["_qbucket"] = _ckb(out["c_custkey"])
         return df_to_table(out)
 
@@ -2463,6 +2478,7 @@ def q10_returned_items(sf_dir: str, d1: str = "1997-01-01",
             "cents": pd.Series(dtype="int64"),
             "o_custkey": pd.Series(dtype="int64"),
         })
+        _guard_sentinel(out["o_custkey"], -1, "o_custkey")
         out["_qbucket"] = _okey_bucket(out["o_orderkey"])
         return df_to_table(out)
 
@@ -2518,10 +2534,11 @@ def q10_returned_items(sf_dir: str, d1: str = "1997-01-01",
     )
     topk = per_cust.sort(["revenue_cents", "c_custkey"],
                          descending=[True, False]).limit(k)
+    # re-sort after the attach (order not preserved; k rows — free)
     return attach_dim(
         topk, dim, on="c_custkey",
         project=["c_custkey", "c_name", "n_name", "revenue_cents"],
-    )
+    ).sort(["revenue_cents", "c_custkey"], descending=[True, False])
 
 
 def q12_priority_lines(sf_dir: str, d1: str = "1997-01-01",
@@ -2633,11 +2650,12 @@ def q15_top_supplier(sf_dir: str, d1: str = "1997-01-01",
     )
     from ..stages.join import attach_dim
 
+    # deterministic output order for the (possibly tied) max set
     return attach_dim(
         best, _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
         on="s_suppkey",
         project=["s_suppkey", "s_name", "total_revenue_cents"],
-    )
+    ).sort("s_suppkey")
 
 
 def q17_small_qty_cents(sf_dir: str, brand: str = "Brand#1"):
@@ -2828,6 +2846,7 @@ def q21_waiting_supplier(sf_dir: str, k: int = 10):
             "s_suppkey": pd.Series(dtype="int64"),
             "ship": pd.Series(dtype="datetime64[us]"),
         })
+        _guard_sentinel(out["s_suppkey"], -1, "s_suppkey")
         out["_qbucket"] = bucket_ints(out["o_orderkey"], N_B)
         return df_to_table(out)
 
@@ -2883,10 +2902,13 @@ def q21_waiting_supplier(sf_dir: str, k: int = 10):
 
     topk = per_supp.sort(["numwait", "s_suppkey"],
                          descending=[True, False]).limit(k)
+    # re-sort AFTER the dimension attach: neither attach plan preserves
+    # row order, and the documented output order is top-k (ADVICE r4);
+    # k rows, so the trailing sort is free
     return attach_dim(
         topk, _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
         on="s_suppkey", project=["s_suppkey", "s_name", "numwait"],
-    )
+    ).sort(["numwait", "s_suppkey"], descending=[True, False])
 
 
 def q22_idle_customers(sf_dir: str, cutoff: str = "2000-01-01"):
@@ -3169,6 +3191,7 @@ def q9_profit_by_nation_year(sf_dir: str):
             "n_nationkey": pd.Series(dtype="int64"),
             "profit_cents": pd.Series(dtype="int64"),
         })
+        _guard_sentinel(out["n_nationkey"], -1, "n_nationkey")
         out["_qbucket"] = _okb(out["o_orderkey"])
         return df_to_table(out)
 
@@ -3428,7 +3451,9 @@ def q2_min_cost_supplier(sf_dir: str, k: int = 20):
         on="p_partkey",
         project=["p_partkey", "p_name", "s_suppkey", "s_name", "unit_cents"],
     )
-    return named
+    # re-sort after the attaches: attach plans don't preserve order and
+    # the documented output order is (p_partkey, s_suppkey); k rows
+    return named.sort(["p_partkey", "s_suppkey"])
 
 
 def q20_part_share_suppliers(sf_dir: str, num: int = 1, den: int = 5):
