@@ -356,16 +356,27 @@ def verify_jaccard(pairs_ds, docs_ds, threshold: float,
             return df_to_table(
                 batch[["id_a", "id_b"]].assign(
                     jaccard=pd.Series(dtype="float64")))
+        # a doc appears in many pairs (avg ~2|pairs|/|docs|): shingle each
+        # distinct doc ONCE per batch instead of once per pair
+        cache: dict = {}
+
+        def sset(i, t):
+            s = cache.get(i)
+            if s is None:
+                s = cache[i] = shingle_set(t, k)
+            return s
+
         jac = []
-        for ta_, tb_ in zip(batch["text_a"], batch["text_b"]):
-            sa, sb = shingle_set(ta_, k), shingle_set(tb_, k)
+        for ia_, ib_, ta_, tb_ in zip(batch["id_a"], batch["id_b"],
+                                      batch["text_a"], batch["text_b"]):
+            sa, sb = sset(ia_, ta_), sset(ib_, tb_)
             denom = len(sa | sb)
             jac.append(len(sa & sb) / denom if denom else 0.0)
         out = batch[["id_a", "id_b"]].copy()
         out["jaccard"] = jac
         return strip_pd_metadata(out[out["jaccard"] >= threshold])
 
-    return j2.map_batches(score, batch_format="pandas")
+    return j2.map_batches(score, batch_format="pandas", batch_size=8192)
 
 
 def _cc_local_unionfind(pairs, labels):
@@ -1235,7 +1246,7 @@ def minhash_cross_pairs(
         )
         return out.astype({c: "int64" for c in out.columns})
 
-    return j2.map_batches(score, batch_format="pandas")
+    return j2.map_batches(score, batch_format="pandas", batch_size=8192)
 
 
 # ---------------------------------------------------- duplicated passages
@@ -1421,7 +1432,7 @@ def containment_pairs(docs_ds, threshold_ppm: int = 800_000,
         out = pd.DataFrame(rows, columns=cols)
         return df_to_table(out.astype({c: "int64" for c in cols}))
 
-    return j2.map_batches(score, batch_format="pandas")
+    return j2.map_batches(score, batch_format="pandas", batch_size=8192)
 
 
 def lsh_recall_pairs(docs_ds, threshold: float = 0.8,
@@ -1449,6 +1460,14 @@ def lsh_recall_pairs(docs_ds, threshold: float = 0.8,
     exact_cand = jaccard_candidate_pairs(docs_ds, id_col, text_col, k, max_df)
     lsh_cand = minhash_candidate_pairs(docs_ds, id_col, text_col, k)
 
+    # Round-5 restructure: verify each candidate set SEPARATELY and merge
+    # the verified outputs.  The old plan deduped the candidate union
+    # first (a hash shuffle + string-keyed join over the ~|corpus-pairs|
+    # exhaustive candidate set, ~1e6 rows at sf0.1) just to avoid
+    # re-verifying the overlap — but the overlap is bounded by the LSH
+    # candidate count (~1e3), so re-scoring it costs microseconds while
+    # the avoided shuffle+join cost seconds.  Verified outputs are
+    # near-dup-sized; ONE small bucketed agg union-maxes the flags.
     def tag(flag_exact: int):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
             out = b[["id_a", "id_b"]].copy()
@@ -1457,46 +1476,16 @@ def lsh_recall_pairs(docs_ds, threshold: float = 0.8,
             return out
         return fn
 
-    cand = bucketed_groupby_agg(
-        exact_cand.map_batches(tag(1), batch_format="pandas").union(
-            lsh_cand.map_batches(tag(0), batch_format="pandas")
-        ).map_batches(
-            lambda b: b.assign(_k=b["id_a"].astype(str) + "|"
-                               + b["id_b"].astype(str)),
-            batch_format="pandas",
-        ),
-        keys=["_k"],
-        aggs={"id_a": ("id_a", "min"), "id_b": ("id_b", "min"),
-              "e": ("e", "max"), "l": ("l", "max")},
-    ).materialize()
-
-    verified = verify_jaccard(
-        cand.map_batches(lambda b: b[["id_a", "id_b"]],
-                         batch_format="pandas").materialize(),
-        docs_ds, threshold, id_col, text_col, k,
-    ).map_batches(
-        lambda b: b[["id_a", "id_b"]].assign(ok=np.int64(1)),
-        batch_format="pandas",
-    )
-
-    from .join import bucketed_join
-
-    keyed_flags = cand.map_batches(
-        lambda b: pd.DataFrame({"_k": b["_k"], "in_exact": b["e"],
-                                "in_lsh": b["l"]}),
-        batch_format="pandas",
-    )
-    keyed_ver = verified.map_batches(
-        lambda b: pd.DataFrame({"_k": b["id_a"].astype(str) + "|"
-                                + b["id_b"].astype(str),
-                                "id_a": b["id_a"], "id_b": b["id_b"]}),
-        batch_format="pandas",
-    ).materialize()
-    out = bucketed_join(keyed_ver, keyed_flags, on="_k")
-    return out.map_batches(
-        lambda b: b[["id_a", "id_b", "in_exact", "in_lsh"]].astype(
-            {"in_exact": "int64", "in_lsh": "int64"}),
-        batch_format="pandas",
+    ve = verify_jaccard(exact_cand.materialize(), docs_ds, threshold,
+                        id_col, text_col, k)
+    vl = verify_jaccard(lsh_cand.materialize(), docs_ds, threshold,
+                        id_col, text_col, k)
+    tagged = ve.map_batches(tag(1), batch_format="pandas").union(
+        vl.map_batches(tag(0), batch_format="pandas"))
+    return bucketed_groupby_agg(
+        tagged,
+        keys=["id_a", "id_b"],
+        aggs={"in_exact": ("e", "max"), "in_lsh": ("l", "max")},
     )
 
 

@@ -234,7 +234,7 @@ def test_glean_judge_enhance_contract_composition(ray_session):
     nodes = backfill_unknown_nodes(nodes, edges)
     edges = finalize_edges(edges)
 
-    ent_mentions = mentions.filter(lambda r: r["kind"] == "entity").materialize()
+    ent_mentions = mentions.filter(expr="kind == 'entity'").materialize()
     cnodes, cedges, alias_ds, _clusters = canonicalize_graph(
         nodes, edges, ent_mentions, CFG
     )
