@@ -30,13 +30,50 @@ from ..stages.merge import (
 )
 
 
+def _auto_spill_env(files_path: str) -> None:
+    """Auto-enable the parquet-checkpoint pin mode for large corpora.
+
+    The plain ``materialize()`` barriers hold every pinned intermediate
+    (chunk payloads, mentions, merged graph) in the object store as raw
+    Arrow; at ~1M files that exceeds plasma and spills uncompressed until
+    the scratch disk fills (measured: OutOfDiskError at 1M files /
+    37.6 GiB plasma / 78 GB scratch).  Above ``RAYKG_PIN_PARQUET_OVER``
+    input bytes (default 512 MiB of source parquet, ~500k files) the
+    pins checkpoint to compressed parquet instead — same barrier, ~10x
+    less scratch (1M-file soak: 0 object spills, 4.5 GB checkpoints).
+    Explicit ``RAYKG_SPILL_DIR`` always wins; the auto path just fills
+    it in for every pin_dataset in this process."""
+    if os.environ.get("RAYKG_SPILL_DIR"):
+        return
+    try:
+        if os.path.isdir(files_path):
+            size = sum(
+                os.path.getsize(os.path.join(files_path, f))
+                for f in os.listdir(files_path)
+            )
+        else:
+            size = os.path.getsize(files_path)
+    except OSError:
+        return
+    cap = int(os.environ.get("RAYKG_PIN_PARQUET_OVER", str(512 * 2**20)))
+    if size > cap:
+        d = os.environ.get("RAYKG_SPILL_DIR_AUTO", "/tmp/raykg_spill_auto")
+        os.makedirs(d, exist_ok=True)
+        os.environ["RAYKG_SPILL_DIR"] = d
+
+
 def build_chunks(files_path: str, cfg: KGConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
-    from ..runtime import configure
+    from ..runtime import configure, pin_dataset
 
     configure()
+    _auto_spill_env(files_path)
     files = read_files(files_path, override_num_blocks=cfg.read_num_blocks)
     # Pinned once: consumed by the key-only dedup pass and the filter pass.
-    chunks = chunk_files(files, cfg).materialize()
+    # pin_dataset honors RAYKG_SPILL_DIR (million-file soak: chunk payloads
+    # checkpoint to compressed parquet instead of holding plasma quota
+    # across the downstream shuffles — raw-Arrow spill of every barrier
+    # filled the disk at 1M files).
+    chunks = pin_dataset(chunk_files(files, cfg), "chunks")
     # ONE dedup covers both reference dedups: the doc-level content-hash
     # anti-join (preprocessing.py:107-118) is subsumed by the chunk-level
     # keyed insert (preprocessing.py:126-150) because duplicate files share
@@ -69,8 +106,12 @@ def build_graph(
         # unchanged (16.9 -> 16.3 s, within noise) but costs ~18% at 4
         # CPUs (55.4 -> 65.4 s) — extraction tasks and shuffle aggregator
         # actors thrash when parallelism is scarce, so the barrier is the
-        # better plan at every scale that matters.
-        mentions_ds = build_mentions(files_path, cfg).materialize()
+        # better plan at every scale that matters.  pin_dataset keeps the
+        # barrier but checkpoints it to parquet under RAYKG_SPILL_DIR
+        # (the million-file/100-TB path).
+        from ..runtime import pin_dataset
+
+        mentions_ds = pin_dataset(build_mentions(files_path, cfg), "mentions")
     # fused single-shuffle node+edge merge over the UNIFIED mentions table
     # (one scan computes both partials); outputs are pinned (each is
     # consumed twice: backfill + sink). The write path (state/lineage.py)

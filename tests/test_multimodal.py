@@ -32,8 +32,19 @@ def test_decode_media(media_ds):
 
 
 def test_decode_real_format_raises():
-    with pytest.raises(NotImplementedError):
+    # JPEG now routes to the real decoder: truncated garbage after the SOI
+    # marker is a parse error, not a missing-capability boundary
+    with pytest.raises(ValueError):
         decode_payload(b"\xff\xd8\xff\xe0 jpeg bytes")
+    # the missing-capability boundary is now unknown container formats
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"GIF89a not a supported container")
+    # a REAL baseline JPEG round-trips through the generic dispatch
+    from mmgraphrag_ray.stages.multimodal import make_jpeg_payload
+
+    m = decode_payload(make_jpeg_payload(4))
+    assert (m["width"], m["height"], m["n_frames"]) == (8 * (2 + 4 % 3),
+                                                       8 * (1 + 4 % 4), 1)
 
 
 def test_media_features_deterministic(media_ds):
