@@ -2973,11 +2973,15 @@ def q22_idle_customers(sf_dir: str, cutoff: str = "2000-01-01"):
         no_recent = b["last_order"].isna() | (b["last_order"] < cutoff_ts)
         s = b[rich & no_recent.to_numpy()]
         if not len(s):
-            # typed empty block: keeps the shuffle schema stable
-            return pd.DataFrame({
-                "c_mktsegment": pd.Series(dtype="string"),
+            # typed ARROW empty block: a pandas empty frame (even with
+            # StringDtype) still trips Ray's batch-size estimator
+            # (np.vectorize on size-0 input) — df_to_table never does
+            from ..arrowutil import df_to_table
+
+            return df_to_table(pd.DataFrame({
+                "c_mktsegment": pd.Series(dtype=object),
                 "bal_cents": pd.Series(dtype="int64"),
-            })
+            }))
         return strip_pd_metadata(pd.DataFrame({
             "c_mktsegment": s["c_mktsegment"],
             "bal_cents": np.round(
