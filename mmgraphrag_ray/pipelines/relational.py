@@ -28,6 +28,16 @@ def _read(sf_dir: str, table: str, columns=None):
     )
 
 
+def _sorted_small(ds, by, ascending):
+    """Deterministic output order for a k-row result (ADVICE r4): pull the
+    k rows to the driver, mergesort, re-wrap — a full Dataset.sort stage
+    costs ~0.3 s of spin-up for the same 10-20 rows.  Only ever called on
+    top-k / tie-set outputs (bounded by construction)."""
+    df = ds.to_pandas().sort_values(
+        by, ascending=ascending, kind="mergesort").reset_index(drop=True)
+    return ray.data.from_pandas(df)
+
+
 def _guard_sentinel(series, sentinel, label: str):
     """Marker-row sentinel guard (ADVICE r4): the fused single-shuffle
     plans tag the other side's rows with an in-band sentinel in a reused
@@ -2535,10 +2545,10 @@ def q10_returned_items(sf_dir: str, d1: str = "1997-01-01",
     topk = per_cust.sort(["revenue_cents", "c_custkey"],
                          descending=[True, False]).limit(k)
     # re-sort after the attach (order not preserved; k rows — free)
-    return attach_dim(
+    return _sorted_small(attach_dim(
         topk, dim, on="c_custkey",
         project=["c_custkey", "c_name", "n_name", "revenue_cents"],
-    ).sort(["revenue_cents", "c_custkey"], descending=[True, False])
+    ), ["revenue_cents", "c_custkey"], [False, True])
 
 
 def q12_priority_lines(sf_dir: str, d1: str = "1997-01-01",
@@ -2651,11 +2661,11 @@ def q15_top_supplier(sf_dir: str, d1: str = "1997-01-01",
     from ..stages.join import attach_dim
 
     # deterministic output order for the (possibly tied) max set
-    return attach_dim(
+    return _sorted_small(attach_dim(
         best, _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
         on="s_suppkey",
         project=["s_suppkey", "s_name", "total_revenue_cents"],
-    ).sort("s_suppkey")
+    ), ["s_suppkey"], [True])
 
 
 def q17_small_qty_cents(sf_dir: str, brand: str = "Brand#1"):
@@ -2905,10 +2915,10 @@ def q21_waiting_supplier(sf_dir: str, k: int = 10):
     # re-sort AFTER the dimension attach: neither attach plan preserves
     # row order, and the documented output order is top-k (ADVICE r4);
     # k rows, so the trailing sort is free
-    return attach_dim(
+    return _sorted_small(attach_dim(
         topk, _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
         on="s_suppkey", project=["s_suppkey", "s_name", "numwait"],
-    ).sort(["numwait", "s_suppkey"], descending=[True, False])
+    ), ["numwait", "s_suppkey"], [False, True])
 
 
 def q22_idle_customers(sf_dir: str, cutoff: str = "2000-01-01"):
@@ -3457,7 +3467,7 @@ def q2_min_cost_supplier(sf_dir: str, k: int = 20):
     )
     # re-sort after the attaches: attach plans don't preserve order and
     # the documented output order is (p_partkey, s_suppkey); k rows
-    return named.sort(["p_partkey", "s_suppkey"])
+    return _sorted_small(named, ["p_partkey", "s_suppkey"], [True, True])
 
 
 def q20_part_share_suppliers(sf_dir: str, num: int = 1, den: int = 5):
