@@ -164,12 +164,18 @@ def min_label_rounds(nodes_ds, edges_ds, rounds: int = 4,
             marks = g[g["kind"] == "n"]
             if first:
                 cur = marks.set_index("u")["lbl"]
+                changed = cur  # initial labels count as changed: ship all
             else:
                 p = (g[g["kind"] == "c"]
                      .groupby("u", sort=False)["lbl"].min())
                 own = marks.set_index("u")["lbl"]
                 nbr = p.reindex(own.index)
                 cur = own.where(nbr.isna() | (own <= nbr), nbr)
+                # delta propagation (min is cumulative): a label that did
+                # not improve this round was shipped the round it last
+                # changed, so neighbors already min-merged it — ship only
+                # strict improvements (most nodes converge in 1-2 rounds)
+                changed = cur[cur < own]
             if last:
                 return _d2t(pd.DataFrame({
                     "node": cur.index.to_numpy(dtype=object),
@@ -177,7 +183,7 @@ def min_label_rounds(nodes_ds, edges_ds, rounds: int = 4,
                 }))
             e = _fetch_bucket_edges(
                 edge_parts, int(g["_pbucket"].iloc[0]), ["u", "v"])
-            l_e = e["u"].map(cur)
+            l_e = e["u"].map(changed)
             live = l_e.notna()
             ship = pd.DataFrame({
                 "u": e.loc[live, "v"],
@@ -2255,25 +2261,43 @@ def hyperball_registers(nodes_ds, edges_ds, rounds: int = 2,
 
     def seed_rows(b: pd.DataFrame):
         t = seed(b).to_pandas()
+        # k=1: the initial sketch counts as "changed", so round 1 ships it
+        t["k"] = np.int64(1)
         t["_hbucket"] = _ub(t["u"])
-        return _d2t(t[["u", "register", "rho", "_hbucket"]])
+        return _d2t(t[["u", "register", "rho", "k", "_hbucket"]])
 
     state = nodes_ds.map_batches(
         seed_rows, batch_format="pandas").materialize()
 
     def step(g: pd.DataFrame):
+        # Delta propagation (Boldi & Vigna's "modified counters"): ship
+        # only registers that IMPROVED this round — an unimproved
+        # register was already shipped the round it last changed, and
+        # neighbor merges are cumulative maxes, so the result is
+        # identical while rounds >= 2 ship a fraction of the sketch.
         e = _fetch_bucket_edges(
             edge_parts, int(g["_hbucket"].iloc[0]), ["u", "v"])
+        own = g[g["k"] == 0]
         merged = g.groupby(["u", "register"], sort=False,
                            as_index=False)["rho"].max()
-        ship = merged.merge(e, on="u", how="inner")
+        if len(own):
+            m = merged.merge(
+                own[["u", "register", "rho"]].rename(
+                    columns={"rho": "rho_own"}),
+                on=["u", "register"], how="left")
+            changed = m.loc[
+                m["rho_own"].isna() | (m["rho"] > m["rho_own"]),
+                ["u", "register", "rho"]]
+        else:
+            changed = merged
+        ship = changed.merge(e, on="u", how="inner")
         out = pd.concat(
-            [merged,
+            [merged.assign(k=np.int64(0)),
              pd.DataFrame({"u": ship["v"], "register": ship["register"],
-                           "rho": ship["rho"]})],
+                           "rho": ship["rho"], "k": np.int64(1)})],
             ignore_index=True,
-        ) if len(merged) else merged
-        out = out[["u", "register", "rho"]]
+        ) if len(merged) else merged.assign(k=np.int64(0))
+        out = out[["u", "register", "rho", "k"]]
         out["_hbucket"] = _ub(out["u"])
         return _d2t(out)
 
