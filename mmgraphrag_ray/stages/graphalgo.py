@@ -187,8 +187,12 @@ def min_label_rounds(nodes_ds, edges_ds, rounds: int = 4,
             live = l_e.notna()
             ship = pd.DataFrame({
                 "u": e.loc[live, "v"],
-                "lbl": l_e[live].astype(object), "kind": "c",
+                "lbl": l_e[live].astype(object),
             })
+            # map-side combiner: pre-min per destination in this bucket
+            ship = ship.groupby("u", sort=False, as_index=False)[
+                "lbl"].min()
+            ship["kind"] = "c"
             markers = pd.DataFrame({
                 "u": cur.index.to_numpy(dtype=object),
                 "lbl": cur.to_numpy(dtype=object), "kind": "n",
@@ -438,8 +442,13 @@ def pagerank_int(nodes_ds, edges_ds, iterations: int = 3,
                 "u": e.loc[live, "v"],
                 "val": ((DAMP_NUM * r_e[live].astype("int64") // DAMP_DEN)
                         // d[live]).astype("int64"),
-                "kind": "c",
             })
+            # map-side combiner: pre-sum per destination inside this
+            # bucket (integer sums are associative) — ships <= distinct
+            # destinations instead of one row per edge
+            contrib = contrib.groupby("u", sort=False, as_index=False)[
+                "val"].sum()
+            contrib["kind"] = "c"
             markers = pd.DataFrame({
                 "u": marks["u"],
                 "val": np.int64(0), "kind": "n",
@@ -1841,8 +1850,13 @@ def ppr_int(nodes_ds, edges_ds, seeds_ds, iterations: int = 3,
                 "u": e.loc[live, "v"],
                 "val": ((DAMP_NUM * r_e[live].astype("int64") // DAMP_DEN)
                         // d[live]).astype("int64"),
-                "kind": "c",
             })
+            # map-side combiner: pre-sum per destination inside this
+            # bucket (integer sums are associative) — ships <= distinct
+            # destinations instead of one row per edge
+            contrib = contrib.groupby("u", sort=False, as_index=False)[
+                "val"].sum()
+            contrib["kind"] = "c"
             markers = pd.DataFrame({
                 "u": marks["u"],
                 "val": np.int64(0), "kind": "n",
@@ -2291,10 +2305,17 @@ def hyperball_registers(nodes_ds, edges_ds, rounds: int = 2,
         else:
             changed = merged
         ship = changed.merge(e, on="u", how="inner")
+        # map-side combiner: several bucket-local sources can ship the
+        # same (dest, register) — pre-max before the shuffle
+        shipped = (
+            pd.DataFrame({"u": ship["v"], "register": ship["register"],
+                          "rho": ship["rho"]})
+            .groupby(["u", "register"], sort=False, as_index=False)["rho"]
+            .max()
+        )
+        shipped["k"] = np.int64(1)
         out = pd.concat(
-            [merged.assign(k=np.int64(0)),
-             pd.DataFrame({"u": ship["v"], "register": ship["register"],
-                           "rho": ship["rho"], "k": np.int64(1)})],
+            [merged.assign(k=np.int64(0)), shipped],
             ignore_index=True,
         ) if len(merged) else merged.assign(k=np.int64(0))
         out = out[["u", "register", "rho", "k"]]
