@@ -125,6 +125,7 @@ def _bench_main() -> None:
             "q21_waiting_supplier",
             "dedup_minhash_recall",
             "kg_hyperball",
+            "kg_pagerank",
             "ann_pq_topk",
         ]:
             t0 = time.time()
