@@ -1505,6 +1505,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return decode_jpeg_media(ray.data.from_arrow(synth_jpeg_table(MEDIA_N)))
 
+    def media_jpeg_resize(sf_dir):
+        # REAL decode->transform chain for JPEG: full baseline decode then
+        # the 2x2 box-filter downsample (floor mean; the PPM resizer's
+        # kernel).  The corpus' constant 8x8 blocks make every 2x2 box
+        # single-valued, so the oracle mirrors the resized pixels from the
+        # block formula at halved resolution.
+        from mmgraphrag_ray.stages.multimodal import (
+            resize_jpeg_media,
+            synth_jpeg_table,
+        )
+
+        return resize_jpeg_media(ray.data.from_arrow(synth_jpeg_table(MEDIA_N)))
+
     def kg_mm_answer(sf_dir):
         # ORI_IMG multimodal answer path (reference query.py:414-469) with
         # deterministic model seams over a media KV derived from documents
@@ -3233,6 +3246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_wav_decode": media_wav_decode,
         "media_png_decode": media_png_decode,
         "media_jpeg_decode": media_jpeg_decode,
+        "media_jpeg_resize": media_jpeg_resize,
         "kg_query_context": kg_query_context,
         "kg_mm_answer": kg_mm_answer,
         "kg_node_degrees": kg_node_degrees,
@@ -4802,6 +4816,51 @@ FROM te GROUP BY 1, 2
                    CAST(m.w AS BIGINT) AS width,
                    CAST(m.h AS BIGINT) AS height,
                    md5(hx.s) AS px_md5
+            FROM m JOIN hx USING (media_id)
+        """,
+        # REAL JPEG decode->resize mirror: the corpus' 8x8 blocks are
+        # constant colors, 2x2 boxes never straddle a block (8 is even),
+        # so resized pixel (y,x) = the RGB conversion of block
+        # (y//4, x//4) — halved dims, same closed-form color math as
+        # media_jpeg_decode
+        "media_jpeg_resize": """
+            WITH m AS (
+              SELECT i AS media_id, 8*(2 + i % 3) AS w, 8*(1 + i % 4) AS h
+              FROM range(300) t(i)
+            ),
+            px AS (
+              SELECT media_id, Y.y AS y, X.x AS x,
+                     CAST((media_id*7  + (Y.y//4)*31 + (X.x//4)*13) % 256
+                          AS DOUBLE) AS yv,
+                     CAST((media_id*11 + (Y.y//4)*17 + (X.x//4)*19) % 256
+                          AS DOUBLE) AS cb,
+                     CAST((media_id*5  + (Y.y//4)*23 + (X.x//4)*29) % 256
+                          AS DOUBLE) AS cr
+              FROM m, range(16) Y(y), range(16) X(x)
+              WHERE Y.y < h // 2 AND X.x < w // 2
+            ),
+            rgb AS (
+              SELECT media_id, y, x,
+                     greatest(0, least(255,
+                       floor(yv + 1.402*(cr-128) + 0.5))) AS r,
+                     greatest(0, least(255,
+                       floor(yv - 0.344136*(cb-128)
+                                - 0.714136*(cr-128) + 0.5))) AS g,
+                     greatest(0, least(255,
+                       floor(yv + 1.772*(cb-128) + 0.5))) AS b
+              FROM px
+            ),
+            hx AS (
+              SELECT media_id,
+                     string_agg(printf('%02x%02x%02x', CAST(r AS INT),
+                                       CAST(g AS INT), CAST(b AS INT)), ''
+                                ORDER BY y, x) AS s
+              FROM rgb GROUP BY media_id
+            )
+            SELECT m.media_id,
+                   CAST(m.w // 2 AS BIGINT) AS r_width,
+                   CAST(m.h // 2 AS BIGINT) AS r_height,
+                   md5(hx.s) AS r_md5
             FROM m JOIN hx USING (media_id)
         """,
         "media_feature_components": """

@@ -1154,3 +1154,43 @@ def decode_jpeg_media(media_ds, concurrency=None, batch_size: int = 32):
         JpegDecoder, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency or media_concurrency(),
     )
+
+
+class JpegResizer:
+    """Actor-pool REAL decode->transform chain for JPEG: full baseline
+    decode (:func:`decode_jpeg`) then the engine's 2x2 box-filter
+    downsample (floor mean per channel) — the JPEG counterpart of
+    :class:`PpmResizer`.  The synthetic corpus' 8x8-constant blocks make
+    every 2x2 box single-valued (8 is even, boxes never straddle a block
+    boundary), so the resized pixels equal the block formula at halved
+    resolution and the oracle mirrors them in closed form."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, md5s = [], [], [], []
+        if batch.num_rows:
+            for mid, p in zip(batch.column("media_id").to_pylist(),
+                              batch.column("payload").to_pylist()):
+                m = decode_jpeg(p)
+                px = m["pixels"]
+                h2, w2 = m["height"] // 2, m["width"] // 2
+                q = px[:h2 * 2, :w2 * 2].reshape(h2, 2, w2, 2, 3)
+                small = (q.astype(np.uint32).sum(axis=(1, 3)) // 4
+                         ).astype(np.uint8)
+                ids.append(mid)
+                ws.append(w2)
+                hs.append(h2)
+                md5s.append(hashlib.md5(
+                    small.tobytes().hex().encode()).hexdigest())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "r_width": pa.array(ws, pa.int64()),
+            "r_height": pa.array(hs, pa.int64()),
+            "r_md5": pa.array(md5s, pa.string()),
+        })
+
+
+def resize_jpeg_media(media_ds, concurrency=None, batch_size: int = 32):
+    return media_ds.map_batches(
+        JpegResizer, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or media_concurrency(),
+    )
