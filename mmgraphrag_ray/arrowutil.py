@@ -174,3 +174,25 @@ def sever_lineage(ds):
 
     m = ds.materialize()  # no-op-cheap when already materialized
     return ray.data.from_arrow_refs(m.to_arrow_refs())
+
+
+def drop_empty_blocks(ds):
+    """Materialize and strip schema-less EMPTY blocks without moving any
+    data: rebuild from the non-empty block refs (zero-copy, like
+    :func:`sever_lineage`).  The cheap alternative to a trailing
+    ``repartition(n)`` when block sizes are already balanced (e.g. the
+    output of a hash-shuffle ``map_groups``, one block per aggregate
+    partition) and the only hazard is empty partitions poisoning
+    downstream unions/shuffles."""
+    import ray
+    import ray.data
+
+    m = ds.materialize()
+    try:
+        rows = m._block_num_rows()
+    except Exception:  # noqa: BLE001 — internal API; keep as materialized
+        return m
+    if not any(r == 0 for r in rows) or sum(rows) == 0:
+        return m
+    refs = [r for r, n in zip(m.to_arrow_refs(), rows) if n > 0]
+    return ray.data.from_arrow_refs(refs)
